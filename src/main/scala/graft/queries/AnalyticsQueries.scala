@@ -1,0 +1,136 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** General analytics surface over the lake tables — the query shapes a user
+  * of the engine runs beyond sync parity (aggregation, multi-way joins,
+  * top-k, event-time windowing, sessionization).
+  *
+  * Determinism discipline for the DuckDB oracle: double arithmetic is
+  * element-wise only (IEEE ops are bit-identical across engines); every
+  * aggregation over doubles quantizes to exact integer units first
+  * (`floor(x*scale + 0.5)` — single IEEE ops), sums exact BIGINTs
+  * (order-independent), and divides once at the end. Decimal CASTs are NOT
+  * portable: Spark casts double→decimal via the shortest string repr, DuckDB
+  * via the full binary expansion — tails differ.
+  */
+object AnalyticsQueries {
+
+  import org.apache.spark.sql.Column
+  /** Quantize a double column to integer units (scale = 100 for cents). */
+  private def units(c: Column, scale: Double): Column =
+    floor(c * scale + lit(0.5)).cast("long")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Pricing-summary aggregate (grouped agg with exact-decimal sums)
+    "q_agg_pricing" -> ((s, d) => {
+      val li = s.read.parquet(s"$d/lineitem.parquet")
+      li.groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(units(col("l_quantity"), 1.0)).cast("double").as("sum_qty"),
+          (sum(units(col("l_extendedprice"), 100.0)) / 100.0).as("sum_base_price"),
+          // price-cents × (100 − discount-%) is exact integer arithmetic
+          (sum(units(col("l_extendedprice"), 100.0) *
+               (lit(100L) - units(col("l_discount"), 100.0))) / 10000.0).as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+    }),
+
+    // Multi-way join + grouped agg: revenue per nation (broadcast small dims)
+    "q_join_revenue_nation" -> ((s, d) => {
+      val li = s.read.parquet(s"$d/lineitem.parquet")
+      val o = s.read.parquet(s"$d/orders.parquet")
+      val c = s.read.parquet(s"$d/customer.parquet")
+      val n = s.read.parquet(s"$d/nation.parquet")
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(
+          (sum(units(col("l_extendedprice"), 100.0) *
+               (lit(100L) - units(col("l_discount"), 100.0))) / 10000.0).as("revenue"),
+          count(lit(1)).as("n_items"))
+    }),
+
+    // Top-k with deterministic tie-break (TakeOrderedAndProject, no full sort)
+    "q_topk_orders" -> ((s, d) =>
+      s.read.parquet(s"$d/orders.parquet")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(10)
+        .select("o_orderkey", "o_custkey", "o_totalprice")),
+
+    // Event-time tumbling window (batch analog of the streaming agg)
+    "q_events_hourly" -> ((s, d) =>
+      EventsSource.load(s, d)
+        .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          (sum(units(col("value"), 1000000.0)) / 1000000.0).as("sum_value"))),
+
+    // Sessionization: 30-minute inactivity gap splits sessions per user
+    "q_events_sessions" -> ((s, d) => {
+      val ev = EventsSource.load(s, d)
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      ev.withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+        .withColumn("new_session",
+          when(col("prev_us").isNull ||
+            unix_micros(col("ts")) - col("prev_us") > 1800L * 1000000L, 1L).otherwise(0L))
+        .groupBy(col("user_id"))
+        .agg(sum(col("new_session")).as("n_sessions"), count(lit(1)).as("n_events"))
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q_agg_pricing" -> """SELECT l_returnflag, l_linestatus,
+  CAST(CAST(sum(CAST(floor(l_quantity * 1.0 + 0.5) AS BIGINT)) AS BIGINT) AS DOUBLE) AS sum_qty,
+  CAST(sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT) / 100.0 AS sum_base_price,
+  CAST(sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)
+           * (100 - CAST(floor(l_discount * 100.0 + 0.5) AS BIGINT))) AS BIGINT) / 10000.0 AS sum_disc_price,
+  count(*) AS count_order
+FROM lineitem GROUP BY l_returnflag, l_linestatus""",
+
+    "q_join_revenue_nation" -> """SELECT n_name,
+  CAST(sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)
+           * (100 - CAST(floor(l_discount * 100.0 + 0.5) AS BIGINT))) AS BIGINT) / 10000.0 AS revenue,
+  count(*) AS n_items
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name""",
+
+    "q_topk_orders" -> """SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""",
+
+    "q_events_hourly" -> """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour, event_type,
+  count(*) AS n,
+  CAST(sum(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) / 1000000.0 AS sum_value
+FROM events GROUP BY 1, 2""",
+
+    "q_events_sessions" -> """WITH g AS (
+  SELECT user_id,
+    CASE WHEN prev_us IS NULL OR us - prev_us > 1800 * 1000000 THEN 1 ELSE 0 END AS new_session
+  FROM (
+    SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+      lag(epoch_us(CAST(ts AS TIMESTAMP)), 1)
+        OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+    FROM events)
+)
+SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions, count(*) AS n_events
+FROM g GROUP BY user_id"""
+  )
+}
+
+/** events.parquet carries nanosecond timestamps; Spark's parquet reader has
+  * no nanos type ([PARQUET_TYPE_ILLEGAL]), so read them as raw Long nanos
+  * (legacy conf) and normalize to a microsecond TimestampType at load.
+  * The oracle casts TIMESTAMP_NS → TIMESTAMP the same way (floor division —
+  * epochs here are positive).
+  */
+object EventsSource {
+  def load(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.read.parquet(s"$d/events.parquet")
+      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+  }
+}

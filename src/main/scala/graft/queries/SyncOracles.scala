@@ -1,0 +1,182 @@
+package graft.queries
+
+/** DuckDB oracle SQL twins for [[SyncQueries]].
+  *
+  * The fixture CTEs reproduce [[graft.sync.SyncFixtures]] arithmetic
+  * EXACTLY — any change there must be mirrored here. All expressions are
+  * integer/verbatim-copy/single-IEEE-op so Spark and DuckDB agree
+  * bit-for-bit.
+  */
+object SyncOracles {
+
+  /** Shared fixture CTE prefix (unused CTEs are free in DuckDB). */
+  val prefix: String = """WITH li AS (
+  SELECT *, ((l_orderkey * 8 + l_linenumber) * 262144 + l_partkey) * 2048 + l_suppkey AS RecId
+  FROM lineitem
+), mark AS (
+  SELECT max(RecId) AS stored_mark FROM li
+), src AS (
+  SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_returnflag, RecId,
+         RecId + CASE WHEN RecId % 20 = 3 THEN 10000000000000000 ELSE 0 END AS SysRowVersion,
+         CASE WHEN RecId % 20 = 3 THEN 2 ELSE 1 END AS RECVERSION,
+         l_shipdate AS CREATEDDATETIME,
+         CASE WHEN RecId % 20 = 3 THEN l_shipdate + INTERVAL 30 DAY ELSE l_shipdate END AS MODIFIEDDATETIME
+  FROM li WHERE RecId % 97 <> 0
+), tgt AS (
+  SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_returnflag, RecId,
+         RecId + CASE WHEN RecId % 131 = 5 THEN 20000000000000000 ELSE 0 END AS SysRowVersion,
+         1 AS RECVERSION,
+         l_shipdate AS CREATEDDATETIME,
+         l_shipdate AS MODIFIEDDATETIME
+  FROM li WHERE RecId % 89 <> 0
+), src50 AS (
+  SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_returnflag, RecId,
+         RecId + CASE WHEN RecId % 2 = 1 THEN 10000000000000000 ELSE 0 END AS SysRowVersion,
+         CASE WHEN RecId % 2 = 1 THEN 2 ELSE 1 END AS RECVERSION,
+         l_shipdate AS CREATEDDATETIME,
+         CASE WHEN RecId % 2 = 1 THEN l_shipdate + INTERVAL 30 DAY ELSE l_shipdate END AS MODIFIEDDATETIME
+  FROM li WHERE 1 = 1
+), perf AS (
+  SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_returnflag, RecId,
+         RecId AS SysRowVersion, 1 AS RECVERSION,
+         l_shipdate AS CREATEDDATETIME, l_shipdate AS MODIFIEDDATETIME
+  FROM li
+)
+"""
+
+  private val outCols = "RecId, SysRowVersion, RECVERSION, l_quantity, l_extendedprice, l_returnflag"
+
+  private val classifySql = """SELECT COALESCE(s.RecId, t.RecId) AS RecId,
+  CASE WHEN t.RecId IS NULL THEN 'NEW'
+       WHEN s.RecId IS NULL THEN 'DELETED'
+       WHEN s.RECVERSION = t.RECVERSION
+            AND s.CREATEDDATETIME IS NOT DISTINCT FROM t.CREATEDDATETIME
+            AND s.MODIFIEDDATETIME IS NOT DISTINCT FROM t.MODIFIEDDATETIME THEN 'UNCHANGED'
+       ELSE 'MODIFIED' END AS change_type
+FROM src s FULL OUTER JOIN tgt t ON s.RecId = t.RecId"""
+
+  private def plannerSql(controlCte: String, targetCte: String): String =
+    s"""SELECT c.source_window, c.changed, t.target_count, m.missing,
+  c.changed * 100.0 / c.source_window AS change_pct,
+  (t.target_count - c.source_window) * 100.0 / c.source_window AS excess_pct,
+  CASE WHEN c.changed = 0 AND m.missing = 0 AND t.target_count <= c.source_window THEN 'NOOP'
+       WHEN c.changed * 100.0 / c.source_window >= 40.0
+            OR (t.target_count - c.source_window) * 100.0 / c.source_window >= 40.0 THEN 'TRUNCATE'
+       ELSE 'INCREMENTAL' END AS mode
+FROM (SELECT count(*) AS source_window,
+             CAST(sum(CASE WHEN s.SysRowVersion > (SELECT stored_mark FROM mark) THEN 1 ELSE 0 END) AS BIGINT) AS changed
+      FROM $controlCte s) c,
+     (SELECT count(*) AS target_count FROM $targetCte) t,
+     (SELECT count(*) AS missing FROM $controlCte s
+      WHERE NOT EXISTS (SELECT 1 FROM $targetCte t2 WHERE t2.RecId = s.RecId)) m"""
+
+  def oracles: Map[String, String] = Map(
+    "q_s5_topn" ->
+      (prefix + "SELECT RecId, SysRowVersion, l_orderkey, l_quantity FROM src ORDER BY RecId DESC LIMIT 1000"),
+
+    "q_s7_control" ->
+      (prefix + "SELECT RecId, SysRowVersion FROM src ORDER BY RecId DESC LIMIT 5000"),
+
+    "q_s8_delta" ->
+      (prefix + """SELECT RecId, SysRowVersion, RECVERSION FROM src
+WHERE SysRowVersion >= (SELECT stored_mark FROM mark) AND RecId >= 0
+ORDER BY RecId DESC LIMIT 2000000"""),
+
+    "q_s9_modified" ->
+      (prefix + """SELECT RecId, MODIFIEDDATETIME FROM src
+WHERE MODIFIEDDATETIME > (SELECT max(l_shipdate) - INTERVAL 90 DAY FROM li)"""),
+
+    "q_j1_classify" -> (prefix + classifySql),
+
+    "q_j1_fallback" ->
+      (prefix + """SELECT COALESCE(s.RecId, t.RecId) AS RecId,
+  CASE WHEN t.RecId IS NULL THEN 'NEW'
+       WHEN s.RecId IS NULL THEN 'DELETED'
+       WHEN s.RECVERSION = 1 AND t.RECVERSION = 1
+         THEN (CASE WHEN s.RecId <= (SELECT stored_mark - 1000 FROM mark)
+                    THEN 'UNCHANGED' ELSE 'MODIFIED' END)
+       WHEN s.RECVERSION = t.RECVERSION THEN 'UNCHANGED'
+       ELSE 'MODIFIED' END AS change_type
+FROM src s FULL OUTER JOIN tgt t ON s.RecId = t.RecId"""),
+
+    "q_a4_counts" ->
+      (prefix + s"SELECT change_type, count(*) AS n FROM ($classifySql) GROUP BY change_type"),
+
+    "q_j2_missing" ->
+      (prefix + """SELECT s.RecId FROM src s
+WHERE NOT EXISTS (SELECT 1 FROM tgt t WHERE t.RecId = s.RecId)"""),
+
+    "q_j3_notinsource" ->
+      (prefix + """SELECT t.RecId FROM tgt t
+WHERE NOT EXISTS (SELECT 1 FROM src s WHERE s.RecId = t.RecId)"""),
+
+    "q_j4_changed" ->
+      (prefix + """SELECT t.RecId FROM tgt t
+WHERE EXISTS (SELECT 1 FROM src s
+              WHERE s.RecId = t.RecId
+                AND s.SysRowVersion > (SELECT stored_mark FROM mark))"""),
+
+    "q_so2_delete_keys" ->
+      (prefix + """SELECT t.RecId FROM tgt t
+WHERE EXISTS (SELECT 1 FROM src s
+              WHERE s.RecId = t.RecId
+                AND s.SysRowVersion > (SELECT stored_mark FROM mark))
+UNION
+SELECT t.RecId FROM tgt t WHERE t.SysRowVersion > (SELECT stored_mark FROM mark)
+UNION
+SELECT t.RecId FROM tgt t
+WHERE NOT EXISTS (SELECT 1 FROM src s WHERE s.RecId = t.RecId)"""),
+
+    "q_a_marks" ->
+      (prefix + """SELECT s.max_src_version, s.min_src_recid, s.max_src_recid, s.src_cnt,
+       t.max_tgt_version, t.tgt_cnt
+FROM (SELECT max(SysRowVersion) AS max_src_version, min(RecId) AS min_src_recid,
+             max(RecId) AS max_src_recid, count(*) AS src_cnt FROM src) s,
+     (SELECT max(SysRowVersion) AS max_tgt_version, count(*) AS tgt_cnt FROM tgt) t"""),
+
+    // Incremental merge converges the target to the source window exactly
+    // (locally-mutated rows are purged by delete 2-of-3 and re-inserted).
+    "q_m2_incremental" -> (prefix + s"SELECT $outCols FROM src"),
+
+    // Standard (J1-classified) merge: UNCHANGED keys keep the TARGET row —
+    // J1 compares RECVERSION/datetimes, not SysRowVersion, so a target row
+    // with a local version bump but equal comparison columns survives
+    // untouched (no delete 2-of-3 in standard mode).
+    "q_m1_standard" ->
+      (prefix + s"""SELECT ${outCols.split(", ").map("t." + _).mkString(", ")} FROM tgt t
+WHERE EXISTS (SELECT 1 FROM src s WHERE s.RecId = t.RecId
+  AND s.RECVERSION = t.RECVERSION
+  AND s.CREATEDDATETIME IS NOT DISTINCT FROM t.CREATEDDATETIME
+  AND s.MODIFIEDDATETIME IS NOT DISTINCT FROM t.MODIFIEDDATETIME)
+UNION ALL
+SELECT ${outCols.split(", ").map("s." + _).mkString(", ")} FROM src s
+WHERE NOT EXISTS (SELECT 1 FROM tgt t WHERE t.RecId = s.RecId
+  AND s.RECVERSION = t.RECVERSION
+  AND s.CREATEDDATETIME IS NOT DISTINCT FROM t.CREATEDDATETIME
+  AND s.MODIFIEDDATETIME IS NOT DISTINCT FROM t.MODIFIEDDATETIME)"""),
+
+    "q_m1_window" ->
+      (prefix + s""", w AS (SELECT $outCols FROM src ORDER BY RecId DESC LIMIT 2000)
+SELECT $outCols FROM tgt WHERE RecId < (SELECT min(RecId) FROM w)
+UNION ALL SELECT $outCols FROM w"""),
+
+    "q_m3_truncate" -> (prefix + s"SELECT $outCols FROM src50"),
+
+    "q_planner_decide" -> (prefix + plannerSql("src", "tgt")),
+    "q_planner_noop" -> (prefix + plannerSql("perf", "perf")),
+    "q_planner_truncate" -> (prefix + plannerSql("src50", "tgt")),
+
+    "q_discovery" -> ("""SELECT * FROM (
+SELECT 'region' AS table_name, count(*) AS row_count FROM region
+UNION ALL SELECT 'nation', count(*) FROM nation
+UNION ALL SELECT 'customer', count(*) FROM customer
+UNION ALL SELECT 'supplier', count(*) FROM supplier
+UNION ALL SELECT 'part', count(*) FROM part
+UNION ALL SELECT 'orders', count(*) FROM orders
+UNION ALL SELECT 'lineitem', count(*) FROM lineitem
+UNION ALL SELECT 'events', count(*) FROM events
+UNION ALL SELECT 'documents', count(*) FROM documents
+UNION ALL SELECT 'embeddings', count(*) FROM embeddings
+) WHERE row_count > 0""")
+  )
+}

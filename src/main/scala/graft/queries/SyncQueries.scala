@@ -1,0 +1,178 @@
+package graft.queries
+
+import graft.model.ComparisonContext
+import graft.sync._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Oracle-checked queries over the sync core (SURVEY §2.1–§2.8).
+  *
+  * Each entry exercises a real engine code path (Extract/Classify/Apply/
+  * Planner) over the deterministic [[SyncFixtures]]; the DuckDB twin SQL
+  * lives in [[SyncOracles]] — keep in lockstep.
+  */
+object SyncQueries {
+
+  /** Slim fixture projection shared by merge-result queries. */
+  private val outCols =
+    Seq("RecId", "SysRowVersion", "RECVERSION", "l_quantity", "l_extendedprice", "l_returnflag")
+  private val fullCtx = ComparisonContext(hasRecVersion = true, hasCreated = true, hasModified = true)
+
+  private def slim(df: DataFrame): DataFrame = df.select(outCols.map(col): _*)
+  private def slimT(df: DataFrame): DataFrame =
+    df.select((outCols :+ "CREATEDDATETIME" :+ "MODIFIEDDATETIME").map(col): _*)
+
+  private def mark(spark: SparkSession, dir: String): Long =
+    SyncFixtures.storedMark(spark, dir).head().getLong(0)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // S5 — top-N-by-key fetch
+    "q_s5_topn" -> ((s, d) =>
+      Extract.topNByKey(SyncFixtures.source(s, d), 1000)
+        .select("RecId", "SysRowVersion", "l_orderkey", "l_quantity")),
+
+    // S7 — control-data fetch (narrow projection, pruned scan)
+    "q_s7_control" -> ((s, d) =>
+      Extract.controlFetch(SyncFixtures.source(s, d), 5000)),
+
+    // S8 — timestamp-delta fetch (>= over-fetch semantics)
+    "q_s8_delta" -> ((s, d) =>
+      Extract.deltaFetch(SyncFixtures.source(s, d), mark(s, d), 0L, 2000000)
+        .select("RecId", "SysRowVersion", "RECVERSION")),
+
+    // S9 — legacy modified-date fetch (cutoff computed in-plan, broadcast)
+    "q_s9_modified" -> ((s, d) => {
+      val cutoff = SyncFixtures.base(s, d)
+        .agg((max(col("l_shipdate")) - expr("INTERVAL 90 DAY")).as("cutoff"))
+      SyncFixtures.source(s, d)
+        .crossJoin(broadcast(cutoff))
+        .filter(col("MODIFIEDDATETIME") > col("cutoff"))
+        .select("RecId", "MODIFIEDDATETIME")
+    }),
+
+    // J1 — delta-comparison classification (full comparison context)
+    "q_j1_classify" -> ((s, d) =>
+      Classify.classify(slimT(SyncFixtures.source(s, d)), slimT(SyncFixtures.target(s, d)), fullCtx)
+        .select("RecId", Classify.ChangeTypeCol)),
+
+    // J1 fallback — RECVERSION-only context with StoredMaxRecId refinement
+    "q_j1_fallback" -> ((s, d) => {
+      val ctx = ComparisonContext(hasRecVersion = true, hasCreated = false,
+        hasModified = false, storedMaxRecId = Some(mark(s, d) - 1000))
+      val src = SyncFixtures.source(s, d).select("RecId", "RECVERSION")
+      val tgt = SyncFixtures.target(s, d).select("RecId", "RECVERSION")
+      Classify.classify(src, tgt, ctx).select("RecId", Classify.ChangeTypeCol)
+    }),
+
+    // A4 — classification counts
+    "q_a4_counts" -> ((s, d) =>
+      Classify.counts(
+        Classify.classify(slimT(SyncFixtures.source(s, d)), slimT(SyncFixtures.target(s, d)), fullCtx))),
+
+    // J2 — missing-keys anti-join
+    "q_j2_missing" -> ((s, d) =>
+      SyncFixtures.control(SyncFixtures.source(s, d)).select("RecId")
+        .join(SyncFixtures.target(s, d).select("RecId"), Seq("RecId"), "left_anti")),
+
+    // J3 — not-in-source anti-join (delete 3 of 3)
+    "q_j3_notinsource" -> ((s, d) =>
+      SyncFixtures.target(s, d).select("RecId")
+        .join(SyncFixtures.control(SyncFixtures.source(s, d)).select("RecId"),
+          Seq("RecId"), "left_anti")),
+
+    // J4 — changed-in-source semi-join (delete 1 of 3)
+    "q_j4_changed" -> ((s, d) => {
+      val m = mark(s, d)
+      val changed = SyncFixtures.control(SyncFixtures.source(s, d))
+        .filter(col("SysRowVersion") > lit(m)).select("RecId")
+      SyncFixtures.target(s, d).select("RecId")
+        .join(broadcast(changed), Seq("RecId"), "left_semi")
+    }),
+
+    // SO2 — union of delete key sets (changed ∪ locally-mutated ∪ not-in-source)
+    "q_so2_delete_keys" -> ((s, d) => {
+      val m = mark(s, d)
+      val control = SyncFixtures.control(SyncFixtures.source(s, d))
+      val tgt = SyncFixtures.target(s, d)
+      val changed = tgt.select("RecId")
+        .join(control.filter(col("SysRowVersion") > lit(m)).select("RecId"), Seq("RecId"), "left_semi")
+      val localMut = tgt.filter(col("SysRowVersion") > lit(m)).select("RecId")
+      val notInSource = tgt.select("RecId")
+        .join(control.select("RecId"), Seq("RecId"), "left_anti")
+      changed.unionByName(localMut).unionByName(notInSource).distinct()
+    }),
+
+    // A1/A2/A5/A6 — mark + count aggregates in one row
+    "q_a_marks" -> ((s, d) => {
+      val src = SyncFixtures.source(s, d)
+      val tgt = SyncFixtures.target(s, d)
+      src.agg(
+        max(col("SysRowVersion")).as("max_src_version"),
+        min(col("RecId")).as("min_src_recid"),
+        max(col("RecId")).as("max_src_recid"),
+        count(lit(1)).as("src_cnt"))
+        .crossJoin(tgt.agg(
+          max(col("SysRowVersion")).as("max_tgt_version"),
+          count(lit(1)).as("tgt_cnt")))
+    }),
+
+    // M2 — incremental merge: final target state == source window
+    "q_m2_incremental" -> ((s, d) => {
+      val m = mark(s, d)
+      val src = slim(SyncFixtures.source(s, d))
+      Apply.applyIncremental(
+        src, SyncFixtures.control(SyncFixtures.source(s, d)),
+        slim(SyncFixtures.target(s, d)), m, m)
+    }),
+
+    // M1 — standard merge via J1 classification: same final state, different path
+    "q_m1_standard" -> ((s, d) => {
+      val src = slimT(SyncFixtures.source(s, d))
+      val tgt = slimT(SyncFixtures.target(s, d))
+      val classified = Classify.classify(src, tgt, fullCtx)
+      slim(Apply.applyStandard(classified, tgt))
+    }),
+
+    // M1 windowed — DELETE WHERE RecId >= min(window), then insert window
+    "q_m1_window" -> ((s, d) => {
+      val w = Extract.topNByKey(slim(SyncFixtures.source(s, d)), 2000)
+      Apply.applyWindowStandard(w, slim(SyncFixtures.target(s, d)))
+    }),
+
+    // M3 — truncate merge (50%-changed source forces overwrite)
+    "q_m3_truncate" -> ((s, d) =>
+      Apply.applyTruncate(SyncFixtures.source50(s, d), outCols)),
+
+    // O4/O5/O6 — planner cost model as one distributed row
+    "q_planner_decide" -> ((s, d) =>
+      Planner.decideAsQuery(
+        SyncFixtures.control(SyncFixtures.source(s, d)),
+        SyncFixtures.target(s, d).select("RecId", "SysRowVersion"),
+        SyncFixtures.storedMark(s, d))),
+
+    // O5 — perfect-sync short-circuit: NOOP decision
+    "q_planner_noop" -> ((s, d) =>
+      Planner.decideAsQuery(
+        SyncFixtures.control(SyncFixtures.perfect(s, d)),
+        SyncFixtures.perfect(s, d).select("RecId", "SysRowVersion"),
+        SyncFixtures.storedMark(s, d))),
+
+    // O6 — ≥40% changes → TRUNCATE decision
+    "q_planner_truncate" -> ((s, d) =>
+      Planner.decideAsQuery(
+        SyncFixtures.control(SyncFixtures.source50(s, d)),
+        SyncFixtures.target(s, d).select("RecId", "SysRowVersion"),
+        SyncFixtures.storedMark(s, d))),
+
+    // S1/A7 — discovery scan analog over the lake: per-table row counts
+    "q_discovery" -> ((s, d) => {
+      val names = Seq("region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings")
+      names.map { n =>
+        s.read.parquet(s"$d/$n.parquet")
+          .agg(count(lit(1)).as("row_count"))
+          .select(lit(n).as("table_name"), col("row_count"))
+      }.reduce(_.unionByName(_)).filter(col("row_count") > 0)
+    })
+  )
+}

@@ -1,0 +1,112 @@
+package graft.state
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.nio.charset.StandardCharsets
+
+/** Per-table sync high-water marks, persisted crash-safe after each table.
+  *
+  * Reference: Models/AppConfiguration.cs:45-49 (Tier2Timestamps,
+  * AxDBTimestamps, MaxTransferredRecIds), Helpers/TimestampManager.cs:9-53,
+  * Helpers/MaxRecIdManager.cs:10-43; per-table flush README.md:244,
+  * CopyOrchestrator.cs:975-978, :1204-1212.
+  *
+  * Versions are stored as `0x…` hex strings of the 8-byte row version
+  * (TimestampHelper.cs:37-64); corrupt values degrade the table to standard
+  * mode rather than failing (DBSyncTool_Optimization_Spec.md:1536-1541).
+  */
+final class SyncStateStore(path: Path) {
+
+  final case class TableMarks(
+      sourceVersionHex: Option[String],
+      targetVersionHex: Option[String],
+      maxRecId: Option[Long]) {
+    def sourceVersion: Option[Long] = sourceVersionHex.flatMap(VersionHex.parse)
+    def targetVersion: Option[Long] = targetVersionHex.flatMap(VersionHex.parse)
+  }
+
+  @volatile private var state: Map[String, TableMarks] = load()
+
+  def get(table: String): Option[TableMarks] = state.get(table.toUpperCase)
+
+  /** Set and immediately flush (crash-safe per-table save, D6). */
+  def put(table: String, marks: TableMarks): Unit = synchronized {
+    state = state + (table.toUpperCase -> marks)
+    flush()
+  }
+
+  def putVersions(table: String, srcVersion: Long, tgtVersion: Long, maxRecId: Option[Long]): Unit =
+    put(table, TableMarks(
+      Some(VersionHex.format(srcVersion)), Some(VersionHex.format(tgtVersion)), maxRecId))
+
+  def clear(table: String): Unit = synchronized {
+    state = state - table.toUpperCase
+    flush()
+  }
+
+  def allTables: Set[String] = state.keySet
+
+  // --- persistence: tiny hand-rolled JSON (flat, string/long values only) ---
+
+  private def load(): Map[String, TableMarks] =
+    if (!Files.exists(path)) Map.empty
+    else {
+      val text = new String(Files.readAllBytes(path), StandardCharsets.UTF_8)
+      // format: {"TABLE":{"src":"0x..","tgt":"0x..","maxRecId":123},...}
+      val entry = """"([^"]+)"\s*:\s*\{([^}]*)\}""".r
+      val field = """"(src|tgt|maxRecId)"\s*:\s*(?:"([^"]*)"|(\d+)|null)""".r
+      entry.findAllMatchIn(text).map { m =>
+        val fields = field.findAllMatchIn(m.group(2)).map { f =>
+          f.group(1) -> Option(f.group(2)).getOrElse(f.group(3))
+        }.toMap
+        m.group(1).toUpperCase -> TableMarks(
+          fields.get("src").filter(_ != null),
+          fields.get("tgt").filter(_ != null),
+          fields.get("maxRecId").flatMap(v => Option(v)).flatMap(_.toLongOption))
+      }.toMap
+    }
+
+  private def flush(): Unit = {
+    val body = state.toSeq.sortBy(_._1).map { case (t, m) =>
+      val parts = Seq(
+        m.sourceVersionHex.map(v => s""""src":"$v""""),
+        m.targetVersionHex.map(v => s""""tgt":"$v""""),
+        m.maxRecId.map(v => s""""maxRecId":$v""")).flatten
+      s""""$t":{${parts.mkString(",")}}"""
+    }.mkString("{", ",", "}")
+    // atomic write: temp file + move, so a crash never corrupts the store
+    val tmp = Paths.get(path.toString + ".tmp")
+    Option(path.getParent).foreach(Files.createDirectories(_))
+    Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, path, StandardCopyOption.REPLACE_EXISTING,
+      StandardCopyOption.ATOMIC_MOVE)
+  }
+}
+
+/** 8-byte row-version hex round-trip (`0x0000000000001234` style).
+  * Reference: Helpers/TimestampHelper.cs:37-64. Comparison of versions is
+  * bytewise unsigned big-endian (TimestampHelper.cs:12-27) — identical to
+  * numeric comparison of the unsigned 64-bit value, and to Spark's
+  * BinaryType ordering on the raw 8 bytes.
+  */
+object VersionHex {
+  def format(v: Long): String = f"0x$v%016x"
+
+  /** Returns None on malformed input (degrade-to-standard rule). */
+  def parse(s: String): Option[Long] = {
+    val t = s.trim.toLowerCase
+    if (!t.startsWith("0x") || t.length != 18) None
+    else try Some(java.lang.Long.parseUnsignedLong(t.drop(2), 16))
+    catch { case _: NumberFormatException => None }
+  }
+
+  def toBytes(v: Long): Array[Byte] =
+    java.nio.ByteBuffer.allocate(8).putLong(v).array()
+
+  def fromBytes(b: Array[Byte]): Long =
+    java.nio.ByteBuffer.wrap(b).getLong
+
+  /** Bytewise unsigned comparison (TimestampHelper.cs:12-27). */
+  def compareBytes(a: Array[Byte], b: Array[Byte]): Int = {
+    java.util.Arrays.compareUnsigned(a, b)
+  }
+}

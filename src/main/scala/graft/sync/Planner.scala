@@ -1,0 +1,100 @@
+package graft.sync
+
+import graft.model.SyncMode
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The sync planner — the reference's hand-rolled "optimizer" (SURVEY §4).
+  *
+  * Decides per-table sync mode from the control pass, before any wide data
+  * moves (O4: control-query-first change detection,
+  * CopyOrchestrator.cs:831-913):
+  *
+  *   changePercent = changed / sourceWindowCount * 100
+  *   excessPercent = (targetCount - sourceWindowCount) / sourceWindowCount * 100
+  *   (excess may be negative and never triggers truncate — compared with `>=`,
+  *    CopyOrchestrator.cs:889-894)
+  *
+  *   mode = NOOP        if changed==0 ∧ excess<=0 ∧ missing==0   (O5, :1003-1046)
+  *          TRUNCATE    if changePct>=T ∨ excessPct>=T           (O6, :884-914)
+  *          INCREMENTAL otherwise
+  *
+  * plus the degradation ladder (SURVEY §7.3.8): no stored marks ⇒ STANDARD,
+  * Sql strategy without @sysRowVersionFilter ⇒ STANDARD, corrupt marks ⇒
+  * STANDARD, full source coverage ⇒ TRUNCATE (O7, AxDbDataService.cs:414-424).
+  */
+object Planner {
+
+  val DefaultTruncateThresholdPct = 40.0 // AppConfiguration.cs:39
+
+  final case class ChangeStats(
+      sourceWindow: Long,
+      targetCount: Long,
+      changed: Long,
+      missing: Long) {
+    def changePercent: Double =
+      if (sourceWindow == 0) 100.0 else changed.toDouble * 100.0 / sourceWindow
+    def excessPercent: Double =
+      if (sourceWindow == 0) 100.0
+      else (targetCount - sourceWindow).toDouble * 100.0 / sourceWindow
+  }
+
+  /** One distributed pass over control + target keys → the counts the cost
+    * model needs. Moves ~16 bytes/row (key + version), the optimized-mode
+    * bargain the reference is built around (README.md:241-244). */
+  def changeStats(
+      control: DataFrame,
+      targetKeys: DataFrame,
+      sourceMark: Long,
+      keyCol: String = "RecId",
+      versionCol: String = "SysRowVersion"): ChangeStats = {
+    val changed = control.filter(col(versionCol) > lit(sourceMark)).count()
+    val sourceWindow = control.count()
+    val targetCount = targetKeys.count()
+    val missing = control.select(keyCol).join(targetKeys, Seq(keyCol), "left_anti").count()
+    ChangeStats(sourceWindow, targetCount, changed, missing)
+  }
+
+  def decide(
+      stats: ChangeStats,
+      hasStoredMarks: Boolean,
+      strategySupportsOptimized: Boolean = true,
+      thresholdPct: Double = DefaultTruncateThresholdPct): SyncMode = {
+    if (!hasStoredMarks || !strategySupportsOptimized) SyncMode.Standard
+    else if (stats.changed == 0 && stats.missing == 0 &&
+             stats.targetCount <= stats.sourceWindow) SyncMode.Noop
+    else if (stats.changePercent >= thresholdPct || stats.excessPercent >= thresholdPct)
+      SyncMode.Truncate
+    else SyncMode.Incremental
+  }
+
+  /** The whole decision as one distributed plan (no driver counts) — used by
+    * the oracle-checked planner query: emits a single row with the stats and
+    * the chosen mode. Mirrors decide(); keep in lockstep. */
+  def decideAsQuery(
+      control: DataFrame,
+      targetKeys: DataFrame,
+      storedMark: DataFrame, // 1-row frame with column stored_mark
+      thresholdPct: Double = DefaultTruncateThresholdPct,
+      keyCol: String = "RecId",
+      versionCol: String = "SysRowVersion"): DataFrame = {
+    val c = control.crossJoin(broadcast(storedMark))
+    val controlAgg = c.agg(
+      count(lit(1)).as("source_window"),
+      sum(when(col(versionCol) > col("stored_mark"), 1L).otherwise(0L)).as("changed"))
+    val tgtAgg = targetKeys.agg(count(lit(1)).as("target_count"))
+    val missingAgg = control.select(keyCol)
+      .join(targetKeys.select(keyCol), Seq(keyCol), "left_anti")
+      .agg(count(lit(1)).as("missing"))
+    controlAgg.crossJoin(tgtAgg).crossJoin(missingAgg)
+      .withColumn("change_pct", col("changed") * 100.0 / col("source_window"))
+      .withColumn("excess_pct",
+        (col("target_count") - col("source_window")) * 100.0 / col("source_window"))
+      .withColumn("mode",
+        when(col("changed") === 0 && col("missing") === 0 &&
+             col("target_count") <= col("source_window"), lit("NOOP"))
+          .when(col("change_pct") >= thresholdPct || col("excess_pct") >= thresholdPct,
+            lit("TRUNCATE"))
+          .otherwise(lit("INCREMENTAL")))
+  }
+}

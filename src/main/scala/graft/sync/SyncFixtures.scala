@@ -1,0 +1,105 @@
+package graft.sync
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deterministic source/target sync fixtures derived from the driver testdata.
+  *
+  * The reference's sync operators act on D365 tables carrying four system
+  * columns (RecId, SysRowVersion, RECVERSION, CREATED/MODIFIEDDATETIME —
+  * see FIXTURES.md §1). The testdata is plain TPC-H-ish parquet, so every
+  * sync query derives those columns arithmetically — the SAME arithmetic is
+  * emitted as DuckDB SQL by [[graft.OracleFixtures]] so the driver's oracle
+  * reproduces them bit-for-bit. Keep the two in lockstep.
+  *
+  * Derivation rules (all pure column arithmetic — no window functions, no
+  * nondeterminism, safe under any partitioning):
+  *
+  *   RecId          = ((l_orderkey*8 + l_linenumber)*262144 + l_partkey)*2048
+  *                    + l_suppkey
+  *                    — (o,l,p,s) is a unique key of the testdata at the
+  *                    correctness/bench scale factors; pure arithmetic so no
+  *                    window/sort is needed to mint ids
+  *   source         = rows with RecId % 97 != 0          (others "deleted at source")
+  *   updated rows   = RecId % 20 == 3                    (~5% of rows)
+  *   SysRowVersion  = RecId (+ 1e16 if updated)          (monotonic counter,
+  *                    bump ≫ max RecId so updated versions exceed the mark)
+  *   RECVERSION     = 2 if updated else 1
+  *   CREATEDDATETIME  = l_shipdate
+  *   MODIFIEDDATETIME = l_shipdate (+ 30 days if updated)
+  *   target         = pre-update snapshot minus RecId % 89 == 0 ("never synced")
+  *   target local mutation = RecId % 131 == 5 → SysRowVersion += 2e16
+  *   stored marks   = max(RecId) over the base table (both sides)
+  */
+object SyncFixtures {
+
+  val Bump = 10000000000000000L // 1e16
+
+  /** Payload columns every sync fixture carries alongside the system columns. */
+  val PayloadCols: Seq[String] =
+    Seq("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_returnflag")
+
+  /** lineitem + RecId. */
+  def base(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .withColumn("RecId",
+        ((col("l_orderkey") * 8 + col("l_linenumber")) * 262144L + col("l_partkey")) * 2048L
+          + col("l_suppkey"))
+
+  private def updated = col("RecId") % 20 === 3
+
+  /** Source-side table: current state of Tier2 (updates applied, some rows
+    * deleted). */
+  def source(spark: SparkSession, sfDir: String): DataFrame =
+    base(spark, sfDir)
+      .filter(col("RecId") % 97 =!= 0)
+      .withColumn("SysRowVersion", col("RecId") + when(updated, lit(Bump)).otherwise(lit(0L)))
+      .withColumn("RECVERSION", when(updated, lit(2)).otherwise(lit(1)))
+      .withColumn("CREATEDDATETIME", col("l_shipdate"))
+      .withColumn("MODIFIEDDATETIME",
+        when(updated, col("l_shipdate") + expr("INTERVAL 30 DAY")).otherwise(col("l_shipdate")))
+
+  /** Target-side table: the pre-update snapshot (as of the stored marks), some
+    * rows never synced, some locally mutated (version bumped target-side only). */
+  def target(spark: SparkSession, sfDir: String): DataFrame = {
+    val localMut = col("RecId") % 131 === 5
+    base(spark, sfDir)
+      .filter(col("RecId") % 89 =!= 0)
+      .withColumn("SysRowVersion",
+        col("RecId") + when(localMut, lit(2 * Bump)).otherwise(lit(0L)))
+      .withColumn("RECVERSION", lit(1))
+      .withColumn("CREATEDDATETIME", col("l_shipdate"))
+      .withColumn("MODIFIEDDATETIME", col("l_shipdate"))
+  }
+
+  /** 50%-updated source variant (drives the ≥40% truncate decision). */
+  def source50(spark: SparkSession, sfDir: String): DataFrame = {
+    val upd = col("RecId") % 2 === 1
+    base(spark, sfDir)
+      .withColumn("SysRowVersion", col("RecId") + when(upd, lit(Bump)).otherwise(lit(0L)))
+      .withColumn("RECVERSION", when(upd, lit(2)).otherwise(lit(1)))
+      .withColumn("CREATEDDATETIME", col("l_shipdate"))
+      .withColumn("MODIFIEDDATETIME",
+        when(upd, col("l_shipdate") + expr("INTERVAL 30 DAY")).otherwise(col("l_shipdate")))
+  }
+
+  /** Perfectly-synced pair: source == target == base snapshot. */
+  def perfect(spark: SparkSession, sfDir: String): DataFrame =
+    base(spark, sfDir)
+      .withColumn("SysRowVersion", col("RecId"))
+      .withColumn("RECVERSION", lit(1))
+      .withColumn("CREATEDDATETIME", col("l_shipdate"))
+      .withColumn("MODIFIEDDATETIME", col("l_shipdate"))
+
+  /** Stored high-water marks from the "previous sync": max version then ==
+    * max RecId over the base table. Computed, never hard-coded, so the same
+    * fixture works at every scale factor. Returned as a 1-row frame to keep
+    * the plan fully distributed (crossJoin of a scalar agg — Spark plans a
+    * broadcast nested loop of a single row, effectively free). */
+  def storedMark(spark: SparkSession, sfDir: String): DataFrame =
+    base(spark, sfDir).agg(max(col("RecId")).as("stored_mark"))
+
+  /** Control-data projection of a fixture (S7): (RecId, SysRowVersion).
+    * Reference: Tier2DataService.cs:336-376 — ~16 bytes/row. */
+  def control(df: DataFrame): DataFrame = df.select("RecId", "SysRowVersion")
+}
