@@ -1,0 +1,181 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for LLM-data pipelines (SURVEY §7.4): exact,
+  * n-gram Jaccard, MinHash+LSH, SimHash.
+  *
+  * Scale design (100 TB): every variant avoids the O(n²) all-pairs join —
+  * exact dedup is a hash groupBy; Jaccard joins only on shared shingles
+  * (with a frequency cap against hot shingles); MinHash and SimHash join on
+  * LSH band buckets. Shuffles are keyed on content hashes, so they
+  * partition evenly; skew from hot shingles is bounded by the cap.
+  *
+  * Portability: the only hash primitive is `h32` (first 8 hex chars of md5
+  * as an unsigned 32-bit int), which DuckDB reproduces exactly — so the
+  * whole pipeline, including LSH bucketing, is oracle-checkable.
+  */
+object Dedup {
+
+  /** Portable 32-bit string hash: int(md5[0:8], 16).
+    * DuckDB twin: ('0x' || substr(md5(s),1,8))::BIGINT. */
+  def h32(c: Column): Column = conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+
+  // ---------------------------------------------------------------- exact
+
+  /** Exact dedup by content fingerprint: one hash groupBy (map-side partial
+    * agg), then a shuffle-free-broadcast back-join when groups are small.
+    * Output: every row flagged; `is_kept` marks the min-id survivor. */
+  def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val withHash = df.withColumn("text_hash", TextAnalysis.fingerprint(col(textCol)))
+    val groups = withHash.groupBy(col("text_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("group_size"))
+    withHash.join(groups, Seq("text_hash"))
+      .withColumn("is_kept", col(idCol) === col("keep_id"))
+      .select(col(idCol), col("text_hash"), col("group_size"), col("is_kept"))
+  }
+
+  // ------------------------------------------------------------- shingles
+
+  /** Distinct word n-gram shingles: (id, shingle) rows. Built with
+    * transform/slice over the token array — per-row work, no window, no
+    * shuffle until the downstream join. */
+  def shingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    df.select(col(idCol).as("sid"),
+        explode(expr(
+          s"transform(sequence(0, size(split($textCol, ' ')) - $n), " +
+          s"i -> concat_ws(' ', slice(split($textCol, ' '), i + 1, $n)))")).as("shingle"))
+      .distinct()
+
+  /** n-gram Jaccard near-dup pairs: join docs on shared shingles (capped at
+    * `maxShingleFreq` docs per shingle to bound hot-key blowup — the
+    * standard guard at corpus scale), count the intersection, compute
+    * |∩| / (|A| + |B| − |∩|), threshold.
+    */
+  def ngramJaccardPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, threshold: Double = 0.5, maxShingleFreq: Long = 1000): DataFrame = {
+    val sh = shingles(df, idCol, textCol, n)
+    val capped = sh.withColumn("sfreq",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("shingle")))
+      .filter(col("sfreq") <= maxShingleFreq).drop("sfreq")
+    val sizes = sh.groupBy("sid").agg(count(lit(1)).as("nsh"))
+    val a = capped.select(col("sid").as("id_a"), col("shingle"))
+    val b = capped.select(col("sid").as("id_b"), col("shingle"))
+    val common = a.join(b, Seq("shingle")).filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.withColumnRenamed("sid", "id_a").withColumnRenamed("nsh", "na"), Seq("id_a"))
+      .join(sizes.withColumnRenamed("sid", "id_b").withColumnRenamed("nsh", "nb"), Seq("id_b"))
+      .withColumn("jaccard",
+        col("common").cast("double") / (col("na") + col("nb") - col("common")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  // -------------------------------------------------------------- minhash
+
+  /** Fixed universal-hash parameters (a·h32 + b mod P). a < 2^20 keeps
+    * a·h32 < 2^52 — exact in Long and in DuckDB BIGINT. */
+  val MinhashP: Long = 2147483647L // 2^31 − 1
+  val MinhashA: Seq[Long] = Seq(883011L, 52901L, 318679L, 627179L, 741809L, 93719L,
+    411593L, 568217L, 705101L, 134867L, 993319L, 247099L, 619807L, 329401L, 853541L, 467129L)
+  val MinhashB: Seq[Long] = Seq(541L, 75209L, 916381L, 203863L, 395401L, 682919L,
+    120473L, 869137L, 512929L, 333667L, 47111L, 778013L, 259907L, 937307L, 65599L, 423257L)
+  val MinhashBands = 4 // 4 bands × 4 rows
+
+  /** MinHash signatures: one narrow agg over exploded shingles — 16 `min`
+    * columns, map-side combined, shuffled once on the id. */
+  def minhashSignatures(sh: DataFrame): DataFrame = {
+    val h = sh.withColumn("h", h32(col("shingle")))
+    val mins = MinhashA.zip(MinhashB).zipWithIndex.map { case ((a, b), i) =>
+      min((col("h") * a + b) % MinhashP).as(s"m$i")
+    }
+    h.groupBy("sid").agg(mins.head, mins.tail: _*)
+  }
+
+  /** MinHash LSH candidates → exact-Jaccard verification.
+    * Banding: 4 bands of 4 rows; docs sharing any band signature are
+    * candidates (joined on the band bucket — never all-pairs); candidates
+    * are then verified with the true shingle Jaccard and thresholded. */
+  def minhashLshPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val sh = shingles(df, idCol, textCol, n)
+    val sig = minhashSignatures(sh)
+    val rowsPerBand = MinhashA.size / MinhashBands
+    val bandCols = (0 until MinhashBands).map { bnd =>
+      val sigExpr = concat_ws("_",
+        (0 until rowsPerBand).map(r => col(s"m${bnd * rowsPerBand + r}")): _*)
+      struct(lit(bnd).as("band"), sigExpr.as("bsig"))
+    }
+    val bands = sig.select(col("sid"), explode(array(bandCols: _*)).as("b"))
+      .select(col("sid"), col("b.band").as("band"), col("b.bsig").as("bsig"))
+    val cand = bands.as("x").join(bands.as("y"), Seq("band", "bsig"))
+      .filter(col("x.sid") < col("y.sid"))
+      .select(col("x.sid").as("id_a"), col("y.sid").as("id_b")).distinct()
+
+    // verify candidates with the true Jaccard (shingle join restricted to them)
+    val sizes = sh.groupBy("sid").agg(count(lit(1)).as("nsh"))
+    val a = sh.select(col("sid").as("id_a"), col("shingle"))
+    val b = sh.select(col("sid").as("id_b"), col("shingle"))
+    val common = a.join(b, Seq("shingle")).filter(col("id_a") < col("id_b"))
+      .join(cand, Seq("id_a", "id_b"), "left_semi")
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.withColumnRenamed("sid", "id_a").withColumnRenamed("nsh", "na"), Seq("id_a"))
+      .join(sizes.withColumnRenamed("sid", "id_b").withColumnRenamed("nsh", "nb"), Seq("id_b"))
+      .withColumn("jaccard",
+        col("common").cast("double") / (col("na") + col("nb") - col("common")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  // --------------------------------------------------------------- simhash
+
+  /** 32-bit SimHash over the token multiset: per bit, sum ±occurrences by
+    * the token hash's bit value; bit set iff the sum is positive. One
+    * explode + one groupBy — no pairwise work. */
+  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol).as("sid"),
+        explode(split(col(textCol), " ")).as("tok"))
+      .groupBy("sid", "tok").agg(count(lit(1)).as("cnt"))
+      .withColumn("h", h32(col("tok")))
+    val bitSums = (0 until 32).map { b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, col("cnt"))
+        .otherwise(-col("cnt"))).as(s"s$b")
+    }
+    val agg = toks.groupBy("sid").agg(bitSums.head, bitSums.tail: _*)
+    val sim = (0 until 32).map { b =>
+      when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    agg.select(col("sid"), sim.as("simhash"))
+  }
+
+  /** SimHash near-dup pairs with hamming ≤ `maxHamming` via LOSSLESS band
+    * LSH: split 32 bits into (maxHamming+1) bands — pigeonhole guarantees
+    * any pair within the hamming budget shares at least one intact band, so
+    * the band join finds exactly the same pairs as the naive O(n²) scan
+    * (which is what the DuckDB oracle runs). */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val nBands = maxHamming + 1
+    val bandBits = 32 / nBands
+    val sh = simhash(df, idCol, textCol)
+    val bandCols = (0 until nBands).map { k =>
+      struct(lit(k).as("band"),
+        shiftright(col("simhash"), k * bandBits).bitwiseAND((1L << bandBits) - 1).as("bsig"))
+    }
+    val bands = sh.select(col("sid"), col("simhash"), explode(array(bandCols: _*)).as("b"))
+      .select(col("sid"), col("simhash"), col("b.band").as("band"), col("b.bsig").as("bsig"))
+    bands.as("x").join(bands.as("y"), Seq("band", "bsig"))
+      .filter(col("x.sid") < col("y.sid"))
+      .select(col("x.sid").as("id_a"), col("y.sid").as("id_b"),
+        col("x.simhash").as("sim_a"), col("y.simhash").as("sim_b"))
+      .distinct()
+      .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+}

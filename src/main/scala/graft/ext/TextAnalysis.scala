@@ -1,0 +1,63 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for LLM-data pipelines (SURVEY §7.4): language ID,
+  * quality scoring, token counting, fingerprinting.
+  *
+  * All are pure column expressions (codegen-friendly, no UDFs, no shuffle) —
+  * at 100 TB these run map-side at scan speed. Determinism: integer counts +
+  * single IEEE divisions only, so the DuckDB oracle agrees bit-for-bit.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokenization (the corpus is single-space separated). */
+  def tokens(text: Column): Column = split(text, " ")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish token estimate: the ~4-chars-per-token heuristic used for LLM
+    * budget accounting. */
+  def bpeTokenEstimate(text: Column): Column =
+    ceil(length(text) / lit(4.0)).cast("long")
+
+  /** English stopword-hit count (tiny embedded list; extend per deployment). */
+  val EnStopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is")
+
+  def stopwordCount(text: Column): Column =
+    size(filter(tokens(text), t => t.isInCollection(EnStopwords)))
+
+  def distinctTokenCount(text: Column): Column = size(array_distinct(tokens(text)))
+
+  /** Mean token length in chars: (len(text) − spaces) / n_tokens — avoids
+    * per-token aggregation, exact integers then one division. */
+  def avgTokenLen(text: Column): Column =
+    (length(text) - (tokenCount(text) - 1)).cast("double") / tokenCount(text)
+
+  /** Quality score in [0,1]: fixed-order blend of length saturation, lexical
+    * diversity and stopword presence (cheap heuristics from the C4/Gopher
+    * lineage of quality filters). Fixed operation order keeps it
+    * bit-deterministic. */
+  def qualityScore(text: Column): Column = {
+    val n = tokenCount(text).cast("double")
+    val lenSat = least(n / lit(100.0), lit(1.0))
+    val diversity = distinctTokenCount(text).cast("double") / n
+    val stopRatio = stopwordCount(text).cast("double") / n
+    lenSat * lit(0.4) + diversity * lit(0.3) + least(stopRatio * lit(10.0), lit(1.0)) * lit(0.3)
+  }
+
+  /** N-gram-heuristic language ID: stopword-hit ratio per language list; the
+    * corpus is English-vocabulary so the interesting classes are en vs und. */
+  def langId(text: Column): Column = {
+    val n = tokenCount(text)
+    val stopRatio = stopwordCount(text).cast("double") / n.cast("double")
+    when(n < 3, lit("und"))
+      .when(stopRatio >= 0.02, lit("en"))
+      .otherwise(lit("unk"))
+  }
+
+  /** Content fingerprint: md5 of the normalized text (lower, trimmed).
+    * Stable across engines; the basis for exact dedup. */
+  def fingerprint(text: Column): Column = md5(lower(trim(text)))
+}

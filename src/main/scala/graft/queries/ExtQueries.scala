@@ -1,10 +1,245 @@
 package graft.queries
 
+import graft.ext._
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
-/** North-star extension operators (dedup / similarity / text / multimodal).
-  * Populated incrementally; see graft.ext.* for the implementations. */
+/** North-star extension operators (dedup / similarity / text / multimodal)
+  * as oracle-checked queries. Implementations live in graft.ext.*; the
+  * DuckDB twins below replicate the same arithmetic (shared hash h32,
+  * shared MinHash constants — generated from the same Scala values).
+  */
 object ExtQueries {
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  def oracles: Map[String, String] = Map()
+
+  private def docs(s: SparkSession, d: String) = s.read.parquet(s"$d/documents.parquet")
+  private def embs(s: SparkSession, d: String) = s.read.parquet(s"$d/embeddings.parquet")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- text analysis ----
+    "q_text_stats" -> ((s, d) =>
+      docs(s, d).select(
+        col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+        TextAnalysis.bpeTokenEstimate(col("text")).as("est_bpe_tokens"),
+        TextAnalysis.distinctTokenCount(col("text")).as("n_distinct"),
+        TextAnalysis.stopwordCount(col("text")).as("n_stopwords"),
+        TextAnalysis.avgTokenLen(col("text")).as("avg_token_len"))),
+
+    "q_text_quality" -> ((s, d) =>
+      docs(s, d).select(
+        col("doc_id"),
+        TextAnalysis.qualityScore(col("text")).as("quality"),
+        TextAnalysis.langId(col("text")).as("lang_pred"))),
+
+    "q_text_fingerprint" -> ((s, d) =>
+      docs(s, d).select(
+        col("doc_id"),
+        TextAnalysis.fingerprint(col("text")).as("fp"),
+        Dedup.h32(col("text")).as("fp32"))),
+
+    // ---- dedup family ----
+    "q_dedup_exact" -> ((s, d) =>
+      Dedup.exactDedup(docs(s, d), "doc_id", "text")),
+
+    "q_dedup_ngram" -> ((s, d) =>
+      Dedup.ngramJaccardPairs(docs(s, d), "doc_id", "text", n = 3, threshold = 0.5)),
+
+    "q_dedup_minhash" -> ((s, d) =>
+      Dedup.minhashLshPairs(docs(s, d), "doc_id", "text", n = 3, threshold = 0.5)),
+
+    "q_dedup_simhash" -> ((s, d) =>
+      Dedup.simhashPairs(docs(s, d), "doc_id", "text", maxHamming = 3)),
+
+    "q_dedup_embedding" -> ((s, d) =>
+      Similarity.nearDupPairs(
+        Similarity.prepare(embs(s, d), "vec_id", "embedding"), threshold = 0.4)),
+
+    // ---- similarity search ----
+    "q_sim_topk" -> ((s, d) => {
+      val prep = Similarity.prepare(embs(s, d), "vec_id", "embedding")
+      Similarity.bruteForceTopK(prep, prep.filter(col("vec_id") % 40 === 0), k = 5)
+    }),
+
+    "q_sim_ivf" -> ((s, d) =>
+      Similarity.ivfTopK(
+        Similarity.prepare(embs(s, d), "vec_id", "embedding"), k = 3)),
+
+    // ---- multimodal ----
+    "q_mm_features" -> ((s, d) =>
+      Multimodal.decodeFeatures(Multimodal.synthesizePayloads(s, d)).toDF()),
+
+    "q_mm_meta" -> ((s, d) => {
+      import s.implicits._
+      Multimodal.synthesizePayloads(s, d)
+        .map(c => (c.doc_id, c.width, c.height, c.format, c.payload.length))
+        .toDF("doc_id", "width", "height", "format", "payload_bytes")
+    })
+  )
+
+  // ------------------------------------------------------------ oracles
+
+  /** DuckDB twin of Dedup.h32. */
+  private def oh32(e: String) = s"(('0x' || substr(md5($e), 1, 8))::BIGINT)"
+
+  private val shinglesCte =
+    """toks AS (SELECT doc_id, string_split(text, ' ') t FROM documents),
+sh AS (SELECT DISTINCT doc_id AS sid, array_to_string(t[(i+1):(i+3)], ' ') AS shingle
+       FROM toks, LATERAL (SELECT unnest(range(0, len(t) - 2)) i)),
+sizes AS (SELECT sid, count(*) AS nsh FROM sh GROUP BY sid)"""
+
+  private val jaccardVerify =
+    """SELECT p.id_a, p.id_b,
+  p.common * 1.0 / (ca.nsh + cb.nsh - p.common) AS jaccard
+FROM pairs p JOIN sizes ca ON ca.sid = p.id_a JOIN sizes cb ON cb.sid = p.id_b
+WHERE p.common * 1.0 / (ca.nsh + cb.nsh - p.common) >= 0.5"""
+
+  /** MinHash signature SQL generated from the SAME constants as the Scala. */
+  private val minhashSigCols: String =
+    Dedup.MinhashA.zip(Dedup.MinhashB).zipWithIndex.map { case ((a, b), i) =>
+      s"min((h * $a + $b) % ${Dedup.MinhashP}) AS m$i"
+    }.mkString(",\n       ")
+
+  private val minhashBandSelects: String = {
+    val rowsPerBand = Dedup.MinhashA.size / Dedup.MinhashBands
+    (0 until Dedup.MinhashBands).map { bnd =>
+      val sig = (0 until rowsPerBand).map(r => s"m${bnd * rowsPerBand + r}")
+        .mkString(" || '_' || ")
+      s"SELECT sid, $bnd AS band, $sig AS bsig FROM sig"
+    }.mkString("\nUNION ALL ")
+  }
+
+  private val stopList = TextAnalysis.EnStopwords.map(w => s"'$w'").mkString(", ")
+
+  def oracles: Map[String, String] = Map(
+    "q_text_stats" -> s"""SELECT doc_id,
+  len(string_split(text, ' ')) AS n_tokens,
+  CAST(ceil(length(text) / 4.0) AS BIGINT) AS est_bpe_tokens,
+  len(list_distinct(string_split(text, ' '))) AS n_distinct,
+  len(list_filter(string_split(text, ' '), t -> t IN ($stopList))) AS n_stopwords,
+  CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+    / len(string_split(text, ' ')) AS avg_token_len
+FROM documents""",
+
+    "q_text_quality" -> s"""WITH t AS (
+  SELECT doc_id,
+    CAST(len(string_split(text, ' ')) AS DOUBLE) AS n,
+    len(list_distinct(string_split(text, ' '))) AS nd,
+    len(list_filter(string_split(text, ' '), t -> t IN ($stopList))) AS nstop
+  FROM documents)
+SELECT doc_id,
+  least(n / 100.0, 1.0) * 0.4 + (CAST(nd AS DOUBLE) / n) * 0.3
+    + least((CAST(nstop AS DOUBLE) / n) * 10.0, 1.0) * 0.3 AS quality,
+  CASE WHEN n < 3 THEN 'und'
+       WHEN CAST(nstop AS DOUBLE) / n >= 0.02 THEN 'en'
+       ELSE 'unk' END AS lang_pred
+FROM t""",
+
+    "q_text_fingerprint" -> s"""SELECT doc_id, md5(lower(trim(text))) AS fp,
+  ${oh32("text")} AS fp32
+FROM documents""",
+
+    "q_dedup_exact" -> """WITH h AS (
+  SELECT doc_id, md5(lower(trim(text))) AS text_hash FROM documents),
+g AS (SELECT text_hash, min(doc_id) AS keep_id, count(*) AS group_size
+      FROM h GROUP BY text_hash)
+SELECT h.doc_id, h.text_hash, g.group_size, h.doc_id = g.keep_id AS is_kept
+FROM h JOIN g ON h.text_hash = g.text_hash""",
+
+    "q_dedup_ngram" -> s"""WITH $shinglesCte,
+pairs AS (SELECT a.sid AS id_a, b.sid AS id_b, count(*) AS common
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.sid < b.sid
+          GROUP BY 1, 2)
+$jaccardVerify""",
+
+    // Full LSH pipeline replicated: h32 → 16 universal hashes → min per doc
+    // → 4 band signatures → bucket join candidates → exact-Jaccard verify.
+    "q_dedup_minhash" -> s"""WITH $shinglesCte,
+hsh AS (SELECT sid, ${oh32("shingle")} AS h FROM sh),
+sig AS (SELECT sid,
+       $minhashSigCols
+FROM hsh GROUP BY sid),
+bands AS ($minhashBandSelects),
+cand AS (SELECT DISTINCT x.sid AS id_a, y.sid AS id_b
+         FROM bands x JOIN bands y ON x.band = y.band AND x.bsig = y.bsig
+         WHERE x.sid < y.sid),
+pairs AS (SELECT a.sid AS id_a, b.sid AS id_b, count(*) AS common
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.sid < b.sid
+          JOIN cand c ON c.id_a = a.sid AND c.id_b = b.sid
+          GROUP BY 1, 2)
+$jaccardVerify""",
+
+    // Naive O(n²) twin — the Spark side's band LSH is lossless for
+    // hamming ≤ 3 over 4 bands (pigeonhole), so results are identical.
+    "q_dedup_simhash" -> s"""WITH toks AS (
+  SELECT doc_id AS sid, tok, count(*) AS cnt, ${oh32("tok")} AS h
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+  GROUP BY doc_id, tok),
+sims AS (SELECT sid,
+  ${(0 until 32).map(b =>
+      s"(CASE WHEN sum(CASE WHEN (h >> $b) & 1 = 1 THEN cnt ELSE -cnt END) > 0 THEN ${1L << b} ELSE 0 END)")
+      .mkString(" +\n  ")} AS simhash
+FROM toks GROUP BY sid)
+SELECT a.sid AS id_a, b.sid AS id_b,
+  bit_count(xor(a.simhash, b.simhash)) AS hamming
+FROM sims a JOIN sims b ON a.sid < b.sid
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""",
+
+    "q_dedup_embedding" -> """WITH q AS (
+  SELECT vec_id, label,
+    list_transform(embedding, x -> CAST(floor(x * 1048576 + 0.5) AS BIGINT)) AS qe
+  FROM embeddings),
+n AS (SELECT vec_id, label, qe,
+  sqrt(CAST(list_sum(list_transform(qe, x -> x * x)) AS DOUBLE)) AS nrm FROM q)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+  (CAST(list_sum(list_transform(range(64), i -> a.qe[i+1] * b.qe[i+1])) AS DOUBLE)
+   / a.nrm) / b.nrm AS cos
+FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE (CAST(list_sum(list_transform(range(64), i -> a.qe[i+1] * b.qe[i+1])) AS DOUBLE)
+   / a.nrm) / b.nrm >= 0.4""",
+
+    "q_sim_topk" -> """WITH q AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(floor(x * 1048576 + 0.5) AS BIGINT)) AS qe
+  FROM embeddings),
+n AS (SELECT vec_id, qe,
+  sqrt(CAST(list_sum(list_transform(qe, x -> x * x)) AS DOUBLE)) AS nrm FROM q),
+p AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+  (CAST(list_sum(list_transform(range(64), i -> a.qe[i+1] * b.qe[i+1])) AS DOUBLE)
+   / a.nrm) / b.nrm AS cos
+  FROM n a JOIN n b ON a.vec_id % 40 = 0 AND a.vec_id <> b.vec_id)
+SELECT query_id, rank, neighbor_id FROM (
+  SELECT query_id, neighbor_id,
+    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+  FROM p) WHERE rank <= 5""",
+
+    "q_sim_ivf" -> """WITH q AS (
+  SELECT vec_id, label,
+    list_transform(embedding, x -> CAST(floor(x * 1048576 + 0.5) AS BIGINT)) AS qe
+  FROM embeddings),
+n AS (SELECT vec_id, label, qe,
+  sqrt(CAST(list_sum(list_transform(qe, x -> x * x)) AS DOUBLE)) AS nrm FROM q),
+p AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+  (CAST(list_sum(list_transform(range(64), i -> a.qe[i+1] * b.qe[i+1])) AS DOUBLE)
+   / a.nrm) / b.nrm AS cos
+  FROM n a JOIN n b ON a.label = b.label AND a.vec_id <> b.vec_id)
+SELECT query_id, rank, neighbor_id FROM (
+  SELECT query_id, neighbor_id,
+    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+  FROM p) WHERE rank <= 3""",
+
+    "q_mm_features" -> """WITH h AS (
+  SELECT doc_id, CAST(n_chars % 640 + 1 AS INTEGER) AS width,
+    CAST((doc_id * 7) % 480 + 1 AS INTEGER) AS height,
+    ('0x' || substr(md5(text), 1, 8))::BIGINT AS h32
+  FROM documents)
+SELECT doc_id, width, height, CAST(j AS INTEGER) AS feature_idx,
+  CAST((h32 * (j + 1)) % 997 AS DOUBLE) / 997.0 AS feature_value
+FROM h, LATERAL (SELECT unnest(range(0, 8)) j)""",
+
+    "q_mm_meta" -> """SELECT doc_id,
+  CAST(n_chars % 640 + 1 AS INTEGER) AS width,
+  CAST((doc_id * 7) % 480 + 1 AS INTEGER) AS height,
+  'fake/rgb8' AS format,
+  CAST(octet_length(encode(text)) + 8 AS INTEGER) AS payload_bytes
+FROM documents"""
+  )
 }
