@@ -24,17 +24,18 @@ object Similarity {
 
   val QuantScale = 1048576L // 2^20
 
-  /** Quantize + pre-compute the norm. Output: (id, label?, qe, nrm). */
-  def prepare(df: DataFrame, idCol: String, embCol: String): DataFrame =
-    df.withColumn("qe",
-        expr(s"transform($embCol, x -> CAST(floor(x * $QuantScale + 0.5d) AS BIGINT))"))
-      .withColumn("nrm",
-        sqrt(expr("aggregate(transform(qe, x -> x * x), 0L, (acc, v) -> acc + v)").cast("double")))
+  /** Quantize + pre-compute the norm, via the native codegen expressions in
+    * [[graft.functions]] (the interpreted HOF equivalent is ~100× slower on
+    * the pair join). Output: (id, label?, qe, nrm). */
+  def prepare(df: DataFrame, idCol: String, embCol: String): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    df.withColumn("qe", expr(s"quantize_array($embCol, $QuantScale)"))
+      .withColumn("nrm", sqrt(expr("array_dot_long(qe, qe)").cast("double")))
+  }
 
   /** Pairwise cosine between two prepared frames (aliased x/y). */
   def cosine: Column =
-    (expr("aggregate(zip_with(x.qe, y.qe, (p, q) -> p * q), 0L, (acc, v) -> acc + v)")
-      .cast("double") / col("x.nrm")) / col("y.nrm")
+    (expr("array_dot_long(x.qe, y.qe)").cast("double") / col("x.nrm")) / col("y.nrm")
 
   /** Brute-force cosine top-k: a bounded query set against the full corpus.
     * The query side is broadcast; ranking is a per-query window over k·|Q|

@@ -164,15 +164,19 @@ object SyncQueries {
         SyncFixtures.target(s, d).select("RecId", "SysRowVersion"),
         SyncFixtures.storedMark(s, d))),
 
-    // S1/A7 — discovery scan analog over the lake: per-table row counts
+    // S1/A7 — discovery scan analog over the lake: per-table row counts.
+    // One plan, one action: union the 1-column scans with a table tag and
+    // aggregate once (10 sequential read.agg jobs would pay per-job
+    // overhead 10×).
     "q_discovery" -> ((s, d) => {
       val names = Seq("region", "nation", "customer", "supplier", "part",
         "orders", "lineitem", "events", "documents", "embeddings")
       names.map { n =>
         s.read.parquet(s"$d/$n.parquet")
-          .agg(count(lit(1)).as("row_count"))
-          .select(lit(n).as("table_name"), col("row_count"))
-      }.reduce(_.unionByName(_)).filter(col("row_count") > 0)
+          .select(lit(n).as("table_name"))
+      }.reduce(_.unionByName(_))
+        .groupBy("table_name").agg(count(lit(1)).as("row_count"))
+        .filter(col("row_count") > 0)
     })
   )
 }

@@ -9,7 +9,11 @@ import org.apache.spark.sql.functions._
   * The reference applies changes as batched key-list DELETEs plus SqlBulkCopy
   * (AxDbDataService.cs:177-404, 909-932). Lake-native Spark re-expression:
   * the new target state is `target ▷ deleteKeys ∪ insertRows` — one anti-join
-  * and a union, no driver-side key lists, no 5000-key batches. For a real
+  * and a union, no driver-side key lists, no 5000-key batches. Join
+  * orientations put the bounded key frames on the build side; the hint is
+  * left to AQE, which broadcasts them at runtime when they actually fit
+  * (a static broadcast() would force a multi-MB hash build when a fixture
+  * window spans the whole table). For a real
   * JDBC target the same key frames feed a staged-table `DELETE JOIN`
   * (see [[graft.jdbc.PushdownSql]]).
   *
@@ -33,7 +37,7 @@ object Apply {
       .filter(col(Classify.ChangeTypeCol).isin(ChangeClass.Modified, ChangeClass.New))
       .drop(Classify.ChangeTypeCol)
     target
-      .join(broadcast(deleteKeys), Seq(keyCol), "left_anti")
+      .join(deleteKeys, Seq(keyCol), "left_anti")
       .unionByName(insertRows.select(target.columns.map(col): _*))
   }
 
@@ -85,33 +89,78 @@ object Apply {
       targetMark: Long,
       keyCol: String = "RecId",
       versionCol: String = "SysRowVersion"): DataFrame = {
+    val cs = incrementalChangeSet(source, control, target, sourceMark, targetMark,
+      keyCol, versionCol)
+    target
+      .join(cs.deleteKeys, Seq(keyCol), "left_anti")
+      .unionByName(cs.inserts.select(target.columns.map(col): _*))
+  }
 
-    val changedKeys = keyOnly(control.filter(col(versionCol) > lit(sourceMark)), keyCol)
-    val locallyMutatedKeys = keyOnly(target.filter(col(versionCol) > lit(targetMark)), keyCol)
-    val controlKeys = keyOnly(control, keyCol)
+  /** The incremental CHANGESET — what actually gets written. The reference
+    * never rewrites the whole target: it issues targeted deletes and bulk-
+    * inserts only the changed rows (AxDbDataService.cs:177-404). The lake
+    * analog is a delta commit: tombstone keys + insert rows (what Delta's
+    * MERGE writes). At 100 TB this is the difference between moving ~5% and
+    * moving everything — materializing [[applyIncremental]]'s full frame is
+    * for correctness checks, not the write path.
+    */
+  final case class ChangeSet(
+      deleteKeys: DataFrame, inserts: DataFrame, keyFlags: DataFrame)
 
-    // delete 1+2: explicit key sets; delete 3: anti-join against the window
-    val deleteKeys = changedKeys.unionByName(locallyMutatedKeys).distinct()
-    val afterDelete = target
-      .join(broadcast(deleteKeys), Seq(keyCol), "left_anti")
-      .join(broadcast(controlKeys), Seq(keyCol), "left_semi")
+  /** The reference expresses the key-set algebra as THREE sequential
+    * server-side DELETEs plus two anti-joins (a SQL Server statement-at-a-
+    * time artifact). Columnar re-expression: ONE full-outer join of the
+    * control window against the target keys yields, per key, every flag the
+    * pipeline needs — changed (J4), locally-mutated, not-in-window (J3),
+    * missing-after-delete (J2), to-insert — so the whole changeset costs one
+    * key-join + one aggregate + one semi-join on the source, instead of ~8
+    * shuffles. Semantics are unchanged (oracle-checked via q_m2).
+    */
+  def incrementalChangeSet(
+      source: DataFrame,
+      control: DataFrame,
+      target: DataFrame,
+      sourceMark: Long,
+      targetMark: Long,
+      keyCol: String = "RecId",
+      versionCol: String = "SysRowVersion"): ChangeSet = {
 
-    val missingKeys = controlKeys.join(afterDelete.select(keyCol), Seq(keyCol), "left_anti")
+    val c = control.select(col(keyCol), col(versionCol).as("cv"), lit(1).as("in_c"))
+    val t = target.select(col(keyCol), col(versionCol).as("tv"), lit(1).as("in_t"))
+    val inC = col("in_c") === 1
+    val inT = col("in_t") === 1
+    val flags = c.join(t, Seq(keyCol), "full_outer")
+      .select(col(keyCol), col("cv"),
+        // J4: version advanced beyond the stored source mark
+        (coalesce(inC, lit(false)) && col("cv") > lit(sourceMark)).as("is_changed"),
+        // local purge: target-side version beyond the stored target mark
+        (coalesce(inT, lit(false)) && col("tv") > lit(targetMark)).as("is_local_mut"),
+        coalesce(inC, lit(false)).as("is_in_control"),
+        coalesce(inT, lit(false)).as("is_in_target"))
+      .withColumn("is_delete",
+        col("is_changed") || col("is_local_mut") ||
+          (col("is_in_target") && !col("is_in_control"))) // J3 not-in-window
+      // J2 missing AFTER deletes: in the window but not surviving in target
+      .withColumn("is_missing",
+        col("is_in_control") && !(col("is_in_target") && !col("is_delete")))
+      .withColumn("is_insert", col("is_changed") || col("is_missing"))
+
+    val deleteKeys = flags.filter(col("is_delete")).select(keyCol)
 
     // threshold: min version among missing control rows, floored by the mark
-    val minMissing = control
-      .join(broadcast(missingKeys), Seq(keyCol), "left_semi")
-      .agg(min(col(versionCol)).as("v"))
+    // (A3 + TimestampHelper.MinTimestamp semantics)
+    val minMissing = flags
+      .agg(min(when(col("is_missing"), col("cv"))).as("v"))
       .select(least(coalesce(col("v"), lit(sourceMark)), lit(sourceMark)).as("threshold"))
 
-    val insertKeys = changedKeys.unionByName(missingKeys).distinct()
+    val insertKeys = flags.filter(col("is_insert")).select(keyCol)
     val inserts = source
       .crossJoin(broadcast(minMissing))
       .filter(col(versionCol) >= col("threshold")) // S8 over-fetch
       .drop("threshold")
-      .join(broadcast(insertKeys), Seq(keyCol), "left_semi") // P6 re-filter
+      .join(insertKeys, Seq(keyCol), "left_semi") // P6 re-filter
 
-    afterDelete.unionByName(inserts.select(target.columns.map(col): _*))
+    ChangeSet(deleteKeys, inserts, flags)
   }
 
   /** Write a new target state to parquet atomically enough for tests
@@ -119,4 +168,16 @@ object Apply {
     * path (S12). */
   def writeLake(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").parquet(path)
+
+  /** Write a changeset as a delta commit (tombstones + inserts). The two
+    * outputs share most of their DAG (deleteKeys feeds the insert path), so
+    * the shared key frames are persisted for the duration of the two writes
+    * — without this the whole join pipeline runs twice. */
+  def writeChangeSet(cs: ChangeSet, dir: String): Unit = {
+    val pinned = cs.keyFlags.persist()
+    try {
+      cs.deleteKeys.write.mode("overwrite").parquet(s"$dir/deletes")
+      cs.inserts.write.mode("overwrite").parquet(s"$dir/inserts")
+    } finally pinned.unpersist()
+  }
 }

@@ -48,11 +48,20 @@ object Planner {
       sourceMark: Long,
       keyCol: String = "RecId",
       versionCol: String = "SysRowVersion"): ChangeStats = {
-    val changed = control.filter(col(versionCol) > lit(sourceMark)).count()
-    val sourceWindow = control.count()
+    // counts in ONE pass over control; the missing check streams the target
+    // against the bounded control window (AQE broadcasts it when it fits)
+    val Array(sourceWindow, changed) = control
+      .agg(count(lit(1)), sum(when(col(versionCol) > lit(sourceMark), 1L).otherwise(0L)))
+      .na.fill(0L)
+      .head().toSeq.map(_.asInstanceOf[Long]).toArray
     val targetCount = targetKeys.count()
-    val missing = control.select(keyCol).join(targetKeys, Seq(keyCol), "left_anti").count()
-    ChangeStats(sourceWindow, targetCount, changed, missing)
+    // missing = |control| − |control ∩ target|, oriented so the BIG target
+    // streams against the bounded control window on the build side (an
+    // anti/semi join can only build on its right — control ▷ target would
+    // stream the small side and build on 100 TB of target keys)
+    val present = targetKeys
+      .join(control.select(keyCol), Seq(keyCol), "left_semi").count()
+    ChangeStats(sourceWindow, targetCount, changed, sourceWindow - present)
   }
 
   def decide(
@@ -78,15 +87,20 @@ object Planner {
       thresholdPct: Double = DefaultTruncateThresholdPct,
       keyCol: String = "RecId",
       versionCol: String = "SysRowVersion"): DataFrame = {
-    val c = control.crossJoin(broadcast(storedMark))
-    val controlAgg = c.agg(
-      count(lit(1)).as("source_window"),
-      sum(when(col(versionCol) > col("stored_mark"), 1L).otherwise(0L)).as("changed"))
-    val tgtAgg = targetKeys.agg(count(lit(1)).as("target_count"))
-    val missingAgg = control.select(keyCol)
-      .join(targetKeys.select(keyCol), Seq(keyCol), "left_anti")
-      .agg(count(lit(1)).as("missing"))
-    controlAgg.crossJoin(tgtAgg).crossJoin(missingAgg)
+    // ONE full-outer key join + ONE aggregate: every count the cost model
+    // needs falls out of the joined row flags (vs 3 separate scans + a semi
+    // join — the single-pass shape shuffles each key set exactly once)
+    val c = control.select(col(keyCol), col(versionCol).as("cv"), lit(1).as("in_c"))
+    val t = targetKeys.select(col(keyCol), lit(1).as("in_t"))
+    val joined = c.join(t, Seq(keyCol), "full_outer")
+      .crossJoin(broadcast(storedMark))
+    joined.agg(
+        sum(when(col("in_c") === 1, 1L).otherwise(0L)).as("source_window"),
+        sum(when(col("in_c") === 1 && col("cv") > col("stored_mark"), 1L)
+          .otherwise(0L)).as("changed"),
+        sum(when(col("in_t") === 1, 1L).otherwise(0L)).as("target_count"),
+        sum(when(col("in_c") === 1 && col("in_t").isNull, 1L).otherwise(0L)).as("missing"))
+      .na.fill(0L)
       .withColumn("change_pct", col("changed") * 100.0 / col("source_window"))
       .withColumn("excess_pct",
         (col("target_count") - col("source_window")) * 100.0 / col("source_window"))

@@ -46,13 +46,28 @@ object SyncFixtures {
         ((col("l_orderkey") * 8 + col("l_linenumber")) * 262144L + col("l_partkey")) * 2048L
           + col("l_suppkey"))
 
+  /** Replicate a base N× with disjoint RecId ranges — scales the sync
+    * scenario workload without new input data (bench uses this to measure
+    * the control-pass ratios at a size where fixed job overheads don't
+    * drown the data costs). */
+  def replicate(b: DataFrame, copies: Int): DataFrame = {
+    // offset keeps all replicated RecIds < Bump (max base RecId ~6.4e14,
+    // so ≤ 9 copies stay under 1e16 and version semantics hold)
+    require(copies <= 9, "replicate supports at most 9 copies (RecId < Bump)")
+    b.withColumn("copy_id", explode(sequence(lit(0L), lit(copies - 1L))))
+      .withColumn("RecId", col("RecId") + col("copy_id") * 1000000000000000L)
+      .drop("copy_id")
+  }
+
   private def updated = col("RecId") % 20 === 3
 
   /** Source-side table: current state of Tier2 (updates applied, some rows
     * deleted). */
   def source(spark: SparkSession, sfDir: String): DataFrame =
-    base(spark, sfDir)
-      .filter(col("RecId") % 97 =!= 0)
+    sourceFrom(base(spark, sfDir))
+
+  def sourceFrom(b: DataFrame): DataFrame =
+    b.filter(col("RecId") % 97 =!= 0)
       .withColumn("SysRowVersion", col("RecId") + when(updated, lit(Bump)).otherwise(lit(0L)))
       .withColumn("RECVERSION", when(updated, lit(2)).otherwise(lit(1)))
       .withColumn("CREATEDDATETIME", col("l_shipdate"))
@@ -61,10 +76,12 @@ object SyncFixtures {
 
   /** Target-side table: the pre-update snapshot (as of the stored marks), some
     * rows never synced, some locally mutated (version bumped target-side only). */
-  def target(spark: SparkSession, sfDir: String): DataFrame = {
+  def target(spark: SparkSession, sfDir: String): DataFrame =
+    targetFrom(base(spark, sfDir))
+
+  def targetFrom(b: DataFrame): DataFrame = {
     val localMut = col("RecId") % 131 === 5
-    base(spark, sfDir)
-      .filter(col("RecId") % 89 =!= 0)
+    b.filter(col("RecId") % 89 =!= 0)
       .withColumn("SysRowVersion",
         col("RecId") + when(localMut, lit(2 * Bump)).otherwise(lit(0L)))
       .withColumn("RECVERSION", lit(1))
@@ -85,8 +102,10 @@ object SyncFixtures {
 
   /** Perfectly-synced pair: source == target == base snapshot. */
   def perfect(spark: SparkSession, sfDir: String): DataFrame =
-    base(spark, sfDir)
-      .withColumn("SysRowVersion", col("RecId"))
+    perfectFrom(base(spark, sfDir))
+
+  def perfectFrom(b: DataFrame): DataFrame =
+    b.withColumn("SysRowVersion", col("RecId"))
       .withColumn("RECVERSION", lit(1))
       .withColumn("CREATEDDATETIME", col("l_shipdate"))
       .withColumn("MODIFIEDDATETIME", col("l_shipdate"))
