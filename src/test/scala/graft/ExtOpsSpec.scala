@@ -1,0 +1,146 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ext._
+
+/** Extension-operator semantics on tiny controlled corpora. */
+class DedupSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy dog"),   // exact dup of 1
+    (3L, "the quick brown fox jumps over the lazy cat"),   // near dup of 1
+    (4L, "completely different words entirely here now ok yes")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup keeps min-id survivor per hash group") {
+    val out = Dedup.exactDedup(docs, "doc_id", "text")
+      .select("doc_id", "is_kept", "group_size")
+      .as[(Long, Boolean, Long)].collect().toMap_
+    assert(out(1L) == (true, 2L))
+    assert(out(2L) == (false, 2L))
+    assert(out(3L) == (true, 1L))
+  }
+
+  implicit class ToMapOps(rows: Array[(Long, Boolean, Long)]) {
+    def toMap_ : Map[Long, (Boolean, Long)] = rows.map(r => r._1 -> (r._2, r._3)).toMap
+  }
+
+  test("3-gram jaccard finds the near-dup pair, not the unrelated doc") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L))) // identical
+    assert(pairs.contains((1L, 3L)) && pairs.contains((2L, 3L))) // near dup
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("minhash LSH finds the same high-jaccard pairs as the exact scan") {
+    val lsh = Dedup.minhashLshPairs(docs, "doc_id", "text", n = 3, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // identical docs always collide in every band; verify step keeps >= 0.5
+    assert(lsh.contains((1L, 2L)))
+    assert(!lsh.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("simhash band join is lossless for hamming <= 3 (pigeonhole)") {
+    val viaLsh = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // naive reference computation
+    val sims = Dedup.simhash(docs, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    val naive = (for {
+      a <- sims.keys; b <- sims.keys if a < b
+      if java.lang.Long.bitCount(sims(a) ^ sims(b)) <= 3
+    } yield (a, b)).toSet
+    assert(viaLsh == naive)
+    assert(viaLsh.contains((1L, 2L))) // identical docs, hamming 0
+  }
+}
+
+class SimilaritySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val vecs = Seq(
+    (1L, Array(1.0f, 0.0f, 0.0f), 0),
+    (2L, Array(0.99f, 0.1f, 0.0f), 0),  // close to 1
+    (3L, Array(0.0f, 1.0f, 0.0f), 0),   // orthogonal
+    (4L, Array(0.0f, 0.0f, 1.0f), 1)    // other bucket
+  ).toDF("vec_id", "embedding", "label")
+
+  test("quantized cosine ranks the near neighbor first") {
+    val prep = Similarity.prepare(vecs, "vec_id", "embedding")
+    val top = Similarity.bruteForceTopK(prep, prep.filter(col("vec_id") === 1), k = 2)
+      .orderBy("rank").select("neighbor_id").as[Long].collect().toSeq
+    assert(top == Seq(2L, 3L)) // cos(1,2) ≈ 0.995 > cos(1,3) = 0 > cos(1,4)=0 tie→id
+  }
+
+  test("IVF top-k stays within the label bucket") {
+    val prep = Similarity.prepare(vecs, "vec_id", "embedding")
+    val out = Similarity.ivfTopK(prep, k = 3)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(!out.exists { case (q, n) => (q == 4L) != (n == 4L) }) // 4 isolated
+  }
+
+  test("near-dup threshold keeps only the close pair") {
+    val prep = Similarity.prepare(vecs, "vec_id", "embedding")
+    val pairs = Similarity.nearDupPairs(prep, threshold = 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+}
+
+class TextAnalysisSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("token stats") {
+    val df = Seq((1L, "the cat sat on the mat")).toDF("doc_id", "text")
+    val r = df.select(
+      TextAnalysis.tokenCount(col("text")).as("n"),
+      TextAnalysis.stopwordCount(col("text")).as("stop"),
+      TextAnalysis.distinctTokenCount(col("text")).as("nd"),
+      TextAnalysis.bpeTokenEstimate(col("text")).as("bpe")).head()
+    assert(r.getAs[Int]("n") == 6)
+    assert(r.getAs[Int]("stop") == 2)   // 'the' twice
+    assert(r.getAs[Int]("nd") == 5)
+    assert(r.getAs[Long]("bpe") == math.ceil(22 / 4.0).toLong)
+  }
+
+  test("langId: english-ish vs tiny vs no stopwords") {
+    val df = Seq(
+      (1L, "the cat sat on a mat with the dog"),
+      (2L, "ok"),
+      (3L, "zzz qqq www eee rrr ttt yyy uuu iii ooo")).toDF("doc_id", "text")
+    val m = df.select(col("doc_id"), TextAnalysis.langId(col("text")).as("l"))
+      .as[(Long, String)].collect().toMap
+    assert(m == Map(1L -> "en", 2L -> "und", 3L -> "unk"))
+  }
+
+  test("fingerprint is normalization-invariant") {
+    val df = Seq((1L, "  Hello World "), (2L, "hello world")).toDF("id", "text")
+    val fps = df.select(TextAnalysis.fingerprint(col("text"))).as[String].collect()
+    assert(fps(0) == fps(1))
+  }
+}
+
+class MultimodalSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("payload header round trip through the partition decoder") {
+    val cells = Multimodal.synthesizePayloads(spark, "/root/testdata/sf0.001")
+    val feats = Multimodal.decodeFeatures(cells, nFeatures = 2)
+    val byDoc = feats.collect().groupBy(_.doc_id)
+    val sample = cells.collect().take(5)
+    sample.foreach { c =>
+      val fs = byDoc(c.doc_id)
+      // width/height parsed back from the binary header match the cell meta
+      assert(fs.forall(f => f.width == c.width && f.height == c.height))
+      assert(fs.map(_.feature_idx).toSet == Set(0, 1))
+      assert(fs.forall(f => f.feature_value >= 0.0 && f.feature_value < 1.0))
+    }
+  }
+}

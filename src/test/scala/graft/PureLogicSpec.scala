@@ -1,0 +1,259 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.config.{StrategyParser, TableFilter}
+import graft.model.FetchStrategy
+import graft.state.{SyncStateStore, VersionHex}
+import graft.sync.Extract
+
+/** Driver-side logic: strategy parsing, glob filtering, state store, version
+  * hex/bytes semantics, SQL template substitution. Mirrors the reference's
+  * manual scenarios (TESTING_GUIDE.md:25-62, Optimization_Spec §15.2). */
+class StrategyParserSpec extends AnyFunSuite {
+  import StrategyParser._
+
+  test("bare table name gets default record count") {
+    val Right(o) = parseLine("CUSTTABLE", 1)
+    assert(o.table == "CUSTTABLE")
+    assert(o.strategy == FetchStrategy.TopNByKey(10000L))
+  }
+
+  test("explicit record count") {
+    val Right(o) = parseLine("CUSTTABLE|5000", 1)
+    assert(o.strategy == FetchStrategy.TopNByKey(5000L))
+  }
+
+  test("millions suffix 10m (CopyOrchestrator.cs:1765-1779)") {
+    val Right(o) = parseLine("T|10m", 1)
+    assert(o.strategy == FetchStrategy.TopNByKey(10000000L))
+  }
+
+  test("thousands suffix 3k") {
+    val Right(o) = parseLine("T|3k", 1)
+    assert(o.strategy == FetchStrategy.TopNByKey(3000L))
+  }
+
+  test("sql strategy with count") {
+    val Right(o) = parseLine(
+      "T|3000|sql:SELECT TOP (@recordCount) * FROM T WHERE X=0 ORDER BY RecId DESC", 1)
+    o.strategy match {
+      case FetchStrategy.CustomSql(sql, n, _) =>
+        assert(n == 3000L); assert(sql.contains("@recordCount"))
+      case other => fail(s"unexpected $other")
+    }
+  }
+
+  test("-truncate flag") {
+    val Right(o) = parseLine("T|5000 -truncate", 1)
+    assert(o.strategy == FetchStrategy.TopNByKey(5000L, forceTruncate = true))
+  }
+
+  test("sql without * is an error") {
+    assert(parseLine("T|sql:SELECT a FROM T", 3).isLeft)
+  }
+
+  test("zero record count is an error with line number") {
+    val Left(e) = parseLine("T|0", 7)
+    assert(e.line == 7)
+  }
+
+  test("garbage third segment is an error") {
+    assert(parseLine("T|5000|garbage", 2).isLeft)
+  }
+
+  test("duplicate table names rejected (MainForm.cs:720-727)") {
+    val Left(e) = parseAll("A|100\nB|200\na|300")
+    assert(e.line == 3)
+  }
+
+  test("first error stops the run with its line number") {
+    val Left(e) = parseAll("A|100\n\nB|bad\nC|1")
+    assert(e.line == 3)
+  }
+
+  test("@sysRowVersionFilter gates optimized mode (CopyOrchestrator.cs:819-829)") {
+    assert(StrategyParser.sqlSupportsOptimized(
+      "SELECT * FROM T WHERE @sysRowVersionFilter ORDER BY RecId DESC"))
+    assert(!StrategyParser.sqlSupportsOptimized("SELECT * FROM T"))
+  }
+}
+
+class TableFilterSpec extends AnyFunSuite {
+  import TableFilter._
+
+  test("star-only glob, case-insensitive") {
+    assert(matches("CUST*", "CustTable"))
+    assert(matches("*", "ANYTHING"))
+    assert(!matches("CUST*", "VENDTABLE"))
+    assert(matches("*STAGING", "RETAILSTAGING"))
+  }
+
+  test("glob quotes regex metacharacters") {
+    assert(matches("A.B*", "A.BC"))
+    assert(!matches("A.B*", "AXBC")) // '.' is literal, not regex any
+  }
+
+  test("include-then-exclude order (Spec01:505-511)") {
+    val names = Seq("CUSTTABLE", "CUSTSTAGING", "VENDTABLE", "SYSLOG")
+    assert(filter(names, Seq("CUST*", "VEND*"), Seq("*STAGING")) ==
+      Seq("CUSTTABLE", "VENDTABLE"))
+  }
+
+  test("empty include list passes nothing") {
+    assert(filter(Seq("A"), Nil, Nil).isEmpty)
+  }
+
+  test("D365 name filter [A-Z0-9_] (Tier2DataService.cs:548-554)") {
+    assert(isD365Name("CUSTTABLE_2"))
+    assert(!isD365Name("sysdiagrams"))
+    assert(!isD365Name("My-Table"))
+  }
+
+  test("copyable fields: intersection minus exclusions, source order, case-insensitive") {
+    val src = Seq("RECID", "Name", "AMOUNT", "SECRET", "ONLYSRC")
+    val tgt = Seq("recid", "NAME", "amount", "secret", "ONLYTGT")
+    assert(copyableFields(src, tgt, Set("SECRET")) == Seq("RECID", "Name", "AMOUNT"))
+  }
+
+  test("field-exclusion map parse: global vs TABLE.FIELD (CopyOrchestrator.cs:1872-1911)") {
+    val (global, perTable) = parseFieldExclusions(Seq("MEMO", "CUSTTABLE.CREDITMAX", "custtable.notes"))
+    assert(global == Set("MEMO"))
+    assert(perTable == Map("CUSTTABLE" -> Set("CREDITMAX", "NOTES")))
+  }
+
+  test("schema symmetric difference (CopyOrchestrator.cs:384-399)") {
+    val (onlyA, onlyB) = schemaMismatch(Seq("A", "B"), Seq("b", "C"))
+    assert(onlyA == Set("A")); assert(onlyB == Set("C"))
+  }
+}
+
+class VersionHexSpec extends AnyFunSuite {
+  // property-style over a seeded sample (plain scalacheck generators would
+  // need the scalatestplus bridge, which isn't in the offline dep set)
+  private val rnd = new scala.util.Random(42)
+  private val samples: Seq[Long] =
+    Seq(0L, 1L, -1L, Long.MaxValue, Long.MinValue, 0x00000000000012abL) ++
+      Seq.fill(500)(rnd.nextLong())
+
+  test("hex round trip (TimestampHelper.cs:37-64)") {
+    samples.foreach { v =>
+      assert(VersionHex.parse(VersionHex.format(v)).contains(v))
+    }
+  }
+
+  test("malformed hex degrades to None, not an exception") {
+    assert(VersionHex.parse("garbage").isEmpty)
+    assert(VersionHex.parse("0x12").isEmpty)
+    assert(VersionHex.parse("0xZZZZZZZZZZZZZZZZ").isEmpty)
+  }
+
+  test("bytewise unsigned compare == unsigned numeric compare (TimestampHelper.cs:12-27)") {
+    for (a <- samples.take(60); b <- samples.take(60)) {
+      val byBytes = Integer.signum(
+        VersionHex.compareBytes(VersionHex.toBytes(a), VersionHex.toBytes(b)))
+      val byNum = Integer.signum(java.lang.Long.compareUnsigned(a, b))
+      assert(byBytes == byNum, s"a=$a b=$b")
+    }
+  }
+
+  test("byte round trip") {
+    samples.foreach { v =>
+      assert(VersionHex.fromBytes(VersionHex.toBytes(v)) == v)
+    }
+  }
+}
+
+class StateStoreSpec extends AnyFunSuite {
+  test("put/get/persist round trip with atomic flush (D6)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_state")
+    val path = dir.resolve("state.json")
+    val store = new SyncStateStore(path)
+    store.putVersions("CUSTTABLE", 0x1234L, 0x99L, Some(42L))
+    // a fresh store re-reads from disk — per-table crash safety
+    val store2 = new SyncStateStore(path)
+    val m = store2.get("custtable").get
+    assert(m.sourceVersion.contains(0x1234L))
+    assert(m.targetVersion.contains(0x99L))
+    assert(m.maxRecId.contains(42L))
+  }
+
+  test("clear removes a table") {
+    val path = java.nio.file.Files.createTempDirectory("graft_state").resolve("s.json")
+    val store = new SyncStateStore(path)
+    store.putVersions("A", 1L, 2L, None)
+    store.putVersions("B", 3L, 4L, None)
+    store.clear("a")
+    assert(new SyncStateStore(path).allTables == Set("B"))
+  }
+
+  test("corrupt stored hex yields None (degrade-to-standard ladder)") {
+    val path = java.nio.file.Files.createTempDirectory("graft_state").resolve("s.json")
+    java.nio.file.Files.writeString(path, """{"T":{"src":"0xNOTHEX0000000000","maxRecId":5}}""")
+    val m = new SyncStateStore(path).get("T").get
+    assert(m.sourceVersion.isEmpty)
+    assert(m.maxRecId.contains(5L))
+  }
+}
+
+class ExtractTemplateSpec extends AnyFunSuite {
+  test("SELECT * substitution with field list") {
+    val out = Extract.substituteTemplate(
+      "SELECT TOP (@recordCount) * FROM T WHERE @sysRowVersionFilter",
+      Seq("RecId", "Name"), 5000, None)
+    assert(out == "SELECT TOP (5000) RecId, Name FROM T WHERE (1=1)")
+  }
+
+  test("COUNT(*) and arithmetic * survive (documented deviation, SURVEY §7.3.5)") {
+    val out = Extract.substituteTemplate(
+      "SELECT * FROM (SELECT COUNT(*) c, a*b p FROM T) x",
+      Seq("c", "p"), 10, None)
+    assert(out.contains("COUNT(*)"))
+    assert(out.contains("a*b"))
+    assert(out.startsWith("SELECT c, p FROM"))
+  }
+
+  test("version filter placeholder substitution") {
+    val out = Extract.substituteTemplate(
+      "SELECT * FROM T WHERE @sysRowVersionFilter",
+      Seq("A"), 1, Some("SysRowVersion >= 0x0abc"))
+    assert(out.endsWith("WHERE SysRowVersion >= 0x0abc"))
+  }
+}
+
+class PushdownSqlSpec extends AnyFunSuite {
+  import graft.jdbc.PushdownSql._
+
+  test("golden: top-N fetch (Get SQL parity, MainForm.cs:1149-1339)") {
+    assert(topNFetch("CUSTTABLE", Seq("RECID", "NAME"), 10000) ==
+      "SELECT TOP (10000) [RECID], [NAME] FROM [CUSTTABLE] ORDER BY RecId DESC")
+  }
+
+  test("golden: control fetch") {
+    assert(controlFetch("T", 500) ==
+      "SELECT TOP (500) [RecId], [SysRowVersion] FROM [T] ORDER BY RecId DESC")
+  }
+
+  test("golden: delta fetch with >= over-fetch semantics") {
+    val sql = deltaFetch("T", Seq("RECID"), 100, "0x00000000000012ab", 7)
+    assert(sql == "SELECT TOP (100) [RECID] FROM [T] " +
+      "WHERE SysRowVersion >= 0x00000000000012ab AND RecId >= 7 ORDER BY RecId DESC")
+  }
+
+  test("golden: three staged deletes (AxDbDataService.cs:1129-1173)") {
+    val ds = stagedDeletes("T", "#Tier2Control", "0x01", "0x02")
+    assert(ds.size == 3)
+    assert(ds(0).contains("SysRowVersion > 0x01"))
+    assert(ds(1).contains("t.SysRowVersion > 0x02"))
+    assert(ds(2).contains("NOT EXISTS"))
+  }
+
+  test("batched key deletes split at 5000 (AxDbDataService.cs:11)") {
+    val ds = batchedKeyDeletes("T", (1L to 12000L).toSeq)
+    assert(ds.size == 3)
+    assert(ds(0).contains("(1, "))
+  }
+
+  test("sequence bump +10000 (AxDbDataService.cs:12)") {
+    assert(sequenceBump(123, 5000) == "ALTER SEQUENCE [SEQ_123] RESTART WITH 15000")
+  }
+}
