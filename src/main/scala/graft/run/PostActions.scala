@@ -1,0 +1,71 @@
+package graft.run
+
+import org.apache.spark.sql.SparkSession
+
+/** Post-transfer action chain (D9): SQL scripts → snapshot → shell hook,
+  * each stage gated on the previous stage's success
+  * (MainForm.cs:1722-1760).
+  */
+object PostActions {
+
+  /** S16 — post-transfer SQL script runner: statements line-by-line, `--`
+    * comment lines skipped, stop on first error
+    * (PostTransferSqlService.cs:21-114). Lake flavor executes via
+    * spark.sql; a JDBC flavor would run the same parsed statements through
+    * Statement.execute. Returns (executed, error). */
+  def runSqlScript(spark: SparkSession, script: String): (Int, Option[String]) = {
+    val statements = parseScript(script)
+    var executed = 0
+    for (stmt <- statements) {
+      try {
+        spark.sql(stmt).collect()
+        executed += 1
+      } catch {
+        case e: Throwable => return (executed, Some(s"statement ${executed + 1}: ${e.getMessage}"))
+      }
+    }
+    (executed, None)
+  }
+
+  /** Line-oriented parse: `--` comments and blanks skipped; a statement is
+    * one non-comment line (the reference executes line-by-line, not
+    * semicolon-split). */
+  def parseScript(script: String): Seq[String] =
+    script.linesIterator
+      .map(_.trim)
+      .filter(l => l.nonEmpty && !l.startsWith("--"))
+      .toSeq
+
+  /** F6 — date-token path resolution: `[yyyy_MM_dd_HHmm]` → formatted now
+    * (BackupService.cs:23-31). */
+  def resolveDateTokens(path: String,
+      now: java.time.LocalDateTime = java.time.LocalDateTime.now()): String = {
+    val token = """\[([^\]]+)\]""".r
+    token.replaceAllIn(path, m =>
+      java.util.regex.Matcher.quoteReplacement(
+        now.format(java.time.format.DateTimeFormatter.ofPattern(m.group(1)))))
+  }
+
+  /** S15 analog — snapshot export of the target table set (the lake's
+    * COPY_ONLY backup): parquet copy into a date-tokened directory. */
+  def snapshot(spark: SparkSession, tablePaths: Seq[String], destPattern: String): String = {
+    val dest = resolveDateTokens(destPattern)
+    tablePaths.foreach { p =>
+      val name = new java.io.File(p).getName
+      spark.read.parquet(p).write.mode("error").parquet(s"$dest/$name")
+    }
+    dest
+  }
+
+  /** D9 — the gated chain: each stage runs only if the previous succeeded. */
+  def runChain(stages: Seq[() => Either[String, Unit]]): Either[String, Int] = {
+    var done = 0
+    for (stage <- stages) {
+      stage() match {
+        case Left(err) => return Left(s"stage ${done + 1} failed: $err")
+        case Right(_)  => done += 1
+      }
+    }
+    Right(done)
+  }
+}

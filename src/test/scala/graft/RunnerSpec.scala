@@ -1,0 +1,210 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.model.SyncMode
+import graft.run.{PostActions, SyncRunner}
+import graft.state.SyncStateStore
+import graft.sync.SyncFixtures
+
+/** End-to-end multi-table sync lifecycle over lake dirs — the golden-state
+  * scenario matrix (DBSyncTool_Optimization_Spec.md:1595-1620). */
+class RunnerSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def newEnv(): (String, SyncStateStore, SyncRunner) = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_run").toString
+    val store = new SyncStateStore(java.nio.file.Paths.get(s"$dir/state.json"))
+    val runner = new SyncRunner(spark, store, parallelWorkers = 2)
+    (dir, store, runner)
+  }
+
+  // small deterministic table: RecId, SysRowVersion, payload
+  private def mkSource(dir: String, name: String, version: Long => Long,
+      keep: Long => Boolean = _ => true): String = {
+    val path = s"$dir/src_$name"
+    (1L to 500L).filter(keep).map(i => (i, version(i), s"row$i"))
+      .toDF("RecId", "SysRowVersion", "payload")
+      .write.mode("overwrite").parquet(path)
+    path
+  }
+
+  test("first sync (standard) → perfect re-sync (NOOP) → 5% update (INCREMENTAL) → 60% update (TRUNCATE)") {
+    val (dir, store, runner) = newEnv()
+    val src = mkSource(dir, "t1", identity)
+    def plan = runner.TablePlan("T1", src, s"$dir/tgt_t1")
+
+    val r1 = runner.runAll(Seq(plan))
+    assert(r1.head.ok && r1.head.mode == SyncMode.Standard)
+    assert(spark.read.parquet(s"$dir/tgt_t1").count() == 500)
+    assert(store.get("T1").flatMap(_.sourceVersion).contains(500L))
+
+    // unchanged source ⇒ NOOP, no data moved, marks refreshed
+    val r2 = runner.runAll(Seq(plan))
+    assert(r2.head.ok && r2.head.mode == SyncMode.Noop)
+
+    // 5% updated (every 20th row bumps version) ⇒ INCREMENTAL
+    mkSource(dir, "t1", i => if (i % 20 == 3) i + 100000 else i)
+    val r3 = runner.runAll(Seq(plan))
+    assert(r3.head.ok && r3.head.mode == SyncMode.Incremental)
+    val afterIncr = spark.read.parquet(s"$dir/tgt_t1")
+    assert(afterIncr.count() == 500)
+    assert(afterIncr.filter(col("SysRowVersion") > 100000L).count() == 25)
+
+    // marks must have advanced to the new max version
+    assert(store.get("T1").flatMap(_.sourceVersion).exists(_ > 100000L))
+
+    // 60% updated ⇒ TRUNCATE (≥40% threshold)
+    mkSource(dir, "t1", i => if (i % 10 < 6) i + 200000 else i)
+    val r4 = runner.runAll(Seq(plan))
+    assert(r4.head.ok && r4.head.mode == SyncMode.Truncate)
+    assert(spark.read.parquet(s"$dir/tgt_t1").count() == 500)
+  }
+
+  test("source deletes are pruned, new rows inserted (J2/J3 via runner)") {
+    val (dir, store, runner) = newEnv()
+    val src = mkSource(dir, "t2", identity)
+    def plan = runner.TablePlan("T2", src, s"$dir/tgt_t2")
+    runner.runAll(Seq(plan))
+
+    // delete 10% at source, append 5 new rows with fresh versions
+    val path = s"$dir/src_t2"
+    ((1L to 500L).filterNot(_ % 10 == 0).map(i => (i, i, s"row$i")) ++
+      (501L to 505L).map(i => (i, i + 1000L, s"new$i")))
+      .toDF("RecId", "SysRowVersion", "payload")
+      .write.mode("overwrite").parquet(path)
+
+    val r = runner.runAll(Seq(plan))
+    assert(r.head.ok && r.head.mode == SyncMode.Incremental)
+    val tgt = spark.read.parquet(s"$dir/tgt_t2")
+    assert(tgt.count() == 455) // 450 kept + 5 new
+    assert(tgt.filter(col("RecId") % 10 === 0).count() == 0)
+    assert(tgt.filter(col("RecId") > 500).count() == 5)
+  }
+
+  test("multi-table parallel run; failure marks table not-ok, others keep state (D1/D3)") {
+    val (dir, store, runner0) = newEnv()
+    val runner = new SyncRunner(spark, store, parallelWorkers = 3, failFast = false)
+    val good1 = mkSource(dir, "a", identity)
+    val good2 = mkSource(dir, "b", identity)
+    val plans = Seq(
+      runner.TablePlan("A", good1, s"$dir/tgt_a"),
+      runner.TablePlan("BAD", s"$dir/does_not_exist", s"$dir/tgt_bad"),
+      runner.TablePlan("B", good2, s"$dir/tgt_b"))
+    val rs = runner.runAll(plans).map(r => r.table -> r.ok).toMap
+    assert(rs("A") && rs("B") && !rs("BAD"))
+    // retry only re-runs the failed table
+    val retried = runner.retryFailed(plans, runner.runAll(plans))
+    assert(retried.map(_.table) == Seq("BAD"))
+  }
+
+  test("crash-safe per-table marks: store survives process restart (D6)") {
+    val (dir, store, runner) = newEnv()
+    val src = mkSource(dir, "t3", identity)
+    runner.runAll(Seq(runner.TablePlan("T3", src, s"$dir/tgt_t3")))
+    val reopened = new SyncStateStore(java.nio.file.Paths.get(s"$dir/state.json"))
+    assert(reopened.get("T3").flatMap(_.sourceVersion).contains(500L))
+    assert(reopened.get("T3").flatMap(_.maxRecId).contains(500L))
+  }
+}
+
+class PostActionsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("sql script: comments skipped, stop on first error (PostTransferSqlService.cs:21-114)") {
+    val script =
+      """-- setup comment
+        |SELECT 1
+        |
+        |SELECT bad_function_xyz(1)
+        |SELECT 2""".stripMargin
+    val (executed, err) = PostActions.runSqlScript(spark, script)
+    assert(executed == 1)
+    assert(err.isDefined)
+  }
+
+  test("date token resolution [yyyy_MM_dd] (BackupService.cs:23-31)") {
+    val now = java.time.LocalDateTime.of(2026, 8, 12, 10, 30)
+    assert(PostActions.resolveDateTokens("/backup/[yyyy_MM_dd_HHmm]/db", now) ==
+      "/backup/2026_08_12_1030/db")
+    assert(PostActions.resolveDateTokens("/plain/path", now) == "/plain/path")
+  }
+
+  test("gated chain stops at first failure (D9)") {
+    var ran = List.empty[Int]
+    val chain = Seq[() => Either[String, Unit]](
+      () => { ran ::= 1; Right(()) },
+      () => { ran ::= 2; Left("boom") },
+      () => { ran ::= 3; Right(()) })
+    assert(PostActions.runChain(chain) == Left("stage 2 failed: boom"))
+    assert(ran.reverse == List(1, 2))
+  }
+}
+
+class ConfigUtilSpec extends AnyFunSuite {
+  import graft.config.ConfigUtil._
+
+  test("base64 obfuscation round trip (EncryptionHelper.cs:11-48)") {
+    assert(deobfuscate(obfuscate("p@ssw0rd")).contains("p@ssw0rd"))
+    assert(deobfuscate("!!!notbase64!!!").isEmpty)
+  }
+
+  test("connection string parse (ConnectionStringHelper.cs:20-100)") {
+    val m = parseConnectionString("Server=host,1433; Database=AxDB;User ID=sa;")
+    assert(m("server") == "host,1433")
+    assert(m("database") == "AxDB")
+  }
+
+  test("INI sectioned parse (DefaultValuesHelper.cs:9-76)") {
+    val ini =
+      """[PostTransferSql]
+        |; comment
+        |UPDATE X SET Y = 1
+        |[Other]
+        |line""".stripMargin
+    val m = parseIni(ini)
+    assert(m("PostTransferSql") == Seq("UPDATE X SET Y = 1"))
+    assert(m("Other") == Seq("line"))
+  }
+}
+
+class CatalogSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+  import graft.catalog.Catalog
+
+  test("SQLDICTIONARY parse: FIELDID=0 names the table (Tier2DataService.cs:484-543)") {
+    val dict = Seq(
+      ("CUSTTABLE", 1, 0, "CUSTTABLE"),
+      ("AccountNum", 1, 1, "ACCOUNTNUM"),
+      ("Name", 1, 2, "NAME"),
+      ("VENDTABLE", 2, 0, "VENDTABLE"),
+      ("VendId", 2, 1, "VENDID"))
+      .toDF("NAME", "TABLEID", "FIELDID", "SQLNAME")
+    val cache = Catalog.loadDictionary(dict)
+    assert(cache.tableNameToId == Map("CUSTTABLE" -> 1, "VENDTABLE" -> 2))
+    assert(cache.fieldsOf("CustTable") == Seq("ACCOUNTNUM", "NAME"))
+  }
+
+  test("planTables: filters, both-sides requirement, copyable intersection") {
+    val src = Catalog.DictionaryCache(
+      Map("CUSTTABLE" -> 1, "SRCONLY" -> 2, "SYSLOG" -> 3),
+      Map(1 -> Seq("RECID", "SYSROWVERSION", "NAME", "SECRET"), 2 -> Seq("A"), 3 -> Seq("B")))
+    val tgt = Catalog.DictionaryCache(
+      Map("CUSTTABLE" -> 11, "SYSLOG" -> 13),
+      Map(11 -> Seq("RECID", "SYSROWVERSION", "NAME"), 13 -> Seq("B")))
+    val discovered = Seq(
+      Catalog.DiscoveredTable("CUSTTABLE", 1000, 100000),
+      Catalog.DiscoveredTable("SRCONLY", 10, 100),
+      Catalog.DiscoveredTable("SYSLOG", 5, 50),
+      Catalog.DiscoveredTable("lowercase_bad", 5, 50))
+    val plans = Catalog.planTables(discovered, src, tgt,
+      includes = Seq("*"), excludes = Seq("SYS*"),
+      globalExcludedFields = Set("SECRET"))
+    assert(plans.map(_.name) == Seq("CUSTTABLE"))
+    assert(plans.head.copyableFields == Seq("RECID", "SYSROWVERSION", "NAME"))
+    assert(plans.head.optimizedEligible)
+    assert(plans.head.bytesPerRow == 100L)
+  }
+}
