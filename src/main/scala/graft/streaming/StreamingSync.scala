@@ -1,0 +1,105 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+
+/** Structured Streaming facade (SURVEY §7.5).
+  *
+  * The reference's incremental loop is pull-based micro-batching: persisted
+  * high-water marks re-read per run (TimestampManager.cs:9-53) = streaming
+  * offsets, the per-run diff = one micro-batch. Structured Streaming makes
+  * that equivalence literal: the checkpoint directory IS the mark store,
+  * `Trigger.AvailableNow` IS "run one sync now", and `foreachBatch` applies
+  * the same merge the batch path uses. Event-time windows + custom state
+  * are the streaming capabilities the reference never had but a pipeline
+  * engine needs.
+  */
+object StreamingSync {
+
+  /** Mark-based incremental sync as a stream: every new source file becomes
+    * a micro-batch merged into the target via the SAME Apply logic as the
+    * batch path (exactly-once per batch via checkpointed offsets — the
+    * crash-safe-marks property D6, supplied by the engine instead of
+    * hand-rolled JSON). */
+  def incrementalSyncStream(
+      spark: SparkSession,
+      sourceDir: String,
+      targetDir: String,
+      checkpointDir: String,
+      schema: StructType,
+      keyCol: String = "RecId"): StreamingQuery = {
+    spark.readStream
+      .schema(schema)
+      .parquet(sourceDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        val target = new java.io.File(targetDir)
+        val merged =
+          if (!target.exists()) batch.toDF()
+          else {
+            val existing = spark.read.parquet(targetDir)
+            // upsert: incoming batch rows win on key collision
+            existing.join(batch.toDF().select(keyCol), Seq(keyCol), "left_anti")
+              .unionByName(batch.toDF())
+          }
+        val staging = targetDir + ".staging"
+        merged.write.mode("overwrite").parquet(staging)
+        val old = new java.io.File(targetDir + ".old")
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm)); f.delete()
+        }
+        rm(old)
+        if (target.exists()) target.renameTo(old)
+        new java.io.File(staging).renameTo(new java.io.File(targetDir))
+        rm(old)
+        ()
+      }
+      .start()
+  }
+
+  /** Event-time tumbling-window aggregation with late-data bounds — the
+    * streaming twin of q_events_hourly. */
+  def windowedEventCounts(
+      events: DataFrame,
+      windowLen: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+
+  /** Custom keyed state: running per-user session counts via
+    * mapGroupsWithState (30-minute inactivity gap), the streaming twin of
+    * q_events_sessions. */
+  final case class UserEvent(user_id: Long, tsMicros: Long)
+  final case class UserSessions(user_id: Long, sessions: Long, events: Long)
+  final case class SessionState(lastTsMicros: Long, sessions: Long, events: Long)
+
+  val SessionGapMicros: Long = 1800L * 1000000L
+
+  def updateSessions(
+      userId: Long,
+      events: Iterator[UserEvent],
+      state: GroupState[SessionState]): UserSessions = {
+    var s = state.getOption.getOrElse(SessionState(Long.MinValue, 0L, 0L))
+    events.toSeq.sortBy(_.tsMicros).foreach { e =>
+      val newSession = s.lastTsMicros == Long.MinValue ||
+        e.tsMicros - s.lastTsMicros > SessionGapMicros
+      s = SessionState(e.tsMicros,
+        s.sessions + (if (newSession) 1 else 0), s.events + 1)
+    }
+    state.update(s)
+    UserSessions(userId, s.sessions, s.events)
+  }
+
+  def sessionCounts(events: Dataset[UserEvent]): Dataset[UserSessions] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout())(updateSessions)
+  }
+}

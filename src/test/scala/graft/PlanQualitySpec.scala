@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sync.{Extract, SyncFixtures}
+
+/** Physical-plan assertions: the properties that decide 100 TB viability —
+  * column pruning and predicate pushdown must reach the parquet scan, top-N
+  * must not global-sort. `.explain` checked mechanically, per the build
+  * guidance ("a scan that reads all columns for a 2-column projection is
+  * wrong").
+  */
+class PlanQualitySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val tableDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_plan").toString
+    (1L to 10000L).map(i => (i, i, s"pay$i", i * 2.5, s"extra$i"))
+      .toDF("RecId", "SysRowVersion", "payload", "amount", "wide_col")
+      .write.parquet(s"$dir/t")
+    s"$dir/t"
+  }
+
+  private def scanLine(df: org.apache.spark.sql.DataFrame): String = {
+    val plan = df.queryExecution.executedPlan.toString
+    plan.linesIterator.filter(_.contains("FileScan")).mkString("\n")
+  }
+
+  test("control fetch prunes the scan to key+version (16 bytes/row at the source)") {
+    val scan = scanLine(
+      spark.read.parquet(tableDir).select("RecId", "SysRowVersion"))
+    assert(scan.contains("ReadSchema"))
+    assert(scan.contains("RecId") && scan.contains("SysRowVersion"))
+    assert(!scan.contains("payload") && !scan.contains("wide_col"),
+      s"scan must not read payload columns:\n$scan")
+  }
+
+  test("delta-fetch predicates are pushed to the parquet scan (S8)") {
+    val df = Extract.deltaFetch(spark.read.parquet(tableDir),
+      threshold = 5000L, minRecId = 100L, n = 1000000)
+    val scan = scanLine(df)
+    assert(scan.contains("PushedFilters") &&
+      scan.contains("GreaterThanOrEqual(SysRowVersion,5000)") &&
+      scan.contains("GreaterThanOrEqual(RecId,100)"),
+      s"expected both >= filters pushed:\n$scan")
+  }
+
+  test("fixture derivation still prunes to the columns the query needs") {
+    // control over the derived fixture: only the 4 key-arithmetic columns
+    // (+ none of the payload) may reach the lineitem scan
+    val control = SyncFixtures.control(SyncFixtures.source(spark, "/root/testdata/sf0.001"))
+    val scan = scanLine(control)
+    assert(!scan.contains("l_extendedprice") && !scan.contains("l_returnflag"),
+      s"fixture control scan reads too much:\n$scan")
+  }
+
+  test("top-N by key avoids a global sort (TakeOrderedAndProject)") {
+    val plan = Extract.topNByKey(spark.read.parquet(tableDir), 100)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("Exchange rangepartitioning"),
+      s"global sort exchange in top-N plan:\n$plan")
+  }
+
+  test("classify join stays whole-stage-codegen'd around the join") {
+    val src = SyncFixtures.source(spark, "/root/testdata/sf0.001")
+      .select("RecId", "RECVERSION", "CREATEDDATETIME", "MODIFIEDDATETIME")
+    val tgt = SyncFixtures.target(spark, "/root/testdata/sf0.001")
+      .select("RecId", "RECVERSION", "CREATEDDATETIME", "MODIFIEDDATETIME")
+    val classified = graft.sync.Classify.classify(src, tgt,
+      graft.model.ComparisonContext(true, true, true))
+    classified.collect() // materialize so AQE finalizes the physical stages
+    val plan = classified.queryExecution.executedPlan.toString
+    // `*(n)` is the whole-stage-codegen marker in the simple plan string;
+    // the classification projection and the join must sit inside one
+    assert(plan.contains("*(") && plan.linesIterator.exists(l =>
+      l.contains("SortMergeJoin") && l.contains("*(")), plan)
+  }
+
+  test("native array expressions participate in codegen (no Scala UDF nodes)") {
+    val prep = graft.ext.Similarity.prepare(
+      spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet"),
+      "vec_id", "embedding")
+    val plan = prep.queryExecution.executedPlan.toString
+    assert(!plan.contains("BatchEvalPython") && !plan.toLowerCase.contains("scalaudf"),
+      s"UDF node found in plan:\n$plan")
+  }
+}

@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.StreamingSync
+
+class StreamingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("AvailableNow incremental sync: checkpoint = marks, new files = micro-batches") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
+    val srcDir = s"$dir/src"
+    val schema = Seq((1L, 1L, "a")).toDF("RecId", "SysRowVersion", "payload").schema
+
+    // batch 1
+    Seq((1L, 1L, "a"), (2L, 1L, "b")).toDF("RecId", "SysRowVersion", "payload")
+      .write.parquet(srcDir)
+    val q1 = StreamingSync.incrementalSyncStream(
+      spark, srcDir, s"$dir/tgt", s"$dir/ckpt", schema)
+    q1.awaitTermination(60000)
+    assert(spark.read.parquet(s"$dir/tgt").count() == 2)
+
+    // batch 2: a new file = one update + one insert; checkpoint replays only it
+    Seq((2L, 2L, "b2"), (3L, 1L, "c")).toDF("RecId", "SysRowVersion", "payload")
+      .write.mode("append").parquet(srcDir)
+    val q2 = StreamingSync.incrementalSyncStream(
+      spark, srcDir, s"$dir/tgt", s"$dir/ckpt", schema)
+    q2.awaitTermination(60000)
+    val out = spark.read.parquet(s"$dir/tgt")
+      .select("RecId", "payload").as[(Long, String)].collect().toMap
+    assert(out == Map(1L -> "a", 2L -> "b2", 3L -> "c"))
+  }
+
+  test("watermarked windowed aggregation compiles to a streaming plan") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream2").toString
+    val ts = java.sql.Timestamp.valueOf("2024-01-01 10:15:00")
+    Seq((ts, "click", 1.0)).toDF("ts", "event_type", "value").write.parquet(s"$dir/ev")
+    val stream = spark.readStream
+      .schema(spark.read.parquet(s"$dir/ev").schema)
+      .parquet(s"$dir/ev")
+    val agg = StreamingSync.windowedEventCounts(stream)
+    val q = agg.writeStream
+      .format("memory").queryName("win_out").outputMode("update")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val rows = spark.sql("SELECT event_type, n FROM win_out").as[(String, Long)].collect()
+    assert(rows.toSeq == Seq(("click", 1L)))
+  }
+
+  test("mapGroupsWithState session counting matches the batch sessionization rule") {
+    import StreamingSync._
+    val m = 1000000L
+    val events = Seq(
+      UserEvent(1L, 0L), UserEvent(1L, 60L * m),          // same session
+      UserEvent(1L, 4000L * 60 * m),                      // gap > 30min ⇒ new session
+      UserEvent(2L, 0L))
+      .toDS()
+    val out = sessionCounts(events).collect().map(s => s.user_id -> (s.sessions, s.events)).toMap
+    assert(out == Map(1L -> (2L, 3L), 2L -> (1L, 1L)))
+  }
+}
