@@ -111,5 +111,7 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("quantize_array",
       exprs => QuantizeArray(exprs(0),
         exprs(1).eval(InternalRow.empty).asInstanceOf[Number].longValue()), "scala_udf")
+    reg.createOrReplaceTempFunction("rolling_hash",
+      exprs => RollingHash(exprs.head), "scala_udf")
   }
 }

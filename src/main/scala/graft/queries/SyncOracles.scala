@@ -86,6 +86,18 @@ ORDER BY RecId DESC LIMIT 2000000"""),
       (prefix + """SELECT RecId, MODIFIEDDATETIME FROM src
 WHERE MODIFIEDDATETIME > (SELECT max(l_shipdate) - INTERVAL 90 DAY FROM li)"""),
 
+    "q_s6_customsql" ->
+      (prefix + """SELECT RecId, SysRowVersion, l_quantity FROM src
+WHERE SysRowVersion >= (SELECT stored_mark FROM mark)
+ORDER BY RecId DESC LIMIT 3000"""),
+
+    "q_window_running" ->
+      (prefix + """SELECT RecId, l_suppkey,
+  CAST(sum(CAST(l_quantity AS BIGINT))
+    OVER (PARTITION BY l_suppkey ORDER BY RecId
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_qty
+FROM li"""),
+
     "q_j1_classify" -> (prefix + classifySql),
 
     "q_j1_fallback" ->

@@ -50,6 +50,31 @@ object SyncQueries {
         .select("RecId", "MODIFIEDDATETIME")
     }),
 
+    // S6 — custom-SQL strategy: template substitution (*→fields,
+    // @recordCount, @sysRowVersionFilter) executed via spark.sql over the
+    // registered source view — the lake twin of the JDBC query option
+    "q_s6_customsql" -> ((s, d) => {
+      val m = mark(s, d)
+      SyncFixtures.source(s, d).createOrReplaceTempView("graft_src")
+      val sql = Extract.substituteTemplate(
+        "SELECT * FROM graft_src WHERE @sysRowVersionFilter ORDER BY RecId DESC LIMIT @recordCount",
+        Seq("RecId", "SysRowVersion", "l_quantity"),
+        recordCount = 3000,
+        versionFilter = Some(s"SysRowVersion >= $m"))
+      s.sql(sql)
+    }),
+
+    // A-window — running per-supplier quantity in RecId order (window agg
+    // surface; deterministic: unique ordering key, integer sums)
+    "q_window_running" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("l_suppkey").orderBy("RecId")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      SyncFixtures.base(s, d)
+        .select(col("RecId"), col("l_suppkey"),
+          sum(col("l_quantity").cast("long")).over(w).as("running_qty"))
+    }),
+
     // J1 — delta-comparison classification (full comparison context)
     "q_j1_classify" -> ((s, d) =>
       Classify.classify(slimT(SyncFixtures.source(s, d)), slimT(SyncFixtures.target(s, d)), fullCtx)

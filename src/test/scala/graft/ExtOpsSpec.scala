@@ -127,6 +127,27 @@ class TextAnalysisSpec extends AnyFunSuite {
   }
 }
 
+class RollingHashSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("matches a reference implementation and supports sliding updates") {
+    graft.functions.GraftFunctions.register(spark)
+    def ref(s: String, b: Long = 257L, p: Long = 1000000007L): Long =
+      s.getBytes("UTF-8").foldLeft(0L)((h, c) => (h * b + (c & 0xff)) % p)
+    val texts = Seq("", "a", "abc", "the quick brown fox", "naïve utf8 ✓")
+    val got = texts.toDF("t").selectExpr("rolling_hash(t)").as[Long].collect()
+    assert(got.toSeq == texts.map(ref(_)))
+    // rolling property: h("bcd") derivable from h("abc") by slide — spot check
+    // the window identity h(s[1..n]) = (h(s)·B − s0·B^n + s_n) mod P holds
+    val b = 257L; val p = 1000000007L
+    def powMod(e: Int): Long = (1 to e).foldLeft(1L)((a, _) => a * b % p)
+    val h_abc = ref("abc"); val h_bcd = ref("bcd")
+    val slid = ((h_abc * b % p - 'a'.toLong * powMod(3) % p + 'd'.toLong) % p + p) % p
+    assert(slid == h_bcd)
+  }
+}
+
 class MultimodalSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
