@@ -71,6 +71,27 @@ case class ComparisonContext(
   def comparisonEnabled: Boolean = hasRecVersion
 }
 
+object ComparisonContext {
+  /** S4 — comparison-column probe: which of RECVERSION / CREATEDDATETIME /
+    * MODIFIEDDATETIME the target actually has (AxDbDataService.cs:644-669)
+    * — in Spark a free schema check once the frame is loaded. The effective
+    * context is the INTERSECTION of both sides' columns
+    * (AxDbDataService.cs:674-689). */
+  def fromSchemas(
+      sourceCols: Seq[String],
+      targetCols: Seq[String],
+      storedMaxRecId: Option[Long] = None): ComparisonContext = {
+    val s = sourceCols.map(_.toUpperCase).toSet
+    val t = targetCols.map(_.toUpperCase).toSet
+    def both(c: String) = s.contains(c) && t.contains(c)
+    ComparisonContext(
+      hasRecVersion = both("RECVERSION"),
+      hasCreated = both("CREATEDDATETIME"),
+      hasModified = both("MODIFIEDDATETIME"),
+      storedMaxRecId = storedMaxRecId)
+  }
+}
+
 /** Per-table sync execution metrics (TableInfo.cs:33-63). */
 case class SyncMetrics(
     fetchSec: Double = 0,

@@ -57,6 +57,18 @@ object PostActions {
     dest
   }
 
+  /** S17 — post-backup shell hook (the reference runs a .ps1 with the backup
+    * path and streams output, PowerShellService.cs:16-110). Portable flavor:
+    * any command line, the snapshot path appended as the last argument. */
+  def runShellHook(command: Seq[String], snapshotPath: String): (Int, String) = {
+    val pb = new ProcessBuilder((command :+ snapshotPath): _*)
+    pb.redirectErrorStream(true)
+    val proc = pb.start()
+    val out = new String(proc.getInputStream.readAllBytes(), "UTF-8")
+    val code = proc.waitFor()
+    (code, out)
+  }
+
   /** D9 — the gated chain: each stage runs only if the previous succeeded. */
   def runChain(stages: Seq[() => Either[String, Unit]]): Either[String, Int] = {
     var done = 0

@@ -77,6 +77,16 @@ class ClassifySpec extends AnyFunSuite {
       3L -> ChangeClass.Unchanged))
   }
 
+  test("S4 probe: effective context is the intersection of both schemas (AxDbDataService.cs:674-689)") {
+    val ctx = ComparisonContext.fromSchemas(
+      Seq("RecId", "RECVERSION", "CREATEDDATETIME", "MODIFIEDDATETIME"),
+      Seq("RECID", "recversion", "MODIFIEDDATETIME"),
+      storedMaxRecId = Some(7L))
+    assert(ctx == ComparisonContext(hasRecVersion = true, hasCreated = false,
+      hasModified = true, storedMaxRecId = Some(7L)))
+    assert(ComparisonContext.fromSchemas(Seq("RecId"), Seq("RecId")).comparisonEnabled == false)
+  }
+
   test("no comparison columns at all: every matched row MODIFIED (AxDbDataService.cs:704-710)") {
     val src = Seq((1L, 1), (2L, 1)).toDF("RecId", "RECVERSION")
     val tgt = Seq((1L, 1)).toDF("RecId", "RECVERSION")

@@ -131,6 +131,12 @@ class PostActionsSpec extends AnyFunSuite {
     assert(PostActions.resolveDateTokens("/plain/path", now) == "/plain/path")
   }
 
+  test("shell hook runs with snapshot path appended (S17)") {
+    val (code, out) = PostActions.runShellHook(Seq("echo", "backup done:"), "/snap/2026")
+    assert(code == 0)
+    assert(out.trim == "backup done: /snap/2026")
+  }
+
   test("gated chain stops at first failure (D9)") {
     var ran = List.empty[Int]
     val chain = Seq[() => Either[String, Unit]](
