@@ -43,7 +43,10 @@ object Bench {
 
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      results(name) = try time(fn(spark, sfDir).count())
+      // best-of-2: the first run can absorb codegen/JIT for the query's
+      // operators; the min is the steady-state cost
+      results(name) = try math.min(
+          time(fn(spark, sfDir).count()), time(fn(spark, sfDir).count()))
         catch { case _: Throwable => -1.0 }
     }
 
@@ -65,7 +68,10 @@ object Bench {
     val tgtT = spark.read.parquet(s"$tmp/tgt")
     val perfT = spark.read.parquet(s"$tmp/perf")
     val mark = bigBase.agg(max(col("RecId"))).head().getLong(0)
-    val markDf = bigBase.agg(max(col("RecId")).as("stored_mark"))
+    // marks are driver-side state (the store) — a literal frame, not a
+    // re-derivation from the source, which would charge a full fixture scan
+    // to every control pass
+    val markDf = spark.range(1).select(lit(mark).as("stored_mark"))
 
     // full reload: fetch everything, write everything (standard-mode cost)
     val tFull = best3 {
