@@ -100,24 +100,39 @@ object Bench {
     // Bytes moved — the scale-invariant form of the reference's headline
     // claims (99%+ transfer reduction on no-change, ~16B/row control pass):
     // local NVMe makes the TIME ratios I/O-flat at this size, but the byte
-    // ratios are what a WAN/cluster pays at any scale.
+    // ratios are what a WAN/cluster pays at any scale. Measured per
+    // scenario from executor task metrics (graft.run.IoMeter).
+    import graft.run.IoMeter.parquetColumnBytes
+    val controlCols = Seq("RecId", "SysRowVersion")
+    // read bytes = compressed column-chunk sizes of exactly the columns each
+    // scenario scans (footer ground truth; task metrics don't attribute
+    // vectorized local-fs parquet reads)
+    val fullReadMb = parquetColumnBytes(s"$tmp/src") / 1e6
+    val noChangeReadMb = 2 * parquetColumnBytes(s"$tmp/perf", controlCols) / 1e6
+    val incrReadMb = (parquetColumnBytes(s"$tmp/src") +
+      parquetColumnBytes(s"$tmp/src", controlCols) +
+      parquetColumnBytes(s"$tmp/tgt", controlCols)) / 1e6
     def dirMb(p: String): Double = {
       val d = new java.io.File(p)
       if (!d.exists) 0.0
       else d.listFiles.filter(_.isFile).map(_.length).sum / 1e6
     }
-    val fullMb = dirMb(s"$tmp/full")
-    val incrMb = dirMb(s"$tmp/incr/inserts") + dirMb(s"$tmp/incr/deletes")
+    val fullWriteMb = dirMb(s"$tmp/full")
+    val incrWriteMb = dirMb(s"$tmp/incr/inserts") + dirMb(s"$tmp/incr/deletes")
     val nRows = srcT.count()
     val ratios = Map(
       "nochange_speedup" -> tFull / tNoChange,
       "pct5_speedup" -> tFull / tIncr,
-      "full_write_mb" -> fullMb,
-      "pct5_write_mb" -> incrMb,
+      "full_read_mb" -> fullReadMb,
+      "full_write_mb" -> fullWriteMb,
+      "nochange_read_mb" -> noChangeReadMb,
       "nochange_write_mb" -> 0.0,
-      "pct5_write_reduction_x" -> fullMb / incrMb,
-      "control_bytes_per_row" -> 16.0,
-      "full_bytes_per_row" -> fullMb * 1e6 / nRows)
+      "pct5_read_mb" -> incrReadMb,
+      "pct5_write_mb" -> incrWriteMb,
+      "pct5_write_reduction_x" -> fullWriteMb / math.max(incrWriteMb, 0.001),
+      "nochange_read_reduction_x" -> fullReadMb / math.max(noChangeReadMb / 2, 0.001),
+      "control_bytes_per_row" -> noChangeReadMb * 1e6 / math.max(nRows, 1) / 2.0,
+      "full_bytes_per_row" -> fullWriteMb * 1e6 / nRows)
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val rs = ratios.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")

@@ -1,0 +1,93 @@
+package graft.run
+
+import org.apache.spark.SparkContext
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import java.util.concurrent.atomic.AtomicLong
+
+/** Task-level I/O accounting (D8 metrics, made cluster-truthful): sums
+  * executor input/output/shuffle bytes across all tasks between snapshots.
+  * This is the evidence for the control-pass bargain — wall-clock on local
+  * NVMe flattens I/O ratios that a WAN or a 1000-executor scan pays in
+  * full, but bytes read/written are scale-invariant.
+  */
+final class IoMeter private () extends SparkListener {
+  private val read = new AtomicLong
+  private val written = new AtomicLong
+  private val shuffled = new AtomicLong
+
+  override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+    val m = t.taskMetrics
+    if (m != null) {
+      read.addAndGet(m.inputMetrics.bytesRead)
+      written.addAndGet(m.outputMetrics.bytesWritten)
+      shuffled.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+    }
+  }
+
+  final case class Snapshot(readB: Long, writtenB: Long, shuffledB: Long) {
+    def -(o: Snapshot): Snapshot =
+      Snapshot(readB - o.readB, writtenB - o.writtenB, shuffledB - o.shuffledB)
+    def readMb: Double = readB / 1e6
+    def writtenMb: Double = writtenB / 1e6
+    def shuffledMb: Double = shuffledB / 1e6
+  }
+
+  def snapshot(): Snapshot = {
+    // listener events are delivered async (the bus-drain API is
+    // private[spark]); settle-wait until counters stop moving
+    var prev = (read.get, written.get, shuffled.get)
+    var settled = false
+    var waited = 0
+    while (!settled && waited < 5000) {
+      Thread.sleep(100); waited += 100
+      val cur = (read.get, written.get, shuffled.get)
+      settled = cur == prev
+      prev = cur
+    }
+    Snapshot(read.get, written.get, shuffled.get)
+  }
+
+  /** Measure the I/O of one action block. */
+  def measure[A](f: => A): (A, Snapshot) = {
+    val before = snapshot()
+    val r = f
+    (r, snapshot() - before)
+  }
+}
+
+object IoMeter {
+  def install(sc: SparkContext): IoMeter = {
+    val m = new IoMeter()
+    sc.addSparkListener(m)
+    m
+  }
+
+  /** Bytes a column-pruned scan of `dir` actually fetches from storage: the
+    * compressed column-chunk sizes of exactly `cols` (all columns when
+    * empty), summed over every row group of every file. Task-level
+    * inputMetrics don't attribute vectorized parquet reads on the local
+    * filesystem, and `filesSize` ignores pruning — the footer is the
+    * ground truth a scan pays per column. */
+  def parquetColumnBytes(dir: String, cols: Seq[String] = Nil): Long = {
+    import scala.jdk.CollectionConverters._
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val wanted = cols.map(_.toLowerCase).toSet
+    val files = {
+      val f = new java.io.File(dir)
+      if (f.isFile) Seq(f)
+      else Option(f.listFiles).getOrElse(Array.empty)
+        .filter(x => x.isFile && x.getName.endsWith(".parquet")).toSeq
+    }
+    files.map { f =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(f.getPath), conf)
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try {
+        reader.getFooter.getBlocks.asScala.flatMap(_.getColumns.asScala)
+          .filter(c => wanted.isEmpty ||
+            wanted.contains(c.getPath.iterator().next().toLowerCase))
+          .map(_.getTotalSize).sum
+      } finally reader.close()
+    }.sum
+  }
+}
