@@ -78,6 +78,28 @@ class PlanQualitySpec extends AnyFunSuite {
       l.contains("SortMergeJoin") && l.contains("*(")), plan)
   }
 
+  test("bucketed layout: repeated sync joins shuffle NOTHING on the bucketed sides") {
+    import graft.sync.Bucketing
+    val ctrl = (1L to 20000L).map(i => (i, i)).toDF("RecId", "SysRowVersion")
+    val tgt = (1L to 20000L).map(i => (i, i)).toDF("RecId", "SysRowVersion")
+    Bucketing.writeBucketed(ctrl, "graft_ctrl_b", 4)
+    Bucketing.writeBucketed(tgt, "graft_tgt_b", 4)
+    val c = Bucketing.readBucketed(spark, "graft_ctrl_b")
+    val t = Bucketing.readBucketed(spark, "graft_tgt_b")
+    // disable broadcast so the join strategy itself is under test
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = t.join(c, Seq("RecId"), "left_semi")
+      joined.collect()
+      assert(Bucketing.isShuffleFree(joined),
+        joined.queryExecution.executedPlan.toString)
+      // sanity: the same join on unbucketed frames DOES shuffle
+      val plain = tgt.join(ctrl, Seq("RecId"), "left_semi")
+      plain.collect()
+      assert(!Bucketing.isShuffleFree(plain))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+  }
+
   test("native array expressions participate in codegen (no Scala UDF nodes)") {
     val prep = graft.ext.Similarity.prepare(
       spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet"),
