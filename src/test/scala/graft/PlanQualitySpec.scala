@@ -80,6 +80,15 @@ class PlanQualitySpec extends AnyFunSuite {
 
   test("bucketed layout: repeated sync joins shuffle NOTHING on the bucketed sides") {
     import graft.sync.Bucketing
+    // the in-memory catalog forgets tables between JVMs but the warehouse
+    // dirs persist — clear both before writing
+    Seq("graft_ctrl_b", "graft_tgt_b").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(new java.io.File(s"spark-warehouse/$t"))
+    }
     val ctrl = (1L to 20000L).map(i => (i, i)).toDF("RecId", "SysRowVersion")
     val tgt = (1L to 20000L).map(i => (i, i)).toDF("RecId", "SysRowVersion")
     Bucketing.writeBucketed(ctrl, "graft_ctrl_b", 4)
