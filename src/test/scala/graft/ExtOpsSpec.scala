@@ -127,6 +127,41 @@ class TextAnalysisSpec extends AnyFunSuite {
   }
 }
 
+class SkewSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // 90% of rows share one hot key
+  private val skewed = ((1 to 9000).map(_ => ("hot", 1L)) ++
+    (1 to 1000).map(i => (s"k$i", 2L))).toDF("k", "v")
+
+  test("salted count equals direct count") {
+    val direct = skewed.groupBy("k").count()
+      .as[(String, Long)].collect().toMap
+    val salted = graft.ext.Skew.saltedCount(skewed, "k")
+      .as[(String, Long)].collect().toMap
+    assert(salted == direct)
+    assert(salted("hot") == 9000L)
+  }
+
+  test("salted sum equals direct sum") {
+    val direct = skewed.groupBy("k").agg(org.apache.spark.sql.functions.sum("v"))
+      .as[(String, Long)].collect().toMap
+    val salted = graft.ext.Skew.saltedSum(skewed, "k", "v")
+      .as[(String, Long)].collect().toMap
+    assert(salted == direct)
+  }
+
+  test("salted small-dim join equals plain join") {
+    val dim = Seq(("hot", "H"), ("k1", "A"), ("k2", "B")).toDF("k", "label")
+    val plain = skewed.join(dim, Seq("k")).groupBy("label").count()
+      .as[(String, Long)].collect().toMap
+    val salted = graft.ext.Skew.saltedJoinSmall(skewed, dim, "k").groupBy("label").count()
+      .as[(String, Long)].collect().toMap
+    assert(salted == plain)
+  }
+}
+
 class RollingHashSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
