@@ -68,6 +68,58 @@ object Similarity {
       .select("query_id", "rank", "neighbor_id")
   }
 
+  /** Random-hyperplane LSH: 12 fixed hyperplanes over the quantized space,
+    * signature bit j = sign(q · c_j), banded 3×4 bits. Constants derive
+    * deterministically from md5 at build time and are inlined as literals
+    * in BOTH the Spark plan and the DuckDB oracle — the whole ANN pipeline
+    * stays oracle-checkable. This is the scale path when no cluster
+    * assignment exists (vs [[ivfTopK]]'s given-centroid buckets): bucket
+    * join on band signatures, never all-pairs.
+    */
+  val NumPlanes = 12
+  val PlaneBands = 3 // 3 bands × 4 bits
+  lazy val Hyperplanes: Seq[Seq[Long]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h32(s: String): Long = {
+      md.reset()
+      java.lang.Long.parseLong(
+        md.digest(s.getBytes("UTF-8")).take(4).map(b => f"$b%02x").mkString, 16)
+    }
+    (0 until NumPlanes).map(j => (0 until 64).map(i => h32(s"lsh_${j}_$i") % 2001 - 1000))
+  }
+
+  /** Append the hyperplane signature column to a prepared frame. */
+  def withLshSignature(prepared: DataFrame): DataFrame = {
+    val sigExpr = Hyperplanes.zipWithIndex.map { case (plane, j) =>
+      val arr = plane.map(v => s"${v}L").mkString("array(", ", ", ")")
+      s"(CASE WHEN aggregate(zip_with(qe, $arr, (x, y) -> x * y), 0L, (a, v) -> a + v) > 0 THEN ${1L << j}L ELSE 0L END)"
+    }.mkString(" + ")
+    prepared.withColumn("lsh_sig", expr(sigExpr))
+  }
+
+  /** LSH-bucketed near-dup pairs: candidates share at least one 4-bit band
+    * of the hyperplane signature; verified with exact quantized cosine.
+    * Recall < 1 by construction (pairs in no common band are unseen) — the
+    * deliberate ANN trade; the oracle replays the identical banding. */
+  def lshNearDupPairs(prepared: DataFrame, threshold: Double,
+      idCol: String = "vec_id"): DataFrame = {
+    val bandBits = NumPlanes / PlaneBands
+    val sig = withLshSignature(prepared)
+    val bandCols = (0 until PlaneBands).map { k =>
+      struct(lit(k).as("band"),
+        shiftright(col("lsh_sig"), k * bandBits).bitwiseAND((1L << bandBits) - 1).as("bsig"))
+    }
+    val bands = sig.select(col(idCol), col("qe"), col("nrm"),
+        explode(array(bandCols: _*)).as("b"))
+      .select(col(idCol), col("qe"), col("nrm"),
+        col("b.band").as("band"), col("b.bsig").as("bsig"))
+    bands.as("x").join(bands.as("y"), Seq("band", "bsig"))
+      .filter(col(s"x.$idCol") < col(s"y.$idCol"))
+      .select(col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b"), cosine.as("cos"))
+      .distinct()
+      .filter(col("cos") >= threshold)
+  }
+
   /** Embedding near-dup pairs: cosine ≥ threshold within the cluster bucket
     * (IVF-assisted — cross-bucket near-dups are out of scope by design,
     * the standard IVF recall trade-off). */

@@ -64,6 +64,29 @@ object ExtQueries {
       Similarity.ivfTopK(
         Similarity.prepare(embs(s, d), "vec_id", "embedding"), k = 3)),
 
+    // ---- LSH-bucketed ANN (scale path without given clusters) ----
+    "q_sim_lsh" -> ((s, d) =>
+      Similarity.lshNearDupPairs(
+        Similarity.prepare(embs(s, d), "vec_id", "embedding"), threshold = 0.3)
+        .select("id_a", "id_b")),
+
+    // ---- the composite training-data pipeline: quality filter → language
+    // gate → exact dedup → near-dup drop → surviving corpus ----
+    "q_corpus_clean" -> ((s, d) => {
+      val scored = docs(s, d).select(
+        col("doc_id"), col("text"),
+        TextAnalysis.qualityScore(col("text")).as("q"),
+        TextAnalysis.langId(col("text")).as("lp"))
+      val filtered = scored.filter(col("q") >= 0.55 && col("lp") === "en")
+        .select("doc_id", "text")
+      val exactKept = Dedup.exactDedup(filtered, "doc_id", "text")
+        .filter(col("is_kept")).select("doc_id")
+      val base = filtered.join(exactKept, Seq("doc_id"), "left_semi")
+      val nearDupLosers = Dedup.ngramJaccardPairs(base, "doc_id", "text", n = 3, threshold = 0.5)
+        .select(col("id_b").as("doc_id")).distinct()
+      base.select("doc_id").join(nearDupLosers, Seq("doc_id"), "left_anti")
+    }),
+
     // ---- multimodal ----
     "q_mm_features" -> ((s, d) =>
       Multimodal.decodeFeatures(Multimodal.synthesizePayloads(s, d)).toDF()),
@@ -225,6 +248,60 @@ SELECT query_id, rank, neighbor_id FROM (
   SELECT query_id, neighbor_id,
     row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
   FROM p) WHERE rank <= 3""",
+
+    "q_sim_lsh" -> {
+      val sigSum = Similarity.Hyperplanes.zipWithIndex.map { case (plane, j) =>
+        val arr = plane.mkString("[", ", ", "]")
+        s"(CASE WHEN list_sum(list_transform(range(64), i -> qe[i+1] * ($arr)[i+1])) > 0 THEN ${1L << j} ELSE 0 END)"
+      }.mkString(" +\n  ")
+      val bands = (0 until Similarity.PlaneBands)
+        .map(k => s"SELECT vec_id, qe, nrm, $k AS band, (lsh_sig >> ${k * 4}) & 15 AS bsig FROM sig")
+        .mkString("\nUNION ALL ")
+      s"""WITH q AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(floor(x * 1048576 + 0.5) AS BIGINT)) AS qe
+  FROM embeddings),
+n AS (SELECT vec_id, qe,
+  sqrt(CAST(list_sum(list_transform(qe, x -> x * x)) AS DOUBLE)) AS nrm FROM q),
+sig AS (SELECT vec_id, qe, nrm,
+  $sigSum AS lsh_sig
+FROM n),
+bands AS ($bands),
+cand AS (SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b,
+  (CAST(list_sum(list_transform(range(64), i -> x.qe[i+1] * y.qe[i+1])) AS DOUBLE)
+   / x.nrm) / y.nrm AS cos
+  FROM bands x JOIN bands y ON x.band = y.band AND x.bsig = y.bsig
+  WHERE x.vec_id < y.vec_id)
+SELECT id_a, id_b FROM cand WHERE cos >= 0.3"""
+    },
+
+    "q_corpus_clean" -> s"""WITH scored AS (
+  SELECT doc_id, text,
+    least(CAST(len(string_split(text,' ')) AS DOUBLE) / 100.0, 1.0) * 0.4
+      + (CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE)
+         / len(string_split(text,' '))) * 0.3
+      + least((CAST(len(list_filter(string_split(text,' '), t -> t IN ($stopList))) AS DOUBLE)
+               / len(string_split(text,' '))) * 10.0, 1.0) * 0.3 AS q,
+    CASE WHEN len(string_split(text,' ')) < 3 THEN 'und'
+         WHEN CAST(len(list_filter(string_split(text,' '), t -> t IN ($stopList))) AS DOUBLE)
+              / len(string_split(text,' ')) >= 0.02 THEN 'en'
+         ELSE 'unk' END AS lp
+  FROM documents),
+filtered AS (SELECT doc_id, text FROM scored WHERE q >= 0.55 AND lp = 'en'),
+h AS (SELECT doc_id, text, md5(lower(trim(text))) AS fp FROM filtered),
+ek AS (SELECT doc_id, text FROM h
+       WHERE doc_id = (SELECT min(h2.doc_id) FROM h h2 WHERE h2.fp = h.fp)),
+toks AS (SELECT doc_id, string_split(text, ' ') t FROM ek),
+sh AS (SELECT DISTINCT doc_id AS sid, array_to_string(t[(i+1):(i+3)], ' ') AS shingle
+       FROM toks, LATERAL (SELECT unnest(range(0, len(t) - 2)) i)),
+sizes AS (SELECT sid, count(*) AS nsh FROM sh GROUP BY sid),
+pairs AS (SELECT a.sid AS id_a, b.sid AS id_b, count(*) AS common
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.sid < b.sid
+          GROUP BY 1, 2),
+losers AS (SELECT DISTINCT p.id_b AS doc_id
+           FROM pairs p JOIN sizes ca ON ca.sid = p.id_a JOIN sizes cb ON cb.sid = p.id_b
+           WHERE p.common * 1.0 / (ca.nsh + cb.nsh - p.common) >= 0.5)
+SELECT doc_id FROM ek
+WHERE doc_id NOT IN (SELECT doc_id FROM losers)""",
 
     "q_mm_features" -> """WITH h AS (
   SELECT doc_id, CAST(n_chars % 640 + 1 AS INTEGER) AS width,
