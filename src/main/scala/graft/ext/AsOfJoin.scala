@@ -1,0 +1,63 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Backward as-of join: each left row picks the LATEST right row with
+  * `rightTime <= leftTime` within the same key — the point-in-time lookup
+  * every event pipeline needs (price as of trade, status as of event).
+  *
+  * Spark has no native as-of join; per the engine guidance the preference
+  * order starts with COMPOSITION, and composition wins here: tag both
+  * sides, union, one window per key ordered by time — ONE shuffle per side,
+  * sort-merge within partitions, no custom SparkPlan to maintain. This is
+  * the same algorithm a dedicated AsOfJoinExec would run (co-partition +
+  * merge), expressed with operators Catalyst already knows how to
+  * whole-stage-compile. A range-join band (`leftTime - tolerance`) composes
+  * the same way.
+  *
+  * Requirement: (key, rightTime) unique on the right side (ties would make
+  * "the" latest row ambiguous).
+  */
+object AsOfJoin {
+
+  /** @param valueCols right-side columns carried to the matched left rows
+    *                   (null when no right row precedes the left row). */
+  def asofBackward(
+      left: DataFrame,
+      right: DataFrame,
+      keyCols: Seq[String],
+      leftTimeCol: String,
+      rightTimeCol: String,
+      valueCols: Seq[String]): DataFrame = {
+
+    val leftCols = left.columns
+    // tag + align schemas: right rows carry the values, left rows carry nulls
+    val l = left
+      .withColumn("_t", col(leftTimeCol))
+      .withColumn("_is_right", lit(0))
+      .select(keyCols.map(col) ++ Seq(col("_t"), col("_is_right")) ++
+        leftCols.filterNot(keyCols.contains).map(col) ++
+        valueCols.map(c => lit(null).cast(right.schema(c).dataType).as(s"_v_$c")): _*)
+    val r = right
+      .withColumn("_t", col(rightTimeCol))
+      .withColumn("_is_right", lit(1))
+      .select(keyCols.map(col) ++ Seq(col("_t"), col("_is_right")) ++
+        leftCols.filterNot(keyCols.contains)
+          .map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+        valueCols.map(c => col(c).as(s"_v_$c")): _*)
+
+    // right rows sort BEFORE left rows at equal time: a status taking effect
+    // at t applies to an event at t
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("_t").asc, col("_is_right").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+
+    val filled = valueCols.foldLeft(l.unionByName(r)) { (df, c) =>
+      df.withColumn(s"_v_$c", last(col(s"_v_$c"), ignoreNulls = true).over(w))
+    }
+    filled.filter(col("_is_right") === 0)
+      .select(leftCols.map(col) ++ valueCols.map(c => col(s"_v_$c").as(s"asof_$c")): _*)
+  }
+}

@@ -130,7 +130,10 @@ FROM g GROUP BY user_id"""
 object EventsSource {
   def load(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // integer division: `/` on Long is DOUBLE division and nano epochs
+    // exceed 2^53, so `/1000` rounds the microsecond (off-by-1 vs the
+    // oracle's exact ns→µs truncation)
     s.read.parquet(s"$d/events.parquet")
-      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 }

@@ -87,6 +87,19 @@ object ExtQueries {
       base.select("doc_id").join(nearDupLosers, Seq("doc_id"), "left_anti")
     }),
 
+    // ---- as-of join: each event matched to the user's latest signup at or
+    // before it (point-in-time lookup; composition = union + one window) ----
+    "q_asof_signup" -> ((s, d) => {
+      val ev = EventsSource.load(s, d)
+      val signups = ev.filter(col("event_type") === "signup")
+        .select(col("user_id"), col("ts"), col("ts").as("signup_ts"))
+      AsOfJoin.asofBackward(
+        ev.select("event_id", "user_id", "ts"), signups,
+        keyCols = Seq("user_id"), leftTimeCol = "ts", rightTimeCol = "ts",
+        valueCols = Seq("signup_ts"))
+        .select("event_id", "asof_signup_ts")
+    }),
+
     // ---- multimodal ----
     "q_mm_features" -> ((s, d) =>
       Multimodal.decodeFeatures(Multimodal.synthesizePayloads(s, d)).toDF()),
@@ -302,6 +315,11 @@ losers AS (SELECT DISTINCT p.id_b AS doc_id
            WHERE p.common * 1.0 / (ca.nsh + cb.nsh - p.common) >= 0.5)
 SELECT doc_id FROM ek
 WHERE doc_id NOT IN (SELECT doc_id FROM losers)""",
+
+    "q_asof_signup" -> """SELECT e.event_id, CAST(s.ts AS TIMESTAMP) AS asof_signup_ts
+FROM events e ASOF LEFT JOIN
+  (SELECT user_id, ts FROM events WHERE event_type = 'signup') s
+ON e.user_id = s.user_id AND e.ts >= s.ts""",
 
     "q_mm_features" -> """WITH h AS (
   SELECT doc_id, CAST(n_chars % 640 + 1 AS INTEGER) AS width,
