@@ -95,6 +95,17 @@ object Dedup {
     h.groupBy("sid").agg(mins.head, mins.tail: _*)
   }
 
+  /** Sketch form of [[minhashSignatures]]: the 16-slot signature as ONE
+    * TypedImperativeAggregate buffer ([[graft.functions.MinHashSketch]]) —
+    * identical values, one buffer update per row instead of 16 aggregate
+    * expressions, associative partial merge. */
+  def minhashSignaturesSketch(sh: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(sh.sparkSession)
+    sh.withColumn("h", h32(col("shingle")))
+      .groupBy("sid")
+      .agg(expr("minhash_sketch(h)").as("sig"))
+  }
+
   /** MinHash LSH candidates → exact-Jaccard verification.
     * Banding: 4 bands of 4 rows; docs sharing any band signature are
     * candidates (joined on the band bucket — never all-pairs); candidates

@@ -113,5 +113,9 @@ object GraftFunctions {
         exprs(1).eval(InternalRow.empty).asInstanceOf[Number].longValue()), "scala_udf")
     reg.createOrReplaceTempFunction("rolling_hash",
       exprs => RollingHash(exprs.head), "scala_udf")
+    reg.createOrReplaceTempFunction("minhash_sketch",
+      exprs => MinHashSketch(exprs.head,
+        graft.ext.Dedup.MinhashA, graft.ext.Dedup.MinhashB,
+        graft.ext.Dedup.MinhashP), "scala_udf")
   }
 }

@@ -45,6 +45,15 @@ class DedupSpec extends AnyFunSuite {
     assert(!lsh.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("MinHashSketch aggregate equals the 16-min column aggregation") {
+    val sh = Dedup.shingles(docs, "doc_id", "text", 3)
+    val viaCols = Dedup.minhashSignatures(sh).collect()
+      .map(r => r.getLong(0) -> (0 until 16).map(i => r.getLong(i + 1)).toSeq).toMap
+    val viaSketch = Dedup.minhashSignaturesSketch(sh).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toMap
+    assert(viaSketch == viaCols)
+  }
+
   test("simhash band join is lossless for hamming <= 3 (pigeonhole)") {
     val viaLsh = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
