@@ -114,11 +114,13 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.5): DataFrame = {
     val sh = shingles(df, idCol, textCol, n)
-    val sig = minhashSignatures(sh)
+    // signature via the one-pass sketch aggregate (identical values to the
+    // 16-min aggregation — spec-pinned — at one buffer update per row)
+    val sig = minhashSignaturesSketch(sh)
     val rowsPerBand = MinhashA.size / MinhashBands
     val bandCols = (0 until MinhashBands).map { bnd =>
       val sigExpr = concat_ws("_",
-        (0 until rowsPerBand).map(r => col(s"m${bnd * rowsPerBand + r}")): _*)
+        (0 until rowsPerBand).map(r => element_at(col("sig"), bnd * rowsPerBand + r + 1)): _*)
       struct(lit(bnd).as("band"), sigExpr.as("bsig"))
     }
     val bands = sig.select(col("sid"), explode(array(bandCols: _*)).as("b"))

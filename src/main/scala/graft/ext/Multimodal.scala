@@ -46,6 +46,25 @@ object Multimodal {
       }
   }
 
+  case class MediaFrame(doc_id: Long, frame_idx: Int, frame: Array[Byte])
+
+  /** Frame-sampling: split the payload body into fixed-size frames and keep
+    * every `stride`-th one — the video-ish access pattern (decode only what
+    * survives sampling). Pure per-row byte slicing in mapPartitions; at
+    * scale the win is that SAMPLING happens before any expensive decode. */
+  def frameSample(cells: Dataset[MediaCell], frameBytes: Int, stride: Int): Dataset[MediaFrame] = {
+    import cells.sparkSession.implicits._
+    cells.mapPartitions { it =>
+      it.flatMap { cell =>
+        val body = cell.payload.drop(8)
+        val nFrames = body.length / frameBytes
+        (0 until nFrames by stride).map { f =>
+          MediaFrame(cell.doc_id, f, body.slice(f * frameBytes, (f + 1) * frameBytes))
+        }
+      }
+    }
+  }
+
   /** "Decode" + feature-extract, partition-at-a-time. Parses the real header
     * bytes back out of the payload; the body "decode" is the STUB — a
     * deterministic fake feature vector derived from an md5 of the body

@@ -195,6 +195,18 @@ class RollingHashSpec extends AnyFunSuite {
 class MultimodalSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
+  test("frame sampling keeps every k-th fixed-size frame of the body") {
+    val spark2 = TestSpark.spark
+    val cells = Multimodal.synthesizePayloads(spark2, "/root/testdata/sf0.001")
+    val sampled = Multimodal.frameSample(cells, frameBytes = 16, stride = 4)
+    val one = cells.collect().head
+    val frames = sampled.filter(_.doc_id == one.doc_id).collect().sortBy(_.frame_idx)
+    val body = one.payload.drop(8)
+    assert(frames.map(_.frame_idx).toSeq == (0 until body.length / 16 by 4))
+    assert(frames.head.frame.toSeq == body.slice(0, 16).toSeq)
+    assert(frames.forall(_.frame.length == 16))
+  }
+
   test("payload header round trip through the partition decoder") {
     val cells = Multimodal.synthesizePayloads(spark, "/root/testdata/sf0.001")
     val feats = Multimodal.decodeFeatures(cells, nFeatures = 2)
