@@ -68,6 +68,28 @@ object AnalyticsQueries {
           count(lit(1)).as("n"),
           (sum(units(col("value"), 1000000.0)) / 1000000.0).as("sum_value"))),
 
+    // Grouped distinct aggregation: vocabulary size per source
+    "q_agg_distinct" -> ((s, d) =>
+      s.read.parquet(s"$d/documents.parquet")
+        .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+        .groupBy("source")
+        .agg(countDistinct(col("tok")).as("vocab"), count(lit(1)).as("n_tokens"))),
+
+    // ROLLUP: subtotal hierarchy over (returnflag, linestatus)
+    "q_agg_rollup" -> ((s, d) =>
+      s.read.parquet(s"$d/lineitem.parquet")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(units(col("l_quantity"), 1.0)).as("sum_qty"), count(lit(1)).as("n"))),
+
+    // Pivot: per-returnflag quantity split by linestatus (conditional-agg
+    // form so the DuckDB twin is dialect-independent)
+    "q_agg_pivot" -> ((s, d) =>
+      s.read.parquet(s"$d/lineitem.parquet")
+        .groupBy(col("l_returnflag"))
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(sum(units(col("l_quantity"), 1.0)))
+        .withColumnRenamed("F", "qty_f").withColumnRenamed("O", "qty_o")),
+
     // Sessionization: 30-minute inactivity gap splits sessions per user
     "q_events_sessions" -> ((s, d) => {
       val ev = EventsSource.load(s, d)
@@ -106,6 +128,21 @@ FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""",
   count(*) AS n,
   CAST(sum(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) / 1000000.0 AS sum_value
 FROM events GROUP BY 1, 2""",
+
+    "q_agg_distinct" -> """SELECT source,
+  CAST(count(DISTINCT tok) AS BIGINT) AS vocab, count(*) AS n_tokens
+FROM (SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents)
+GROUP BY source""",
+
+    "q_agg_rollup" -> """SELECT l_returnflag, l_linestatus,
+  CAST(sum(CAST(floor(l_quantity * 1.0 + 0.5) AS BIGINT)) AS BIGINT) AS sum_qty,
+  count(*) AS n
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
+
+    "q_agg_pivot" -> """SELECT l_returnflag,
+  CAST(sum(CASE WHEN l_linestatus = 'F' THEN CAST(floor(l_quantity * 1.0 + 0.5) AS BIGINT) END) AS BIGINT) AS qty_f,
+  CAST(sum(CASE WHEN l_linestatus = 'O' THEN CAST(floor(l_quantity * 1.0 + 0.5) AS BIGINT) END) AS BIGINT) AS qty_o
+FROM lineitem GROUP BY l_returnflag""",
 
     "q_events_sessions" -> """WITH g AS (
   SELECT user_id,
