@@ -109,6 +109,44 @@ class RunnerSpec extends AnyFunSuite {
   }
 }
 
+class ChangeLogSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+  import graft.sync.{Apply, ChangeLog}
+
+  test("changeset log replay reconstructs the synced state across commits") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_log").toString
+    def t(rows: Seq[(Long, Long, String)]) = rows.toDF("RecId", "SysRowVersion", "payload")
+
+    val base = t((1L to 100L).map(i => (i, i, s"v0_$i")))
+    base.write.parquet(s"$dir/base")
+
+    // commit 1: source updated rows 1-5, deleted rows 96-100
+    val src1 = t((1L to 95L).map(i =>
+      if (i <= 5) (i, i + 1000L, s"v1_$i") else (i, i, s"v0_$i")))
+    val cs1 = Apply.incrementalChangeSet(
+      src1, src1.select("RecId", "SysRowVersion"),
+      spark.read.parquet(s"$dir/base"), 100L, 100L)
+    assert(ChangeLog.append(cs1, s"$dir/log") == 0)
+
+    // commit 2: row 1 updated again, new rows 101-103
+    val src2 = t((1L to 95L).map(i =>
+      if (i == 1L) (i, 2000L, s"v2_$i")
+      else if (i <= 5) (i, i + 1000L, s"v1_$i") else (i, i, s"v0_$i"))
+      ++ (101L to 103L).map(i => (i, i + 2000L, s"new_$i")))
+    val cur1 = ChangeLog.replay(spark, s"$dir/base", s"$dir/log")
+    val cs2 = Apply.incrementalChangeSet(
+      src2, src2.select("RecId", "SysRowVersion"), cur1, 1005L, 1005L)
+    assert(ChangeLog.append(cs2, s"$dir/log") == 1)
+
+    val replayed = ChangeLog.replay(spark, s"$dir/base", s"$dir/log")
+      .select("RecId", "SysRowVersion", "payload")
+      .as[(Long, Long, String)].collect().toSet
+    val expected = src2.as[(Long, Long, String)].collect().toSet
+    assert(replayed == expected)
+  }
+}
+
 class PostActionsSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
