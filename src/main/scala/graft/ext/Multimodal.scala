@@ -46,6 +46,29 @@ object Multimodal {
       }
   }
 
+  /** "Resize" to a target width: keeps every ceil(w/targetW)-th body byte
+    * (nearest-neighbor downsample of the fake 1-byte-per-pixel row) and
+    * rewrites the header with the new dimensions. The payload schema stays
+    * closed under the operation — downstream decode/feature steps run
+    * unchanged on resized cells. */
+  def resize(cells: Dataset[MediaCell], targetW: Int): Dataset[MediaCell] = {
+    import cells.sparkSession.implicits._
+    cells.mapPartitions { it =>
+      it.map { cell =>
+        if (cell.width <= targetW) cell
+        else {
+          val step = math.ceil(cell.width.toDouble / targetW).toInt
+          val body = cell.payload.drop(8)
+          val sampled = body.indices.collect { case i if i % step == 0 => body(i) }.toArray
+          val newW = math.min(targetW, sampled.length.max(1))
+          val buf = java.nio.ByteBuffer.allocate(8 + sampled.length)
+          buf.putInt(newW).putInt(cell.height).put(sampled)
+          MediaCell(cell.doc_id, newW, cell.height, cell.format, buf.array())
+        }
+      }
+    }
+  }
+
   case class MediaFrame(doc_id: Long, frame_idx: Int, frame: Array[Byte])
 
   /** Frame-sampling: split the payload body into fixed-size frames and keep

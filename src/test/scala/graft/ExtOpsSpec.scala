@@ -195,6 +195,23 @@ class RollingHashSpec extends AnyFunSuite {
 class MultimodalSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
+  test("resize rewrites the header and downsamples the body; schema stays closed") {
+    val spark2 = TestSpark.spark
+    val cells = Multimodal.synthesizePayloads(spark2, "/root/testdata/sf0.001")
+    val resized = Multimodal.resize(cells, targetW = 64)
+    val pairs = cells.collect().map(c => c.doc_id -> c).toMap
+    resized.collect().take(10).foreach { r =>
+      val orig = pairs(r.doc_id)
+      assert(r.width <= 64 || orig.width <= 64)
+      assert(r.height == orig.height)
+      // header bytes round-trip through the same decoder
+      val buf = java.nio.ByteBuffer.wrap(r.payload)
+      assert(buf.getInt() == r.width && buf.getInt() == r.height)
+    }
+    // decode still works downstream on resized cells
+    assert(Multimodal.decodeFeatures(resized, 2).count() > 0)
+  }
+
   test("frame sampling keeps every k-th fixed-size frame of the body") {
     val spark2 = TestSpark.spark
     val cells = Multimodal.synthesizePayloads(spark2, "/root/testdata/sf0.001")
