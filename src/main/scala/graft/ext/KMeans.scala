@@ -1,0 +1,121 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic k-means over quantized embeddings — the learned-centroid
+  * IVF coarse quantizer (vs [[Similarity.ivfTopK]]'s given labels).
+  *
+  * Everything is exact integer arithmetic plus one controlled rounding per
+  * centroid component per iteration, so the whole iterative algorithm is
+  * bit-reproducible AND replayable as SQL (the DuckDB oracle unrolls the
+  * same iterations):
+  *
+  *  - seeds: the k vectors with the lowest ids (deterministic, no RNG);
+  *  - distance: Σ(q−c)² on quantized ints, computed as qq − 2·qc + cc with
+  *    the codegen'd [[graft.functions.LongArrayDot]] — exact;
+  *  - assignment: row_number over (dist, cluster) — total order, no
+  *    arg-min tie ambiguity;
+  *  - update: per-dimension floor(mean + 0.5) back to ints — sums/counts
+  *    are exact, the division is one IEEE op on exact ints.
+  *
+  * Scale shape: assignment is vectors × k (broadcast centroids, k tiny);
+  * the update is one posexplode + groupBy per iteration; centroids live on
+  * the driver between iterations (k·dim longs — metadata-sized).
+  */
+object KMeans {
+
+  /** @param prepared frame from [[Similarity.prepare]] (id, qe, …)
+    * @return (idCol, cluster) assignment after `iters` Lloyd iterations. */
+  def assign(prepared: DataFrame, k: Int, iters: Int, dim: Int = 64,
+      idCol: String = "vec_id"): DataFrame = {
+    val spark = prepared.sparkSession
+    graft.functions.GraftFunctions.register(spark)
+    val vecs = prepared.select(col(idCol), col("qe"))
+      .withColumn("qq", expr("array_dot_long(qe, qe)"))
+
+    // seeds: k lowest ids, cluster = rank-1
+    var centroids: Seq[(Int, Seq[Long])] =
+      vecs.orderBy(col(idCol)).limit(k).collect().zipWithIndex.map {
+        case (r, i) => i -> r.getSeq[Long](1).toSeq
+      }.toSeq
+
+    def centroidDf(cs: Seq[(Int, Seq[Long])]): DataFrame = {
+      import spark.implicits._
+      cs.toDF("cluster", "c")
+        .withColumn("cc", expr("array_dot_long(c, c)"))
+    }
+
+    def assignment(cs: Seq[(Int, Seq[Long])]): DataFrame = {
+      val w = Window.partitionBy(col(idCol)).orderBy(col("dist"), col("cluster"))
+      vecs.crossJoin(broadcast(centroidDf(cs)))
+        .withColumn("dist",
+          col("qq") - lit(2L) * expr("array_dot_long(qe, c)") + col("cc"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col(idCol), col("qe"), col("cluster"))
+    }
+
+    for (_ <- 1 to iters) {
+      val assigned = assignment(centroids)
+      val updated = assigned
+        .select(col("cluster"), posexplode(col("qe")).as(Seq("dim", "q")))
+        .groupBy("cluster", "dim")
+        .agg(sum(col("q")).as("s"), count(lit(1)).as("n"))
+        .withColumn("v", floor(col("s").cast("double") / col("n") + lit(0.5)).cast("long"))
+        .collect()
+      // empty clusters drop out (mirrors the SQL twin, where a cluster with
+      // no assigned rows simply has no centroid row next iteration)
+      centroids = updated.groupBy(_.getAs[Int]("cluster")).toSeq.map {
+        case (cid, rows) =>
+          val m = rows.map(r => r.getAs[Int]("dim") -> r.getAs[Long]("v")).toMap
+          cid -> (0 until dim).map(d => m(d))
+      }.sortBy(_._1)
+    }
+    assignment(centroids).select(col(idCol), col("cluster"))
+  }
+
+  /** DuckDB twin: the same seeds/iterations/rounding unrolled as SQL. Kept
+    * here (not in the oracle file) so the iteration logic and its SQL twin
+    * live side by side. */
+  def oracleSql(k: Int, iters: Int, dim: Int = 64): String = {
+    val sb = new StringBuilder
+    sb.append(s"""WITH n AS (
+  SELECT vec_id,
+    list_transform(embedding, x -> CAST(floor(x * 1048576 + 0.5) AS BIGINT)) AS qe
+  FROM embeddings),
+c0 AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cluster, qe AS c
+  FROM (SELECT vec_id, qe FROM n ORDER BY vec_id LIMIT $k))
+""")
+    for (it <- 1 to iters) {
+      val prev = s"c${it - 1}"
+      sb.append(s""", a$it AS (
+  SELECT vec_id, qe, cluster FROM (
+    SELECT n.vec_id, n.qe, c.cluster,
+      row_number() OVER (PARTITION BY n.vec_id ORDER BY
+        list_sum(list_transform(range($dim), i -> (n.qe[i+1] - c.c[i+1]) * (n.qe[i+1] - c.c[i+1]))),
+        c.cluster) AS rn
+    FROM n, $prev c) WHERE rn = 1)
+""")
+      sb.append(s""", c$it AS (
+  SELECT cluster, list(v ORDER BY dim) AS c FROM (
+    SELECT a.cluster, i AS dim,
+      CAST(floor(CAST(sum(a.qe[i+1]) AS DOUBLE) / count(*) + 0.5) AS BIGINT) AS v
+    FROM a$it a, LATERAL (SELECT unnest(range($dim)) AS i) t
+    GROUP BY a.cluster, i)
+  GROUP BY cluster)
+""")
+    }
+    // final assignment under the post-update centroids (matches the Spark
+    // loop: iters × (assign → update), then one closing assignment)
+    sb.append(s"""SELECT vec_id, cluster FROM (
+  SELECT n.vec_id, c.cluster,
+    row_number() OVER (PARTITION BY n.vec_id ORDER BY
+      list_sum(list_transform(range($dim), i -> (n.qe[i+1] - c.c[i+1]) * (n.qe[i+1] - c.c[i+1]))),
+      c.cluster) AS rn
+  FROM n, c$iters c) WHERE rn = 1""")
+    sb.toString
+  }
+}

@@ -87,6 +87,12 @@ object ExtQueries {
       base.select("doc_id").join(nearDupLosers, Seq("doc_id"), "left_anti")
     }),
 
+    // ---- learned-centroid IVF: deterministic integer k-means (k=8, 3
+    // Lloyd iterations), the coarse quantizer when no labels exist ----
+    "q_sim_kmeans" -> ((s, d) =>
+      KMeans.assign(
+        Similarity.prepare(embs(s, d), "vec_id", "embedding"), k = 8, iters = 3)),
+
     // ---- as-of join: each event matched to the user's latest signup at or
     // before it (point-in-time lookup; composition = union + one window) ----
     "q_asof_signup" -> ((s, d) => {
@@ -315,6 +321,8 @@ losers AS (SELECT DISTINCT p.id_b AS doc_id
            WHERE p.common * 1.0 / (ca.nsh + cb.nsh - p.common) >= 0.5)
 SELECT doc_id FROM ek
 WHERE doc_id NOT IN (SELECT doc_id FROM losers)""",
+
+    "q_sim_kmeans" -> KMeans.oracleSql(k = 8, iters = 3),
 
     "q_asof_signup" -> """SELECT e.event_id, CAST(s.ts AS TIMESTAMP) AS asof_signup_ts
 FROM events e ASOF LEFT JOIN

@@ -102,6 +102,27 @@ class SimilaritySpec extends AnyFunSuite {
   }
 }
 
+class KMeansSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("deterministic k-means separates well-separated clusters and is stable") {
+    // two tight blobs on orthogonal axes
+    val vecs = ((1 to 20).map(i => (i.toLong, Array(1.0f + i * 0.001f, 0.0f, 0.0f))) ++
+      (21 to 40).map(i => (i.toLong, Array(0.0f, 1.0f + i * 0.001f, 0.0f))))
+      .toDF("vec_id", "embedding")
+    val prep = Similarity.prepare(vecs, "vec_id", "embedding")
+    val a1 = KMeans.assign(prep, k = 2, iters = 3, dim = 3)
+      .as[(Long, Int)].collect().toMap
+    val a2 = KMeans.assign(prep, k = 2, iters = 3, dim = 3)
+      .as[(Long, Int)].collect().toMap
+    assert(a1 == a2) // bit-deterministic across runs
+    val blob1 = (1L to 20L).map(a1)
+    val blob2 = (21L to 40L).map(a1)
+    assert(blob1.toSet.size == 1 && blob2.toSet.size == 1 && blob1.head != blob2.head)
+  }
+}
+
 class TextAnalysisSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
