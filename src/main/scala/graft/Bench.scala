@@ -93,9 +93,18 @@ object Bench {
         srcT, srcT.select("RecId", "SysRowVersion"), tgtT, mark, mark)
       Apply.writeChangeSet(cs, s"$tmp/incr")
     }
+    // ≥40%-change truncate mode: one control pass decides TRUNCATE, then a
+    // full rewrite — BASELINE invariant #4 (cost ≈ full reload + control)
+    val tTrunc = best3 {
+      Planner.decideAsQuery(
+        srcT.select("RecId", "SysRowVersion"),
+        tgtT.select("RecId", "SysRowVersion"), markDf).count()
+      srcT.write.mode("overwrite").parquet(s"$tmp/trunc")
+    }
     results("scn_full_reload") = tFull
     results("scn_nochange_sync") = tNoChange
     results("scn_5pct_incremental") = tIncr
+    results("scn_40pct_truncate") = tTrunc
 
     // Bytes moved — the scale-invariant form of the reference's headline
     // claims (99%+ transfer reduction on no-change, ~16B/row control pass):
@@ -123,6 +132,7 @@ object Bench {
     val ratios = Map(
       "nochange_speedup" -> tFull / tNoChange,
       "pct5_speedup" -> tFull / tIncr,
+      "truncate_vs_full" -> tTrunc / tFull,
       "full_read_mb" -> fullReadMb,
       "full_write_mb" -> fullWriteMb,
       "nochange_read_mb" -> noChangeReadMb,

@@ -61,3 +61,33 @@ object TextAnalysis {
     * Stable across engines; the basis for exact dedup. */
   def fingerprint(text: Column): Column = md5(lower(trim(text)))
 }
+
+/** KMV (k-minimum-values) distinct-count sketch: estimate = (k−1)·2³² / hₖ
+  * where hₖ is the k-th smallest distinct 32-bit hash. The sketch-space
+  * answer to COUNT(DISTINCT) at corpus scale — mergeable (union of min-k
+  * sets), bounded memory, and unlike HLL its estimator is pure integer
+  * arithmetic + one division, so it is bit-reproducible across engines
+  * (HLL's exp/log corrections are libm-dependent).
+  */
+object KmvSketch {
+  import org.apache.spark.sql.DataFrame
+  import org.apache.spark.sql.expressions.Window
+
+  val HashSpace: Double = 4294967296.0 // 2^32
+
+  /** Per-group distinct estimate over `valueCol`, alongside the exact count
+    * for error inspection. */
+  def distinctEstimate(df: DataFrame, groupCol: String, valueCol: String,
+      k: Int = 64): DataFrame = {
+    val hashed = df.select(col(groupCol), Dedup.h32(col(valueCol)).as("h")).distinct()
+    val w = Window.partitionBy(groupCol).orderBy(col("h"))
+    val ranked = hashed.withColumn("rn", row_number().over(w))
+    val exact = hashed.groupBy(groupCol).agg(count(lit(1)).as("exact_distinct"))
+    ranked.filter(col("rn") === k)
+      .select(col(groupCol), ((lit((k - 1).toDouble) * HashSpace) / col("h")).as("kmv_estimate"))
+      .join(exact, Seq(groupCol), "right_outer")
+      // groups with < k distinct values are exact by definition
+      .withColumn("kmv_estimate",
+        coalesce(col("kmv_estimate"), col("exact_distinct").cast("double")))
+  }
+}

@@ -87,6 +87,12 @@ object ExtQueries {
       base.select("doc_id").join(nearDupLosers, Seq("doc_id"), "left_anti")
     }),
 
+    // ---- KMV distinct sketch: per-source vocabulary estimate vs exact ----
+    "q_text_kmv" -> ((s, d) =>
+      KmvSketch.distinctEstimate(
+        docs(s, d).select(col("source"), explode(split(col("text"), " ")).as("tok")),
+        "source", "tok", k = 64)),
+
     // ---- learned-centroid IVF: deterministic integer k-means (k=8, 3
     // Lloyd iterations), the coarse quantizer when no labels exist ----
     "q_sim_kmeans" -> ((s, d) =>
@@ -321,6 +327,18 @@ losers AS (SELECT DISTINCT p.id_b AS doc_id
            WHERE p.common * 1.0 / (ca.nsh + cb.nsh - p.common) >= 0.5)
 SELECT doc_id FROM ek
 WHERE doc_id NOT IN (SELECT doc_id FROM losers)""",
+
+    "q_text_kmv" -> s"""WITH hashed AS (
+  SELECT DISTINCT source, ${oh32("tok")} AS h
+  FROM (SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents)),
+ranked AS (SELECT source, h, row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+           FROM hashed),
+exact AS (SELECT source, count(*) AS exact_distinct FROM hashed GROUP BY source)
+SELECT e.source,
+  coalesce((63.0 * 4294967296.0) / r.h, CAST(e.exact_distinct AS DOUBLE)) AS kmv_estimate,
+  e.exact_distinct
+FROM exact e LEFT JOIN (SELECT source, h FROM ranked WHERE rn = 64) r
+  ON e.source = r.source""",
 
     "q_sim_kmeans" -> KMeans.oracleSql(k = 8, iters = 3),
 
