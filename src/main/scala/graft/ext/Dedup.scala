@@ -43,9 +43,15 @@ object Dedup {
     * shuffle until the downstream join. */
   def shingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
     df.select(col(idCol).as("sid"),
+        // docs with fewer than n tokens yield NO shingles: an unguarded
+        // sequence(0, size-n) with size<n produces a DESCENDING sequence and
+        // spurious negative-index slices (diverging from the oracle's empty
+        // range(0, len-n+1)) — the CASE keeps the two engines in lockstep
         explode(expr(
+          s"CASE WHEN size(split($textCol, ' ')) >= $n THEN " +
           s"transform(sequence(0, size(split($textCol, ' ')) - $n), " +
-          s"i -> concat_ws(' ', slice(split($textCol, ' '), i + 1, $n)))")).as("shingle"))
+          s"i -> concat_ws(' ', slice(split($textCol, ' '), i + 1, $n))) " +
+          s"ELSE array() END")).as("shingle"))
       .distinct()
 
   /** n-gram Jaccard near-dup pairs: join docs on shared shingles (capped at

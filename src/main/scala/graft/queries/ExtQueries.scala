@@ -193,9 +193,15 @@ g AS (SELECT text_hash, min(doc_id) AS keep_id, count(*) AS group_size
 SELECT h.doc_id, h.text_hash, g.group_size, h.doc_id = g.keep_id AS is_kept
 FROM h JOIN g ON h.text_hash = g.text_hash""",
 
+    // `capped` mirrors Dedup.ngramJaccardPairs' maxShingleFreq=1000 hot-
+    // shingle guard exactly — without it the two engines diverge the moment
+    // any shingle appears in >1000 docs (sizes stay UNcapped on both sides)
     "q_dedup_ngram" -> s"""WITH $shinglesCte,
+capped AS (SELECT sid, shingle FROM (
+  SELECT sid, shingle, count(*) OVER (PARTITION BY shingle) AS sfreq FROM sh)
+  WHERE sfreq <= 1000),
 pairs AS (SELECT a.sid AS id_a, b.sid AS id_b, count(*) AS common
-          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.sid < b.sid
+          FROM capped a JOIN capped b ON a.shingle = b.shingle AND a.sid < b.sid
           GROUP BY 1, 2)
 $jaccardVerify""",
 
@@ -319,8 +325,11 @@ toks AS (SELECT doc_id, string_split(text, ' ') t FROM ek),
 sh AS (SELECT DISTINCT doc_id AS sid, array_to_string(t[(i+1):(i+3)], ' ') AS shingle
        FROM toks, LATERAL (SELECT unnest(range(0, len(t) - 2)) i)),
 sizes AS (SELECT sid, count(*) AS nsh FROM sh GROUP BY sid),
+capped AS (SELECT sid, shingle FROM (
+  SELECT sid, shingle, count(*) OVER (PARTITION BY shingle) AS sfreq FROM sh)
+  WHERE sfreq <= 1000),
 pairs AS (SELECT a.sid AS id_a, b.sid AS id_b, count(*) AS common
-          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.sid < b.sid
+          FROM capped a JOIN capped b ON a.shingle = b.shingle AND a.sid < b.sid
           GROUP BY 1, 2),
 losers AS (SELECT DISTINCT p.id_b AS doc_id
            FROM pairs p JOIN sizes ca ON ca.sid = p.id_a JOIN sizes cb ON cb.sid = p.id_b

@@ -56,19 +56,21 @@ object SyncOracles {
 FROM src s FULL OUTER JOIN tgt t ON s.RecId = t.RecId"""
 
   private def plannerSql(controlCte: String, targetCte: String): String =
-    s"""SELECT c.source_window, c.changed, t.target_count, m.missing,
-  c.changed * 100.0 / c.source_window AS change_pct,
-  (t.target_count - c.source_window) * 100.0 / c.source_window AS excess_pct,
-  CASE WHEN c.changed = 0 AND m.missing = 0 AND t.target_count <= c.source_window THEN 'NOOP'
-       WHEN c.changed * 100.0 / c.source_window >= 40.0
-            OR (t.target_count - c.source_window) * 100.0 / c.source_window >= 40.0 THEN 'TRUNCATE'
+    s"""SELECT source_window, changed, target_count, missing, change_pct, excess_pct,
+  CASE WHEN changed = 0 AND missing = 0 AND target_count <= source_window THEN 'NOOP'
+       WHEN change_pct >= 40.0 OR excess_pct >= 40.0 THEN 'TRUNCATE'
        ELSE 'INCREMENTAL' END AS mode
+FROM (SELECT c.source_window, c.changed, t.target_count, m.missing,
+  CASE WHEN c.source_window = 0 THEN 100.0
+       ELSE c.changed * 100.0 / c.source_window END AS change_pct,
+  CASE WHEN c.source_window = 0 THEN 100.0
+       ELSE (t.target_count - c.source_window) * 100.0 / c.source_window END AS excess_pct
 FROM (SELECT count(*) AS source_window,
-             CAST(sum(CASE WHEN s.SysRowVersion > (SELECT stored_mark FROM mark) THEN 1 ELSE 0 END) AS BIGINT) AS changed
+             CAST(coalesce(sum(CASE WHEN s.SysRowVersion > (SELECT stored_mark FROM mark) THEN 1 ELSE 0 END), 0) AS BIGINT) AS changed
       FROM $controlCte s) c,
      (SELECT count(*) AS target_count FROM $targetCte) t,
      (SELECT count(*) AS missing FROM $controlCte s
-      WHERE NOT EXISTS (SELECT 1 FROM $targetCte t2 WHERE t2.RecId = s.RecId)) m"""
+      WHERE NOT EXISTS (SELECT 1 FROM $targetCte t2 WHERE t2.RecId = s.RecId)) m)"""
 
   def oracles: Map[String, String] = Map(
     "q_s5_topn" ->

@@ -91,11 +91,17 @@ final class SyncStateStore(path: Path) {
 object VersionHex {
   def format(v: Long): String = f"0x$v%016x"
 
-  /** Returns None on malformed input (degrade-to-standard rule). */
+  /** Returns None on malformed OR out-of-range input (degrade-to-standard
+    * rule). Range bound: the engine carries versions as signed LongType and
+    * compares with signed `>`; a rowversion with the high bit set (≥ 2^63,
+    * reachable only on a server that has consumed half the 64-bit version
+    * space) would invert every comparison. Such marks are treated like
+    * corrupt marks — the table degrades to a standard full sync, which is
+    * always safe, rather than silently skipping changes. */
   def parse(s: String): Option[Long] = {
     val t = s.trim.toLowerCase
     if (!t.startsWith("0x") || t.length != 18) None
-    else try Some(java.lang.Long.parseUnsignedLong(t.drop(2), 16))
+    else try Some(java.lang.Long.parseUnsignedLong(t.drop(2), 16)).filter(_ >= 0L)
     catch { case _: NumberFormatException => None }
   }
 

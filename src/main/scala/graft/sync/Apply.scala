@@ -50,7 +50,10 @@ object Apply {
     val minW = window.agg(min(col(keyCol)).as("min_w"))
     target
       .crossJoin(broadcast(minW))
-      .filter(col(keyCol) < col("min_w"))
+      // empty window ⇒ min_w is null ⇒ keep EVERY target row (the reference's
+      // `DELETE WHERE RecId >= min(window)` deletes nothing for an empty
+      // window); without the null guard the filter would drop the whole target
+      .filter(col("min_w").isNull || col(keyCol) < col("min_w"))
       .drop("min_w")
       .unionByName(window.select(target.columns.map(col): _*))
   }

@@ -20,8 +20,20 @@ object Extract {
     * Catalyst plans TakeOrderedAndProject: per-partition top-N, then a
     * single-partition merge of N pre-sorted candidates — no full sort, no
     * full shuffle; survives any scale because only N rows ever move. */
-  def topNByKey(df: DataFrame, n: Long, keyCol: String = "RecId"): DataFrame =
-    df.orderBy(col(keyCol).desc).limit(n.toInt)
+  def topNByKey(df: DataFrame, n: Long, keyCol: String = "RecId"): DataFrame = {
+    require(n > 0, s"topNByKey: n must be positive, got $n")
+    if (n >= Int.MaxValue) {
+      // limit() takes an Int — for a window wider than 2^31 the only exact
+      // lake-side answers are "the whole table" (common: n = Long.MaxValue
+      // means unbounded) or an unsupported giant top-k. Never truncate
+      // silently (the old `.limit(n.toInt)` overflow bug).
+      val rows = df.count()
+      if (rows <= n) df
+      else throw new IllegalArgumentException(
+        s"topNByKey: n=$n exceeds Int.MaxValue but table has $rows rows; " +
+          "split the fetch window (e.g. key-range predicates) instead")
+    } else df.orderBy(col(keyCol).desc).limit(n.toInt)
+  }
 
   /** S7 — control-data fetch: narrow (key, version) projection of the window
     * (Tier2DataService.cs:336-376). Column pruning reaches the scan: the

@@ -101,9 +101,16 @@ object Planner {
         sum(when(col("in_t") === 1, 1L).otherwise(0L)).as("target_count"),
         sum(when(col("in_c") === 1 && col("in_t").isNull, 1L).otherwise(0L)).as("missing"))
       .na.fill(0L)
-      .withColumn("change_pct", col("changed") * 100.0 / col("source_window"))
+      // empty control window ⇒ define both pcts as 100 (matching
+      // ChangeStats.changePercent/excessPercent for sourceWindow==0) so this
+      // path picks TRUNCATE exactly like decide() — null pcts would silently
+      // fall through to INCREMENTAL
+      .withColumn("change_pct",
+        when(col("source_window") === 0, lit(100.0))
+          .otherwise(col("changed") * 100.0 / col("source_window")))
       .withColumn("excess_pct",
-        (col("target_count") - col("source_window")) * 100.0 / col("source_window"))
+        when(col("source_window") === 0, lit(100.0))
+          .otherwise((col("target_count") - col("source_window")) * 100.0 / col("source_window")))
       .withColumn("mode",
         when(col("changed") === 0 && col("missing") === 0 &&
              col("target_count") <= col("source_window"), lit("NOOP"))

@@ -146,6 +146,13 @@ class ApplySpec extends AnyFunSuite {
     assert(contents(out) == Set((5L, 1L, "old5"), (10L, 1L, "w10"), (11L, 1L, "w11")))
   }
 
+  test("windowed standard: EMPTY window is a no-op, not a target wipe (ADVICE r1)") {
+    val window = t(Seq.empty)
+    val target = t(Seq((5L, 1L, "old5"), (10L, 1L, "old10")))
+    val out = Apply.applyWindowStandard(window, target)
+    assert(contents(out) == contents(target))
+  }
+
   test("parquet round trip of a merge (lake sink)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_apply").toString
     val source = t(Seq((1L, 10L, "a"), (2L, 150L, "b2")))
@@ -212,5 +219,27 @@ class ExtractSpec extends AnyFunSuite {
     val got = Extract.deltaFetch(df, threshold = 200L, minRecId = 2L, n = 10)
       .select("RecId").as[Long].collect().toSet
     assert(got == Set(2L, 3L))
+  }
+
+  test("top-N with n >= Int.MaxValue: whole table passes through, never a silent truncation") {
+    val df = (1L to 100L).toDF("RecId")
+    assert(Extract.topNByKey(df, Long.MaxValue).count() == 100)
+    intercept[IllegalArgumentException] { Extract.topNByKey(df, 0) }
+  }
+}
+
+class PlannerQuerySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("decideAsQuery with an EMPTY control window picks TRUNCATE like decide() (ADVICE r1)") {
+    val control = Seq.empty[(Long, Long)].toDF("RecId", "SysRowVersion")
+    val target = Seq((1L, 10L), (2L, 20L)).toDF("RecId", "SysRowVersion")
+    val mark = Seq(Tuple1(100L)).toDF("stored_mark")
+    val row = graft.sync.Planner.decideAsQuery(control, target.select("RecId"), mark).head()
+    assert(row.getAs[String]("mode") == "TRUNCATE")
+    assert(row.getAs[Double]("change_pct") == 100.0)
+    assert(graft.sync.Planner.decide(
+      graft.sync.Planner.ChangeStats(0, 2, 0, 0), hasStoredMarks = true) == SyncMode.Truncate)
   }
 }

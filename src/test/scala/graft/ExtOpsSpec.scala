@@ -37,6 +37,16 @@ class DedupSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("docs shorter than n tokens yield NO shingles (ADVICE r1: no negative-index slices)") {
+    val short = Seq((1L, "one two"), (2L, "solo"), (3L, "exactly three tokens"),
+      (4L, "")).toDF("doc_id", "text")
+    val sh = Dedup.shingles(short, "doc_id", "text", 3)
+      .as[(Long, String)].collect().toSeq
+    assert(sh == Seq((3L, "exactly three tokens")))
+    // and the pair pipeline survives short docs without spurious matches
+    assert(Dedup.ngramJaccardPairs(short, "doc_id", "text", n = 3).count() == 0)
+  }
+
   test("minhash LSH finds the same high-jaccard pairs as the exact scan") {
     val lsh = Dedup.minhashLshPairs(docs, "doc_id", "text", n = 3, threshold = 0.5)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
