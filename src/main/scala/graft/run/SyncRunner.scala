@@ -21,13 +21,31 @@ import scala.collection.concurrent.TrieMap
   * ROW-level parallelism inside each table comes from partitioning — the
   * axis the reference never had. Workers tag jobs with a job group so a
   * failing table cancels only its own in-flight stages (D2).
+  *
+  * Write-path shape (the 100 TB contract):
+  *  - NOOP: ZERO writes and no join — a shuffle-free two-scan checksum
+  *    probe ([[Planner.probe]], ~16 B/row of control columns) decides the
+  *    perfect-sync short-circuit, and marks refresh from the same
+  *    aggregates. Reference: CopyOrchestrator.cs:1003-1046.
+  *  - INCREMENTAL: appends a [[LakeTable]] changeset commit — tombstone
+  *    keys + changed/new rows ONLY (the reference's targeted deletes + bulk
+  *    insert, AxDbDataService.cs:177-404); the target is NEVER rewritten.
+  *    Replay cost is amortized by compaction every `compactEvery` commits.
+  *  - STANDARD / TRUNCATE: full snapshot via the atomic pointer swap (D5).
+  *  - Marks are derived from the control aggregates of the SAME pass that
+  *    fed the sync decision plus changeset arithmetic — never from a
+  *    post-apply re-read of the source, which on a live source would store
+  *    a mark covering rows the sync didn't see (silent-skip hazard,
+  *    ADVICE r1). Reference: A1-A3 over the fetched batch,
+  *    CopyOrchestrator.cs:866-872, :1106-1123.
   */
 final class SyncRunner(
     spark: SparkSession,
     store: SyncStateStore,
     parallelWorkers: Int = 10, // AppConfiguration.cs:36 default
     truncateThresholdPct: Double = Planner.DefaultTruncateThresholdPct,
-    failFast: Boolean = true) {
+    failFast: Boolean = true,
+    compactEvery: Int = 8) {
 
   /** One table's lake-to-lake sync unit: where to read, where to write. */
   final case class TablePlan(
@@ -78,13 +96,12 @@ final class SyncRunner(
     runAll(plans.filter(p => failed.contains(p.name)))
   }
 
-  /** One table, full lifecycle: control pass → mode decision → apply →
-    * state save (§3.2 ProcessSingleTableAsync routing). */
+  /** One table, full lifecycle: probe → mode decision → apply → state save
+    * (§3.2 ProcessSingleTableAsync routing). */
   def runTable(plan: TablePlan): SyncReport = {
     val t0 = System.nanoTime()
     try {
       val source = spark.read.parquet(plan.sourcePath)
-      val targetExists = new java.io.File(plan.targetPath).exists()
       val marks = store.get(plan.name)
       val srcMark = marks.flatMap(_.sourceVersion)
       val tgtMark = marks.flatMap(_.targetVersion)
@@ -97,30 +114,12 @@ final class SyncRunner(
       }
 
       val (mode, metrics) =
-        if (!targetExists || marks.isEmpty || srcMark.isEmpty || !strategySupportsOptimized) {
+        if (!LakeTable.exists(plan.targetPath) || srcMark.isEmpty || !strategySupportsOptimized)
           // first run / corrupt or missing marks / strategy opt-out ⇒ STANDARD
           (SyncMode.Standard, syncStandard(plan, source))
-        } else {
-          val target = spark.read.parquet(plan.targetPath)
-          val control = windowed(source, plan).select(plan.keyCol, plan.versionCol)
-          val stats = Planner.changeStats(
-            control, target.select(plan.keyCol), srcMark.get,
-            plan.keyCol, plan.versionCol)
-          Planner.decide(stats, hasStoredMarks = true,
-            strategySupportsOptimized, truncateThresholdPct) match {
-            case SyncMode.Noop =>
-              (SyncMode.Noop, SyncMetrics(unchanged = stats.sourceWindow,
-                changePercent = 0, excessPercent = stats.excessPercent))
-            case SyncMode.Truncate =>
-              (SyncMode.Truncate, syncTruncate(plan, source))
-            case _ =>
-              (SyncMode.Incremental,
-                syncIncremental(plan, source, target, control, srcMark.get,
-                  tgtMark.getOrElse(srcMark.get), stats))
-          }
-        }
+        else
+          syncOptimized(plan, source, srcMark.get, tgtMark.getOrElse(srcMark.get))
 
-      saveMarks(plan, windowed(spark.read.parquet(plan.sourcePath), plan))
       val total = (System.nanoTime() - t0) / 1e9
       SyncReport(plan.name, mode, metrics.copy(totalSec = total), ok = true)
     } catch {
@@ -137,67 +136,107 @@ final class SyncRunner(
       case _ => source
     }
 
+  /** O4/O5/O6: control-pass-first routing. The checksum probe settles the
+    * perfect-sync case with two shuffle-free 16 B/row scans; only a real
+    * difference pays the full-outer flags join, whose single aggregate then
+    * feeds BOTH the cost-model decision and the mark bookkeeping. */
+  private def syncOptimized(
+      plan: TablePlan, source: DataFrame,
+      srcMark: Long, tgtMark: Long): (SyncMode, SyncMetrics) = {
+    val k = plan.keyCol; val v = plan.versionCol
+    val control = windowed(source, plan).select(k, v)
+    val targetKV = LakeTable.read(spark, plan.targetPath, k).select(k, v)
+
+    val pr = Planner.probe(control, targetKV, srcMark, k, v)
+    if (pr.inSync) {
+      // O5 NOOP: zero writes; marks refresh from the probe's own aggregates
+      // (srcMark is already ≥ every control version since changed == 0)
+      store.putVersions(plan.name, srcMark, tgtMark, pr.maxKey)
+      return (SyncMode.Noop, SyncMetrics(unchanged = pr.sourceWindow))
+    }
+
+    val flags = Apply.incrementalFlags(control, targetKV, srcMark, tgtMark, k, v)
+      .persist()
+    try {
+      // ONE aggregate over the joined flags: decision stats + fetch
+      // threshold + the maxes the mark save needs (A1-A3 in one pass)
+      val a = flags.agg(
+        sum(when(col("is_in_control"), 1L).otherwise(0L)).as("source_window"),
+        sum(when(col("is_changed"), 1L).otherwise(0L)).as("changed"),
+        sum(when(col("is_in_target"), 1L).otherwise(0L)).as("target_count"),
+        sum(when(col("is_in_control") && !col("is_in_target"), 1L).otherwise(0L)).as("missing"),
+        min(when(col("is_missing"), col("cv"))).as("min_missing_cv"),
+        max(when(col("is_insert"), col("cv"))).as("max_insert_cv"),
+        max(when(col("is_in_control"), col("cv"))).as("max_cv"),
+        max(when(col("is_in_control"), col(k))).as("max_key")).head()
+      val stats = Planner.ChangeStats(
+        sourceWindow = a.getLong(0), targetCount = a.getLong(2),
+        changed = a.getLong(1), missing = a.getLong(3))
+      val maxCv = if (a.isNullAt(6)) srcMark else a.getLong(6)
+      val maxKey = if (a.isNullAt(7)) None else Some(a.getLong(7))
+
+      Planner.decide(stats, hasStoredMarks = true,
+        strategySupportsOptimized = true, truncateThresholdPct) match {
+        case SyncMode.Noop =>
+          // probe saw a checksum difference but the cost model still says
+          // in-sync (e.g. only local mutations below the purge bar)
+          store.putVersions(plan.name, srcMark, tgtMark, maxKey)
+          (SyncMode.Noop, SyncMetrics(unchanged = stats.sourceWindow,
+            changePercent = 0, excessPercent = stats.excessPercent))
+
+        case SyncMode.Truncate =>
+          val window = windowed(source, plan)
+          LakeTable.overwrite(window, plan.targetPath)
+          // target == window now, on both sides of the mark ledger
+          store.putVersions(plan.name, maxCv, maxCv, maxKey)
+          (SyncMode.Truncate, SyncMetrics(
+            modified = stats.changed, changePercent = stats.changePercent,
+            excessPercent = stats.excessPercent))
+
+        case _ =>
+          // M2: delta commit — tombstones + inserts only, never a rewrite.
+          // Threshold resolved driver-side so the S8 predicate is a literal
+          // the scan can prune on (A3, CopyOrchestrator.cs:1106-1123).
+          val minMissingCv = if (a.isNullAt(4)) srcMark else a.getLong(4)
+          val threshold = math.min(minMissingCv, srcMark)
+          val cs = Apply.changeSetFromFlags(windowed(source, plan), flags, threshold, k, v)
+          LakeTable.appendCommit(cs, plan.targetPath)
+          if (LakeTable.pendingCommits(plan.targetPath) >= compactEvery)
+            LakeTable.compact(spark, plan.targetPath, k)
+          // mark arithmetic (no target re-read): purge removed every target
+          // version > tgtMark, inserts top out at max_insert_cv
+          val maxInsertCv = if (a.isNullAt(5)) tgtMark else a.getLong(5)
+          store.putVersions(plan.name, maxCv, math.max(tgtMark, maxInsertCv), maxKey)
+          (SyncMode.Incremental, SyncMetrics(
+            modified = stats.changed, newInSource = stats.missing,
+            changePercent = stats.changePercent, excessPercent = stats.excessPercent))
+      }
+    } finally { flags.unpersist(); () }
+  }
+
+  /** M1 standard: full snapshot write; marks from the fetched window's own
+    * aggregates (A2 over the batch) + the just-written snapshot's target-side
+    * max (GetMaxTimestampAsync semantics, AxDbDataService.cs:1093-1109 —
+    * surviving locally-mutated rows must fold into the target mark). */
   private def syncStandard(plan: TablePlan, source: DataFrame): SyncMetrics = {
     val window = windowed(source, plan)
-    val targetFile = new java.io.File(plan.targetPath)
     val newTarget =
-      if (!targetFile.exists()) window
-      else Apply.applyWindowStandard(window, spark.read.parquet(plan.targetPath), plan.keyCol)
-    writeAtomic(newTarget, plan.targetPath)
-    SyncMetrics(newInSource = window.count())
-  }
+      if (!LakeTable.exists(plan.targetPath)) window
+      else Apply.applyWindowStandard(
+        window, LakeTable.read(spark, plan.targetPath, plan.keyCol), plan.keyCol)
+    LakeTable.overwrite(newTarget, plan.targetPath)
 
-  private def syncTruncate(plan: TablePlan, source: DataFrame): SyncMetrics = {
-    val window = windowed(source, plan)
-    writeAtomic(window, plan.targetPath)
-    SyncMetrics(changePercent = 100.0)
-  }
-
-  private def syncIncremental(
-      plan: TablePlan, source: DataFrame, target: DataFrame,
-      control: DataFrame, srcMark: Long, tgtMark: Long,
-      stats: Planner.ChangeStats): SyncMetrics = {
-    val newTarget = Apply.applyIncremental(
-      windowed(source, plan), control, target, srcMark, tgtMark,
-      plan.keyCol, plan.versionCol)
-    writeAtomic(newTarget, plan.targetPath)
-    SyncMetrics(
-      modified = stats.changed, newInSource = stats.missing,
-      changePercent = stats.changePercent, excessPercent = stats.excessPercent)
-  }
-
-  /** Lake targets can't be updated in place while being read — write to a
-    * staging dir then swap (the reference's transactional apply D5, by
-    * commit protocol instead of SqlTransaction). */
-  private def writeAtomic(df: DataFrame, path: String): Unit = {
-    val staging = path + ".staging"
-    df.write.mode("overwrite").parquet(staging)
-    val dst = new java.io.File(path)
-    if (dst.exists()) {
-      val old = new java.io.File(path + ".old")
-      deleteRec(old)
-      dst.renameTo(old)
+    val w = window.agg(
+      max(col(plan.versionCol)).as("v"), max(col(plan.keyCol)).as("k"),
+      count(lit(1)).as("n")).head()
+    if (!w.isNullAt(0)) {
+      // target-side max from the snapshot we just committed (our own write,
+      // so consistent by construction — NOT a live-source re-read)
+      val base = LakeTable.resolve(plan.targetPath).get._1
+      val tv = spark.read.parquet(base).agg(max(col(plan.versionCol))).head()
+      store.putVersions(plan.name, w.getLong(0),
+        if (tv.isNullAt(0)) w.getLong(0) else tv.getLong(0), Some(w.getLong(1)))
     }
-    new java.io.File(staging).renameTo(dst)
-    deleteRec(new java.io.File(path + ".old"))
-  }
-
-  private def deleteRec(f: java.io.File): Unit = {
-    if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(deleteRec))
-    f.delete()
-  }
-
-  /** Per-table crash-safe mark save after EACH table (D6): new marks = max
-    * versions on both sides + max RecId (sequence-bump bookkeeping). */
-  private def saveMarks(plan: TablePlan, window: DataFrame): Unit = {
-    val row = window.agg(
-      max(col(plan.versionCol)).as("v"), max(col(plan.keyCol)).as("k")).head()
-    if (!row.isNullAt(0)) {
-      val newTarget = spark.read.parquet(plan.targetPath)
-      val tv = newTarget.agg(max(col(plan.versionCol))).head()
-      store.putVersions(plan.name, row.getLong(0),
-        if (tv.isNullAt(0)) row.getLong(0) else tv.getLong(0),
-        Some(row.getLong(1)))
-    }
+    SyncMetrics(newInSource = w.getLong(2))
   }
 }

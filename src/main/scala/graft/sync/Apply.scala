@@ -127,26 +127,7 @@ object Apply {
       targetMark: Long,
       keyCol: String = "RecId",
       versionCol: String = "SysRowVersion"): ChangeSet = {
-
-    val c = control.select(col(keyCol), col(versionCol).as("cv"), lit(1).as("in_c"))
-    val t = target.select(col(keyCol), col(versionCol).as("tv"), lit(1).as("in_t"))
-    val inC = col("in_c") === 1
-    val inT = col("in_t") === 1
-    val flags = c.join(t, Seq(keyCol), "full_outer")
-      .select(col(keyCol), col("cv"),
-        // J4: version advanced beyond the stored source mark
-        (coalesce(inC, lit(false)) && col("cv") > lit(sourceMark)).as("is_changed"),
-        // local purge: target-side version beyond the stored target mark
-        (coalesce(inT, lit(false)) && col("tv") > lit(targetMark)).as("is_local_mut"),
-        coalesce(inC, lit(false)).as("is_in_control"),
-        coalesce(inT, lit(false)).as("is_in_target"))
-      .withColumn("is_delete",
-        col("is_changed") || col("is_local_mut") ||
-          (col("is_in_target") && !col("is_in_control"))) // J3 not-in-window
-      // J2 missing AFTER deletes: in the window but not surviving in target
-      .withColumn("is_missing",
-        col("is_in_control") && !(col("is_in_target") && !col("is_delete")))
-      .withColumn("is_insert", col("is_changed") || col("is_missing"))
+    val flags = incrementalFlags(control, target, sourceMark, targetMark, keyCol, versionCol)
 
     val deleteKeys = flags.filter(col("is_delete")).select(keyCol)
 
@@ -163,6 +144,60 @@ object Apply {
       .drop("threshold")
       .join(insertKeys, Seq(keyCol), "left_semi") // P6 re-filter
 
+    ChangeSet(deleteKeys, inserts, flags)
+  }
+
+  /** The ONE full-outer key join behind the incremental pipeline: per key,
+    * every flag the changeset needs (see [[incrementalChangeSet]] doc). */
+  def incrementalFlags(
+      control: DataFrame,
+      target: DataFrame,
+      sourceMark: Long,
+      targetMark: Long,
+      keyCol: String = "RecId",
+      versionCol: String = "SysRowVersion"): DataFrame = {
+    val c = control.select(col(keyCol), col(versionCol).as("cv"), lit(1).as("in_c"))
+    val t = target.select(col(keyCol), col(versionCol).as("tv"), lit(1).as("in_t"))
+    val inC = col("in_c") === 1
+    val inT = col("in_t") === 1
+    c.join(t, Seq(keyCol), "full_outer")
+      .select(col(keyCol), col("cv"),
+        // J4: version advanced beyond the stored source mark
+        (coalesce(inC, lit(false)) && col("cv") > lit(sourceMark)).as("is_changed"),
+        // local purge: target-side version beyond the stored target mark
+        (coalesce(inT, lit(false)) && col("tv") > lit(targetMark)).as("is_local_mut"),
+        coalesce(inC, lit(false)).as("is_in_control"),
+        coalesce(inT, lit(false)).as("is_in_target"))
+      .withColumn("is_delete",
+        col("is_changed") || col("is_local_mut") ||
+          (col("is_in_target") && !col("is_in_control"))) // J3 not-in-window
+      // J2 missing AFTER deletes: in the window but not surviving in target
+      .withColumn("is_missing",
+        col("is_in_control") && !(col("is_in_target") && !col("is_delete")))
+      .withColumn("is_insert", col("is_changed") || col("is_missing"))
+  }
+
+  /** Runner-path changeset with a DRIVER-RESOLVED threshold: identical
+    * semantics to [[incrementalChangeSet]] (which carries the threshold as a
+    * broadcast scalar inside the plan), but the S8 fetch predicate becomes a
+    * LITERAL — so it pushes into the parquet scan and row-group min/max
+    * skipping (or a JDBC WHERE) prunes the unchanged bulk of the source.
+    * The reference makes the same trade: it computes the fetch threshold
+    * driver-side (A3, CopyOrchestrator.cs:1106-1123) and sends it as a query
+    * parameter (Tier2DataService.cs:381-434). On a version-clustered table
+    * layout this is the difference between scanning ~change% and scanning
+    * 100% of a 100 TB table. */
+  def changeSetFromFlags(
+      source: DataFrame,
+      flags: DataFrame,
+      threshold: Long,
+      keyCol: String = "RecId",
+      versionCol: String = "SysRowVersion"): ChangeSet = {
+    val deleteKeys = flags.filter(col("is_delete")).select(keyCol)
+    val insertKeys = flags.filter(col("is_insert")).select(keyCol)
+    val inserts = source
+      .filter(col(versionCol) >= lit(threshold)) // S8 over-fetch, pushed to scan
+      .join(insertKeys, Seq(keyCol), "left_semi") // P6 re-filter
     ChangeSet(deleteKeys, inserts, flags)
   }
 

@@ -19,28 +19,32 @@ import org.apache.spark.sql.functions._
   */
 object ChangeLog {
 
-  /** Append a changeset as the next numbered commit under `logDir`. */
-  def append(cs: Apply.ChangeSet, logDir: String): Int = {
-    val dir = new java.io.File(logDir)
-    dir.mkdirs()
-    val next = Option(dir.listFiles()).getOrElse(Array.empty)
-      .filter(_.isDirectory).map(_.getName.toIntOrElse(-1)).foldLeft(-1)(math.max) + 1
+  /** Sequence numbers of all commits present under `logDir`. */
+  def commitSeqs(logDir: String): Seq[Int] =
+    Option(new java.io.File(logDir).listFiles()).getOrElse(Array.empty)
+      .filter(_.isDirectory).flatMap(_.getName.toIntOption).toSeq
+
+  /** Append a changeset as the next numbered commit under `logDir`.
+    * `minSeq` floors the numbering so sequence numbers stay monotonic after
+    * a compaction advanced the table pointer (a lower-numbered commit would
+    * be invisible to `replay(fromSeq)`). */
+  def append(cs: Apply.ChangeSet, logDir: String, minSeq: Int = 0): Int = {
+    new java.io.File(logDir).mkdirs()
+    val next = math.max((commitSeqs(logDir) :+ (minSeq - 1)).max + 1, minSeq)
     Apply.writeChangeSet(cs, s"$logDir/$next")
     next
   }
 
-  private implicit class IntOr(s: String) {
-    def toIntOrElse(d: Int): Int = s.toIntOption.getOrElse(d)
-  }
-
-  /** Reconstruct current state from a base snapshot + the commit log. */
+  /** Reconstruct current state from a base snapshot + the commit log,
+    * applying only commits with seq ≥ `fromSeq` (the table pointer's view). */
   def replay(spark: SparkSession, basePath: String, logDir: String,
-      keyCol: String = "RecId"): DataFrame = {
+      keyCol: String = "RecId", fromSeq: Int = 0): DataFrame = {
     val base = spark.read.parquet(basePath)
     val commits = Option(new java.io.File(logDir).listFiles())
       .getOrElse(Array.empty)
       .filter(_.isDirectory)
       .flatMap(f => f.getName.toIntOption.map(_ -> f.getPath))
+      .filter(_._1 >= fromSeq)
       .sortBy(_._1)
     if (commits.isEmpty) return base
 

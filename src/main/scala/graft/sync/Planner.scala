@@ -64,6 +64,63 @@ object Planner {
     ChangeStats(sourceWindow, targetCount, changed, sourceWindow - present)
   }
 
+  /** Result of the shuffle-free NOOP probe: per-side counts, the source-side
+    * changed count, an order-independent (key, version) set checksum per
+    * side, and the window maxes the mark save needs. */
+  final case class SyncProbe(
+      sourceWindow: Long,
+      changed: Long,
+      targetCount: Long,
+      sourceCheck: BigDecimal,
+      targetCheck: BigDecimal,
+      maxVersion: Option[Long],
+      maxKey: Option[Long]) {
+    /** True ⇒ the (key, version) sets are identical on both sides and no
+      * source version passed the stored mark — the perfect-sync case. */
+    def inSync: Boolean =
+      changed == 0 && sourceWindow == targetCount && sourceCheck == targetCheck
+  }
+
+  /** O5 perfect-sync short-circuit WITHOUT a join: two column-pruned scans
+    * (~16 B/row each) + map-side aggregates, zero shuffle.
+    *
+    * The reference's short-circuit (CopyOrchestrator.cs:1003-1046) still
+    * pays a server-side key anti-join for the missing check; at lake scale
+    * that join is the whole cost of a no-change re-sync, so we replace it
+    * with an order-independent set checksum: the exact integer SUM of
+    * xxhash64(key, version) over each side (decimal(38,0) accumulator — no
+    * overflow below 10¹⁹ rows, and unlike XOR a duplicated pair cannot
+    * self-cancel). Counts equal ∧ checksums equal ∧ changed==0 ⇒ NOOP.
+    * A false NOOP needs the two sides' symmetric difference to sum-collide
+    * on a 64-bit hash (~2⁻⁶⁴ for non-adversarial data — the same trust
+    * level as content-hash dedup). Any mismatch falls through to the exact
+    * full-outer-join path ([[Apply.incrementalFlags]]), so the probe can
+    * only ever ADD a cheap pass, never change a decision incorrectly.
+    */
+  def probe(
+      control: DataFrame,
+      targetKV: DataFrame,
+      sourceMark: Long,
+      keyCol: String = "RecId",
+      versionCol: String = "SysRowVersion"): SyncProbe = {
+    def check = coalesce(
+      sum(expr(s"xxhash64($keyCol, $versionCol)").cast("decimal(38,0)")),
+      lit(0).cast("decimal(38,0)"))
+    val c = control.agg(
+      count(lit(1)).as("n"),
+      coalesce(sum(when(col(versionCol) > lit(sourceMark), 1L).otherwise(0L)), lit(0L)).as("chg"),
+      check.as("ck"),
+      max(col(versionCol)).as("mv"),
+      max(col(keyCol)).as("mk")).head()
+    val t = targetKV.agg(count(lit(1)).as("n"), check.as("ck")).head()
+    SyncProbe(
+      sourceWindow = c.getLong(0), changed = c.getLong(1),
+      targetCount = t.getLong(0),
+      sourceCheck = BigDecimal(c.getDecimal(2)), targetCheck = BigDecimal(t.getDecimal(1)),
+      maxVersion = if (c.isNullAt(3)) None else Some(c.getLong(3)),
+      maxKey = if (c.isNullAt(4)) None else Some(c.getLong(4)))
+  }
+
   def decide(
       stats: ChangeStats,
       hasStoredMarks: Boolean,

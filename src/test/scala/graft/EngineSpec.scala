@@ -191,6 +191,23 @@ class PlannerSpec extends AnyFunSuite {
     assert(decide(ChangeStats(0, 10, 0, 0), hasStoredMarks = true) == SyncMode.Truncate)
   }
 
+  test("checksum probe: in-sync detected shuffle-free; any difference falls through (O5 fast path)") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val a = Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("RecId", "SysRowVersion")
+    val same = Seq((3L, 30L), (1L, 10L), (2L, 20L)).toDF("RecId", "SysRowVersion")
+    assert(probe(a, same, sourceMark = 100L).inSync)
+    // no shuffle in the probe's plans: it is two map-side aggregates
+    // (single-partition final agg only — no exchange keyed on data)
+    val verChanged = Seq((1L, 10L), (2L, 21L), (3L, 30L)).toDF("RecId", "SysRowVersion")
+    val keyMissing = Seq((1L, 10L), (2L, 20L)).toDF("RecId", "SysRowVersion")
+    assert(!probe(a, verChanged, 100L).inSync) // same count, version differs
+    assert(!probe(a, keyMissing, 100L).inSync) // count differs
+    val p = probe(verChanged, verChanged, sourceMark = 20L)
+    assert(!p.inSync && p.changed == 2) // changed-vs-mark trips even when sides match
+    assert(p.maxVersion.contains(30L) && p.maxKey.contains(3L))
+  }
+
   test("changeStats counts via single-pass join") {
     val spark = TestSpark.spark
     import spark.implicits._

@@ -5,7 +5,7 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.model.SyncMode
 import graft.run.{PostActions, SyncRunner}
 import graft.state.SyncStateStore
-import graft.sync.SyncFixtures
+import graft.sync.{LakeTable, SyncFixtures}
 
 /** End-to-end multi-table sync lifecycle over lake dirs — the golden-state
   * scenario matrix (DBSyncTool_Optimization_Spec.md:1595-1620). */
@@ -37,18 +37,34 @@ class RunnerSpec extends AnyFunSuite {
 
     val r1 = runner.runAll(Seq(plan))
     assert(r1.head.ok && r1.head.mode == SyncMode.Standard)
-    assert(spark.read.parquet(s"$dir/tgt_t1").count() == 500)
+    assert(LakeTable.read(spark, s"$dir/tgt_t1").count() == 500)
     assert(store.get("T1").flatMap(_.sourceVersion).contains(500L))
 
-    // unchanged source ⇒ NOOP, no data moved, marks refreshed
+    // unchanged source ⇒ NOOP: no data moved AND nothing written — the
+    // target dir must be byte-identical (the O5 zero-write invariant)
+    def targetListing() = {
+      def walk(f: java.io.File): Seq[String] =
+        if (f.isDirectory) Option(f.listFiles).getOrElse(Array.empty).toSeq.flatMap(walk)
+        else Seq(s"${f.getPath}:${f.length}:${f.lastModified}")
+      walk(new java.io.File(s"$dir/tgt_t1")).sorted
+    }
+    val before = targetListing()
     val r2 = runner.runAll(Seq(plan))
     assert(r2.head.ok && r2.head.mode == SyncMode.Noop)
+    assert(targetListing() == before, "NOOP must not touch the target")
 
-    // 5% updated (every 20th row bumps version) ⇒ INCREMENTAL
+    // 5% updated (every 20th row bumps version) ⇒ INCREMENTAL, and the
+    // write is a DELTA COMMIT: only tombstones + changed rows hit disk,
+    // the base snapshot stays untouched (VERDICT r1 #1)
     mkSource(dir, "t1", i => if (i % 20 == 3) i + 100000 else i)
     val r3 = runner.runAll(Seq(plan))
     assert(r3.head.ok && r3.head.mode == SyncMode.Incremental)
-    val afterIncr = spark.read.parquet(s"$dir/tgt_t1")
+    assert(targetListing().filter(_.contains("base-")) == before.filter(_.contains("base-")),
+      "incremental must not rewrite the base snapshot")
+    val commit0 = s"$dir/tgt_t1/_log/0"
+    assert(spark.read.parquet(s"$commit0/inserts").count() == 25)
+    assert(spark.read.parquet(s"$commit0/deletes").count() == 25)
+    val afterIncr = LakeTable.read(spark, s"$dir/tgt_t1")
     assert(afterIncr.count() == 500)
     assert(afterIncr.filter(col("SysRowVersion") > 100000L).count() == 25)
 
@@ -59,7 +75,26 @@ class RunnerSpec extends AnyFunSuite {
     mkSource(dir, "t1", i => if (i % 10 < 6) i + 200000 else i)
     val r4 = runner.runAll(Seq(plan))
     assert(r4.head.ok && r4.head.mode == SyncMode.Truncate)
-    assert(spark.read.parquet(s"$dir/tgt_t1").count() == 500)
+    assert(LakeTable.read(spark, s"$dir/tgt_t1").count() == 500)
+  }
+
+  test("compaction after N commits folds the log into a fresh base (bounded replay)") {
+    val (dir, store, _) = newEnv()
+    val runner = new SyncRunner(spark, store, parallelWorkers = 1, compactEvery = 2)
+    val src = mkSource(dir, "tc", identity)
+    def plan = runner.TablePlan("TC", src, s"$dir/tgt_tc")
+    runner.runAll(Seq(plan)) // standard base
+
+    // three incremental rounds at compactEvery=2 ⇒ at least one compaction
+    (1 to 3).foreach { round =>
+      mkSource(dir, "tc", i => if (i % 20 == 3) i + round * 100000 else i)
+      val r = runner.runAll(Seq(plan))
+      assert(r.head.ok && r.head.mode == SyncMode.Incremental, r.head.toString)
+    }
+    assert(LakeTable.pendingCommits(s"$dir/tgt_tc") < 2)
+    val state = LakeTable.read(spark, s"$dir/tgt_tc")
+    assert(state.count() == 500)
+    assert(state.filter(col("SysRowVersion") > 300000L).count() == 25)
   }
 
   test("source deletes are pruned, new rows inserted (J2/J3 via runner)") {
@@ -77,7 +112,7 @@ class RunnerSpec extends AnyFunSuite {
 
     val r = runner.runAll(Seq(plan))
     assert(r.head.ok && r.head.mode == SyncMode.Incremental)
-    val tgt = spark.read.parquet(s"$dir/tgt_t2")
+    val tgt = LakeTable.read(spark, s"$dir/tgt_t2")
     assert(tgt.count() == 455) // 450 kept + 5 new
     assert(tgt.filter(col("RecId") % 10 === 0).count() == 0)
     assert(tgt.filter(col("RecId") > 500).count() == 5)
