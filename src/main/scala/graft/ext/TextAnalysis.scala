@@ -71,23 +71,24 @@ object TextAnalysis {
   */
 object KmvSketch {
   import org.apache.spark.sql.DataFrame
-  import org.apache.spark.sql.expressions.Window
 
   val HashSpace: Double = 4294967296.0 // 2^32
 
-  /** Per-group distinct estimate over `valueCol`, alongside the exact count
-    * for error inspection. */
+  /** Per-group distinct estimate over `valueCol`, via the bounded-buffer
+    * [[graft.functions.KmvSketchAgg]] TypedImperativeAggregate: ONE
+    * groupBy with map-side partial sketches (k longs per group), no window,
+    * no sort, no exact-distinct pass — the plan shape that survives 100 TB.
+    * Fewer than k distinct values ⇒ the buffer is the exact distinct set,
+    * so the estimate degrades to the exact count by construction. */
   def distinctEstimate(df: DataFrame, groupCol: String, valueCol: String,
       k: Int = 64): DataFrame = {
-    val hashed = df.select(col(groupCol), Dedup.h32(col(valueCol)).as("h")).distinct()
-    val w = Window.partitionBy(groupCol).orderBy(col("h"))
-    val ranked = hashed.withColumn("rn", row_number().over(w))
-    val exact = hashed.groupBy(groupCol).agg(count(lit(1)).as("exact_distinct"))
-    ranked.filter(col("rn") === k)
-      .select(col(groupCol), ((lit((k - 1).toDouble) * HashSpace) / col("h")).as("kmv_estimate"))
-      .join(exact, Seq(groupCol), "right_outer")
-      // groups with < k distinct values are exact by definition
-      .withColumn("kmv_estimate",
-        coalesce(col("kmv_estimate"), col("exact_distinct").cast("double")))
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    df.select(col(groupCol), Dedup.h32(col(valueCol)).as("h"))
+      .groupBy(groupCol)
+      .agg(expr(s"kmv_sketch(h, $k)").as("mins"))
+      .select(col(groupCol),
+        when(size(col("mins")) < k, size(col("mins")).cast("double"))
+          .otherwise(lit((k - 1).toDouble * HashSpace) / element_at(col("mins"), k))
+          .as("kmv_estimate"))
   }
 }

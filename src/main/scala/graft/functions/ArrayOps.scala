@@ -117,5 +117,8 @@ object GraftFunctions {
       exprs => MinHashSketch(exprs.head,
         graft.ext.Dedup.MinhashA, graft.ext.Dedup.MinhashB,
         graft.ext.Dedup.MinhashP), "scala_udf")
+    reg.createOrReplaceTempFunction("kmv_sketch",
+      exprs => KmvSketchAgg(exprs(0),
+        exprs(1).eval(InternalRow.empty).asInstanceOf[Number].intValue()), "scala_udf")
   }
 }

@@ -337,15 +337,17 @@ losers AS (SELECT DISTINCT p.id_b AS doc_id
 SELECT doc_id FROM ek
 WHERE doc_id NOT IN (SELECT doc_id FROM losers)""",
 
+    // DuckDB may compute the k-th smallest any way it likes (rank over all
+    // distinct hashes); the ENGINE side uses the bounded-buffer KmvSketchAgg
+    // — both resolve to the same h_64, so the estimates agree bit-for-bit.
     "q_text_kmv" -> s"""WITH hashed AS (
   SELECT DISTINCT source, ${oh32("tok")} AS h
   FROM (SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents)),
 ranked AS (SELECT source, h, row_number() OVER (PARTITION BY source ORDER BY h) AS rn
            FROM hashed),
-exact AS (SELECT source, count(*) AS exact_distinct FROM hashed GROUP BY source)
+exact AS (SELECT source, count(*) AS nd FROM hashed GROUP BY source)
 SELECT e.source,
-  coalesce((63.0 * 4294967296.0) / r.h, CAST(e.exact_distinct AS DOUBLE)) AS kmv_estimate,
-  e.exact_distinct
+  coalesce((63.0 * 4294967296.0) / r.h, CAST(e.nd AS DOUBLE)) AS kmv_estimate
 FROM exact e LEFT JOIN (SELECT source, h FROM ranked WHERE rn = 64) r
   ON e.source = r.source""",
 

@@ -165,6 +165,31 @@ class TextAnalysisSpec extends AnyFunSuite {
     val fps = df.select(TextAnalysis.fingerprint(col("text"))).as[String].collect()
     assert(fps(0) == fps(1))
   }
+
+  test("KMV bounded buffer == naive k-smallest distinct; below k the estimate is exact") {
+    // many partitions so map-side partial sketches actually merge
+    val toks = (1L to 2000L).map(i => (i % 4, s"t${i % (100 + 37 * (i % 4))}"))
+    val df = spark.createDataFrame(toks).toDF("source", "tok").repartition(8)
+    val k = 16
+    val got = KmvSketch.distinctEstimate(df, "source", "tok", k)
+      .as[(Long, Double)].collect().toMap
+    // naive reference: k-th smallest distinct h32 per group, driver-side
+    val h32 = (s: String) => java.lang.Long.parseLong(
+      org.apache.commons.codec.digest.DigestUtils.md5Hex(s).substring(0, 8), 16)
+    toks.groupBy(_._1).foreach { case (g, rows) =>
+      val hs = rows.map(r => h32(r._2)).distinct.sorted
+      val expected =
+        if (hs.size < k) hs.size.toDouble
+        else (k - 1).toDouble * 4294967296.0 / hs(k - 1)
+      assert(got(g) == expected, s"group $g")
+    }
+    // sanity: the estimate lands in the right ballpark (k=16 ⇒ ~27% std
+    // error; bound at 3x to keep the test variance-proof)
+    toks.groupBy(_._1).foreach { case (g, rows) =>
+      val nd = rows.map(_._2).distinct.size
+      assert(got(g) > nd / 3.0 && got(g) < nd * 3.0, s"group $g: est=${got(g)} true=$nd")
+    }
+  }
 }
 
 class SkewSpec extends AnyFunSuite {

@@ -109,6 +109,19 @@ class PlanQualitySpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
   }
 
+  test("KMV sketch plans ONE partial-aggregated groupBy: no Window, no sort, no second distinct pass") {
+    val docs = (1L to 50L).map(i => (i % 3, s"tok${i % 7} tok${i % 11} tok$i"))
+      .toDF("source", "text")
+      .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+    val plan = graft.ext.KmvSketch.distinctEstimate(docs, "source", "tok", k = 8)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"KMV must not rank all hashes:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastHashJoin"),
+      s"KMV must not join an exact-distinct pass:\n$plan")
+    assert(plan.contains("kmvsketchagg") || plan.toLowerCase.contains("kmv"),
+      s"expected the sketch aggregate in the plan:\n$plan")
+  }
+
   test("native array expressions participate in codegen (no Scala UDF nodes)") {
     val prep = graft.ext.Similarity.prepare(
       spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet"),
