@@ -85,6 +85,76 @@ object PushdownSql {
   def sequenceBump(tableId: Int, maxRecId: Long): String =
     s"ALTER SEQUENCE [SEQ_$tableId] RESTART WITH ${maxRecId + 10000}"
 
+  /** Trigger-toggle DDL timeout: the ALTER takes a schema lock, and on a
+    * live target another session's long transaction can block it forever —
+    * the reference caps it at 120 s while the data statements keep the
+    * configured command timeout (AxDbDataService.cs:14-17). */
+  val TriggerCommandTimeoutSeconds = 120
+
+  /** Trigger guard around every apply: disabled BEFORE any delete/insert,
+    * re-enabled ALWAYS — including after rollback — and harmless when the
+    * table has no triggers (AxDbDataService.cs:121-124, :315-318, :369-371). */
+  def disableTriggers(table: String): String =
+    s"ALTER TABLE ${bracket(table)} DISABLE TRIGGER ALL"
+  def enableTriggers(table: String): String =
+    s"ALTER TABLE ${bracket(table)} ENABLE TRIGGER ALL"
+
+  /** The incremental apply as ONE transactional statement script (D5,
+    * CopyOrchestrator.cs:1053-1232) adapted to a distributed loader:
+    * Spark bulk-APPENDS the control keys and the insert rows into staging
+    * tables first (outside the transaction — loading is parallel and
+    * idempotent), then this script applies the whole visible change
+    * atomically: triggers off → 3 staged deletes (J4 / local purge / J3) →
+    * set-based insert from staging → sequence bump → triggers on → commit.
+    * On error the caller rolls back and re-enables triggers
+    * ([[rollbackScript]]) — the reference's finally-block ordering.
+    *
+    * Atomicity is strictly better than the reference's (which holds its
+    * SqlTransaction open across client-side SqlBulkCopy batches): here the
+    * transaction contains only server-side set operations. */
+  def incrementalApplyScript(
+      table: String, controlStaging: String, dataStaging: String,
+      tier2TsHex: String, axdbTsHex: String,
+      tableId: Int, maxRecId: Long, fields: Seq[String]): Seq[String] =
+    Seq("BEGIN TRANSACTION", disableTriggers(table)) ++
+      stagedDeletes(table, controlStaging, tier2TsHex, axdbTsHex) ++
+      Seq(
+        s"INSERT INTO ${bracket(table)} (${fieldList(fields)}) " +
+          s"SELECT ${fieldList(fields)} FROM ${bracket(dataStaging)}",
+        sequenceBump(tableId, maxRecId),
+        enableTriggers(table),
+        "COMMIT TRANSACTION")
+
+  /** Changeset-driven variant of [[incrementalApplyScript]]: when the
+    * engine has already resolved the key algebra into a ChangeSet
+    * (tombstone keys + insert rows), the server-side apply collapses to ONE
+    * staged-key delete + one insert-select — fewer statements than the
+    * reference's three set deletes, same end state. */
+  def changeSetApplyScript(
+      table: String, keyStaging: String, dataStaging: String,
+      tableId: Int, maxRecId: Long, fields: Seq[String]): Seq[String] =
+    Seq(
+      "BEGIN TRANSACTION",
+      disableTriggers(table),
+      s"DELETE t FROM ${bracket(table)} t WHERE EXISTS " +
+        s"(SELECT 1 FROM ${bracket(keyStaging)} k WHERE k.RecId = t.RecId)",
+      s"INSERT INTO ${bracket(table)} (${fieldList(fields)}) " +
+        s"SELECT ${fieldList(fields)} FROM ${bracket(dataStaging)}",
+      sequenceBump(tableId, maxRecId),
+      enableTriggers(table),
+      "COMMIT TRANSACTION")
+
+  /** Error path: roll the transaction back, then re-enable triggers OUTSIDE
+    * it (a rollback would undo an in-transaction re-enable; the reference
+    * re-enables in its finally block with errors ignored,
+    * AxDbDataService.cs:160-168). */
+  def rollbackScript(table: String): Seq[String] =
+    Seq("ROLLBACK TRANSACTION", enableTriggers(table))
+
+  /** S14 — control staging table DDL (AxDbDataService.cs:1185-1212). */
+  def controlStagingDdl(name: String): String =
+    s"CREATE TABLE ${bracket(name)} (RecId BIGINT NOT NULL PRIMARY KEY, SysRowVersion BINARY(8) NOT NULL)"
+
   /** Truncate with DELETE fallback (errors 4712/3732, AxDbDataService.cs:450-471). */
   def truncate(table: String): String = s"TRUNCATE TABLE ${bracket(table)}"
   def truncateFallback(table: String): String = s"DELETE FROM ${bracket(table)}"

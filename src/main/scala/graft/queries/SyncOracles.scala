@@ -9,38 +9,54 @@ package graft.queries
   */
 object SyncOracles {
 
-  /** Shared fixture CTE prefix (unused CTEs are free in DuckDB). */
-  val prefix: String = """WITH li AS (
+  /** DuckDB twin of SyncFixtures.widePayload: 32 md5 blocks of the decimal
+    * string of SysRowVersion+j (~1 KB/row, version-dependent). */
+  private val payloadSql: String =
+    (0 until graft.sync.SyncFixtures.PayloadBlocks)
+      .map(j => s"md5(CAST(SysRowVersion + $j AS VARCHAR))")
+      .mkString(" || ")
+
+  /** Shared fixture CTE prefix (unused CTEs are free in DuckDB, and the
+    * payload layer is projection-pruned unless a query reads it). */
+  val prefix: String = s"""WITH li AS (
   SELECT *, ((l_orderkey * 8 + l_linenumber) * 262144 + l_partkey) * 2048 + l_suppkey AS RecId
   FROM lineitem
 ), mark AS (
   SELECT max(RecId) AS stored_mark FROM li
-), src AS (
+), src0 AS (
   SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_returnflag, RecId,
          RecId + CASE WHEN RecId % 20 = 3 THEN 10000000000000000 ELSE 0 END AS SysRowVersion,
          CASE WHEN RecId % 20 = 3 THEN 2 ELSE 1 END AS RECVERSION,
          l_shipdate AS CREATEDDATETIME,
          CASE WHEN RecId % 20 = 3 THEN l_shipdate + INTERVAL 30 DAY ELSE l_shipdate END AS MODIFIEDDATETIME
   FROM li WHERE RecId % 97 <> 0
-), tgt AS (
+), src AS (
+  SELECT *, $payloadSql AS payload FROM src0
+), tgt0 AS (
   SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_returnflag, RecId,
          RecId + CASE WHEN RecId % 131 = 5 THEN 20000000000000000 ELSE 0 END AS SysRowVersion,
          1 AS RECVERSION,
          l_shipdate AS CREATEDDATETIME,
          l_shipdate AS MODIFIEDDATETIME
   FROM li WHERE RecId % 89 <> 0
-), src50 AS (
+), tgt AS (
+  SELECT *, $payloadSql AS payload FROM tgt0
+), src50_0 AS (
   SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_returnflag, RecId,
          RecId + CASE WHEN RecId % 2 = 1 THEN 10000000000000000 ELSE 0 END AS SysRowVersion,
          CASE WHEN RecId % 2 = 1 THEN 2 ELSE 1 END AS RECVERSION,
          l_shipdate AS CREATEDDATETIME,
          CASE WHEN RecId % 2 = 1 THEN l_shipdate + INTERVAL 30 DAY ELSE l_shipdate END AS MODIFIEDDATETIME
   FROM li WHERE 1 = 1
-), perf AS (
+), src50 AS (
+  SELECT *, $payloadSql AS payload FROM src50_0
+), perf0 AS (
   SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_returnflag, RecId,
          RecId AS SysRowVersion, 1 AS RECVERSION,
          l_shipdate AS CREATEDDATETIME, l_shipdate AS MODIFIEDDATETIME
   FROM li
+), perf AS (
+  SELECT *, $payloadSql AS payload FROM perf0
 )
 """
 
@@ -78,6 +94,9 @@ FROM (SELECT count(*) AS source_window,
 
     "q_s7_control" ->
       (prefix + "SELECT RecId, SysRowVersion FROM src ORDER BY RecId DESC LIMIT 5000"),
+
+    "q_fixture_payload" ->
+      (prefix + "SELECT RecId, payload FROM src ORDER BY RecId DESC LIMIT 2000"),
 
     "q_s8_delta" ->
       (prefix + """SELECT RecId, SysRowVersion, RECVERSION FROM src

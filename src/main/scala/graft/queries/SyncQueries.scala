@@ -35,6 +35,12 @@ object SyncQueries {
     "q_s7_control" -> ((s, d) =>
       Extract.controlFetch(SyncFixtures.source(s, d), 5000)),
 
+    // fixture lockstep proof for the ~1 KB wide payload (the bench scenarios
+    // depend on it carrying real bytes; this pins Spark == DuckDB derivation)
+    "q_fixture_payload" -> ((s, d) =>
+      Extract.topNByKey(SyncFixtures.source(s, d), 2000)
+        .select("RecId", "payload")),
+
     // S8 — timestamp-delta fetch (>= over-fetch semantics)
     "q_s8_delta" -> ((s, d) =>
       Extract.deltaFetch(SyncFixtures.source(s, d), mark(s, d), 0L, 2000000)

@@ -68,7 +68,18 @@ object IoMeter {
     * inputMetrics don't attribute vectorized parquet reads on the local
     * filesystem, and `filesSize` ignores pruning — the footer is the
     * ground truth a scan pays per column. */
-  def parquetColumnBytes(dir: String, cols: Seq[String] = Nil): Long = {
+  def parquetColumnBytes(dir: String, cols: Seq[String] = Nil): Long =
+    parquetColumnBytesWhere(dir, cols, None)
+
+  /** Like [[parquetColumnBytes]], but when `minMax` = (statsCol, threshold)
+    * is given, counts ONLY row groups whose statsCol max ≥ threshold — i.e.
+    * the bytes a `statsCol >= threshold` scan actually fetches after
+    * row-group min/max skipping. This is how the delta-fetch cost is
+    * measured honestly on a version-clustered layout: the footer stats ARE
+    * the pruning the reader performs. */
+  def parquetColumnBytesWhere(
+      dir: String, cols: Seq[String] = Nil,
+      minMax: Option[(String, Long)] = None): Long = {
     import scala.jdk.CollectionConverters._
     val conf = new org.apache.hadoop.conf.Configuration()
     val wanted = cols.map(_.toLowerCase).toSet
@@ -83,7 +94,22 @@ object IoMeter {
         new org.apache.hadoop.fs.Path(f.getPath), conf)
       val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
       try {
-        reader.getFooter.getBlocks.asScala.flatMap(_.getColumns.asScala)
+        reader.getFooter.getBlocks.asScala
+          .filter { b =>
+            minMax.forall { case (statsCol, thr) =>
+              b.getColumns.asScala
+                .find(_.getPath.iterator().next().equalsIgnoreCase(statsCol))
+                .forall { c =>
+                  val st = c.getStatistics
+                  st == null || !st.hasNonNullValue ||
+                    (st.genericGetMax match {
+                      case l: java.lang.Long => l >= thr
+                      case _ => true // non-INT64 stats: assume scanned
+                    })
+                }
+            }
+          }
+          .flatMap(_.getColumns.asScala)
           .filter(c => wanted.isEmpty ||
             wanted.contains(c.getPath.iterator().next().toLowerCase))
           .map(_.getTotalSize).sum

@@ -47,14 +47,23 @@ final class SyncRunner(
     failFast: Boolean = true,
     compactEvery: Int = 8) {
 
-  /** One table's lake-to-lake sync unit: where to read, where to write. */
+  /** One table's sync unit. The default pair is lake→lake (parquet source,
+    * [[LakeTable]] target); `sourceOverride`/`applierOverride` swap in any
+    * [[TableSource]]/[[TableApplier]] — e.g. the JDBC edges — without
+    * touching the runner (the Source/Applier seam). */
   final case class TablePlan(
       name: String,
       sourcePath: String,
       targetPath: String,
       strategy: FetchStrategy = FetchStrategy.TopNByKey(Long.MaxValue),
       keyCol: String = "RecId",
-      versionCol: String = "SysRowVersion")
+      versionCol: String = "SysRowVersion",
+      sourceOverride: Option[TableSource] = None,
+      applierOverride: Option[TableApplier] = None) {
+    def source: TableSource = sourceOverride.getOrElse(ParquetSource(sourcePath))
+    def applier: TableApplier =
+      applierOverride.getOrElse(LakeApplier(targetPath, compactEvery))
+  }
 
   def runAll(plans: Seq[TablePlan]): Seq[SyncReport] = {
     val queue = new ConcurrentLinkedQueue[TablePlan]()
@@ -101,7 +110,7 @@ final class SyncRunner(
   def runTable(plan: TablePlan): SyncReport = {
     val t0 = System.nanoTime()
     try {
-      val source = spark.read.parquet(plan.sourcePath)
+      val source = plan.source.load(spark)
       val marks = store.get(plan.name)
       val srcMark = marks.flatMap(_.sourceVersion)
       val tgtMark = marks.flatMap(_.targetVersion)
@@ -114,7 +123,7 @@ final class SyncRunner(
       }
 
       val (mode, metrics) =
-        if (!LakeTable.exists(plan.targetPath) || srcMark.isEmpty || !strategySupportsOptimized)
+        if (!plan.applier.exists || srcMark.isEmpty || !strategySupportsOptimized)
           // first run / corrupt or missing marks / strategy opt-out ⇒ STANDARD
           (SyncMode.Standard, syncStandard(plan, source))
         else
@@ -136,23 +145,69 @@ final class SyncRunner(
       case _ => source
     }
 
-  /** O4/O5/O6: control-pass-first routing. The checksum probe settles the
-    * perfect-sync case with two shuffle-free 16 B/row scans; only a real
-    * difference pays the full-outer flags join, whose single aggregate then
-    * feeds BOTH the cost-model decision and the mark bookkeeping. */
+  /** O4/O5/O6: control-pass-first routing, three tiers by drift shape:
+    *
+    *  1. perfect sync (pair checksums match)          → NOOP, zero work
+    *  2. update-only drift (key sets match, no local
+    *     edits)                                       → filters + broadcast
+    *                                                    semi-join, no wide
+    *                                                    shuffle at all
+    *  3. anything else (inserts/deletes/local edits)  → exact full-outer
+    *                                                    flags join
+    *
+    * Tiers 1-2 cover the steady-state cadence a sync tool actually runs at
+    * (nothing changed / rows changed in place); tier 3 is the general case
+    * and the only one that pays a key-set shuffle. All three are decided by
+    * ONE two-scan probe over ~16 B/row control columns. */
   private def syncOptimized(
       plan: TablePlan, source: DataFrame,
       srcMark: Long, tgtMark: Long): (SyncMode, SyncMetrics) = {
     val k = plan.keyCol; val v = plan.versionCol
     val control = windowed(source, plan).select(k, v)
-    val targetKV = LakeTable.read(spark, plan.targetPath, k).select(k, v)
+    val targetKV = plan.applier.current(spark, k).select(k, v)
 
-    val pr = Planner.probe(control, targetKV, srcMark, k, v)
+    val pr = Planner.probe(control, targetKV, srcMark, tgtMark, k, v)
     if (pr.inSync) {
       // O5 NOOP: zero writes; marks refresh from the probe's own aggregates
       // (srcMark is already ≥ every control version since changed == 0)
       store.putVersions(plan.name, srcMark, tgtMark, pr.maxKey)
       return (SyncMode.Noop, SyncMetrics(unchanged = pr.sourceWindow))
+    }
+
+    if (pr.keysInSync && pr.localMut == 0) {
+      // tier 2: identical key sets ⇒ missing = 0 and not-in-window = 0, so
+      // the probe alone fully determines the cost-model stats — no join
+      val stats = Planner.ChangeStats(
+        sourceWindow = pr.sourceWindow, targetCount = pr.targetCount,
+        changed = pr.changed, missing = 0)
+      return Planner.decide(stats, hasStoredMarks = true,
+        strategySupportsOptimized = true, truncateThresholdPct) match {
+        case SyncMode.Noop =>
+          // versions drifted below the mark on equal key sets: the reference
+          // cost model calls this in-sync too (its missing check is key-based)
+          store.putVersions(plan.name, srcMark, tgtMark, pr.maxKey)
+          (SyncMode.Noop, SyncMetrics(unchanged = stats.sourceWindow,
+            excessPercent = stats.excessPercent))
+        case SyncMode.Truncate =>
+          val window = windowed(source, plan)
+          plan.applier.overwrite(window)
+          val mv = pr.maxVersion.getOrElse(srcMark)
+          store.putVersions(plan.name, mv, mv, pr.maxKey)
+          (SyncMode.Truncate, SyncMetrics(
+            modified = stats.changed, changePercent = stats.changePercent,
+            excessPercent = stats.excessPercent))
+        case _ =>
+          val cs = Apply.updateOnlyChangeSet(windowed(source, plan), control, srcMark, k, v,
+            changedCount = pr.changed)
+          plan.applier.applyChangeSet(cs, spark, k)
+          // inserts are exactly the changed rows: their max version is the
+          // control max, so both marks advance to it
+          val mv = pr.maxVersion.getOrElse(srcMark)
+          store.putVersions(plan.name, mv, math.max(tgtMark, mv), pr.maxKey)
+          (SyncMode.Incremental, SyncMetrics(
+            modified = stats.changed, changePercent = stats.changePercent,
+            excessPercent = stats.excessPercent))
+      }
     }
 
     val flags = Apply.incrementalFlags(control, targetKV, srcMark, tgtMark, k, v)
@@ -186,7 +241,7 @@ final class SyncRunner(
 
         case SyncMode.Truncate =>
           val window = windowed(source, plan)
-          LakeTable.overwrite(window, plan.targetPath)
+          plan.applier.overwrite(window)
           // target == window now, on both sides of the mark ledger
           store.putVersions(plan.name, maxCv, maxCv, maxKey)
           (SyncMode.Truncate, SyncMetrics(
@@ -200,9 +255,7 @@ final class SyncRunner(
           val minMissingCv = if (a.isNullAt(4)) srcMark else a.getLong(4)
           val threshold = math.min(minMissingCv, srcMark)
           val cs = Apply.changeSetFromFlags(windowed(source, plan), flags, threshold, k, v)
-          LakeTable.appendCommit(cs, plan.targetPath)
-          if (LakeTable.pendingCommits(plan.targetPath) >= compactEvery)
-            LakeTable.compact(spark, plan.targetPath, k)
+          plan.applier.applyChangeSet(cs, spark, k)
           // mark arithmetic (no target re-read): purge removed every target
           // version > tgtMark, inserts top out at max_insert_cv
           val maxInsertCv = if (a.isNullAt(5)) tgtMark else a.getLong(5)
@@ -221,10 +274,10 @@ final class SyncRunner(
   private def syncStandard(plan: TablePlan, source: DataFrame): SyncMetrics = {
     val window = windowed(source, plan)
     val newTarget =
-      if (!LakeTable.exists(plan.targetPath)) window
+      if (!plan.applier.exists) window
       else Apply.applyWindowStandard(
-        window, LakeTable.read(spark, plan.targetPath, plan.keyCol), plan.keyCol)
-    LakeTable.overwrite(newTarget, plan.targetPath)
+        window, plan.applier.current(spark, plan.keyCol), plan.keyCol)
+    plan.applier.overwrite(newTarget)
 
     val w = window.agg(
       max(col(plan.versionCol)).as("v"), max(col(plan.keyCol)).as("k"),
@@ -232,8 +285,8 @@ final class SyncRunner(
     if (!w.isNullAt(0)) {
       // target-side max from the snapshot we just committed (our own write,
       // so consistent by construction — NOT a live-source re-read)
-      val base = LakeTable.resolve(plan.targetPath).get._1
-      val tv = spark.read.parquet(base).agg(max(col(plan.versionCol))).head()
+      val tv = plan.applier.current(spark, plan.keyCol)
+        .agg(max(col(plan.versionCol))).head()
       store.putVersions(plan.name, w.getLong(0),
         if (tv.isNullAt(0)) w.getLong(0) else tv.getLong(0), Some(w.getLong(1)))
     }

@@ -64,21 +64,31 @@ object Planner {
     ChangeStats(sourceWindow, targetCount, changed, sourceWindow - present)
   }
 
-  /** Result of the shuffle-free NOOP probe: per-side counts, the source-side
-    * changed count, an order-independent (key, version) set checksum per
-    * side, and the window maxes the mark save needs. */
+  /** Result of the shuffle-free sync probe: per-side counts, the source-side
+    * changed count, order-independent set checksums per side at two
+    * granularities — (key, version) pairs and keys alone — the target-side
+    * local-mutation count, and the window maxes the mark save needs. */
   final case class SyncProbe(
       sourceWindow: Long,
       changed: Long,
       targetCount: Long,
-      sourceCheck: BigDecimal,
-      targetCheck: BigDecimal,
+      pairCheckSource: BigDecimal,
+      pairCheckTarget: BigDecimal,
+      keyCheckSource: BigDecimal,
+      keyCheckTarget: BigDecimal,
+      localMut: Long,
       maxVersion: Option[Long],
       maxKey: Option[Long]) {
     /** True ⇒ the (key, version) sets are identical on both sides and no
       * source version passed the stored mark — the perfect-sync case. */
     def inSync: Boolean =
-      changed == 0 && sourceWindow == targetCount && sourceCheck == targetCheck
+      changed == 0 && sourceWindow == targetCount && pairCheckSource == pairCheckTarget
+    /** True ⇒ the KEY sets are identical (versions may differ): no missing
+      * keys, no not-in-window keys — an update-only drift. With localMut==0
+      * the whole incremental changeset reduces to filters + one broadcast
+      * semi-join ([[Apply.updateOnlyChangeSet]]); no wide join needed. */
+    def keysInSync: Boolean =
+      sourceWindow == targetCount && keyCheckSource == keyCheckTarget
   }
 
   /** O5 perfect-sync short-circuit WITHOUT a join: two column-pruned scans
@@ -101,24 +111,37 @@ object Planner {
       control: DataFrame,
       targetKV: DataFrame,
       sourceMark: Long,
+      targetMark: Long,
       keyCol: String = "RecId",
       versionCol: String = "SysRowVersion"): SyncProbe = {
-    def check = coalesce(
-      sum(expr(s"xxhash64($keyCol, $versionCol)").cast("decimal(38,0)")),
-      lit(0).cast("decimal(38,0)"))
-    val c = control.agg(
-      count(lit(1)).as("n"),
-      coalesce(sum(when(col(versionCol) > lit(sourceMark), 1L).otherwise(0L)), lit(0L)).as("chg"),
-      check.as("ck"),
-      max(col(versionCol)).as("mv"),
-      max(col(keyCol)).as("mk")).head()
-    val t = targetKV.agg(count(lit(1)).as("n"), check.as("ck")).head()
+    // ONE job: union the two sides with a tag and aggregate per side — both
+    // scans run in a single stage (two map-side partial-agg branches, a
+    // 2-group final agg), halving the fixed job latency a NOOP pays
+    val isSrc = col("_side") === 0
+    def check(cond: org.apache.spark.sql.Column, e: String) = coalesce(
+      sum(when(cond, expr(e).cast("decimal(38,0)"))), lit(0).cast("decimal(38,0)"))
+    def cnt(cond: org.apache.spark.sql.Column) =
+      coalesce(sum(when(cond, 1L).otherwise(0L)), lit(0L))
+    val r = control.select(col(keyCol), col(versionCol), lit(0).as("_side"))
+      .unionByName(targetKV.select(col(keyCol), col(versionCol), lit(1).as("_side")))
+      .agg(
+        cnt(isSrc).as("cn"),
+        cnt(isSrc && col(versionCol) > lit(sourceMark)).as("chg"),
+        cnt(!isSrc).as("tn"),
+        cnt(!isSrc && col(versionCol) > lit(targetMark)).as("lm"),
+        check(isSrc, s"xxhash64($keyCol, $versionCol)").as("cpck"),
+        check(!isSrc, s"xxhash64($keyCol, $versionCol)").as("tpck"),
+        check(isSrc, s"xxhash64($keyCol)").as("ckck"),
+        check(!isSrc, s"xxhash64($keyCol)").as("tkck"),
+        max(when(isSrc, col(versionCol))).as("mv"),
+        max(when(isSrc, col(keyCol))).as("mk")).head()
     SyncProbe(
-      sourceWindow = c.getLong(0), changed = c.getLong(1),
-      targetCount = t.getLong(0),
-      sourceCheck = BigDecimal(c.getDecimal(2)), targetCheck = BigDecimal(t.getDecimal(1)),
-      maxVersion = if (c.isNullAt(3)) None else Some(c.getLong(3)),
-      maxKey = if (c.isNullAt(4)) None else Some(c.getLong(4)))
+      sourceWindow = r.getLong(0), changed = r.getLong(1),
+      targetCount = r.getLong(2), localMut = r.getLong(3),
+      pairCheckSource = BigDecimal(r.getDecimal(4)), pairCheckTarget = BigDecimal(r.getDecimal(5)),
+      keyCheckSource = BigDecimal(r.getDecimal(6)), keyCheckTarget = BigDecimal(r.getDecimal(7)),
+      maxVersion = if (r.isNullAt(8)) None else Some(r.getLong(8)),
+      maxKey = if (r.isNullAt(9)) None else Some(r.getLong(9)))
   }
 
   def decide(

@@ -146,6 +146,25 @@ class ApplySpec extends AnyFunSuite {
     assert(contents(out) == Set((5L, 1L, "old5"), (10L, 1L, "w10"), (11L, 1L, "w11")))
   }
 
+  test("update-only fast tier == general incremental when key sets match (tier-2 equivalence)") {
+    // equal key sets, 2 of 6 rows version-bumped at source, no local edits
+    val source = t((1L to 6L).map(i =>
+      if (i % 3 == 0) (i, i + 1000L, s"new$i") else (i, i, s"old$i")))
+    val control = source.select("RecId", "SysRowVersion")
+    val target = t((1L to 6L).map(i => (i, i, s"old$i")))
+    val mark = 6L
+    val fast = Apply.updateOnlyChangeSet(source, control, mark)
+    val general = Apply.incrementalChangeSet(source, control, target, mark, mark)
+    assert(fast.deleteKeys.as[Long].collect().toSet ==
+      general.deleteKeys.as[Long].collect().toSet)
+    assert(contents(fast.inserts) == contents(general.inserts))
+    // and applying the fast changeset converges target to source
+    val applied = target
+      .join(fast.deleteKeys, Seq("RecId"), "left_anti")
+      .unionByName(fast.inserts.select(target.columns.map(col): _*))
+    assert(contents(applied) == contents(source))
+  }
+
   test("windowed standard: EMPTY window is a no-op, not a target wipe (ADVICE r1)") {
     val window = t(Seq.empty)
     val target = t(Seq((5L, 1L, "old5"), (10L, 1L, "old10")))
@@ -196,14 +215,19 @@ class PlannerSpec extends AnyFunSuite {
     import spark.implicits._
     val a = Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("RecId", "SysRowVersion")
     val same = Seq((3L, 30L), (1L, 10L), (2L, 20L)).toDF("RecId", "SysRowVersion")
-    assert(probe(a, same, sourceMark = 100L).inSync)
-    // no shuffle in the probe's plans: it is two map-side aggregates
-    // (single-partition final agg only — no exchange keyed on data)
+    assert(probe(a, same, sourceMark = 100L, targetMark = 100L).inSync)
     val verChanged = Seq((1L, 10L), (2L, 21L), (3L, 30L)).toDF("RecId", "SysRowVersion")
     val keyMissing = Seq((1L, 10L), (2L, 20L)).toDF("RecId", "SysRowVersion")
-    assert(!probe(a, verChanged, 100L).inSync) // same count, version differs
-    assert(!probe(a, keyMissing, 100L).inSync) // count differs
-    val p = probe(verChanged, verChanged, sourceMark = 20L)
+    // same count + same keys, version differs: pairs differ, keys match —
+    // the update-only tier's signature
+    val pu = probe(a, verChanged, 100L, 100L)
+    assert(!pu.inSync && pu.keysInSync && pu.localMut == 0)
+    // missing key: neither pair nor key checksums match
+    val pm = probe(a, keyMissing, 100L, 100L)
+    assert(!pm.inSync && !pm.keysInSync)
+    // local mutation: target versions above the target mark are counted
+    assert(probe(a, verChanged, 100L, targetMark = 20L).localMut == 2)
+    val p = probe(verChanged, verChanged, sourceMark = 20L, targetMark = 100L)
     assert(!p.inSync && p.changed == 2) // changed-vs-mark trips even when sides match
     assert(p.maxVersion.contains(30L) && p.maxKey.contains(3L))
   }

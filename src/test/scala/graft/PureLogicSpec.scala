@@ -271,4 +271,69 @@ class PushdownSqlSpec extends AnyFunSuite {
   test("sequence bump +10000 (AxDbDataService.cs:12)") {
     assert(sequenceBump(123, 5000) == "ALTER SEQUENCE [SEQ_123] RESTART WITH 15000")
   }
+
+  test("golden: trigger guard DDL + 120s toggle timeout (AxDbDataService.cs:122,316, :14-17)") {
+    assert(disableTriggers("CUSTTABLE") == "ALTER TABLE [CUSTTABLE] DISABLE TRIGGER ALL")
+    assert(enableTriggers("CUSTTABLE") == "ALTER TABLE [CUSTTABLE] ENABLE TRIGGER ALL")
+    assert(TriggerCommandTimeoutSeconds == 120)
+  }
+
+  test("golden: transactional incremental apply script ordering (D5, CopyOrchestrator.cs:1053-1232)") {
+    val s = incrementalApplyScript("T", "#ctl", "#data", "0x01", "0x02",
+      tableId = 9, maxRecId = 100, fields = Seq("RECID", "NAME"))
+    assert(s.head == "BEGIN TRANSACTION" && s.last == "COMMIT TRANSACTION")
+    // triggers off BEFORE any delete, on AFTER the sequence bump, inside txn
+    assert(s.indexOf(disableTriggers("T")) == 1)
+    assert(s.indexWhere(_.startsWith("DELETE")) == 2)
+    assert(s.indexWhere(_.startsWith("INSERT INTO [T]")) == 5)
+    assert(s.indexOf(sequenceBump(9, 100)) == 6)
+    assert(s.indexOf(enableTriggers("T")) == s.size - 2)
+    // rollback path re-enables triggers AFTER the rollback (finally-block
+    // ordering: an in-transaction re-enable would be undone)
+    assert(rollbackScript("T") ==
+      Seq("ROLLBACK TRANSACTION", "ALTER TABLE [T] ENABLE TRIGGER ALL"))
+  }
+
+  test("golden: changeset apply script (staged keys + insert-select)") {
+    val s = changeSetApplyScript("T", "##k", "##d", 9, 100, Seq("RECID"))
+    assert(s == Seq(
+      "BEGIN TRANSACTION",
+      "ALTER TABLE [T] DISABLE TRIGGER ALL",
+      "DELETE t FROM [T] t WHERE EXISTS (SELECT 1 FROM [##k] k WHERE k.RecId = t.RecId)",
+      "INSERT INTO [T] ([RECID]) SELECT [RECID] FROM [##d]",
+      "ALTER SEQUENCE [SEQ_9] RESTART WITH 10100",
+      "ALTER TABLE [T] ENABLE TRIGGER ALL",
+      "COMMIT TRANSACTION"))
+  }
+
+  test("control staging DDL (S14, AxDbDataService.cs:1185-1212)") {
+    assert(controlStagingDdl("#Tier2Control") ==
+      "CREATE TABLE [#Tier2Control] (RecId BIGINT NOT NULL PRIMARY KEY, SysRowVersion BINARY(8) NOT NULL)")
+  }
+}
+
+class ApplierSeamSpec extends AnyFunSuite {
+  import graft.run.{JdbcApplier, LakeApplier}
+  import graft.jdbc.Jdbc
+
+  test("JdbcApplier emits the golden transactional scripts (compile + text check; no server here)") {
+    val app = JdbcApplier(
+      Jdbc.JdbcConfig("jdbc:sqlserver://host", "sa", "pw"),
+      table = "CUSTTABLE", tableId = 7, fields = Seq("RECID", "NAME"),
+      sourceMark = 0x12abL, targetMark = 0x34L)
+    val s = app.applyScript(maxRecId = 500)
+    assert(s.head == "BEGIN TRANSACTION" && s.last == "COMMIT TRANSACTION")
+    assert(s.exists(_.contains("##graft_CUSTTABLE_keys")))
+    assert(s.exists(_.contains("SEQ_7")))
+    val c = app.controlApplyScript(maxRecId = 500)
+    assert(c.exists(_.contains("SysRowVersion > 0x00000000000012ab")))
+    assert(c.exists(_.contains("t.SysRowVersion > 0x0000000000000034")))
+    assert(app.onErrorScript.head == "ROLLBACK TRANSACTION")
+  }
+
+  test("LakeApplier implements the applier contract over LakeTable") {
+    val app = LakeApplier(
+      java.nio.file.Files.createTempDirectory("graft_seam").toString + "/t")
+    assert(!app.exists)
+  }
 }

@@ -118,6 +118,20 @@ class RunnerSpec extends AnyFunSuite {
     assert(tgt.filter(col("RecId") > 500).count() == 5)
   }
 
+  test("Source/Applier seam: explicit trait overrides drive the same lifecycle") {
+    import graft.run.{LakeApplier, ParquetSource}
+    val (dir, store, runner) = newEnv()
+    val src = mkSource(dir, "ts", identity)
+    def plan = runner.TablePlan("TS", "ignored-path", "ignored-path",
+      sourceOverride = Some(ParquetSource(src)),
+      applierOverride = Some(LakeApplier(s"$dir/tgt_ts", compactEvery = 2)))
+    assert(runner.runAll(Seq(plan)).head.mode == SyncMode.Standard)
+    assert(runner.runAll(Seq(plan)).head.mode == SyncMode.Noop)
+    mkSource(dir, "ts", i => if (i % 20 == 3) i + 100000 else i)
+    assert(runner.runAll(Seq(plan)).head.mode == SyncMode.Incremental)
+    assert(LakeTable.read(spark, s"$dir/tgt_ts").count() == 500)
+  }
+
   test("multi-table parallel run; failure marks table not-ok, others keep state (D1/D3)") {
     val (dir, store, runner0) = newEnv()
     val runner = new SyncRunner(spark, store, parallelWorkers = 3, failFast = false)
