@@ -124,33 +124,38 @@ object Bench {
     // 5%-change incremental, production tier 2: probe detects equal key
     // sets → update-only changeset (filters + broadcast semi-join, no wide
     // shuffle) → delta commit of tombstone keys + changed rows only
+    // Write-bearing scenarios are timed THROUGH durability (write + sync):
+    // page-cache state varies wildly between phases on this box, so
+    // "write into cache" timings are incomparable — write+flush is the
+    // steady-state cost a real sync pays, measured identically everywhere.
     var incrWriteMb = 0.0
     val tIncr = best3 {
       val pr = Planner.probe(ctl(srcT), ctl(perfT), mark, mark)
       require(!pr.inSync && pr.keysInSync && pr.localMut == 0,
         "5% scenario must take the update-only tier")
-      val cs = Apply.updateOnlyChangeSet(srcT, ctl(srcT), mark,
-        changedCount = pr.changed)
+      val cs = Apply.updateOnlyChangeSet(srcT, ctl(srcT), mark)
       Apply.writeChangeSet(cs, s"$tmp/incr")
+      osSync()
     }
     incrWriteMb = dirMb(s"$tmp/incr/inserts") + dirMb(s"$tmp/incr/deletes")
-    // full reload: fetch everything, write everything (standard-mode cost).
-    // Single sync'd measurement (run-to-run spread ~5%), output dropped
-    // immediately — its GBs of dirty pages would tax everything after it.
+    // full reload: fetch everything, write everything (standard-mode cost);
+    // output dropped immediately after — its GBs of dirty pages would
+    // otherwise tax every later phase.
     osSync()
-    val tFull = time { srcT.write.mode("overwrite").parquet(s"$tmp/full") }
+    val tFull = time {
+      srcT.write.mode("overwrite").parquet(s"$tmp/full"); osSync()
+    }
     val fullWriteMb = dirMb(s"$tmp/full")
     rmRecF(new java.io.File(s"$tmp/full"))
     // ≥40%-change truncate mode: the control pass decides TRUNCATE (probe
     // with far-behind marks → 100% changed), then a full rewrite —
     // BASELINE invariant #4 (cost ≈ full reload + one control pass)
-    osSync()
     val tTrunc = time {
       val pr = Planner.probe(ctl(srcT), ctl(perfT), 0L, 0L)
       val stats = Planner.ChangeStats(pr.sourceWindow, pr.targetCount, pr.changed,
         missing = 0)
       require(Planner.decide(stats, hasStoredMarks = true) == graft.model.SyncMode.Truncate)
-      srcT.write.mode("overwrite").parquet(s"$tmp/trunc")
+      srcT.write.mode("overwrite").parquet(s"$tmp/trunc"); osSync()
     }
     rmRecF(new java.io.File(s"$tmp/trunc"))
     results("scn_full_reload") = tFull

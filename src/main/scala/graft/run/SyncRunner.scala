@@ -197,8 +197,7 @@ final class SyncRunner(
             modified = stats.changed, changePercent = stats.changePercent,
             excessPercent = stats.excessPercent))
         case _ =>
-          val cs = Apply.updateOnlyChangeSet(windowed(source, plan), control, srcMark, k, v,
-            changedCount = pr.changed)
+          val cs = Apply.updateOnlyChangeSet(windowed(source, plan), control, srcMark, k, v)
           plan.applier.applyChangeSet(cs, spark, k)
           // inserts are exactly the changed rows: their max version is the
           // control max, so both marks advance to it

@@ -180,37 +180,35 @@ object Apply {
   /** Update-only changeset — the checksum-verified fast tier: when the key
     * sets of control and target are IDENTICAL ([[Planner.SyncProbe.keysInSync]])
     * and no target row was locally mutated, there are no missing keys and no
-    * not-in-window keys, so the full-outer flags join degenerates to pure
-    * filters: deletes = inserts-keys = the changed keys (cv > sourceMark),
-    * fetch threshold = sourceMark. The only join left is the P6 re-filter —
-    * a semi-join against the ~change%-sized key set, which AQE broadcasts.
+    * not-in-window keys, so the whole changeset degenerates to ONE pruned
+    * scan with NO JOIN AT ALL:
     *
-    * This is the plan shape that makes a steady-state 5%-drift re-sync scale:
-    * ZERO wide shuffles — two 16 B/row probe scans, one pruned key scan, one
-    * pruned payload fetch. The exact flags join remains the fallback for any
-    * key-set difference (inserts/deletes at source, never-synced rows, local
-    * edits). Semantics proven equal to [[applyIncremental]] in ApplySpec.
+    *   inserts    = source rows with version > sourceMark   (the changes)
+    *   deleteKeys = keys(inserts)                           (replace-in-place)
+    *
+    * Why no join: `control` here is the (key, version) projection of
+    * `source` itself (the runner's S7 control pass), so the changed keys
+    * {k : v(k) > mark} are BY CONSTRUCTION the keys of the fetched rows —
+    * the S8 over-fetch (`>=`) and P6 key re-filter exist only to catch
+    * missing rows, of which tier 2 provably has none. The filter is a
+    * literal predicate, so a version-clustered layout prunes everything
+    * except the actually-changed row groups.
+    *
+    * This is the plan shape that makes a steady-state 5%-drift re-sync
+    * scale: ZERO shuffles and zero joins — one 16 B/row probe pass, one
+    * pruned fetch. The exact flags join remains the fallback for any
+    * key-set difference (inserts/deletes at source, never-synced rows,
+    * local edits). Semantics proven equal to [[applyIncremental]] in
+    * ApplySpec.
     */
-  /** Keys below this count get a STATIC broadcast hint in the tier-2 semi
-    * join: the caller knows the exact changed count from the probe, which is
-    * better information than AQE's post-shuffle estimate (and skips the
-    * pre-AQE sort-merge shuffle of the filtered wide rows entirely).
-    * 4M keys ≈ 32 MB hash build — comfortably inside executor memory. */
-  val BroadcastKeyLimit: Long = 4000000L
-
   def updateOnlyChangeSet(
       source: DataFrame,
       control: DataFrame,
       sourceMark: Long,
       keyCol: String = "RecId",
-      versionCol: String = "SysRowVersion",
-      changedCount: Long = Long.MaxValue): ChangeSet = {
-    val changedKeys = control.filter(col(versionCol) > lit(sourceMark)).select(keyCol)
-    val buildSide =
-      if (changedCount <= BroadcastKeyLimit) broadcast(changedKeys) else changedKeys
-    val inserts = source
-      .filter(col(versionCol) >= lit(sourceMark)) // S8 over-fetch, pushed to scan
-      .join(buildSide, Seq(keyCol), "left_semi")
+      versionCol: String = "SysRowVersion"): ChangeSet = {
+    val inserts = source.filter(col(versionCol) > lit(sourceMark))
+    val changedKeys = inserts.select(keyCol)
     ChangeSet(changedKeys, inserts, changedKeys)
   }
 

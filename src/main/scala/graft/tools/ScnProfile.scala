@@ -65,7 +65,7 @@ object ScnProfile {
     def osSync(): Unit = { new ProcessBuilder("sync").start().waitFor(); () }
     (1 to 3).foreach { i =>
       osSync()
-      val cs = Apply.updateOnlyChangeSet(srcT, ctl(srcT), mark, changedCount = 200000)
+      val cs = Apply.updateOnlyChangeSet(srcT, ctl(srcT), mark)
       time(s"  deletes write #$i") {
         cs.deleteKeys.write.mode("overwrite").parquet(s"$tmp/incr/deletes")
       }
@@ -76,7 +76,7 @@ object ScnProfile {
     (1 to 3).foreach { i =>
       osSync()
       time(s"updateOnly commit #$i") {
-        val cs = Apply.updateOnlyChangeSet(srcT, ctl(srcT), mark, changedCount = 200000)
+        val cs = Apply.updateOnlyChangeSet(srcT, ctl(srcT), mark)
         Apply.writeChangeSet(cs, s"$tmp/incr")
       }
     }
