@@ -48,12 +48,50 @@ object PostActions {
 
   /** S15 analog — snapshot export of the target table set (the lake's
     * COPY_ONLY backup): parquet copy into a date-tokened directory. */
-  def snapshot(spark: SparkSession, tablePaths: Seq[String], destPattern: String): String = {
+  def snapshot(spark: SparkSession, tablePaths: Seq[String], destPattern: String): String =
+    snapshotWithProgress(spark, tablePaths, destPattern, onProgress = (_, _) => ())
+
+  /** S15 with the reference's live progress surface: BackupService polls
+    * `sys.dm_exec_requests.percent_complete` every 20 s during the BACKUP
+    * (BackupService.cs:126-186); the lake analog polls the destination
+    * directory's byte count on a daemon thread against the source tables'
+    * total size. `onProgress(percent, bytesWritten)` fires once per poll
+    * tick and once at 100% on completion; the denominator is the source
+    * parquet footprint, so percent is an estimate exactly like the
+    * reference's (compressed BACKUP vs data size). */
+  def snapshotWithProgress(
+      spark: SparkSession,
+      tablePaths: Seq[String],
+      destPattern: String,
+      pollIntervalMs: Long = 20000, // 20 s, BackupService.cs:138
+      onProgress: (Double, Long) => Unit): String = {
     val dest = resolveDateTokens(destPattern)
-    tablePaths.foreach { p =>
-      val name = new java.io.File(p).getName
-      spark.read.parquet(p).write.mode("error").parquet(s"$dest/$name")
+    def dirBytes(f: java.io.File): Long =
+      if (f.isFile) f.length
+      else Option(f.listFiles).getOrElse(Array.empty).map(dirBytes).sum
+    val totalBytes = math.max(tablePaths.map(p => dirBytes(new java.io.File(p))).sum, 1L)
+
+    @volatile var running = true
+    val poller = new Thread(() => {
+      while (running) {
+        val written = dirBytes(new java.io.File(dest))
+        onProgress(math.min(written * 100.0 / totalBytes, 99.9), written)
+        try Thread.sleep(pollIntervalMs) catch { case _: InterruptedException => () }
+      }
+    }, "graft-snapshot-progress")
+    poller.setDaemon(true)
+    poller.start()
+    try {
+      tablePaths.foreach { p =>
+        val name = new java.io.File(p).getName
+        spark.read.parquet(p).write.mode("error").parquet(s"$dest/$name")
+      }
+    } finally {
+      running = false
+      poller.interrupt()
+      poller.join(1000)
     }
+    onProgress(100.0, dirBytes(new java.io.File(dest)))
     dest
   }
 

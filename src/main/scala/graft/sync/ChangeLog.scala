@@ -27,11 +27,19 @@ object ChangeLog {
   /** Append a changeset as the next numbered commit under `logDir`.
     * `minSeq` floors the numbering so sequence numbers stay monotonic after
     * a compaction advanced the table pointer (a lower-numbered commit would
-    * be invisible to `replay(fromSeq)`). */
+    * be invisible to `replay(fromSeq)`).
+    *
+    * Crash-atomic: the changeset is staged into a `.tmp-<n>` directory
+    * (invisible to [[replay]], which only picks integer-named dirs) and
+    * RENAMED into place as the last step — a crash mid-write leaves only a
+    * garbage tmp dir, never a half-commit that replay would apply. */
   def append(cs: Apply.ChangeSet, logDir: String, minSeq: Int = 0): Int = {
     new java.io.File(logDir).mkdirs()
     val next = math.max((commitSeqs(logDir) :+ (minSeq - 1)).max + 1, minSeq)
-    Apply.writeChangeSet(cs, s"$logDir/$next")
+    val staging = new java.io.File(s"$logDir/.tmp-$next")
+    Apply.writeChangeSet(cs, staging.getPath)
+    if (!staging.renameTo(new java.io.File(s"$logDir/$next")))
+      throw new java.io.IOException(s"commit rename failed: $staging -> $logDir/$next")
     next
   }
 

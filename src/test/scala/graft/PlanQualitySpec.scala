@@ -122,6 +122,29 @@ class PlanQualitySpec extends AnyFunSuite {
       s"expected the sketch aggregate in the plan:\n$plan")
   }
 
+  test("tier-2 changeset: literal version predicate pushed to the scan, ZERO joins") {
+    val cs = graft.sync.Apply.updateOnlyChangeSet(
+      spark.read.parquet(tableDir),
+      spark.read.parquet(tableDir).select("RecId", "SysRowVersion"),
+      sourceMark = 5000L)
+    val plan = cs.inserts.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("GreaterThan(SysRowVersion,5000)"),
+      s"fetch predicate must reach the scan:\n$plan")
+    assert(!plan.contains("Join"), s"tier-2 must not join:\n$plan")
+  }
+
+  test("sync probe is one job with no data-keyed exchange (shuffle-free NOOP)") {
+    // materialize via the public API and inspect the aggregate's plan shape
+    val kv = spark.read.parquet(tableDir).select("RecId", "SysRowVersion")
+    val probed = kv.select(col("RecId"), col("SysRowVersion"), lit(0).as("_side"))
+      .unionByName(kv.select(col("RecId"), col("SysRowVersion"), lit(1).as("_side")))
+      .agg(sum(when(col("_side") === 0, 1L).otherwise(0L)))
+    val plan = probed.queryExecution.executedPlan.toString
+    assert(!plan.contains("hashpartitioning"),
+      s"probe must not shuffle on data columns:\n$plan")
+    assert(!plan.contains("Join"), plan)
+  }
+
   test("native array expressions participate in codegen (no Scala UDF nodes)") {
     val prep = graft.ext.Similarity.prepare(
       spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet"),

@@ -196,6 +196,43 @@ class ChangeLogSpec extends AnyFunSuite {
   }
 }
 
+class LakeTableCrashSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+  import graft.sync.{Apply, ChangeLog, LakeTable}
+
+  test("an unreferenced base dir (crash before pointer swap) is invisible to readers") {
+    val t = java.nio.file.Files.createTempDirectory("graft_crash").toString + "/t"
+    val v1 = (1L to 100L).map(i => (i, i, s"v1_$i")).toDF("RecId", "SysRowVersion", "payload")
+    LakeTable.overwrite(v1, t)
+    // simulate a crash: a newer snapshot lands on disk but the pointer never moves
+    (1L to 5L).map(i => (i, i, s"torn_$i")).toDF("RecId", "SysRowVersion", "payload")
+      .write.parquet(s"$t/base-99")
+    assert(LakeTable.read(spark, t).count() == 100)
+    assert(!LakeTable.read(spark, t).select("payload").as[String]
+      .collect().exists(_.startsWith("torn")))
+  }
+
+  test("a half-written commit (crash mid-append) is invisible to replay") {
+    val t = java.nio.file.Files.createTempDirectory("graft_crash2").toString + "/t"
+    val v1 = (1L to 50L).map(i => (i, i, s"v1_$i")).toDF("RecId", "SysRowVersion", "payload")
+    LakeTable.overwrite(v1, t)
+    // simulate a crash inside writeChangeSet: the staging dir exists with
+    // only the deletes half written
+    (1L to 10L).toDF("RecId").write.parquet(s"$t/_log/.tmp-0/deletes")
+    assert(LakeTable.read(spark, t).count() == 50)
+    assert(LakeTable.pendingCommits(t) == 0)
+    // and the next real append lands as commit 0 regardless of the garbage
+    val src = (1L to 50L).map(i =>
+      if (i <= 3) (i, i + 100L, s"v2_$i") else (i, i, s"v1_$i"))
+      .toDF("RecId", "SysRowVersion", "payload")
+    LakeTable.appendCommit(
+      Apply.updateOnlyChangeSet(src, src.select("RecId", "SysRowVersion"), 50L), t)
+    assert(LakeTable.read(spark, t)
+      .filter(col("SysRowVersion") > 100L).count() == 3)
+  }
+}
+
 class PostActionsSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
@@ -222,6 +259,22 @@ class PostActionsSpec extends AnyFunSuite {
     val (code, out) = PostActions.runShellHook(Seq("echo", "backup done:"), "/snap/2026")
     assert(code == 0)
     assert(out.trim == "backup done: /snap/2026")
+  }
+
+  test("snapshot progress polling: monotone ticks ending at 100% (S15, BackupService.cs:126-186)") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_snap").toString
+    (1L to 2000L).map(i => (i, s"row$i")).toDF("RecId", "payload")
+      .write.parquet(s"$dir/t1")
+    val ticks = scala.collection.mutable.ArrayBuffer.empty[(Double, Long)]
+    val dest = PostActions.snapshotWithProgress(spark, Seq(s"$dir/t1"),
+      s"$dir/backup/[yyyy_MM_dd]", pollIntervalMs = 10,
+      onProgress = (pct, bytes) => ticks.synchronized { ticks += ((pct, bytes)); () })
+    assert(new java.io.File(s"$dest/t1").exists)
+    val snap = ticks.synchronized(ticks.toList)
+    assert(snap.nonEmpty && snap.last._1 == 100.0 && snap.last._2 > 0)
+    assert(snap.map(_._2) == snap.map(_._2).sorted, "bytes must be monotone")
   }
 
   test("gated chain stops at first failure (D9)") {
