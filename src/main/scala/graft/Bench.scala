@@ -140,7 +140,12 @@ object Bench {
     incrWriteMb = dirMb(s"$tmp/incr/inserts") + dirMb(s"$tmp/incr/deletes")
     // full reload: fetch everything, write everything (standard-mode cost);
     // output dropped immediately after — its GBs of dirty pages would
-    // otherwise tax every later phase.
+    // otherwise tax every later phase. The source is pre-read (untimed) so
+    // full and truncate see the same cache state: without this the FIRST
+    // full-table scan pays the cold read and the trunc/full ratio measures
+    // cache luck instead of plan cost.
+    srcT.select(sum(length(col("payload"))), max(col("RecId")),
+      max(col("SysRowVersion"))).collect()
     osSync()
     val tFull = time {
       srcT.write.mode("overwrite").parquet(s"$tmp/full"); osSync()

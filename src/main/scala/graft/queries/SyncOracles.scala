@@ -171,6 +171,9 @@ FROM (SELECT max(SysRowVersion) AS max_src_version, min(RecId) AS min_src_recid,
     // (locally-mutated rows are purged by delete 2-of-3 and re-inserted).
     "q_m2_incremental" -> (prefix + s"SELECT $outCols FROM src"),
 
+    // base + delta commit + replay ≡ the in-memory incremental merge
+    "q_lake_replay" -> (prefix + s"SELECT $outCols FROM src"),
+
     // Standard (J1-classified) merge: UNCHANGED keys keep the TARGET row —
     // J1 compares RECVERSION/datetimes, not SysRowVersion, so a target row
     // with a local version bump but equal comparison columns survives

@@ -174,6 +174,21 @@ object SyncQueries {
     "q_m3_truncate" -> ((s, d) =>
       Apply.applyTruncate(SyncFixtures.source50(s, d), outCols)),
 
+    // M2 through the PRODUCTION write path: base snapshot + one appended
+    // delta commit + log replay (LakeTable) must converge to the same state
+    // as the in-memory merge — the lake-format round trip, oracle-checked
+    "q_lake_replay" -> ((s, d) => {
+      val m = mark(s, d)
+      val dir = java.nio.file.Files.createTempDirectory("graft_lake_q").toString + "/t"
+      val src = slim(SyncFixtures.source(s, d))
+      val tgt = slim(SyncFixtures.target(s, d))
+      LakeTable.overwrite(tgt, dir)
+      val cs = Apply.incrementalChangeSet(
+        src, SyncFixtures.control(SyncFixtures.source(s, d)), tgt, m, m)
+      LakeTable.appendCommit(cs, dir)
+      LakeTable.read(s, dir)
+    }),
+
     // O4/O5/O6 — planner cost model as one distributed row
     "q_planner_decide" -> ((s, d) =>
       Planner.decideAsQuery(
