@@ -163,7 +163,24 @@ final class SyncRunner(
       plan: TablePlan, source: DataFrame,
       srcMark: Long, tgtMark: Long): (SyncMode, SyncMetrics) = {
     val k = plan.keyCol; val v = plan.versionCol
-    val control = windowed(source, plan).select(k, v)
+    // PINNED for the whole run: the probe, the flags join and the mark
+    // aggregates are separate Spark actions, and on a live (JDBC) source
+    // each action re-executes the read — without the persist they could
+    // each see DIFFERENT data and the stored marks would cover rows the
+    // apply never moved (the reference avoids this by fetching the control
+    // batch into RAM once; 16 B/row makes the cache equally cheap here).
+    // The wide delta fetch still re-reads the source later, which is safe:
+    // replay upserts by key, and any row that advances mid-run lands with
+    // a version above the stored mark, so the next run reconciles it.
+    val control = windowed(source, plan).select(k, v).persist()
+    try syncOptimizedPinned(plan, source, control, srcMark, tgtMark)
+    finally { control.unpersist(); () }
+  }
+
+  private def syncOptimizedPinned(
+      plan: TablePlan, source: DataFrame, control: DataFrame,
+      srcMark: Long, tgtMark: Long): (SyncMode, SyncMetrics) = {
+    val k = plan.keyCol; val v = plan.versionCol
     val targetKV = plan.applier.current(spark, k).select(k, v)
 
     val pr = Planner.probe(control, targetKV, srcMark, tgtMark, k, v)
