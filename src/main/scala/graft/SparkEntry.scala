@@ -22,7 +22,7 @@ object SparkEntry {
       import spark.implicits._
       val sfDir = "/root/testdata/sf0.001"
       val dir = java.nio.file.Files.createTempDirectory("graft_entry").toString
-      val store = new graft.state.SyncStateStore(java.nio.file.Paths.get(s"$dir/state.json"))
+      val store = new graft.state.SyncStateStore(s"$dir/state.json")
       val runner = new graft.run.SyncRunner(spark, store, parallelWorkers = 2)
       graft.sync.SyncFixtures.perfect(spark, sfDir)
         .write.parquet(s"$dir/src")

@@ -1,7 +1,6 @@
 package graft.state
 
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
-import java.nio.charset.StandardCharsets
+import graft.sync.LakeFs
 
 /** Per-table sync high-water marks, persisted crash-safe after each table.
   *
@@ -13,8 +12,11 @@ import java.nio.charset.StandardCharsets
   * Versions are stored as `0x…` hex strings of the 8-byte row version
   * (TimestampHelper.cs:37-64); corrupt values degrade the table to standard
   * mode rather than failing (DBSyncTool_Optimization_Spec.md:1536-1541).
+  *
+  * `path` is a Hadoop-resolvable URI/path ([[LakeFs]]): the store persists
+  * next to the lake tables it describes — local dir, `hdfs:`, object store.
   */
-final class SyncStateStore(path: Path) {
+final class SyncStateStore(path: String) {
 
   final case class TableMarks(
       sourceVersionHex: Option[String],
@@ -48,9 +50,9 @@ final class SyncStateStore(path: Path) {
   // --- persistence: tiny hand-rolled JSON (flat, string/long values only) ---
 
   private def load(): Map[String, TableMarks] =
-    if (!Files.exists(path)) Map.empty
+    if (!LakeFs.exists(path)) Map.empty
     else {
-      val text = new String(Files.readAllBytes(path), StandardCharsets.UTF_8)
+      val text = LakeFs.readUtf8(path)
       // format: {"TABLE":{"src":"0x..","tgt":"0x..","maxRecId":123},...}
       val entry = """"([^"]+)"\s*:\s*\{([^}]*)\}""".r
       val field = """"(src|tgt|maxRecId)"\s*:\s*(?:"([^"]*)"|(\d+)|null)""".r
@@ -73,12 +75,12 @@ final class SyncStateStore(path: Path) {
         m.maxRecId.map(v => s""""maxRecId":$v""")).flatten
       s""""$t":{${parts.mkString(",")}}"""
     }.mkString("{", ",", "}")
-    // atomic write: temp file + move, so a crash never corrupts the store
-    val tmp = Paths.get(path.toString + ".tmp")
-    Option(path.getParent).foreach(Files.createDirectories(_))
-    Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, path, StandardCopyOption.REPLACE_EXISTING,
-      StandardCopyOption.ATOMIC_MOVE)
+    // atomic write: temp file + rename, so a crash never corrupts the store
+    // (LakeFs.replace — atomic on file:/hdfs:, emulated on object stores)
+    val tmp = path + ".tmp"
+    LakeFs.mkdirsParent(path)
+    LakeFs.writeUtf8(tmp, body)
+    LakeFs.replace(tmp, path)
   }
 }
 

@@ -38,9 +38,8 @@ object StreamingSync {
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val spark = batch.sparkSession
-        val target = new java.io.File(targetDir)
         val merged =
-          if (!target.exists()) batch.toDF()
+          if (!graft.sync.LakeFs.exists(targetDir)) batch.toDF()
           else {
             val existing = spark.read.parquet(targetDir)
             // upsert: incoming batch rows win on key collision
@@ -49,14 +48,13 @@ object StreamingSync {
           }
         val staging = targetDir + ".staging"
         merged.write.mode("overwrite").parquet(staging)
-        val old = new java.io.File(targetDir + ".old")
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm)); f.delete()
-        }
-        rm(old)
-        if (target.exists()) target.renameTo(old)
-        new java.io.File(staging).renameTo(new java.io.File(targetDir))
-        rm(old)
+        // dir-level swap via the Hadoop API (LakeFs): retire the old target,
+        // publish the staging dir, then drop the retired copy
+        val old = targetDir + ".old"
+        graft.sync.LakeFs.delete(old)
+        if (graft.sync.LakeFs.exists(targetDir)) graft.sync.LakeFs.rename(targetDir, old)
+        graft.sync.LakeFs.rename(staging, targetDir)
+        graft.sync.LakeFs.delete(old)
         ()
       }
       .start()

@@ -21,8 +21,8 @@ object ChangeLog {
 
   /** Sequence numbers of all commits present under `logDir`. */
   def commitSeqs(logDir: String): Seq[Int] =
-    Option(new java.io.File(logDir).listFiles()).getOrElse(Array.empty)
-      .filter(_.isDirectory).flatMap(_.getName.toIntOption).toSeq
+    LakeFs.list(logDir).filter(_.isDirectory)
+      .flatMap(_.getPath.getName.toIntOption)
 
   /** Append a changeset as the next numbered commit under `logDir`.
     * `minSeq` floors the numbering so sequence numbers stay monotonic after
@@ -34,12 +34,13 @@ object ChangeLog {
     * RENAMED into place as the last step — a crash mid-write leaves only a
     * garbage tmp dir, never a half-commit that replay would apply. */
   def append(cs: Apply.ChangeSet, logDir: String, minSeq: Int = 0): Int = {
-    new java.io.File(logDir).mkdirs()
+    LakeFs.warnIfNonAtomic(logDir)
+    LakeFs.mkdirs(logDir)
     val next = math.max((commitSeqs(logDir) :+ (minSeq - 1)).max + 1, minSeq)
-    val staging = new java.io.File(s"$logDir/.tmp-$next")
-    Apply.writeChangeSet(cs, staging.getPath)
-    if (!staging.renameTo(new java.io.File(s"$logDir/$next")))
-      throw new java.io.IOException(s"commit rename failed: $staging -> $logDir/$next")
+    val staging = s"$logDir/.tmp-$next"
+    Apply.writeChangeSet(cs, staging)
+    if (!LakeFs.rename(staging, s"$logDir/$next"))
+      throw new IllegalStateException(s"commit rename failed: $staging -> $logDir/$next")
     next
   }
 
@@ -48,10 +49,9 @@ object ChangeLog {
   def replay(spark: SparkSession, basePath: String, logDir: String,
       keyCol: String = "RecId", fromSeq: Int = 0): DataFrame = {
     val base = spark.read.parquet(basePath)
-    val commits = Option(new java.io.File(logDir).listFiles())
-      .getOrElse(Array.empty)
+    val commits = LakeFs.list(logDir)
       .filter(_.isDirectory)
-      .flatMap(f => f.getName.toIntOption.map(_ -> f.getPath))
+      .flatMap(st => st.getPath.getName.toIntOption.map(_ -> st.getPath.toString))
       .filter(_._1 >= fromSeq)
       .sortBy(_._1)
     if (commits.isEmpty) return base

@@ -2,9 +2,6 @@ package graft.sync
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Paths, StandardCopyOption}
-
 /** Minimal versioned lake-table layout: base snapshot + changeset log +
   * an atomically-swapped pointer file.
   *
@@ -22,30 +19,55 @@ import java.nio.file.{Files, Paths, StandardCopyOption}
   * + changed rows (~change%, not table size), and a full rewrite happens
   * only on truncate mode or scheduled compaction.
   *
+  * All filesystem access goes through [[LakeFs]] (Hadoop `FileSystem`,
+  * scheme-resolved per path), so the same layout runs on `file:`, `hdfs:`
+  * and object stores — see LakeFs's atomicity contract.
+  *
   * Crash safety: snapshots and commits are written to their final dirs
   * BEFORE the pointer moves; a crash leaves unreferenced dirs (garbage,
-  * collected best-effort on the next overwrite), never a torn table.
-  * Single-writer per table (the runner's worker pool assigns each table to
-  * exactly one worker — D1), matching the reference's per-table execution.
+  * collected on a later overwrite), never a torn table. A corrupt/torn
+  * pointer file degrades to table-missing (the marks degrade-to-standard
+  * rule, VersionHex.parse) — the next sync bootstraps a fresh snapshot and
+  * swaps a valid pointer back in, self-healing the table.
+  *
+  * Concurrency: single-writer per table (the runner's worker pool assigns
+  * each table to exactly one worker — D1), matching the reference's
+  * per-table execution. Readers are protected across ONE overwrite: GC
+  * retains the previous generation (base + its commits), so a reader that
+  * resolved the pre-overwrite pointer can finish its scan; a reader that
+  * straddles TWO overwrites of the same table may lose files mid-scan
+  * (the Delta tombstone-retention pattern, with a retention of exactly one
+  * generation).
   */
 object LakeTable {
 
-  private def currentFile(table: String) = Paths.get(table, "_current")
+  private def currentPath(table: String) = s"$table/_current"
   private def logDir(table: String) = s"$table/_log"
 
-  /** (absolute base path, first applicable log seq) — None when the table
-    * doesn't exist yet. Flat parquet dirs (no pointer) are read as a plain
-    * snapshot so pre-existing targets keep working. */
+  /** `"<baseName>\t<fromSeq>"` — None when torn/garbled. */
+  private def parsePointer(text: String): Option[(String, Int)] =
+    text.trim.split("\t") match {
+      case Array(name, seq) if name.nonEmpty => seq.toIntOption.map(name -> _)
+      case _ => None
+    }
+
+  /** (base path, first applicable log seq) — None when the table doesn't
+    * exist yet. Flat parquet dirs (no pointer) are read as a plain snapshot
+    * so pre-existing targets keep working. A pointer that cannot be read or
+    * parsed (torn write on a non-atomic store, partial failure) degrades to
+    * None rather than failing: the safe recovery is a standard full sync,
+    * which rebuilds the snapshot and re-commits a valid pointer. */
   def resolve(table: String): Option[(String, Int)] = {
-    val cur = currentFile(table)
-    if (Files.exists(cur)) {
-      val Array(baseName, fromSeq) =
-        new String(Files.readAllBytes(cur), StandardCharsets.UTF_8).trim.split("\t")
-      Some((s"$table/$baseName", fromSeq.toInt))
-    } else {
-      val d = new java.io.File(table)
-      val flat = d.isDirectory &&
-        Option(d.listFiles).exists(_.exists(f => f.getName.endsWith(".parquet")))
+    val cur = currentPath(table)
+    val pointed =
+      if (!LakeFs.exists(cur)) None
+      else
+        (try parsePointer(LakeFs.readUtf8(cur))
+        catch { case scala.util.control.NonFatal(_) => None })
+          .map { case (baseName, fromSeq) => (s"$table/$baseName", fromSeq) }
+    pointed.orElse {
+      val flat = LakeFs.list(table)
+        .exists(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
       if (flat) Some((table, 0)) else None
     }
   }
@@ -76,16 +98,21 @@ object LakeTable {
 
   /** Full-snapshot write (standard/truncate modes and compaction): stage a
     * new base dir, then atomically swap the pointer past all current log
-    * commits. Old snapshot + superseded commits are GC'd best-effort AFTER
-    * the swap. */
+    * commits. GC runs AFTER the swap and retains the immediately-previous
+    * generation for in-flight readers (see header); anything older goes. */
   def overwrite(df: DataFrame, table: String): Unit = {
-    Files.createDirectories(Paths.get(table))
+    LakeFs.warnIfNonAtomic(table)
+    LakeFs.mkdirs(table)
+    val prev = resolve(table) // retained one generation for in-flight readers
+    // strictly past the current pointer's seq AND every commit: the new base
+    // dir name must never collide with a live one (an equal seq would rewrite
+    // the current base IN PLACE — no staged swap, torn reads)
     val nextSeq = (ChangeLog.commitSeqs(logDir(table)) ++
-      Seq(resolve(table).map(_._2 - 1).getOrElse(-1))).max + 1
+      Seq(prev.map(_._2).getOrElse(-1))).max + 1
     val newBase = s"base-$nextSeq"
     df.write.mode("overwrite").parquet(s"$table/$newBase")
     commitPointer(table, newBase, nextSeq)
-    gc(table, keepBase = newBase, keepFromSeq = nextSeq)
+    gc(table, keepBase = newBase, prev = prev)
   }
 
   /** Rewrite base = current replayed state, then drop the replayed commits.
@@ -93,33 +120,38 @@ object LakeTable {
   def compact(spark: SparkSession, table: String, keyCol: String = "RecId"): Unit =
     overwrite(read(spark, table, keyCol), table)
 
-  /** The commit point: write pointer to a temp file, atomic move over
-    * `_current`. */
+  /** The commit point: write pointer to a temp file, rename over `_current`
+    * (atomic on file:/hdfs:, emulated elsewhere — LakeFs.replace). */
   private def commitPointer(table: String, baseName: String, fromSeq: Int): Unit = {
-    val tmp = Paths.get(table, "_current.tmp")
-    Files.write(tmp, s"$baseName\t$fromSeq".getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, currentFile(table), StandardCopyOption.REPLACE_EXISTING,
-      StandardCopyOption.ATOMIC_MOVE)
+    val tmp = s"$table/_current.tmp"
+    LakeFs.writeUtf8(tmp, s"$baseName\t$fromSeq")
+    LakeFs.replace(tmp, currentPath(table))
   }
 
-  private def gc(table: String, keepBase: String, keepFromSeq: Int): Unit = {
-    val root = new java.io.File(table)
-    Option(root.listFiles).getOrElse(Array.empty).foreach { f =>
-      val stale =
-        (f.getName.startsWith("base-") && f.getName != keepBase) ||
-          // pre-pointer flat layout files are superseded by the first snapshot
-          (f.isFile && f.getName.endsWith(".parquet")) ||
-          (f.isFile && f.getName == "_SUCCESS")
-      if (stale) deleteRec(f)
+  /** Drop snapshots/commits older than the PREVIOUS generation. `prev` is
+    * the pointer state captured before the swap: its base dir (or flat
+    * files) and its commits survive one more overwrite so a reader that
+    * resolved it can finish scanning. */
+  private def gc(table: String, keepBase: String, prev: Option[(String, Int)]): Unit = {
+    val prevBaseName = prev.map(_._1).map(p => p.substring(p.lastIndexOf('/') + 1))
+    val prevWasFlat = prev.exists(_._1 == table)
+    LakeFs.list(table).foreach { st =>
+      val name = st.getPath.getName
+      val staleBase = name.startsWith("base-") &&
+        name != keepBase && !prevBaseName.contains(name)
+      // pre-pointer flat-layout files are superseded by the first snapshot;
+      // kept one generation when the previous pointer state WAS the flat dir
+      val staleFlat = !prevWasFlat && st.isFile &&
+        (name.endsWith(".parquet") || name == "_SUCCESS" ||
+          (name.startsWith(".") && name.endsWith(".crc") && !name.contains("_current")))
+      if (staleBase || staleFlat) LakeFs.delete(st.getPath.toString)
     }
-    val log = new java.io.File(logDir(table))
-    Option(log.listFiles).getOrElse(Array.empty)
-      .filter(d => d.isDirectory && d.getName.toIntOption.exists(_ < keepFromSeq))
-      .foreach(deleteRec)
-  }
-
-  private def deleteRec(f: java.io.File): Unit = {
-    if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(deleteRec))
-    f.delete()
+    // commits below the previous pointer's horizon are unreachable by both
+    // the current and the previous generation
+    val keepFromSeq = prev.map(_._2).getOrElse(0)
+    LakeFs.list(logDir(table))
+      .filter(st => st.isDirectory &&
+        st.getPath.getName.toIntOption.exists(_ < keepFromSeq))
+      .foreach(st => LakeFs.delete(st.getPath.toString))
   }
 }

@@ -181,7 +181,7 @@ class VersionHexSpec extends AnyFunSuite {
 class StateStoreSpec extends AnyFunSuite {
   test("put/get/persist round trip with atomic flush (D6)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_state")
-    val path = dir.resolve("state.json")
+    val path = s"$dir/state.json"
     val store = new SyncStateStore(path)
     store.putVersions("CUSTTABLE", 0x1234L, 0x99L, Some(42L))
     // a fresh store re-reads from disk — per-table crash safety
@@ -193,7 +193,7 @@ class StateStoreSpec extends AnyFunSuite {
   }
 
   test("clear removes a table") {
-    val path = java.nio.file.Files.createTempDirectory("graft_state").resolve("s.json")
+    val path = java.nio.file.Files.createTempDirectory("graft_state").toString + "/s.json"
     val store = new SyncStateStore(path)
     store.putVersions("A", 1L, 2L, None)
     store.putVersions("B", 3L, 4L, None)
@@ -202,8 +202,8 @@ class StateStoreSpec extends AnyFunSuite {
   }
 
   test("corrupt stored hex yields None (degrade-to-standard ladder)") {
-    val path = java.nio.file.Files.createTempDirectory("graft_state").resolve("s.json")
-    java.nio.file.Files.writeString(path, """{"T":{"src":"0xNOTHEX0000000000","maxRecId":5}}""")
+    val path = java.nio.file.Files.createTempDirectory("graft_state").toString + "/s.json"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(path), """{"T":{"src":"0xNOTHEX0000000000","maxRecId":5}}""")
     val m = new SyncStateStore(path).get("T").get
     assert(m.sourceVersion.isEmpty)
     assert(m.maxRecId.contains(5L))

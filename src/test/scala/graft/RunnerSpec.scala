@@ -15,7 +15,7 @@ class RunnerSpec extends AnyFunSuite {
 
   private def newEnv(): (String, SyncStateStore, SyncRunner) = {
     val dir = java.nio.file.Files.createTempDirectory("graft_run").toString
-    val store = new SyncStateStore(java.nio.file.Paths.get(s"$dir/state.json"))
+    val store = new SyncStateStore(s"$dir/state.json")
     val runner = new SyncRunner(spark, store, parallelWorkers = 2)
     (dir, store, runner)
   }
@@ -152,7 +152,7 @@ class RunnerSpec extends AnyFunSuite {
     val (dir, store, runner) = newEnv()
     val src = mkSource(dir, "t3", identity)
     runner.runAll(Seq(runner.TablePlan("T3", src, s"$dir/tgt_t3")))
-    val reopened = new SyncStateStore(java.nio.file.Paths.get(s"$dir/state.json"))
+    val reopened = new SyncStateStore(s"$dir/state.json")
     assert(reopened.get("T3").flatMap(_.sourceVersion).contains(500L))
     assert(reopened.get("T3").flatMap(_.maxRecId).contains(500L))
   }
@@ -230,6 +230,56 @@ class LakeTableCrashSpec extends AnyFunSuite {
       Apply.updateOnlyChangeSet(src, src.select("RecId", "SysRowVersion"), 50L), t)
     assert(LakeTable.read(spark, t)
       .filter(col("SysRowVersion") > 100L).count() == 3)
+  }
+
+  test("full lifecycle through an explicit file: URI (Hadoop FileSystem seam)") {
+    val t = "file:" + java.nio.file.Files.createTempDirectory("graft_fs").toString + "/t"
+    val v1 = (1L to 40L).map(i => (i, i, s"v1_$i")).toDF("RecId", "SysRowVersion", "payload")
+    assert(!LakeTable.exists(t))
+    LakeTable.overwrite(v1, t)
+    assert(LakeTable.exists(t) && LakeTable.read(spark, t).count() == 40)
+    val src = (1L to 40L).map(i =>
+      if (i <= 4) (i, i + 100L, s"v2_$i") else (i, i, s"v1_$i"))
+      .toDF("RecId", "SysRowVersion", "payload")
+    LakeTable.appendCommit(
+      Apply.updateOnlyChangeSet(src, src.select("RecId", "SysRowVersion"), 40L), t)
+    assert(LakeTable.pendingCommits(t) == 1)
+    assert(LakeTable.read(spark, t).filter(col("SysRowVersion") > 100L).count() == 4)
+    LakeTable.compact(spark, t)
+    assert(LakeTable.pendingCommits(t) == 0)
+    assert(LakeTable.read(spark, t).filter(col("SysRowVersion") > 100L).count() == 4)
+  }
+
+  test("corrupt pointer degrades to table-missing and self-heals on overwrite") {
+    val t = java.nio.file.Files.createTempDirectory("graft_corrupt").toString + "/t"
+    val v1 = (1L to 30L).map(i => (i, i, s"v1_$i")).toDF("RecId", "SysRowVersion", "payload")
+    LakeTable.overwrite(v1, t)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$t/_current"), "garbled no tab here")
+    // degrade-to-standard, not a crash: resolve -> None, read -> typed error
+    assert(!LakeTable.exists(t))
+    intercept[IllegalArgumentException](LakeTable.read(spark, t))
+    // the bootstrap overwrite a standard sync performs repairs the pointer
+    LakeTable.overwrite(v1, t)
+    assert(LakeTable.read(spark, t).count() == 30)
+  }
+
+  test("GC grace: the previous base survives one overwrite for in-flight readers") {
+    val t = java.nio.file.Files.createTempDirectory("graft_grace").toString + "/t"
+    def gen(tag: String) =
+      (1L to 20L).map(i => (i, i, s"${tag}_$i")).toDF("RecId", "SysRowVersion", "payload")
+    def bases() = graft.sync.LakeFs.list(t)
+      .map(_.getPath.getName).filter(_.startsWith("base-")).toSet
+    LakeTable.overwrite(gen("g1"), t)
+    val b1 = bases()
+    LakeTable.overwrite(gen("g2"), t)
+    // a reader holding the g1 pointer can still finish its scan
+    assert(b1.subsetOf(bases()))
+    LakeTable.overwrite(gen("g3"), t)
+    // ...but g1 is gone after the NEXT overwrite (one-generation retention)
+    assert(bases().intersect(b1).isEmpty)
+    assert(LakeTable.read(spark, t).select("payload").as[String]
+      .collect().forall(_.startsWith("g3")))
   }
 }
 
