@@ -144,6 +144,19 @@ object PushdownSql {
       enableTriggers(table),
       "COMMIT TRANSACTION")
 
+  /** Staging hygiene (D5): leftovers from a prior failed run must never
+    * re-apply — run before loading, and again after commit. Idempotent via
+    * the OBJECT_ID guard. */
+  def stagingResetScript(stagingTables: Seq[String]): Seq[String] =
+    stagingTables.map(t =>
+      s"IF OBJECT_ID('tempdb..$t') IS NOT NULL DROP TABLE ${bracket(t)}")
+
+  /** Max staged key, computed server-side FROM THE STAGED ROWS: the sequence
+    * bump derives from exactly what the transaction will insert, and the
+    * Spark insert DAG is not executed a second time driver-side. */
+  def stagedMaxKeySql(dataStaging: String, keyCol: String): String =
+    s"SELECT COALESCE(MAX(${bracket(keyCol)}), 0) FROM ${bracket(dataStaging)}"
+
   /** Error path: roll the transaction back, then re-enable triggers OUTSIDE
     * it (a rollback would undo an in-transaction re-enable; the reference
     * re-enables in its finally block with errors ignored,

@@ -9,8 +9,9 @@ package graft.queries
   */
 object SyncOracles {
 
-  /** DuckDB twin of SyncFixtures.widePayload: 32 md5 blocks of the decimal
-    * string of SysRowVersion+j (~1 KB/row, version-dependent). */
+  /** DuckDB twin of SyncFixtures.widePayload: `PayloadBlocks` md5 blocks of
+    * the decimal string of SysRowVersion+j (version-dependent payload; block
+    * count stays in lockstep via the shared constant). */
   private val payloadSql: String =
     (0 until graft.sync.SyncFixtures.PayloadBlocks)
       .map(j => s"md5(CAST(SysRowVersion + $j AS VARCHAR))")

@@ -75,29 +75,45 @@ final case class JdbcApplier(
 
   def exists: Boolean = true // deployment precondition: target table present
 
+  /** Full-width target read (the TableApplier.current contract): the
+    * standard sync projects its merge window to the target's columns, so a
+    * key+version-only read here would overwrite the table with a payload-less
+    * frame on the bootstrap run. */
   def current(spark: SparkSession, keyCol: String): DataFrame =
-    Jdbc.readPushdown(spark, cfg,
-      s"SELECT [$keyCol], [SysRowVersion] FROM [$table]")
+    Jdbc.readPushdown(spark, cfg, PushdownSql.fullFetch(table, fields))
 
   def overwrite(df: DataFrame): Unit =
     Jdbc.writeTruncateReload(df, cfg, table)
 
   def applyChangeSet(cs: Apply.ChangeSet, spark: SparkSession, keyCol: String): Unit = {
-    // distributed, idempotent loads first (outside the transaction): the
-    // tombstone keys and the insert rows land in staging tables in parallel
-    Jdbc.writeAppend(cs.deleteKeys, cfg, staging("keys"))
-    Jdbc.writeAppend(cs.inserts, cfg, staging("data"))
-    // then ONE driver-side transaction makes the change visible atomically
-    val maxRecId = cs.inserts.agg(
-      org.apache.spark.sql.functions.max(
-        org.apache.spark.sql.functions.col(keyCol))).head() match {
-      case r if r.isNullAt(0) => 0L
-      case r => r.getLong(0)
-    }
-    val conn = java.sql.DriverManager.getConnection(cfg.url, cfg.user, cfg.password)
-    try JdbcTxn.runScript(conn, applyScript(maxRecId), onErrorScript)
-    finally conn.close()
+    // pin the shared flags frame (exactly as Apply.writeChangeSet does): on a
+    // live source, unpinned deleteKeys/inserts would re-derive from divergent
+    // source reads between the two staging loads — a key could land in the
+    // data staging table but not the key staging table
+    val pinned = cs.keyFlags.persist()
+    try {
+      val conn = java.sql.DriverManager.getConnection(cfg.url, cfg.user, cfg.password)
+      try {
+        // fresh staging: a prior failed run's leftovers must never re-apply
+        JdbcTxn.runStatements(conn, stagingResetScript)
+        // distributed, idempotent loads (outside the transaction): tombstone
+        // keys and insert rows land in staging tables in parallel
+        Jdbc.writeAppend(cs.deleteKeys, cfg, staging("keys"))
+        Jdbc.writeAppend(cs.inserts, cfg, staging("data"))
+        // sequence-bump input comes from the staged rows server-side — no
+        // second driver-side execution of the insert DAG
+        val maxRecId = JdbcTxn.scalarLong(conn,
+          PushdownSql.stagedMaxKeySql(staging("data"), keyCol)).getOrElse(0L)
+        // then ONE driver-side transaction makes the change visible atomically
+        JdbcTxn.runScript(conn, applyScript(maxRecId), onErrorScript)
+        JdbcTxn.runStatements(conn, stagingResetScript)
+      } finally conn.close()
+    } finally { pinned.unpersist(); () }
   }
+
+  /** Pre-load / post-commit staging hygiene (golden-tested). */
+  def stagingResetScript: Seq[String] =
+    PushdownSql.stagingResetScript(Seq(staging("keys"), staging("data")))
 
   /** The exact statement scripts the transactional apply executes —
     * golden-tested ("Get SQL" parity). `applyScript` is the changeset form
@@ -141,6 +157,23 @@ object JdbcTxn {
           try st.execute(sql) catch { case _: Throwable => () }
         }
         throw e
+    } finally st.close()
+  }
+
+  /** Plain statement runner (no transaction wrapper) — staging hygiene. */
+  def runStatements(conn: java.sql.Connection, statements: Seq[String]): Unit = {
+    val st = conn.createStatement()
+    try statements.foreach(st.execute)
+    finally st.close()
+  }
+
+  /** Single-value query (e.g. the staged MAX(key)). */
+  def scalarLong(conn: java.sql.Connection, sql: String): Option[Long] = {
+    val st = conn.createStatement()
+    try {
+      val rs = st.executeQuery(sql)
+      try { if (rs.next()) Some(rs.getLong(1)) else None }
+      finally rs.close()
     } finally st.close()
   }
 }

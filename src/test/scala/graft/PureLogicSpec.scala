@@ -329,6 +329,17 @@ class ApplierSeamSpec extends AnyFunSuite {
     assert(c.exists(_.contains("SysRowVersion > 0x00000000000012ab")))
     assert(c.exists(_.contains("t.SysRowVersion > 0x0000000000000034")))
     assert(app.onErrorScript.head == "ROLLBACK TRANSACTION")
+    // full-width target read: a key+version-only read would make the
+    // bootstrap standard sync overwrite the table with a payload-less frame
+    assert(graft.jdbc.PushdownSql.fullFetch("CUSTTABLE", Seq("RECID", "NAME")) ==
+      "SELECT [RECID], [NAME] FROM [CUSTTABLE]")
+    // staging hygiene is idempotent and covers both staging tables
+    assert(app.stagingResetScript == Seq(
+      "IF OBJECT_ID('tempdb..##graft_CUSTTABLE_keys') IS NOT NULL DROP TABLE [##graft_CUSTTABLE_keys]",
+      "IF OBJECT_ID('tempdb..##graft_CUSTTABLE_data') IS NOT NULL DROP TABLE [##graft_CUSTTABLE_data]"))
+    // sequence bump input is computed from the staged rows, server-side
+    assert(graft.jdbc.PushdownSql.stagedMaxKeySql("##graft_CUSTTABLE_data", "RecId") ==
+      "SELECT COALESCE(MAX([RecId]), 0) FROM [##graft_CUSTTABLE_data]")
   }
 
   test("LakeApplier implements the applier contract over LakeTable") {
