@@ -57,17 +57,25 @@ object ChangeLog {
     if (commits.isEmpty) return base
 
     // one row per (key, commit-seq) event: seq 0 = base rows, inserts carry
-    // payload, deletes carry a tombstone flag
+    // payload, deletes carry a tombstone flag. Schema evolution (P1 parity:
+    // the reference recomputes copyable fields every run, so a commit written
+    // after a source column add/drop legitimately differs from the base):
+    // unionByName(allowMissingColumns) widens the replayed schema to every
+    // column any generation carried, null-filling rows that predate a column
+    // — the same end state a re-inserted row has on a server target after
+    // the field left the copyable intersection. Tombstones are key-only and
+    // null-fill everything else. (Type CHANGES of a same-named column are
+    // not supported and fail the union loudly.)
     val tagged = commits.foldLeft(
       base.withColumn("_seq", lit(0L)).withColumn("_del", lit(false))) {
       case (acc, (seq, path)) =>
         val ins = spark.read.parquet(s"$path/inserts")
           .withColumn("_seq", lit(seq + 1L)).withColumn("_del", lit(false))
         val del = spark.read.parquet(s"$path/deletes")
-          .select(col(keyCol) +: base.columns.filterNot(_ == keyCol)
-            .map(c => lit(null).cast(base.schema(c).dataType).as(c)): _*)
+          .select(keyCol)
           .withColumn("_seq", lit(seq + 1L)).withColumn("_del", lit(true))
-        acc.unionByName(ins.select(acc.columns.map(col): _*)).unionByName(del)
+        acc.unionByName(ins, allowMissingColumns = true)
+          .unionByName(del, allowMissingColumns = true)
     }
 
     // newest event per key wins; survivors are non-tombstones.

@@ -194,6 +194,39 @@ class ChangeLogSpec extends AnyFunSuite {
     val expected = src2.as[(Long, Long, String)].collect().toSet
     assert(replayed == expected)
   }
+
+  test("replay-time schema evolution: commits after a column add/drop replay (P1 parity)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_evo").toString
+    (1L to 10L).map(i => (i, i, s"p_$i")).toDF("RecId", "SysRowVersion", "payload")
+      .write.parquet(s"$dir/base")
+
+    // commit 0: written AFTER the source gained column `extra`
+    val cs0 = Apply.ChangeSet(
+      deleteKeys = Seq(10L).toDF("RecId"),
+      inserts = Seq((1L, 100L, "p2_1", "x_1"), (11L, 101L, "p_11", "x_11"))
+        .toDF("RecId", "SysRowVersion", "payload", "extra"),
+      keyFlags = spark.emptyDataFrame)
+    ChangeLog.append(cs0, s"$dir/log")
+
+    // commit 1: written AFTER the source dropped column `payload`
+    val cs1 = Apply.ChangeSet(
+      deleteKeys = Seq(9L).toDF("RecId"),
+      inserts = Seq((2L, 200L, "x_2")).toDF("RecId", "SysRowVersion", "extra"),
+      keyFlags = spark.emptyDataFrame)
+    ChangeLog.append(cs1, s"$dir/log")
+
+    val out = ChangeLog.replay(spark, s"$dir/base", s"$dir/log")
+    assert(out.columns.toSet == Set("RecId", "SysRowVersion", "payload", "extra"))
+    val byKey = out.select("RecId", "SysRowVersion", "payload", "extra")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), Option(r.getString(2)), Option(r.getString(3)))).toMap
+    assert(byKey.size == 9) // 10 base - del 10 - del 9 + new 11
+    assert(byKey(1L) == ((100L, Some("p2_1"), Some("x_1")))) // updated post-add
+    assert(byKey(2L) == ((200L, None, Some("x_2")))) // re-inserted post-drop: payload nulls
+    assert(byKey(3L) == ((3L, Some("p_3"), None))) // base row predates `extra`
+    assert(byKey(11L) == ((101L, Some("p_11"), Some("x_11")))) // new row
+    assert(!byKey.contains(9L) && !byKey.contains(10L))
+  }
 }
 
 class LakeTableCrashSpec extends AnyFunSuite {
