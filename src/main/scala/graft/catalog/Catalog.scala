@@ -51,12 +51,13 @@ object Catalog {
 
   def discoverLake(spark: SparkSession, dir: String,
       includeEmpty: Boolean = false): Seq[DiscoveredTable] = {
-    val files = Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
-      .filter(f => f.getName.endsWith(".parquet"))
-    files.map { f =>
-      val name = f.getName.stripSuffix(".parquet")
-      val size = if (f.isDirectory) f.listFiles.map(_.length).sum else f.length
-      val rows = spark.read.parquet(f.getPath).count()
+    // scheme-resolved listing (LakeFs): discovery works on file:/hdfs:/...
+    val files = graft.sync.LakeFs.list(dir)
+      .filter(_.getPath.getName.endsWith(".parquet"))
+    files.map { st =>
+      val name = st.getPath.getName.stripSuffix(".parquet")
+      val size = graft.sync.LakeFs.sizeBytes(st.getPath.toString)
+      val rows = spark.read.parquet(st.getPath.toString).count()
       DiscoveredTable(name, rows, size)
     }.filter(t => includeEmpty || t.rowCount > 0)
       .sortBy(-_.sizeBytes).toSeq

@@ -78,19 +78,29 @@ object Similarity {
     */
   val NumPlanes = 12
   val PlaneBands = 3 // 3 bands × 4 bits
-  lazy val Hyperplanes: Seq[Seq[Long]] = {
+  /** Embedding dimensionality of the stock fixtures (and the oracle SQL,
+    * which inlines the same plane constants — keep in lockstep). */
+  val DefaultDim = 64
+
+  /** Hyperplane constants for a given embedding dimensionality. Derived
+    * deterministically from md5, so any engine can replay them; a non-64-dim
+    * corpus passes its own `dim` (a shorter plane would silently zero the
+    * signature bits past the plane length — the r2 bug). */
+  def hyperplanes(dim: Int): Seq[Seq[Long]] = {
     val md = java.security.MessageDigest.getInstance("MD5")
     def h32(s: String): Long = {
       md.reset()
       java.lang.Long.parseLong(
         md.digest(s.getBytes("UTF-8")).take(4).map(b => f"$b%02x").mkString, 16)
     }
-    (0 until NumPlanes).map(j => (0 until 64).map(i => h32(s"lsh_${j}_$i") % 2001 - 1000))
+    (0 until NumPlanes).map(j => (0 until dim).map(i => h32(s"lsh_${j}_$i") % 2001 - 1000))
   }
 
+  lazy val Hyperplanes: Seq[Seq[Long]] = hyperplanes(DefaultDim)
+
   /** Append the hyperplane signature column to a prepared frame. */
-  def withLshSignature(prepared: DataFrame): DataFrame = {
-    val sigExpr = Hyperplanes.zipWithIndex.map { case (plane, j) =>
+  def withLshSignature(prepared: DataFrame, dim: Int = DefaultDim): DataFrame = {
+    val sigExpr = hyperplanes(dim).zipWithIndex.map { case (plane, j) =>
       val arr = plane.map(v => s"${v}L").mkString("array(", ", ", ")")
       s"(CASE WHEN aggregate(zip_with(qe, $arr, (x, y) -> x * y), 0L, (a, v) -> a + v) > 0 THEN ${1L << j}L ELSE 0L END)"
     }.mkString(" + ")
@@ -102,9 +112,9 @@ object Similarity {
     * Recall < 1 by construction (pairs in no common band are unseen) — the
     * deliberate ANN trade; the oracle replays the identical banding. */
   def lshNearDupPairs(prepared: DataFrame, threshold: Double,
-      idCol: String = "vec_id"): DataFrame = {
+      idCol: String = "vec_id", dim: Int = DefaultDim): DataFrame = {
     val bandBits = NumPlanes / PlaneBands
-    val sig = withLshSignature(prepared)
+    val sig = withLshSignature(prepared, dim)
     val bandCols = (0 until PlaneBands).map { k =>
       struct(lit(k).as("band"),
         shiftright(col("lsh_sig"), k * bandBits).bitwiseAND((1L << bandBits) - 1).as("bsig"))
@@ -118,6 +128,30 @@ object Similarity {
       .select(col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b"), cosine.as("cos"))
       .distinct()
       .filter(col("cos") >= threshold)
+  }
+
+  /** Measured recall of the banded-LSH candidate set against brute-force
+    * ground truth over a sampled query side (`id % sampleMod == 0`): the
+    * deliberate ANN recall trade-off reported as a NUMBER, not a comment.
+    * One row: (n_true, n_hit, recall_millis); counts are integer-exact and
+    * the single division is one IEEE op, so the result is oracle-checkable.
+    * The ground-truth side is |sample| × corpus (never corpus²) — bounded
+    * like [[bruteForceTopK]]'s query side. */
+  def annRecall(prepared: DataFrame, threshold: Double, sampleMod: Int,
+      idCol: String = "vec_id", dim: Int = DefaultDim): DataFrame = {
+    val truth = prepared.filter(col(idCol) % sampleMod === 0).as("x")
+      .join(prepared.as("y"), col(s"x.$idCol") < col(s"y.$idCol"))
+      .select(col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b"),
+        cosine.as("cos"))
+      .filter(col("cos") >= threshold)
+    val lsh = lshNearDupPairs(prepared, threshold, idCol, dim)
+      .filter(col("id_a") % sampleMod === 0)
+    val hits = truth.join(lsh, Seq("id_a", "id_b"), "left_semi")
+    truth.agg(count(lit(1)).as("n_true"))
+      .crossJoin(hits.agg(count(lit(1)).as("n_hit")))
+      .select(col("n_true"), col("n_hit"),
+        floor(col("n_hit") * lit(1000.0) / greatest(col("n_true"), lit(1L)))
+          .cast("long").as("recall_millis"))
   }
 
   /** Embedding near-dup pairs: cosine ≥ threshold within the cluster bucket

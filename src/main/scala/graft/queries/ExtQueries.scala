@@ -70,6 +70,13 @@ object ExtQueries {
         Similarity.prepare(embs(s, d), "vec_id", "embedding"), threshold = 0.3)
         .select("id_a", "id_b")),
 
+    // ---- measured ANN recall: LSH candidates vs brute-force ground truth
+    // over a sampled query side — the recall trade-off as a number ----
+    "q_ann_recall" -> ((s, d) =>
+      Similarity.annRecall(
+        Similarity.prepare(embs(s, d), "vec_id", "embedding"),
+        threshold = 0.3, sampleMod = 20)),
+
     // ---- the composite training-data pipeline: quality filter → language
     // gate → exact dedup → near-dup drop → surviving corpus ----
     "q_corpus_clean" -> ((s, d) => {
@@ -157,6 +164,34 @@ WHERE p.common * 1.0 / (ca.nsh + cb.nsh - p.common) >= 0.5"""
   }
 
   private val stopList = TextAnalysis.EnStopwords.map(w => s"'$w'").mkString(", ")
+
+  /** Shared DuckDB CTE chain for the LSH oracles: quantize → norm →
+    * hyperplane signature → bands → exact-cosine-verified candidate pairs.
+    * Plane constants inline [[Similarity.Hyperplanes]] so both engines
+    * replay the identical banding. */
+  private lazy val lshOracleCtes: String = {
+    val sigSum = Similarity.Hyperplanes.zipWithIndex.map { case (plane, j) =>
+      val arr = plane.mkString("[", ", ", "]")
+      s"(CASE WHEN list_sum(list_transform(range(${Similarity.DefaultDim}), i -> qe[i+1] * ($arr)[i+1])) > 0 THEN ${1L << j} ELSE 0 END)"
+    }.mkString(" +\n  ")
+    val bands = (0 until Similarity.PlaneBands)
+      .map(k => s"SELECT vec_id, qe, nrm, $k AS band, (lsh_sig >> ${k * 4}) & 15 AS bsig FROM sig")
+      .mkString("\nUNION ALL ")
+    s"""q AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(floor(x * 1048576 + 0.5) AS BIGINT)) AS qe
+  FROM embeddings),
+n AS (SELECT vec_id, qe,
+  sqrt(CAST(list_sum(list_transform(qe, x -> x * x)) AS DOUBLE)) AS nrm FROM q),
+sig AS (SELECT vec_id, qe, nrm,
+  $sigSum AS lsh_sig
+FROM n),
+bands AS ($bands),
+cand AS (SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b,
+  (CAST(list_sum(list_transform(range(${Similarity.DefaultDim}), i -> x.qe[i+1] * y.qe[i+1])) AS DOUBLE)
+   / x.nrm) / y.nrm AS cos
+  FROM bands x JOIN bands y ON x.band = y.band AND x.bsig = y.bsig
+  WHERE x.vec_id < y.vec_id)"""
+  }
 
   def oracles: Map[String, String] = Map(
     "q_text_stats" -> s"""SELECT doc_id,
@@ -280,30 +315,21 @@ SELECT query_id, rank, neighbor_id FROM (
     row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
   FROM p) WHERE rank <= 3""",
 
-    "q_sim_lsh" -> {
-      val sigSum = Similarity.Hyperplanes.zipWithIndex.map { case (plane, j) =>
-        val arr = plane.mkString("[", ", ", "]")
-        s"(CASE WHEN list_sum(list_transform(range(64), i -> qe[i+1] * ($arr)[i+1])) > 0 THEN ${1L << j} ELSE 0 END)"
-      }.mkString(" +\n  ")
-      val bands = (0 until Similarity.PlaneBands)
-        .map(k => s"SELECT vec_id, qe, nrm, $k AS band, (lsh_sig >> ${k * 4}) & 15 AS bsig FROM sig")
-        .mkString("\nUNION ALL ")
-      s"""WITH q AS (
-  SELECT vec_id, list_transform(embedding, x -> CAST(floor(x * 1048576 + 0.5) AS BIGINT)) AS qe
-  FROM embeddings),
-n AS (SELECT vec_id, qe,
-  sqrt(CAST(list_sum(list_transform(qe, x -> x * x)) AS DOUBLE)) AS nrm FROM q),
-sig AS (SELECT vec_id, qe, nrm,
-  $sigSum AS lsh_sig
-FROM n),
-bands AS ($bands),
-cand AS (SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b,
-  (CAST(list_sum(list_transform(range(64), i -> x.qe[i+1] * y.qe[i+1])) AS DOUBLE)
-   / x.nrm) / y.nrm AS cos
-  FROM bands x JOIN bands y ON x.band = y.band AND x.bsig = y.bsig
-  WHERE x.vec_id < y.vec_id)
-SELECT id_a, id_b FROM cand WHERE cos >= 0.3"""
-    },
+    "q_sim_lsh" -> s"""WITH $lshOracleCtes
+SELECT id_a, id_b FROM cand WHERE cos >= 0.3""",
+
+    "q_ann_recall" -> s"""WITH $lshOracleCtes,
+lsh AS (SELECT id_a, id_b FROM cand WHERE cos >= 0.3 AND id_a % 20 = 0),
+truth AS (SELECT x.vec_id AS id_a, y.vec_id AS id_b
+  FROM n x JOIN n y ON x.vec_id < y.vec_id
+  WHERE x.vec_id % 20 = 0
+    AND ((CAST(list_sum(list_transform(range(${Similarity.DefaultDim}), i -> x.qe[i+1] * y.qe[i+1])) AS DOUBLE)
+      / x.nrm) / y.nrm) >= 0.3),
+hit AS (SELECT t.id_a FROM truth t JOIN lsh l ON t.id_a = l.id_a AND t.id_b = l.id_b)
+SELECT (SELECT COUNT(*) FROM truth) AS n_true,
+  (SELECT COUNT(*) FROM hit) AS n_hit,
+  CAST(floor((SELECT COUNT(*) FROM hit) * 1000.0
+    / greatest((SELECT COUNT(*) FROM truth), 1)) AS BIGINT) AS recall_millis""",
 
     "q_corpus_clean" -> s"""WITH scored AS (
   SELECT doc_id, text,

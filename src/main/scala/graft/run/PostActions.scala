@@ -66,15 +66,14 @@ object PostActions {
       pollIntervalMs: Long = 20000, // 20 s, BackupService.cs:138
       onProgress: (Double, Long) => Unit): String = {
     val dest = resolveDateTokens(destPattern)
-    def dirBytes(f: java.io.File): Long =
-      if (f.isFile) f.length
-      else Option(f.listFiles).getOrElse(Array.empty).map(dirBytes).sum
-    val totalBytes = math.max(tablePaths.map(p => dirBytes(new java.io.File(p))).sum, 1L)
+    // scheme-resolved sizing (LakeFs): backup sources/dest may be on hdfs:
+    def dirBytes(p: String): Long = graft.sync.LakeFs.sizeBytes(p)
+    val totalBytes = math.max(tablePaths.map(dirBytes).sum, 1L)
 
     @volatile var running = true
     val poller = new Thread(() => {
       while (running) {
-        val written = dirBytes(new java.io.File(dest))
+        val written = dirBytes(dest)
         onProgress(math.min(written * 100.0 / totalBytes, 99.9), written)
         try Thread.sleep(pollIntervalMs) catch { case _: InterruptedException => () }
       }
@@ -83,7 +82,7 @@ object PostActions {
     poller.start()
     try {
       tablePaths.foreach { p =>
-        val name = new java.io.File(p).getName
+        val name = new org.apache.hadoop.fs.Path(p).getName
         spark.read.parquet(p).write.mode("error").parquet(s"$dest/$name")
       }
     } finally {
@@ -91,7 +90,7 @@ object PostActions {
       poller.interrupt()
       poller.join(1000)
     }
-    onProgress(100.0, dirBytes(new java.io.File(dest)))
+    onProgress(100.0, dirBytes(dest))
     dest
   }
 

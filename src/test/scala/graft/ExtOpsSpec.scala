@@ -110,6 +110,29 @@ class SimilaritySpec extends AnyFunSuite {
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(pairs == Set((1L, 2L)))
   }
+
+  test("LSH hyperplanes follow the corpus dimensionality (dim=32, not the stock 64)") {
+    assert(Similarity.hyperplanes(32).forall(_.length == 32))
+    // deterministic 32-dim corpus: near-identical pair (1,2), far vector 3
+    val rnd = (i: Int, j: Int) =>
+      (((i * 31 + j * 17) % 19) - 9).toFloat / 10f
+    val v1 = Array.tabulate(32)(j => rnd(1, j))
+    val v2 = v1.clone(); v2(0) = v1(0) + 0.01f
+    val v3 = Array.tabulate(32)(j => rnd(7, j) * (if (j % 2 == 0) -1 else 1))
+    val vecs32 = Seq((1L, v1), (2L, v2), (3L, v3)).toDF("vec_id", "embedding")
+    val prep = Similarity.prepare(vecs32, "vec_id", "embedding")
+    // with dim-sized planes every signature bit is live: the near-identical
+    // pair collides in all bands and survives the exact-cosine verify
+    val pairs = Similarity.lshNearDupPairs(prep, threshold = 0.95, dim = 32)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.contains((1L, 3L)))
+    // and the signatures are non-degenerate (the r2 64-hard-coded planes
+    // zeroed every bit on a non-64-dim corpus via null propagation)
+    val sigs = Similarity.withLshSignature(prep, dim = 32)
+      .select("lsh_sig").as[Long].collect()
+    assert(sigs.exists(_ != 0L))
+  }
 }
 
 class KMeansSpec extends AnyFunSuite {
