@@ -160,6 +160,34 @@ object JdbcTxn {
     } finally st.close()
   }
 
+  /** ANSI-transaction variant of [[runScript]] for engines whose dialect
+    * has no BEGIN/COMMIT TRANSACTION statements (the T-SQL scripts manage
+    * their own): autocommit off → statements → commit; rollback + onError
+    * on failure. Exercised LIVE against embedded Derby (JdbcLiveSpec) —
+    * the in-container stand-in for a real server target. */
+  def runAtomic(
+      conn: java.sql.Connection,
+      statements: Seq[String],
+      onError: Seq[String] = Seq.empty): Unit = {
+    val prevAutoCommit = conn.getAutoCommit
+    conn.setAutoCommit(false)
+    val st = conn.createStatement()
+    try {
+      statements.foreach(st.execute)
+      conn.commit()
+    } catch {
+      case e: Throwable =>
+        try conn.rollback() catch { case _: Throwable => () }
+        onError.foreach { sql =>
+          try st.execute(sql) catch { case _: Throwable => () }
+        }
+        throw e
+    } finally {
+      st.close()
+      conn.setAutoCommit(prevAutoCommit)
+    }
+  }
+
   /** Plain statement runner (no transaction wrapper) — staging hygiene. */
   def runStatements(conn: java.sql.Connection, statements: Seq[String]): Unit = {
     val st = conn.createStatement()
