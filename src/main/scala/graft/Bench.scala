@@ -235,22 +235,22 @@ object Bench {
     // timed draw below sees big-write steady state
     rmRecF(new java.io.File(s"$tmp/full")); warmSrc(); osSync()
     srcT.write.mode("overwrite").parquet(s"$tmp/full"); osSync()
-    // pair order ALTERNATES (F,T then T,F): any residual position bias
-    // within a pair cancels in the geometric mean
-    val rewriteTimes = (1 to 2).map { i =>
+    // pair order ALTERNATES (F,T / T,F / F,T): any position bias cancels.
+    // Even ploughed, identical draws scatter ~3x on this box (measured
+    // 38-110 s for the same 7.5 GB write+sync), so the ratio uses MEDIANS
+    // of three draws per side — robust to a single throttled outlier where
+    // a min/min or single-pair ratio is a lottery ticket.
+    val rewriteTimes = (1 to 3).map { i =>
       val (f, t) =
         if (i % 2 == 1) { val f = fullIter(); val t = truncIter(); (f, t) }
         else { val t = truncIter(); val f = fullIter(); (f, t) }
       println(f"[bench] rewrite pair $i: full $f%.1f s, trunc $t%.1f s")
       (f, t)
     }
-    val tFull = rewriteTimes.map(_._1).min
-    val tTrunc = rewriteTimes.map(_._2).min
-    // the invariant ratio compares temporally-ADJACENT runs (within a pair),
-    // then geometric-means the pairs — cross-pair min/min would re-admit the
-    // drift the interleaving removed
-    val truncVsFull = math.exp(
-      rewriteTimes.map { case (f, t) => math.log(t / f) }.sum / rewriteTimes.size)
+    def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
+    val tFull = median(rewriteTimes.map(_._1))
+    val tTrunc = median(rewriteTimes.map(_._2))
+    val truncVsFull = tTrunc / tFull
     val fullWriteMb = dirMb(s"$tmp/full")
     rmRecF(new java.io.File(s"$tmp/full"))
     rmRecF(new java.io.File(s"$tmp/trunc"))
@@ -280,7 +280,7 @@ object Bench {
     results("scn_5pct_incremental") = tIncr
     results("scn_40pct_truncate") = tTrunc
     results("scn_multitable_8x_noop") = tMulti
-    results("scn_compact_4commits") = tCompact
+    results(s"scn_compact_${compactK}commits") = tCompact
 
     // Bytes moved — the scale-invariant form of the reference's headline
     // claims (99%+ transfer reduction on no-change, ~16B/row control pass):
