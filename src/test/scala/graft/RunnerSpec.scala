@@ -148,6 +148,37 @@ class RunnerSpec extends AnyFunSuite {
     assert(retried.map(_.table) == Seq("BAD"))
   }
 
+  test("schema evolution through the runner: a column added at the source " +
+      "flows through the incremental tier (P1 parity end-to-end)") {
+    val (dir, store, runner) = newEnv()
+    val path = s"$dir/src_evo"
+    (1L to 300L).map(i => (i, i, s"row$i"))
+      .toDF("RecId", "SysRowVersion", "payload")
+      .write.mode("overwrite").parquet(path)
+    def plan = runner.TablePlan("TEVO", path, s"$dir/tgt_evo")
+
+    assert(runner.runAll(Seq(plan)).head.mode == SyncMode.Standard)
+
+    // the source gains a column `extra`, and 5% of rows change
+    (1L to 300L).map(i =>
+      if (i % 20 == 3) (i, i + 100000, s"row$i", s"x$i")
+      else (i, i, s"row$i", s"x$i"))
+      .toDF("RecId", "SysRowVersion", "payload", "extra")
+      .write.mode("overwrite").parquet(path)
+    val r = runner.runAll(Seq(plan))
+    assert(r.head.ok && r.head.mode == SyncMode.Incremental, r.head.error)
+
+    // the replayed target carries the evolved schema: changed rows have
+    // `extra`, unchanged rows (which predate the column) null-fill it
+    val tgt = LakeTable.read(spark, s"$dir/tgt_evo")
+    assert(tgt.columns.toSet == Set("RecId", "SysRowVersion", "payload", "extra"))
+    val got = tgt.select("RecId", "extra").as[(Long, Option[String])]
+      .collect().toMap
+    assert(got(3L).contains("x3") && got(23L).contains("x23"))
+    assert(got(1L).isEmpty && got(2L).isEmpty)
+    assert(tgt.count() == 300)
+  }
+
   test("crash-safe per-table marks: store survives process restart (D6)") {
     val (dir, store, runner) = newEnv()
     val src = mkSource(dir, "t3", identity)
