@@ -306,6 +306,12 @@ object Bench {
       "nochange_speedup" -> tFull / tNoChange,
       "pct5_speedup" -> tFull / tIncr,
       "truncate_vs_full" -> truncVsFull,
+      // invariant #4 in its exact, scale-invariant form: truncate moves the
+      // same bytes as a full reload plus ONE 16 B/row control pass (the
+      // decision probe). The TIME ratio above is the same claim through this
+      // box's ±2x write-throttle noise; the byte form is deterministic.
+      "truncate_vs_full_bytes" ->
+        (fullReadMb + noChangeReadMb + fullWriteMb) / (fullReadMb + fullWriteMb),
       "full_read_mb" -> fullReadMb,
       "full_write_mb" -> fullWriteMb,
       "nochange_read_mb" -> noChangeReadMb,

@@ -83,15 +83,12 @@ object IoMeter {
     import scala.jdk.CollectionConverters._
     val conf = new org.apache.hadoop.conf.Configuration()
     val wanted = cols.map(_.toLowerCase).toSet
-    val files = {
-      val f = new java.io.File(dir)
-      if (f.isFile) Seq(f)
-      else Option(f.listFiles).getOrElse(Array.empty)
-        .filter(x => x.isFile && x.getName.endsWith(".parquet")).toSeq
-    }
-    files.map { f =>
-      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-        new org.apache.hadoop.fs.Path(f.getPath), conf)
+    // scheme-resolved listing (listStatus of a single file returns itself)
+    val files = graft.sync.LakeFs.list(dir)
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath)
+    files.map { p =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf)
       val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
       try {
         reader.getFooter.getBlocks.asScala
