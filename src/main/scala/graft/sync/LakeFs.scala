@@ -33,8 +33,18 @@ object LakeFs {
       .map(_.sessionState.newHadoopConf())
       .getOrElse(new Configuration())
 
-  /** Scheme-resolved (and instance-cached, by Hadoop) filesystem for `p`. */
-  def fs(p: String): FileSystem = new Path(p).getFileSystem(hadoopConf)
+  /** Scheme-resolved (and instance-cached, by Hadoop) filesystem for `p`.
+    * On the local scheme the CHECKSUM wrapper is bypassed (`getRaw`):
+    * metadata files then carry no `.crc` sidecar, so the pointer swap is
+    * exactly ONE atomic rename syscall — with the wrapper, data and crc
+    * rename separately and a concurrent reader could transiently pair new
+    * data with the old checksum. HDFS/object stores checksum internally
+    * and are unaffected. */
+  def fs(p: String): FileSystem =
+    new Path(p).getFileSystem(hadoopConf) match {
+      case l: org.apache.hadoop.fs.LocalFileSystem => l.getRaw
+      case other => other
+    }
 
   def exists(p: String): Boolean = fs(p).exists(new Path(p))
 

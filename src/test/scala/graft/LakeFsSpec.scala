@@ -49,6 +49,31 @@ class LakeFsSpec extends AnyFunSuite {
     assert(LakeFs.sizeBytes(s"$d/never-existed") == 0L)
   }
 
+  test("replace is atomic under a concurrent reader (file: commit contract)") {
+    val d = tmp()
+    def content(i: Int) = f"base-$i%06d\t$i%06d" // fixed width: isolates rename
+    LakeFs.writeUtf8(s"$d/ptr", content(0))
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val torn = new java.util.concurrent.atomic.AtomicReference[String](null)
+    val reader = new Thread(() => {
+      while (!stop.get()) {
+        val s =
+          try LakeFs.readUtf8(s"$d/ptr")
+          catch { case e: Throwable => "EXC:" + e.getClass.getSimpleName }
+        if (!s.matches("base-\\d{6}\t\\d{6}")) torn.compareAndSet(null, s)
+      }
+    })
+    reader.start()
+    (1 to 400).foreach { i =>
+      LakeFs.writeUtf8(s"$d/ptr.tmp", content(i))
+      LakeFs.replace(s"$d/ptr.tmp", s"$d/ptr")
+    }
+    stop.set(true)
+    reader.join(10000)
+    assert(torn.get == null, s"reader observed torn pointer state: ${torn.get}")
+    assert(LakeFs.readUtf8(s"$d/ptr") == content(400))
+  }
+
   test("scheme-qualified file: URIs resolve to the same store as bare paths") {
     val d = tmp()
     LakeFs.writeUtf8(s"file:$d/q.txt", "via-uri")
