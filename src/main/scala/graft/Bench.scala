@@ -212,29 +212,38 @@ object Bench {
     // entirely on one side of the trunc/full ratio — interleaving makes any
     // monotone drift hit both symmetrically. Identical prep each iteration:
     // drop previous output, re-warm the source read, flush dirty backlog.
+    // BOTH scenarios write the SAME output path: with distinct paths, one
+    // path's block placement can be persistently slower for a whole run
+    // (observed: full consistently 2-3x trunc in one run, the reverse in
+    // the next, stable WITHIN each run) — a shared path gives both draws
+    // the same directory and the same freed-block pool.
+    val rewriteOut = s"$tmp/rewrite"
+    var fullWriteMbMeasured = 0.0
     def fullIter(): Double = {
-      rmRecF(new java.io.File(s"$tmp/full")); warmSrc(); osSync()
-      time { srcT.write.mode("overwrite").parquet(s"$tmp/full"); osSync() }
+      rmRecF(new java.io.File(rewriteOut)); warmSrc(); osSync()
+      val t = time { srcT.write.mode("overwrite").parquet(rewriteOut); osSync() }
+      fullWriteMbMeasured = dirMb(rewriteOut)
+      t
     }
     // ≥40%-change truncate mode: the control pass decides TRUNCATE (probe
     // with far-behind marks → 100% changed), then a full rewrite —
     // BASELINE invariant #4 (cost ≈ full reload + one control pass)
     def truncIter(): Double = {
-      rmRecF(new java.io.File(s"$tmp/trunc")); warmSrc(); osSync()
+      rmRecF(new java.io.File(rewriteOut)); warmSrc(); osSync()
       time {
         val pr = Planner.probe(ctl(srcT), ctl(perfT), 0L, 0L)
         val stats = Planner.ChangeStats(pr.sourceWindow, pr.targetCount, pr.changed,
           missing = 0)
         require(Planner.decide(stats, hasStoredMarks = true) == graft.model.SyncMode.Truncate)
-        srcT.write.mode("overwrite").parquet(s"$tmp/trunc"); osSync()
+        srcT.write.mode("overwrite").parquet(rewriteOut); osSync()
       }
     }
     // plough the runway (untimed): the FIRST multi-GB write after a quiet
     // period pays a ~4x writeback-governor ramp (measured 186 s vs 31-43 s
     // steady for identical work); one scratch rewrite absorbs it so every
     // timed draw below sees big-write steady state
-    rmRecF(new java.io.File(s"$tmp/full")); warmSrc(); osSync()
-    srcT.write.mode("overwrite").parquet(s"$tmp/full"); osSync()
+    rmRecF(new java.io.File(rewriteOut)); warmSrc(); osSync()
+    srcT.write.mode("overwrite").parquet(rewriteOut); osSync()
     // pair order ALTERNATES (F,T / T,F / F,T): any position bias cancels.
     // Even ploughed, identical draws scatter ~3x on this box (measured
     // 38-110 s for the same 7.5 GB write+sync), so the ratio uses MEDIANS
@@ -251,9 +260,8 @@ object Bench {
     val tFull = median(rewriteTimes.map(_._1))
     val tTrunc = median(rewriteTimes.map(_._2))
     val truncVsFull = tTrunc / tFull
-    val fullWriteMb = dirMb(s"$tmp/full")
-    rmRecF(new java.io.File(s"$tmp/full"))
-    rmRecF(new java.io.File(s"$tmp/trunc"))
+    val fullWriteMb = fullWriteMbMeasured
+    rmRecF(new java.io.File(rewriteOut))
     // compaction amortization (M2's cost story at 100 TB): K delta commits,
     // then ONE compact folds them into a fresh base — the amortized
     // per-commit share of the rewrite must sit well under a per-sync full

@@ -189,6 +189,17 @@ class RunnerSpec extends AnyFunSuite {
   }
 }
 
+class EntrySpec extends AnyFunSuite {
+  test("entry() runs the real runner lifecycle (standard → NOOP → incremental), " +
+      "not the fallback query") {
+    val df = graft.SparkEntry.entry(TestSpark.spark)
+    assert(df.columns.contains("mode"), "fallback query shape — runner path broke")
+    assert(df.select("mode").collect().map(_.getString(0)).toSeq ==
+      Seq("Standard", "Noop", "Incremental"))
+    assert(df.filter(!col("ok")).count() == 0)
+  }
+}
+
 class ChangeLogSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
