@@ -1,6 +1,6 @@
 package graft.sync
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession, types}
 import org.apache.spark.sql.functions._
 
 /** Changeset log: the read/replay side of [[Apply.writeChangeSet]].
@@ -44,6 +44,47 @@ object ChangeLog {
     next
   }
 
+  /** Least lossless-widening supertype of two column types, or None if the
+    * pair has no lossless join (→ replay fails loudly; a lossy policy would
+    * silently corrupt history). Widening stays family-pure: integral up the
+    * byte<short<int<long chain, float→double, decimal→decimal with enough
+    * integer digits and scale for both sides. Cross-family (long→double,
+    * int→string, …) is refused — those casts lose information or change
+    * comparison semantics.
+    */
+  private[sync] def widen(a: types.DataType, b: types.DataType): Option[types.DataType] = {
+    import types._
+    val integralRank: Map[DataType, Int] =
+      Map(ByteType -> 1, ShortType -> 2, IntegerType -> 3, LongType -> 4)
+    (a, b) match {
+      case _ if a == b => Some(a)
+      case _ if integralRank.contains(a) && integralRank.contains(b) =>
+        Some(if (integralRank(a) >= integralRank(b)) a else b)
+      case (FloatType, DoubleType) | (DoubleType, FloatType) => Some(DoubleType)
+      case (x: DecimalType, y: DecimalType) =>
+        val s = math.max(x.scale, y.scale)
+        val p = math.max(x.precision - x.scale, y.precision - y.scale) + s
+        if (p <= DecimalType.MAX_PRECISION) Some(DecimalType(p, s)) else None
+      case _ => None
+    }
+  }
+
+  /** Cast `df`'s columns up to the widened replay schema (identity when
+    * nothing widened). Only columns the frame carries are touched —
+    * presence differences are `unionByName(allowMissingColumns)`'s job. */
+  private def alignTypes(df: DataFrame,
+      widened: Map[String, types.DataType]): DataFrame = {
+    val needsCast = df.schema.fields.exists(f =>
+      widened.get(f.name.toLowerCase).exists(_ != f.dataType))
+    if (!needsCast) df
+    else df.select(df.schema.fields.map { f =>
+      widened.get(f.name.toLowerCase) match {
+        case Some(t) if t != f.dataType => col(f.name).cast(t).as(f.name)
+        case _ => col(f.name)
+      }
+    }.toIndexedSeq: _*)
+  }
+
   /** Reconstruct current state from a base snapshot + the commit log,
     * applying only commits with seq ≥ `fromSeq` (the table pointer's view). */
   def replay(spark: SparkSession, basePath: String, logDir: String,
@@ -64,15 +105,36 @@ object ChangeLog {
     // column any generation carried, null-filling rows that predate a column
     // — the same end state a re-inserted row has on a server target after
     // the field left the copyable intersection. Tombstones are key-only and
-    // null-fill everything else. (Type CHANGES of a same-named column are
-    // not supported and fail the union loudly.)
-    val tagged = commits.foldLeft(
-      base.withColumn("_seq", lit(0L)).withColumn("_del", lit(false))) {
-      case (acc, (seq, path)) =>
-        val ins = spark.read.parquet(s"$path/inserts")
+    // null-fill everything else. A same-named column whose TYPE changed
+    // across generations is cast up to the least lossless-widening
+    // supertype ([[widen]]: integral chain, float→double, decimal growth —
+    // the source-side ALTERs that occur in practice); a non-widenable
+    // change still fails loudly rather than guessing.
+    val insFrames = commits.map { case (seq, path) =>
+      (seq, spark.read.parquet(s"$path/inserts"),
+        spark.read.parquet(s"$path/deletes").select(keyCol))
+    }
+    val widened: Map[String, types.DataType] =
+      (base.schema.fields.toSeq ++
+        insFrames.flatMap { case (_, ins, del) =>
+          ins.schema.fields.toSeq ++ del.schema.fields.toSeq
+        })
+        .groupBy(_.name.toLowerCase)
+        .map { case (name, fields) =>
+          name -> fields.map(_.dataType).reduce { (x, y) =>
+            widen(x, y).getOrElse(throw new IllegalStateException(
+              s"replay: column '${fields.head.name}' changed type with no " +
+                s"lossless widening ($x vs $y); compact the table at the " +
+                "type boundary or migrate the base"))
+          }
+        }
+    val tagged = insFrames.foldLeft(
+      alignTypes(base, widened)
+        .withColumn("_seq", lit(0L)).withColumn("_del", lit(false))) {
+      case (acc, (seq, insRaw, delRaw)) =>
+        val ins = alignTypes(insRaw, widened)
           .withColumn("_seq", lit(seq + 1L)).withColumn("_del", lit(false))
-        val del = spark.read.parquet(s"$path/deletes")
-          .select(keyCol)
+        val del = alignTypes(delRaw, widened)
           .withColumn("_seq", lit(seq + 1L)).withColumn("_del", lit(true))
         acc.unionByName(ins, allowMissingColumns = true)
           .unionByName(del, allowMissingColumns = true)

@@ -269,6 +269,50 @@ class ChangeLogSpec extends AnyFunSuite {
     assert(byKey(11L) == ((101L, Some("p_11"), Some("x_11")))) // new row
     assert(!byKey.contains(9L) && !byKey.contains(10L))
   }
+
+  test("replay-time type widening: a commit after a lossless column-type " +
+      "ALTER replays cast-up; a lossy change fails loudly") {
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("graft_widen").toString
+    // base: qty is INT, price is DECIMAL(10,2)
+    Seq((1L, 1L, 5, BigDecimal("12.34")), (2L, 2L, 7, BigDecimal("56.78")))
+      .toDF("RecId", "SysRowVersion", "qty", "price")
+      .select(col("RecId"), col("SysRowVersion"),
+        col("qty").cast(IntegerType).as("qty"),
+        col("price").cast(DecimalType(10, 2)).as("price"))
+      .write.parquet(s"$dir/base")
+    // commit 0: source ALTERed qty INT→BIGINT and price →DECIMAL(18,4)
+    val cs0 = graft.sync.Apply.ChangeSet(
+      deleteKeys = Seq(2L).toDF("RecId"),
+      inserts = Seq((3L, 30L, 9999999999L, BigDecimal("1234567890.1234")))
+        .toDF("RecId", "SysRowVersion", "qty", "price")
+        .select(col("RecId"), col("SysRowVersion"), col("qty"),
+          col("price").cast(DecimalType(18, 4)).as("price")),
+      keyFlags = spark.emptyDataFrame)
+    ChangeLog.append(cs0, s"$dir/log")
+
+    val out = ChangeLog.replay(spark, s"$dir/base", s"$dir/log")
+    val fields = out.schema.fields.map(f => f.name -> f.dataType).toMap
+    assert(fields("qty") == LongType)
+    assert(fields("price") == DecimalType(18, 4)) // 16 int digits + 4 scale ⊇ (8,2)
+    val byKey = out.collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getDecimal(3).toString))).toMap
+    assert(byKey.keySet == Set(1L, 3L))
+    assert(byKey(1L) == ((5L, "12.3400"))) // base row cast up
+    assert(byKey(3L) == ((9999999999L, "1234567890.1234")))
+
+    // lossy change (string payload over an int column) refuses to replay
+    val cs1 = graft.sync.Apply.ChangeSet(
+      deleteKeys = Seq.empty[Long].toDF("RecId"),
+      inserts = Seq((4L, 40L, "not-a-number"))
+        .toDF("RecId", "SysRowVersion", "qty"),
+      keyFlags = spark.emptyDataFrame)
+    ChangeLog.append(cs1, s"$dir/log")
+    val e = intercept[IllegalStateException] {
+      ChangeLog.replay(spark, s"$dir/base", s"$dir/log").collect()
+    }
+    assert(e.getMessage.contains("qty"))
+  }
 }
 
 class LakeTableCrashSpec extends AnyFunSuite {
