@@ -82,13 +82,29 @@ object LakeFs {
   /** Replace `dst` with `src`, atomically where the scheme supports it.
     * `FileSystem.rename` replaces atomically on `file:` (POSIX rename) but
     * refuses an existing dst on `hdfs:` (returns false); the `FileContext`
-    * fallback is hdfs's atomic `rename2(OVERWRITE)`, and a non-atomic
-    * delete+rename on schemes with neither primitive. */
+    * fallback is hdfs's atomic `rename2(OVERWRITE)`. A scheme with neither
+    * primitive (object stores: no `AbstractFileSystem` binding, rename
+    * refuses existing dst) degrades to delete+rename — NON-atomic: a
+    * concurrent reader can observe dst briefly missing, which
+    * `LakeTable.resolve` already treats as table-missing/degrade
+    * (same recovery as a torn pointer; [[warnIfNonAtomic]] flags the
+    * scheme once). */
   def replace(src: String, dst: String): Unit = {
     val f = fs(dst)
     if (!f.rename(new Path(src), new Path(dst))) {
-      val fc = FileContext.getFileContext(f.getUri, hadoopConf)
-      fc.rename(new Path(src), new Path(dst), Options.Rename.OVERWRITE)
+      val renamed2 =
+        try {
+          val fc = FileContext.getFileContext(f.getUri, hadoopConf)
+          fc.rename(new Path(src), new Path(dst), Options.Rename.OVERWRITE)
+          true
+        } catch {
+          case _: org.apache.hadoop.fs.UnsupportedFileSystemException => false
+        }
+      if (!renamed2) {
+        f.delete(new Path(dst), false)
+        if (!f.rename(new Path(src), new Path(dst)))
+          throw new IllegalStateException(s"pointer replace failed: $src -> $dst")
+      }
     }
   }
 
@@ -117,14 +133,18 @@ object LakeFs {
 
   private val warned = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
-  /** Warn once per scheme when the commit protocol's rename is emulated. */
-  def warnIfNonAtomic(p: String): Unit = {
+  /** Warn once per scheme when the commit protocol's rename is emulated.
+    * Returns whether `p`'s scheme is a rename-emulating one (the warning
+    * condition), so callers/tests can assert the classification. */
+  def warnIfNonAtomic(p: String): Boolean = {
     val scheme = Option(fs(p).getUri.getScheme).getOrElse("file")
-    if (!AtomicRenameSchemes.contains(scheme) && warned.add(scheme))
+    val nonAtomic = !AtomicRenameSchemes.contains(scheme)
+    if (nonAtomic && warned.add(scheme))
       org.slf4j.LoggerFactory.getLogger(getClass).warn(
         s"filesystem scheme '$scheme' emulates rename (copy+delete): lake pointer " +
           "swaps are not atomic there; a concurrent reader may transiently observe a " +
           "missing/torn pointer (recovered as table-missing, degrade-to-standard). " +
           "Prefer hdfs:/abfs: for the commit metadata at scale.")
+    nonAtomic
   }
 }

@@ -400,6 +400,40 @@ class LakeTableCrashSpec extends AnyFunSuite {
     assert(LakeTable.read(spark, t).select("payload").as[String]
       .collect().forall(_.startsWith("g3")))
   }
+
+  test("rename-emulating scheme contract (mock object store): lifecycle " +
+      "works non-atomically, pointer replace degrades, torn pointer recovers") {
+    spark.sparkContext.hadoopConfiguration.set(
+      "fs.mockos.impl", classOf[graft.testfs.MockObjectStoreFileSystem].getName)
+    val t = "mockos:" +
+      java.nio.file.Files.createTempDirectory("graft_mockos").toString + "/t"
+    // the scheme is classified as rename-emulating (warn path), file: is not
+    assert(graft.sync.LakeFs.warnIfNonAtomic(t))
+    assert(!graft.sync.LakeFs.warnIfNonAtomic("file:/tmp/x"))
+
+    val v1 = (1L to 40L).map(i => (i, i, s"v1_$i")).toDF("RecId", "SysRowVersion", "payload")
+    assert(!LakeTable.exists(t))
+    LakeTable.overwrite(v1, t)
+    assert(LakeTable.read(spark, t).count() == 40)
+    val src = (1L to 40L).map(i =>
+      if (i <= 4) (i, i + 100L, s"v2_$i") else (i, i, s"v1_$i"))
+      .toDF("RecId", "SysRowVersion", "payload")
+    LakeTable.appendCommit(
+      Apply.updateOnlyChangeSet(src, src.select("RecId", "SysRowVersion"), 40L), t)
+    assert(LakeTable.read(spark, t).filter(col("SysRowVersion") > 100L).count() == 4)
+    // second overwrite replaces an EXISTING pointer: FileSystem.rename
+    // refuses (dst exists), FileContext is unsupported for the scheme —
+    // the delete+rename degradation must still publish the new pointer
+    LakeTable.compact(spark, t)
+    assert(LakeTable.pendingCommits(t) == 0)
+    assert(LakeTable.read(spark, t).filter(col("SysRowVersion") > 100L).count() == 4)
+    // torn pointer (the transient state the non-atomic swap can expose):
+    // degrade to table-missing, self-heal on the next overwrite
+    graft.sync.LakeFs.writeUtf8(s"$t/_current", "garbled no tab here")
+    assert(!LakeTable.exists(t))
+    LakeTable.overwrite(v1, t)
+    assert(LakeTable.read(spark, t).count() == 40)
+  }
 }
 
 class PostActionsSpec extends AnyFunSuite {
