@@ -214,6 +214,26 @@ UNION ALL SELECT 'lineitem', count(*) FROM lineitem
 UNION ALL SELECT 'events', count(*) FROM events
 UNION ALL SELECT 'documents', count(*) FROM documents
 UNION ALL SELECT 'embeddings', count(*) FROM embeddings
-) WHERE row_count > 0""")
+) WHERE row_count > 0"""),
+
+    // S10 source-format round trips: the oracle aggregates the PARQUET
+    // table directly — a match proves the engine's CSV/JSON export+read
+    // is lossless (per-string hash sums, exact cents, counts).
+    // DuckDB sum(BIGINT) returns HUGEINT → cast back.
+    "q_src_csv" -> ("""SELECT s_nationkey,
+  count(*) AS n,
+  CAST(sum(s_suppkey) AS BIGINT) AS key_sum,
+  CAST(sum(CAST(floor(s_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT) AS acctbal_cents,
+  CAST(sum(('0x' || substr(md5(s_name), 1, 8))::BIGINT) AS BIGINT) AS name_check
+FROM supplier GROUP BY s_nationkey"""),
+
+    "q_src_json" -> ("""SELECT o_orderstatus,
+  CAST(year(o_orderdate) AS INTEGER) AS o_year,
+  count(*) AS n,
+  CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+  CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS price_cents,
+  max(o_orderdate) AS max_ts,
+  CAST(sum(('0x' || substr(md5(o_orderpriority), 1, 8))::BIGINT) AS BIGINT) AS prio_check
+FROM orders GROUP BY o_orderstatus, year(o_orderdate)""")
   )
 }

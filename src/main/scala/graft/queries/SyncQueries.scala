@@ -223,6 +223,41 @@ object SyncQueries {
       }.reduce(_.unionByName(_))
         .groupBy("table_name").agg(count(lit(1)).as("row_count"))
         .filter(col("row_count") > 0)
+    }),
+
+    // S10 source formats — CSV landing zone: export supplier to an
+    // RFC-4180-quoted CSV, read it back through CsvSource with the
+    // original schema, and aggregate EVERY column (counts, exact cents,
+    // per-string hash sums). The oracle runs on the PARQUET table, so a
+    // hash match proves the text round-trip is lossless — any mangled
+    // char, dropped row or drifted double changes a checksum.
+    "q_src_csv" -> ((s, d) => {
+      val sup = s.read.parquet(s"$d/supplier.parquet")
+      val out = s"${sys.props("java.io.tmpdir")}/graft_srcfmt_" +
+        s"${new java.io.File(d).getName}/supplier_csv"
+      sup.write.mode("overwrite").options(graft.run.CsvSource.RoundTripOptions).csv(out)
+      graft.run.CsvSource(out, sup.schema).load(s)
+        .groupBy("s_nationkey").agg(
+          count(lit(1)).as("n"),
+          sum(col("s_suppkey")).as("key_sum"),
+          sum(floor(col("s_acctbal") * 100 + 0.5).cast("long")).as("acctbal_cents"),
+          sum(graft.ext.Dedup.h32(col("s_name"))).as("name_check"))
+    }),
+
+    // S10 source formats — JSON-lines landing zone, same round-trip proof
+    // over orders (adds a TIMESTAMP column to the fidelity check)
+    "q_src_json" -> ((s, d) => {
+      val ord = s.read.parquet(s"$d/orders.parquet")
+      val out = s"${sys.props("java.io.tmpdir")}/graft_srcfmt_" +
+        s"${new java.io.File(d).getName}/orders_json"
+      ord.write.mode("overwrite").json(out)
+      graft.run.JsonSource(out, ord.schema).load(s)
+        .groupBy(col("o_orderstatus"), year(col("o_orderdate")).as("o_year")).agg(
+          count(lit(1)).as("n"),
+          sum(col("o_orderkey")).as("key_sum"),
+          sum(floor(col("o_totalprice") * 100 + 0.5).cast("long")).as("price_cents"),
+          max(col("o_orderdate")).as("max_ts"),
+          sum(graft.ext.Dedup.h32(col("o_orderpriority"))).as("prio_check"))
     })
   )
 }

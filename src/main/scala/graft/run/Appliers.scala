@@ -29,6 +29,34 @@ final case class JdbcSource(cfg: Jdbc.JdbcConfig, pushdownSql: String) extends T
   def load(spark: SparkSession): DataFrame = Jdbc.readPushdown(spark, cfg, pushdownSql)
 }
 
+/** CSV export/landing-zone source with an EXPLICIT schema (inference would
+  * both re-scan the data and guess types — a sync source must be typed).
+  * RFC-4180 quoting (`escape` = `"` on both edges, unlike Spark's backslash
+  * default) so embedded quotes/commas/newlines round-trip; doubles survive
+  * text round-trip exactly (shortest-repr print, exact parse).
+  * `nullValue` is the empty field, Spark's default — a CSV landing zone
+  * cannot distinguish empty string from null, which is inherent to the
+  * format, not this reader. */
+final case class CsvSource(path: String, schema: org.apache.spark.sql.types.StructType)
+    extends TableSource {
+  def load(spark: SparkSession): DataFrame =
+    spark.read.options(CsvSource.RoundTripOptions).schema(schema).csv(path)
+}
+object CsvSource {
+  /** Shared by reader and writer so an export read back is bit-identical. */
+  val RoundTripOptions: Map[String, String] =
+    Map("header" -> "true", "quote" -> "\"", "escape" -> "\"")
+}
+
+/** JSON-lines export/landing-zone source with an EXPLICIT schema (same
+  * rationale as [[CsvSource]]; schema-on-read keeps a malformed line from
+  * silently widening types). Timestamps round-trip through the session
+  * time zone at millisecond precision. */
+final case class JsonSource(path: String, schema: org.apache.spark.sql.types.StructType)
+    extends TableSource {
+  def load(spark: SparkSession): DataFrame = spark.read.schema(schema).json(path)
+}
+
 trait TableApplier {
   def exists: Boolean
   /** Current target state (full width; runner prunes to key+version). */

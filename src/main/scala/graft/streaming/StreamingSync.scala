@@ -19,17 +19,30 @@ import org.apache.spark.sql.types.StructType
 object StreamingSync {
 
   /** Mark-based incremental sync as a stream: every new source file becomes
-    * a micro-batch merged into the target via the SAME Apply logic as the
-    * batch path (exactly-once per batch via checkpointed offsets — the
-    * crash-safe-marks property D6, supplied by the engine instead of
-    * hand-rolled JSON). */
+    * a micro-batch applied to the target through the SAME LakeTable commit
+    * protocol as the batch runner (exactly-once per batch via checkpointed
+    * offsets — the crash-safe-marks property D6, supplied by the engine
+    * instead of hand-rolled JSON).
+    *
+    * Each micro-batch is an upsert changeset — tombstone keys + batch rows
+    * — APPENDED as a delta commit, so per-batch write cost is O(batch),
+    * never O(table); `LakeApplier` folds the log back into the base every
+    * `compactEvery` commits. (The previous implementation rewrote and
+    * dir-swapped the whole target per batch — at 100 TB that makes every
+    * micro-batch cost a full reload, which is exactly what the delta-commit
+    * design exists to avoid.) The first batch bootstraps the base snapshot.
+    * Within a batch, the newest version per key wins (older duplicates are
+    * window-deduped before the append, mirroring replay's newest-wins
+    * rule). Read the result with [[graft.sync.LakeTable.read]]. */
   def incrementalSyncStream(
       spark: SparkSession,
       sourceDir: String,
       targetDir: String,
       checkpointDir: String,
       schema: StructType,
-      keyCol: String = "RecId"): StreamingQuery = {
+      keyCol: String = "RecId",
+      versionCol: String = "SysRowVersion",
+      compactEvery: Int = 8): StreamingQuery = {
     spark.readStream
       .schema(schema)
       .parquet(sourceDir)
@@ -38,23 +51,19 @@ object StreamingSync {
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val spark = batch.sparkSession
-        val merged =
-          if (!graft.sync.LakeFs.exists(targetDir)) batch.toDF()
-          else {
-            val existing = spark.read.parquet(targetDir)
-            // upsert: incoming batch rows win on key collision
-            existing.join(batch.toDF().select(keyCol), Seq(keyCol), "left_anti")
-              .unionByName(batch.toDF())
-          }
-        val staging = targetDir + ".staging"
-        merged.write.mode("overwrite").parquet(staging)
-        // dir-level swap via the Hadoop API (LakeFs): retire the old target,
-        // publish the staging dir, then drop the retired copy
-        val old = targetDir + ".old"
-        graft.sync.LakeFs.delete(old)
-        if (graft.sync.LakeFs.exists(targetDir)) graft.sync.LakeFs.rename(targetDir, old)
-        graft.sync.LakeFs.rename(staging, targetDir)
-        graft.sync.LakeFs.delete(old)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(keyCol).orderBy(col(versionCol).desc)
+        val rows = batch.toDF()
+          .withColumn("_rn", row_number().over(w))
+          .filter(col("_rn") === 1).drop("_rn")
+        val applier = graft.run.LakeApplier(targetDir, compactEvery)
+        if (!applier.exists) applier.overwrite(rows)
+        else applier.applyChangeSet(
+          graft.sync.Apply.ChangeSet(
+            deleteKeys = rows.select(keyCol),
+            inserts = rows,
+            keyFlags = spark.emptyDataFrame),
+          spark, keyCol)
         ()
       }
       .start()

@@ -128,17 +128,23 @@ object ChangeLog {
                 "type boundary or migrate the base"))
           }
         }
-    val tagged = insFrames.foldLeft(
-      alignTypes(base, widened)
-        .withColumn("_seq", lit(0L)).withColumn("_del", lit(false))) {
-      case (acc, (seq, insRaw, delRaw)) =>
-        val ins = alignTypes(insRaw, widened)
-          .withColumn("_seq", lit(seq + 1L)).withColumn("_del", lit(false))
-        val del = alignTypes(delRaw, widened)
-          .withColumn("_seq", lit(seq + 1L)).withColumn("_del", lit(true))
-        acc.unionByName(ins, allowMissingColumns = true)
-          .unionByName(del, allowMissingColumns = true)
-    }
+    // The base NEVER enters a shuffle: only commit events (≈ change% of the
+    // table) are windowed per key, and base rows whose key appears in any
+    // event are dropped with an anti-join whose build side is just the
+    // event KEYS — AQE turns that into a broadcast hash anti for the common
+    // small-delta case. The alternative (window over base ∪ commits) would
+    // hash-partition every payload byte of a 100 TB base on every read;
+    // this plan's full-width shuffle is bounded by total change volume.
+    // (Assumes the base is key-unique — true by construction: every base
+    // is either a source snapshot or a previous replay's output.)
+    val events = insFrames.map { case (seq, insRaw, delRaw) =>
+      alignTypes(insRaw, widened)
+        .withColumn("_seq", lit(seq + 1L)).withColumn("_del", lit(false))
+        .unionByName(
+          alignTypes(delRaw, widened)
+            .withColumn("_seq", lit(seq + 1L)).withColumn("_del", lit(true)),
+          allowMissingColumns = true)
+    }.reduce(_.unionByName(_, allowMissingColumns = true))
 
     // newest event per key wins; survivors are non-tombstones.
     // (an insert and a delete of the same key in ONE commit = the reference's
@@ -147,9 +153,12 @@ object ChangeLog {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(keyCol)
       .orderBy(col("_seq").desc, col("_del").asc)
-    tagged
+    val winners = events
       .withColumn("_rn", row_number().over(w))
       .filter(col("_rn") === 1 && !col("_del"))
       .drop("_seq", "_del", "_rn")
+    alignTypes(base, widened)
+      .join(events.select(keyCol).distinct(), Seq(keyCol), "left_anti")
+      .unionByName(winners, allowMissingColumns = true)
   }
 }

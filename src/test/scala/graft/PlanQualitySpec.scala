@@ -145,6 +145,34 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!plan.contains("Join"), plan)
   }
 
+  test("changelog replay never shuffles the base: broadcast anti on event " +
+      "keys, ONE window over commits only") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_replayplan").toString + "/t"
+    (1L to 10000L).map(i => (i, i, s"pay$i"))
+      .toDF("RecId", "SysRowVersion", "payload")
+      .write.parquet(s"$dir/base-0")
+    graft.sync.LakeFs.writeUtf8(s"$dir/_current", "base-0\t0")
+    val cs = graft.sync.Apply.ChangeSet(
+      deleteKeys = Seq(9999L, 10000L).toDF("RecId"),
+      inserts = Seq((1L, 100L, "v2_1"), (10001L, 101L, "new"))
+        .toDF("RecId", "SysRowVersion", "payload"),
+      keyFlags = spark.emptyDataFrame)
+    graft.sync.LakeTable.appendCommit(cs, dir)
+
+    val df = graft.sync.LakeTable.read(spark, dir)
+    assert(df.count() == 9999) // 10000 - 2 deleted + 1 new (key 1 updated)
+    val plan = df.queryExecution.executedPlan.toString
+    // the base reaches the output through a BROADCAST anti-join (its rows
+    // never hash-partition); at 100 TB a shuffled base would be the whole
+    // cost of every read
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"base must anti-join against broadcast event keys:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"base must not sort-merge (full shuffle):\n$plan")
+    assert("windowspecdefinition".r.findAllMatchIn(plan).size == 1,
+      s"exactly one window, over commit events only:\n$plan")
+  }
+
   test("native array expressions participate in codegen (no Scala UDF nodes)") {
     val prep = graft.ext.Similarity.prepare(
       spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet"),

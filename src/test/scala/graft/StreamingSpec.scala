@@ -20,15 +20,18 @@ class StreamingSpec extends AnyFunSuite {
     val q1 = StreamingSync.incrementalSyncStream(
       spark, srcDir, s"$dir/tgt", s"$dir/ckpt", schema)
     q1.awaitTermination(60000)
-    assert(spark.read.parquet(s"$dir/tgt").count() == 2)
+    assert(graft.sync.LakeTable.read(spark, s"$dir/tgt").count() == 2)
 
-    // batch 2: a new file = one update + one insert; checkpoint replays only it
+    // batch 2: a new file = one update + one insert; checkpoint replays only
+    // it, and the apply is a DELTA COMMIT (O(batch)), not a target rewrite
     Seq((2L, 2L, "b2"), (3L, 1L, "c")).toDF("RecId", "SysRowVersion", "payload")
       .write.mode("append").parquet(srcDir)
     val q2 = StreamingSync.incrementalSyncStream(
       spark, srcDir, s"$dir/tgt", s"$dir/ckpt", schema)
     q2.awaitTermination(60000)
-    val out = spark.read.parquet(s"$dir/tgt")
+    assert(graft.sync.LakeTable.pendingCommits(s"$dir/tgt") == 1,
+      "micro-batch apply must append a commit, not rewrite the base")
+    val out = graft.sync.LakeTable.read(spark, s"$dir/tgt")
       .select("RecId", "payload").as[(Long, String)].collect().toMap
     assert(out == Map(1L -> "a", 2L -> "b2", 3L -> "c"))
   }
