@@ -1,0 +1,58 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic corpus-sampling operators for training-data pipelines.
+  *
+  * A 100 TB corpus is never trained on whole: it is subsampled (global
+  * rate), quota-balanced (per-language / per-source strata) and mixture-
+  * weighted (upsample high-quality sources). All three operators here are
+  * DETERMINISTIC — driven by a content/key hash, not `rand()` — which is
+  * what a production pipeline needs anyway (reproducible datasets, stable
+  * A/B membership, resumable jobs) and what makes them oracle-checkable.
+  *
+  * Scale shapes: [[hashSample]] is a pure scan-speed filter (no shuffle,
+  * pushdown-friendly); [[stratifiedSample]] pays one shuffle by stratum
+  * and plans as a partial top-n (WindowGroupLimit) so a skewed stratum
+  * tops out map-side; [[weightedMix]] is a generator expression at scan
+  * speed whose output size is Σ weights.
+  */
+object Sampling {
+
+  /** Uniform-rate deterministic sample: keep a row iff its key hashes into
+    * the first `permille` of 1000 buckets. Membership is a pure function
+    * of the key — re-runs, retries and incremental extensions of the
+    * corpus select the same rows (the property `rand(seed)` loses the
+    * moment partitioning changes). */
+  def hashSample(df: DataFrame, keyCol: Column, permille: Int): DataFrame =
+    df.filter(pmod(Dedup.h32(keyCol), lit(1000)) < lit(permille))
+
+  /** Per-stratum quota sample: the `n` rows of each stratum that sort
+    * first by (key-hash, key) — a deterministic "random n per language /
+    * source". One shuffle on the stratum key; row_number over a bounded
+    * rank plans as WindowGroupLimit (partial top-n before the exchange),
+    * so a 10-billion-row stratum still only shuffles ~n rows per map
+    * partition. */
+  def stratifiedSample(df: DataFrame, stratumCol: Column, keyCol: Column,
+      n: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(stratumCol)
+      .orderBy(Dedup.h32(keyCol).asc, keyCol.asc)
+    df.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= n)
+      .drop("_rn")
+  }
+
+  /** Mixture weighting by replication: emit each row `weight` times
+    * (0 drops the row), tagged with `copy_no` (1-based). Deterministic
+    * upsampling for corpus mixing — the weight is data-derived (quality
+    * score, source multiplier), the expansion a codegen'd generator at
+    * scan speed, never a join. */
+  def weightedMix(df: DataFrame, weight: Column): DataFrame =
+    // the when-guard matters: sequence(1, 0) infers step -1 and yields
+    // [1, 0] — a weight of 0 would DUPLICATE the row instead of dropping
+    // it; explode on the guard's null drops it as intended
+    df.withColumn("copy_no",
+      explode(when(weight >= 1, sequence(lit(1), weight.cast("int")))))
+}

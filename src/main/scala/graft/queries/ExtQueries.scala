@@ -128,7 +128,27 @@ object ExtQueries {
       Multimodal.synthesizePayloads(s, d)
         .map(c => (c.doc_id, c.width, c.height, c.format, c.payload.length))
         .toDF("doc_id", "width", "height", "format", "payload_bytes")
-    })
+    }),
+
+    // ---- deterministic corpus sampling (training-data pipeline ops) ----
+    // 25% hash-rate sample: membership is a pure function of doc_id
+    "q_sample_hash" -> ((s, d) =>
+      Sampling.hashSample(docs(s, d), col("doc_id").cast("string"), permille = 250)
+        .select("doc_id", "lang", "n_chars")),
+
+    // 30 docs per language, picked by deterministic hash order
+    "q_sample_stratified" -> ((s, d) =>
+      Sampling.stratifiedSample(
+        docs(s, d), col("lang"), col("doc_id").cast("string"), n = 30)
+        .select("doc_id", "lang", "source")),
+
+    // mixture weighting: each doc replicated 1-3x by a data-derived weight
+    "q_sample_mix" -> ((s, d) =>
+      Sampling.weightedMix(
+        docs(s, d).withColumn("w",
+          (lit(1) + pmod(Dedup.h32(col("doc_id").cast("string")), lit(3))).cast("int")),
+        col("w"))
+        .select("doc_id", "w", "copy_no"))
   )
 
   // ------------------------------------------------------------ oracles
@@ -398,6 +418,22 @@ FROM h, LATERAL (SELECT unnest(range(0, 8)) j)""",
   CAST((doc_id * 7) % 480 + 1 AS INTEGER) AS height,
   'fake/rgb8' AS format,
   CAST(octet_length(encode(text)) + 8 AS INTEGER) AS payload_bytes
-FROM documents"""
+FROM documents""",
+
+    "q_sample_hash" -> s"""SELECT doc_id, lang, n_chars FROM documents
+WHERE ${oh32("CAST(doc_id AS VARCHAR)")} % 1000 < 250""",
+
+    "q_sample_stratified" -> s"""SELECT doc_id, lang, source FROM (
+  SELECT doc_id, lang, source, row_number() OVER (
+    PARTITION BY lang
+    ORDER BY ${oh32("CAST(doc_id AS VARCHAR)")} ASC, CAST(doc_id AS VARCHAR) ASC) AS rn
+  FROM documents) WHERE rn <= 30""",
+
+    "q_sample_mix" -> s"""WITH d AS (
+  SELECT doc_id,
+    CAST(1 + ${oh32("CAST(doc_id AS VARCHAR)")} % 3 AS INTEGER) AS w
+  FROM documents)
+SELECT doc_id, w, CAST(unnest(generate_series(1, w)) AS INTEGER) AS copy_no
+FROM d"""
   )
 }

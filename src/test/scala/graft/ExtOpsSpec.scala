@@ -317,3 +317,46 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 }
+
+class SamplingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+  import graft.ext.Sampling
+
+  private def corpus = (1L to 1000L).map(i =>
+    (i, if (i % 3 == 0) "en" else if (i % 3 == 1) "de" else "fr"))
+    .toDF("doc_id", "lang")
+
+  test("hash sample is deterministic, rate-accurate, and partition-invariant") {
+    val key = col("doc_id").cast("string")
+    val a = Sampling.hashSample(corpus, key, 250).select("doc_id")
+      .as[Long].collect().toSet
+    val b = Sampling.hashSample(corpus.repartition(7), key, 250).select("doc_id")
+      .as[Long].collect().toSet
+    assert(a == b) // membership survives any repartitioning (rand() doesn't)
+    assert(math.abs(a.size - 250) < 60) // ~25% of 1000
+    // monotone: a lower rate selects a subset of a higher rate
+    val tighter = Sampling.hashSample(corpus, key, 100).select("doc_id")
+      .as[Long].collect().toSet
+    assert(tighter.subsetOf(a))
+  }
+
+  test("stratified sample takes exactly n per stratum, deterministically") {
+    val out = Sampling.stratifiedSample(
+      corpus, col("lang"), col("doc_id").cast("string"), n = 25)
+    val perLang = out.groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(perLang == Map("en" -> 25L, "de" -> 25L, "fr" -> 25L))
+    val again = Sampling.stratifiedSample(
+      corpus.repartition(5), col("lang"), col("doc_id").cast("string"), n = 25)
+    assert(out.select("doc_id").as[Long].collect().toSet ==
+      again.select("doc_id").as[Long].collect().toSet)
+  }
+
+  test("weighted mix replicates by weight; weight 0 DROPS the row " +
+      "(sequence(1,0) would have doubled it)") {
+    val df = Seq((1L, 3), (2L, 1), (3L, 0)).toDF("doc_id", "w")
+    val out = Sampling.weightedMix(df, col("w"))
+      .select("doc_id", "copy_no").as[(Long, Int)].collect().toSet
+    assert(out == Set((1L, 1), (1L, 2), (1L, 3), (2L, 1)))
+  }
+}

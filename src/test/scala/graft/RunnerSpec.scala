@@ -270,6 +270,34 @@ class ChangeLogSpec extends AnyFunSuite {
     assert(!byKey.contains(9L) && !byKey.contains(10L))
   }
 
+  test("model check: replay of random commit sequences equals the " +
+      "sequential delete-then-insert fold (seeded)") {
+    val rnd = new scala.util.Random(20260812)
+    (1 to 4).foreach { caseI =>
+      val dir = java.nio.file.Files.createTempDirectory(s"graft_model$caseI").toString
+      // model: key -> (version, payload); commits apply deletes THEN inserts
+      // (the reference's order — an insert beats a same-commit tombstone)
+      var model = (1L to 60L).map(k => k -> ((k, s"v0_$k"))).toMap
+      model.toSeq.map { case (k, (v, p)) => (k, v, p) }
+        .toDF("RecId", "SysRowVersion", "payload").write.parquet(s"$dir/base")
+      var ver = 1000L
+      (0 until 2 + rnd.nextInt(3)).foreach { ci =>
+        val delKeys = rnd.shuffle((1L to 80L).toVector).take(rnd.nextInt(8))
+        val upserts = Seq.fill(5 + rnd.nextInt(10))(1L + rnd.nextInt(80).toLong)
+          .distinct.map { k => ver += 1; (k, ver, s"c${ci}_$k") }
+        ChangeLog.append(graft.sync.Apply.ChangeSet(
+          delKeys.toDF("RecId"),
+          upserts.toDF("RecId", "SysRowVersion", "payload"),
+          spark.emptyDataFrame), s"$dir/log")
+        model = (model -- delKeys) ++ upserts.map(r => r._1 -> ((r._2, r._3)))
+      }
+      val out = ChangeLog.replay(spark, s"$dir/base", s"$dir/log")
+        .as[(Long, Long, String)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      assert(out == model, s"case $caseI diverged from the fold model")
+    }
+  }
+
   test("replay-time type widening: a commit after a lossless column-type " +
       "ALTER replays cast-up; a lossy change fails loudly") {
     import org.apache.spark.sql.types._
