@@ -148,7 +148,15 @@ object ExtQueries {
         docs(s, d).withColumn("w",
           (lit(1) + pmod(Dedup.h32(col("doc_id").cast("string")), lit(3))).cast("int")),
         col("w"))
-        .select("doc_id", "w", "copy_no"))
+        .select("doc_id", "w", "copy_no")),
+
+    // ---- dedup clusters: pairwise near-dup verdicts → transitive
+    // components (min-label propagation, 4 bounded rounds replayed
+    // identically by the oracle) — the KEEP/DROP step of a dedup pass ----
+    "q_dedup_components" -> ((s, d) =>
+      Components.labelPropagate(
+        Dedup.ngramJaccardPairs(docs(s, d), "doc_id", "text", n = 3, threshold = 0.5),
+        "id_a", "id_b", iters = 4))
   )
 
   // ------------------------------------------------------------ oracles
@@ -167,6 +175,21 @@ sizes AS (SELECT sid, count(*) AS nsh FROM sh GROUP BY sid)"""
   p.common * 1.0 / (ca.nsh + cb.nsh - p.common) AS jaccard
 FROM pairs p JOIN sizes ca ON ca.sid = p.id_a JOIN sizes cb ON cb.sid = p.id_b
 WHERE p.common * 1.0 / (ca.nsh + cb.nsh - p.common) >= 0.5"""
+
+  /** Bounded min-label propagation rounds over a `sym(a, b)` CTE — the
+    * SQL replay of Components.labelPropagate's iterations. */
+  private def componentRounds(iters: Int): String = {
+    val l0 = "l0 AS (SELECT DISTINCT a AS id, a AS comp FROM sym)"
+    val steps = (1 to iters).map { k =>
+      s"""l$k AS (
+  SELECT l.id, LEAST(l.comp, COALESCE(MIN(r.comp), l.comp)) AS comp
+  FROM l${k - 1} l
+  LEFT JOIN sym e ON e.a = l.id
+  LEFT JOIN l${k - 1} r ON r.id = e.b
+  GROUP BY l.id, l.comp)"""
+    }
+    (l0 +: steps).mkString(",\n")
+  }
 
   /** MinHash signature SQL generated from the SAME constants as the Scala. */
   private val minhashSigCols: String =
@@ -434,6 +457,19 @@ WHERE ${oh32("CAST(doc_id AS VARCHAR)")} % 1000 < 250""",
     CAST(1 + ${oh32("CAST(doc_id AS VARCHAR)")} % 3 AS INTEGER) AS w
   FROM documents)
 SELECT doc_id, w, CAST(unnest(generate_series(1, w)) AS INTEGER) AS copy_no
-FROM d"""
+FROM d""",
+
+    "q_dedup_components" -> s"""WITH $shinglesCte,
+capped AS (SELECT sid, shingle FROM (
+  SELECT sid, shingle, count(*) OVER (PARTITION BY shingle) AS sfreq FROM sh)
+  WHERE sfreq <= 1000),
+pairs AS (SELECT a.sid AS id_a, b.sid AS id_b, count(*) AS common
+          FROM capped a JOIN capped b ON a.shingle = b.shingle AND a.sid < b.sid
+          GROUP BY 1, 2),
+verified AS ($jaccardVerify),
+sym AS (SELECT id_a AS a, id_b AS b FROM verified
+        UNION SELECT id_b, id_a FROM verified),
+${componentRounds(4)}
+SELECT id, comp FROM l4"""
   )
 }

@@ -318,6 +318,29 @@ class MultimodalSpec extends AnyFunSuite {
   }
 }
 
+class ComponentsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("min-label propagation finds transitive clusters and ignores direction") {
+    // two clusters: {1,2,3,4} chained, {10,11}; edge direction mixed
+    val edges = Seq((2L, 1L), (2L, 3L), (4L, 3L), (10L, 11L)).toDF("x", "y")
+    val out = Components.labelPropagate(edges, "x", "y", iters = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("iters bounds the hop distance (k rounds = min id within k hops)") {
+    val chain = (1L to 6L).sliding(2).map(p => (p(0), p(1))).toSeq.toDF("x", "y")
+    val one = Components.labelPropagate(chain, "x", "y", iters = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(one(3L) == 2L && one(6L) == 5L) // one hop of propagation only
+    val enough = Components.labelPropagate(chain, "x", "y", iters = 5)
+      .as[(Long, Long)].collect().toMap
+    assert((1L to 6L).forall(enough(_) == 1L))
+  }
+}
+
 class SamplingSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
