@@ -81,6 +81,64 @@ final case class LakeApplier(path: String, compactEvery: Int = 8) extends TableA
   }
 }
 
+/** ANSI-dialect JDBC applier: the same staged-tables + ONE-transaction
+  * apply shape as [[JdbcApplier]], in portable SQL — for targets that are
+  * not SQL Server (Derby, PostgreSQL-family). What T-SQL adds on top
+  * (trigger toggling, `ALTER SEQUENCE` bump, `OBJECT_ID` staging guards)
+  * has no counterpart object on these engines, so the ANSI form IS the
+  * complete apply: staged loads outside the transaction, then one
+  * atomic delete-by-staged-keys + insert-select ([[JdbcTxn.runAtomic]]:
+  * autocommit off → commit, rollback on failure). Exercised LIVE
+  * end-to-end through `SyncRunner.runTable` against embedded Derby
+  * (JdbcRunnerLiveSpec) — the in-container stand-in for a server target.
+  */
+final case class AnsiJdbcApplier(
+    cfg: Jdbc.JdbcConfig,
+    table: String,
+    fields: Seq[String]) extends TableApplier {
+
+  private def staging(kind: String) = s"${table}_STG_$kind"
+  private def fieldList = fields.mkString(", ")
+
+  def exists: Boolean = true // deployment precondition: target table present
+
+  def current(spark: SparkSession, keyCol: String): DataFrame =
+    Jdbc.readPushdown(spark, cfg, s"SELECT $fieldList FROM $table")
+
+  def overwrite(df: DataFrame): Unit =
+    Jdbc.writeTruncateReload(
+      df.select(fields.map(org.apache.spark.sql.functions.col): _*), cfg, table)
+
+  def applyChangeSet(cs: Apply.ChangeSet, spark: SparkSession, keyCol: String): Unit = {
+    // pin the shared flags frame across both staging loads (JdbcApplier's
+    // live-source consistency rule)
+    val pinned = cs.keyFlags.persist()
+    try {
+      val conn = java.sql.DriverManager.getConnection(cfg.url, cfg.user, cfg.password)
+      try {
+        dropStaging(conn) // a prior failed run's leftovers must never re-apply
+        Jdbc.writeAppend(cs.deleteKeys, cfg, staging("KEYS"))
+        Jdbc.writeAppend(
+          cs.inserts.select(fields.map(org.apache.spark.sql.functions.col): _*),
+          cfg, staging("DATA"))
+        JdbcTxn.runAtomic(conn, Seq(
+          s"DELETE FROM $table WHERE EXISTS (SELECT 1 FROM ${staging("KEYS")} k " +
+            s"WHERE k.$keyCol = $table.$keyCol)",
+          s"INSERT INTO $table ($fieldList) SELECT $fieldList FROM ${staging("DATA")}"))
+        dropStaging(conn)
+      } finally conn.close()
+    } finally { pinned.unpersist(); () }
+  }
+
+  /** ANSI has no portable `DROP TABLE IF EXISTS`; a missing staging table
+    * is the normal case and its error is swallowed. */
+  private def dropStaging(conn: java.sql.Connection): Unit =
+    Seq(staging("KEYS"), staging("DATA")).foreach { t =>
+      try JdbcTxn.runStatements(conn, Seq(s"DROP TABLE $t"))
+      catch { case _: java.sql.SQLException => () }
+    }
+}
+
 /** JDBC applier: staged-table + single-transaction apply (D5 parity).
   *
   * Loading is distributed and OUTSIDE the transaction (Spark bulk-appends
