@@ -1,0 +1,59 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** One-pass column profiling — the engine's ANALYZE: per-column null
+  * counts, min/max, distinct counts and length stats computed in a SINGLE
+  * aggregate over one scan, then unpivoted to a tall (column, metric,
+  * value) frame.
+  *
+  * The reference sizes tables via DMVs (A8, `Tier2DataService.cs:35-97`);
+  * a lake has no server to ask, so the profile IS the catalog's statistics
+  * source — and a training-data pipeline needs the same numbers for data
+  * quality gates (null explosions, cardinality drift, truncated strings).
+  *
+  * Scale shape: ONE scan, map-side partial aggregation, a single-row
+  * result exchanged to the driver, and the unpivot is a literal `stack`
+  * over that one row — profiling 100 TB costs exactly one pass with no
+  * shuffle of data rows. Exact `count(distinct)` upgrades to the KMV
+  * sketch ([[graft.functions.KmvSketchAgg]]) when an estimate suffices;
+  * the exact form here is what the oracle can check. Values are BIGINT
+  * (counts, and exact integer min/max) so the result is cross-engine
+  * deterministic.
+  */
+object Profile {
+
+  /** Metrics for `longCols` (null count, min, max), `doubleCols` (null
+    * count + min/max quantized to micro-units), and `stringCols` (null
+    * count, min/max length, exact distinct count). */
+  def profile(df: DataFrame, longCols: Seq[String], doubleCols: Seq[String],
+      stringCols: Seq[String]): DataFrame = {
+    def nulls(c: String): Column =
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls")
+    val rows = count(lit(1)).as("rows__count")
+    val longAggs = longCols.flatMap(c => Seq(
+      nulls(c), min(col(c)).as(s"${c}__min"), max(col(c)).as(s"${c}__max")))
+    // doubles: min/max carried as exact micro-unit integers (a raw double
+    // min would stringify differently across engines)
+    val doubleAggs = doubleCols.flatMap(c => Seq(
+      nulls(c),
+      min(floor(col(c) * 1000000 + 0.5).cast("long")).as(s"${c}__min_micro"),
+      max(floor(col(c) * 1000000 + 0.5).cast("long")).as(s"${c}__max_micro")))
+    val stringAggs = stringCols.flatMap(c => Seq(
+      nulls(c),
+      min(length(col(c))).cast("long").as(s"${c}__min_len"),
+      max(length(col(c))).cast("long").as(s"${c}__max_len"),
+      countDistinct(col(c)).as(s"${c}__distinct")))
+    val aggs = rows +: (longAggs ++ doubleAggs ++ stringAggs)
+    val one = df.agg(aggs.head, aggs.tail: _*)
+
+    val fields = one.schema.fieldNames
+    val stackArgs = fields.map { f =>
+      val Array(c, m) = f.split("__", 2)
+      s"'$c', '$m', cast(`$f` as bigint)"
+    }.mkString(", ")
+    one.selectExpr(
+      s"stack(${fields.length}, $stackArgs) as (column, metric, value)")
+  }
+}

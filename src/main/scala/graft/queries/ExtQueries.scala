@@ -156,8 +156,18 @@ object ExtQueries {
     "q_dedup_components" -> ((s, d) =>
       Components.labelPropagate(
         Dedup.ngramJaccardPairs(docs(s, d), "doc_id", "text", n = 3, threshold = 0.5),
-        "id_a", "id_b", iters = 4))
+        "id_a", "id_b", iters = 4)),
+
+    // ---- one-pass column profiling (the lake ANALYZE / quality gate) ----
+    "q_profile" -> ((s, d) =>
+      Profile.profile(s.read.parquet(s"$d/lineitem.parquet"),
+        longCols = ProfileLongCols, doubleCols = ProfileDoubleCols,
+        stringCols = ProfileStringCols))
   )
+
+  private val ProfileLongCols = Seq("l_orderkey", "l_partkey", "l_suppkey")
+  private val ProfileDoubleCols = Seq("l_quantity", "l_extendedprice")
+  private val ProfileStringCols = Seq("l_returnflag", "l_linestatus")
 
   // ------------------------------------------------------------ oracles
 
@@ -470,6 +480,29 @@ verified AS ($jaccardVerify),
 sym AS (SELECT id_a AS a, id_b AS b FROM verified
         UNION SELECT id_b, id_a FROM verified),
 ${componentRounds(4)}
-SELECT id, comp FROM l4"""
+SELECT id, comp FROM l4""",
+
+    "q_profile" -> profileOracle
   )
+
+  /** Tall-union twin of Profile.profile over the same column lists. */
+  private def profileOracle: String = {
+    def row(c: String, m: String, expr: String) =
+      s"""SELECT '$c' AS "column", '$m' AS metric, CAST($expr AS BIGINT) AS value FROM lineitem"""
+    val rows = Seq(row("rows", "count", "count(*)")) ++
+      ProfileLongCols.flatMap(c => Seq(
+        row(c, "nulls", s"sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END)"),
+        row(c, "min", s"min($c)"),
+        row(c, "max", s"max($c)"))) ++
+      ProfileDoubleCols.flatMap(c => Seq(
+        row(c, "nulls", s"sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END)"),
+        row(c, "min_micro", s"min(CAST(floor($c * 1000000 + 0.5) AS BIGINT))"),
+        row(c, "max_micro", s"max(CAST(floor($c * 1000000 + 0.5) AS BIGINT))"))) ++
+      ProfileStringCols.flatMap(c => Seq(
+        row(c, "nulls", s"sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END)"),
+        row(c, "min_len", s"min(length($c))"),
+        row(c, "max_len", s"max(length($c))"),
+        row(c, "distinct", s"count(DISTINCT $c)")))
+    rows.mkString("\nUNION ALL ")
+  }
 }
