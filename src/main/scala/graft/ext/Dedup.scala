@@ -87,6 +87,36 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Incremental (cross-corpus) near-dup: match a NEW batch against an
+    * EXISTING corpus — the shape a continuous ingestion pipeline actually
+    * runs (dedup today's crawl against the 100 TB already kept), where
+    * within-batch pairs are handled separately and corpus×corpus pairs
+    * must never be recomputed. Same capped shingle-join + exact-Jaccard
+    * verify as [[ngramJaccardPairs]], but the join is new×corpus only, so
+    * the work is O(|new| × overlap), not O((|new|+|corpus|)²). At scale
+    * the corpus side is a precomputed shingle index (id, shingle) — here
+    * derived inline from the text. */
+  def crossCorpusJaccardPairs(
+      newDf: DataFrame, corpusDf: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, threshold: Double = 0.5, maxShingleFreq: Long = 1000): DataFrame = {
+    val shNew = shingles(newDf, idCol, textCol, n)
+    val shOld = shingles(corpusDf, idCol, textCol, n)
+    // hot-shingle cap applies to the CORPUS side (the unbounded one)
+    val oldCapped = shOld.withColumn("sfreq",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("shingle")))
+      .filter(col("sfreq") <= maxShingleFreq).drop("sfreq")
+    val common = shNew.select(col("sid").as("new_id"), col("shingle"))
+      .join(oldCapped.select(col("sid").as("old_id"), col("shingle")), Seq("shingle"))
+      .groupBy("new_id", "old_id").agg(count(lit(1)).as("common"))
+    val sizesNew = shNew.groupBy(col("sid").as("new_id")).agg(count(lit(1)).as("na"))
+    val sizesOld = shOld.groupBy(col("sid").as("old_id")).agg(count(lit(1)).as("nb"))
+    common.join(sizesNew, Seq("new_id")).join(sizesOld, Seq("old_id"))
+      .withColumn("jaccard",
+        col("common").cast("double") / (col("na") + col("nb") - col("common")))
+      .filter(col("jaccard") >= threshold)
+      .select("new_id", "old_id", "jaccard")
+  }
+
   // -------------------------------------------------------------- minhash
 
   /** Fixed universal-hash parameters (a·h32 + b mod P). a < 2^20 keeps

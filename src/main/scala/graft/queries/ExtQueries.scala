@@ -158,6 +158,14 @@ object ExtQueries {
         Dedup.ngramJaccardPairs(docs(s, d), "doc_id", "text", n = 3, threshold = 0.5),
         "id_a", "id_b", iters = 4)),
 
+    // ---- incremental dedup: a NEW batch against the EXISTING corpus
+    // (continuous-ingestion shape; new×corpus join only) ----
+    "q_dedup_incremental" -> ((s, d) =>
+      Dedup.crossCorpusJaccardPairs(
+        docs(s, d).filter(col("doc_id") > 250),
+        docs(s, d).filter(col("doc_id") <= 250),
+        "doc_id", "text", n = 3, threshold = 0.5)),
+
     // ---- one-pass column profiling (the lake ANALYZE / quality gate) ----
     "q_profile" -> ((s, d) =>
       Profile.profile(s.read.parquet(s"$d/lineitem.parquet"),
@@ -482,7 +490,19 @@ sym AS (SELECT id_a AS a, id_b AS b FROM verified
 ${componentRounds(4)}
 SELECT id, comp FROM l4""",
 
-    "q_profile" -> profileOracle
+    "q_profile" -> profileOracle,
+
+    "q_dedup_incremental" -> s"""WITH $shinglesCte,
+oldcap AS (SELECT sid, shingle FROM (
+  SELECT sid, shingle, count(*) OVER (PARTITION BY shingle) AS sfreq
+  FROM sh WHERE sid <= 250) WHERE sfreq <= 1000),
+pairs AS (SELECT a.sid AS new_id, b.sid AS old_id, count(*) AS common
+          FROM sh a JOIN oldcap b ON a.shingle = b.shingle
+          WHERE a.sid > 250 GROUP BY 1, 2)
+SELECT p.new_id, p.old_id,
+  p.common * 1.0 / (ca.nsh + cb.nsh - p.common) AS jaccard
+FROM pairs p JOIN sizes ca ON ca.sid = p.new_id JOIN sizes cb ON cb.sid = p.old_id
+WHERE p.common * 1.0 / (ca.nsh + cb.nsh - p.common) >= 0.5"""
   )
 
   /** Tall-union twin of Profile.profile over the same column lists. */
