@@ -43,9 +43,20 @@ final case class CsvSource(path: String, schema: org.apache.spark.sql.types.Stru
     spark.read.options(CsvSource.RoundTripOptions).schema(schema).csv(path)
 }
 object CsvSource {
-  /** Shared by reader and writer so an export read back is bit-identical. */
+  /** Shared by reader and writer so an export read back is bit-identical.
+    * `multiLine` lets the reader parse quoted embedded newlines (the
+    * writer quotes them; without it each physical line is treated as a
+    * record and the row is torn). The cost is real and inherent to CSV:
+    * a multiLine file cannot be split mid-file, so one landing file = one
+    * read task — keep landing files bounded (or guarantee no embedded
+    * newlines and drop the option). */
   val RoundTripOptions: Map[String, String] =
-    Map("header" -> "true", "quote" -> "\"", "escape" -> "\"")
+    Map("header" -> "true", "quote" -> "\"", "escape" -> "\"",
+      "multiLine" -> "true",
+      // the WRITER trims whitespace by default — data loss for fields
+      // with meaningful leading/trailing blanks
+      "ignoreLeadingWhiteSpace" -> "false",
+      "ignoreTrailingWhiteSpace" -> "false")
 }
 
 /** JSON-lines export/landing-zone source with an EXPLICIT schema (same

@@ -343,6 +343,53 @@ class ChangeLogSpec extends AnyFunSuite {
   }
 }
 
+class FileSourceSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("CSV round trip survives hostile content: embedded quotes, commas, " +
+      "newlines, empty strings, nulls, extreme doubles") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_csv").toString
+    val rows = Seq(
+      (1L, "plain", Some(1.5)),
+      (2L, "comma, inside", Some(-0.0)),
+      (3L, "say \"hi\" twice \"\"", Some(Double.MinPositiveValue)),
+      (4L, "line\nbreak and \r carriage", Some(1.7976931348623157e308)),
+      (5L, "", None), // empty string reads back as null — CSV's inherent limit
+      (6L, "trailing space ", Some(0.1)))
+    val df = rows.toDF("id", "s", "d")
+    df.write.options(graft.run.CsvSource.RoundTripOptions).csv(s"$dir/out")
+    val back = graft.run.CsvSource(s"$dir/out", df.schema).load(spark)
+      .as[(Long, Option[String], Option[Double])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(back(2L)._1.contains("comma, inside"))
+    assert(back(3L)._1.contains("say \"hi\" twice \"\""))
+    assert(back(4L)._1.contains("line\nbreak and \r carriage"))
+    assert(back(4L)._2.contains(1.7976931348623157e308)) // doubles exact
+    assert(back(3L)._2.contains(Double.MinPositiveValue))
+    assert(back(5L)._1.isEmpty && back(5L)._2.isEmpty)
+    assert(back(6L)._1.contains("trailing space "))
+  }
+
+  test("JSON round trip preserves nulls, empty strings and ms timestamps") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_json").toString
+    val ts = java.sql.Timestamp.valueOf("2024-06-01 12:34:56.789")
+    val df = Seq(
+      (1L, Some("x \"quoted\" \n multiline"), Some(ts)),
+      (2L, Some(""), None),
+      (3L, None, Some(ts))).toDF("id", "s", "t")
+    df.write.json(s"$dir/out")
+    val back = graft.run.JsonSource(s"$dir/out", df.schema).load(spark)
+      .as[(Long, Option[String], Option[java.sql.Timestamp])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(back(1L)._1.contains("x \"quoted\" \n multiline"))
+    assert(back(1L)._2.contains(ts))
+    assert(back(2L)._1.contains("")) // JSON CAN distinguish "" from null
+    assert(back(2L)._2.isEmpty)
+    assert(back(3L)._1.isEmpty && back(3L)._2.contains(ts))
+  }
+}
+
 class LakeTableCrashSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
