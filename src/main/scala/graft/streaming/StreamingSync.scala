@@ -69,6 +69,19 @@ object StreamingSync {
       .start()
   }
 
+  /** Streaming dedup: drop events whose key was already seen, with the
+    * state bounded by the watermark (an unbounded-state dedup would grow
+    * forever on a 100 TB/day stream — the watermark is what makes it
+    * deployable). The streaming twin of the exact-dedup batch operator. */
+  def streamingDedup(
+      events: DataFrame,
+      keyCols: Seq[String],
+      tsCol: String = "ts",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   /** Event-time tumbling-window aggregation with late-data bounds — the
     * streaming twin of q_events_hourly. */
   def windowedEventCounts(

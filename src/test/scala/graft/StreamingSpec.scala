@@ -36,6 +36,25 @@ class StreamingSpec extends AnyFunSuite {
     assert(out == Map(1L -> "a", 2L -> "b2", 3L -> "c"))
   }
 
+  test("streaming dedup drops duplicate keys with watermark-bounded state") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_dd").toString
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    val t1 = java.sql.Timestamp.valueOf("2024-01-01 10:05:00")
+    Seq((1L, t0, "first"), (1L, t1, "dup"), (2L, t0, "only"))
+      .toDF("event_id", "ts", "tag").write.parquet(s"$dir/ev")
+    val stream = spark.readStream
+      .schema(spark.read.parquet(s"$dir/ev").schema)
+      .parquet(s"$dir/ev")
+    val q = StreamingSync.streamingDedup(stream, Seq("event_id"))
+      .writeStream.format("memory").queryName("dd_out").outputMode("append")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val ids = spark.sql("SELECT event_id FROM dd_out")
+      .as[Long].collect().sorted.toSeq
+    assert(ids == Seq(1L, 2L)) // the duplicate of key 1 was dropped
+  }
+
   test("watermarked windowed aggregation compiles to a streaming plan") {
     val dir = java.nio.file.Files.createTempDirectory("graft_stream2").toString
     val ts = java.sql.Timestamp.valueOf("2024-01-01 10:15:00")
