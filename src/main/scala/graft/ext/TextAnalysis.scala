@@ -60,6 +60,25 @@ object TextAnalysis {
   /** Content fingerprint: md5 of the normalized text (lower, trimmed).
     * Stable across engines; the basis for exact dedup. */
   def fingerprint(text: Column): Column = md5(lower(trim(text)))
+
+  /** PII-style scrubbing: replace email addresses and long digit runs with
+    * stable placeholder tokens — the standard redaction pass before a
+    * corpus is kept. Pure `regexp_replace` column expressions (codegen'd,
+    * scan-speed, no UDF); the patterns deliberately use only portable
+    * regex constructs (character classes + bounded quantifiers, no
+    * lookaround) so the same text semantics hold in Java and RE2-family
+    * engines — which is also what makes the op oracle-checkable. */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val LongNumberPattern = "[0-9]{6,}"
+
+  def redact(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, EmailPattern, "<EMAIL>"),
+      LongNumberPattern, "<NUM>")
+
+  /** True for rows the redaction pass would change (the audit metric). */
+  def hasPii(text: Column): Column =
+    text.rlike(EmailPattern) || text.rlike(LongNumberPattern)
 }
 
 /** KMV (k-minimum-values) distinct-count sketch: estimate = (k−1)·2³² / hₖ

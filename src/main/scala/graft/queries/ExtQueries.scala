@@ -158,6 +158,21 @@ object ExtQueries {
         Dedup.ngramJaccardPairs(docs(s, d), "doc_id", "text", n = 3, threshold = 0.5),
         "id_a", "id_b", iters = 4)),
 
+    // ---- PII-style redaction (emails + long digit runs → placeholder
+    // tokens), the scrub pass before a corpus is kept. The fixture text
+    // carries no PII, so each doc is augmented with a synthetic email and
+    // id — derived identically in both engines — and the redacted-text
+    // hash proves the rewrite is byte-equal ----
+    "q_text_redact" -> ((s, d) => {
+      val aug = docs(s, d).select(col("doc_id"),
+        concat(col("text"), lit(" contact u"), col("doc_id"),
+          lit("@ex.com id "), col("doc_id") * lit(1000003L)).as("t"))
+      aug.select(
+        col("doc_id"),
+        TextAnalysis.hasPii(col("t")).as("has_pii"),
+        Dedup.h32(TextAnalysis.redact(col("t"))).as("redacted_check"))
+    }),
+
     // ---- incremental dedup: a NEW batch against the EXISTING corpus
     // (continuous-ingestion shape; new×corpus join only) ----
     "q_dedup_incremental" -> ((s, d) =>
@@ -491,6 +506,18 @@ ${componentRounds(4)}
 SELECT id, comp FROM l4""",
 
     "q_profile" -> profileOracle,
+
+    "q_text_redact" -> s"""WITH aug AS (
+  SELECT doc_id, text || ' contact u' || CAST(doc_id AS VARCHAR) ||
+    '@ex.com id ' || CAST(doc_id * 1000003 AS VARCHAR) AS t
+  FROM documents)
+SELECT doc_id,
+  (regexp_matches(t, '${graft.ext.TextAnalysis.EmailPattern}')
+    OR regexp_matches(t, '${graft.ext.TextAnalysis.LongNumberPattern}')) AS has_pii,
+  ${oh32(s"regexp_replace(regexp_replace(t, " +
+      s"'${graft.ext.TextAnalysis.EmailPattern}', '<EMAIL>', 'g'), " +
+      s"'${graft.ext.TextAnalysis.LongNumberPattern}', '<NUM>', 'g')")} AS redacted_check
+FROM aug""",
 
     "q_dedup_incremental" -> s"""WITH $shinglesCte,
 oldcap AS (SELECT sid, shingle FROM (
