@@ -22,10 +22,12 @@ import org.apache.spark.sql.functions._
 object Components {
 
   /** (id, comp) for every vertex appearing in `edges`; `comp` = min id
-    * within `iters` hops. Edges are treated as undirected. Intermediate
-    * label frames are persisted per round (each is read twice by the next
-    * round) and materialized so the lineage stays `iters`-deep, then
-    * unpersisted once superseded; the returned frame is left persisted. */
+    * within `iters` hops. Edges are treated as undirected. Every round's
+    * label frame is persisted (each is read twice by the next round, and
+    * caching keeps the lineage effectively `iters`-deep); ONE action at
+    * the end materializes the whole chain — each cached round populates
+    * during that single execution — and then the intermediates are
+    * dropped. The returned frame stays persisted (vertex-sized). */
   def labelPropagate(edges: DataFrame, aCol: String, bCol: String,
       iters: Int): DataFrame = {
     val sym = edges.select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"))
@@ -36,19 +38,20 @@ object Components {
     var labels = sym.select(col("a").as("id")).distinct()
       .withColumn("comp", col("id"))
       .persist()
+    val rounds = scala.collection.mutable.ArrayBuffer(labels)
     (1 to iters).foreach { _ =>
       val nbrMin = sym
         .join(labels.select(col("id").as("b"), col("comp")), Seq("b"))
         .groupBy(col("a").as("id"))
         .agg(min(col("comp")).as("nbr_comp"))
-      val next = labels.join(nbrMin, Seq("id"), "left")
+      labels = labels.join(nbrMin, Seq("id"), "left")
         .select(col("id"),
           least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp"))
         .persist()
-      next.count() // materialize before dropping the previous round
-      labels.unpersist()
-      labels = next
+      rounds += labels
     }
+    labels.count() // one materialization; every cached round fills en route
+    rounds.init.foreach(_.unpersist())
     sym.unpersist()
     labels
   }
