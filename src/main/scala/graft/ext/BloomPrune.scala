@@ -1,0 +1,54 @@
+package graft.ext
+
+import graft.functions.BloomUtil
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Bloom-pruned semi-join: filter the big side at SCAN time with a Bloom
+  * filter of the key side, then run the exact join over the survivors.
+  *
+  * When the key side is broadcast-able, Catalyst's BroadcastHashJoin already
+  * avoids shuffling the big side and this adds nothing. The pruning pays off
+  * in the regime between "fits in the broadcast threshold" and "huge": the
+  * key set itself is GBs (sort-merge semi-join territory — both sides
+  * shuffle), but its Bloom filter is MBs. Then only the ~selectivity·(1+fpp)
+  * fraction of the big side reaches the exchange, and the exact join
+  * removes the false positives, so results are identical to the plain join
+  * (which is exactly what the DuckDB oracle checks). An undersized filter
+  * degrades gracefully: higher fpp prunes less but never changes results.
+  *
+  * Sync-engine use: the incremental fetch re-filter (P6/J2 — keep source
+  * rows whose key is missing or changed at the target) has this shape when
+  * the changed-key set outgrows the broadcast threshold at 100 TB.
+  */
+object BloomPrune {
+
+  /** Build a Bloom filter of `keys(keyCol)` (LongType). One aggregate job;
+    * partial filters OR map-side; the driver receives numBits/8 bytes. */
+  def buildBloom(keys: DataFrame, keyCol: String, expectedKeys: Long,
+      fpp: Double = 0.01): Array[Byte] = {
+    graft.functions.GraftFunctions.register(keys.sparkSession)
+    val (numBits, numHashes) = BloomUtil.sizing(expectedKeys, fpp)
+    keys.agg(call_function("bloom_build",
+        col(keyCol), lit(numBits), lit(numHashes)).as("bloom"))
+      .head.getAs[Array[Byte]](0)
+  }
+
+  /** Probe column over a built filter; stays in whole-stage codegen. */
+  def mightContain(spark: org.apache.spark.sql.SparkSession, bits: Array[Byte],
+      key: Column, expectedKeys: Long, fpp: Double = 0.01): Column = {
+    graft.functions.GraftFunctions.register(spark)
+    val (_, numHashes) = BloomUtil.sizing(expectedKeys, fpp)
+    call_function("bloom_might_contain", key, lit(bits), lit(numHashes))
+  }
+
+  /** Exact semi-join of `big` against `keys`, Bloom-pruned before the
+    * exchange. `expectedKeys` sizes the filter (overestimating wastes
+    * bytes, underestimating raises fpp; both keep results exact). */
+  def semiJoin(big: DataFrame, keys: DataFrame, bigKey: String, keysKey: String,
+      expectedKeys: Long, fpp: Double = 0.01): DataFrame = {
+    val bits = buildBloom(keys, keysKey, expectedKeys, fpp)
+    big.filter(mightContain(big.sparkSession, bits, col(bigKey), expectedKeys, fpp))
+      .join(keys.select(col(keysKey).as(bigKey)).distinct(), Seq(bigKey), "left_semi")
+  }
+}

@@ -56,4 +56,54 @@ object Profile {
     one.selectExpr(
       s"stack(${fields.length}, $stackArgs) as (column, metric, value)")
   }
+
+  /** Fixed-width histogram of a numeric column over [lo, hi]: bucket =
+    * clamp(floor(((x − lo) · buckets) / (hi − lo)), 0, buckets−1), with the
+    * IDENTICAL IEEE expression order in the oracle so counts match exactly.
+    *
+    * This is the distribution statistic the single-row profile can't give:
+    * skew, modality, and tail mass of a 100 TB column in ONE scan — the
+    * bucket groupBy partial-aggregates map-side and at most `buckets` rows
+    * ever reach the exchange. The cumulative column is a window over those
+    * ≤ `buckets` rows (bounded, one tiny task), never over data rows.
+    * Output: (bucket, n, cum_n) for non-empty buckets. */
+  def histogram(df: DataFrame, c: String, lo: Double, hi: Double,
+      buckets: Int): DataFrame = {
+    require(hi > lo && buckets > 0, s"bad histogram spec [$lo,$hi)×$buckets")
+    import org.apache.spark.sql.expressions.Window
+    val bucket = least(
+      greatest(floor(((col(c) - lit(lo)) * lit(buckets.toDouble)) / lit(hi - lo)), lit(0L)),
+      lit(buckets - 1L))
+    df.filter(col(c).isNotNull)
+      .select(bucket.as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("n"))
+      .withColumn("cum_n",
+        sum(col("n")).over(Window.orderBy("bucket")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
+
+  /** Histogram-derived quantiles: for each q (in permille, so the target
+    * rank arithmetic stays integer-exact across engines), the first bucket
+    * whose cumulative count reaches ceil(q·N/1000), plus that bucket's
+    * lower bound micro-quantized to a BIGINT. Error is bounded by one
+    * bucket width — the trade the fixed-width histogram makes for
+    * single-pass, bounded-state computation at any scale. */
+  def histQuantiles(df: DataFrame, c: String, lo: Double, hi: Double,
+      buckets: Int, qsPermille: Seq[Int]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
+    import spark.implicits._
+    val h = histogram(df, c, lo, hi, buckets)
+      .withColumn("total", max(col("cum_n")).over(
+        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+    qsPermille.toDF("q_permille").crossJoin(h)
+      .withColumn("target",
+        floor((col("q_permille") * col("total") + lit(999L)) / lit(1000.0)))
+      .filter(col("cum_n") >= col("target"))
+      .groupBy("q_permille").agg(min(col("bucket")).as("bucket"))
+      .withColumn("value_micro",
+        floor((lit(lo) + (col("bucket").cast("double") * lit(hi - lo)) / lit(buckets.toDouble))
+          * lit(1000000.0) + lit(0.5)).cast("long"))
+      .select(col("q_permille"), col("bucket"), col("value_micro"))
+  }
 }

@@ -120,5 +120,15 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("kmv_sketch",
       exprs => KmvSketchAgg(exprs(0),
         exprs(1).eval(InternalRow.empty).asInstanceOf[Number].intValue()), "scala_udf")
+    reg.createOrReplaceTempFunction("bloom_build",
+      exprs => BloomBuildAgg(exprs(0),
+        exprs(1).eval(InternalRow.empty).asInstanceOf[Number].intValue(),
+        exprs(2).eval(InternalRow.empty).asInstanceOf[Number].intValue()), "scala_udf")
+    reg.createOrReplaceTempFunction("bloom_might_contain",
+      exprs => BloomMightContain(exprs(0), exprs(1),
+        exprs(2).eval(InternalRow.empty).asInstanceOf[Number].intValue()), "scala_udf")
+    reg.createOrReplaceTempFunction("freq_sketch",
+      exprs => FreqSketchAgg(exprs(0),
+        exprs(1).eval(InternalRow.empty).asInstanceOf[Number].intValue()), "scala_udf")
   }
 }

@@ -185,12 +185,46 @@ object ExtQueries {
     "q_profile" -> ((s, d) =>
       Profile.profile(s.read.parquet(s"$d/lineitem.parquet"),
         longCols = ProfileLongCols, doubleCols = ProfileDoubleCols,
-        stringCols = ProfileStringCols))
+        stringCols = ProfileStringCols)),
+
+    // ---- Bloom-pruned semi-join: filter-at-scan via the bloom sketch,
+    // exact join over survivors — results identical to the plain semi-join
+    // (which is all the oracle needs to say) ----
+    "q_bloom_prune" -> ((s, d) =>
+      BloomPrune.semiJoin(
+        s.read.parquet(s"$d/lineitem.parquet"),
+        s.read.parquet(s"$d/orders.parquet")
+          .filter(col("o_orderpriority") === "1-URGENT"),
+        "l_orderkey", "o_orderkey", expectedKeys = 32768)
+        .select("l_orderkey", "l_linenumber")),
+
+    // ---- heavy hitters: top bigrams per language via the Misra–Gries
+    // summary; capacity 1024 ≥ the 31-token fixture vocabulary's bigram
+    // space, so the sketch is provably exact here ----
+    "q_text_topterms" -> ((s, d) =>
+      HeavyHitters.topTerms(
+        docs(s, d).select(col("lang"),
+          explode(HeavyHitters.ngramsExpr("text", 2)).as("term")),
+        "lang", "term", capacity = 1024, topN = 10)),
+
+    // ---- single-pass fixed-width histogram + histogram quantiles ----
+    "q_profile_hist" -> ((s, d) =>
+      Profile.histogram(s.read.parquet(s"$d/lineitem.parquet"),
+        "l_extendedprice", HistLo, HistHi, HistBuckets)),
+
+    "q_profile_quantiles" -> ((s, d) =>
+      Profile.histQuantiles(s.read.parquet(s"$d/lineitem.parquet"),
+        "l_extendedprice", HistLo, HistHi, HistBuckets, HistQs))
   )
 
   private val ProfileLongCols = Seq("l_orderkey", "l_partkey", "l_suppkey")
   private val ProfileDoubleCols = Seq("l_quantity", "l_extendedprice")
   private val ProfileStringCols = Seq("l_returnflag", "l_linestatus")
+  private val HistLo = 900.0
+  private val HistHi = 105000.0
+  private val HistBuckets = 64
+  private val HistQs = Seq(500, 900, 990)
+  private val HistCol = "l_extendedprice"
 
   // ------------------------------------------------------------ oracles
 
@@ -518,6 +552,44 @@ SELECT doc_id,
       s"'${graft.ext.TextAnalysis.EmailPattern}', '<EMAIL>', 'g'), " +
       s"'${graft.ext.TextAnalysis.LongNumberPattern}', '<NUM>', 'g')")} AS redacted_check
 FROM aug""",
+
+    "q_bloom_prune" -> """SELECT l_orderkey, l_linenumber FROM lineitem
+WHERE l_orderkey IN (
+  SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')""",
+
+    "q_text_topterms" -> """WITH toks AS (
+  SELECT lang, string_split(text, ' ') t FROM documents),
+bg AS (SELECT lang, array_to_string(t[(i+1):(i+2)], ' ') AS term
+       FROM toks, LATERAL (SELECT unnest(range(0, len(t) - 1)) i)),
+cnt AS (SELECT lang, term, count(*) AS cnt FROM bg GROUP BY 1, 2)
+SELECT lang, rank, term, cnt FROM (
+  SELECT lang, term, cnt, row_number() OVER (
+    PARTITION BY lang ORDER BY cnt DESC, term ASC) AS rank FROM cnt)
+WHERE rank <= 10""",
+
+    "q_profile_hist" -> s"""WITH b AS (
+  SELECT CAST(least(greatest(floor((($HistCol - $HistLo) * ${HistBuckets.toDouble})
+    / ${HistHi - HistLo}), 0), ${HistBuckets - 1}) AS BIGINT) AS bucket
+  FROM lineitem WHERE $HistCol IS NOT NULL),
+c AS (SELECT bucket, count(*) AS n FROM b GROUP BY bucket)
+SELECT bucket, n, CAST(sum(n) OVER (ORDER BY bucket) AS BIGINT) AS cum_n FROM c""",
+
+    "q_profile_quantiles" -> s"""WITH b AS (
+  SELECT CAST(least(greatest(floor((($HistCol - $HistLo) * ${HistBuckets.toDouble})
+    / ${HistHi - HistLo}), 0), ${HistBuckets - 1}) AS BIGINT) AS bucket
+  FROM lineitem WHERE $HistCol IS NOT NULL),
+c AS (SELECT bucket, count(*) AS n FROM b GROUP BY bucket),
+h AS (SELECT bucket, CAST(sum(n) OVER (ORDER BY bucket) AS BIGINT) AS cum_n FROM c),
+t AS (SELECT h.*, (SELECT CAST(sum(n) AS BIGINT) FROM c) AS total FROM h),
+q AS (SELECT unnest([${HistQs.mkString(", ")}]) AS q_permille),
+m AS (SELECT q.q_permille, min(t.bucket) AS bucket
+      FROM q, t
+      WHERE t.cum_n >= CAST(floor((q.q_permille * t.total + 999) / 1000.0) AS BIGINT)
+      GROUP BY q.q_permille)
+SELECT q_permille, bucket,
+  CAST(floor(($HistLo + (CAST(bucket AS DOUBLE) * ${HistHi - HistLo})
+    / ${HistBuckets.toDouble}) * 1000000.0 + 0.5) AS BIGINT) AS value_micro
+FROM m""",
 
     "q_dedup_incremental" -> s"""WITH $shinglesCte,
 oldcap AS (SELECT sid, shingle FROM (

@@ -175,6 +175,10 @@ FROM (SELECT max(SysRowVersion) AS max_src_version, min(RecId) AS min_src_recid,
     // base + delta commit + replay ≡ the in-memory incremental merge
     "q_lake_replay" -> (prefix + s"SELECT $outCols FROM src"),
 
+    // replayed state ≡ src; the skip read is that state range-filtered
+    "q_lake_skip" -> (prefix + s"""SELECT $outCols FROM src
+WHERE RecId BETWEEN ${graft.sync.SyncFixtures.SkipLo} AND ${graft.sync.SyncFixtures.SkipHi}"""),
+
     // Standard (J1-classified) merge: UNCHANGED keys keep the TARGET row —
     // J1 compares RECVERSION/datetimes, not SysRowVersion, so a target row
     // with a local version bump but equal comparison columns survives

@@ -189,6 +189,22 @@ object SyncQueries {
       LakeTable.read(s, dir)
     }),
 
+    // commit-level data skipping: a key-range read of the logged table —
+    // disjoint commits never enter the plan, the range predicate reaches
+    // every surviving parquet scan, and the result is provably the plain
+    // replay filtered (which is exactly what the oracle states)
+    "q_lake_skip" -> ((s, d) => {
+      val m = mark(s, d)
+      val dir = java.nio.file.Files.createTempDirectory("graft_lake_q").toString + "/t"
+      val src = slim(SyncFixtures.source(s, d))
+      val tgt = slim(SyncFixtures.target(s, d))
+      LakeTable.overwrite(tgt, dir)
+      val cs = Apply.incrementalChangeSet(
+        src, SyncFixtures.control(SyncFixtures.source(s, d)), tgt, m, m)
+      LakeTable.appendCommit(cs, dir)
+      LakeTable.readKeyRange(s, dir, SyncFixtures.SkipLo, SyncFixtures.SkipHi)
+    }),
+
     // O4/O5/O6 — planner cost model as one distributed row
     "q_planner_decide" -> ((s, d) =>
       Planner.decideAsQuery(

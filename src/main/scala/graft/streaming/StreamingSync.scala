@@ -93,6 +93,30 @@ object StreamingSync {
       .groupBy(window(col("ts"), windowLen), col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
 
+  /** Stream–stream interval join: enrich an event stream with the matching
+    * row from a second stream (e.g. clicks ⋈ impressions, orders ⋈
+    * payments) where the right event arrived within `[0, maxDelay]` BEFORE
+    * the left one.
+    *
+    * Both sides carry watermarks and the join condition bounds the time
+    * skew — that pair is what lets the engine EXPIRE buffered state: without
+    * the interval bound a stream-stream join must keep every row forever.
+    * State per side is O(rate × (watermark + maxDelay)), independent of
+    * stream history — the deployability condition at 100 TB/day. */
+  def intervalJoin(
+      left: DataFrame, right: DataFrame,
+      keyCol: String, leftTs: String, rightTs: String,
+      maxDelay: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame = {
+    val l = left.withWatermark(leftTs, watermark).alias("l")
+    val r = right.withWatermark(rightTs, watermark).alias("r")
+    l.join(r,
+      col(s"l.$keyCol") === col(s"r.$keyCol") &&
+        col(s"r.$rightTs") <= col(s"l.$leftTs") &&
+        col(s"r.$rightTs") >= col(s"l.$leftTs") - expr(s"INTERVAL $maxDelay"),
+      "inner")
+  }
+
   /** Custom keyed state: running per-user session counts via
     * mapGroupsWithState (30-minute inactivity gap), the streaming twin of
     * q_events_sessions. */

@@ -39,10 +39,51 @@ object ChangeLog {
     val next = math.max((commitSeqs(logDir) :+ (minSeq - 1)).max + 1, minSeq)
     val staging = s"$logDir/.tmp-$next"
     Apply.writeChangeSet(cs, staging)
+    writeStats(cs.inserts.sparkSession, staging)
     if (!LakeFs.rename(staging, s"$logDir/$next"))
       throw new IllegalStateException(s"commit rename failed: $staging -> $logDir/$next")
     next
   }
+
+  /** Commit-level data-skipping stats: the key range every event (insert or
+    * tombstone) in one commit falls into, stored as `_stats` INSIDE the
+    * staged dir so it rides the same atomic rename as the data.
+    *
+    * Computed by scanning the freshly-STAGED parquet (O(commit), which is
+    * O(change%) — never the table) rather than re-evaluating the changeset
+    * DAG a second time. Format mirrors the pointer file: `min\tmax\tevents`.
+    */
+  private def writeStats(spark: SparkSession, staging: String): Unit = {
+    val del = spark.read.parquet(s"$staging/deletes")
+    val keyCol = del.schema.fieldNames.head
+    val keys = spark.read.parquet(s"$staging/inserts")
+      .select(col(keyCol).cast("long").as("k"))
+      .union(del.select(col(keyCol).cast("long").as("k")))
+    val r = keys.agg(min(col("k")), max(col("k")), count(lit(1))).head
+    val (mn, mx, n) =
+      if (r.isNullAt(0)) (0L, -1L, 0L) else (r.getLong(0), r.getLong(1), r.getLong(2))
+    LakeFs.writeUtf8(s"$staging/_stats", s"$mn\t$mx\t$n")
+  }
+
+  /** (minKey, maxKey, events) of a committed changeset — None when the
+    * commit predates stats or the file is torn (both degrade to
+    * "not skippable", never to a wrong skip). */
+  def commitStats(commitPath: String): Option[(Long, Long, Long)] = {
+    val p = s"$commitPath/_stats"
+    if (!LakeFs.exists(p)) None
+    else
+      try LakeFs.readUtf8(p).trim.split("\t") match {
+        case Array(mn, mx, n) =>
+          for (a <- mn.toLongOption; b <- mx.toLongOption; c <- n.toLongOption)
+            yield (a, b, c)
+        case _ => None
+      } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Can a key-range read skip this commit entirely? Only with positive
+    * evidence: stats present AND (empty commit OR disjoint range). */
+  private def skippable(commitPath: String, lo: Long, hi: Long): Boolean =
+    commitStats(commitPath).exists { case (mn, mx, n) => n == 0L || mx < lo || mn > hi }
 
   /** Least lossless-widening supertype of two column types, or None if the
     * pair has no lossless join (→ replay fails loudly; a lossy policy would
@@ -86,14 +127,30 @@ object ChangeLog {
   }
 
   /** Reconstruct current state from a base snapshot + the commit log,
-    * applying only commits with seq ≥ `fromSeq` (the table pointer's view). */
+    * applying only commits with seq ≥ `fromSeq` (the table pointer's view).
+    *
+    * `keyRange` turns on commit-level DATA SKIPPING for selective reads:
+    * events are keyed, so a commit whose `_stats` key range is disjoint
+    * from the requested range cannot affect any surviving row — the commit
+    * is dropped from the plan entirely (a driver-side metadata check, no
+    * Spark job). The range predicate is also pushed into the base and the
+    * surviving commits' parquet scans, where row-group pruning takes over.
+    * At 100 TB this is what makes a point/range lookup on a logged table
+    * O(touched commits), not O(history). */
   def replay(spark: SparkSession, basePath: String, logDir: String,
-      keyCol: String = "RecId", fromSeq: Int = 0): DataFrame = {
-    val base = spark.read.parquet(basePath)
+      keyCol: String = "RecId", fromSeq: Int = 0,
+      keyRange: Option[(Long, Long)] = None): DataFrame = {
+    val prune: DataFrame => DataFrame = keyRange match {
+      case Some((lo, hi)) => df => df.filter(col(keyCol).between(lo, hi))
+      case None => identity
+    }
+    val base = prune(spark.read.parquet(basePath))
     val commits = LakeFs.list(logDir)
       .filter(_.isDirectory)
       .flatMap(st => st.getPath.getName.toIntOption.map(_ -> st.getPath.toString))
       .filter(_._1 >= fromSeq)
+      .filter { case (_, path) =>
+        keyRange.forall { case (lo, hi) => !skippable(path, lo, hi) } }
       .sortBy(_._1)
     if (commits.isEmpty) return base
 
@@ -111,8 +168,8 @@ object ChangeLog {
     // the source-side ALTERs that occur in practice); a non-widenable
     // change still fails loudly rather than guessing.
     val insFrames = commits.map { case (seq, path) =>
-      (seq, spark.read.parquet(s"$path/inserts"),
-        spark.read.parquet(s"$path/deletes").select(keyCol))
+      (seq, prune(spark.read.parquet(s"$path/inserts")),
+        prune(spark.read.parquet(s"$path/deletes")).select(keyCol))
     }
     val widened: Map[String, types.DataType] =
       (base.schema.fields.toSeq ++

@@ -83,6 +83,21 @@ object LakeTable {
         throw new IllegalArgumentException(s"lake table does not exist: $table")
     }
 
+  /** Selective key-range read with commit-level data skipping: commits
+    * whose `_stats` key range is disjoint from [lo, hi] never enter the
+    * plan (driver-side metadata check), and the range predicate is pushed
+    * into the base and surviving commit scans (parquet row-group pruning).
+    * Result ≡ `read(...).filter(keyCol BETWEEN lo AND hi)` — the skip is a
+    * plan optimization, never a semantic change. */
+  def readKeyRange(spark: SparkSession, table: String, lo: Long, hi: Long,
+      keyCol: String = "RecId"): DataFrame =
+    resolve(table) match {
+      case Some((base, fromSeq)) =>
+        ChangeLog.replay(spark, base, logDir(table), keyCol, fromSeq, Some((lo, hi)))
+      case None =>
+        throw new IllegalArgumentException(s"lake table does not exist: $table")
+    }
+
   /** Number of commits the current pointer depends on (compaction signal). */
   def pendingCommits(table: String): Int = resolve(table) match {
     case Some((_, fromSeq)) => ChangeLog.commitSeqs(logDir(table)).count(_ >= fromSeq)

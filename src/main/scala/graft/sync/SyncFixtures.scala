@@ -35,6 +35,11 @@ object SyncFixtures {
 
   val Bump = 10000000000000000L // 1e16
 
+  /** Key range for the data-skipping query q_lake_skip (mirrored verbatim
+    * in SyncOracles) — a mid-band slice of the fixture RecId domain. */
+  val SkipLo = 60000000000000L  // 6e13
+  val SkipHi = 160000000000000L // 1.6e14
+
   /** Payload columns every sync fixture carries alongside the system columns. */
   val PayloadCols: Seq[String] =
     Seq("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_returnflag")

@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sync.{Apply, ChangeLog, LakeFs, LakeTable}
+
+/** Commit-level data skipping: `_stats` key ranges written at append time
+  * prune whole commits from selective reads — the plan property that makes
+  * a point/range lookup on a long-logged 100 TB table O(touched commits). */
+class LakeSkipSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def freshTable(): String =
+    java.nio.file.Files.createTempDirectory("graft_skip").toString + "/t"
+
+  private def cs(deletes: Seq[Long], inserts: Seq[(Long, String)]): Apply.ChangeSet = {
+    val del = deletes.toDF("RecId")
+    val ins = inserts.toDF("RecId", "payload")
+    Apply.ChangeSet(del, ins, keyFlags = del)
+  }
+
+  test("append writes commit stats covering inserts AND tombstones") {
+    val t = freshTable()
+    LakeTable.overwrite((1L to 100L).map(i => (i, s"p$i")).toDF("RecId", "payload"), t)
+    val seq = LakeTable.appendCommit(cs(Seq(7L), Seq((950L, "new"))), t)
+    val stats = ChangeLog.commitStats(s"$t/_log/$seq")
+    assert(stats.contains((7L, 950L, 2L)))
+  }
+
+  test("disjoint commits are pruned from a key-range read plan; results exact") {
+    val t = freshTable()
+    LakeTable.overwrite((1L to 1000L).map(i => (i, s"p$i")).toDF("RecId", "payload"), t)
+    // commit A touches low keys only; commit B touches the 5000s band
+    val seqA = LakeTable.appendCommit(
+      cs(Seq(10L, 20L), Seq((30L, "modA"))), t)
+    val seqB = LakeTable.appendCommit(
+      cs(Seq(500L), Seq((5050L, "newB"), (5060L, "newB"))), t)
+
+    val pruned = LakeTable.readKeyRange(spark, t, 5000L, 5100L)
+    val full = LakeTable.read(spark, t)
+      .filter(col("RecId").between(5000L, 5100L))
+    assert(pruned.orderBy("RecId").collect().toSeq ==
+      full.orderBy("RecId").collect().toSeq)
+    assert(pruned.select("RecId").as[Long].collect().sorted.toSeq == Seq(5050L, 5060L))
+
+    // commit A (keys 10-30) must not appear among the pruned plan's inputs
+    val files = pruned.inputFiles.toSeq
+    assert(!files.exists(_.contains(s"/_log/$seqA/")),
+      s"disjoint commit $seqA should be skipped:\n${files.mkString("\n")}")
+    assert(files.exists(_.contains(s"/_log/$seqB/")),
+      "intersecting commit must stay in the plan")
+  }
+
+  test("tombstones inside the range are never skipped") {
+    val t = freshTable()
+    LakeTable.overwrite((1L to 100L).map(i => (i, s"p$i")).toDF("RecId", "payload"), t)
+    LakeTable.appendCommit(cs(Seq(50L), Seq.empty), t)
+    val out = LakeTable.readKeyRange(spark, t, 40L, 60L)
+      .select("RecId").as[Long].collect().sorted.toSeq
+    assert(out == ((40L to 60L).toSeq.filterNot(_ == 50L)))
+  }
+
+  test("a commit without stats (older layout / torn stats) is conservatively kept") {
+    val t = freshTable()
+    LakeTable.overwrite((1L to 100L).map(i => (i, s"p$i")).toDF("RecId", "payload"), t)
+    val seq = LakeTable.appendCommit(cs(Seq(5L), Seq.empty), t)
+    LakeFs.delete(s"$t/_log/$seq/_stats")
+    assert(ChangeLog.commitStats(s"$t/_log/$seq").isEmpty)
+    // range disjoint from the commit — without stats it must still be read
+    val pruned = LakeTable.readKeyRange(spark, t, 80L, 90L)
+    assert(pruned.inputFiles.exists(_.contains(s"/_log/$seq/")))
+    assert(pruned.count() == 11)
+  }
+
+  test("empty changeset commits are always skippable") {
+    val t = freshTable()
+    LakeTable.overwrite((1L to 10L).map(i => (i, s"p$i")).toDF("RecId", "payload"), t)
+    val seq = LakeTable.appendCommit(cs(Seq.empty, Seq.empty), t)
+    assert(ChangeLog.commitStats(s"$t/_log/$seq").contains((0L, -1L, 0L)))
+    val pruned = LakeTable.readKeyRange(spark, t, 1L, 10L)
+    assert(!pruned.inputFiles.exists(_.contains(s"/_log/$seq/")))
+    assert(pruned.count() == 10)
+  }
+}

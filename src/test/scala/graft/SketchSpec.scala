@@ -1,0 +1,140 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ext.{BloomPrune, HeavyHitters, Profile}
+import graft.functions.BloomUtil
+
+/** Bloom-pruned joins, Misra–Gries heavy hitters, histogram quantiles. */
+class BloomSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("bloom has no false negatives across a multi-partition build") {
+    val keys = spark.range(0, 10000).repartition(8)
+      .select((col("id") * 7919L).as("k"))
+    val bits = BloomPrune.buildBloom(keys, "k", expectedKeys = 10000)
+    val (_, numHashes) = BloomUtil.sizing(10000, 0.01)
+    (0L until 10000L).foreach { i =>
+      assert(BloomUtil.mightContain(bits, i * 7919L, numHashes),
+        s"false negative for key ${i * 7919L}")
+    }
+  }
+
+  test("bloom false-positive rate is near the configured fpp") {
+    val keys = spark.range(0, 10000).select(col("id").as("k"))
+    val bits = BloomPrune.buildBloom(keys, "k", expectedKeys = 10000, fpp = 0.01)
+    val (_, numHashes) = BloomUtil.sizing(10000, 0.01)
+    val fps = (10000L until 110000L).count(BloomUtil.mightContain(bits, _, numHashes))
+    val rate = fps / 100000.0
+    assert(rate < 0.05, s"fp rate $rate far above configured 0.01")
+  }
+
+  test("bloom-pruned semi-join equals the plain semi-join") {
+    val big = spark.range(0, 50000)
+      .select(col("id").as("k"), (col("id") % 97).as("payload"))
+    val keys = spark.range(0, 50000).filter(col("id") % 13 === 0)
+      .select(col("id").as("kk"))
+    val pruned = BloomPrune.semiJoin(big, keys, "k", "kk", expectedKeys = 4000)
+      .select("k").as[Long].collect().toSet
+    val exact = big.join(keys.withColumnRenamed("kk", "k"), Seq("k"), "left_semi")
+      .select("k").as[Long].collect().toSet
+    assert(pruned == exact)
+  }
+
+  test("an undersized bloom still yields exact results (graceful fpp degradation)") {
+    val big = spark.range(0, 20000).select(col("id").as("k"))
+    val keys = spark.range(0, 20000).filter(col("id") % 10 === 0).select(col("id").as("kk"))
+    // expectedKeys 10 → filter is tiny and saturated, fpp ~1: prunes nothing
+    val pruned = BloomPrune.semiJoin(big, keys, "k", "kk", expectedKeys = 10)
+      .count()
+    assert(pruned == 2000)
+  }
+
+  test("probe filter sits below the join, on the scan side of the exchange") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_bloom").toString
+    spark.range(0, 5000).select(col("id").as("k"), col("id").as("v"))
+      .write.parquet(s"$dir/big")
+    val big = spark.read.parquet(s"$dir/big")
+    val keys = spark.range(0, 5000).filter(col("id") % 7 === 0).select(col("id").as("kk"))
+    val out = BloomPrune.semiJoin(big, keys, "k", "kk", expectedKeys = 1000)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("bloom_might_contain"), s"probe missing from plan:\n$plan")
+    // the probe must be attached to the parquet scan's stage: the Filter
+    // node containing it appears deeper than (i.e. after) any join node
+    val joinIdx = plan.linesIterator.indexWhere(l =>
+      l.contains("Join") || l.contains("BroadcastHashJoin") || l.contains("SortMergeJoin"))
+    val probeIdx = plan.linesIterator.indexWhere(_.contains("bloom_might_contain"))
+    assert(joinIdx >= 0 && probeIdx > joinIdx,
+      s"bloom probe should be below the join:\n$plan")
+  }
+}
+
+class HeavyHittersSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("exact regime: capacity above distinct count reproduces true counts") {
+    val occurrences = Seq.tabulate(1000)(i => ("g", s"t${i % 20}")).toDF("g", "term")
+      .repartition(6)
+    val out = HeavyHitters.topTerms(occurrences, "g", "term", capacity = 64, topN = 5)
+      .select("rank", "term", "cnt").as[(Int, String, Long)].collect().sortBy(_._1)
+    assert(out.length == 5)
+    assert(out.forall(_._3 == 50L), s"every term occurs 50x: ${out.toSeq}")
+    assert(out.map(_._2).toSeq == Seq("t0", "t1", "t10", "t11", "t12"),
+      "tie-break must be by term ascending")
+  }
+
+  test("approx regime: undercounts bounded by N/(capacity+1), heavy term survives") {
+    // one heavy term (frequency 3000 of N=12000), 900 singletons as noise
+    val rows = Seq.fill(3000)("HEAVY") ++
+      (0 until 9000).map(i => s"noise_$i")
+    val occ = rows.map(("g", _)).toDF("g", "term").repartition(8)
+    val out = HeavyHitters.topTerms(occ, "g", "term", capacity = 100, topN = 1)
+      .select("term", "cnt").as[(String, Long)].collect()
+    assert(out.head._1 == "HEAVY")
+    val n = 12000L
+    val err = n / 101
+    assert(out.head._2 <= 3000L && out.head._2 >= 3000L - err,
+      s"count ${out.head._2} outside Misra-Gries bound [${3000 - err}, 3000]")
+  }
+
+  test("per-group isolation: sketches do not bleed across groups") {
+    val occ = (Seq.fill(10)(("a", "x")) ++ Seq.fill(5)(("b", "y"))).toDF("g", "term")
+    val out = HeavyHitters.topTerms(occ, "g", "term", capacity = 8, topN = 3)
+      .select("g", "term", "cnt").as[(String, String, Long)].collect().toSet
+    assert(out == Set(("a", "x", 10L), ("b", "y", 5L)))
+  }
+}
+
+class HistogramSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("histogram counts and cumulative sums are exact") {
+    val df = (0 until 1000).map(_.toDouble).toDF("x").repartition(4)
+    val out = Profile.histogram(df, "x", 0.0, 1000.0, 10)
+      .select("bucket", "n", "cum_n").as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(out.length == 10)
+    assert(out.forall(_._2 == 100L))
+    assert(out.map(_._3).toSeq == (1 to 10).map(_ * 100L))
+  }
+
+  test("out-of-range values clamp to the edge buckets") {
+    val df = Seq(-50.0, 0.0, 500.0, 999.0, 1500.0).toDF("x")
+    val out = Profile.histogram(df, "x", 0.0, 1000.0, 10)
+      .select("bucket", "n").as[(Long, Long)].collect().toMap
+    assert(out(0L) == 2L)   // -50 clamped down + 0
+    assert(out(5L) == 1L)
+    assert(out(9L) == 2L)   // 999 + 1500 clamped up
+  }
+
+  test("histogram quantiles pick the first bucket reaching the target rank") {
+    val df = (0 until 1000).map(_.toDouble).toDF("x")
+    val out = Profile.histQuantiles(df, "x", 0.0, 1000.0, 10, Seq(500, 900, 990))
+      .select("q_permille", "bucket").as[(Int, Long)].collect().toMap
+    assert(out(500) == 4L)  // cum at bucket 4 = 500 ≥ 500
+    assert(out(900) == 8L)
+    assert(out(990) == 9L)
+  }
+}

@@ -71,6 +71,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.toSeq == Seq(("click", 1L)))
   }
 
+  test("stream-stream interval join matches within the delay bound only") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_jj").toString
+    def t(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+    // impressions at 10:00 (user 1) and 10:05 (user 2)
+    Seq((1L, t(0), "imp1"), (2L, t(5), "imp2"))
+      .toDF("user_id", "imp_ts", "imp_tag").write.parquet(s"$dir/imp")
+    // clicks: user 1 at 10:30 (within 1h), user 2 at 9... user 3 unmatched,
+    // and a user-1 click whose impression is AFTER it (must not match)
+    Seq((1L, t(30), "click_ok"), (3L, t(10), "click_orphan"))
+      .toDF("user_id", "click_ts", "click_tag").write.parquet(s"$dir/click")
+    val imp = spark.readStream
+      .schema(spark.read.parquet(s"$dir/imp").schema).parquet(s"$dir/imp")
+    val click = spark.readStream
+      .schema(spark.read.parquet(s"$dir/click").schema).parquet(s"$dir/click")
+    val joined = StreamingSync.intervalJoin(
+      click, imp, "user_id", leftTs = "click_ts", rightTs = "imp_ts")
+    val q = joined.select(col("l.user_id"), col("click_tag"), col("imp_tag"))
+      .writeStream.format("memory").queryName("jj_out").outputMode("append")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val rows = spark.sql("SELECT * FROM jj_out")
+      .as[(Long, String, String)].collect().toSet
+    assert(rows == Set((1L, "click_ok", "imp1")))
+  }
+
   test("mapGroupsWithState session counting matches the batch sessionization rule") {
     import StreamingSync._
     val m = 1000000L
