@@ -331,6 +331,43 @@ object Bench {
     results("scn_multitable_8x_noop") = tMulti
     results(s"scn_compact_${compactK}commits") = tCompact
 
+    // --- commit-level data skipping (structural, byte-deterministic) ---
+    // 8 commits in DISJOINT key bands; a one-band range read must plan only
+    // that band's commit. The ratio is all-commit bytes over planned-commit
+    // bytes (~8 when skipping works, 1 when it regresses) — measured from
+    // the plan's actual inputFiles, so a broken _stats path fails loudly
+    // here. This is the log-table point-lookup story at 100 TB: O(touched
+    // commits), not O(history).
+    val skipT = s"$tmp/tgt_skip"
+    val slimCols = Seq("RecId", "SysRowVersion", "RECVERSION",
+      "l_quantity", "l_extendedprice", "l_returnflag")
+    val perfSlim = SyncFixtures.perfect(spark, sfDir).select(slimCols.map(col): _*)
+    LakeTable.overwrite(perfSlim.repartition(nPart), skipT)
+    val keyBounds = perfSlim.agg(min(col("RecId")), max(col("RecId"))).head()
+    val (kMin, kMax) = (keyBounds.getLong(0), keyBounds.getLong(1))
+    val bandW = (kMax - kMin) / 8 + 1
+    val bands = (0 until 8).map { i =>
+      val lo = kMin + i * bandW
+      (lo, math.min(lo + bandW - 1, kMax))
+    }
+    bands.foreach { case (lo, hi) =>
+      val band = perfSlim.filter(col("RecId").between(lo, hi))
+        .withColumn("SysRowVersion", col("SysRowVersion") + lit(1L))
+      LakeTable.appendCommit(
+        Apply.ChangeSet(band.select("RecId"), band, band.select("RecId")), skipT)
+    }
+    def fileMb(uris: Seq[String]): Double = uris.map { u =>
+      new java.io.File(new java.net.URI(u).getPath).length
+    }.sum / 1e6
+    val (skipLo, skipHi) = bands(3)
+    val prunedRead = LakeTable.readKeyRange(spark, skipT, skipLo, skipHi)
+    val plannedLogMb = fileMb(prunedRead.inputFiles.toSeq.filter(_.contains("/_log/")))
+    val allLogMb = fileMb(
+      LakeTable.read(spark, skipT).inputFiles.toSeq.filter(_.contains("/_log/")))
+    require(plannedLogMb > 0 && plannedLogMb < allLogMb / 4,
+      f"commit skipping regressed: planned $plannedLogMb%.1f MB of $allLogMb%.1f MB")
+    rmRecF(new java.io.File(skipT))
+
     // Bytes moved — the scale-invariant form of the reference's headline
     // claims (99%+ transfer reduction on no-change, ~16B/row control pass):
     // local NVMe makes the TIME ratios I/O-flat at this size, but the byte
@@ -383,7 +420,11 @@ object Bench {
       // reload's read+write
       "compact_amortized_vs_full_bytes" ->
         ((compactReadMb + compactWriteMb) / compactK) /
-          math.max(fullReadMb + fullWriteMb, 1e-9))
+          math.max(fullReadMb + fullWriteMb, 1e-9),
+      // commit-level data skipping: all-commit bytes over the bytes a
+      // one-band range read actually plans (≈8 = the band count when the
+      // _stats skip works; 1 = regression)
+      "lakeskip_commit_skip_x" -> allLogMb / math.max(plannedLogMb, 0.001))
 
     // scenario outputs are reclaimed (the fixture CACHE is kept for the
     // next round; the recipe key invalidates it when fixtures change)

@@ -51,4 +51,37 @@ object BloomPrune {
     big.filter(mightContain(big.sparkSession, bits, col(bigKey), expectedKeys, fpp))
       .join(keys.select(col(keysKey).as(bigKey)).distinct(), Seq(bigKey), "left_semi")
   }
+
+  /** Sketch-driven semi-join strategy — the planner move the sync engine's
+    * cost model (O4–O6) makes for merges, applied to joins:
+    *
+    *  1. estimate the key side's distinct count with one KMV sketch scan
+    *     (O(k) state, no join, [[KmvSketch.distinctEstimate]]'s aggregate);
+    *  2. small enough to broadcast → BroadcastHashJoin, zero shuffle of
+    *     the big side;
+    *  3. too big to broadcast but its BLOOM fits comfortably in the task
+    *     binary → bloom-pruned sort-merge (shuffle ~selectivity of big);
+    *  4. otherwise → plain shuffle join (both sides genuinely huge).
+    *
+    * The estimate is advisory — every branch returns the identical result
+    * set; a wrong estimate costs bytes, never rows. */
+  def autoSemiJoin(big: DataFrame, keys: DataFrame, bigKey: String, keysKey: String,
+      broadcastMaxKeys: Long = 1L << 20, bloomMaxKeys: Long = 1L << 28,
+      fpp: Double = 0.01): DataFrame = {
+    graft.functions.GraftFunctions.register(big.sparkSession)
+    val est = keys
+      .select(Dedup.h32(col(keysKey).cast("string")).as("h"))
+      .agg(expr("kmv_sketch(h, 64)").as("mins"))
+      .select(
+        when(size(col("mins")) < 64, size(col("mins")).cast("double"))
+          .otherwise(lit(63.0 * KmvSketch.HashSpace) / element_at(col("mins"), 64)))
+      .head.getDouble(0)
+    val dedupKeys = keys.select(col(keysKey).as(bigKey)).distinct()
+    if (est <= broadcastMaxKeys)
+      big.join(broadcast(dedupKeys), Seq(bigKey), "left_semi")
+    else if (est <= bloomMaxKeys)
+      semiJoin(big, keys, bigKey, keysKey, expectedKeys = math.ceil(est).toLong, fpp)
+    else
+      big.join(dedupKeys, Seq(bigKey), "left_semi")
+  }
 }

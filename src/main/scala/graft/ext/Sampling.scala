@@ -55,4 +55,27 @@ object Sampling {
     // it; explode on the guard's null drops it as intended
     df.withColumn("copy_no",
       explode(when(weight >= 1, sequence(lit(1), weight.cast("int")))))
+
+  /** Deterministic dataset split (train/val/test…): label each row by the
+    * permille band its key hashes into. Weights are (label, permille) and
+    * must sum to ≤ 1000; leftover hash space falls into the LAST label so
+    * the partition is total. Split membership is a pure function of the
+    * key — stable across re-runs, resumable jobs and corpus growth (a new
+    * document never moves an old one between splits), which is the
+    * leakage-safety property `randomSplit` cannot give. Scan-speed, no
+    * shuffle. */
+  def splitByHash(df: DataFrame, keyCol: Column,
+      weightsPermille: Seq[(String, Int)]): DataFrame = {
+    require(weightsPermille.nonEmpty && weightsPermille.map(_._2).sum <= 1000,
+      s"split weights must sum to <= 1000 permille: $weightsPermille")
+    val bucket = pmod(Dedup.h32(keyCol), lit(1000))
+    val bounds = weightsPermille.scanLeft(0) { case (acc, (_, w)) => acc + w }.tail
+    // nest else-branches from the last band inward so the smallest bound
+    // is tested outermost: when(b < hi_1, l_1).otherwise(when(b < hi_2, …))
+    val split = weightsPermille.map(_._1).zip(bounds).dropRight(1).reverse
+      .foldLeft(lit(weightsPermille.last._1): Column) { case (els, (label, hi)) =>
+        when(bucket < hi, lit(label)).otherwise(els)
+      }
+    df.withColumn("split", split)
+  }
 }

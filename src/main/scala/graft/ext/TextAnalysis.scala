@@ -110,4 +110,37 @@ object KmvSketch {
           .otherwise(lit((k - 1).toDouble * HashSpace) / element_at(col("mins"), k))
           .as("kmv_estimate"))
   }
+
+  /** Key-overlap (join cardinality) estimate between two key sets from
+    * their KMV sketches (Beyer et al.'s set-operation construction): the
+    * union sketch is the k smallest of K_A ∪ K_B, ρ = |K_A ∩ K_B ∩ union
+    * sketch| / k estimates Jaccard, and |A∩B| ≈ ρ · D̂(union).
+    *
+    * This is the PLANNER's input for semi-join strategy at 100 TB: two
+    * O(k)-state sketch scans — no join — decide whether the key side is
+    * broadcast-able, Bloom-prunable, or a genuine sort-merge. When both
+    * key sets fit in one sketch (union < k) the sketches ARE the distinct
+    * sets and the estimate degrades to the exact overlap count.
+    *
+    * Output: one row (m, kth_union, est_overlap); pure integer arithmetic
+    * plus IEEE divisions in a fixed order, so DuckDB reproduces it
+    * bit-for-bit. */
+  def overlapEstimate(a: DataFrame, aCol: String, b: DataFrame, bCol: String,
+      k: Int = 64): DataFrame = {
+    graft.functions.GraftFunctions.register(a.sparkSession)
+    def sketch(df: DataFrame, c: String, out: String) =
+      df.select(Dedup.h32(col(c).cast("string")).as("h"))
+        .agg(expr(s"kmv_sketch(h, $k)").as(out))
+    sketch(a, aCol, "ka").crossJoin(sketch(b, bCol, "kb"))
+      .withColumn("u", slice(expr("array_sort(array_union(ka, kb))"), 1, k))
+      .withColumn("kth_union", element_at(col("u"), size(col("u"))))
+      .withColumn("m",
+        expr("size(filter(array_intersect(ka, kb), x -> x <= kth_union))"))
+      .withColumn("est_overlap",
+        when(size(col("u")) < k, col("m").cast("double"))
+          .otherwise(
+            ((col("m").cast("double") * lit((k - 1).toDouble * HashSpace))
+              / lit(k.toDouble)) / col("kth_union")))
+      .select(col("m"), col("kth_union"), col("est_overlap"))
+  }
 }

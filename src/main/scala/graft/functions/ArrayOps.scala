@@ -130,5 +130,7 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("freq_sketch",
       exprs => FreqSketchAgg(exprs(0),
         exprs(1).eval(InternalRow.empty).asInstanceOf[Number].intValue()), "scala_udf")
+    reg.createOrReplaceTempFunction("interleave_bits",
+      exprs => InterleaveBits(exprs(0), exprs(1)), "scala_udf")
   }
 }

@@ -214,7 +214,43 @@ object ExtQueries {
 
     "q_profile_quantiles" -> ((s, d) =>
       Profile.histQuantiles(s.read.parquet(s"$d/lineitem.parquet"),
-        "l_extendedprice", HistLo, HistHi, HistBuckets, HistQs))
+        "l_extendedprice", HistLo, HistHi, HistBuckets, HistQs)),
+
+    // ---- KMV join-cardinality estimate: two sketch scans, no join —
+    // the planner's semi-join strategy input (broadcast / bloom / shuffle) ----
+    "q_join_card" -> ((s, d) =>
+      KmvSketch.overlapEstimate(
+        s.read.parquet(s"$d/orders.parquet"), "o_custkey",
+        s.read.parquet(s"$d/customer.parquet"), "c_custkey")),
+
+    // ---- deterministic train/val/test split (leakage-safe: membership is
+    // a pure function of the key, stable under corpus growth) ----
+    "q_sample_split" -> ((s, d) =>
+      Sampling.splitByHash(docs(s, d), col("doc_id").cast("string"),
+        Seq("train" -> 900, "val" -> 50, "test" -> 50))
+        .select("doc_id", "split")),
+
+    // ---- keep-best dedup resolution: within each near-dup component keep
+    // the highest-quality member (not the arbitrary min-id) — the KEEP
+    // policy a curation pipeline actually wants. Composition: pairs →
+    // connected components → per-component argmax(quality) + singletons ----
+    "q_dedup_keepbest" -> ((s, d) => {
+      val base = docs(s, d)
+      val comps = Components.labelPropagate(
+        Dedup.ngramJaccardPairs(base, "doc_id", "text", n = 3, threshold = 0.5),
+        "id_a", "id_b", iters = 4)
+      val scored = base.select(col("doc_id"),
+        TextAnalysis.qualityScore(col("text")).as("q"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("comp").orderBy(col("q").desc, col("id").asc)
+      val winners = comps.join(scored, comps("id") === scored("doc_id"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("id").as("doc_id"))
+      val loners = base.select("doc_id")
+        .join(comps.select(col("id").as("doc_id")), Seq("doc_id"), "left_anti")
+      winners.union(loners)
+    })
   )
 
   private val ProfileLongCols = Seq("l_orderkey", "l_partkey", "l_suppkey")
@@ -541,6 +577,32 @@ SELECT id, comp FROM l4""",
 
     "q_profile" -> profileOracle,
 
+    "q_dedup_keepbest" -> s"""WITH $shinglesCte,
+capped AS (SELECT sid, shingle FROM (
+  SELECT sid, shingle, count(*) OVER (PARTITION BY shingle) AS sfreq FROM sh)
+  WHERE sfreq <= 1000),
+pairs AS (SELECT a.sid AS id_a, b.sid AS id_b, count(*) AS common
+          FROM capped a JOIN capped b ON a.shingle = b.shingle AND a.sid < b.sid
+          GROUP BY 1, 2),
+verified AS ($jaccardVerify),
+sym AS (SELECT id_a AS a, id_b AS b FROM verified
+        UNION SELECT id_b, id_a FROM verified),
+${componentRounds(4)},
+scored AS (
+  SELECT doc_id,
+    least(CAST(len(string_split(text,' ')) AS DOUBLE) / 100.0, 1.0) * 0.4
+      + (CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE)
+         / len(string_split(text,' '))) * 0.3
+      + least((CAST(len(list_filter(string_split(text,' '), t -> t IN ($stopList))) AS DOUBLE)
+               / len(string_split(text,' '))) * 10.0, 1.0) * 0.3 AS q
+  FROM documents),
+members AS (SELECT l.id, l.comp, s.q FROM l4 l JOIN scored s ON s.doc_id = l.id),
+winners AS (SELECT id AS doc_id FROM (
+  SELECT id, row_number() OVER (PARTITION BY comp ORDER BY q DESC, id ASC) AS rn
+  FROM members) WHERE rn = 1),
+loners AS (SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT id FROM l4))
+SELECT doc_id FROM winners UNION ALL SELECT doc_id FROM loners""",
+
     "q_text_redact" -> s"""WITH aug AS (
   SELECT doc_id, text || ' contact u' || CAST(doc_id AS VARCHAR) ||
     '@ex.com id ' || CAST(doc_id * 1000003 AS VARCHAR) AS t
@@ -590,6 +652,28 @@ SELECT q_permille, bucket,
   CAST(floor(($HistLo + (CAST(bucket AS DOUBLE) * ${HistHi - HistLo})
     / ${HistBuckets.toDouble}) * 1000000.0 + 0.5) AS BIGINT) AS value_micro
 FROM m""",
+
+    "q_sample_split" -> s"""SELECT doc_id,
+  CASE WHEN ${oh32("CAST(doc_id AS VARCHAR)")} % 1000 < 900 THEN 'train'
+       WHEN ${oh32("CAST(doc_id AS VARCHAR)")} % 1000 < 950 THEN 'val'
+       ELSE 'test' END AS split
+FROM documents""",
+
+    "q_join_card" -> s"""WITH ha AS (
+  SELECT DISTINCT ${oh32("CAST(o_custkey AS VARCHAR)")} AS h FROM orders),
+hb AS (SELECT DISTINCT ${oh32("CAST(c_custkey AS VARCHAR)")} AS h FROM customer),
+ka AS (SELECT h FROM (SELECT h, row_number() OVER (ORDER BY h) rn FROM ha) WHERE rn <= 64),
+kb AS (SELECT h FROM (SELECT h, row_number() OVER (ORDER BY h) rn FROM hb) WHERE rn <= 64),
+hu AS (SELECT h FROM ka UNION SELECT h FROM kb),
+ku AS (SELECT h FROM (SELECT h, row_number() OVER (ORDER BY h) rn FROM hu) WHERE rn <= 64),
+kth AS (SELECT max(h) AS kth_union, count(*) AS usz FROM ku),
+mm AS (SELECT count(*) AS m FROM ka a JOIN kb b ON a.h = b.h CROSS JOIN kth
+       WHERE a.h <= kth.kth_union)
+SELECT CAST(mm.m AS INTEGER) AS m, kth.kth_union,
+  CASE WHEN kth.usz < 64 THEN CAST(mm.m AS DOUBLE)
+       ELSE ((CAST(mm.m AS DOUBLE) * ${63.0 * 4294967296.0}) / 64.0) / kth.kth_union
+  END AS est_overlap
+FROM mm, kth""",
 
     "q_dedup_incremental" -> s"""WITH $shinglesCte,
 oldcap AS (SELECT sid, shingle FROM (

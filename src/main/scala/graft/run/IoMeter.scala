@@ -71,6 +71,43 @@ object IoMeter {
   def parquetColumnBytes(dir: String, cols: Seq[String] = Nil): Long =
     parquetColumnBytesWhere(dir, cols, None)
 
+  /** Row groups whose footer min/max boxes INTERSECT a 2-D range box —
+    * (intersecting, total). The ground truth of multi-dimensional data
+    * skipping: a reader with both predicates scans exactly the
+    * intersecting groups. Used to measure layout quality (linear sort vs
+    * Z-order) without timing noise. */
+  def parquetRowGroupsBox(dir: String,
+      colA: String, loA: Long, hiA: Long,
+      colB: String, loB: Long, hiB: Long): (Int, Int) = {
+    import scala.jdk.CollectionConverters._
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val files = graft.sync.LakeFs.list(dir)
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath)
+    var hit = 0
+    var total = 0
+    files.foreach { p =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf)
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try reader.getFooter.getBlocks.asScala.foreach { b =>
+        total += 1
+        def intersects(c: String, lo: Long, hi: Long): Boolean =
+          b.getColumns.asScala
+            .find(_.getPath.iterator().next().equalsIgnoreCase(c))
+            .forall { cc =>
+              val st = cc.getStatistics
+              st == null || !st.hasNonNullValue ||
+                ((st.genericGetMin, st.genericGetMax) match {
+                  case (mn: java.lang.Long, mx: java.lang.Long) => mx >= lo && mn <= hi
+                  case _ => true // non-INT64 stats: assume scanned
+                })
+            }
+        if (intersects(colA, loA, hiA) && intersects(colB, loB, hiB)) hit += 1
+      } finally reader.close()
+    }
+    (hit, total)
+  }
+
   /** Like [[parquetColumnBytes]], but when `minMax` = (statsCol, threshold)
     * is given, counts ONLY row groups whose statsCol max ≥ threshold — i.e.
     * the bytes a `statsCol >= threshold` scan actually fetches after

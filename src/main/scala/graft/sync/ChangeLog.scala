@@ -139,7 +139,8 @@ object ChangeLog {
     * O(touched commits), not O(history). */
   def replay(spark: SparkSession, basePath: String, logDir: String,
       keyCol: String = "RecId", fromSeq: Int = 0,
-      keyRange: Option[(Long, Long)] = None): DataFrame = {
+      keyRange: Option[(Long, Long)] = None,
+      toSeq: Int = Int.MaxValue): DataFrame = {
     val prune: DataFrame => DataFrame = keyRange match {
       case Some((lo, hi)) => df => df.filter(col(keyCol).between(lo, hi))
       case None => identity
@@ -148,7 +149,7 @@ object ChangeLog {
     val commits = LakeFs.list(logDir)
       .filter(_.isDirectory)
       .flatMap(st => st.getPath.getName.toIntOption.map(_ -> st.getPath.toString))
-      .filter(_._1 >= fromSeq)
+      .filter(c => c._1 >= fromSeq && c._1 <= toSeq)
       .filter { case (_, path) =>
         keyRange.forall { case (lo, hi) => !skippable(path, lo, hi) } }
       .sortBy(_._1)

@@ -98,6 +98,25 @@ object LakeTable {
         throw new IllegalArgumentException(s"lake table does not exist: $table")
     }
 
+  /** Time travel within the current generation: the table state as of
+    * commit `asOfSeq` (inclusive) — base + commits in [fromSeq, asOfSeq].
+    * `asOfSeq` below the pointer's horizon returns the base alone.
+    *
+    * Readable history is bounded by retention, exactly as in Delta:
+    * compaction folds commits into a fresh base and GC keeps one previous
+    * generation, so "as of" reaches back to the last compaction boundary.
+    * History depth is therefore a policy knob (compactEvery), not a scan
+    * cost — reads stay O(commits-in-range) regardless of table size. */
+  def readAt(spark: SparkSession, table: String, asOfSeq: Int,
+      keyCol: String = "RecId"): DataFrame =
+    resolve(table) match {
+      case Some((base, fromSeq)) =>
+        ChangeLog.replay(spark, base, logDir(table), keyCol, fromSeq,
+          keyRange = None, toSeq = asOfSeq)
+      case None =>
+        throw new IllegalArgumentException(s"lake table does not exist: $table")
+    }
+
   /** Number of commits the current pointer depends on (compaction signal). */
   def pendingCommits(table: String): Int = resolve(table) match {
     case Some((_, fromSeq)) => ChangeLog.commitSeqs(logDir(table)).count(_ >= fromSeq)

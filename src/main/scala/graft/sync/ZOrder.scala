@@ -1,0 +1,57 @@
+package graft.sync
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Z-order (Morton-curve) table layout — multi-dimensional data skipping.
+  *
+  * A linear sort clusters ONE column: every row group's min/max box is
+  * tight on the sort key and spans the full domain of everything else, so
+  * only sort-key predicates prune. Z-order sorts by the interleaved bits
+  * of two normalized columns: row groups become tight boxes in BOTH
+  * dimensions, and a 2-D box predicate (the "user × time", "key × version"
+  * shape of real lookups) prunes quadratically instead of linearly.
+  *
+  * This generalizes the version-clustered layout recipe
+  * ([[SyncFixtures.clusterByVersion]], the 1-D case the sync engine's
+  * delta fetch depends on) to the multi-predicate reads a pipeline lake
+  * serves. Same contract as Delta's OPTIMIZE ZORDER BY, expressed as a
+  * plain DataFrame transform: normalize → interleave → range-partition →
+  * sort within partitions. The z-key is dropped before write; the layout
+  * IS the index — no auxiliary structure to maintain, the parquet footer
+  * min/max stats carry all of it.
+  */
+object ZOrder {
+
+  /** Normalize a column to [0, 2^21) rank space by its min/max (21 bits ×
+    * 2 dims = 42 bits of z-key — plenty of resolution, no Long overflow).
+    * Non-long numeric dimensions are floored into key space first. */
+  private def norm(c: Column, lo: Long, hi: Long): Column = {
+    val width = math.max(hi - lo, 1L)
+    floor(((c.cast("long") - lit(lo)).cast("double") * lit((1L << 21) - 1).cast("double"))
+      / lit(width.toDouble)).cast("long")
+  }
+
+  /** The z-key column for two LongType dimensions with known bounds
+    * (interleave_bits is the registered codegen expression). */
+  def zkey(a: Column, b: Column, boundsA: (Long, Long), boundsB: (Long, Long)): Column =
+    call_function("interleave_bits",
+      norm(a, boundsA._1, boundsA._2), norm(b, boundsB._1, boundsB._2))
+
+  /** Lay `df` out along the Morton curve of (colA, colB) into `nFiles`
+    * range-partitioned, internally-sorted files. One extra agg job reads
+    * the bounds; the layout write is the same shuffle any repartition
+    * pays — amortized over every pruned read after it. */
+  def layout(df: DataFrame, colA: String, colB: String, nFiles: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    val r = df.agg(
+      min(col(colA).cast("long")), max(col(colA).cast("long")),
+      min(col(colB).cast("long")), max(col(colB).cast("long"))).head()
+    val za = zkey(col(colA), col(colB),
+      (r.getLong(0), r.getLong(1)), (r.getLong(2), r.getLong(3)))
+    df.withColumn("_zkey", za)
+      .repartitionByRange(nFiles, col("_zkey"))
+      .sortWithinPartitions("_zkey")
+      .drop("_zkey")
+  }
+}

@@ -382,4 +382,24 @@ class SamplingSpec extends AnyFunSuite {
       .select("doc_id", "copy_no").as[(Long, Int)].collect().toSet
     assert(out == Set((1L, 1), (1L, 2), (1L, 3), (2L, 1)))
   }
+
+  test("hash split is a total partition, band-ordered, and growth-stable") {
+    val key = col("doc_id").cast("string")
+    val weights = Seq("train" -> 800, "val" -> 100, "test" -> 100)
+    val out = Sampling.splitByHash(corpus, key, weights)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(out.size == 1000, "every row gets exactly one split")
+    val byLabel = out.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(math.abs(byLabel("train") - 800) < 80)
+    assert(byLabel.keySet == Set("train", "val", "test"))
+    // leakage safety: splitting a GROWN corpus never relabels an old row
+    val grown = (1L to 2000L).map(i => (i, "x")).toDF("doc_id", "lang")
+    val out2 = Sampling.splitByHash(grown, key, weights)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(out.forall { case (id, s) => out2(id) == s })
+    // band order matches the cumulative-bound contract: hash<800 ⇒ train
+    val h = Sampling.hashSample(corpus, key, 800).select("doc_id")
+      .as[Long].collect().toSet
+    assert(h == out.filter(_._2 == "train").keySet)
+  }
 }

@@ -73,6 +73,24 @@ class LakeSkipSpec extends AnyFunSuite {
     assert(pruned.count() == 11)
   }
 
+  test("readAt time-travels within the current generation") {
+    val t = freshTable()
+    LakeTable.overwrite((1L to 5L).map(i => (i, "v0")).toDF("RecId", "payload"), t)
+    val s1 = LakeTable.appendCommit(cs(Seq(1L), Seq((10L, "v1"))), t)
+    val s2 = LakeTable.appendCommit(cs(Seq(2L), Seq((20L, "v2"))), t)
+
+    def state(df: org.apache.spark.sql.DataFrame): Set[(Long, String)] =
+      df.select("RecId", "payload").as[(Long, String)].collect().toSet
+    val base = (1L to 5L).map(i => (i, "v0")).toSet
+
+    assert(state(LakeTable.readAt(spark, t, s1 - 1)) == base,
+      "asOf before the first commit = the base alone")
+    assert(state(LakeTable.readAt(spark, t, s1)) ==
+      base - ((1L, "v0")) + ((10L, "v1"))) // commit 1 applied, commit 2 not
+    assert(state(LakeTable.readAt(spark, t, s2)) ==
+      state(LakeTable.read(spark, t))) // asOf latest = current state
+  }
+
   test("empty changeset commits are always skippable") {
     val t = freshTable()
     LakeTable.overwrite((1L to 10L).map(i => (i, s"p$i")).toDF("RecId", "payload"), t)

@@ -51,6 +51,32 @@ class BloomSpec extends AnyFunSuite {
     assert(pruned == 2000)
   }
 
+  test("autoSemiJoin routes by estimated key count; every route is exact") {
+    val big = spark.range(0, 20000).select(col("id").as("k"))
+    val smallKeys = spark.range(0, 100).select(col("id").as("kk"))
+    val bigKeys = spark.range(0, 20000).filter(col("id") % 3 === 0).select(col("id").as("kk"))
+
+    // small key side → broadcast route (no bloom probe in the plan)
+    val viaBroadcast = BloomPrune.autoSemiJoin(big, smallKeys, "k", "kk")
+    assert(!viaBroadcast.queryExecution.executedPlan.toString
+      .contains("bloom_might_contain"))
+    assert(viaBroadcast.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
+    assert(viaBroadcast.count() == 100)
+
+    // key side above the broadcast ceiling → bloom-pruned route, same rows
+    val viaBloom = BloomPrune.autoSemiJoin(big, bigKeys, "k", "kk",
+      broadcastMaxKeys = 1000)
+    assert(viaBloom.queryExecution.executedPlan.toString.contains("bloom_might_contain"))
+    assert(viaBloom.count() == bigKeys.count())
+
+    // both ceilings exceeded → plain join, still exact
+    val viaShuffle = BloomPrune.autoSemiJoin(big, bigKeys, "k", "kk",
+      broadcastMaxKeys = 10, bloomMaxKeys = 100)
+    assert(!viaShuffle.queryExecution.executedPlan.toString
+      .contains("bloom_might_contain"))
+    assert(viaShuffle.count() == bigKeys.count())
+  }
+
   test("probe filter sits below the join, on the scan side of the exchange") {
     val dir = java.nio.file.Files.createTempDirectory("graft_bloom").toString
     spark.range(0, 5000).select(col("id").as("k"), col("id").as("v"))
@@ -104,6 +130,40 @@ class HeavyHittersSpec extends AnyFunSuite {
     val out = HeavyHitters.topTerms(occ, "g", "term", capacity = 8, topN = 3)
       .select("g", "term", "cnt").as[(String, String, Long)].collect().toSet
     assert(out == Set(("a", "x", 10L), ("b", "y", 5L)))
+  }
+}
+
+class OverlapEstimateSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("exact regime: union under k returns the exact overlap count") {
+    val a = (1L to 30L).toDF("k")
+    val b = (21L to 50L).toDF("k") // true overlap 10, union 50 < 64
+    val r = graft.ext.KmvSketch.overlapEstimate(a, "k", b, "k", k = 64)
+      .select("m", "est_overlap").as[(Int, Double)].head()
+    assert(r._1 == 10 && r._2 == 10.0)
+  }
+
+  test("sketch regime: estimate lands within 50% of the true overlap") {
+    // 10k vs 10k keys with 5k true overlap — k=64 gives a coarse but
+    // bounded estimate; the point is order-of-magnitude planner input
+    val a = (1L to 10000L).toDF("k").repartition(4)
+    val b = (5001L to 15000L).toDF("k").repartition(4)
+    val est = graft.ext.KmvSketch.overlapEstimate(a, "k", b, "k", k = 64)
+      .select("est_overlap").as[Double].head()
+    assert(est > 2500 && est < 10000, s"estimate $est far from true 5000")
+  }
+
+  test("estimator is partition-invariant (mergeable sketches)") {
+    val a1 = (1L to 1000L).toDF("k").repartition(1)
+    val a8 = (1L to 1000L).toDF("k").repartition(8)
+    val b = (500L to 1500L).toDF("k")
+    val e1 = graft.ext.KmvSketch.overlapEstimate(a1, "k", b, "k")
+      .select("est_overlap").as[Double].head()
+    val e8 = graft.ext.KmvSketch.overlapEstimate(a8, "k", b, "k")
+      .select("est_overlap").as[Double].head()
+    assert(e1 == e8)
   }
 }
 

@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.Morton
+import graft.run.IoMeter
+import graft.sync.ZOrder
+
+/** Z-order layout: the multi-dimensional data-skipping property, measured
+  * from parquet footer stats (no timing noise). */
+class ZOrderSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("Morton.interleave weaves bits (a odd positions, b even)") {
+    assert(Morton.interleave(0L, 0L) == 0L)
+    assert(Morton.interleave(1L, 0L) == 2L)  // a bit 0 -> position 1
+    assert(Morton.interleave(0L, 1L) == 1L)  // b bit 0 -> position 0
+    assert(Morton.interleave(0b11L, 0b11L) == 0b1111L)
+    assert(Morton.interleave(0xFFFFFFFFL, 0L) == 0xAAAAAAAAAAAAAAAAL)
+    // monotone in each dimension within a fixed other-dimension prefix
+    assert(Morton.interleave(2L, 2L) > Morton.interleave(1L, 1L))
+  }
+
+  test("z-order layout prunes a 2-D box query better than linear sort") {
+    // 100k uniform grid points over a 1000x100 domain
+    val df = spark.range(100000)
+      .select((col("id") % 1000).as("a"), (col("id") / 1000).cast("long").as("b"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_zorder").toString
+
+    df.repartitionByRange(64, col("a")).sortWithinPartitions("a")
+      .write.parquet(s"$dir/linear")
+    ZOrder.layout(df, "a", "b", 64).write.parquet(s"$dir/zorder")
+
+    // box: an eighth of each dimension = 1/64 of the area
+    val (linHit, linTotal) = IoMeter.parquetRowGroupsBox(
+      s"$dir/linear", "a", 0, 124, "b", 0, 11)
+    val (zHit, zTotal) = IoMeter.parquetRowGroupsBox(
+      s"$dir/zorder", "a", 0, 124, "b", 0, 11)
+    // linear: the a-predicate prunes to ~1/8 of groups, but each surviving
+    // group spans ALL of b — the b-predicate prunes nothing further.
+    // z-order: groups are tight boxes in both dims, so the box hits far
+    // fewer groups than the a-prune alone.
+    assert(zTotal >= 32 && linTotal >= 32, s"want real file counts: $zTotal/$linTotal")
+    assert(zHit < linHit,
+      s"z-order must out-prune linear: z $zHit/$zTotal vs linear $linHit/$linTotal")
+    assert(zHit <= zTotal / 8,
+      s"z-order should prune the 1/64 box hard: $zHit/$zTotal")
+  }
+
+  test("z-order layout preserves the data exactly") {
+    val df = spark.range(5000)
+      .select((col("id") % 71).as("a"), (col("id") % 113).as("b"), col("id").as("v"))
+    val out = ZOrder.layout(df, "a", "b", 8)
+    assert(out.count() == 5000)
+    assert(out.agg(sum("v")).head.getLong(0) == df.agg(sum("v")).head.getLong(0))
+    assert(out.columns.toSeq == Seq("a", "b", "v"), "z-key must not leak into the schema")
+  }
+}
