@@ -18,7 +18,13 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+      // local[N, 4]: allow task retries — this box's write-throttled regime
+      // can stall a multi-GB read past parquet's 300 s fetch limit, and the
+      // local-mode default of maxFailures=1 turns one IO stall into a dead
+      // SparkContext (observed). Retries only bound failure detection; they
+      // never run on the timed path of a healthy draw.
+      .master(s"local[$cpus,4]")
+      .config("spark.network.timeout", "600s")
       .config("spark.sql.shuffle.partitions", cpus)
       // the testdata parquet files are ~20MB — default 128MB maxPartitionBytes
       // gives ONE scan task and serializes every downstream stage
@@ -116,11 +122,22 @@ object Bench {
     }
     if (!new java.io.File(s"$cache/_done").exists) {
       rmRecF(new java.io.File(cache))
+      // materialize the 2 KB md5 payload AFTER the layout shuffle: the
+      // sf0.1 lineitem file is a single 128 MB-split scan task, so deriving
+      // payloads below the exchange serializes ~5.4M × 64 md5s into ONE
+      // map task AND shuffles the full ~11 GB of payload bytes. Dropping
+      // the column lets Catalyst prune the md5 work out of the map side
+      // entirely (payload = f(SysRowVersion), values identical): the
+      // exchange moves 38 B/row and all md5 work runs in the nPart
+      // post-shuffle write tasks — ~8 min off every fresh-container build.
       SyncFixtures.clusterByVersion(
-          SyncFixtures.updatesOnlyFrom(bigBase), nPart, mark)
+          SyncFixtures.updatesOnlyFrom(bigBase).drop("payload"), nPart, mark)
+        .withColumn("payload", SyncFixtures.widePayload)
         .write.parquet(s"$cache/src")
       osSync()
-      SyncFixtures.perfectFrom(bigBase).repartition(nPart).write.parquet(s"$cache/perf")
+      SyncFixtures.perfectFrom(bigBase).drop("payload").repartition(nPart)
+        .withColumn("payload", SyncFixtures.widePayload)
+        .write.parquet(s"$cache/perf")
       new java.io.File(s"$cache/_done").createNewFile()
     }
     val srcT = spark.read.parquet(s"$cache/src")

@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.BoundReference
+import org.apache.spark.sql.types.{LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.{BloomBuildAgg, BloomUtil, FreqSketchAgg}
+
+/** Property tests of the sketch ALGEBRA itself (no Spark session): model
+  * update/merge/serialize against brute-force truth over seeded random
+  * streams, with random chunkings and random merge-tree shapes — the
+  * distributed reality where partials combine in arbitrary order. */
+class SketchPropertySpec extends AnyFunSuite {
+
+  private def freqRow(tok: String): InternalRow = InternalRow(UTF8String.fromString(tok))
+  private def longRow(v: Long): InternalRow = InternalRow(v)
+
+  /** Build per-chunk MG buffers and merge them in a random tree order. */
+  private def mgMergeAll(agg: FreqSketchAgg, chunks: Seq[Seq[String]],
+      rnd: scala.util.Random): java.util.HashMap[String, Long] = {
+    val bufs = scala.collection.mutable.Buffer(chunks.map { chunk =>
+      val b = agg.createAggregationBuffer()
+      chunk.foreach(t => agg.update(b, freqRow(t)))
+      // serialization round-trip mid-flight, as a shuffle would do
+      agg.deserialize(agg.serialize(b))
+    }: _*)
+    while (bufs.size > 1) {
+      val i = rnd.nextInt(bufs.size - 1)
+      val merged = agg.merge(bufs(i), bufs.remove(i + 1))
+      bufs(i) = merged
+    }
+    bufs.head
+  }
+
+  test("Misra-Gries merged partials obey the N/(capacity+1) undercount bound") {
+    val capacity = 32
+    val agg = FreqSketchAgg(BoundReference(0, StringType, nullable = true), capacity)
+    for (seed <- 1 to 15) {
+      val rnd = new scala.util.Random(seed)
+      // zipf-ish stream: few heavy tokens + a long singleton tail
+      val n = 1500 + rnd.nextInt(1500)
+      val stream = Seq.fill(n) {
+        val r = rnd.nextInt(100)
+        if (r < 40) s"heavy_${rnd.nextInt(3)}"
+        else if (r < 70) s"mid_${rnd.nextInt(20)}"
+        else s"tail_${rnd.nextInt(5000)}"
+      }
+      val truth = stream.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val chunks = stream.grouped(1 + rnd.nextInt(400)).toSeq
+      val sketch = mgMergeAll(agg, chunks, rnd)
+      val bound = stream.size.toLong / (capacity + 1)
+
+      assert(sketch.size <= capacity, s"seed $seed: state exceeded capacity")
+      sketch.forEach { (term, est) =>
+        val t = truth(term)
+        assert(est <= t && t - est <= bound,
+          s"seed $seed: $term est=$est truth=$t bound=$bound")
+      }
+      truth.foreach { case (term, t) =>
+        if (t > bound)
+          assert(sketch.containsKey(term),
+            s"seed $seed: heavy term $term (freq $t > $bound) missing")
+      }
+    }
+  }
+
+  test("Bloom build/merge/probe: zero false negatives under random chunked builds") {
+    val (numBits, numHashes) = BloomUtil.sizing(5000, 0.01)
+    val agg = BloomBuildAgg(BoundReference(0, LongType, nullable = true),
+      numBits, numHashes)
+    for (seed <- 1 to 10) {
+      val rnd = new scala.util.Random(seed)
+      val keys = Seq.fill(5000)(rnd.nextLong())
+      val chunks = keys.grouped(1 + rnd.nextInt(977)).toSeq
+      val bufs = chunks.map { chunk =>
+        val b = agg.createAggregationBuffer()
+        chunk.foreach(k => agg.update(b, longRow(k)))
+        agg.deserialize(agg.serialize(b))
+      }
+      val bits = bufs.reduce(agg.merge)
+      keys.foreach(k =>
+        assert(BloomUtil.mightContain(bits, k, numHashes),
+          s"seed $seed: false negative for $k"))
+      // false-positive rate stays in the configured ballpark
+      val probes = Seq.fill(20000)(rnd.nextLong())
+        .filterNot(keys.toSet)
+      val fp = probes.count(BloomUtil.mightContain(bits, _, numHashes))
+      assert(fp.toDouble / probes.size < 0.05,
+        s"seed $seed: fp rate ${fp.toDouble / probes.size}")
+    }
+  }
+}
