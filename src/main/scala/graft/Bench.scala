@@ -4,19 +4,35 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.sync._
 
-/** Benchmark main — prints ONE JSON line with per-query seconds.
+/** Benchmark main — prints a JSON result line with per-query seconds.
   *
   * Beyond raw per-query times, measures the reference's headline scenario
   * ratios (BASELINE.md): a no-change re-sync must beat a full reload by
   * ~15×, a 5%-change incremental by ~6× — the control-pass bargain the
-  * whole optimized mode exists for. Scenario entries are best-of-3 and
-  * include the sink write (full/incremental write parquet; the no-change
-  * pass writes nothing — that IS the optimization).
+  * whole optimized mode exists for.
+  *
+  * Survivability (the r4 lesson: a driver timeout lost EVERY number because
+  * the single JSON line printed only at the very end):
+  *  - the full JSON line is RE-PRINTED after the query loop and after every
+  *    scenario phase — the last printed line always supersedes, so a kill at
+  *    any point costs only the unfinished tail;
+  *  - a wall-clock budget (`SPARK_GRAFT_BENCH_BUDGET_SEC`, default 1200 s)
+  *    is checked between phases: under pressure the pooled rewrite draws
+  *    shrink (6 → 4 → 2 → 0, falling back to the plough draw's time) and
+  *    the compaction phase is skipped — the deterministic BYTE-form ratios
+  *    (truncate_vs_full_bytes, compact bytes, lakeskip, zorder) are cheap
+  *    and always attempted;
+  *  - the per-query loop is ONE timed run after the global warmup (best-of-2
+  *    doubled ~5 min for noise reduction the oracle doesn't need).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val wall0 = System.nanoTime()
+    def elapsed: Double = (System.nanoTime() - wall0) / 1e9
+    val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "1200").toDouble
+    def remaining: Double = budgetSec - elapsed
     val spark = SparkSession.builder()
       // local[N, 4]: allow task retries — this box's write-throttled regime
       // can stall a multi-GB read past parquet's 300 s fetch limit, and the
@@ -35,6 +51,20 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    val results = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val ratios = scala.collection.mutable.LinkedHashMap[String, Double]()
+    // Incremental flush: the LAST printed line is the result; every phase
+    // boundary re-prints so a timeout never again erases finished work.
+    def flush(phase: String): Unit = {
+      val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+      val rs = ratios.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+      val total = results.values.filter(_ > 0).sum
+      println(
+        s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"ratios":$rs,"sf":"$sfDir"}""")
+      Console.out.flush()
+      System.err.println(f"[bench] flushed after phase '$phase' (t=$elapsed%.0f s, budget $budgetSec%.0f s)")
+    }
 
     // Warmup: JIT + codegen + parquet footer caches, so the first measured
     // query isn't charged for JVM startup.
@@ -58,18 +88,99 @@ object Bench {
     def bestOf(n: Int)(prep: => Unit)(f: => Unit): Double =
       (1 to n).map { _ => prep; osSync(); time(f) }.min
 
-    val results = scala.collection.mutable.LinkedHashMap[String, Double]()
-    // local-iteration escape hatch: scenario-phase work doesn't need the
-    // ~5 min per-query loop re-timed on every tweak
+    // ONE timed run per query after the global warmup (r4 postmortem: the
+    // best-of-2 noise reduction cost ~5 min the correctness oracle covers
+    // anyway; steady-state numbers come from the scenario phases)
     if (!sys.env.contains("SPARK_GRAFT_SKIP_QUERIES")) {
       SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-        // best-of-2: the first run can absorb codegen/JIT for the query's
-        // operators; the min is the steady-state cost
-        results(name) = try math.min(
-            time(fn(spark, sfDir).count()), time(fn(spark, sfDir).count()))
+        results(name) = try time(fn(spark, sfDir).count())
           catch { case _: Throwable => -1.0 }
       }
     }
+    flush("queries")
+
+    // --- structural phases (cheap, deterministic — run BEFORE the multi-GB
+    // fixture build so a budget blowout there can't starve them) ---
+
+    // Bloom-pruned re-filter routing (P6/J2 at the >broadcast-threshold
+    // regime): same keys, three routes — shuffled bytes are the evidence.
+    // The big side is lineitem with ~5% of keys changed; in the sort-merge
+    // regime the bloom probe prunes ~95% of the big side BEFORE the
+    // exchange, so its shuffle bytes drop ~20x while results stay identical.
+    val meter = graft.run.IoMeter.install(spark.sparkContext)
+    def rmRecF(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rmRecF))
+      f.delete(); ()
+    }
+    val bloomTmp = java.nio.file.Files.createTempDirectory("graft_bloomph").toString
+    try {
+      val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"),
+          col("l_extendedprice"), col("l_shipdate"))
+      // MATERIALIZE the key set (breaking lineage): a derived `keys` frame
+      // lets InferFiltersFromConstraints push its defining predicate onto
+      // the big side through the semi-join, silently pruning the "plain"
+      // baseline too — in the real re-filter the key set is a computed
+      // flags-join output the optimizer cannot turn into a scan predicate.
+      li.select(col("l_orderkey")).filter(col("l_orderkey") % 20 === 0)
+        .write.parquet(s"$bloomTmp/keys")
+      val keys = spark.read.parquet(s"$bloomTmp/keys")
+      // the consuming aggregate keeps payload columns alive through the
+      // join (a real re-filter fetch carries full rows, not just keys)
+      def consume(df: DataFrame): Long = {
+        df.agg(sum(col("l_quantity")), sum(col("l_extendedprice")),
+          count(lit(1)).as("n")).head.getLong(2)
+      }
+      // force the sort-merge regime for the plain baseline (the regime the
+      // bloom route exists for — at 100 TB the key side exceeds broadcast)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      val (plainCnt, plainIo) = meter.measure {
+        consume(li.join(keys.distinct(), Seq("l_orderkey"), "left_semi"))
+      }
+      val (routed, route) = graft.ext.BloomPrune.autoSemiJoinRouted(
+        li, keys, "l_orderkey", "l_orderkey", broadcastMaxKeys = 64L)
+      val (bloomCnt, bloomIo) = meter.measure { consume(routed) }
+      require(route == "bloom", s"expected the bloom route, got $route")
+      require(plainCnt == bloomCnt, s"route changed results: $plainCnt vs $bloomCnt")
+      ratios("bloom_refilter_shuffle_reduction_x") =
+        plainIo.shuffledMb / math.max(bloomIo.shuffledMb, 0.001)
+      System.err.println(f"[bench] bloom refilter: plain ${plainIo.shuffledMb}%.2f MB " +
+        f"shuffled vs bloom ${bloomIo.shuffledMb}%.2f MB")
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+      rmRecF(new java.io.File(bloomTmp))
+    }
+    flush("bloom_refilter")
+
+    // Z-order layout quality on the REAL events table (user × time — the
+    // natural 2-D lookup shape): row groups a 1/64-area box intersects,
+    // linear-sort layout vs Morton layout, from parquet footer ground truth.
+    val tmp = java.nio.file.Files.createTempDirectory("graft_bench").toString
+    locally {
+      val ev = spark.read.parquet(s"$sfDir/events.parquet")
+        .select(col("user_id"), col("ts").cast("long").as("ts"), col("value"))
+      val zDir = s"$tmp/zorder"
+      ev.repartitionByRange(64, col("user_id")).sortWithinPartitions("user_id")
+        .write.parquet(s"$zDir/linear")
+      ZOrder.layout(ev, "user_id", "ts", 64).write.parquet(s"$zDir/zorder")
+      val b = ev.agg(min(col("user_id")), max(col("user_id")),
+        min(col("ts")), max(col("ts"))).head()
+      val (uLo, uHi, tLo, tHi) = (b.getLong(0), b.getLong(1), b.getLong(2), b.getLong(3))
+      // box: an eighth of each dimension = 1/64 of the area
+      val (uA, uB) = (uLo, uLo + (uHi - uLo) / 8)
+      val (tA, tB) = (tLo, tLo + (tHi - tLo) / 8)
+      val (linHit, linTotal) = graft.run.IoMeter.parquetRowGroupsBox(
+        s"$zDir/linear", "user_id", uA, uB, "ts", tA, tB)
+      val (zHit, zTotal) = graft.run.IoMeter.parquetRowGroupsBox(
+        s"$zDir/zorder", "user_id", uA, uB, "ts", tA, tB)
+      ratios("zorder_box_prune_x") = linHit.toDouble / math.max(zHit, 1)
+      ratios("zorder_box_groups_scanned_frac") = zHit.toDouble / math.max(zTotal, 1)
+      System.err.println(s"[bench] zorder box: linear $linHit/$linTotal vs z $zHit/$zTotal")
+      rmRecF(new java.io.File(zDir))
+    }
+    flush("zorder")
 
     // --- reference scenario ratios (BASELINE.md invariants) ---
     // Scenario inputs are MATERIALIZED tables (written once, untimed): a
@@ -86,7 +197,7 @@ object Bench {
     // unchanged row groups via parquet min/max stats — the lake analog of
     // the reference's server-side indexed version predicate
     // (Tier2DataService.cs:381-434).
-    val tmp = java.nio.file.Files.createTempDirectory("graft_bench").toString
+    //
     // 9 copies (the replicate cap) ≈ 11.3 GB source: sized so that in the
     // FAST write regime (quiet box, ~450 MB/s write+sync) the full-reload
     // draw still dwarfs the ~2 s of fixed per-sync job overhead — at 6
@@ -111,16 +222,13 @@ object Bench {
     // throttled writes); the _done marker guards against a half-built cache
     val cache = s"/tmp/graft_scn_cache_v3_${copies}x${SyncFixtures.PayloadBlocks}_" +
       new java.io.File(sfDir).getName
-    def rmRecF(f: java.io.File): Unit = {
-      if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rmRecF))
-      f.delete(); ()
-    }
     def dirMb(p: String): Double = {
       val d = new java.io.File(p)
       if (!d.exists) 0.0
       else d.listFiles.filter(_.isFile).map(_.length).sum / 1e6
     }
     if (!new java.io.File(s"$cache/_done").exists) {
+      System.err.println(f"[bench] building ${copies}x fixtures (t=$elapsed%.0f s)")
       rmRecF(new java.io.File(cache))
       // materialize the 2 KB md5 payload AFTER the layout shuffle: the
       // sf0.1 lineitem file is a single 128 MB-split scan task, so deriving
@@ -143,6 +251,48 @@ object Bench {
     val srcT = spark.read.parquet(s"$cache/src")
     val perfT = spark.read.parquet(s"$cache/perf")
     def ctl(df: org.apache.spark.sql.DataFrame) = df.select("RecId", "SysRowVersion")
+
+    // Byte-form ratios FIRST (footer metadata only — deterministic, cheap,
+    // and independent of any timed draw): read bytes = compressed
+    // column-chunk sizes of exactly the columns each scenario scans, over
+    // exactly the row groups its pushed predicates retain. These are the
+    // scale-invariant form of the reference's headline claims (99%+
+    // transfer reduction on no-change, ~16 B/row control pass): local NVMe
+    // makes TIME ratios I/O-flat at this size, but the byte ratios are what
+    // a WAN/cluster pays at any scale. full_write_mb ≈ the source footprint
+    // (the full apply rewrites every source byte as the new base).
+    import graft.run.IoMeter.{parquetColumnBytes, parquetColumnBytesWhere}
+    val controlCols = Seq("RecId", "SysRowVersion")
+    val fullReadMb = parquetColumnBytes(s"$cache/src") / 1e6
+    val noChangeReadMb = 2 * parquetColumnBytes(s"$cache/perf", controlCols) / 1e6
+    // incremental reads: both probe control passes in full, the changed-key
+    // scan and the payload fetch only over row groups with max(version) ≥
+    // mark (the clustered layout makes that ~change% of the table)
+    val incrReadMb = (parquetColumnBytes(s"$cache/src", controlCols) +
+      parquetColumnBytes(s"$cache/perf", controlCols) +
+      parquetColumnBytesWhere(s"$cache/src", controlCols, Some(("SysRowVersion", mark))) +
+      parquetColumnBytesWhere(s"$cache/src", Nil, Some(("SysRowVersion", mark)))) / 1e6
+    val nRows = srcT.count()
+    var fullWriteMb = fullReadMb // refined from the plough draw's real output below
+    def putByteRatios(): Unit = {
+      ratios("full_read_mb") = fullReadMb
+      ratios("full_write_mb") = fullWriteMb
+      ratios("nochange_read_mb") = noChangeReadMb
+      ratios("nochange_write_mb") = 0.0
+      ratios("pct5_read_mb") = incrReadMb
+      ratios("pct5_read_reduction_x") = fullReadMb / math.max(incrReadMb, 0.001)
+      ratios("nochange_read_reduction_x") = fullReadMb / math.max(noChangeReadMb / 2, 0.001)
+      ratios("control_bytes_per_row") = noChangeReadMb * 1e6 / math.max(nRows, 1) / 2.0
+      ratios("full_bytes_per_row") = fullWriteMb * 1e6 / nRows
+      // invariant #4 in its exact, scale-invariant form: truncate moves the
+      // same bytes as a full reload plus ONE 16 B/row control pass (the
+      // decision probe). The TIME ratio is the same claim through this
+      // box's ±2x write-throttle noise; the byte form is deterministic.
+      ratios("truncate_vs_full_bytes") =
+        (fullReadMb + noChangeReadMb + fullWriteMb) / (fullReadMb + fullWriteMb)
+    }
+    putByteRatios()
+    flush("byte_ratios")
 
     // Cheap scenarios FIRST, full-rewrite scenarios LAST, and every multi-GB
     // output is deleted right after its timing (dropping its dirty pages)
@@ -186,6 +336,8 @@ object Bench {
       store.putVersions("scn_noop", mark, mark, Some(maxId))
       runAsserting(noopPlan, graft.model.SyncMode.Noop)
     }
+    results("scn_nochange_sync") = tNoChange
+    flush("scn_noop")
     // 5%-change incremental, production tier 2: probe detects equal key
     // sets → update-only changeset (filters + broadcast semi-join, no wide
     // shuffle) → delta commit of tombstone keys + changed rows only.
@@ -206,6 +358,10 @@ object Bench {
     val incrWriteMb = dirMb(s"$tmp/tgt_scn_incr/_log/0/inserts") +
       dirMb(s"$tmp/tgt_scn_incr/_log/0/deletes")
     rmRecF(new java.io.File(s"$tmp/tgt_scn_incr"))
+    results("scn_5pct_incremental") = tIncr
+    ratios("pct5_write_mb") = incrWriteMb
+    ratios("pct5_write_reduction_x") = fullWriteMb / math.max(incrWriteMb, 0.001)
+    flush("scn_incr")
     // multi-table fan-out (D1): 8 primed NOOP tables through runAll's worker
     // pool — per-table work is a minimal probe, so ORCHESTRATION overhead is
     // maximally visible: with the reference's default 10 workers
@@ -222,6 +378,11 @@ object Bench {
           rs.filterNot(_.mode == graft.model.SyncMode.Noop).map(_.table).mkString(","))
     }
     rmRecF(new java.io.File(s"$tmp/tgt_scn_noop"))
+    results("scn_multitable_8x_noop") = tMulti
+    results("scn_nochange_sync") = tNoChange
+    ratios("multitable8_vs_single_noop") = tMulti / math.max(tNoChange, 1e-9)
+    flush("scn_multi")
+
     // full reload: fetch everything, write everything (standard-mode cost);
     // output dropped immediately after — its GBs of dirty pages would
     // otherwise tax every later phase. The source is pre-read (untimed,
@@ -284,37 +445,62 @@ object Bench {
         missing = 0)
       require(Planner.decide(stats, hasStoredMarks = true) == graft.model.SyncMode.Truncate)
     }
-    // plough the runway (untimed): the FIRST multi-GB write after a quiet
-    // period pays a ~4x writeback-governor ramp (measured 186 s vs 31-43 s
-    // steady for identical work); one scratch draw absorbs it so every
-    // timed draw below sees big-write steady state
-    standardDraw()
+    // plough the runway (untimed result-wise, but its duration SIZES the
+    // draw pool): the FIRST multi-GB write after a quiet period pays a ~4x
+    // writeback-governor ramp (measured 186 s vs 31-43 s steady for
+    // identical work); one scratch draw absorbs it so every timed draw
+    // below sees big-write steady state
+    val ploughT = standardDraw()
+    fullWriteMb = fullWriteMbMeasured
+    putByteRatios() // refine full_write_mb-derived ratios with the real footprint
+    ratios("pct5_write_reduction_x") = fullWriteMb / math.max(incrWriteMb, 0.001)
+    flush("plough")
     // Timing is decomposed BY PHASE, because the two scenarios share their
     // dominant phase: a full apply of the same bytes to the same path.
     // Labeling half the draws "full" and half "truncate" and ratioing
     // per-label medians measures this box's write lottery, not the plan:
     // identical ploughed 7.5 GB write+sync draws scatter ~3x (38-110 s
     // measured; the r3 driver run drew 3.89 for a ratio whose byte form is
-    // 1.0076). So ALL end-to-end draws go into ONE pool (3 Standard + 3
-    // Truncate, alternating, each mode-asserted and fully executed);
+    // 1.0076). So ALL end-to-end draws go into ONE pool (alternating
+    // Standard/Truncate, each mode-asserted and fully executed);
     // scn_full_reload = median(pool), scn_40pct_truncate = median(pool) +
     // median(probe) — the same decomposition the byte-form invariant uses.
     // Conservative for truncate: its pooled draws already contain their
     // probes, so the decision pass is counted on top a second time.
-    val drawTimes = (1 to 6).map { i =>
+    //
+    // Pool size adapts to the remaining wall-clock budget (r4 postmortem:
+    // a fixed 6-draw pool + compaction overran the driver and lost the
+    // round): reserve ~2.5 draws of headroom for compaction + tail, then
+    // fit an even number of draws (6 → 4 → 2 → 0) into what's left. At 0
+    // the plough draw's time stands in for the pool median — a degraded
+    // but honest Standard-mode measurement.
+    val perDraw = math.max(ploughT, 10.0)
+    val nDraws = {
+      val fit = ((remaining - 2.5 * perDraw) / perDraw).toInt
+      math.max(0, math.min(6, fit - (fit % 2)))
+    }
+    if (nDraws < 6)
+      System.err.println(f"[bench] budget pressure: $nDraws%d pooled draws " +
+        f"(plough $ploughT%.0f s, remaining $remaining%.0f s)")
+    val drawTimes = (1 to nDraws).map { i =>
       val standard = (i % 2 == 1)
       val d = if (standard) standardDraw() else truncateDraw()
-      println(f"[bench] ${if (standard) "standard" else "truncate"} draw $i: $d%.1f s")
+      System.err.println(f"[bench] ${if (standard) "standard" else "truncate"} draw $i: $d%.1f s")
       d
     }
     def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
     val tProbe = median((1 to 3).map(_ => probeDraw()))
-    val tFull = median(drawTimes)
+    val tFull = if (drawTimes.nonEmpty) median(drawTimes) else ploughT
     val tTrunc = tFull + tProbe
-    println(f"[bench] full-apply median $tFull%.1f s, probe median $tProbe%.2f s")
-    val truncVsFull = tTrunc / tFull
-    val fullWriteMb = fullWriteMbMeasured
+    System.err.println(f"[bench] full-apply median $tFull%.1f s, probe median $tProbe%.2f s")
     rmRecF(new java.io.File(rewriteOut))
+    results("scn_full_reload") = tFull
+    results("scn_40pct_truncate") = tTrunc
+    ratios("nochange_speedup") = tFull / tNoChange
+    ratios("pct5_speedup") = tFull / tIncr
+    ratios("truncate_vs_full") = tTrunc / tFull
+    flush("draws")
+
     // compaction amortization (M2's cost story at 100 TB): K delta commits,
     // then ONE compact folds them into a fresh base — the amortized
     // per-commit share of the rewrite must sit well under a per-sync full
@@ -322,31 +508,41 @@ object Bench {
     // the production compactEvery default (LakeApplier). Note compact
     // intrinsically costs MORE than one full write (replay shuffles
     // base+commits before rewriting) — that's exactly why it's amortized.
-    val compactK = 8
-    linkDir(s"$cache/perf", s"$tmp/tgt_compact")
-    val csCompact = Apply.updateOnlyChangeSet(srcT, ctl(srcT), mark)
-    (1 to compactK).foreach { _ =>
-      LakeTable.appendCommit(csCompact, s"$tmp/tgt_compact")
-    }
-    osSync()
-    val compactReadMb = dirMbRec(s"$tmp/tgt_compact")
-    val tCompact = time {
-      LakeTable.compact(spark, s"$tmp/tgt_compact"); osSync()
-    }
-    // new-base bytes ≈ dir growth (GC retains the previous generation for
-    // one overwrite, so the old base is still on disk)
-    val compactWriteMb = math.max(dirMbRec(s"$tmp/tgt_compact") - compactReadMb, 0.0)
-    require(LakeTable.pendingCommits(s"$tmp/tgt_compact") == 0,
-      "compact must fold every pending commit")
-    println(f"[bench] compact of $compactK%d commits: $tCompact%.1f s " +
-      f"(read $compactReadMb%.0f MB, wrote $compactWriteMb%.0f MB)")
-    rmRecF(new java.io.File(s"$tmp/tgt_compact"))
-    results("scn_full_reload") = tFull
-    results("scn_nochange_sync") = tNoChange
-    results("scn_5pct_incremental") = tIncr
-    results("scn_40pct_truncate") = tTrunc
-    results("scn_multitable_8x_noop") = tMulti
-    results(s"scn_compact_${compactK}commits") = tCompact
+    // Skipped only under hard budget pressure (the byte ratios above and
+    // the r3 numbers then stand).
+    if (remaining > 2.5 * perDraw) {
+      val compactK = 8
+      linkDir(s"$cache/perf", s"$tmp/tgt_compact")
+      val csCompact = Apply.updateOnlyChangeSet(srcT, ctl(srcT), mark)
+      (1 to compactK).foreach { _ =>
+        LakeTable.appendCommit(csCompact, s"$tmp/tgt_compact")
+      }
+      osSync()
+      val compactReadMb = dirMbRec(s"$tmp/tgt_compact")
+      val tCompact = time {
+        LakeTable.compact(spark, s"$tmp/tgt_compact"); osSync()
+      }
+      // new-base bytes ≈ dir growth (GC retains the previous generation for
+      // one overwrite, so the old base is still on disk)
+      val compactWriteMb = math.max(dirMbRec(s"$tmp/tgt_compact") - compactReadMb, 0.0)
+      require(LakeTable.pendingCommits(s"$tmp/tgt_compact") == 0,
+        "compact must fold every pending commit")
+      System.err.println(f"[bench] compact of $compactK%d commits: $tCompact%.1f s " +
+        f"(read $compactReadMb%.0f MB, wrote $compactWriteMb%.0f MB)")
+      rmRecF(new java.io.File(s"$tmp/tgt_compact"))
+      results(s"scn_compact_${compactK}commits") = tCompact
+      // amortized per-commit share of the compaction rewrite vs a full
+      // reload per sync — the append-only path's honest total cost
+      ratios("compact_amortized_vs_full") = (tCompact / compactK) / math.max(tFull, 1e-9)
+      // byte form of the same amortization claim (deterministic where the
+      // time form inherits this box's write lottery through tCompact)
+      ratios("compact_amortized_vs_full_bytes") =
+        ((compactReadMb + compactWriteMb) / compactK) /
+          math.max(fullReadMb + fullWriteMb, 1e-9)
+    } else
+      System.err.println(f"[bench] budget pressure: compaction phase skipped " +
+        f"(remaining $remaining%.0f s)")
+    flush("compact")
 
     // --- commit-level data skipping (structural, byte-deterministic) ---
     // 8 commits in DISJOINT key bands; a one-band range read must plan only
@@ -384,74 +580,15 @@ object Bench {
     require(plannedLogMb > 0 && plannedLogMb < allLogMb / 4,
       f"commit skipping regressed: planned $plannedLogMb%.1f MB of $allLogMb%.1f MB")
     rmRecF(new java.io.File(skipT))
-
-    // Bytes moved — the scale-invariant form of the reference's headline
-    // claims (99%+ transfer reduction on no-change, ~16B/row control pass):
-    // local NVMe makes the TIME ratios I/O-flat at this size, but the byte
-    // ratios are what a WAN/cluster pays at any scale. Read bytes =
-    // compressed column-chunk sizes of exactly the columns each scenario
-    // scans, over exactly the row groups its pushed predicates retain
-    // (footer ground truth; task metrics don't attribute vectorized
-    // local-fs parquet reads).
-    import graft.run.IoMeter.{parquetColumnBytes, parquetColumnBytesWhere}
-    val controlCols = Seq("RecId", "SysRowVersion")
-    val fullReadMb = parquetColumnBytes(s"$cache/src") / 1e6
-    val noChangeReadMb = 2 * parquetColumnBytes(s"$cache/perf", controlCols) / 1e6
-    // incremental reads: both probe control passes in full, the changed-key
-    // scan and the payload fetch only over row groups with max(version) ≥
-    // mark (the clustered layout makes that ~change% of the table)
-    val incrReadMb = (parquetColumnBytes(s"$cache/src", controlCols) +
-      parquetColumnBytes(s"$cache/perf", controlCols) +
-      parquetColumnBytesWhere(s"$cache/src", controlCols, Some(("SysRowVersion", mark))) +
-      parquetColumnBytesWhere(s"$cache/src", Nil, Some(("SysRowVersion", mark)))) / 1e6
-    val nRows = srcT.count()
-    val ratios = Map(
-      "nochange_speedup" -> tFull / tNoChange,
-      "pct5_speedup" -> tFull / tIncr,
-      "truncate_vs_full" -> truncVsFull,
-      // invariant #4 in its exact, scale-invariant form: truncate moves the
-      // same bytes as a full reload plus ONE 16 B/row control pass (the
-      // decision probe). The TIME ratio above is the same claim through this
-      // box's ±2x write-throttle noise; the byte form is deterministic.
-      "truncate_vs_full_bytes" ->
-        (fullReadMb + noChangeReadMb + fullWriteMb) / (fullReadMb + fullWriteMb),
-      "full_read_mb" -> fullReadMb,
-      "full_write_mb" -> fullWriteMb,
-      "nochange_read_mb" -> noChangeReadMb,
-      "nochange_write_mb" -> 0.0,
-      "pct5_read_mb" -> incrReadMb,
-      "pct5_write_mb" -> incrWriteMb,
-      "pct5_write_reduction_x" -> fullWriteMb / math.max(incrWriteMb, 0.001),
-      "pct5_read_reduction_x" -> fullReadMb / math.max(incrReadMb, 0.001),
-      "nochange_read_reduction_x" -> fullReadMb / math.max(noChangeReadMb / 2, 0.001),
-      "control_bytes_per_row" -> noChangeReadMb * 1e6 / math.max(nRows, 1) / 2.0,
-      "full_bytes_per_row" -> fullWriteMb * 1e6 / nRows,
-      // 8-way fan-out should cost ~1 probe, not 8 (worker-pool health)
-      "multitable8_vs_single_noop" -> tMulti / math.max(tNoChange, 1e-9),
-      // amortized per-commit share of the compaction rewrite vs a full
-      // reload per sync — the append-only path's honest total cost
-      "compact_amortized_vs_full" -> (tCompact / compactK) / math.max(tFull, 1e-9),
-      // byte form of the same amortization claim (deterministic where the
-      // time form inherits this box's write lottery through tCompact):
-      // per-commit share of the compaction's actual IO vs one full
-      // reload's read+write
-      "compact_amortized_vs_full_bytes" ->
-        ((compactReadMb + compactWriteMb) / compactK) /
-          math.max(fullReadMb + fullWriteMb, 1e-9),
-      // commit-level data skipping: all-commit bytes over the bytes a
-      // one-band range read actually plans (≈8 = the band count when the
-      // _stats skip works; 1 = regression)
-      "lakeskip_commit_skip_x" -> allLogMb / math.max(plannedLogMb, 0.001))
+    // commit-level data skipping: all-commit bytes over the bytes a
+    // one-band range read actually plans (≈8 = the band count when the
+    // _stats skip works; 1 = regression)
+    ratios("lakeskip_commit_skip_x") = allLogMb / math.max(plannedLogMb, 0.001)
 
     // scenario outputs are reclaimed (the fixture CACHE is kept for the
     // next round; the recipe key invalidates it when fixtures change)
     rmRecF(new java.io.File(tmp))
-
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val rs = ratios.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val total = results.values.filter(_ > 0).sum
-    println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"ratios":$rs,"sf":"$sfDir"}""")
+    flush("done")
     spark.stop()
   }
 }

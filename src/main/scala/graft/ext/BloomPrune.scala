@@ -67,7 +67,15 @@ object BloomPrune {
     * set; a wrong estimate costs bytes, never rows. */
   def autoSemiJoin(big: DataFrame, keys: DataFrame, bigKey: String, keysKey: String,
       broadcastMaxKeys: Long = 1L << 20, bloomMaxKeys: Long = 1L << 28,
-      fpp: Double = 0.01): DataFrame = {
+      fpp: Double = 0.01): DataFrame =
+    autoSemiJoinRouted(big, keys, bigKey, keysKey, broadcastMaxKeys, bloomMaxKeys, fpp)._1
+
+  /** [[autoSemiJoin]] plus the route it chose (`"broadcast"` / `"bloom"` /
+    * `"shuffle"`) — the observable the bench and the runner's metrics pin
+    * so a routing regression fails loudly instead of silently shuffling. */
+  def autoSemiJoinRouted(big: DataFrame, keys: DataFrame, bigKey: String, keysKey: String,
+      broadcastMaxKeys: Long = 1L << 20, bloomMaxKeys: Long = 1L << 28,
+      fpp: Double = 0.01): (DataFrame, String) = {
     graft.functions.GraftFunctions.register(big.sparkSession)
     val est = keys
       .select(Dedup.h32(col(keysKey).cast("string")).as("h"))
@@ -78,10 +86,11 @@ object BloomPrune {
       .head.getDouble(0)
     val dedupKeys = keys.select(col(keysKey).as(bigKey)).distinct()
     if (est <= broadcastMaxKeys)
-      big.join(broadcast(dedupKeys), Seq(bigKey), "left_semi")
+      (big.join(broadcast(dedupKeys), Seq(bigKey), "left_semi"), "broadcast")
     else if (est <= bloomMaxKeys)
-      semiJoin(big, keys, bigKey, keysKey, expectedKeys = math.ceil(est).toLong, fpp)
+      (semiJoin(big, keys, bigKey, keysKey, expectedKeys = math.ceil(est).toLong, fpp),
+        "bloom")
     else
-      big.join(dedupKeys, Seq(bigKey), "left_semi")
+      (big.join(dedupKeys, Seq(bigKey), "left_semi"), "shuffle")
   }
 }

@@ -26,14 +26,39 @@ import org.apache.spark.sql.functions._
   */
 object KMeans {
 
-  /** @param prepared frame from [[Similarity.prepare]] (id, qe, …)
-    * @return (idCol, cluster) assignment after `iters` Lloyd iterations. */
-  def assign(prepared: DataFrame, k: Int, iters: Int, dim: Int = 64,
-      idCol: String = "vec_id"): DataFrame = {
-    val spark = prepared.sparkSession
-    graft.functions.GraftFunctions.register(spark)
-    val vecs = prepared.select(col(idCol), col("qe"))
+  private[ext] def withQq(prepared: DataFrame, idCol: String): DataFrame =
+    prepared.select(col(idCol), col("qe"))
       .withColumn("qq", expr("array_dot_long(qe, qe)"))
+
+  /** Centroids as a broadcastable frame (cluster, c, cc). */
+  private[ext] def centroidDf(spark: SparkSession,
+      cs: Seq[(Int, Seq[Long])]): DataFrame = {
+    import spark.implicits._
+    cs.toDF("cluster", "c")
+      .withColumn("cc", expr("array_dot_long(c, c)"))
+  }
+
+  /** Nearest-centroid assignment under a fixed codebook: (idCol, qe,
+    * cluster). Total order (dist, cluster) — no arg-min tie ambiguity. */
+  private[ext] def assignmentUnder(vecs: DataFrame, cs: Seq[(Int, Seq[Long])],
+      idCol: String): DataFrame = {
+    val w = Window.partitionBy(col(idCol)).orderBy(col("dist"), col("cluster"))
+    vecs.crossJoin(broadcast(centroidDf(vecs.sparkSession, cs)))
+      .withColumn("dist",
+        col("qq") - lit(2L) * expr("array_dot_long(qe, c)") + col("cc"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col(idCol), col("qe"), col("cluster"))
+  }
+
+  /** The deterministic integer Lloyd loop: final centroids after `iters`
+    * assign→update rounds (seeds = the k lowest ids). Public seam for
+    * consumers that need the CODEBOOK, not just assignments — [[PQ]] trains
+    * one of these per subspace. */
+  def lloyd(prepared: DataFrame, k: Int, iters: Int, dim: Int = 64,
+      idCol: String = "vec_id"): Seq[(Int, Seq[Long])] = {
+    graft.functions.GraftFunctions.register(prepared.sparkSession)
+    val vecs = withQq(prepared, idCol)
 
     // seeds: k lowest ids, cluster = rank-1
     var centroids: Seq[(Int, Seq[Long])] =
@@ -41,24 +66,8 @@ object KMeans {
         case (r, i) => i -> r.getSeq[Long](1).toSeq
       }.toSeq
 
-    def centroidDf(cs: Seq[(Int, Seq[Long])]): DataFrame = {
-      import spark.implicits._
-      cs.toDF("cluster", "c")
-        .withColumn("cc", expr("array_dot_long(c, c)"))
-    }
-
-    def assignment(cs: Seq[(Int, Seq[Long])]): DataFrame = {
-      val w = Window.partitionBy(col(idCol)).orderBy(col("dist"), col("cluster"))
-      vecs.crossJoin(broadcast(centroidDf(cs)))
-        .withColumn("dist",
-          col("qq") - lit(2L) * expr("array_dot_long(qe, c)") + col("cc"))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col(idCol), col("qe"), col("cluster"))
-    }
-
     for (_ <- 1 to iters) {
-      val assigned = assignment(centroids)
+      val assigned = assignmentUnder(vecs, centroids, idCol)
       val updated = assigned
         .select(col("cluster"), posexplode(col("qe")).as(Seq("dim", "q")))
         .groupBy("cluster", "dim")
@@ -73,8 +82,15 @@ object KMeans {
           cid -> (0 until dim).map(d => m(d))
       }.sortBy(_._1)
     }
-    assignment(centroids).select(col(idCol), col("cluster"))
+    centroids
   }
+
+  /** @param prepared frame from [[Similarity.prepare]] (id, qe, …)
+    * @return (idCol, cluster) assignment after `iters` Lloyd iterations. */
+  def assign(prepared: DataFrame, k: Int, iters: Int, dim: Int = 64,
+      idCol: String = "vec_id"): DataFrame =
+    assignmentUnder(withQq(prepared, idCol), lloyd(prepared, k, iters, dim, idCol),
+      idCol).select(col(idCol), col("cluster"))
 
   /** DuckDB twin: the same seeds/iterations/rounding unrolled as SQL. Kept
     * here (not in the oracle file) so the iteration logic and its SQL twin

@@ -1,0 +1,239 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Product quantization over embedding columns — the memory-side ANN scale
+  * path (IVF bounds WORK per query; PQ bounds BYTES per vector: m small
+  * codes instead of dim floats, ~64× compression at m=2×4-bit here).
+  *
+  * The quantized vector is split into `m` contiguous subspaces; each
+  * subspace trains its own deterministic integer-Lloyd codebook
+  * ([[KMeans.lloyd]] on the slice — same seeds/rounding rules, so the whole
+  * trainer stays bit-reproducible and SQL-replayable). A vector's code is
+  * its nearest centroid per subspace. Asymmetric distance (ADC): a query
+  * precomputes its distance to every subspace centroid (an m·ksub lookup
+  * table, metadata-sized, broadcast), and any corpus vector's approximate
+  * distance is the sum of m table lookups — never a dim-wide dot product
+  * per pair.
+  *
+  * Scale shape: training state is m·ksub·subDim longs on the driver;
+  * encoding is vectors × ksub per subspace under a broadcast codebook; the
+  * ADC join is (corpus codes, exploded to m rows) ⋈ broadcast LUT, then a
+  * per-query top-k window — corpus-sized shuffle of 3 small ints/row, no
+  * all-pairs anywhere.
+  */
+object PQ {
+
+  /** The s-th of m contiguous subspace slices of the quantized embedding. */
+  private def sliceFrame(prepared: DataFrame, s: Int, subDim: Int,
+      idCol: String): DataFrame =
+    prepared.select(col(idCol),
+      slice(col("qe"), s * subDim + 1, subDim).as("qe"))
+
+  /** Per-subspace codebooks (deterministic: seeds = lowest ids, integer
+    * Lloyd — see [[KMeans.lloyd]]). */
+  def trainCodebooks(prepared: DataFrame, m: Int, ksub: Int, iters: Int,
+      dim: Int = Similarity.DefaultDim,
+      idCol: String = "vec_id"): Seq[Seq[(Int, Seq[Long])]] = {
+    val sub = dim / m
+    (0 until m).map(s =>
+      KMeans.lloyd(sliceFrame(prepared, s, sub, idCol), ksub, iters, sub, idCol))
+  }
+
+  /** PQ-encode every vector: (idCol, code_0 … code_{m-1}). */
+  def encode(prepared: DataFrame, m: Int, ksub: Int, iters: Int,
+      dim: Int = Similarity.DefaultDim, idCol: String = "vec_id"): DataFrame =
+    encodeUnder(prepared, trainCodebooks(prepared, m, ksub, iters, dim, idCol),
+      dim, idCol)
+
+  private def encodeUnder(prepared: DataFrame,
+      codebooks: Seq[Seq[(Int, Seq[Long])]], dim: Int, idCol: String): DataFrame = {
+    val sub = dim / codebooks.size
+    codebooks.zipWithIndex.map { case (cb, s) =>
+      KMeans.assignmentUnder(
+          KMeans.withQq(sliceFrame(prepared, s, sub, idCol), idCol), cb, idCol)
+        .select(col(idCol), col("cluster").as(s"code_$s"))
+    }.reduce(_.join(_, Seq(idCol)))
+  }
+
+  /** ADC top-k: approximate nearest neighbors of the sampled query side
+    * (`idCol % sampleMod == 0`) over the PQ-encoded corpus. Distances are
+    * exact integer sums of per-subspace ‖q_s − c_code‖² (the quantization
+    * error IS the approximation); ties break by neighbor id — fully
+    * deterministic, so the DuckDB twin replays it bit-for-bit. */
+  def adcTopK(prepared: DataFrame, m: Int, ksub: Int, iters: Int, k: Int,
+      sampleMod: Int, dim: Int = Similarity.DefaultDim,
+      idCol: String = "vec_id"): DataFrame = {
+    val spark = prepared.sparkSession
+    val sub = dim / m
+    val codebooks = trainCodebooks(prepared, m, ksub, iters, dim, idCol)
+    val encoded = encodeUnder(prepared, codebooks, dim, idCol)
+
+    // query-side lookup table: |Q| · m · ksub rows (metadata-sized)
+    val lut = codebooks.zipWithIndex.map { case (cb, s) =>
+      KMeans.withQq(
+          sliceFrame(prepared.filter(col(idCol) % sampleMod === 0), s, sub, idCol),
+          idCol)
+        .crossJoin(broadcast(KMeans.centroidDf(spark, cb)))
+        .select(col(idCol).as("query_id"), lit(s).as("s"), col("cluster").as("code"),
+          (col("qq") - lit(2L) * expr("array_dot_long(qe, c)") + col("cc")).as("d"))
+    }.reduce(_.unionByName(_))
+
+    val codeStructs = (0 until m).map(s =>
+      struct(lit(s).as("s"), col(s"code_$s").as("code")))
+    val codes = encoded
+      .select(col(idCol).as("neighbor_id"), explode(array(codeStructs: _*)).as("c"))
+      .select(col("neighbor_id"), col("c.s").as("s"), col("c.code").as("code"))
+
+    val w = Window.partitionBy("query_id").orderBy(col("adist").asc, col("neighbor_id").asc)
+    codes.join(broadcast(lut), Seq("s", "code"))
+      .groupBy("query_id", "neighbor_id").agg(sum(col("d")).as("adist"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id")
+  }
+
+  /** Exact L2 top-k ground truth (integer squared distance on the full
+    * quantized vectors): the metric ADC approximates, so recall against it
+    * isolates QUANTIZATION loss — cosine truth would conflate it with the
+    * L2-vs-cosine metric gap. */
+  def l2TopK(prepared: DataFrame, k: Int, sampleMod: Int,
+      idCol: String = "vec_id"): DataFrame = {
+    val vecs = KMeans.withQq(prepared.select(col(idCol), col("qe")), idCol)
+    val pairs = vecs.filter(col(idCol) % sampleMod === 0).as("x")
+      .join(vecs.as("y"), col(s"x.$idCol") =!= col(s"y.$idCol"))
+      .select(col(s"x.$idCol").as("query_id"), col(s"y.$idCol").as("neighbor_id"),
+        (col("x.qq") - lit(2L) * expr("array_dot_long(x.qe, y.qe)") + col("y.qq"))
+          .as("dist"))
+    val w = Window.partitionBy("query_id").orderBy(col("dist").asc, col("neighbor_id").asc)
+    pairs.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id")
+  }
+
+  /** Measured ADC recall against exact-L2 top-k ground truth over the same
+    * sampled query side — the PQ approximation loss as an oracle-checkable
+    * NUMBER (same discipline as [[Similarity.annRecall]]).
+    * One row: (n_true, n_hit, recall_millis). */
+  def pqRecall(prepared: DataFrame, m: Int, ksub: Int, iters: Int, k: Int,
+      sampleMod: Int, dim: Int = Similarity.DefaultDim,
+      idCol: String = "vec_id"): DataFrame = {
+    val truth = l2TopK(prepared, k, sampleMod, idCol)
+      .select("query_id", "neighbor_id")
+    val approx = adcTopK(prepared, m, ksub, iters, k, sampleMod, dim, idCol)
+      .select("query_id", "neighbor_id")
+    val hits = truth.join(approx, Seq("query_id", "neighbor_id"), "left_semi")
+    truth.agg(count(lit(1)).as("n_true"))
+      .crossJoin(hits.agg(count(lit(1)).as("n_hit")))
+      .select(col("n_true"), col("n_hit"),
+        floor(col("n_hit") * lit(1000.0) / greatest(col("n_true"), lit(1L)))
+          .cast("long").as("recall_millis"))
+  }
+
+  // ---------------------------------------------------------------- oracle
+
+  /** Unrolled per-subspace integer Lloyd as DuckDB CTEs — the [[KMeans
+    * .oracleSql]] iteration body parameterized by a subspace slice. Emits,
+    * for prefix `sN`: `sNn` (the slice), `sNc0…sNc{iters}` (centroids) —
+    * assignment under `sNc{iters}` is the final code. Shares the global
+    * `n` CTE (quantized full vectors). */
+  private def subspaceCtes(s: Int, sub: Int, ksub: Int, iters: Int): String = {
+    val p = s"s$s"
+    val lo = s * sub + 1
+    val hi = (s + 1) * sub
+    val sb = new StringBuilder
+    sb.append(s"""$p AS (SELECT vec_id, qe[$lo:$hi] AS qe FROM n),
+${p}c0 AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cluster, qe AS c
+  FROM (SELECT vec_id, qe FROM $p ORDER BY vec_id LIMIT $ksub))
+""")
+    for (it <- 1 to iters) {
+      val prev = s"${p}c${it - 1}"
+      sb.append(s""", ${p}a$it AS (
+  SELECT vec_id, qe, cluster FROM (
+    SELECT v.vec_id, v.qe, c.cluster,
+      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+        list_sum(list_transform(range($sub), i -> (v.qe[i+1] - c.c[i+1]) * (v.qe[i+1] - c.c[i+1]))),
+        c.cluster) AS rn
+    FROM $p v, $prev c) WHERE rn = 1)
+""")
+      sb.append(s""", ${p}c$it AS (
+  SELECT cluster, list(v ORDER BY dim) AS c FROM (
+    SELECT a.cluster, i AS dim,
+      CAST(floor(CAST(sum(a.qe[i+1]) AS DOUBLE) / count(*) + 0.5) AS BIGINT) AS v
+    FROM ${p}a$it a, LATERAL (SELECT unnest(range($sub)) AS i) t
+    GROUP BY a.cluster, i)
+  GROUP BY cluster)
+""")
+    }
+    // final assignment = the subspace CODE
+    sb.append(s""", ${p}code AS (
+  SELECT vec_id, cluster AS code FROM (
+    SELECT v.vec_id, c.cluster,
+      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+        list_sum(list_transform(range($sub), i -> (v.qe[i+1] - c.c[i+1]) * (v.qe[i+1] - c.c[i+1]))),
+        c.cluster) AS rn
+    FROM $p v, ${p}c$iters c) WHERE rn = 1)""")
+    sb.toString
+  }
+
+  private def prefixSql(m: Int, ksub: Int, iters: Int, dim: Int): String = {
+    val sub = dim / m
+    s"""WITH n AS (
+  SELECT vec_id,
+    list_transform(embedding, x -> CAST(floor(x * 1048576 + 0.5) AS BIGINT)) AS qe
+  FROM embeddings),
+""" + (0 until m).map(s => subspaceCtes(s, sub, ksub, iters)).mkString(",\n")
+  }
+
+  /** DuckDB twin of [[encode]]: (vec_id, code_0 … code_{m-1}). */
+  def encodeOracleSql(m: Int, ksub: Int, iters: Int,
+      dim: Int = Similarity.DefaultDim): String =
+    prefixSql(m, ksub, iters, dim) +
+      s"""
+SELECT n.vec_id, ${(0 until m).map(s => s"s${s}code.code AS code_$s").mkString(", ")}
+FROM n ${(0 until m).map(s => s"JOIN s${s}code ON s${s}code.vec_id = n.vec_id").mkString(" ")}"""
+
+  /** DuckDB twin of [[pqRecall]]: the identical LUT/ADC/top-k replayed in
+    * SQL against the identical brute-force cosine ground truth. */
+  def recallOracleSql(m: Int, ksub: Int, iters: Int, k: Int, sampleMod: Int,
+      dim: Int = Similarity.DefaultDim): String = {
+    val sub = dim / m
+    val luts = (0 until m).map { s =>
+      s"""SELECT v.vec_id AS query_id, $s AS s, c.cluster AS code,
+  list_sum(list_transform(range($sub), i -> (v.qe[i+1] - c.c[i+1]) * (v.qe[i+1] - c.c[i+1]))) AS d
+FROM s$s v, s${s}c$iters c WHERE v.vec_id % $sampleMod = 0"""
+    }.mkString("\nUNION ALL\n")
+    val codesLong = (0 until m).map(s =>
+      s"SELECT vec_id AS neighbor_id, $s AS s, code FROM s${s}code")
+      .mkString("\nUNION ALL\n")
+    prefixSql(m, ksub, iters, dim) +
+      s""",
+lut AS ($luts),
+codes_long AS ($codesLong),
+adc AS (
+  SELECT query_id, rank, neighbor_id FROM (
+    SELECT l.query_id, c.neighbor_id,
+      row_number() OVER (PARTITION BY l.query_id
+        ORDER BY sum(l.d) ASC, c.neighbor_id ASC) AS rank
+    FROM codes_long c JOIN lut l ON l.s = c.s AND l.code = c.code
+    WHERE l.query_id <> c.neighbor_id
+    GROUP BY l.query_id, c.neighbor_id) WHERE rank <= $k),
+truth AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+      row_number() OVER (PARTITION BY a.vec_id ORDER BY
+        list_sum(list_transform(range($dim),
+          i -> (a.qe[i+1] - b.qe[i+1]) * (a.qe[i+1] - b.qe[i+1]))) ASC,
+        b.vec_id ASC) AS rank
+    FROM n a JOIN n b ON a.vec_id % $sampleMod = 0 AND a.vec_id <> b.vec_id)
+  WHERE rank <= $k),
+hit AS (SELECT t.query_id FROM truth t
+        JOIN adc a ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id)
+SELECT (SELECT COUNT(*) FROM truth) AS n_true,
+  (SELECT COUNT(*) FROM hit) AS n_hit,
+  CAST(floor((SELECT COUNT(*) FROM hit) * 1000.0
+    / greatest((SELECT COUNT(*) FROM truth), 1)) AS BIGINT) AS recall_millis"""
+  }
+}

@@ -104,7 +104,17 @@ case class QuantizeArray(child: Expression, scale: Long)
 /** Registration + Column helpers. Registered as SQL temp functions so call
   * sites can use them inside expr()/selectExpr alongside built-ins. */
 object GraftFunctions {
+  // once-per-session: register is called from every operator entry point for
+  // self-sufficiency, and re-registering spams SimpleFunctionRegistry WARNs
+  // (the entire readable tail of BENCH_r04 was this). Weak keys: a dropped
+  // session must not be pinned by the guard.
+  private val registered =
+    java.util.Collections.synchronizedSet(
+      java.util.Collections.newSetFromMap(
+        new java.util.WeakHashMap[SparkSession, java.lang.Boolean]()))
+
   def register(spark: SparkSession): Unit = {
+    if (!registered.add(spark)) return
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("array_dot_long",
       exprs => LongArrayDot(exprs(0), exprs(1)), "scala_udf")

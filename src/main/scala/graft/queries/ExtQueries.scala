@@ -106,6 +106,18 @@ object ExtQueries {
       KMeans.assign(
         Similarity.prepare(embs(s, d), "vec_id", "embedding"), k = 8, iters = 3)),
 
+    // ---- product quantization: per-subspace integer-Lloyd codebooks
+    // (m=8 × 8 dims, 16 codes, 2 iterations), every vector PQ-encoded ----
+    "q_sim_pq" -> ((s, d) =>
+      PQ.encode(Similarity.prepare(embs(s, d), "vec_id", "embedding"),
+        m = 8, ksub = 32, iters = 3)),
+
+    // ---- measured PQ/ADC recall vs exact-L2 top-k ground truth over the
+    // sampled query side — the compression loss as a number ----
+    "q_pq_recall" -> ((s, d) =>
+      PQ.pqRecall(Similarity.prepare(embs(s, d), "vec_id", "embedding"),
+        m = 8, ksub = 32, iters = 3, k = 5, sampleMod = 40)),
+
     // ---- as-of join: each event matched to the user's latest signup at or
     // before it (point-in-time lookup; composition = union + one window) ----
     "q_asof_signup" -> ((s, d) => {
@@ -524,6 +536,11 @@ FROM exact e LEFT JOIN (SELECT source, h FROM ranked WHERE rn = 64) r
   ON e.source = r.source""",
 
     "q_sim_kmeans" -> KMeans.oracleSql(k = 8, iters = 3),
+
+    "q_sim_pq" -> PQ.encodeOracleSql(m = 8, ksub = 32, iters = 3),
+
+    "q_pq_recall" -> PQ.recallOracleSql(m = 8, ksub = 32, iters = 3, k = 5,
+      sampleMod = 40),
 
     "q_asof_signup" -> """SELECT e.event_id, CAST(s.ts AS TIMESTAMP) AS asof_signup_ts
 FROM events e ASOF LEFT JOIN

@@ -175,6 +175,10 @@ FROM (SELECT max(SysRowVersion) AS max_src_version, min(RecId) AS min_src_recid,
     // base + delta commit + replay ≡ the in-memory incremental merge
     "q_lake_replay" -> (prefix + s"SELECT $outCols FROM src"),
 
+    // as-of BETWEEN commit stamps 1000 and 2000 = exactly the commit-1
+    // state (the later band-delete is excluded by the timestamp cut)
+    "q_lake_asof_ts" -> (prefix + s"SELECT $outCols FROM src"),
+
     // replayed state ≡ src; the skip read is that state range-filtered
     "q_lake_skip" -> (prefix + s"""SELECT $outCols FROM src
 WHERE RecId BETWEEN ${graft.sync.SyncFixtures.SkipLo} AND ${graft.sync.SyncFixtures.SkipHi}"""),

@@ -189,6 +189,28 @@ object SyncQueries {
       LakeTable.read(s, dir)
     }),
 
+    // timestamp time travel: base (state time 500) + the incremental commit
+    // stamped 1000 + a LATER band-delete commit stamped 2000; reading as-of
+    // 1500 must resolve exactly the commit-1 state (== src, the replay
+    // oracle) — a cut that wrongly includes the later tombstones loses the
+    // band and fails the hash
+    "q_lake_asof_ts" -> ((s, d) => {
+      val m = mark(s, d)
+      val dir = java.nio.file.Files.createTempDirectory("graft_lake_q").toString + "/t"
+      val src = slim(SyncFixtures.source(s, d))
+      val tgt = slim(SyncFixtures.target(s, d))
+      LakeTable.overwrite(tgt, dir, stateTimeMs = 500L)
+      val cs = Apply.incrementalChangeSet(
+        src, SyncFixtures.control(SyncFixtures.source(s, d)), tgt, m, m)
+      LakeTable.appendCommit(cs, dir, nowMs = 1000L)
+      val delBand = src
+        .filter(col("RecId").between(SyncFixtures.SkipLo, SyncFixtures.SkipHi))
+        .select("RecId")
+      LakeTable.appendCommit(
+        Apply.ChangeSet(delBand, src.filter(lit(false)), delBand), dir, nowMs = 2000L)
+      LakeTable.readAtTimestamp(s, dir, asOfMs = 1500L)
+    }),
+
     // commit-level data skipping: a key-range read of the logged table —
     // disjoint commits never enter the plan, the range predicate reaches
     // every surviving parquet scan, and the result is provably the plain

@@ -71,9 +71,18 @@ object PostActions {
     val totalBytes = math.max(tablePaths.map(dirBytes).sum, 1L)
 
     @volatile var running = true
+    // running max: the raw directory walk is NOT monotone — the parquet
+    // committer renames files out of _temporary, so bytes transiently
+    // shrink mid-commit (and a mid-rename walk can double-count). The
+    // reference's percent_complete surface is monotone
+    // (BackupService.cs:126-186); clamp ours the same way, including the
+    // final 100% tick.
+    val reportedMax = new java.util.concurrent.atomic.AtomicLong(0L)
+    def clamped(): Long =
+      reportedMax.accumulateAndGet(dirBytes(dest), (a: Long, b: Long) => math.max(a, b))
     val poller = new Thread(() => {
       while (running) {
-        val written = dirBytes(dest)
+        val written = clamped()
         onProgress(math.min(written * 100.0 / totalBytes, 99.9), written)
         try Thread.sleep(pollIntervalMs) catch { case _: InterruptedException => () }
       }
@@ -90,7 +99,7 @@ object PostActions {
       poller.interrupt()
       poller.join(1000)
     }
-    onProgress(100.0, dirBytes(dest))
+    onProgress(100.0, clamped())
     dest
   }
 

@@ -45,7 +45,14 @@ final class SyncRunner(
     parallelWorkers: Int = 10, // AppConfiguration.cs:36 default
     truncateThresholdPct: Double = Planner.DefaultTruncateThresholdPct,
     failFast: Boolean = true,
-    compactEvery: Int = 8) {
+    compactEvery: Int = 8,
+    // P6 re-filter routing for the general incremental tier: when on, the
+    // KMV/bloom router ([[graft.ext.BloomPrune.autoSemiJoin]]) replaces the
+    // plain semi-join on the delta fetch — the 100 TB regime where the
+    // changed-key set outgrows the broadcast threshold. Results identical
+    // on every route; off by default (AQE broadcast covers small deltas).
+    autoRouteRefilter: Boolean = false,
+    refilterBroadcastMaxKeys: Long = 1L << 20) {
 
   /** One table's sync unit. The default pair is lake→lake (parquet source,
     * [[LakeTable]] target); `sourceOverride`/`applierOverride` swap in any
@@ -270,7 +277,8 @@ final class SyncRunner(
           // the scan can prune on (A3, CopyOrchestrator.cs:1106-1123).
           val minMissingCv = if (a.isNullAt(4)) srcMark else a.getLong(4)
           val threshold = math.min(minMissingCv, srcMark)
-          val cs = Apply.changeSetFromFlags(windowed(source, plan), flags, threshold, k, v)
+          val cs = Apply.changeSetFromFlags(windowed(source, plan), flags, threshold, k, v,
+            autoRouteRefilter, refilterBroadcastMaxKeys)
           plan.applier.applyChangeSet(cs, spark, k)
           // mark arithmetic (no target re-read): purge removed every target
           // version > tgtMark, inserts top out at max_insert_cv

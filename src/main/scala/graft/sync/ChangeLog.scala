@@ -33,16 +33,30 @@ object ChangeLog {
     * (invisible to [[replay]], which only picks integer-named dirs) and
     * RENAMED into place as the last step — a crash mid-write leaves only a
     * garbage tmp dir, never a half-commit that replay would apply. */
-  def append(cs: Apply.ChangeSet, logDir: String, minSeq: Int = 0): Int = {
+  def append(cs: Apply.ChangeSet, logDir: String, minSeq: Int = 0,
+      nowMs: Long = System.currentTimeMillis()): Int = {
     LakeFs.warnIfNonAtomic(logDir)
     LakeFs.mkdirs(logDir)
     val next = math.max((commitSeqs(logDir) :+ (minSeq - 1)).max + 1, minSeq)
     val staging = s"$logDir/.tmp-$next"
     Apply.writeChangeSet(cs, staging)
     writeStats(cs.inserts.sparkSession, staging)
+    // commit wall-clock stamp (timestamp-based time travel rides this);
+    // parameterized for deterministic tests/oracles
+    LakeFs.writeUtf8(s"$staging/_ts", nowMs.toString)
     if (!LakeFs.rename(staging, s"$logDir/$next"))
       throw new IllegalStateException(s"commit rename failed: $staging -> $logDir/$next")
     next
+  }
+
+  /** Wall-clock millis a commit was appended at — None for commits written
+    * before the stamp existed (resolve those by seq, not time). */
+  def commitTime(commitPath: String): Option[Long] = {
+    val p = s"$commitPath/_ts"
+    if (!LakeFs.exists(p)) None
+    else
+      try LakeFs.readUtf8(p).trim.toLongOption
+      catch { case scala.util.control.NonFatal(_) => None }
   }
 
   /** Commit-level data-skipping stats: the key range every event (insert or
@@ -60,9 +74,16 @@ object ChangeLog {
       .select(col(keyCol).cast("long").as("k"))
       .union(del.select(col(keyCol).cast("long").as("k")))
     val r = keys.agg(min(col("k")), max(col("k")), count(lit(1))).head
-    val (mn, mx, n) =
-      if (r.isNullAt(0)) (0L, -1L, 0L) else (r.getLong(0), r.getLong(1), r.getLong(2))
-    LakeFs.writeUtf8(s"$staging/_stats", s"$mn\t$mx\t$n")
+    if (r.getLong(2) == 0L)
+      // truly empty commit: always skippable
+      LakeFs.writeUtf8(s"$staging/_stats", "0\t-1\t0")
+    else if (!r.isNullAt(0) && !r.isNullAt(1))
+      LakeFs.writeUtf8(s"$staging/_stats", s"${r.getLong(0)}\t${r.getLong(1)}\t${r.getLong(2)}")
+    // else: events exist but keys are null / fail the long cast (non-numeric
+    // key column) — a key-range read cannot reason about them, so write NO
+    // stats: the reader treats absence as "not skippable" and the commit is
+    // conservatively kept (ADVICE r4: writing (0,-1,0) here silently dropped
+    // such commits from every range read)
   }
 
   /** (minKey, maxKey, events) of a committed changeset — None when the
@@ -146,14 +167,19 @@ object ChangeLog {
       case None => identity
     }
     val base = prune(spark.read.parquet(basePath))
-    val commits = LakeFs.list(logDir)
+    // ALL commits in the pointer's range participate in the SCHEMA (widening
+    // + column set) — schema reads are footer-only metadata, cheap. keyRange
+    // data skipping prunes only the ROW scans below; otherwise a skipped
+    // commit that introduced a column/widening would make readKeyRange's
+    // schema differ from read(...).filter(...) (ADVICE r4).
+    val allCommits = LakeFs.list(logDir)
       .filter(_.isDirectory)
       .flatMap(st => st.getPath.getName.toIntOption.map(_ -> st.getPath.toString))
       .filter(c => c._1 >= fromSeq && c._1 <= toSeq)
-      .filter { case (_, path) =>
-        keyRange.forall { case (lo, hi) => !skippable(path, lo, hi) } }
       .sortBy(_._1)
-    if (commits.isEmpty) return base
+    if (allCommits.isEmpty) return base
+    val commits = allCommits.filter { case (_, path) =>
+      keyRange.forall { case (lo, hi) => !skippable(path, lo, hi) } }
 
     // one row per (key, commit-seq) event: seq 0 = base rows, inserts carry
     // payload, deletes carry a tombstone flag. Schema evolution (P1 parity:
@@ -168,14 +194,14 @@ object ChangeLog {
     // supertype ([[widen]]: integral chain, float→double, decimal growth —
     // the source-side ALTERs that occur in practice); a non-widenable
     // change still fails loudly rather than guessing.
-    val insFrames = commits.map { case (seq, path) =>
-      (seq, prune(spark.read.parquet(s"$path/inserts")),
-        prune(spark.read.parquet(s"$path/deletes")).select(keyCol))
+    val commitSchemas = allCommits.map { case (_, path) =>
+      (spark.read.parquet(s"$path/inserts").schema,
+        spark.read.parquet(s"$path/deletes").select(keyCol).schema)
     }
     val widened: Map[String, types.DataType] =
       (base.schema.fields.toSeq ++
-        insFrames.flatMap { case (_, ins, del) =>
-          ins.schema.fields.toSeq ++ del.schema.fields.toSeq
+        commitSchemas.flatMap { case (ins, del) =>
+          ins.fields.toSeq ++ del.fields.toSeq
         })
         .groupBy(_.name.toLowerCase)
         .map { case (name, fields) =>
@@ -186,6 +212,29 @@ object ChangeLog {
                 "type boundary or migrate the base"))
           }
         }
+    // Deterministic output column order, independent of data skipping: base
+    // columns first, then commit-introduced columns by first appearance.
+    // Columns carried only by SKIPPED commits are null-filled so the result
+    // schema matches the documented read(...).filter(...) equivalence.
+    val orderedCols: Seq[String] = {
+      val seen = scala.collection.mutable.LinkedHashMap.empty[String, String]
+      (base.schema.fieldNames ++ commitSchemas.flatMap(_._1.fieldNames))
+        .foreach(n => seen.getOrElseUpdate(n.toLowerCase, n))
+      seen.values.toSeq
+    }
+    def conform(df: DataFrame): DataFrame = {
+      val have = df.schema.fieldNames.map(_.toLowerCase).toSet
+      if (df.schema.fieldNames.toSeq == orderedCols) df
+      else df.select(orderedCols.map { n =>
+        if (have(n.toLowerCase)) col(n)
+        else lit(null).cast(widened(n.toLowerCase)).as(n)
+      }: _*)
+    }
+    val insFrames = commits.map { case (seq, path) =>
+      (seq, prune(spark.read.parquet(s"$path/inserts")),
+        prune(spark.read.parquet(s"$path/deletes")).select(keyCol))
+    }
+    if (insFrames.isEmpty) return conform(alignTypes(base, widened))
     // The base NEVER enters a shuffle: only commit events (≈ change% of the
     // table) are windowed per key, and base rows whose key appears in any
     // event are dropped with an anti-join whose build side is just the
@@ -215,8 +264,8 @@ object ChangeLog {
       .withColumn("_rn", row_number().over(w))
       .filter(col("_rn") === 1 && !col("_del"))
       .drop("_seq", "_del", "_rn")
-    alignTypes(base, widened)
+    conform(alignTypes(base, widened)
       .join(events.select(keyCol).distinct(), Seq(keyCol), "left_anti")
-      .unionByName(winners, allowMissingColumns = true)
+      .unionByName(winners, allowMissingColumns = true))
   }
 }

@@ -44,10 +44,16 @@ object LakeTable {
   private def currentPath(table: String) = s"$table/_current"
   private def logDir(table: String) = s"$table/_log"
 
-  /** `"<baseName>\t<fromSeq>"` — None when torn/garbled. */
-  private def parsePointer(text: String): Option[(String, Int)] =
+  /** `"<baseName>\t<fromSeq>[\t<stateTimeMs>]"` — None when torn/garbled.
+    * The optional third field is the wall-clock time of the newest change
+    * the BASE folds in (timestamp time travel's retention horizon); absent
+    * on pointers written before the stamp existed. */
+  private def parsePointer(text: String): Option[(String, Int, Option[Long])] =
     text.trim.split("\t") match {
-      case Array(name, seq) if name.nonEmpty => seq.toIntOption.map(name -> _)
+      case Array(name, seq) if name.nonEmpty =>
+        seq.toIntOption.map((name, _, None))
+      case Array(name, seq, ts) if name.nonEmpty =>
+        seq.toIntOption.map((name, _, ts.toLongOption))
       case _ => None
     }
 
@@ -57,18 +63,23 @@ object LakeTable {
     * parsed (torn write on a non-atomic store, partial failure) degrades to
     * None rather than failing: the safe recovery is a standard full sync,
     * which rebuilds the snapshot and re-commits a valid pointer. */
-  def resolve(table: String): Option[(String, Int)] = {
+  def resolve(table: String): Option[(String, Int)] =
+    resolveWithTime(table).map { case (b, s, _) => (b, s) }
+
+  /** [[resolve]] plus the base's state time (None for legacy pointers and
+    * flat dirs — callers must then fall back to seq-based resolution). */
+  def resolveWithTime(table: String): Option[(String, Int, Option[Long])] = {
     val cur = currentPath(table)
     val pointed =
       if (!LakeFs.exists(cur)) None
       else
         (try parsePointer(LakeFs.readUtf8(cur))
         catch { case scala.util.control.NonFatal(_) => None })
-          .map { case (baseName, fromSeq) => (s"$table/$baseName", fromSeq) }
+          .map { case (baseName, fromSeq, ts) => (s"$table/$baseName", fromSeq, ts) }
     pointed.orElse {
       val flat = LakeFs.list(table)
         .exists(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
-      if (flat) Some((table, 0)) else None
+      if (flat) Some((table, 0, None)) else None
     }
   }
 
@@ -100,7 +111,11 @@ object LakeTable {
 
   /** Time travel within the current generation: the table state as of
     * commit `asOfSeq` (inclusive) — base + commits in [fromSeq, asOfSeq].
-    * `asOfSeq` below the pointer's horizon returns the base alone.
+    * `asOfSeq == fromSeq - 1` is the base alone (the state the current
+    * generation started from); anything OLDER throws — the base already
+    * folds in commits newer than that point, so returning it would present
+    * wrong-time data as time travel (Delta throws the same
+    * version-out-of-retention error here).
     *
     * Readable history is bounded by retention, exactly as in Delta:
     * compaction folds commits into a fresh base and GC keeps one previous
@@ -111,8 +126,47 @@ object LakeTable {
       keyCol: String = "RecId"): DataFrame =
     resolve(table) match {
       case Some((base, fromSeq)) =>
+        if (asOfSeq < fromSeq - 1)
+          throw new IllegalArgumentException(
+            s"version out of retention: asOfSeq=$asOfSeq predates the current " +
+              s"generation's horizon (base state = seq ${fromSeq - 1}); " +
+              "compaction folded older commits into the base")
         ChangeLog.replay(spark, base, logDir(table), keyCol, fromSeq,
           keyRange = None, toSeq = asOfSeq)
+      case None =>
+        throw new IllegalArgumentException(s"lake table does not exist: $table")
+    }
+
+  /** Timestamp time travel: the table state as of wall-clock `asOfMs` —
+    * base + every commit stamped at or before that instant. The cut is a
+    * PREFIX of the commit sequence (commits are appended by a single
+    * writer, so stamps are monotone in seq; `takeWhile` keeps the semantics
+    * honest even if a clock ever stepped backwards).
+    *
+    * Retention matches [[readAt]]: an `asOfMs` older than the base's state
+    * time throws (the base already folds newer changes — returning it would
+    * present wrong-time data). A commit in range without a stamp (written
+    * before stamps existed) fails loudly: resolve those tables by seq. */
+  def readAtTimestamp(spark: SparkSession, table: String, asOfMs: Long,
+      keyCol: String = "RecId"): DataFrame =
+    resolveWithTime(table) match {
+      case Some((base, fromSeq, stateTime)) =>
+        stateTime.filter(asOfMs < _).foreach { st =>
+          throw new IllegalArgumentException(
+            s"timestamp out of retention: asOfMs=$asOfMs predates the base's " +
+              s"state time $st; compaction folded older history into the base")
+        }
+        val timed = ChangeLog.commitSeqs(logDir(table)).filter(_ >= fromSeq).sorted
+          .map(seq => seq -> ChangeLog.commitTime(s"${logDir(table)}/$seq"))
+        timed.collectFirst { case (seq, None) => seq }.foreach { seq =>
+          throw new IllegalStateException(
+            s"commit $seq carries no timestamp (pre-stamp layout); " +
+              "use readAt(seq) for this table")
+        }
+        val toSeq = timed.takeWhile(_._2.exists(_ <= asOfMs))
+          .lastOption.map(_._1).getOrElse(fromSeq - 1)
+        ChangeLog.replay(spark, base, logDir(table), keyCol, fromSeq,
+          keyRange = None, toSeq = toSeq)
       case None =>
         throw new IllegalArgumentException(s"lake table does not exist: $table")
     }
@@ -124,17 +178,25 @@ object LakeTable {
   }
 
   /** Append one changeset commit to the log (the incremental write path:
-    * tombstone keys + changed/new rows ONLY — never a table rewrite). */
-  def appendCommit(cs: Apply.ChangeSet, table: String): Int = {
+    * tombstone keys + changed/new rows ONLY — never a table rewrite).
+    * `nowMs` stamps the commit for timestamp time travel (parameterized so
+    * tests/oracles are deterministic). */
+  def appendCommit(cs: Apply.ChangeSet, table: String,
+      nowMs: Long = System.currentTimeMillis()): Int = {
     val fromSeq = resolve(table).map(_._2).getOrElse(0)
-    ChangeLog.append(cs, logDir(table), minSeq = fromSeq)
+    ChangeLog.append(cs, logDir(table), minSeq = fromSeq, nowMs = nowMs)
   }
 
   /** Full-snapshot write (standard/truncate modes and compaction): stage a
     * new base dir, then atomically swap the pointer past all current log
     * commits. GC runs AFTER the swap and retains the immediately-previous
-    * generation for in-flight readers (see header); anything older goes. */
-  def overwrite(df: DataFrame, table: String): Unit = {
+    * generation for in-flight readers (see header); anything older goes.
+    * `stateTimeMs` is the wall-clock time of the newest change this
+    * snapshot folds in — `readAtTimestamp`'s retention horizon (a fresh
+    * source snapshot IS the state "now"; compaction passes the folded
+    * commits' newest stamp instead). */
+  def overwrite(df: DataFrame, table: String,
+      stateTimeMs: Long = System.currentTimeMillis()): Unit = {
     LakeFs.warnIfNonAtomic(table)
     LakeFs.mkdirs(table)
     val prev = resolve(table) // retained one generation for in-flight readers
@@ -145,20 +207,32 @@ object LakeTable {
       Seq(prev.map(_._2).getOrElse(-1))).max + 1
     val newBase = s"base-$nextSeq"
     df.write.mode("overwrite").parquet(s"$table/$newBase")
-    commitPointer(table, newBase, nextSeq)
+    commitPointer(table, newBase, nextSeq, stateTimeMs)
     gc(table, keepBase = newBase, prev = prev)
   }
 
   /** Rewrite base = current replayed state, then drop the replayed commits.
-    * Amortizes replay cost: run after every N incremental commits. */
-  def compact(spark: SparkSession, table: String, keyCol: String = "RecId"): Unit =
-    overwrite(read(spark, table, keyCol), table)
+    * Amortizes replay cost: run after every N incremental commits. The new
+    * base's state time = the newest folded commit's stamp (NOT "now": the
+    * data is only as new as the last commit — a later `readAtTimestamp`
+    * between that stamp and the compaction must still resolve). */
+  def compact(spark: SparkSession, table: String, keyCol: String = "RecId"): Unit = {
+    val foldedTime = resolveWithTime(table) match {
+      case Some((_, fromSeq, prevTime)) =>
+        val commitTimes = ChangeLog.commitSeqs(logDir(table)).filter(_ >= fromSeq)
+          .flatMap(seq => ChangeLog.commitTime(s"${logDir(table)}/$seq"))
+        (commitTimes ++ prevTime).maxOption.getOrElse(System.currentTimeMillis())
+      case None => System.currentTimeMillis()
+    }
+    overwrite(read(spark, table, keyCol), table, foldedTime)
+  }
 
   /** The commit point: write pointer to a temp file, rename over `_current`
     * (atomic on file:/hdfs:, emulated elsewhere — LakeFs.replace). */
-  private def commitPointer(table: String, baseName: String, fromSeq: Int): Unit = {
+  private def commitPointer(table: String, baseName: String, fromSeq: Int,
+      stateTimeMs: Long): Unit = {
     val tmp = s"$table/_current.tmp"
-    LakeFs.writeUtf8(tmp, s"$baseName\t$fromSeq")
+    LakeFs.writeUtf8(tmp, s"$baseName\t$fromSeq\t$stateTimeMs")
     LakeFs.replace(tmp, currentPath(table))
   }
 

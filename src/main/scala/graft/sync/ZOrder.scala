@@ -28,8 +28,18 @@ object ZOrder {
     * Non-long numeric dimensions are floored into key space first. */
   private def norm(c: Column, lo: Long, hi: Long): Column = {
     val width = math.max(hi - lo, 1L)
-    floor(((c.cast("long") - lit(lo)).cast("double") * lit((1L << 21) - 1).cast("double"))
+    floor(((key(c) - lit(lo)).cast("double") * lit((1L << 21) - 1).cast("double"))
       / lit(width.toDouble)).cast("long")
+  }
+
+  /** Floor a (possibly non-integral) dimension into long key space. Not
+    * `floor(cast double)` — that loses precision for longs above 2^53 —
+    * and not bare `cast long` — that truncates negatives toward zero:
+    * truncate, then step down one when the truncation rounded up. Exact
+    * for integral inputs, floor semantics for fractional ones. */
+  private def key(c: Column): Column = {
+    val t = c.cast("long")
+    t - when(c < t, lit(1L)).otherwise(lit(0L))
   }
 
   /** The z-key column for two LongType dimensions with known bounds
@@ -45,8 +55,11 @@ object ZOrder {
   def layout(df: DataFrame, colA: String, colB: String, nFiles: Int): DataFrame = {
     graft.functions.GraftFunctions.register(df.sparkSession)
     val r = df.agg(
-      min(col(colA).cast("long")), max(col(colA).cast("long")),
-      min(col(colB).cast("long")), max(col(colB).cast("long"))).head()
+      min(key(col(colA))), max(key(col(colA))),
+      min(key(col(colB))), max(key(col(colB)))).head()
+    // empty input: no bounds to normalize against — the layout of nothing
+    // is nothing (min/max return null; reading them would NPE)
+    if (r.isNullAt(0) || r.isNullAt(2)) return df
     val za = zkey(col(colA), col(colB),
       (r.getLong(0), r.getLong(1)), (r.getLong(2), r.getLong(3)))
     df.withColumn("_zkey", za)

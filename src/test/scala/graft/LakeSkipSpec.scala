@@ -91,6 +91,98 @@ class LakeSkipSpec extends AnyFunSuite {
       state(LakeTable.read(spark, t))) // asOf latest = current state
   }
 
+  test("a commit with null keys gets NO stats and is conservatively kept") {
+    val t = freshTable()
+    LakeTable.overwrite((1L to 100L).map(i => (i, s"p$i")).toDF("RecId", "payload"), t)
+    // events exist but every key is null: a range read cannot reason about
+    // them — stats must be absent (unskippable), not (0,-1,0) (skippable)
+    val ins = Seq((Option.empty[Long], "orphan")).toDF("RecId", "payload")
+    val seq = LakeTable.appendCommit(
+      Apply.ChangeSet(ins.select("RecId"), ins, keyFlags = ins.select("RecId")), t)
+    assert(ChangeLog.commitStats(s"$t/_log/$seq").isEmpty,
+      "null-key commit must not carry skippable stats")
+    val pruned = LakeTable.readKeyRange(spark, t, 40L, 60L)
+    assert(pruned.inputFiles.exists(_.contains(s"/_log/$seq/")),
+      "commit without stats must stay in every range read's plan")
+  }
+
+  test("readAt below the retention horizon throws, not wrong-time data") {
+    val t = freshTable()
+    LakeTable.overwrite((1L to 5L).map(i => (i, "v0")).toDF("RecId", "payload"), t)
+    LakeTable.appendCommit(cs(Seq(1L), Seq((10L, "v1"))), t)
+    LakeTable.compact(spark, t) // pointer moves: base now folds commit 1 in
+    val horizon = LakeTable.resolve(t).get._2 - 1
+    assert(LakeTable.readAt(spark, t, horizon).count() == 5,
+      "asOf exactly at the horizon = the compacted base")
+    val e = intercept[IllegalArgumentException] {
+      LakeTable.readAt(spark, t, horizon - 1).count()
+    }
+    assert(e.getMessage.contains("out of retention"))
+  }
+
+  test("range-read schema matches unpruned read even when the widening/new " +
+      "column rides a SKIPPED commit") {
+    val t = freshTable()
+    LakeTable.overwrite(
+      (1L to 100L).map(i => (i, i.toInt, s"p$i")).toDF("RecId", "amount", "payload"), t)
+    // skipped commit (keys 5000+, disjoint from the read range) both widens
+    // `amount` int→long and introduces a brand-new column `extra`
+    val insFar = Seq((5000L, 99L, "far", "x")).toDF("RecId", "amount", "payload", "extra")
+    LakeTable.appendCommit(
+      Apply.ChangeSet(insFar.select("RecId"), insFar, insFar.select("RecId")), t)
+
+    val pruned = LakeTable.readKeyRange(spark, t, 10L, 20L)
+    val full = LakeTable.read(spark, t).filter(col("RecId").between(10L, 20L))
+    assert(pruned.schema == full.schema,
+      s"schema must not depend on data skipping:\n${pruned.schema}\nvs\n${full.schema}")
+    assert(pruned.orderBy("RecId").collect().toSeq ==
+      full.orderBy("RecId").collect().toSeq)
+  }
+
+  test("readAtTimestamp cuts at commit stamps; retention + unstamped guards") {
+    val t = freshTable()
+    LakeTable.overwrite(
+      (1L to 5L).map(i => (i, "v0")).toDF("RecId", "payload"), t, stateTimeMs = 100L)
+    LakeTable.appendCommit(cs(Seq(1L), Seq((10L, "v1"))), t, nowMs = 200L)
+    LakeTable.appendCommit(cs(Seq(2L), Seq((20L, "v2"))), t, nowMs = 300L)
+
+    def state(df: org.apache.spark.sql.DataFrame): Set[(Long, String)] =
+      df.select("RecId", "payload").as[(Long, String)].collect().toSet
+    val base = (1L to 5L).map(i => (i, "v0")).toSet
+
+    assert(state(LakeTable.readAtTimestamp(spark, t, 150L)) == base,
+      "asOf before the first commit stamp = the base alone")
+    assert(state(LakeTable.readAtTimestamp(spark, t, 200L)) ==
+      base - ((1L, "v0")) + ((10L, "v1")), "stamps are inclusive")
+    assert(state(LakeTable.readAtTimestamp(spark, t, 250L)) ==
+      base - ((1L, "v0")) + ((10L, "v1")))
+    assert(state(LakeTable.readAtTimestamp(spark, t, 9999L)) ==
+      state(LakeTable.read(spark, t)))
+    val e = intercept[IllegalArgumentException] {
+      LakeTable.readAtTimestamp(spark, t, 50L).count()
+    }
+    assert(e.getMessage.contains("out of retention"))
+
+    // compaction carries the newest FOLDED stamp forward as the new state
+    // time: a read between that stamp and the compaction must still work,
+    // one before the first fold must throw
+    LakeTable.compact(spark, t)
+    assert(state(LakeTable.readAtTimestamp(spark, t, 300L)) ==
+      state(LakeTable.read(spark, t)))
+    assert(state(LakeTable.readAtTimestamp(spark, t, 1000L)) ==
+      state(LakeTable.read(spark, t)))
+    intercept[IllegalArgumentException] {
+      LakeTable.readAtTimestamp(spark, t, 250L).count()
+    }
+
+    // a commit without a stamp (pre-stamp layout) fails loudly
+    val s3 = LakeTable.appendCommit(cs(Seq(3L), Seq.empty), t)
+    LakeFs.delete(s"$t/_log/$s3/_ts")
+    intercept[IllegalStateException] {
+      LakeTable.readAtTimestamp(spark, t, System.currentTimeMillis()).count()
+    }
+  }
+
   test("empty changeset commits are always skippable") {
     val t = freshTable()
     LakeTable.overwrite((1L to 10L).map(i => (i, s"p$i")).toDF("RecId", "payload"), t)

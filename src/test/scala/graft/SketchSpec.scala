@@ -75,6 +75,14 @@ class BloomSpec extends AnyFunSuite {
     assert(!viaShuffle.queryExecution.executedPlan.toString
       .contains("bloom_might_contain"))
     assert(viaShuffle.count() == bigKeys.count())
+
+    // the routed variant reports which branch it took (the observable the
+    // bench pins so a routing regression fails loudly)
+    assert(BloomPrune.autoSemiJoinRouted(big, smallKeys, "k", "kk")._2 == "broadcast")
+    assert(BloomPrune.autoSemiJoinRouted(big, bigKeys, "k", "kk",
+      broadcastMaxKeys = 1000)._2 == "bloom")
+    assert(BloomPrune.autoSemiJoinRouted(big, bigKeys, "k", "kk",
+      broadcastMaxKeys = 10, bloomMaxKeys = 100)._2 == "shuffle")
   }
 
   test("probe filter sits below the join, on the scan side of the exchange") {

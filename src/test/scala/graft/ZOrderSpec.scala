@@ -48,6 +48,22 @@ class ZOrderSpec extends AnyFunSuite {
       s"z-order should prune the 1/64 box hard: $zHit/$zTotal")
   }
 
+  test("layout of an empty frame is the frame (no NPE on null bounds)") {
+    val df = spark.range(0).select(col("id").as("a"), col("id").as("b"))
+    assert(ZOrder.layout(df, "a", "b", 8).count() == 0)
+  }
+
+  test("negative non-integral dimensions floor into key space (not truncate)") {
+    // -0.5 must land in bucket -1, below 0.5's bucket 0: cast-truncation
+    // would collapse both to 0 and the two points would z-sort together
+    val df = Seq((-0.5, 0L, "neg"), (0.5, 0L, "pos"), (1.5, 0L, "one"))
+      .toDF("a", "b", "tag")
+    val out = ZOrder.layout(df, "a", "b", 1)
+      .select("tag").as[String].collect().toSeq
+    assert(out == Seq("neg", "pos", "one"),
+      s"floored z-keys must order -0.5 < 0.5 < 1.5, got $out")
+  }
+
   test("z-order layout preserves the data exactly") {
     val df = spark.range(5000)
       .select((col("id") % 71).as("a"), (col("id") % 113).as("b"), col("id").as("v"))
