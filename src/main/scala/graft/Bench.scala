@@ -80,13 +80,19 @@ object Bench {
     // phases' GBs are still in writeback, so without the sync a timed run
     // pays its PREDECESSOR's flush debt and the measurement is pure noise
     def osSync(): Unit = { new ProcessBuilder("sync").start().waitFor(); () }
-    def best3(f: => Unit): Double = (1 to 3).map { _ => osSync(); time(f) }.min
-    // symmetric multi-sample timing for the write-bearing scenarios: `prep`
-    // (untimed) resets outputs and re-warms inputs so EVERY iteration sees
-    // the same cache state — single-sample timings of multi-GB write+sync
-    // on this writeback-throttled box swing 2x on page-cache luck
-    def bestOf(n: Int)(prep: => Unit)(f: => Unit): Double =
-      (1 to n).map { _ => prep; osSync(); time(f) }.min
+    // budget-adaptive best-of-3 with symmetric prep: `prep` (untimed)
+    // resets outputs and re-warms inputs so every iteration sees the same
+    // cache state (single samples of multi-GB write+sync swing 2x on
+    // page-cache luck); runs once, then re-samples ONLY when the remaining
+    // budget dwarfs the observed cost — a throttled box must not spend 3×
+    // a slow phase polishing a number the budget can't afford
+    def bestAdaptive(prep: => Unit)(f: => Unit): Double = {
+      prep; osSync()
+      val t1 = time(f)
+      if (remaining > 6 * t1)
+        ((1 to 2).map { _ => prep; osSync(); time(f) } :+ t1).min
+      else t1
+    }
 
     // ONE timed run per query after the global warmup (r4 postmortem: the
     // best-of-2 noise reduction cost ~5 min the correctness oracle covers
@@ -332,8 +338,9 @@ object Bench {
     // iterations.
     linkDir(s"$cache/perf", s"$tmp/tgt_scn_noop")
     val noopPlan = primedPlan("scn_noop", s"$cache/perf")
-    val tNoChange = best3 {
+    val tNoChange = bestAdaptive {
       store.putVersions("scn_noop", mark, mark, Some(maxId))
+    } {
       runAsserting(noopPlan, graft.model.SyncMode.Noop)
     }
     results("scn_nochange_sync") = tNoChange
@@ -346,7 +353,7 @@ object Bench {
     // "write into cache" timings are incomparable — write+flush is the
     // steady-state cost a real sync pays, measured identically everywhere.
     val incrPlan = primedPlan("scn_incr", s"$cache/src")
-    val tIncr = bestOf(3) {
+    val tIncr = bestAdaptive {
       // untimed reset: fresh hardlinked flat target + re-primed marks, so
       // every iteration routes through the same incremental tier
       linkDir(s"$cache/perf", s"$tmp/tgt_scn_incr")
@@ -370,8 +377,9 @@ object Bench {
     val multiPlans = (1 to 8).map { i =>
       runner.TablePlan(s"scn_multi_$i", s"$cache/perf", s"$tmp/tgt_scn_noop")
     }
-    val tMulti = best3 {
+    val tMulti = bestAdaptive {
       multiPlans.foreach(p => store.putVersions(p.name, mark, mark, Some(maxId)))
+    } {
       val rs = runner.runAll(multiPlans)
       require(rs.forall(r => r.ok && r.mode == graft.model.SyncMode.Noop),
         s"multitable scenario must be all-NOOP: " +
@@ -379,7 +387,6 @@ object Bench {
     }
     rmRecF(new java.io.File(s"$tmp/tgt_scn_noop"))
     results("scn_multitable_8x_noop") = tMulti
-    results("scn_nochange_sync") = tNoChange
     ratios("multitable8_vs_single_noop") = tMulti / math.max(tNoChange, 1e-9)
     flush("scn_multi")
 

@@ -173,6 +173,23 @@ class PlanQualitySpec extends AnyFunSuite {
       s"exactly one window, over commit events only:\n$plan")
   }
 
+  test("PQ ADC top-k: corpus codes probe a broadcast LUT — no cartesian, " +
+      "no per-pair dim-wide dot product") {
+    val prep = graft.ext.Similarity.prepare(
+      spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet"),
+      "vec_id", "embedding")
+    val df = graft.ext.PQ.adcTopK(prep, m = 4, ksub = 8, iters = 1, k = 3,
+      sampleMod = 40)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      "ADC join must probe the broadcast lookup table:\n" + plan.take(2000))
+    assert(!plan.contains("CartesianProduct"),
+      "no all-pairs join anywhere in the ADC plan")
+    // the join feeding the aggregate carries codes, not embeddings: no
+    // array_dot_long below the ADC sum (only the LUT/codebook build uses it)
+    assert(df.count() > 0)
+  }
+
   test("native array expressions participate in codegen (no Scala UDF nodes)") {
     val prep = graft.ext.Similarity.prepare(
       spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet"),
