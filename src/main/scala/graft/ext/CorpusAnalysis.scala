@@ -1,0 +1,141 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-level statistics for LLM-data curation: TF-IDF term weighting,
+  * cross-document boilerplate detection, benchmark decontamination, and a
+  * corpus-trained Markov fluency score.
+  *
+  * These are the passes a training-data pipeline runs AFTER per-document
+  * stats ([[TextAnalysis]]) and BEFORE dedup resolution — they all need a
+  * corpus-wide model (document frequencies, shared-unit counts, transition
+  * counts) joined back to the documents.
+  *
+  * Scale design (100 TB): every model here is built with one hash
+  * aggregation keyed on content (term / shingle / bigram) — map-side
+  * partials, even partitioning — and joined back keyed the same way. No
+  * all-pairs joins, no windows over the corpus (the only window is the
+  * per-document top-N rank, bounded by the per-doc vocabulary). The
+  * benchmark side of decontamination is broadcast by construction (held-out
+  * sets are small); the other model tables shuffle-join on their key, the
+  * shape that survives arbitrary vocabulary growth.
+  *
+  * Determinism: integer counts, at most one IEEE multiply+divide in fixed
+  * order, floor-quantized outputs — the DuckDB twins agree bit-for-bit.
+  */
+object CorpusAnalysis {
+
+  /** TF-IDF-style term weighting: for each document, its `topN` terms by
+    * rarity-weighted frequency. The score is `tf · 10⁶ / doc_freq` — the
+    * same ordering as tf·idf for a fixed corpus size, but pure
+    * integer-derived arithmetic (one multiply, one divide — no `log`,
+    * whose libm rounding differs across engines).
+    *
+    * Plan shape: tf = one (doc, term) hash agg; doc_freq = one (term) agg
+    * over tf (Catalyst reuses tf's exchange); join keyed on term; the
+    * top-N window partitions by document, so its sort is bounded by the
+    * per-doc distinct-term count, never the corpus. */
+  def tfidfTopTerms(df: DataFrame, idCol: String, textCol: String,
+      topN: Int = 5): DataFrame = {
+    val toks = df.select(col(idCol).as("doc_id"),
+      explode(TextAnalysis.tokens(col(textCol))).as("term"))
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val docFreq = tf.groupBy("term").agg(count(lit(1)).as("doc_freq"))
+    val scored = tf.join(docFreq, Seq("term"))
+      .withColumn("score", col("tf") * lit(1000000.0) / col("doc_freq"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("score").desc, col("term").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topN)
+      .select("doc_id", "rank", "term", "tf", "doc_freq", "score")
+  }
+
+  /** Cross-document boilerplate score: the fraction of a document's
+    * distinct word `n`-grams that appear in at least `minDocs` documents —
+    * the headers/footers/templates signal a curation pipeline uses to drop
+    * or rewrite boilerplate-heavy pages. Documents shorter than `n` tokens
+    * have no units and are absent from the output (callers treat absence
+    * as score-unknown, not zero).
+    *
+    * Output: (doc_id, n_units, n_boiler, boiler_millis) with
+    * boiler_millis = ⌊1000 · n_boiler / n_units⌋. */
+  def boilerplateScore(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 5, minDocs: Long = 2): DataFrame = {
+    val units = Dedup.shingles(df, idCol, textCol, n)
+    val freq = units.groupBy("shingle").agg(count(lit(1)).as("unit_docs"))
+    units.join(freq, Seq("shingle"))
+      .groupBy(col("sid").as("doc_id"))
+      .agg(
+        count(lit(1)).as("n_units"),
+        sum(when(col("unit_docs") >= minDocs, 1L).otherwise(0L)).as("n_boiler"))
+      .withColumn("boiler_millis",
+        floor(lit(1000.0) * col("n_boiler") / col("n_units")).cast("long"))
+      .select("doc_id", "n_units", "n_boiler", "boiler_millis")
+  }
+
+  /** Benchmark decontamination: flag corpus documents sharing any word
+    * `n`-gram with a held-out benchmark set — the standard train/test
+    * contamination gate (an n-gram hit means the benchmark text leaks into
+    * training data). Every corpus document gets a row: (doc_id, n_hits,
+    * contaminated), n_hits = distinct shared n-grams.
+    *
+    * The benchmark side is DISTINCT shingles of a small held-out set, so
+    * it is explicitly broadcast — the corpus scan filters against an
+    * in-memory hash map, no shuffle of the 100 TB side. */
+  def contamination(corpus: DataFrame, bench: DataFrame, idCol: String,
+      textCol: String, n: Int = 3): DataFrame = {
+    val benchSh = Dedup.shingles(bench, idCol, textCol, n)
+      .select("shingle").distinct()
+    val hits = Dedup.shingles(corpus, idCol, textCol, n)
+      .join(broadcast(benchSh), Seq("shingle"))
+      .groupBy(col("sid").as("doc_id"))
+      .agg(count(lit(1)).as("n_hits"))
+    corpus.select(col(idCol).as("doc_id"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)) > 0).as("contaminated"))
+  }
+
+  /** Positional token bigrams (with multiplicity): one row per adjacent
+    * token pair. Documents shorter than 2 tokens contribute nothing. */
+  private def bigrams(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("doc_id"),
+        explode(HeavyHitters.ngramsExpr(textCol, 2)).as("bg"))
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+      .withColumn("w2", substring_index(col("bg"), " ", -1))
+      .drop("bg")
+
+  /** Corpus-trained Markov fluency score — the in-engine stand-in for the
+    * KenLM-style perplexity filters of the CCNet lineage: train bigram
+    * transition counts over the corpus (MLE: p(w₂|w₁) = c(w₁w₂)/c(w₁·)),
+    * then score each document by its transitions' probabilities,
+    * floor-quantized to micros (no `log`: libm rounding is not portable
+    * across engines, the micro quantization is).
+    *
+    * Output per document (≥2 tokens): n_trans, min_p_micro (the most
+    * surprising transition — a strong gibberish detector), avg_p_micro.
+    *
+    * Plan shape: the model is two hash aggs over the exploded bigrams
+    * (c(w₁w₂) and prefix count c(w₁·), Catalyst reuses the explode);
+    * scoring joins documents' bigrams to the model keyed on the pair.
+    * Model size is corpus-vocabulary-bounded, not corpus-bounded. */
+  def markovScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val bg = bigrams(df, idCol, textCol)
+    val c12 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val c1 = bg.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val model = c12.join(c1, Seq("w1"))
+      .withColumn("p_micro",
+        floor(col("c12") * lit(1000000.0) / col("c1")).cast("long"))
+      .select("w1", "w2", "p_micro")
+    bg.join(model, Seq("w1", "w2"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_trans"),
+        min(col("p_micro")).as("min_p_micro"),
+        floor(sum(col("p_micro")) * lit(1.0) / count(lit(1))).cast("long")
+          .as("avg_p_micro"))
+  }
+}

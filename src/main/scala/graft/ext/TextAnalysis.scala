@@ -79,6 +79,38 @@ object TextAnalysis {
   /** True for rows the redaction pass would change (the audit metric). */
   def hasPii(text: Column): Column =
     text.rlike(EmailPattern) || text.rlike(LongNumberPattern)
+
+  // ---- intra-document repetition (Gopher-style quality rules) ----
+  // All pure array expressions over the token list: per-row work bounded by
+  // document length, no shuffle, no UDF — at 100 TB these run at scan speed
+  // exactly like the other per-document stats above.
+
+  /** Fraction (millis) of token positions occupied by a repeat of an
+    * earlier token — `duplicate word fraction` from the Gopher rules. */
+  def dupTokenMillis(text: Column): Column =
+    floor(lit(1000.0) * (tokenCount(text) - distinctTokenCount(text))
+      / tokenCount(text)).cast("long")
+
+  /** Fraction (millis) of adjacent-token bigrams that are duplicates —
+    * catches looped phrases exact-token dedup misses. Single-token
+    * documents have no bigrams and score 0. */
+  def dupBigramMillis(textCol: String): Column = {
+    val bg = HeavyHitters.ngramsExpr(textCol, 2)
+    when(size(bg) === 0, lit(0L)).otherwise(
+      floor(lit(1000.0) * (size(bg) - size(array_distinct(bg))) / size(bg))
+        .cast("long"))
+  }
+
+  /** Millis of positions taken by the single most frequent token — the
+    * `top word fraction` rule (a page that is 30% one word is a listing or
+    * spam). O(distinct·n) per row — quadratic in DOCUMENT length only,
+    * never corpus-sized. */
+  def topTokenMillis(textCol: String): Column = {
+    val tk = tokens(col(textCol))
+    val maxCnt = array_max(
+      transform(array_distinct(tk), t => size(filter(tk, x => x === t))))
+    floor(lit(1000.0) * maxCnt / size(tk)).cast("long")
+  }
 }
 
 /** KMV (k-minimum-values) distinct-count sketch: estimate = (k−1)·2³² / hₖ

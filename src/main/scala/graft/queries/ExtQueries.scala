@@ -118,6 +118,18 @@ object ExtQueries {
       PQ.pqRecall(Similarity.prepare(embs(s, d), "vec_id", "embedding"),
         m = 8, ksub = 32, iters = 3, k = 5, sampleMod = 40)),
 
+    // ---- SQ8 scalar quantization: 8-bit-per-dimension codes against the
+    // corpus per-dim [min,max] (4× compression, no codebook training) —
+    // the whole code vector pinned per id via checksum ----
+    "q_sim_sq8" -> ((s, d) =>
+      SQ8.encodeChecks(Similarity.prepare(embs(s, d), "vec_id", "embedding"))),
+
+    // ---- measured SQ8 recall vs exact inner-product top-k truth — the
+    // 4×-compression loss as a number (vs PQ's 64× at q_pq_recall) ----
+    "q_sq8_recall" -> ((s, d) =>
+      SQ8.sq8Recall(Similarity.prepare(embs(s, d), "vec_id", "embedding"),
+        k = 5, sampleMod = 40)),
+
     // ---- as-of join: each event matched to the user's latest signup at or
     // before it (point-in-time lookup; composition = union + one window) ----
     "q_asof_signup" -> ((s, d) => {
@@ -241,6 +253,54 @@ object ExtQueries {
       Sampling.splitByHash(docs(s, d), col("doc_id").cast("string"),
         Seq("train" -> 900, "val" -> 50, "test" -> 50))
         .select("doc_id", "split")),
+
+    // ---- TF-IDF term weighting: each doc's top-5 rarity-weighted terms
+    // (score = tf·10⁶/doc_freq — tf·idf ordering without libm log) ----
+    "q_text_tfidf" -> ((s, d) =>
+      CorpusAnalysis.tfidfTopTerms(docs(s, d), "doc_id", "text", topN = 5)),
+
+    // ---- cross-document boilerplate: fraction of a doc's 5-grams shared
+    // with ≥2 docs (the template/header signal a curation pass drops) ----
+    "q_text_boilerplate" -> ((s, d) =>
+      CorpusAnalysis.boilerplateScore(docs(s, d), "doc_id", "text",
+        n = 5, minDocs = 2)),
+
+    // ---- benchmark decontamination: corpus docs sharing any 3-gram with
+    // the held-out set (doc_id % 97 = 0 plays the benchmark); the held-out
+    // side is broadcast — the corpus scan never shuffles ----
+    "q_decontaminate" -> ((s, d) =>
+      CorpusAnalysis.contamination(
+        docs(s, d).filter(col("doc_id") % 97 =!= 0),
+        docs(s, d).filter(col("doc_id") % 97 === 0),
+        "doc_id", "text", n = 3)),
+
+    // ---- corpus-trained Markov fluency score (the KenLM-perplexity
+    // stand-in): bigram transition probabilities in micros, per-doc min
+    // (most surprising transition) and mean ----
+    "q_text_markov" -> ((s, d) =>
+      CorpusAnalysis.markovScore(docs(s, d), "doc_id", "text")),
+
+    // ---- intra-document repetition (Gopher rules): duplicate-token,
+    // duplicate-bigram and top-token fractions as pure array expressions ----
+    "q_text_repetition" -> ((s, d) =>
+      docs(s, d).select(
+        col("doc_id"),
+        TextAnalysis.dupTokenMillis(col("text")).as("dup_token_millis"),
+        TextAnalysis.dupBigramMillis("text").as("dup_bigram_millis"),
+        TextAnalysis.topTokenMillis("text").as("top_token_millis"))),
+
+    // ---- document chunking: 32-token sliding windows with 8-token
+    // overlap — pure per-row expression + explode, no shuffle ----
+    "q_text_chunks" -> ((s, d) =>
+      Chunking.chunkTokens(docs(s, d), "doc_id", "text",
+        chunkTokens = 32, overlap = 8)),
+
+    // ---- sequence packing: concat-then-split into 256-token training
+    // sequences per shard (source = the shard key; shards pack
+    // independently — the parallel unit at 100 TB) ----
+    "q_text_pack" -> ((s, d) =>
+      Chunking.packSequences(docs(s, d), "doc_id", "text",
+        shardCol = "source", seqTokens = 256)),
 
     // ---- keep-best dedup resolution: within each near-dup component keep
     // the highest-quality member (not the arbitrary min-id) — the KEEP
@@ -542,6 +602,10 @@ FROM exact e LEFT JOIN (SELECT source, h FROM ranked WHERE rn = 64) r
     "q_pq_recall" -> PQ.recallOracleSql(m = 8, ksub = 32, iters = 3, k = 5,
       sampleMod = 40),
 
+    "q_sim_sq8" -> SQ8.encodeOracleSql(),
+
+    "q_sq8_recall" -> SQ8.recallOracleSql(k = 5, sampleMod = 40),
+
     "q_asof_signup" -> """SELECT e.event_id, CAST(s.ts AS TIMESTAMP) AS asof_signup_ts
 FROM events e ASOF LEFT JOIN
   (SELECT user_id, ts FROM events WHERE event_type = 'signup') s
@@ -691,6 +755,97 @@ SELECT CAST(mm.m AS INTEGER) AS m, kth.kth_union,
        ELSE ((CAST(mm.m AS DOUBLE) * ${63.0 * 4294967296.0}) / 64.0) / kth.kth_union
   END AS est_overlap
 FROM mm, kth""",
+
+    "q_text_tfidf" -> """WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+dfreq AS (SELECT term, count(*) AS doc_freq FROM tf GROUP BY term),
+scored AS (SELECT doc_id, term, tf, doc_freq,
+  tf * 1000000.0 / doc_freq AS score FROM tf JOIN dfreq USING (term))
+SELECT doc_id, rank, term, tf, doc_freq, score FROM (
+  SELECT doc_id, term, tf, doc_freq, score, row_number() OVER (
+    PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rank
+  FROM scored) WHERE rank <= 5""",
+
+    "q_text_boilerplate" -> """WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') t FROM documents),
+sh AS (SELECT DISTINCT doc_id AS sid, array_to_string(t[(i+1):(i+5)], ' ') AS shingle
+       FROM toks, LATERAL (SELECT unnest(range(0, len(t) - 4)) i)),
+f AS (SELECT shingle, count(*) AS unit_docs FROM sh GROUP BY shingle)
+SELECT sh.sid AS doc_id, count(*) AS n_units,
+  CAST(sum(CASE WHEN f.unit_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+  CAST(floor(1000.0 * sum(CASE WHEN f.unit_docs >= 2 THEN 1 ELSE 0 END)
+    / count(*)) AS BIGINT) AS boiler_millis
+FROM sh JOIN f ON f.shingle = sh.shingle
+GROUP BY sh.sid""",
+
+    "q_decontaminate" -> """WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') t FROM documents),
+sh AS (SELECT DISTINCT doc_id AS sid, array_to_string(t[(i+1):(i+3)], ' ') AS shingle
+       FROM toks, LATERAL (SELECT unnest(range(0, len(t) - 2)) i)),
+bench AS (SELECT DISTINCT shingle FROM sh WHERE sid % 97 = 0),
+hits AS (SELECT sid AS doc_id, count(*) AS n_hits FROM sh
+         WHERE sid % 97 <> 0 AND shingle IN (SELECT shingle FROM bench)
+         GROUP BY sid)
+SELECT d.doc_id, coalesce(h.n_hits, 0) AS n_hits,
+  coalesce(h.n_hits, 0) > 0 AS contaminated
+FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
+WHERE d.doc_id % 97 <> 0""",
+
+    "q_text_markov" -> """WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') t FROM documents),
+bg AS (SELECT doc_id, t[i+1] AS w1, t[i+2] AS w2
+       FROM toks, LATERAL (SELECT unnest(range(0, len(t) - 1)) i)),
+c12 AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2),
+c1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY 1),
+model AS (SELECT c12.w1, c12.w2,
+  CAST(floor(c12.c12 * 1000000.0 / c1.c1) AS BIGINT) AS p_micro
+  FROM c12 JOIN c1 ON c1.w1 = c12.w1)
+SELECT bg.doc_id, count(*) AS n_trans,
+  min(m.p_micro) AS min_p_micro,
+  CAST(floor(sum(m.p_micro) * 1.0 / count(*)) AS BIGINT) AS avg_p_micro
+FROM bg JOIN model m ON m.w1 = bg.w1 AND m.w2 = bg.w2
+GROUP BY bg.doc_id""",
+
+    "q_text_repetition" -> """WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS tk,
+    CASE WHEN len(string_split(text, ' ')) >= 2 THEN
+      list_transform(range(0, len(string_split(text, ' ')) - 1),
+        i -> array_to_string(string_split(text, ' ')[(i+1):(i+2)], ' '))
+    ELSE [] END AS bg
+  FROM documents)
+SELECT doc_id,
+  CAST(floor(1000.0 * (len(tk) - len(list_distinct(tk))) / len(tk)) AS BIGINT)
+    AS dup_token_millis,
+  CASE WHEN len(bg) = 0 THEN 0
+       ELSE CAST(floor(1000.0 * (len(bg) - len(list_distinct(bg))) / len(bg)) AS BIGINT)
+  END AS dup_bigram_millis,
+  CAST(floor(1000.0 * list_max(list_transform(list_distinct(tk),
+    x -> len(list_filter(tk, y -> y = x)))) / len(tk)) AS BIGINT)
+    AS top_token_millis
+FROM t""",
+
+    "q_text_chunks" -> """WITH t AS (
+  SELECT doc_id, string_split(text, ' ') tk FROM documents),
+c AS (SELECT doc_id, CAST(j AS BIGINT) AS chunk_no,
+  array_to_string(tk[(j*24+1):(j*24+32)], ' ') AS chunk_text
+  FROM t, LATERAL (SELECT unnest(range(0, ((len(tk)-1)//24)+1)) j))
+SELECT doc_id, chunk_no, chunk_text,
+  CAST(len(string_split(chunk_text, ' ')) AS BIGINT) AS n_tokens
+FROM c""",
+
+    "q_text_pack" -> """WITH d AS (
+  SELECT source AS shard, doc_id,
+    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents),
+o AS (SELECT shard, doc_id, n_tokens,
+  coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_offset
+  FROM d)
+SELECT shard, doc_id, n_tokens,
+  CAST(start_offset AS BIGINT) AS start_offset,
+  CAST(start_offset // 256 AS BIGINT) AS seq_no
+FROM o""",
 
     "q_dedup_incremental" -> s"""WITH $shinglesCte,
 oldcap AS (SELECT sid, shingle FROM (

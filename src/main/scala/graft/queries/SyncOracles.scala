@@ -235,6 +235,15 @@ UNION ALL SELECT 'embeddings', count(*) FROM embeddings
   CAST(sum(('0x' || substr(md5(s_name), 1, 8))::BIGINT) AS BIGINT) AS name_check
 FROM supplier GROUP BY s_nationkey"""),
 
+    "q_src_orc" -> ("""SELECT p_brand,
+  count(*) AS n,
+  CAST(sum(p_partkey) AS BIGINT) AS key_sum,
+  CAST(sum(p_size) AS BIGINT) AS size_sum,
+  CAST(sum(CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS price_cents,
+  CAST(sum(('0x' || substr(md5(p_name), 1, 8))::BIGINT) AS BIGINT) AS name_check,
+  CAST(sum(('0x' || substr(md5(p_type), 1, 8))::BIGINT) AS BIGINT) AS type_check
+FROM part GROUP BY p_brand"""),
+
     "q_src_json" -> ("""SELECT o_orderstatus,
   CAST(year(o_orderdate) AS INTEGER) AS o_year,
   count(*) AS n,

@@ -282,6 +282,24 @@ object SyncQueries {
           sum(graft.ext.Dedup.h32(col("s_name"))).as("name_check"))
     }),
 
+    // S10 source formats — ORC landing zone over part: binary+typed, so
+    // the round trip is exact by construction; the aggregate still proves
+    // it over every column type (int32, int64, double, strings)
+    "q_src_orc" -> ((s, d) => {
+      val p = s.read.parquet(s"$d/part.parquet")
+      val out = s"${sys.props("java.io.tmpdir")}/graft_srcfmt_" +
+        s"${new java.io.File(d).getName}/part_orc"
+      p.write.mode("overwrite").orc(out)
+      graft.run.OrcSource(out, p.schema).load(s)
+        .groupBy("p_brand").agg(
+          count(lit(1)).as("n"),
+          sum(col("p_partkey")).as("key_sum"),
+          sum(col("p_size").cast("long")).as("size_sum"),
+          sum(floor(col("p_retailprice") * 100 + 0.5).cast("long")).as("price_cents"),
+          sum(graft.ext.Dedup.h32(col("p_name"))).as("name_check"),
+          sum(graft.ext.Dedup.h32(col("p_type"))).as("type_check"))
+    }),
+
     // S10 source formats — JSON-lines landing zone, same round-trip proof
     // over orders (adds a TIMESTAMP column to the fidelity check)
     "q_src_json" -> ((s, d) => {

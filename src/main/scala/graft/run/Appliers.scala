@@ -68,6 +68,15 @@ final case class JsonSource(path: String, schema: org.apache.spark.sql.types.Str
   def load(spark: SparkSession): DataFrame = spark.read.schema(schema).json(path)
 }
 
+/** ORC export/landing-zone source (explicit schema, same rationale as
+  * [[CsvSource]]). ORC is binary+typed so the round trip is exact by
+  * construction — no quoting/timezone/precision caveats — and splittable,
+  * so unlike multiLine CSV one landing file fans out across tasks. */
+final case class OrcSource(path: String, schema: org.apache.spark.sql.types.StructType)
+    extends TableSource {
+  def load(spark: SparkSession): DataFrame = spark.read.schema(schema).orc(path)
+}
+
 trait TableApplier {
   def exists: Boolean
   /** Current target state (full width; runner prunes to key+version). */

@@ -190,6 +190,19 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(df.count() > 0)
   }
 
+  test("decontamination broadcasts the benchmark shingles — the corpus " +
+      "side probes in-memory, never shuffles against the held-out set") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val df = graft.ext.CorpusAnalysis.contamination(
+      d.filter(col("doc_id") % 97 =!= 0), d.filter(col("doc_id") % 97 === 0),
+      "doc_id", "text", n = 3)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      "benchmark shingle join must be broadcast:\n" + plan.take(2000))
+    assert(!plan.contains("CartesianProduct"),
+      "no all-pairs anywhere in the decontamination plan")
+  }
+
   test("native array expressions participate in codegen (no Scala UDF nodes)") {
     val prep = graft.ext.Similarity.prepare(
       spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet"),
