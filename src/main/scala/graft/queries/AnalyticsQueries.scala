@@ -81,6 +81,13 @@ object AnalyticsQueries {
         .rollup(col("l_returnflag"), col("l_linestatus"))
         .agg(sum(units(col("l_quantity"), 1.0)).as("sum_qty"), count(lit(1)).as("n"))),
 
+    // CUBE: every subtotal combination over (returnflag, linestatus) —
+    // rollup's lattice completion (adds the linestatus-only slices)
+    "q_agg_cube" -> ((s, d) =>
+      s.read.parquet(s"$d/lineitem.parquet")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(units(col("l_quantity"), 1.0)).as("sum_qty"), count(lit(1)).as("n"))),
+
     // Pivot: per-returnflag quantity split by linestatus (conditional-agg
     // form so the DuckDB twin is dialect-independent)
     "q_agg_pivot" -> ((s, d) =>
@@ -138,6 +145,11 @@ GROUP BY source""",
   CAST(sum(CAST(floor(l_quantity * 1.0 + 0.5) AS BIGINT)) AS BIGINT) AS sum_qty,
   count(*) AS n
 FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
+
+    "q_agg_cube" -> """SELECT l_returnflag, l_linestatus,
+  CAST(sum(CAST(floor(l_quantity * 1.0 + 0.5) AS BIGINT)) AS BIGINT) AS sum_qty,
+  count(*) AS n
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""",
 
     "q_agg_pivot" -> """SELECT l_returnflag,
   CAST(sum(CASE WHEN l_linestatus = 'F' THEN CAST(floor(l_quantity * 1.0 + 0.5) AS BIGINT) END) AS BIGINT) AS qty_f,

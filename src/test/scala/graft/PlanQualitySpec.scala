@@ -203,6 +203,16 @@ class PlanQualitySpec extends AnyFunSuite {
       "no all-pairs anywhere in the decontamination plan")
   }
 
+  test("chunking is shuffle-free: per-row explode, no Exchange anywhere") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val df = graft.ext.Chunking.chunkTokens(d, "doc_id", "text",
+      chunkTokens = 32, overlap = 8)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      "chunking must stay map-side (a document's chunks derive from its " +
+        "own token array):\n" + plan.take(2000))
+  }
+
   test("native array expressions participate in codegen (no Scala UDF nodes)") {
     val prep = graft.ext.Similarity.prepare(
       spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet"),
