@@ -97,13 +97,20 @@ object Bench {
     // ONE timed run per query after the global warmup (r4 postmortem: the
     // best-of-2 noise reduction cost ~5 min the correctness oracle covers
     // anyway; steady-state numbers come from the scenario phases)
+    // dev knobs: SPARK_GRAFT_ONLY_QUERIES=a,b,c runs just those names;
+    // SPARK_GRAFT_QUERIES_ONLY=1 stops after the query loop (no scenarios)
+    val onlyQueries = sys.env.get("SPARK_GRAFT_ONLY_QUERIES")
+      .map(_.split(',').map(_.trim).toSet)
     if (!sys.env.contains("SPARK_GRAFT_SKIP_QUERIES")) {
-      SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-        results(name) = try time(fn(spark, sfDir).count())
-          catch { case _: Throwable => -1.0 }
-      }
+      SparkEntry.queries.toSeq.sortBy(_._1)
+        .filter(q => onlyQueries.forall(_.contains(q._1)))
+        .foreach { case (name, fn) =>
+          results(name) = try time(fn(spark, sfDir).count())
+            catch { case _: Throwable => -1.0 }
+        }
     }
     flush("queries")
+    if (sys.env.contains("SPARK_GRAFT_QUERIES_ONLY")) { spark.stop(); return }
 
     // --- structural phases (cheap, deterministic — run BEFORE the multi-GB
     // fixture build so a budget blowout there can't starve them) ---

@@ -26,6 +26,16 @@ import org.apache.spark.sql.functions._
   */
 object KMeans {
 
+  /** Persist `df` only if nothing cached it yet; returns whether THIS call
+    * took ownership (callers unpersist only what they persisted, so an
+    * outer scope that cached the frame for a larger composition — e.g.
+    * [[PQ.pqRecall]] sharing one prepared frame across training, encoding
+    * and ground truth — keeps its cache). */
+  private[ext] def ensureCached(df: DataFrame): Boolean =
+    if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE) {
+      df.persist(); true
+    } else false
+
   private[ext] def withQq(prepared: DataFrame, idCol: String): DataFrame =
     prepared.select(col(idCol), col("qe"))
       .withColumn("qq", expr("array_dot_long(qe, qe)"))
@@ -58,7 +68,11 @@ object KMeans {
   def lloyd(prepared: DataFrame, k: Int, iters: Int, dim: Int = 64,
       idCol: String = "vec_id"): Seq[(Int, Seq[Long])] = {
     graft.functions.GraftFunctions.register(prepared.sparkSession)
+    // the loop runs 1 + iters actions over `vecs` (seed collect, then one
+    // update collect per round) — cache it once instead of re-deriving the
+    // quantized vectors from the source scan every action
     val vecs = withQq(prepared, idCol)
+    vecs.persist()
 
     // seeds: k lowest ids, cluster = rank-1
     var centroids: Seq[(Int, Seq[Long])] =
@@ -82,15 +96,18 @@ object KMeans {
           cid -> (0 until dim).map(d => m(d))
       }.sortBy(_._1)
     }
+    vecs.unpersist()
     centroids
   }
 
   /** @param prepared frame from [[Similarity.prepare]] (id, qe, …)
     * @return (idCol, cluster) assignment after `iters` Lloyd iterations. */
   def assign(prepared: DataFrame, k: Int, iters: Int, dim: Int = 64,
-      idCol: String = "vec_id"): DataFrame =
+      idCol: String = "vec_id"): DataFrame = {
+    ensureCached(prepared) // shared by the Lloyd loop AND the final assignment
     assignmentUnder(withQq(prepared, idCol), lloyd(prepared, k, iters, dim, idCol),
       idCol).select(col(idCol), col("cluster"))
+  }
 
   /** DuckDB twin: the same seeds/iterations/rounding unrolled as SQL. Kept
     * here (not in the oracle file) so the iteration logic and its SQL twin

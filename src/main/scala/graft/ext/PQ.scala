@@ -37,16 +37,28 @@ object PQ {
   def trainCodebooks(prepared: DataFrame, m: Int, ksub: Int, iters: Int,
       dim: Int = Similarity.DefaultDim,
       idCol: String = "vec_id"): Seq[Seq[(Int, Seq[Long])]] = {
+    // m independent Lloyd loops all slice the same prepared frame — cache
+    // it once so the m·(1+iters) training actions re-derive slices from
+    // memory, not from the source scan. Ownership-guarded: when an outer
+    // composition (encode/adcTopK/pqRecall) already cached it, keep theirs.
+    val mine = KMeans.ensureCached(prepared)
     val sub = dim / m
-    (0 until m).map(s =>
+    val books = (0 until m).map(s =>
       KMeans.lloyd(sliceFrame(prepared, s, sub, idCol), ksub, iters, sub, idCol))
+    if (mine) prepared.unpersist()
+    books
   }
 
   /** PQ-encode every vector: (idCol, code_0 … code_{m-1}). */
   def encode(prepared: DataFrame, m: Int, ksub: Int, iters: Int,
-      dim: Int = Similarity.DefaultDim, idCol: String = "vec_id"): DataFrame =
+      dim: Int = Similarity.DefaultDim, idCol: String = "vec_id"): DataFrame = {
+    // cached for training AND the m encode branches below (the returned
+    // frame keeps the reference; the context cleaner reaps the metadata-
+    // sized cache once it becomes unreachable)
+    KMeans.ensureCached(prepared)
     encodeUnder(prepared, trainCodebooks(prepared, m, ksub, iters, dim, idCol),
       dim, idCol)
+  }
 
   private def encodeUnder(prepared: DataFrame,
       codebooks: Seq[Seq[(Int, Seq[Long])]], dim: Int, idCol: String): DataFrame = {
@@ -68,6 +80,7 @@ object PQ {
       idCol: String = "vec_id"): DataFrame = {
     val spark = prepared.sparkSession
     val sub = dim / m
+    KMeans.ensureCached(prepared) // training + encode + LUT all slice it
     val codebooks = trainCodebooks(prepared, m, ksub, iters, dim, idCol)
     val encoded = encodeUnder(prepared, codebooks, dim, idCol)
 
@@ -102,7 +115,10 @@ object PQ {
   def l2TopK(prepared: DataFrame, k: Int, sampleMod: Int,
       idCol: String = "vec_id"): DataFrame = {
     val vecs = KMeans.withQq(prepared.select(col(idCol), col("qe")), idCol)
-    val pairs = vecs.filter(col(idCol) % sampleMod === 0).as("x")
+    // the sampled query side is 1/sampleMod of the corpus — broadcast it
+    // EXPLICITLY (over a cached input the optimizer's size estimate loses
+    // the filter selectivity and can flip to streaming the big side)
+    val pairs = broadcast(vecs.filter(col(idCol) % sampleMod === 0)).as("x")
       .join(vecs.as("y"), col(s"x.$idCol") =!= col(s"y.$idCol"))
       .select(col(s"x.$idCol").as("query_id"), col(s"y.$idCol").as("neighbor_id"),
         (col("x.qq") - lit(2L) * expr("array_dot_long(x.qe, y.qe)") + col("y.qq"))
@@ -119,6 +135,7 @@ object PQ {
   def pqRecall(prepared: DataFrame, m: Int, ksub: Int, iters: Int, k: Int,
       sampleMod: Int, dim: Int = Similarity.DefaultDim,
       idCol: String = "vec_id"): DataFrame = {
+    KMeans.ensureCached(prepared) // shared by truth, training, ADC
     val truth = l2TopK(prepared, k, sampleMod, idCol)
       .select("query_id", "neighbor_id")
     val approx = adcTopK(prepared, m, ksub, iters, k, sampleMod, dim, idCol)
