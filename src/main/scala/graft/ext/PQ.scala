@@ -70,6 +70,31 @@ object PQ {
     }.reduce(_.join(_, Seq(idCol)))
   }
 
+  /** Per-query ADC lookup table: ‖q_s − c‖² for every (sampled query,
+    * subspace, code) — |Q| · m · ksub rows, metadata-sized, broadcastable. */
+  private def queryLut(prepared: DataFrame, codebooks: Seq[Seq[(Int, Seq[Long])]],
+      sampleMod: Int, dim: Int, idCol: String): DataFrame = {
+    val spark = prepared.sparkSession
+    val sub = dim / codebooks.size
+    codebooks.zipWithIndex.map { case (cb, s) =>
+      KMeans.withQq(
+          sliceFrame(prepared.filter(col(idCol) % sampleMod === 0), s, sub, idCol),
+          idCol)
+        .crossJoin(broadcast(KMeans.centroidDf(spark, cb)))
+        .select(col(idCol).as("query_id"), lit(s).as("s"), col("cluster").as("code"),
+          (col("qq") - lit(2L) * expr("array_dot_long(qe, c)") + col("cc")).as("d"))
+    }.reduce(_.unionByName(_))
+  }
+
+  /** Encoded corpus in long form: (neighbor_id, s, code) — m rows/vector. */
+  private def codesLong(encoded: DataFrame, m: Int, idCol: String): DataFrame = {
+    val codeStructs = (0 until m).map(s =>
+      struct(lit(s).as("s"), col(s"code_$s").as("code")))
+    encoded
+      .select(col(idCol).as("neighbor_id"), explode(array(codeStructs: _*)).as("c"))
+      .select(col("neighbor_id"), col("c.s").as("s"), col("c.code").as("code"))
+  }
+
   /** ADC top-k: approximate nearest neighbors of the sampled query side
     * (`idCol % sampleMod == 0`) over the PQ-encoded corpus. Distances are
     * exact integer sums of per-subspace ‖q_s − c_code‖² (the quantization
@@ -78,32 +103,65 @@ object PQ {
   def adcTopK(prepared: DataFrame, m: Int, ksub: Int, iters: Int, k: Int,
       sampleMod: Int, dim: Int = Similarity.DefaultDim,
       idCol: String = "vec_id"): DataFrame = {
-    val spark = prepared.sparkSession
-    val sub = dim / m
     KMeans.ensureCached(prepared) // training + encode + LUT all slice it
     val codebooks = trainCodebooks(prepared, m, ksub, iters, dim, idCol)
-    val encoded = encodeUnder(prepared, codebooks, dim, idCol)
-
-    // query-side lookup table: |Q| · m · ksub rows (metadata-sized)
-    val lut = codebooks.zipWithIndex.map { case (cb, s) =>
-      KMeans.withQq(
-          sliceFrame(prepared.filter(col(idCol) % sampleMod === 0), s, sub, idCol),
-          idCol)
-        .crossJoin(broadcast(KMeans.centroidDf(spark, cb)))
-        .select(col(idCol).as("query_id"), lit(s).as("s"), col("cluster").as("code"),
-          (col("qq") - lit(2L) * expr("array_dot_long(qe, c)") + col("cc")).as("d"))
-    }.reduce(_.unionByName(_))
-
-    val codeStructs = (0 until m).map(s =>
-      struct(lit(s).as("s"), col(s"code_$s").as("code")))
-    val codes = encoded
-      .select(col(idCol).as("neighbor_id"), explode(array(codeStructs: _*)).as("c"))
-      .select(col("neighbor_id"), col("c.s").as("s"), col("c.code").as("code"))
+    val codes = codesLong(encodeUnder(prepared, codebooks, dim, idCol), m, idCol)
+    val lut = queryLut(prepared, codebooks, sampleMod, dim, idCol)
 
     val w = Window.partitionBy("query_id").orderBy(col("adist").asc, col("neighbor_id").asc)
     codes.join(broadcast(lut), Seq("s", "code"))
       .groupBy("query_id", "neighbor_id").agg(sum(col("d")).as("adist"))
       .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id")
+  }
+
+  /** IVF-ADC top-k (the FAISS IVFADC composition): a full-dim coarse
+    * k-means quantizer assigns every corpus vector to one of `kCoarse`
+    * inverted lists; a query scores ONLY the vectors in its `nProbe`
+    * nearest lists, via the same PQ/ADC table lookups as [[adcTopK]].
+    *
+    * This is the shape that survives 100 TB: plain ADC still touches every
+    * corpus code per query (corpus·m·|Q| intermediate rows); IVF cuts that
+    * by ~nProbe/kCoarse at the cost of pruning loss that [[ivfPqRecall]]
+    * measures. Plan shape: the cell attaches to the codes with ONE
+    * id-keyed corpus join (in a stored deployment codes+cell persist
+    * together and this join disappears); the probe list (|Q|·nProbe rows)
+    * and the LUT broadcast — the corpus never shuffles on anything but its
+    * own id, and nothing is ever corpus².
+    *
+    * Codebooks quantize raw vectors, not residuals: residual PQ would need
+    * per-cell codebooks (kCoarse· the training state) for recall this
+    * corpus doesn't need — and raw-vector codes keep the oracle replay
+    * identical to [[adcTopK]]'s. */
+  def ivfAdcTopK(prepared: DataFrame, kCoarse: Int, nProbe: Int, m: Int,
+      ksub: Int, iters: Int, k: Int, sampleMod: Int,
+      dim: Int = Similarity.DefaultDim, idCol: String = "vec_id"): DataFrame = {
+    val spark = prepared.sparkSession
+    KMeans.ensureCached(prepared) // coarse + m subspace trainings + LUT
+    val coarse = KMeans.lloyd(prepared, kCoarse, iters, dim, idCol)
+    // inverted lists: every corpus vector's nearest coarse centroid
+    val lists = KMeans.assignmentUnder(KMeans.withQq(prepared, idCol), coarse, idCol)
+      .select(col(idCol).as("neighbor_id"), col("cluster"))
+    // probe set: each sampled query's nProbe nearest cells (ties by cluster)
+    val wp = Window.partitionBy(col(idCol)).orderBy(col("dist"), col("cluster"))
+    val probes = KMeans.withQq(prepared.filter(col(idCol) % sampleMod === 0), idCol)
+      .crossJoin(broadcast(KMeans.centroidDf(spark, coarse)))
+      .withColumn("dist",
+        col("qq") - lit(2L) * expr("array_dot_long(qe, c)") + col("cc"))
+      .withColumn("rn", row_number().over(wp)).filter(col("rn") <= nProbe)
+      .select(col(idCol).as("query_id"), col("cluster"))
+
+    val codebooks = trainCodebooks(prepared, m, ksub, iters, dim, idCol)
+    val codes = codesLong(encodeUnder(prepared, codebooks, dim, idCol), m, idCol)
+    val lut = queryLut(prepared, codebooks, sampleMod, dim, idCol)
+
+    val w = Window.partitionBy("query_id").orderBy(col("adist").asc, col("neighbor_id").asc)
+    codes.join(lists, Seq("neighbor_id"))         // attach the cell (id-keyed)
+      .join(broadcast(probes), Seq("cluster"))    // IVF prune: probed cells only
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .join(broadcast(lut), Seq("query_id", "s", "code"))
+      .groupBy("query_id", "neighbor_id").agg(sum(col("d")).as("adist"))
       .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
       .select("query_id", "rank", "neighbor_id")
   }
@@ -148,17 +206,37 @@ object PQ {
           .cast("long").as("recall_millis"))
   }
 
+  /** Measured IVF-ADC recall against the same exact-L2 ground truth as
+    * [[pqRecall]] — the delta between the two numbers is the PRUNING loss
+    * the inverted lists add on top of PQ's quantization loss. */
+  def ivfPqRecall(prepared: DataFrame, kCoarse: Int, nProbe: Int, m: Int,
+      ksub: Int, iters: Int, k: Int, sampleMod: Int,
+      dim: Int = Similarity.DefaultDim, idCol: String = "vec_id"): DataFrame = {
+    KMeans.ensureCached(prepared) // shared by truth, coarse, training, ADC
+    val truth = l2TopK(prepared, k, sampleMod, idCol)
+      .select("query_id", "neighbor_id")
+    val approx = ivfAdcTopK(prepared, kCoarse, nProbe, m, ksub, iters, k,
+      sampleMod, dim, idCol).select("query_id", "neighbor_id")
+    val hits = truth.join(approx, Seq("query_id", "neighbor_id"), "left_semi")
+    truth.agg(count(lit(1)).as("n_true"))
+      .crossJoin(hits.agg(count(lit(1)).as("n_hit")))
+      .select(col("n_true"), col("n_hit"),
+        floor(col("n_hit") * lit(1000.0) / greatest(col("n_true"), lit(1L)))
+          .cast("long").as("recall_millis"))
+  }
+
   // ---------------------------------------------------------------- oracle
 
-  /** Unrolled per-subspace integer Lloyd as DuckDB CTEs — the [[KMeans
-    * .oracleSql]] iteration body parameterized by a subspace slice. Emits,
-    * for prefix `sN`: `sNn` (the slice), `sNc0…sNc{iters}` (centroids) —
-    * assignment under `sNc{iters}` is the final code. Shares the global
-    * `n` CTE (quantized full vectors). */
-  private def subspaceCtes(s: Int, sub: Int, ksub: Int, iters: Int): String = {
-    val p = s"s$s"
-    val lo = s * sub + 1
-    val hi = (s + 1) * sub
+  /** Unrolled integer Lloyd over a vector slice as DuckDB CTEs — the
+    * [[KMeans.oracleSql]] iteration body parameterized by (prefix, slice).
+    * Emits, for prefix `p`: `p` (the slice), `pc0…pc{iters}` (centroids),
+    * `pcode` (final assignment = the code / inverted-list cell). Shares the
+    * global `n` CTE (quantized full vectors). PQ subspaces use prefix
+    * `s0…s{m-1}`; the IVF coarse quantizer uses prefix `g` over the full
+    * vector (lo=1, sub=dim). */
+  private def sliceCtes(p: String, lo: Int, sub: Int, ksub: Int,
+      iters: Int): String = {
+    val hi = lo + sub - 1
     val sb = new StringBuilder
     sb.append(s"""$p AS (SELECT vec_id, qe[$lo:$hi] AS qe FROM n),
 ${p}c0 AS (
@@ -201,7 +279,8 @@ ${p}c0 AS (
   SELECT vec_id,
     list_transform(embedding, x -> CAST(floor(x * 1048576 + 0.5) AS BIGINT)) AS qe
   FROM embeddings),
-""" + (0 until m).map(s => subspaceCtes(s, sub, ksub, iters)).mkString(",\n")
+""" + (0 until m).map(s => sliceCtes(s"s$s", s * sub + 1, sub, ksub, iters))
+      .mkString(",\n")
   }
 
   /** DuckDB twin of [[encode]]: (vec_id, code_0 … code_{m-1}). */
@@ -212,32 +291,24 @@ ${p}c0 AS (
 SELECT n.vec_id, ${(0 until m).map(s => s"s${s}code.code AS code_$s").mkString(", ")}
 FROM n ${(0 until m).map(s => s"JOIN s${s}code ON s${s}code.vec_id = n.vec_id").mkString(" ")}"""
 
-  /** DuckDB twin of [[pqRecall]]: the identical LUT/ADC/top-k replayed in
-    * SQL against the identical brute-force cosine ground truth. */
-  def recallOracleSql(m: Int, ksub: Int, iters: Int, k: Int, sampleMod: Int,
-      dim: Int = Similarity.DefaultDim): String = {
-    val sub = dim / m
-    val luts = (0 until m).map { s =>
+  /** `lut` CTE body: per-query per-subspace distances to every code. */
+  private def lutSql(m: Int, sub: Int, iters: Int, sampleMod: Int): String =
+    (0 until m).map { s =>
       s"""SELECT v.vec_id AS query_id, $s AS s, c.cluster AS code,
   list_sum(list_transform(range($sub), i -> (v.qe[i+1] - c.c[i+1]) * (v.qe[i+1] - c.c[i+1]))) AS d
 FROM s$s v, s${s}c$iters c WHERE v.vec_id % $sampleMod = 0"""
     }.mkString("\nUNION ALL\n")
-    val codesLong = (0 until m).map(s =>
+
+  /** `codes_long` CTE body: the encoded corpus, m rows per vector. */
+  private def codesLongSql(m: Int): String =
+    (0 until m).map(s =>
       s"SELECT vec_id AS neighbor_id, $s AS s, code FROM s${s}code")
       .mkString("\nUNION ALL\n")
-    prefixSql(m, ksub, iters, dim) +
-      s""",
-lut AS ($luts),
-codes_long AS ($codesLong),
-adc AS (
-  SELECT query_id, rank, neighbor_id FROM (
-    SELECT l.query_id, c.neighbor_id,
-      row_number() OVER (PARTITION BY l.query_id
-        ORDER BY sum(l.d) ASC, c.neighbor_id ASC) AS rank
-    FROM codes_long c JOIN lut l ON l.s = c.s AND l.code = c.code
-    WHERE l.query_id <> c.neighbor_id
-    GROUP BY l.query_id, c.neighbor_id) WHERE rank <= $k),
-truth AS (
+
+  /** Exact-L2 `truth` + `hit` CTEs and the final recall projection. */
+  private def recallTailSql(k: Int, sampleMod: Int, dim: Int,
+      approxCte: String): String =
+    s"""truth AS (
   SELECT query_id, neighbor_id FROM (
     SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
       row_number() OVER (PARTITION BY a.vec_id ORDER BY
@@ -247,10 +318,76 @@ truth AS (
     FROM n a JOIN n b ON a.vec_id % $sampleMod = 0 AND a.vec_id <> b.vec_id)
   WHERE rank <= $k),
 hit AS (SELECT t.query_id FROM truth t
-        JOIN adc a ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id)
+        JOIN $approxCte a ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id)
 SELECT (SELECT COUNT(*) FROM truth) AS n_true,
   (SELECT COUNT(*) FROM hit) AS n_hit,
   CAST(floor((SELECT COUNT(*) FROM hit) * 1000.0
     / greatest((SELECT COUNT(*) FROM truth), 1)) AS BIGINT) AS recall_millis"""
+
+  /** DuckDB twin of [[pqRecall]]: the identical LUT/ADC/top-k replayed in
+    * SQL against the identical brute-force L2 ground truth. */
+  def recallOracleSql(m: Int, ksub: Int, iters: Int, k: Int, sampleMod: Int,
+      dim: Int = Similarity.DefaultDim): String = {
+    val sub = dim / m
+    prefixSql(m, ksub, iters, dim) +
+      s""",
+lut AS (${lutSql(m, sub, iters, sampleMod)}),
+codes_long AS (${codesLongSql(m)}),
+adc AS (
+  SELECT query_id, rank, neighbor_id FROM (
+    SELECT l.query_id, c.neighbor_id,
+      row_number() OVER (PARTITION BY l.query_id
+        ORDER BY sum(l.d) ASC, c.neighbor_id ASC) AS rank
+    FROM codes_long c JOIN lut l ON l.s = c.s AND l.code = c.code
+    WHERE l.query_id <> c.neighbor_id
+    GROUP BY l.query_id, c.neighbor_id) WHERE rank <= $k),
+""" + recallTailSql(k, sampleMod, dim, "adc")
   }
+
+  /** Shared CTE chain for the IVF-ADC twins: the PQ prefix, the coarse
+    * quantizer (prefix `g`, full-dim `sliceCtes` — `gcode` IS the inverted
+    * lists), each query's `nProbe` nearest cells, and the pruned ADC top-k. */
+  private def ivfAdcCtes(kCoarse: Int, nProbe: Int, m: Int, ksub: Int,
+      iters: Int, k: Int, sampleMod: Int, dim: Int): String = {
+    val sub = dim / m
+    prefixSql(m, ksub, iters, dim) + ",\n" +
+      sliceCtes("g", 1, dim, kCoarse, iters) +
+      s""",
+probes AS (
+  SELECT vec_id AS query_id, cluster FROM (
+    SELECT v.vec_id, c.cluster,
+      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+        list_sum(list_transform(range($dim), i -> (v.qe[i+1] - c.c[i+1]) * (v.qe[i+1] - c.c[i+1]))),
+        c.cluster) AS rn
+    FROM g v, gc$iters c WHERE v.vec_id % $sampleMod = 0) WHERE rn <= $nProbe),
+cand AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id
+  FROM probes p JOIN gcode a ON a.code = p.cluster
+  WHERE a.vec_id <> p.query_id),
+lut AS (${lutSql(m, sub, iters, sampleMod)}),
+codes_long AS (${codesLongSql(m)}),
+adc AS (
+  SELECT query_id, rank, neighbor_id FROM (
+    SELECT cd.query_id, cd.neighbor_id,
+      row_number() OVER (PARTITION BY cd.query_id
+        ORDER BY sum(l.d) ASC, cd.neighbor_id ASC) AS rank
+    FROM cand cd
+    JOIN codes_long c ON c.neighbor_id = cd.neighbor_id
+    JOIN lut l ON l.query_id = cd.query_id AND l.s = c.s AND l.code = c.code
+    GROUP BY cd.query_id, cd.neighbor_id) WHERE rank <= $k)"""
+  }
+
+  /** DuckDB twin of [[ivfAdcTopK]]: (query_id, rank, neighbor_id). */
+  def ivfTopKOracleSql(kCoarse: Int, nProbe: Int, m: Int, ksub: Int,
+      iters: Int, k: Int, sampleMod: Int,
+      dim: Int = Similarity.DefaultDim): String =
+    ivfAdcCtes(kCoarse, nProbe, m, ksub, iters, k, sampleMod, dim) +
+      "\nSELECT query_id, rank, neighbor_id FROM adc"
+
+  /** DuckDB twin of [[ivfPqRecall]]. */
+  def ivfRecallOracleSql(kCoarse: Int, nProbe: Int, m: Int, ksub: Int,
+      iters: Int, k: Int, sampleMod: Int,
+      dim: Int = Similarity.DefaultDim): String =
+    ivfAdcCtes(kCoarse, nProbe, m, ksub, iters, k, sampleMod, dim) + ",\n" +
+      recallTailSql(k, sampleMod, dim, "adc")
 }

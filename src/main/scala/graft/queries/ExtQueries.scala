@@ -118,6 +118,22 @@ object ExtQueries {
       PQ.pqRecall(Similarity.prepare(embs(s, d), "vec_id", "embedding"),
         m = 8, ksub = 32, iters = 3, k = 5, sampleMod = 40)),
 
+    // ---- IVF-ADC composite (the FAISS IVFADC shape): a coarse k-means
+    // quantizer prunes each query to its nProbe nearest inverted lists,
+    // ADC scores only those candidates — per-query work drops ~nProbe/
+    // kCoarse vs q_pq_recall's full-corpus ADC ----
+    "q_sim_ivfpq" -> ((s, d) =>
+      PQ.ivfAdcTopK(Similarity.prepare(embs(s, d), "vec_id", "embedding"),
+        kCoarse = 8, nProbe = 2, m = 8, ksub = 32, iters = 3, k = 5,
+        sampleMod = 40)),
+
+    // ---- measured IVF-ADC recall vs the same exact-L2 truth — the delta
+    // against q_pq_recall isolates the list-pruning loss ----
+    "q_ivfpq_recall" -> ((s, d) =>
+      PQ.ivfPqRecall(Similarity.prepare(embs(s, d), "vec_id", "embedding"),
+        kCoarse = 8, nProbe = 2, m = 8, ksub = 32, iters = 3, k = 5,
+        sampleMod = 40)),
+
     // ---- SQ8 scalar quantization: 8-bit-per-dimension codes against the
     // corpus per-dim [min,max] (4× compression, no codebook training) —
     // the whole code vector pinned per id via checksum ----
@@ -601,6 +617,12 @@ FROM exact e LEFT JOIN (SELECT source, h FROM ranked WHERE rn = 64) r
 
     "q_pq_recall" -> PQ.recallOracleSql(m = 8, ksub = 32, iters = 3, k = 5,
       sampleMod = 40),
+
+    "q_sim_ivfpq" -> PQ.ivfTopKOracleSql(kCoarse = 8, nProbe = 2, m = 8,
+      ksub = 32, iters = 3, k = 5, sampleMod = 40),
+
+    "q_ivfpq_recall" -> PQ.ivfRecallOracleSql(kCoarse = 8, nProbe = 2, m = 8,
+      ksub = 32, iters = 3, k = 5, sampleMod = 40),
 
     "q_sim_sq8" -> SQ8.encodeOracleSql(),
 

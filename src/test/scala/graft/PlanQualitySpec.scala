@@ -190,6 +190,28 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(df.count() > 0)
   }
 
+  test("IVF-ADC: probe list and LUT broadcast; the corpus shuffles only on " +
+      "its own id — no cartesian, never corpus-squared") {
+    val prep = graft.ext.Similarity.prepare(
+      spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet"),
+      "vec_id", "embedding")
+    val df = graft.ext.PQ.ivfAdcTopK(prep, kCoarse = 4, nProbe = 2, m = 4,
+      ksub = 8, iters = 1, k = 3, sampleMod = 40)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      "probe/LUT joins must broadcast:\n" + plan.take(2000))
+    assert(!plan.contains("CartesianProduct"),
+      "no all-pairs join anywhere in the IVF-ADC plan")
+    val n = df.count()
+    assert(n > 0)
+    // pruning can only shrink a query's candidate pool, never grow the
+    // result set past the unpruned ADC's (both cap at |Q|·k)
+    val full = graft.ext.PQ.adcTopK(prep, m = 4, ksub = 8, iters = 1, k = 3,
+      sampleMod = 40)
+    assert(n <= full.count(),
+      "IVF output cannot exceed the unpruned ADC output")
+  }
+
   test("decontamination broadcasts the benchmark shingles — the corpus " +
       "side probes in-memory, never shuffles against the held-out set") {
     val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
