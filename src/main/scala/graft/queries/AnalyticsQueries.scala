@@ -97,6 +97,31 @@ object AnalyticsQueries {
         .agg(sum(units(col("l_quantity"), 1.0)))
         .withColumnRenamed("F", "qty_f").withColumnRenamed("O", "qty_o")),
 
+    // Salted two-phase aggregation over the schema's hottest key
+    // (l_returnflag: 3 values across all of lineitem — the shape where one
+    // reducer would otherwise own a third of the table). Result identical
+    // to the direct groupBy; the salt only respreads the partials.
+    "q_skew_salted_agg" -> ((s, d) => {
+      val li = s.read.parquet(s"$d/lineitem.parquet")
+      graft.ext.Skew.saltedCount(li, "l_returnflag")
+        .join(graft.ext.Skew.saltedSum(li, "l_returnflag", "l_linenumber"),
+          Seq("l_returnflag"))
+        .select(col("l_returnflag"), col("n"), col("total"))
+    }),
+
+    // Salted replicated-dimension join (explicit, no AQE reliance): the
+    // fact side salts deterministically, the dim replicates salts×, the
+    // join key becomes (key, salt) — row-identical to the plain join.
+    "q_skew_salted_join" -> ((s, d) => {
+      val li = s.read.parquet(s"$d/lineitem.parquet")
+        .select(col("l_suppkey"), col("l_linenumber"))
+      val sup = s.read.parquet(s"$d/supplier.parquet")
+        .select(col("s_suppkey").as("l_suppkey"), col("s_nationkey"))
+      graft.ext.Skew.saltedJoinSmall(li, sup, "l_suppkey")
+        .groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).as("n"), sum(col("l_linenumber")).as("total"))
+    }),
+
     // Sessionization: 30-minute inactivity gap splits sessions per user
     "q_events_sessions" -> ((s, d) => {
       val ev = EventsSource.load(s, d)
@@ -111,6 +136,17 @@ object AnalyticsQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_skew_salted_agg" -> """SELECT l_returnflag,
+  CAST(count(*) AS BIGINT) AS n,
+  CAST(sum(l_linenumber) AS BIGINT) AS total
+FROM lineitem GROUP BY l_returnflag""",
+
+    "q_skew_salted_join" -> """SELECT s_nationkey,
+  CAST(count(*) AS BIGINT) AS n,
+  CAST(sum(l.l_linenumber) AS BIGINT) AS total
+FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+GROUP BY s_nationkey""",
+
     "q_agg_pricing" -> """SELECT l_returnflag, l_linestatus,
   CAST(CAST(sum(CAST(floor(l_quantity * 1.0 + 0.5) AS BIGINT)) AS BIGINT) AS DOUBLE) AS sum_qty,
   CAST(sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT) / 100.0 AS sum_base_price,

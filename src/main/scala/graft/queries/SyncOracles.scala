@@ -183,6 +183,35 @@ FROM (SELECT max(SysRowVersion) AS max_src_version, min(RecId) AS min_src_recid,
     "q_lake_skip" -> (prefix + s"""SELECT $outCols FROM src
 WHERE RecId BETWEEN ${graft.sync.SyncFixtures.SkipLo} AND ${graft.sync.SyncFixtures.SkipHi}"""),
 
+    // maintained counts ≡ direct counts over the final replayed state:
+    // (tgt minus upserted keys minus band keys) ∪ (upserts outside the band)
+    "q_cdf_maintain" -> (prefix + s"""SELECT l_returnflag,
+  CAST(count(*) AS BIGINT) AS n
+FROM (
+  SELECT l_returnflag FROM tgt
+  WHERE RecId NOT IN (SELECT RecId FROM src WHERE RecId % 20 = 3)
+    AND RecId NOT IN (SELECT RecId FROM src
+                      WHERE RecId BETWEEN ${graft.sync.SyncFixtures.SkipLo}
+                                      AND ${graft.sync.SyncFixtures.SkipHi})
+  UNION ALL
+  SELECT l_returnflag FROM src
+  WHERE RecId % 20 = 3
+    AND RecId NOT BETWEEN ${graft.sync.SyncFixtures.SkipLo}
+                      AND ${graft.sync.SyncFixtures.SkipHi}
+) GROUP BY l_returnflag"""),
+
+    // change-data feed: commit 0 upserts the changed band (tombstone +
+    // payload re-insert per key), commit 1 tombstones the skip band —
+    // the feed is exactly those events, deletes key-only
+    "q_lake_cdf" -> (prefix + s"""SELECT $outCols, 'insert' AS _op, 0 AS _seq
+FROM src WHERE RecId % 20 = 3
+UNION ALL
+SELECT RecId, NULL, NULL, NULL, NULL, NULL, 'delete', 0
+FROM src WHERE RecId % 20 = 3
+UNION ALL
+SELECT RecId, NULL, NULL, NULL, NULL, NULL, 'delete', 1
+FROM src WHERE RecId BETWEEN ${graft.sync.SyncFixtures.SkipLo} AND ${graft.sync.SyncFixtures.SkipHi}"""),
+
     // Standard (J1-classified) merge: UNCHANGED keys keep the TARGET row —
     // J1 compares RECVERSION/datetimes, not SysRowVersion, so a target row
     // with a local version bump but equal comparison columns survives

@@ -211,6 +211,53 @@ object SyncQueries {
       LakeTable.readAtTimestamp(s, dir, asOfMs = 1500L)
     }),
 
+    // change-data feed: the commit log AS a queryable event stream — an
+    // upsert commit (changed band deleted+re-inserted) then a band-delete
+    // commit; the feed is exactly those events tagged (_op, _seq), the
+    // O(changes) path a downstream consumer tails instead of re-scanning
+    "q_lake_cdf" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft_lake_q").toString + "/t"
+      val src = slim(SyncFixtures.source(s, d))
+      val tgt = slim(SyncFixtures.target(s, d))
+      LakeTable.overwrite(tgt, dir)
+      val changed = src.filter(col("RecId") % 20 === 3)
+      LakeTable.appendCommit(
+        Apply.ChangeSet(changed.select("RecId"), changed, changed.select("RecId")),
+        dir, nowMs = 1000L)
+      val delBand = src
+        .filter(col("RecId").between(SyncFixtures.SkipLo, SyncFixtures.SkipHi))
+        .select("RecId")
+      LakeTable.appendCommit(
+        Apply.ChangeSet(delBand, src.filter(lit(false)), delBand), dir, nowMs = 2000L)
+      val fromSeq = LakeTable.resolve(dir).get._2
+      LakeTable.changes(s, dir, fromSeq)
+        .withColumn("_seq", col("_seq") - lit(fromSeq)) // pointer-relative
+    }),
+
+    // incremental view maintenance over the change feed: the base's
+    // per-group counts advanced by the two commits' events (tombstone
+    // pre-images resolved from the window-local timeline) must equal a
+    // direct aggregate of the final replayed state — the O(changes) path
+    // a 100 TB derived table maintains instead of re-scanning
+    "q_cdf_maintain" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft_lake_q").toString + "/t"
+      val src = slim(SyncFixtures.source(s, d))
+      val tgt = slim(SyncFixtures.target(s, d))
+      LakeTable.overwrite(tgt, dir)
+      val changed = src.filter(col("RecId") % 20 === 3)
+      LakeTable.appendCommit(
+        Apply.ChangeSet(changed.select("RecId"), changed, changed.select("RecId")),
+        dir, nowMs = 1000L)
+      val delBand = src
+        .filter(col("RecId").between(SyncFixtures.SkipLo, SyncFixtures.SkipHi))
+        .select("RecId")
+      LakeTable.appendCommit(
+        Apply.ChangeSet(delBand, src.filter(lit(false)), delBand), dir, nowMs = 2000L)
+      val fromSeq = LakeTable.resolve(dir).get._2
+      Maintain.counts(tgt, LakeTable.changes(s, dir, fromSeq),
+        "RecId", "l_returnflag")
+    }),
+
     // commit-level data skipping: a key-range read of the logged table —
     // disjoint commits never enter the plan, the range predicate reaches
     // every surviving parquet scan, and the result is provably the plain

@@ -1,6 +1,7 @@
 package graft.sync
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, lit}
 
 /** Minimal versioned lake-table layout: base snapshot + changeset log +
   * an atomically-swapped pointer file.
@@ -167,6 +168,46 @@ object LakeTable {
           .lastOption.map(_._1).getOrElse(fromSeq - 1)
         ChangeLog.replay(spark, base, logDir(table), keyCol, fromSeq,
           keyRange = None, toSeq = toSeq)
+      case None =>
+        throw new IllegalArgumentException(s"lake table does not exist: $table")
+    }
+
+  /** Change-data feed (Delta CDF analog): the logged change EVENTS of
+    * commits `fromSeq..toSeq`, one row per event — inserts carry the full
+    * payload (`_op = 'insert'`), deletes are key-only tombstones
+    * (`_op = 'delete'`, payload null-filled); `_seq` orders the feed
+    * (within a commit, deletes semantically precede inserts).
+    *
+    * This is what lets a downstream consumer (a derived aggregate, a search
+    * index, a replica) stay current in O(changes) instead of re-scanning
+    * the table: checkpoint the last consumed `_seq`, ask for `fromSeq =
+    * checkpoint + 1` on the next pass. A checkpoint older than the
+    * pointer's horizon throws out-of-retention — those commits are folded
+    * into the compacted base, so the events no longer exist individually
+    * and the consumer must re-seed from a snapshot [[read]] (the same
+    * contract Delta's CDF enforces at the retention boundary). */
+  def changes(spark: SparkSession, table: String, fromSeq: Int,
+      toSeq: Int = Int.MaxValue, keyCol: String = "RecId"): DataFrame =
+    resolve(table) match {
+      case Some((base, pointerSeq)) =>
+        if (fromSeq < pointerSeq)
+          throw new IllegalArgumentException(
+            s"changes from seq $fromSeq is out of retention: commits below " +
+              s"$pointerSeq are folded into the compacted base; re-seed from " +
+              "a snapshot read")
+        val log = logDir(table)
+        val seqs = ChangeLog.commitSeqs(log)
+          .filter(q => q >= fromSeq && q <= toSeq).sorted
+        if (seqs.isEmpty)
+          spark.read.parquet(base).limit(0)
+            .withColumn("_op", lit("")).withColumn("_seq", lit(0))
+        else seqs.map { q =>
+          val ins = spark.read.parquet(s"$log/$q/inserts")
+            .withColumn("_op", lit("insert")).withColumn("_seq", lit(q))
+          val del = spark.read.parquet(s"$log/$q/deletes").select(col(keyCol))
+            .withColumn("_op", lit("delete")).withColumn("_seq", lit(q))
+          ins.unionByName(del, allowMissingColumns = true)
+        }.reduce(_.unionByName(_, allowMissingColumns = true))
       case None =>
         throw new IllegalArgumentException(s"lake table does not exist: $table")
     }

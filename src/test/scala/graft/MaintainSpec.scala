@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sync.{Apply, LakeTable, Maintain}
+
+/** Incremental view maintenance over the change feed: the maintained
+  * aggregate must equal a direct aggregate of the replayed final state —
+  * including the tombstone edges a naive "join deletes to start state"
+  * gets wrong (double delete, delete of a never-present key, group
+  * migration via tombstone+reinsert, insert-then-delete inside the
+  * window).
+  */
+class MaintainSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def freshTable(): String =
+    java.nio.file.Files.createTempDirectory("graft_maintain").toString + "/t"
+
+  private def cs(deletes: Seq[Long], inserts: Seq[(Long, String)]): Apply.ChangeSet = {
+    val del = deletes.toDF("RecId")
+    val ins = inserts.toDF("RecId", "grp")
+    Apply.ChangeSet(del, ins, keyFlags = del)
+  }
+
+  private def directCounts(t: String): Map[String, Long] =
+    LakeTable.read(spark, t).groupBy("grp").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+  private def maintained(t: String, initial: Seq[(Long, String)]): Map[String, Long] = {
+    val fromSeq = LakeTable.resolve(t).get._2
+    Maintain.counts(initial.toDF("RecId", "grp"),
+        LakeTable.changes(spark, t, fromSeq), "RecId", "grp")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+  }
+
+  test("maintained counts equal the direct aggregate across the edge cases") {
+    val t = freshTable()
+    val initial = Seq(1L -> "a", 2L -> "a", 3L -> "b", 4L -> "b", 5L -> "c")
+    LakeTable.overwrite(initial.toDF("RecId", "grp"), t)
+
+    // commit 1: group migration (3: b→a as tombstone+reinsert), plain
+    // delete (5), delete of a never-present key (99), fresh insert (6: c)
+    LakeTable.appendCommit(cs(Seq(3L, 5L, 99L), Seq(3L -> "a", 6L -> "c")), t)
+    // commit 2: double delete of 5 (no-op — already absent), and
+    // insert-then-delete of 7 across commits 2..3
+    LakeTable.appendCommit(cs(Seq(5L), Seq(7L -> "b")), t)
+    // commit 3: delete 7 (pre-image is commit 2's insert, not start state);
+    // drain group c entirely (6) — c must drop out of the result
+    LakeTable.appendCommit(cs(Seq(7L, 6L), Seq.empty), t)
+
+    val expect = directCounts(t)
+    assert(expect == Map("a" -> 3L, "b" -> 1L)) // the scenario is nontrivial
+    assert(maintained(t, initial) == expect)
+  }
+
+  test("empty feed leaves the initial counts unchanged") {
+    val t = freshTable()
+    val initial = Seq(1L -> "a", 2L -> "b")
+    LakeTable.overwrite(initial.toDF("RecId", "grp"), t)
+    assert(maintained(t, initial) == Map("a" -> 1L, "b" -> 1L))
+  }
+}
