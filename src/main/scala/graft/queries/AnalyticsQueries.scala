@@ -97,6 +97,27 @@ object AnalyticsQueries {
         .agg(sum(units(col("l_quantity"), 1.0)))
         .withColumnRenamed("F", "qty_f").withColumnRenamed("O", "qty_o")),
 
+    // Bucketed co-located join: both sides pre-hashed on the join key at
+    // WRITE time, so the join AND the key-grouped aggregate read the
+    // co-located layout with zero exchanges (pinned in PlanQualitySpec) —
+    // pay the shuffle once per table, not once per query
+    "q_bucket_join" -> ((s, d) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_bucket").toString
+      val li = s.read.parquet(s"$d/lineitem.parquet")
+        .select(col("l_orderkey"), col("l_linenumber"))
+      val o = s.read.parquet(s"$d/orders.parquet")
+        .select(col("o_orderkey"), col("o_custkey"))
+      graft.sync.Bucketing.writeBucketed(li, "b_lineitem", 8,
+        keyCol = "l_orderkey", path = Some(s"$tmp/li"))
+      graft.sync.Bucketing.writeBucketed(o, "b_orders", 8,
+        keyCol = "o_orderkey", path = Some(s"$tmp/o"))
+      val bl = graft.sync.Bucketing.readBucketed(s, "b_lineitem")
+      val bo = graft.sync.Bucketing.readBucketed(s, "b_orders")
+      bl.join(bo, bl("l_orderkey") === bo("o_orderkey"))
+        .groupBy(col("l_orderkey"), col("o_custkey"))
+        .agg(count(lit(1)).as("n"), sum(col("l_linenumber")).as("total"))
+    }),
+
     // Salted two-phase aggregation over the schema's hottest key
     // (l_returnflag: 3 values across all of lineitem — the shape where one
     // reducer would otherwise own a third of the table). Result identical
@@ -136,6 +157,12 @@ object AnalyticsQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_bucket_join" -> """SELECT l_orderkey, o_custkey,
+  CAST(count(*) AS BIGINT) AS n,
+  CAST(sum(l_linenumber) AS BIGINT) AS total
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY l_orderkey, o_custkey""",
+
     "q_skew_salted_agg" -> """SELECT l_returnflag,
   CAST(count(*) AS BIGINT) AS n,
   CAST(sum(l_linenumber) AS BIGINT) AS total

@@ -17,15 +17,23 @@ object Bucketing {
 
   /** Write a frame as a bucketed+sorted managed table. Bucket count should
     * match the steady-state parallelism (and both sides of the repeated
-    * join must use the same count). */
+    * join must use the same count). `path` makes the table external (files
+    * at an explicit location instead of the session warehouse dir); the
+    * frame is pre-partitioned by the bucket key so each bucket is ONE file
+    * rather than one per (write task × bucket). */
   def writeBucketed(df: DataFrame, table: String, nBuckets: Int,
-      keyCol: String = "RecId"): Unit =
-    df.write
+      keyCol: String = "RecId", path: Option[String] = None): Unit = {
+    // an external table's registered path can't change across overwrites —
+    // and each caller hands a fresh temp dir — so re-register per write
+    if (path.isDefined) df.sparkSession.sql(s"DROP TABLE IF EXISTS $table")
+    val w = df.repartition(nBuckets, df(keyCol))
+      .write
       .mode(SaveMode.Overwrite)
       .bucketBy(nBuckets, keyCol)
       .sortBy(keyCol)
       .format("parquet")
-      .saveAsTable(table)
+    path.fold(w)(p => w.option("path", p)).saveAsTable(table)
+  }
 
   def readBucketed(spark: SparkSession, table: String): DataFrame =
     spark.table(table)

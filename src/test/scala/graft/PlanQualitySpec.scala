@@ -235,6 +235,34 @@ class PlanQualitySpec extends AnyFunSuite {
         "own token array):\n" + plan.take(2000))
   }
 
+  test("bucketed join feeding a bucket-key aggregate: zero exchanges end " +
+      "to end — the shuffle was paid once at write time") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_bucket_spec").toString
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_linenumber"))
+    val o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+      .select(col("o_orderkey"), col("o_custkey"))
+    graft.sync.Bucketing.writeBucketed(li, "b_li_spec", 4,
+      keyCol = "l_orderkey", path = Some(s"$tmp/li"))
+    graft.sync.Bucketing.writeBucketed(o, "b_o_spec", 4,
+      keyCol = "o_orderkey", path = Some(s"$tmp/o"))
+    // force the non-broadcast path: the claim is about the SHUFFLE join
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val bl = graft.sync.Bucketing.readBucketed(spark, "b_li_spec")
+      val bo = graft.sync.Bucketing.readBucketed(spark, "b_o_spec")
+      val df = bl.join(bo, bl("l_orderkey") === bo("o_orderkey"))
+        .groupBy(col("l_orderkey"), col("o_custkey"))
+        .agg(count(lit(1)).as("n"))
+      assert(df.count() > 0)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"),
+        "non-broadcast equi-join expected:\n" + plan.take(2000))
+      assert(!plan.contains("Exchange"),
+        "bucketed join + bucket-key aggregate must not shuffle:\n" + plan.take(3000))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+  }
+
   test("native array expressions participate in codegen (no Scala UDF nodes)") {
     val prep = graft.ext.Similarity.prepare(
       spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet"),
