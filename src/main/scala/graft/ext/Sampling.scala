@@ -44,6 +44,24 @@ object Sampling {
       .drop("_rn")
   }
 
+  /** Per-group cap keeping the BEST rows: the `n` rows of each group that
+    * sort first under `ordering` — "at most N documents per domain, keep
+    * the highest-quality ones", the corpus-balancing pass that stops one
+    * crawl domain from dominating a training mix. Same WindowGroupLimit
+    * shape as [[stratifiedSample]]: the bounded rank pushes a partial
+    * top-n below the exchange, so a 10-billion-row domain shuffles ~n rows
+    * per map partition, never the domain. Ordering must be total (add a
+    * key tiebreak) for a deterministic, oracle-replayable result. */
+  def capPerGroup(df: DataFrame, groupCol: Column, ordering: Seq[Column],
+      n: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol)
+      .orderBy(ordering: _*)
+    df.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= n)
+      .drop("_rn")
+  }
+
   /** Mixture weighting by replication: emit each row `weight` times
     * (0 drops the row), tagged with `copy_no` (1-based). Deterministic
     * upsampling for corpus mixing — the weight is data-derived (quality

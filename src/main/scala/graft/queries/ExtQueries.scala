@@ -190,6 +190,14 @@ object ExtQueries {
         col("w"))
         .select("doc_id", "w", "copy_no")),
 
+    // per-source cap keeping the BEST docs: at most 40 per source by
+    // quality (doc_id tiebreak) — the domain-balancing curation pass
+    "q_corpus_cap" -> ((s, d) =>
+      Sampling.capPerGroup(docs(s, d), col("source"),
+        Seq(TextAnalysis.qualityScore(col("text")).desc, col("doc_id").asc),
+        n = 15)
+        .select("doc_id", "source")),
+
     // ---- dedup clusters: pairwise near-dup verdicts → transitive
     // components (min-label propagation, 4 bounded rounds replayed
     // identically by the oracle) — the KEEP/DROP step of a dedup pass ----
@@ -436,6 +444,23 @@ cand AS (SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b,
   CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
     / len(string_split(text, ' ')) AS avg_token_len
 FROM documents""",
+
+    "q_corpus_cap" -> s"""WITH t AS (
+  SELECT doc_id, source,
+    CAST(len(string_split(text, ' ')) AS DOUBLE) AS n,
+    len(list_distinct(string_split(text, ' '))) AS nd,
+    len(list_filter(string_split(text, ' '), t -> t IN ($stopList))) AS nstop
+  FROM documents),
+q AS (
+  SELECT doc_id, source,
+    least(n / 100.0, 1.0) * 0.4 + (CAST(nd AS DOUBLE) / n) * 0.3
+      + least((CAST(nstop AS DOUBLE) / n) * 10.0, 1.0) * 0.3 AS quality
+  FROM t)
+SELECT doc_id, source FROM (
+  SELECT doc_id, source,
+    row_number() OVER (PARTITION BY source
+                       ORDER BY quality DESC, doc_id ASC) AS rn
+  FROM q) WHERE rn <= 15""",
 
     "q_text_quality" -> s"""WITH t AS (
   SELECT doc_id,
