@@ -200,6 +200,23 @@ FROM (
                       AND ${graft.sync.SyncFixtures.SkipHi}
 ) GROUP BY l_returnflag"""),
 
+    // sum twin of q_cdf_maintain over the same final state
+    "q_cdf_maintain_sum" -> (prefix + s"""SELECT l_returnflag,
+  CAST(count(*) AS BIGINT) AS n,
+  CAST(sum(RECVERSION) AS BIGINT) AS total
+FROM (
+  SELECT l_returnflag, RECVERSION FROM tgt
+  WHERE RecId NOT IN (SELECT RecId FROM src WHERE RecId % 20 = 3)
+    AND RecId NOT IN (SELECT RecId FROM src
+                      WHERE RecId BETWEEN ${graft.sync.SyncFixtures.SkipLo}
+                                      AND ${graft.sync.SyncFixtures.SkipHi})
+  UNION ALL
+  SELECT l_returnflag, RECVERSION FROM src
+  WHERE RecId % 20 = 3
+    AND RecId NOT BETWEEN ${graft.sync.SyncFixtures.SkipLo}
+                      AND ${graft.sync.SyncFixtures.SkipHi}
+) GROUP BY l_returnflag"""),
+
     // change-data feed: commit 0 upserts the changed band (tombstone +
     // payload re-insert per key), commit 1 tombstones the skip band —
     // the feed is exactly those events, deletes key-only

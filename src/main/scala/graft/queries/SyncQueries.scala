@@ -258,6 +258,28 @@ object SyncQueries {
         "RecId", "l_returnflag")
     }),
 
+    // sum-maintenance twin: the pre-image machinery also carries the
+    // deleted rows' VALUES, so per-group sums decrement exactly (RECVERSION
+    // flips 1→2 on the upserted band, so init ≠ final on both n and total)
+    "q_cdf_maintain_sum" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft_lake_q").toString + "/t"
+      val src = slim(SyncFixtures.source(s, d))
+      val tgt = slim(SyncFixtures.target(s, d))
+      LakeTable.overwrite(tgt, dir)
+      val changed = src.filter(col("RecId") % 20 === 3)
+      LakeTable.appendCommit(
+        Apply.ChangeSet(changed.select("RecId"), changed, changed.select("RecId")),
+        dir, nowMs = 1000L)
+      val delBand = src
+        .filter(col("RecId").between(SyncFixtures.SkipLo, SyncFixtures.SkipHi))
+        .select("RecId")
+      LakeTable.appendCommit(
+        Apply.ChangeSet(delBand, src.filter(lit(false)), delBand), dir, nowMs = 2000L)
+      val fromSeq = LakeTable.resolve(dir).get._2
+      Maintain.sums(tgt, LakeTable.changes(s, dir, fromSeq),
+        "RecId", "l_returnflag", "RECVERSION")
+    }),
+
     // commit-level data skipping: a key-range read of the logged table —
     // disjoint commits never enter the plan, the range predicate reaches
     // every surviving parquet scan, and the result is provably the plain

@@ -31,52 +31,89 @@ import org.apache.spark.sql.functions._
   */
 object Maintain {
 
+  /** The effective delete events of a feed window, resolved to their
+    * pre-image payloads `cols` — the shared machinery behind [[counts]] and
+    * [[sums]]. A delete's pre-image is the latest preceding version of its
+    * key (window-start state or an in-window insert); a delete whose
+    * preceding event is another delete is a no-op. */
+  private def effectiveDeletes(initialState: DataFrame, feed: DataFrame,
+      keyCol: String, cols: Seq[String]): DataFrame = {
+    val dels = feed.filter(col("_op") === "delete")
+      // within a commit deletes precede inserts: delete time 2s, insert 2s+1
+      .select(col(keyCol), (col("_seq").cast("long") * 2).as("_t"))
+    val ins = feed.filter(col("_op") === "insert")
+      .select(col(keyCol) +: cols.map(col) :+
+        (col("_seq").cast("long") * 2 + 1).as("_t"): _*)
+
+    // start-state rows enter the timeline only for keys the window deletes
+    // (semi-join prune: the delete-key set is feed-sized — broadcastable)
+    val touchedStart = initialState
+      .select(col(keyCol) +: cols.map(col): _*)
+      .join(broadcast(dels.select(keyCol).distinct), Seq(keyCol), "left_semi")
+      .withColumn("_t", lit(-1L))
+
+    // per-key event timeline: versions ('v' = a row exists from here) and
+    // deletes ('d'); a delete takes the latest preceding version's payload
+    val nulls = cols.map(c =>
+      lit(null).cast(initialState.schema(c).dataType).as(c))
+    val timeline = touchedStart.withColumn("_e", lit("v"))
+      .unionByName(ins.withColumn("_e", lit("v")))
+      .unionByName(dels.select(col(keyCol) +: nulls :+ col("_t"): _*)
+        .withColumn("_e", lit("d")))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("_t"))
+    val lagged = cols.foldLeft(
+        timeline.withColumn("_prev_e", lag(col("_e"), 1).over(w))) {
+      (df, c) => df.withColumn(s"_prev_$c", lag(col(c), 1).over(w))
+    }
+    lagged.filter(col("_e") === "d" && col("_prev_e") === "v")
+      .select(cols.map(c => col(s"_prev_$c").as(c)): _*)
+  }
+
   /** Maintained per-group row counts: `initialState`'s counts advanced by
     * `feed` (a [[LakeTable.changes]] frame: `_op`, `_seq`, key, payload).
     * Result ≡ `finalState.groupBy(groupCol).count()` — oracle-checked.
     * Groups that drain to zero drop out, matching the direct aggregate. */
   def counts(initialState: DataFrame, feed: DataFrame,
       keyCol: String, groupCol: String): DataFrame = {
-    val groupType = initialState.schema(groupCol).dataType
-
-    val dels = feed.filter(col("_op") === "delete")
-      // within a commit deletes precede inserts: delete time 2s, insert 2s+1
-      .select(col(keyCol), (col("_seq").cast("long") * 2).as("_t"))
-    val ins = feed.filter(col("_op") === "insert")
-      .select(col(keyCol), col(groupCol),
-        (col("_seq").cast("long") * 2 + 1).as("_t"))
-
-    // start-state rows enter the timeline only for keys the window deletes
-    // (semi-join prune: the delete-key set is feed-sized — broadcastable)
-    val touchedStart = initialState.select(col(keyCol), col(groupCol))
-      .join(broadcast(dels.select(keyCol).distinct), Seq(keyCol), "left_semi")
-      .withColumn("_t", lit(-1L))
-
-    // per-key event timeline: versions ('v' = a row exists from here) and
-    // deletes ('d'); a delete takes the latest preceding version's group,
-    // and is a no-op when the preceding event is another delete
-    val timeline = touchedStart.withColumn("_e", lit("v"))
-      .unionByName(ins.withColumn("_e", lit("v")))
-      .unionByName(dels
-        .withColumn(groupCol, lit(null).cast(groupType))
-        .withColumn("_e", lit("d")))
-    val w = Window.partitionBy(col(keyCol)).orderBy(col("_t"))
-    val effectiveDeletes = timeline
-      .withColumn("_prev_g", lag(col(groupCol), 1).over(w))
-      .withColumn("_prev_e", lag(col("_e"), 1).over(w))
-      .filter(col("_e") === "d" && col("_prev_e") === "v")
-      .select(col("_prev_g").as(groupCol))
-
+    val minus = effectiveDeletes(initialState, feed, keyCol, Seq(groupCol))
+      .groupBy(col(groupCol)).agg(count(lit(1)).as("_neg"))
+    val plus = feed.filter(col("_op") === "insert")
+      .groupBy(col(groupCol)).agg(count(lit(1)).as("_pos"))
     val init = initialState.groupBy(col(groupCol)).agg(count(lit(1)).as("_n0"))
-    val plus = ins.groupBy(col(groupCol)).agg(count(lit(1)).as("_pos"))
-    val minus = effectiveDeletes.groupBy(col(groupCol))
-      .agg(count(lit(1)).as("_neg"))
 
     init.join(plus, Seq(groupCol), "full_outer")
       .join(minus, Seq(groupCol), "full_outer")
       .select(col(groupCol),
         (coalesce(col("_n0"), lit(0L)) + coalesce(col("_pos"), lit(0L))
           - coalesce(col("_neg"), lit(0L))).as("n"))
+      .filter(col("n") > 0)
+  }
+
+  /** Maintained per-group (count, sum(valueCol)): the same pre-image
+    * machinery, additionally carrying the deleted rows' VALUES so the sum
+    * can be decremented exactly. `valueCol` must be integral (exact
+    * arithmetic — a float sum maintained by increments would drift from
+    * the recomputed aggregate). Result ≡
+    * `finalState.groupBy(groupCol).agg(count, sum(valueCol))`. */
+  def sums(initialState: DataFrame, feed: DataFrame,
+      keyCol: String, groupCol: String, valueCol: String): DataFrame = {
+    val minus = effectiveDeletes(initialState, feed, keyCol,
+        Seq(groupCol, valueCol))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("_negN"), sum(col(valueCol)).as("_negS"))
+    val plus = feed.filter(col("_op") === "insert")
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("_posN"), sum(col(valueCol)).as("_posS"))
+    val init = initialState.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("_n0"), sum(col(valueCol)).as("_s0"))
+
+    init.join(plus, Seq(groupCol), "full_outer")
+      .join(minus, Seq(groupCol), "full_outer")
+      .select(col(groupCol),
+        (coalesce(col("_n0"), lit(0L)) + coalesce(col("_posN"), lit(0L))
+          - coalesce(col("_negN"), lit(0L))).as("n"),
+        (coalesce(col("_s0"), lit(0L)) + coalesce(col("_posS"), lit(0L))
+          - coalesce(col("_negS"), lit(0L))).as("total"))
       .filter(col("n") > 0)
   }
 }

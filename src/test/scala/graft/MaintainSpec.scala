@@ -61,4 +61,28 @@ class MaintainSpec extends AnyFunSuite {
     LakeTable.overwrite(initial.toDF("RecId", "grp"), t)
     assert(maintained(t, initial) == Map("a" -> 1L, "b" -> 1L))
   }
+
+  test("maintained sums decrement by the deleted rows' pre-image values") {
+    val t = freshTable()
+    def csv(deletes: Seq[Long], inserts: Seq[(Long, String, Long)]): Apply.ChangeSet =
+      Apply.ChangeSet(deletes.toDF("RecId"),
+        inserts.toDF("RecId", "grp", "v"), keyFlags = deletes.toDF("RecId"))
+    val initial = Seq((1L, "a", 10L), (2L, "a", 20L), (3L, "b", 5L))
+    LakeTable.overwrite(initial.toDF("RecId", "grp", "v"), t)
+    // value update (2: 20→25 via tombstone+reinsert), cross-group move
+    // (3: b/5 → a/7), then delete the re-inserted 2 — its pre-image must
+    // be the IN-WINDOW value 25, not the start state's 20
+    LakeTable.appendCommit(csv(Seq(2L, 3L), Seq((2L, "a", 25L), (3L, "a", 7L))), t)
+    LakeTable.appendCommit(csv(Seq(2L), Seq.empty), t)
+
+    val fromSeq = LakeTable.resolve(t).get._2
+    val got = Maintain.sums(initial.toDF("RecId", "grp", "v"),
+        LakeTable.changes(spark, t, fromSeq), "RecId", "grp", "v")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val direct = LakeTable.read(spark, t)
+      .groupBy("grp").agg(count(lit(1)).as("n"), sum(col("v")).as("total"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(direct == Set(("a", 2L, 17L))) // {1:a/10, 3:a/7}; b drained
+    assert(got == direct)
+  }
 }
