@@ -146,4 +146,73 @@ object StreamingSync {
     events.groupByKey(_.user_id)
       .mapGroupsWithState(GroupStateTimeout.NoTimeout())(updateSessions)
   }
+
+  /** Completed-session emission — the flatMapGroupsWithState shape:
+    * [[sessionCounts]] reports running totals, this emits one APPEND row
+    * per closed session, closing on either signal:
+    *   - gap closure: a new event for the user more than the inactivity
+    *     gap after the open session's last event;
+    *   - event-time TIMEOUT: the watermark passes last-event + gap with no
+    *     new data for the user — the open session flushes without waiting
+    *     for the user to ever return (state.hasTimedOut path).
+    * State per user is one (start, last, n) triple; the watermark bounds
+    * how long a silent user's state lives — O(active users), not
+    * O(history), the deployability condition for a 100 TB/day stream. */
+  final case class UserEventT(user_id: Long, ts: java.sql.Timestamp)
+  final case class OpenSession(startMs: Long, lastMs: Long, events: Long)
+  final case class CompletedSession(
+      user_id: Long, start_ts: java.sql.Timestamp, end_ts: java.sql.Timestamp,
+      n_events: Long)
+
+  val SessionGapMs: Long = 1800L * 1000L
+
+  def emitCompletedSessions(
+      userId: Long,
+      events: Iterator[UserEventT],
+      state: GroupState[OpenSession]): Iterator[CompletedSession] = {
+    def done(s: OpenSession) = CompletedSession(userId,
+      new java.sql.Timestamp(s.startMs), new java.sql.Timestamp(s.lastMs),
+      s.events)
+    if (state.hasTimedOut) {
+      // watermark passed last-event + gap with no new data: flush and drop
+      val out = state.getOption.map(done).iterator
+      state.remove()
+      return out
+    }
+    val closed = scala.collection.mutable.ArrayBuffer.empty[CompletedSession]
+    var cur = state.getOption
+    events.toSeq.sortBy(_.ts.getTime).foreach { e =>
+      val t = e.ts.getTime
+      cur match {
+        case Some(s) if t - s.lastMs <= SessionGapMs =>
+          cur = Some(OpenSession(s.startMs, t, s.events + 1))
+        case Some(s) =>
+          closed += done(s)
+          cur = Some(OpenSession(t, t, 1))
+        case None =>
+          cur = Some(OpenSession(t, t, 1))
+      }
+    }
+    cur.foreach { s =>
+      state.update(s)
+      // a timeout timestamp at-or-before the watermark is rejected by the
+      // engine; clamp just past it (the flush then fires next batch)
+      state.setTimeoutTimestamp(
+        math.max(s.lastMs + SessionGapMs, state.getCurrentWatermarkMs() + 1))
+    }
+    closed.iterator
+  }
+
+  /** `events` needs (user_id, ts[timestamp]) columns. */
+  def completedSessions(events: DataFrame,
+      watermarkDelay: String = "10 minutes"): Dataset[CompletedSession] = {
+    import events.sparkSession.implicits._
+    events.select(col("user_id").cast("long").as("user_id"), col("ts"))
+      .withWatermark("ts", watermarkDelay)
+      .as[UserEventT]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(
+        emitCompletedSessions)
+  }
 }

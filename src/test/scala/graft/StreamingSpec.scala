@@ -97,6 +97,53 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows == Set((1L, "click_ok", "imp1")))
   }
 
+  test("flatMapGroupsWithState emits completed sessions on gap closure AND " +
+      "on event-time timeout") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_fs").toString
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val evDir = s"$dir/ev"
+    val outDir = s"$dir/out"
+    val ckpt = s"$dir/ckpt"
+    def runOnce(): Unit = {
+      val stream = spark.readStream
+        .schema(spark.read.parquet(evDir).schema).parquet(evDir)
+      val q = StreamingSync.completedSessions(stream)
+        .toDF()
+        .writeStream.format("parquet").option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(60000)
+    }
+    def emitted(): Set[(Long, String, String, Long)] =
+      spark.read.parquet(outDir)
+        .as[(Long, java.sql.Timestamp, java.sql.Timestamp, Long)]
+        .collect().map(r => (r._1, r._2.toString, r._3.toString, r._4)).toSet
+
+    // run 1: one open session for user 1 — nothing completes
+    Seq((1L, t("2024-01-01 10:00:00")), (1L, t("2024-01-01 10:10:00")))
+      .toDF("user_id", "ts").coalesce(1).write.mode("append").parquet(evDir)
+    runOnce()
+    // run 2: user 1 returns past the gap — session 1 closes by GAP, a new
+    // one opens at 12:00
+    Seq((1L, t("2024-01-01 12:00:00")))
+      .toDF("user_id", "ts").coalesce(1).write.mode("append").parquet(evDir)
+    runOnce()
+    assert(emitted() == Set(
+      (1L, "2024-01-01 10:00:00.0", "2024-01-01 10:10:00.0", 2L)))
+    // runs 3+4: only OTHER users appear; the first advances the watermark
+    // past 12:30, the second gives the engine a batch in which user 1's
+    // open session times out and flushes WITHOUT user 1 ever returning
+    Seq((7L, t("2024-01-01 20:00:00")))
+      .toDF("user_id", "ts").coalesce(1).write.mode("append").parquet(evDir)
+    runOnce()
+    Seq((8L, t("2024-01-02 10:00:00")))
+      .toDF("user_id", "ts").coalesce(1).write.mode("append").parquet(evDir)
+    runOnce()
+    assert(emitted().contains(
+      (1L, "2024-01-01 12:00:00.0", "2024-01-01 12:00:00.0", 1L)),
+      s"timeout flush missing from: ${emitted()}")
+  }
+
   test("mapGroupsWithState session counting matches the batch sessionization rule") {
     import StreamingSync._
     val m = 1000000L
