@@ -97,6 +97,21 @@ object AnalyticsQueries {
         .agg(sum(units(col("l_quantity"), 1.0)))
         .withColumnRenamed("F", "qty_f").withColumnRenamed("O", "qty_o")),
 
+    // Hive-partition pruning: events re-laid-out by ingest date; the
+    // one-day filter prunes 29 of 30 directories at PLAN time
+    // (PartitionFilters — before any footer is opened; pinned in
+    // PlanQualitySpec) and the result equals the flat-table filter
+    "q_part_prune" -> ((s, d) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_part").toString
+      val ev = EventsSource.load(s, d).withColumn("event_date", to_date(col("ts")))
+      graft.sync.PartitionedLayout.write(ev, tmp, "event_date")
+      graft.sync.PartitionedLayout.read(s, tmp)
+        .filter(col("event_date") === lit(java.sql.Date.valueOf("2024-01-15")))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(units(col("value"), 1000000.0)).as("v_micros"))
+    }),
+
     // Bucketed co-located join: both sides pre-hashed on the join key at
     // WRITE time, so the join AND the key-grouped aggregate read the
     // co-located layout with zero exchanges (pinned in PlanQualitySpec) —
@@ -157,6 +172,11 @@ object AnalyticsQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_part_prune" -> """SELECT event_type, count(*) AS n,
+  CAST(sum(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS v_micros
+FROM events WHERE CAST(ts AS DATE) = DATE '2024-01-15'
+GROUP BY event_type""",
+
     "q_bucket_join" -> """SELECT l_orderkey, o_custkey,
   CAST(count(*) AS BIGINT) AS n,
   CAST(sum(l_linenumber) AS BIGINT) AS total
