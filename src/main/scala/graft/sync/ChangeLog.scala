@@ -17,6 +17,21 @@ import org.apache.spark.sql.functions._
   * This is the lake-native equivalent of Delta's log replay, applied to the
   * reference's incremental sync output.
   */
+/** What replay does when a column's type changed across generations with NO
+  * lossless widening (e.g. int→string, long→int at the source). */
+sealed trait TypePolicy
+object TypePolicy {
+  /** Default: refuse loudly, naming the column — compact at the type
+    * boundary or migrate the base. Nothing is ever silently mangled. */
+  case object Strict extends TypePolicy
+  /** Reference-parity tolerance (the reference recomputes copyable fields
+    * per run, so a source ALTER silently takes effect on the next sync,
+    * CopyOrchestrator.cs:189-201): the NEWEST generation's type wins and
+    * earlier values `try_cast` into it — unconvertible values become null.
+    * Lossy BY DESIGN; strictly opt-in. */
+  case object LatestWins extends TypePolicy
+}
+
 object ChangeLog {
 
   /** Sequence numbers of all commits present under `logDir`. */
@@ -107,8 +122,9 @@ object ChangeLog {
     commitStats(commitPath).exists { case (mn, mx, n) => n == 0L || mx < lo || mn > hi }
 
   /** Least lossless-widening supertype of two column types, or None if the
-    * pair has no lossless join (→ replay fails loudly; a lossy policy would
-    * silently corrupt history). Widening stays family-pure: integral up the
+    * pair has no lossless join (→ replay refuses under [[TypePolicy.Strict]];
+    * [[TypePolicy.LatestWins]] then resolves to the newest generation's
+    * type). Widening stays family-pure: integral up the
     * byte<short<int<long chain, float→double, decimal→decimal with enough
     * integer digits and scale for both sides. Cross-family (long→double,
     * int→string, …) is refused — those casts lose information or change
@@ -133,14 +149,19 @@ object ChangeLog {
 
   /** Cast `df`'s columns up to the widened replay schema (identity when
     * nothing widened). Only columns the frame carries are touched —
-    * presence differences are `unionByName(allowMissingColumns)`'s job. */
+    * presence differences are `unionByName(allowMissingColumns)`'s job.
+    * Columns in `lossy` (LatestWins conversions) use `try_cast` so an
+    * unconvertible value degrades to null instead of throwing under ANSI. */
   private def alignTypes(df: DataFrame,
-      widened: Map[String, types.DataType]): DataFrame = {
+      widened: Map[String, types.DataType],
+      lossy: Set[String] = Set.empty): DataFrame = {
     val needsCast = df.schema.fields.exists(f =>
       widened.get(f.name.toLowerCase).exists(_ != f.dataType))
     if (!needsCast) df
     else df.select(df.schema.fields.map { f =>
       widened.get(f.name.toLowerCase) match {
+        case Some(t) if t != f.dataType && lossy(f.name.toLowerCase) =>
+          expr(s"try_cast(`${f.name}` AS ${t.sql})").as(f.name)
         case Some(t) if t != f.dataType => col(f.name).cast(t).as(f.name)
         case _ => col(f.name)
       }
@@ -161,7 +182,8 @@ object ChangeLog {
   def replay(spark: SparkSession, basePath: String, logDir: String,
       keyCol: String = "RecId", fromSeq: Int = 0,
       keyRange: Option[(Long, Long)] = None,
-      toSeq: Int = Int.MaxValue): DataFrame = {
+      toSeq: Int = Int.MaxValue,
+      typePolicy: TypePolicy = TypePolicy.Strict): DataFrame = {
     val prune: DataFrame => DataFrame = keyRange match {
       case Some((lo, hi)) => df => df.filter(col(keyCol).between(lo, hi))
       case None => identity
@@ -198,20 +220,32 @@ object ChangeLog {
       (spark.read.parquet(s"$path/inserts").schema,
         spark.read.parquet(s"$path/deletes").select(keyCol).schema)
     }
+    // fields tagged with their generation (base = -1) so LatestWins can
+    // resolve a non-widenable change to the NEWEST type in commit order
+    val taggedFields: Seq[(Int, types.StructField)] =
+      base.schema.fields.toSeq.map((-1, _)) ++
+        allCommits.zip(commitSchemas).flatMap { case ((seq, _), (ins, del)) =>
+          (ins.fields.toSeq ++ del.fields.toSeq).map((seq, _))
+        }
+    val lossyCols = scala.collection.mutable.Set.empty[String]
     val widened: Map[String, types.DataType] =
-      (base.schema.fields.toSeq ++
-        commitSchemas.flatMap { case (ins, del) =>
-          ins.fields.toSeq ++ del.fields.toSeq
-        })
-        .groupBy(_.name.toLowerCase)
-        .map { case (name, fields) =>
-          name -> fields.map(_.dataType).reduce { (x, y) =>
-            widen(x, y).getOrElse(throw new IllegalStateException(
-              s"replay: column '${fields.head.name}' changed type with no " +
-                s"lossless widening ($x vs $y); compact the table at the " +
-                "type boundary or migrate the base"))
+      taggedFields.groupBy(_._2.name.toLowerCase)
+        .map { case (name, tagged) =>
+          name -> tagged.sortBy(_._1).map(_._2.dataType).reduce { (x, y) =>
+            widen(x, y).getOrElse(typePolicy match {
+              case TypePolicy.LatestWins =>
+                // y is the newer generation's type (seq-sorted reduce)
+                lossyCols += name; y
+              case TypePolicy.Strict =>
+                throw new IllegalStateException(
+                  s"replay: column '${tagged.head._2.name}' changed type " +
+                    s"with no lossless widening ($x vs $y); compact the " +
+                    "table at the type boundary, migrate the base, or opt " +
+                    "into TypePolicy.LatestWins")
+            })
           }
         }
+    val lossy = lossyCols.toSet
     // Deterministic output column order, independent of data skipping: base
     // columns first, then commit-introduced columns by first appearance.
     // Columns carried only by SKIPPED commits are null-filled so the result
@@ -234,7 +268,7 @@ object ChangeLog {
       (seq, prune(spark.read.parquet(s"$path/inserts")),
         prune(spark.read.parquet(s"$path/deletes")).select(keyCol))
     }
-    if (insFrames.isEmpty) return conform(alignTypes(base, widened))
+    if (insFrames.isEmpty) return conform(alignTypes(base, widened, lossy))
     // The base NEVER enters a shuffle: only commit events (≈ change% of the
     // table) are windowed per key, and base rows whose key appears in any
     // event are dropped with an anti-join whose build side is just the
@@ -245,10 +279,10 @@ object ChangeLog {
     // (Assumes the base is key-unique — true by construction: every base
     // is either a source snapshot or a previous replay's output.)
     val events = insFrames.map { case (seq, insRaw, delRaw) =>
-      alignTypes(insRaw, widened)
+      alignTypes(insRaw, widened, lossy)
         .withColumn("_seq", lit(seq + 1L)).withColumn("_del", lit(false))
         .unionByName(
-          alignTypes(delRaw, widened)
+          alignTypes(delRaw, widened, lossy)
             .withColumn("_seq", lit(seq + 1L)).withColumn("_del", lit(true)),
           allowMissingColumns = true)
     }.reduce(_.unionByName(_, allowMissingColumns = true))
@@ -264,7 +298,7 @@ object ChangeLog {
       .withColumn("_rn", row_number().over(w))
       .filter(col("_rn") === 1 && !col("_del"))
       .drop("_seq", "_del", "_rn")
-    conform(alignTypes(base, widened)
+    conform(alignTypes(base, widened, lossy)
       .join(events.select(keyCol).distinct(), Seq(keyCol), "left_anti")
       .unionByName(winners, allowMissingColumns = true))
   }

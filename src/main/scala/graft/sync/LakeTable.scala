@@ -86,11 +86,16 @@ object LakeTable {
 
   def exists(table: String): Boolean = resolve(table).isDefined
 
-  /** Current state: base snapshot + replayed commits ≥ the pointer's seq. */
-  def read(spark: SparkSession, table: String, keyCol: String = "RecId"): DataFrame =
+  /** Current state: base snapshot + replayed commits ≥ the pointer's seq.
+    * `typePolicy` governs non-widenable column type changes across
+    * generations: Strict (default) refuses; LatestWins resolves to the
+    * newest type with try_cast (opt-in, lossy — see [[TypePolicy]]). */
+  def read(spark: SparkSession, table: String, keyCol: String = "RecId",
+      typePolicy: TypePolicy = TypePolicy.Strict): DataFrame =
     resolve(table) match {
       case Some((base, fromSeq)) =>
-        ChangeLog.replay(spark, base, logDir(table), keyCol, fromSeq)
+        ChangeLog.replay(spark, base, logDir(table), keyCol, fromSeq,
+          keyRange = None, toSeq = Int.MaxValue, typePolicy = typePolicy)
       case None =>
         throw new IllegalArgumentException(s"lake table does not exist: $table")
     }

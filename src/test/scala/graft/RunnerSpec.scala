@@ -373,6 +373,43 @@ class ChangeLogSpec extends AnyFunSuite {
       ChangeLog.replay(spark, s"$dir/base", s"$dir/log").collect()
     }
     assert(e.getMessage.contains("qty"))
+
+    // opt-in LatestWins: the NEWEST generation's type (string) wins and
+    // every earlier qty casts into it — P1 reference parity, where a source
+    // ALTER silently takes effect on the next run
+    val tolerant = ChangeLog.replay(spark, s"$dir/base", s"$dir/log",
+      typePolicy = graft.sync.TypePolicy.LatestWins)
+    assert(tolerant.schema("qty").dataType ==
+      org.apache.spark.sql.types.StringType)
+    val tq = tolerant.collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(tq == Map(1L -> "5", 3L -> "9999999999", 4L -> "not-a-number"))
+  }
+
+  test("TypePolicy.LatestWins in the OTHER direction: string history under " +
+      "a now-numeric column try_casts, unconvertible values become null") {
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("graft_widen2").toString
+    // base: code is STRING, with one numeric and one non-numeric value
+    Seq((1L, 1L, "123"), (2L, 2L, "legacy-x"))
+      .toDF("RecId", "SysRowVersion", "code").write.parquet(s"$dir/base")
+    // source ALTERed code → BIGINT; the next commit carries longs
+    val cs = graft.sync.Apply.ChangeSet(
+      deleteKeys = Seq.empty[Long].toDF("RecId"),
+      inserts = Seq((3L, 30L, 777L)).toDF("RecId", "SysRowVersion", "code"),
+      keyFlags = spark.emptyDataFrame)
+    ChangeLog.append(cs, s"$dir/log")
+
+    intercept[IllegalStateException] {
+      ChangeLog.replay(spark, s"$dir/base", s"$dir/log").collect()
+    }
+    val out = ChangeLog.replay(spark, s"$dir/base", s"$dir/log",
+      typePolicy = graft.sync.TypePolicy.LatestWins)
+    assert(out.schema("code").dataType == LongType)
+    val byKey = out.collect().map(r =>
+      r.getLong(0) -> (if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+    // "123" converts; "legacy-x" degrades to null (try_cast, not a crash)
+    assert(byKey == Map(1L -> Some(123L), 2L -> None, 3L -> Some(777L)))
   }
 }
 
