@@ -206,6 +206,55 @@ object PQ {
           .cast("long").as("recall_millis"))
   }
 
+  /** Exact re-rank over ADC candidates — the refine stage of the standard
+    * ANN serving stack: the compressed index proposes `candK` candidates
+    * per query (cheap, quantization-lossy), then the TRUE integer-L2
+    * distance re-orders just those candidates and keeps the top `k`. The
+    * exact pass touches |Q|·candK vectors — never the corpus — so the
+    * recall lost to PQ quantization is bought back at a per-query cost
+    * that stays independent of corpus size. Candidates and the sampled
+    * query vectors broadcast; the corpus is probed once for candidate
+    * payloads. */
+  def adcRerankTopK(prepared: DataFrame, m: Int, ksub: Int, iters: Int,
+      k: Int, candK: Int, sampleMod: Int, dim: Int = Similarity.DefaultDim,
+      idCol: String = "vec_id"): DataFrame = {
+    KMeans.ensureCached(prepared)
+    val cands = adcTopK(prepared, m, ksub, iters, candK, sampleMod, dim, idCol)
+      .select(col("query_id"), col("neighbor_id"))
+    val vecs = KMeans.withQq(prepared.select(col(idCol), col("qe")), idCol)
+    val q = vecs.filter(col(idCol) % sampleMod === 0)
+      .select(col(idCol).as("query_id"), col("qe").as("q_qe"), col("qq").as("q_qq"))
+    val nb = vecs.select(col(idCol).as("neighbor_id"),
+      col("qe").as("n_qe"), col("qq").as("n_qq"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("dist").asc, col("neighbor_id").asc)
+    nb.join(broadcast(cands), Seq("neighbor_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .withColumn("dist",
+        col("q_qq") - lit(2L) * expr("array_dot_long(q_qe, n_qe)") + col("n_qq"))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id")
+  }
+
+  /** Measured rerank recall vs the same exact-L2 truth: the number that
+    * shows the refine stage buying back the quantization loss
+    * ([[pqRecall]]'s plain-ADC number is the baseline). */
+  def rerankRecall(prepared: DataFrame, m: Int, ksub: Int, iters: Int,
+      k: Int, candK: Int, sampleMod: Int, dim: Int = Similarity.DefaultDim,
+      idCol: String = "vec_id"): DataFrame = {
+    KMeans.ensureCached(prepared)
+    val truth = l2TopK(prepared, k, sampleMod, idCol)
+      .select("query_id", "neighbor_id")
+    val approx = adcRerankTopK(prepared, m, ksub, iters, k, candK, sampleMod,
+      dim, idCol).select("query_id", "neighbor_id")
+    val hits = truth.join(approx, Seq("query_id", "neighbor_id"), "left_semi")
+    truth.agg(count(lit(1)).as("n_true"))
+      .crossJoin(hits.agg(count(lit(1)).as("n_hit")))
+      .select(col("n_true"), col("n_hit"),
+        floor(col("n_hit") * lit(1000.0) / greatest(col("n_true"), lit(1L)))
+          .cast("long").as("recall_millis"))
+  }
+
   /** Measured IVF-ADC recall against the same exact-L2 ground truth as
     * [[pqRecall]] — the delta between the two numbers is the PRUNING loss
     * the inverted lists add on top of PQ's quantization loss. */
@@ -342,6 +391,37 @@ adc AS (
     WHERE l.query_id <> c.neighbor_id
     GROUP BY l.query_id, c.neighbor_id) WHERE rank <= $k),
 """ + recallTailSql(k, sampleMod, dim, "adc")
+  }
+
+  /** DuckDB twin of [[rerankRecall]]: ADC proposes candK candidates, exact
+    * integer-L2 re-orders them, recall measured against the same truth. */
+  def rerankRecallOracleSql(m: Int, ksub: Int, iters: Int, k: Int,
+      candK: Int, sampleMod: Int,
+      dim: Int = Similarity.DefaultDim): String = {
+    val sub = dim / m
+    prefixSql(m, ksub, iters, dim) +
+      s""",
+lut AS (${lutSql(m, sub, iters, sampleMod)}),
+codes_long AS (${codesLongSql(m)}),
+adc AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT l.query_id, c.neighbor_id,
+      row_number() OVER (PARTITION BY l.query_id
+        ORDER BY sum(l.d) ASC, c.neighbor_id ASC) AS rank
+    FROM codes_long c JOIN lut l ON l.s = c.s AND l.code = c.code
+    WHERE l.query_id <> c.neighbor_id
+    GROUP BY l.query_id, c.neighbor_id) WHERE rank <= $candK),
+rerank AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT a.query_id, a.neighbor_id,
+      row_number() OVER (PARTITION BY a.query_id ORDER BY
+        list_sum(list_transform(range($dim),
+          i -> (q.qe[i+1] - nb.qe[i+1]) * (q.qe[i+1] - nb.qe[i+1]))) ASC,
+        a.neighbor_id ASC) AS rank
+    FROM adc a JOIN n q ON q.vec_id = a.query_id
+               JOIN n nb ON nb.vec_id = a.neighbor_id)
+  WHERE rank <= $k),
+""" + recallTailSql(k, sampleMod, dim, "rerank")
   }
 
   /** Shared CTE chain for the IVF-ADC twins: the PQ prefix, the coarse

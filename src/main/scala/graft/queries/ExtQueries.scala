@@ -127,6 +127,13 @@ object ExtQueries {
         kCoarse = 8, nProbe = 2, m = 8, ksub = 32, iters = 3, k = 5,
         sampleMod = 40)),
 
+    // ---- exact re-rank over ADC candidates (the refine stage): ADC
+    // proposes 25, true L2 keeps 5 — recall vs q_pq_recall's 415‰ shows
+    // the refine pass buying back quantization loss at |Q|·candK cost ----
+    "q_rerank_recall" -> ((s, d) =>
+      PQ.rerankRecall(Similarity.prepare(embs(s, d), "vec_id", "embedding"),
+        m = 8, ksub = 32, iters = 3, k = 5, candK = 25, sampleMod = 40)),
+
     // ---- measured IVF-ADC recall vs the same exact-L2 truth — the delta
     // against q_pq_recall isolates the list-pruning loss ----
     "q_ivfpq_recall" -> ((s, d) =>
@@ -642,6 +649,9 @@ FROM exact e LEFT JOIN (SELECT source, h FROM ranked WHERE rn = 64) r
 
     "q_pq_recall" -> PQ.recallOracleSql(m = 8, ksub = 32, iters = 3, k = 5,
       sampleMod = 40),
+
+    "q_rerank_recall" -> PQ.rerankRecallOracleSql(m = 8, ksub = 32,
+      iters = 3, k = 5, candK = 25, sampleMod = 40),
 
     "q_sim_ivfpq" -> PQ.ivfTopKOracleSql(kCoarse = 8, nProbe = 2, m = 8,
       ksub = 32, iters = 3, k = 5, sampleMod = 40),
