@@ -280,6 +280,28 @@ object SyncQueries {
         "RecId", "l_returnflag", "RECVERSION")
     }),
 
+    // max-maintenance (the NON-invertible aggregate): inserts raise the
+    // candidate in O(changes); groups whose deleted pre-image HELD the
+    // candidate max recompute from the final state pruned to those groups
+    "q_cdf_maintain_max" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft_lake_q").toString + "/t"
+      val src = slim(SyncFixtures.source(s, d))
+      val tgt = slim(SyncFixtures.target(s, d))
+      LakeTable.overwrite(tgt, dir)
+      val changed = src.filter(col("RecId") % 20 === 3)
+      LakeTable.appendCommit(
+        Apply.ChangeSet(changed.select("RecId"), changed, changed.select("RecId")),
+        dir, nowMs = 1000L)
+      val delBand = src
+        .filter(col("RecId").between(SyncFixtures.SkipLo, SyncFixtures.SkipHi))
+        .select("RecId")
+      LakeTable.appendCommit(
+        Apply.ChangeSet(delBand, src.filter(lit(false)), delBand), dir, nowMs = 2000L)
+      val fromSeq = LakeTable.resolve(dir).get._2
+      Maintain.maxes(tgt, LakeTable.changes(s, dir, fromSeq),
+        LakeTable.read(s, dir), "RecId", "l_returnflag", "SysRowVersion")
+    }),
+
     // commit-level data skipping: a key-range read of the logged table —
     // disjoint commits never enter the plan, the range predicate reaches
     // every surviving parquet scan, and the result is provably the plain

@@ -89,6 +89,48 @@ object Maintain {
       .filter(col("n") > 0)
   }
 
+  /** Maintained per-group max(valueCol) — the NON-invertible aggregate:
+    * an insert can only raise a max (O(changes)), but deleting the row
+    * that HELD the max invalidates it, and no amount of feed algebra can
+    * recover the runner-up without looking at the data again. The classic
+    * resolution, implemented here: groups whose deleted pre-image value
+    * equals the candidate max (init ⊔ inserted maxes) are DIRTY and
+    * recompute from `finalState` pruned to just those groups — O(changes)
+    * normally, O(touched groups' rows) on drain, never the table. A dirty
+    * group absent from the final state drained entirely and drops out.
+    *
+    * Soundness of the dirty rule: every pre-image is ≤ its group's
+    * candidate max by construction (it came from the start state or an
+    * in-window insert, both of which the candidate folds in), so a
+    * deleted value < candidate can never have been the survivor-max,
+    * and a fully-drained group necessarily deleted its max row. */
+  def maxes(initialState: DataFrame, feed: DataFrame, finalState: DataFrame,
+      keyCol: String, groupCol: String, valueCol: String): DataFrame = {
+    val init = initialState.groupBy(col(groupCol))
+      .agg(max(col(valueCol)).as("_mx0"))
+    val insMax = feed.filter(col("_op") === "insert")
+      .groupBy(col(groupCol)).agg(max(col(valueCol)).as("_mxIns"))
+    val candidate = init.join(insMax, Seq(groupCol), "full_outer")
+      .select(col(groupCol),
+        greatest(
+          coalesce(col("_mx0"), col("_mxIns")),
+          coalesce(col("_mxIns"), col("_mx0"))).as("_cand"))
+
+    val dirty = effectiveDeletes(initialState, feed, keyCol,
+        Seq(groupCol, valueCol))
+      .join(candidate, Seq(groupCol))
+      .filter(col(valueCol) === col("_cand"))
+      .select(groupCol).distinct()
+
+    val clean = candidate.join(dirty, Seq(groupCol), "left_anti")
+      .select(col(groupCol), col("_cand").as("mx"))
+    // recompute ONLY the dirty groups, from final rows of those groups
+    val recomputed = finalState
+      .join(broadcast(dirty), Seq(groupCol), "left_semi")
+      .groupBy(col(groupCol)).agg(max(col(valueCol)).as("mx"))
+    clean.unionByName(recomputed)
+  }
+
   /** Maintained per-group (count, sum(valueCol)): the same pre-image
     * machinery, additionally carrying the deleted rows' VALUES so the sum
     * can be decremented exactly. `valueCol` must be integral (exact

@@ -62,6 +62,33 @@ class MaintainSpec extends AnyFunSuite {
     assert(maintained(t, initial) == Map("a" -> 1L, "b" -> 1L))
   }
 
+  test("maintained maxes: clean groups keep the candidate, deleting the " +
+      "max-holder recomputes only that group, drained groups drop") {
+    val t = freshTable()
+    def csv(deletes: Seq[Long], inserts: Seq[(Long, String, Long)]): Apply.ChangeSet =
+      Apply.ChangeSet(deletes.toDF("RecId"),
+        inserts.toDF("RecId", "grp", "v"), keyFlags = deletes.toDF("RecId"))
+    val initial = Seq(
+      (1L, "a", 10L), (2L, "a", 7L),   // a: max 10 held by key 1
+      (3L, "b", 5L), (4L, "b", 9L),    // b: max 9 held by key 4
+      (5L, "c", 3L))                   // c: will drain
+    LakeTable.overwrite(initial.toDF("RecId", "grp", "v"), t)
+    // delete a's NON-max row (clean path), delete b's MAX holder (dirty →
+    // recompute finds 5), insert a higher a-max then delete it in the next
+    // commit (dirty via in-window pre-image), drain c entirely
+    LakeTable.appendCommit(csv(Seq(2L, 4L, 5L), Seq((6L, "a", 99L))), t)
+    LakeTable.appendCommit(csv(Seq(6L), Seq.empty), t)
+
+    val fromSeq = LakeTable.resolve(t).get._2
+    val got = Maintain.maxes(initial.toDF("RecId", "grp", "v"),
+        LakeTable.changes(spark, t, fromSeq), LakeTable.read(spark, t),
+        "RecId", "grp", "v")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // a: 99 inserted then deleted → back to 10; b: max-holder gone → 5;
+    // c: drained → absent
+    assert(got == Map("a" -> 10L, "b" -> 5L))
+  }
+
   test("maintained sums decrement by the deleted rows' pre-image values") {
     val t = freshTable()
     def csv(deletes: Seq[Long], inserts: Seq[(Long, String, Long)]): Apply.ChangeSet =
