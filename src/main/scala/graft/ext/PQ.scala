@@ -215,12 +215,12 @@ object PQ {
     * that stays independent of corpus size. Candidates and the sampled
     * query vectors broadcast; the corpus is probed once for candidate
     * payloads. */
-  def adcRerankTopK(prepared: DataFrame, m: Int, ksub: Int, iters: Int,
-      k: Int, candK: Int, sampleMod: Int, dim: Int = Similarity.DefaultDim,
-      idCol: String = "vec_id"): DataFrame = {
-    KMeans.ensureCached(prepared)
-    val cands = adcTopK(prepared, m, ksub, iters, candK, sampleMod, dim, idCol)
-      .select(col("query_id"), col("neighbor_id"))
+  /** Exact integer-L2 re-rank of a (query_id, neighbor_id) candidate set:
+    * keep each query's top `k` by TRUE distance. Candidates and sampled
+    * query vectors broadcast; the corpus is probed once for candidate
+    * payloads — the exact pass costs |Q|·candK, independent of corpus. */
+  private def exactRerank(prepared: DataFrame, cands: DataFrame, k: Int,
+      sampleMod: Int, idCol: String): DataFrame = {
     val vecs = KMeans.withQq(prepared.select(col(idCol), col("qe")), idCol)
     val q = vecs.filter(col(idCol) % sampleMod === 0)
       .select(col(idCol).as("query_id"), col("qe").as("q_qe"), col("qq").as("q_qq"))
@@ -228,12 +228,65 @@ object PQ {
       col("qe").as("n_qe"), col("qq").as("n_qq"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("dist").asc, col("neighbor_id").asc)
-    nb.join(broadcast(cands), Seq("neighbor_id"))
+    nb.join(broadcast(cands.select(col("query_id"), col("neighbor_id"))),
+        Seq("neighbor_id"))
       .join(broadcast(q), Seq("query_id"))
       .withColumn("dist",
         col("q_qq") - lit(2L) * expr("array_dot_long(q_qe, n_qe)") + col("n_qq"))
       .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
       .select("query_id", "rank", "neighbor_id")
+  }
+
+  /** Measured recall of any (query_id, neighbor_id) approximation against
+    * the exact-L2 ground truth — the shared harness behind every recall
+    * number in this family. One row: (n_true, n_hit, recall_millis). */
+  private def recallVsL2(prepared: DataFrame, approx: DataFrame, k: Int,
+      sampleMod: Int, idCol: String): DataFrame = {
+    val truth = l2TopK(prepared, k, sampleMod, idCol)
+      .select("query_id", "neighbor_id")
+    val hits = truth.join(approx.select("query_id", "neighbor_id"),
+      Seq("query_id", "neighbor_id"), "left_semi")
+    truth.agg(count(lit(1)).as("n_true"))
+      .crossJoin(hits.agg(count(lit(1)).as("n_hit")))
+      .select(col("n_true"), col("n_hit"),
+        floor(col("n_hit") * lit(1000.0) / greatest(col("n_true"), lit(1L)))
+          .cast("long").as("recall_millis"))
+  }
+
+  def adcRerankTopK(prepared: DataFrame, m: Int, ksub: Int, iters: Int,
+      k: Int, candK: Int, sampleMod: Int, dim: Int = Similarity.DefaultDim,
+      idCol: String = "vec_id"): DataFrame = {
+    KMeans.ensureCached(prepared)
+    exactRerank(prepared,
+      adcTopK(prepared, m, ksub, iters, candK, sampleMod, dim, idCol),
+      k, sampleMod, idCol)
+  }
+
+  /** Refine over the IVF path — the full production composition: inverted
+    * lists bound the WORK (nProbe/kCoarse of the corpus), PQ codes bound
+    * the BYTES (~64×), and the exact re-rank of candK survivors buys the
+    * recall back. */
+  def ivfAdcRerankTopK(prepared: DataFrame, kCoarse: Int, nProbe: Int,
+      m: Int, ksub: Int, iters: Int, k: Int, candK: Int, sampleMod: Int,
+      dim: Int = Similarity.DefaultDim, idCol: String = "vec_id"): DataFrame = {
+    KMeans.ensureCached(prepared)
+    exactRerank(prepared,
+      ivfAdcTopK(prepared, kCoarse, nProbe, m, ksub, iters, candK, sampleMod,
+        dim, idCol),
+      k, sampleMod, idCol)
+  }
+
+  /** Measured recall of the IVF+ADC+refine stack vs the same exact-L2
+    * truth: read against [[ivfPqRecall]] (no refine) and [[rerankRecall]]
+    * (refine, no IVF) to see what each stage costs and buys. */
+  def ivfRerankRecall(prepared: DataFrame, kCoarse: Int, nProbe: Int,
+      m: Int, ksub: Int, iters: Int, k: Int, candK: Int, sampleMod: Int,
+      dim: Int = Similarity.DefaultDim, idCol: String = "vec_id"): DataFrame = {
+    KMeans.ensureCached(prepared)
+    recallVsL2(prepared,
+      ivfAdcRerankTopK(prepared, kCoarse, nProbe, m, ksub, iters, k, candK,
+        sampleMod, dim, idCol),
+      k, sampleMod, idCol)
   }
 
   /** Measured rerank recall vs the same exact-L2 truth: the number that
@@ -393,6 +446,19 @@ adc AS (
 """ + recallTailSql(k, sampleMod, dim, "adc")
   }
 
+  /** `rerank` CTE: exact integer-L2 re-order of the `adc` candidate CTE. */
+  private def rerankCteSql(k: Int, dim: Int): String =
+    s"""rerank AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT a.query_id, a.neighbor_id,
+      row_number() OVER (PARTITION BY a.query_id ORDER BY
+        list_sum(list_transform(range($dim),
+          i -> (q.qe[i+1] - nb.qe[i+1]) * (q.qe[i+1] - nb.qe[i+1]))) ASC,
+        a.neighbor_id ASC) AS rank
+    FROM adc a JOIN n q ON q.vec_id = a.query_id
+               JOIN n nb ON nb.vec_id = a.neighbor_id)
+  WHERE rank <= $k)"""
+
   /** DuckDB twin of [[rerankRecall]]: ADC proposes candK candidates, exact
     * integer-L2 re-orders them, recall measured against the same truth. */
   def rerankRecallOracleSql(m: Int, ksub: Int, iters: Int, k: Int,
@@ -411,18 +477,18 @@ adc AS (
     FROM codes_long c JOIN lut l ON l.s = c.s AND l.code = c.code
     WHERE l.query_id <> c.neighbor_id
     GROUP BY l.query_id, c.neighbor_id) WHERE rank <= $candK),
-rerank AS (
-  SELECT query_id, neighbor_id FROM (
-    SELECT a.query_id, a.neighbor_id,
-      row_number() OVER (PARTITION BY a.query_id ORDER BY
-        list_sum(list_transform(range($dim),
-          i -> (q.qe[i+1] - nb.qe[i+1]) * (q.qe[i+1] - nb.qe[i+1]))) ASC,
-        a.neighbor_id ASC) AS rank
-    FROM adc a JOIN n q ON q.vec_id = a.query_id
-               JOIN n nb ON nb.vec_id = a.neighbor_id)
-  WHERE rank <= $k),
+${rerankCteSql(k, dim)},
 """ + recallTailSql(k, sampleMod, dim, "rerank")
   }
+
+  /** DuckDB twin of [[ivfRerankRecall]]: the IVF-pruned ADC proposes candK
+    * per query, exact L2 re-orders, recall vs the same truth. */
+  def ivfRerankRecallOracleSql(kCoarse: Int, nProbe: Int, m: Int, ksub: Int,
+      iters: Int, k: Int, candK: Int, sampleMod: Int,
+      dim: Int = Similarity.DefaultDim): String =
+    ivfAdcCtes(kCoarse, nProbe, m, ksub, iters, candK, sampleMod, dim) +
+      ",\n" + rerankCteSql(k, dim) + ",\n" +
+      recallTailSql(k, sampleMod, dim, "rerank")
 
   /** Shared CTE chain for the IVF-ADC twins: the PQ prefix, the coarse
     * quantizer (prefix `g`, full-dim `sliceCtes` — `gcode` IS the inverted

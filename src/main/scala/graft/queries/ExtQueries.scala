@@ -141,6 +141,15 @@ object ExtQueries {
         kCoarse = 8, nProbe = 2, m = 8, ksub = 32, iters = 3, k = 5,
         sampleMod = 40)),
 
+    // ---- the full production ANN stack: IVF bounds WORK, PQ bounds
+    // BYTES, exact re-rank of the candK survivors buys recall back —
+    // read against q_ivfpq_recall (246‰, no refine) and q_rerank_recall
+    // (784‰, refine without IVF) ----
+    "q_ivfpq_rerank_recall" -> ((s, d) =>
+      PQ.ivfRerankRecall(Similarity.prepare(embs(s, d), "vec_id", "embedding"),
+        kCoarse = 8, nProbe = 2, m = 8, ksub = 32, iters = 3, k = 5,
+        candK = 25, sampleMod = 40)),
+
     // ---- SQ8 scalar quantization: 8-bit-per-dimension codes against the
     // corpus per-dim [min,max] (4× compression, no codebook training) —
     // the whole code vector pinned per id via checksum ----
@@ -658,6 +667,10 @@ FROM exact e LEFT JOIN (SELECT source, h FROM ranked WHERE rn = 64) r
 
     "q_ivfpq_recall" -> PQ.ivfRecallOracleSql(kCoarse = 8, nProbe = 2, m = 8,
       ksub = 32, iters = 3, k = 5, sampleMod = 40),
+
+    "q_ivfpq_rerank_recall" -> PQ.ivfRerankRecallOracleSql(kCoarse = 8,
+      nProbe = 2, m = 8, ksub = 32, iters = 3, k = 5, candK = 25,
+      sampleMod = 40),
 
     "q_sim_sq8" -> SQ8.encodeOracleSql(),
 
