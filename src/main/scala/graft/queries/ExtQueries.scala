@@ -222,6 +222,14 @@ object ExtQueries {
         Dedup.ngramJaccardPairs(docs(s, d), "doc_id", "text", n = 3, threshold = 0.5),
         "id_a", "id_b", iters = 4)),
 
+    // star-contraction components run to CONVERGENCE (adversarial-diameter
+    // safe); canonical output, so the oracle verifies with a different
+    // algorithm entirely — recursive-CTE reachability fixpoint
+    "q_dedup_components_star" -> ((s, d) =>
+      Components.starComponents(
+        Dedup.ngramJaccardPairs(docs(s, d), "doc_id", "text", n = 3, threshold = 0.5),
+        "id_a", "id_b")),
+
     // ---- PII-style redaction (emails + long digit runs → placeholder
     // tokens), the scrub pass before a corpus is kept. The fixture text
     // carries no PII, so each doc is augmented with a synthetic email and
@@ -725,6 +733,24 @@ sym AS (SELECT id_a AS a, id_b AS b FROM verified
         UNION SELECT id_b, id_a FROM verified),
 ${componentRounds(4)}
 SELECT id, comp FROM l4""",
+
+    // same pairs, but the TRUE components: reachability fixpoint (the star
+    // contraction's converged output is canonical, so any algorithm works)
+    "q_dedup_components_star" -> s"""WITH RECURSIVE $shinglesCte,
+capped AS (SELECT sid, shingle FROM (
+  SELECT sid, shingle, count(*) OVER (PARTITION BY shingle) AS sfreq FROM sh)
+  WHERE sfreq <= 1000),
+pairs AS (SELECT a.sid AS id_a, b.sid AS id_b, count(*) AS common
+          FROM capped a JOIN capped b ON a.shingle = b.shingle AND a.sid < b.sid
+          GROUP BY 1, 2),
+verified AS ($jaccardVerify),
+sym AS (SELECT id_a AS a, id_b AS b FROM verified
+        UNION SELECT id_b, id_a FROM verified),
+reach(a, b) AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a)
+SELECT a AS id, least(a, min(b)) AS comp FROM reach GROUP BY a""",
 
     "q_profile" -> profileOracle,
 

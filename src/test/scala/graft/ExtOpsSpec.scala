@@ -339,6 +339,45 @@ class ComponentsSpec extends AnyFunSuite {
       .as[(Long, Long)].collect().toMap
     assert((1L to 6L).forall(enough(_) == 1L))
   }
+
+  test("star contraction converges on a 200-node chain where bounded " +
+      "propagation cannot reach") {
+    val chain = (1L to 200L).sliding(2).map(p => (p(0), p(1))).toSeq.toDF("x", "y")
+    // the documented limitation of the bounded form at adversarial diameter
+    val bounded = Components.labelPropagate(chain, "x", "y", iters = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(bounded(200L) != 1L)
+    // contraction halves diameter per round pair: full convergence
+    val star = Components.starComponents(chain, "x", "y")
+      .as[(Long, Long)].collect().toMap
+    assert((1L to 200L).forall(star(_) == 1L))
+  }
+
+  test("star contraction matches brute-force union-find on seeded random graphs") {
+    val rnd = new scala.util.Random(42)
+    (1 to 5).foreach { _ =>
+      val n = 30
+      val edges = Seq.fill(25)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(e => e._1 != e._2)
+      // brute-force union-find ground truth
+      val parent = Array.tabulate(n)(identity)
+      def find(i: Int): Int =
+        if (parent(i) == i) i else { parent(i) = find(parent(i)); parent(i) }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val vertices = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      val truth = vertices.map { v =>
+        // component label = min id in the component
+        val root = find(v.toInt)
+        v -> vertices.filter(u => find(u.toInt) == root).min
+      }.toMap
+      val got = Components.starComponents(edges.toDF("x", "y"), "x", "y")
+        .as[(Long, Long)].collect().toMap
+      assert(got == truth, s"edges: $edges")
+    }
+  }
 }
 
 class SamplingSpec extends AnyFunSuite {
