@@ -75,6 +75,60 @@ object CorpusAnalysis {
       .select("doc_id", "n_units", "n_boiler", "boiler_millis")
   }
 
+  /** BM25-style lexical retrieval: top-`topN` documents for a small set
+    * of query terms — the retrieval pass a curation pipeline runs to pull
+    * topical slices out of a corpus (and the classic pre-neural ranking
+    * function, Robertson & Walker's Okapi BM25). The tf saturation and
+    * length normalization are exact BM25 (k1 = 1.2, b = 0.75); the idf
+    * factor uses BM25's rational argument `(N − df + 0.5)/(df + 0.5)`
+    * WITHOUT the log (libm rounding is not portable across engines — the
+    * same trade [[tfidfTopTerms]] and [[markovScore]] make). Relative to
+    * true BM25 this over-weights rare terms in multi-term sums; per-term
+    * orderings are identical. Swapping `ln` in is a one-line production
+    * change.
+    *
+    * Determinism: each (doc, term) contribution is a fixed-order chain of
+    * IEEE double ops floor-quantized to integer micros BEFORE the
+    * per-document sum, so the sum is exact integer arithmetic — no
+    * float-aggregation order dependence (the oracle rule).
+    *
+    * Plan shape at 100 TB: the term filter prunes the exploded scan to
+    * query-term rows only; tf is one (doc, term) hash agg; df and the
+    * corpus stats are metadata-sized and broadcast; the only shuffle of
+    * document-cardinality data is the doc-keyed length join; the final
+    * top-N is orderBy+limit — Catalyst plans TakeOrderedAndProject
+    * (per-partition partial top-N, no global sort materialization). */
+  def bm25TopDocs(df: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], topN: Int = 10): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25TopDocs needs at least one query term")
+    val lens = df.select(col(idCol).as("doc_id"),
+      TextAnalysis.tokenCount(col(textCol)).as("len"))
+    val stats = lens.agg(count(lit(1)).as("n_docs"), sum("len").as("tot_len"))
+    val tf = df.select(col(idCol).as("doc_id"),
+        explode(TextAnalysis.tokens(col(textCol))).as("term"))
+      .filter(col("term").isin(queryTerms: _*))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val contrib = tf.join(broadcast(dfreq), Seq("term"))
+      .join(lens, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .withColumn("contrib_micro", expr(
+        """CAST(floor(1000000.0 * (
+          |  ((CAST(n_docs - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5)) *
+          |  ((CAST(tf AS DOUBLE) * 2.2) /
+          |   (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 *
+          |     (CAST(len AS DOUBLE) /
+          |      (CAST(tot_len AS DOUBLE) / CAST(n_docs AS DOUBLE)))))))) AS BIGINT)"""
+          .stripMargin))
+    val scored = contrib.groupBy("doc_id")
+      .agg(sum("contrib_micro").as("score_micro"))
+      .orderBy(col("score_micro").desc, col("doc_id").asc).limit(topN)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("score_micro").desc, col("doc_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .select("doc_id", "rank", "score_micro")
+  }
+
   /** Benchmark decontamination: flag corpus documents sharing any word
     * `n`-gram with a held-out benchmark set — the standard train/test
     * contamination gate (an n-gram hit means the benchmark text leaks into

@@ -82,6 +82,33 @@ object Sampling {
     * document never moves an old one between splits), which is the
     * leakage-safety property `randomSplit` cannot give. Scan-speed, no
     * shuffle. */
+  /** Leakage-safe split at near-duplicate-CLUSTER granularity: the split
+    * unit is the connected near-dup component, so two documents that are
+    * near-copies of each other can never land in different folds — the
+    * train/test contamination [[splitByHash]] alone cannot prevent (it
+    * keys on the document, and near-dups have different ids). `comps` is
+    * a (id, comp) assignment from [[Components]]; documents absent from
+    * it (no near-dup edge) split by their own id, so the partition stays
+    * total and singleton behavior matches splitByHash exactly.
+    *
+    * Scale shape: one id-keyed equi-join against the component map (the
+    * map holds only vertices that HAVE an edge — typically ≪ corpus, and
+    * AQE broadcasts it when small), then the same scan-speed hash-band
+    * classifier as splitByHash. Membership is a pure function of
+    * (component min-id | doc id): stable across re-runs and corpus
+    * growth, except the unavoidable case where a NEW near-dup edge merges
+    * two old clusters — then the merged cluster follows its new min. */
+  def splitByCluster(df: DataFrame, idCol: String, comps: DataFrame,
+      weightsPermille: Seq[(String, Int)]): DataFrame = {
+    val compKeyed = comps.select(col("id").as("__split_id"), col("comp"))
+    splitByHash(
+      df.join(compKeyed, col(idCol).cast("long") === col("__split_id"), "left")
+        .withColumn("__split_key",
+          coalesce(col("comp"), col(idCol).cast("long")).cast("string")),
+      col("__split_key"), weightsPermille)
+      .drop("__split_id", "__split_key", "comp")
+  }
+
   def splitByHash(df: DataFrame, keyCol: Column,
       weightsPermille: Seq[(String, Int)]): DataFrame = {
     require(weightsPermille.nonEmpty && weightsPermille.map(_._2).sum <= 1000,

@@ -332,6 +332,27 @@ object ExtQueries {
     "q_text_tfidf" -> ((s, d) =>
       CorpusAnalysis.tfidfTopTerms(docs(s, d), "doc_id", "text", topN = 5)),
 
+    // ---- BM25 lexical retrieval: top-10 docs for a topical term set —
+    // exact Okapi tf-saturation/length-normalization, rational idf (no
+    // libm log), per-term contributions floor-quantized to micros BEFORE
+    // the per-doc sum so the aggregate is exact integer arithmetic ----
+    "q_text_bm25" -> ((s, d) =>
+      CorpusAnalysis.bm25TopDocs(docs(s, d), "doc_id", "text",
+        Seq("customer", "window", "stream"), topN = 10)),
+
+    // ---- leakage-safe cluster split: near-dup components are the split
+    // unit (a doc and its near-copy can never straddle train/test);
+    // singletons fall back to splitByHash-on-id exactly ----
+    "q_sample_cluster_split" -> ((s, d) => {
+      val base = docs(s, d)
+      val comps = Components.labelPropagate(
+        Dedup.ngramJaccardPairs(base, "doc_id", "text", n = 3, threshold = 0.5),
+        "id_a", "id_b", iters = 4)
+      Sampling.splitByCluster(base, "doc_id", comps,
+        Seq("train" -> 900, "val" -> 50, "test" -> 50))
+        .select("doc_id", "split")
+    }),
+
     // ---- cross-document boilerplate: fraction of a doc's 5-grams shared
     // with ≥2 docs (the template/header signal a curation pass drops) ----
     "q_text_boilerplate" -> ((s, d) =>
@@ -810,6 +831,50 @@ winners AS (SELECT id AS doc_id FROM (
   FROM members) WHERE rn = 1),
 loners AS (SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT id FROM l4))
 SELECT doc_id FROM winners UNION ALL SELECT doc_id FROM loners""",
+
+    "q_text_bm25" -> """WITH lens AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS len FROM documents),
+stats AS (SELECT COUNT(*) AS n_docs, CAST(SUM(len) AS BIGINT) AS tot_len FROM lens),
+toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks
+       WHERE term IN ('customer', 'window', 'stream') GROUP BY 1, 2),
+dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+contrib AS (
+  SELECT t.doc_id,
+    CAST(floor(1000000.0 * (
+      ((CAST(s.n_docs - f.df AS DOUBLE) + 0.5) / (CAST(f.df AS DOUBLE) + 0.5)) *
+      ((CAST(t.tf AS DOUBLE) * 2.2) /
+       (CAST(t.tf AS DOUBLE) + 1.2 * (0.25 + 0.75 *
+         (CAST(l.len AS DOUBLE) /
+          (CAST(s.tot_len AS DOUBLE) / CAST(s.n_docs AS DOUBLE)))))))) AS BIGINT)
+      AS contrib_micro
+  FROM tf t JOIN dfreq f USING (term) JOIN lens l USING (doc_id), stats s),
+scored AS (SELECT doc_id, CAST(SUM(contrib_micro) AS BIGINT) AS score_micro
+           FROM contrib GROUP BY 1)
+SELECT doc_id, CAST(rank AS INTEGER) AS rank, score_micro FROM (
+  SELECT doc_id, score_micro,
+    row_number() OVER (ORDER BY score_micro DESC, doc_id ASC) AS rank
+  FROM scored) WHERE rank <= 10""",
+
+    "q_sample_cluster_split" -> s"""WITH $shinglesCte,
+capped AS (SELECT sid, shingle FROM (
+  SELECT sid, shingle, count(*) OVER (PARTITION BY shingle) AS sfreq FROM sh)
+  WHERE sfreq <= 1000),
+pairs AS (SELECT a.sid AS id_a, b.sid AS id_b, count(*) AS common
+          FROM capped a JOIN capped b ON a.shingle = b.shingle AND a.sid < b.sid
+          GROUP BY 1, 2),
+verified AS ($jaccardVerify),
+sym AS (SELECT id_a AS a, id_b AS b FROM verified
+        UNION SELECT id_b, id_a FROM verified),
+${componentRounds(4)},
+keyed AS (
+  SELECT d.doc_id, CAST(coalesce(l.comp, d.doc_id) AS VARCHAR) AS k
+  FROM documents d LEFT JOIN l4 l ON l.id = d.doc_id)
+SELECT doc_id,
+  CASE WHEN ${oh32("k")} % 1000 < 900 THEN 'train'
+       WHEN ${oh32("k")} % 1000 < 950 THEN 'val'
+       ELSE 'test' END AS split
+FROM keyed""",
 
     "q_text_redact" -> s"""WITH aug AS (
   SELECT doc_id, text || ' contact u' || CAST(doc_id AS VARCHAR) ||

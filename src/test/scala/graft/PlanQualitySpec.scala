@@ -225,6 +225,21 @@ class PlanQualitySpec extends AnyFunSuite {
       "no all-pairs anywhere in the decontamination plan")
   }
 
+  test("bm25 top-N plans as TakeOrderedAndProject — distributed partial " +
+      "top-k, never a global sort materialization; stats broadcast") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val df = graft.ext.CorpusAnalysis.bm25TopDocs(d, "doc_id", "text",
+      Seq("customer", "window"), topN = 5)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      "top-N must be a partial top-k, not Sort+Limit over a global sort:\n" +
+        plan.take(2000))
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+        plan.contains("BroadcastHashJoin"),
+      "corpus stats / df must broadcast:\n" + plan.take(2000))
+    assert(df.count() > 0)
+  }
+
   test("chunking is shuffle-free: per-row explode, no Exchange anywhere") {
     val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val df = graft.ext.Chunking.chunkTokens(d, "doc_id", "text",
