@@ -172,8 +172,11 @@ object Bench {
     // linear-sort layout vs Morton layout, from parquet footer ground truth.
     val tmp = java.nio.file.Files.createTempDirectory("graft_bench").toString
     locally {
-      val ev = spark.read.parquet(s"$sfDir/events.parquet")
-        .select(col("user_id"), col("ts").cast("long").as("ts"), col("value"))
+      // EventsSource.load dispatches on the testdata generation's timestamp
+      // unit (ns-as-long vs native µs NTZ — a raw cast("long") breaks on one
+      // or the other); unix_micros is unit-stable after normalization
+      val ev = graft.queries.EventsSource.load(spark, sfDir)
+        .select(col("user_id"), unix_micros(col("ts")).as("ts"), col("value"))
       val zDir = s"$tmp/zorder"
       ev.repartitionByRange(64, col("user_id")).sortWithinPartitions("user_id")
         .write.parquet(s"$zDir/linear")

@@ -151,4 +151,16 @@ c0 AS (
   FROM n, c$iters c) WHERE rn = 1""")
     sb.toString
   }
+
+  /** The same unrolled iterations as [[oracleSql]], reshaped as a WITH
+    * prefix whose last CTE `asg` is the (vec_id, cluster) assignment — for
+    * oracles that COMPOSE on the assignment (e.g. SemDeDup's within-cluster
+    * pair scan). Append further `, cte AS (...)` blocks and a final SELECT. */
+  def assignmentCteSql(k: Int, iters: Int, dim: Int = 64): String = {
+    val full = oracleSql(k, iters, dim)
+    val marker = s"SELECT vec_id, cluster FROM (\n"
+    val at = full.lastIndexOf(marker)
+    require(at >= 0, "oracleSql shape changed; update assignmentCteSql")
+    full.substring(0, at) + ", asg AS (\n" + full.substring(at) + ")\n"
+  }
 }

@@ -109,6 +109,38 @@ object Sampling {
       .drop("__split_id", "__split_key", "comp")
   }
 
+  /** Temperature-balanced corpus mix — the multilingual sampling rule of
+    * XLM-R / mT5 (group share ∝ n_i^α, α ∈ (0,1) flattens the head so
+    * low-resource languages aren't drowned): keep group i at rate
+    * (n_min/n_i)^α — the smallest group survives whole, a 100× larger one
+    * keeps 100^-α of its rows — with membership decided by the same keyed
+    * hash banding as [[hashSample]] (pure function of the key: stable
+    * across re-runs and corpus growth).
+    *
+    * Fixed at α = 1/2, computed as sqrt(n_min/n_i): IEEE division and
+    * sqrt are both correctly rounded, so any engine computes the same
+    * rate bit-for-bit; a general α needs pow(), whose cross-engine
+    * last-ulp behavior is NOT specified — a determinism hole this module
+    * refuses to ship. The rate is floor-quantized to millionths before
+    * the hash compare.
+    *
+    * Scale shape: one map-side-partial count per group (the counts frame
+    * is |groups|-sized), the global min rides a broadcast scalar join,
+    * and the final keep/drop is a scan-speed filter — the corpus itself
+    * never shuffles. */
+  def temperatureSample(df: DataFrame, groupCol: Column,
+      keyCol: Column): DataFrame = {
+    val counts = df.groupBy(groupCol.as("_grp")).agg(count(lit(1)).as("_n"))
+    val rates = counts
+      .crossJoin(broadcast(counts.agg(min(col("_n")).as("_nmin"))))
+      .select(col("_grp"),
+        floor(sqrt(col("_nmin").cast("double") / col("_n")) * lit(1000000L))
+          .cast("long").as("_ppm"))
+    df.join(broadcast(rates), groupCol === col("_grp"))
+      .filter(pmod(Dedup.h32(keyCol), lit(1000000L)) < col("_ppm"))
+      .drop("_grp", "_ppm")
+  }
+
   def splitByHash(df: DataFrame, keyCol: Column,
       weightsPermille: Seq[(String, Int)]): DataFrame = {
     require(weightsPermille.nonEmpty && weightsPermille.map(_._2).sum <= 1000,

@@ -165,4 +165,33 @@ object Similarity {
       .select(col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b"),
         cosine.as("cos"))
       .filter(col("cos") >= threshold)
+
+  /** SemDeDup-shaped semantic dedup (Abbas et al. 2023, "SemDeDup: Data-
+    * efficient learning at web-scale through semantic deduplication"): when
+    * no labels exist, LEARN the buckets — k-means clusters the corpus, the
+    * ε-neighbor scan runs within each cluster only, and a row is dropped
+    * iff some LOWER-ID cluster-mate sits at cosine ≥ threshold (the star
+    * rule: deterministic min-id survivors, no transitive chasing — compose
+    * with [[Components.starComponents]] over [[nearDupPairs]] output when
+    * component-granular resolution is wanted).
+    *
+    * Scale shape: the pair scan is per-cluster (corpus²/k expected, the
+    * SemDeDup trade — cross-cluster near-dups are unseen by design), the
+    * only driver state is the k·dim centroid codebook, and both the Lloyd
+    * loop and the pair scan shuffle on the cluster id.
+    *
+    * @return survivors as (idCol, cluster). */
+  def semanticDedup(prepared: DataFrame, k: Int, iters: Int,
+      threshold: Double, dim: Int = 64, idCol: String = "vec_id"): DataFrame = {
+    KMeans.ensureCached(prepared) // shared: Lloyd loop + pair scan + output
+    val withC = prepared.join(
+      KMeans.assign(prepared, k, iters, dim, idCol), Seq(idCol))
+    val dropped = withC.as("x").join(withC.as("y"),
+        col("x.cluster") === col("y.cluster") &&
+        col(s"x.$idCol") > col(s"y.$idCol"))
+      .filter(cosine >= threshold)
+      .select(col(s"x.$idCol").as(idCol)).distinct()
+    withC.join(dropped, Seq(idCol), "left_anti")
+      .select(col(idCol), col("cluster"))
+  }
 }

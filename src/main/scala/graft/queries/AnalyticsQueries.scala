@@ -253,19 +253,28 @@ FROM g GROUP BY user_id"""
   )
 }
 
-/** events.parquet carries nanosecond timestamps; Spark's parquet reader has
-  * no nanos type ([PARQUET_TYPE_ILLEGAL]), so read them as raw Long nanos
-  * (legacy conf) and normalize to a microsecond TimestampType at load.
-  * The oracle casts TIMESTAMP_NS → TIMESTAMP the same way (floor division —
-  * epochs here are positive).
+/** events.parquet's timestamp unit has varied across driver testdata
+  * generations: nanosecond files (which Spark's parquet reader has no type
+  * for — [PARQUET_TYPE_ILLEGAL] — so the legacy conf reads them as raw
+  * Long nanos) and plain microsecond files (read as TIMESTAMP_NTZ, since
+  * isAdjustedToUTC=false). Dispatch on the loaded schema and normalize
+  * both to a session-TZ microsecond TimestampType — the session TZ is
+  * UTC everywhere, so the NTZ cast is identity on the micros value, and
+  * the oracle's TIMESTAMP_NS/NTZ → TIMESTAMP cast lands on the same
+  * instants.
   */
 object EventsSource {
   def load(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // integer division: `/` on Long is DOUBLE division and nano epochs
-    // exceed 2^53, so `/1000` rounds the microsecond (off-by-1 vs the
-    // oracle's exact ns→µs truncation)
-    s.read.parquet(s"$d/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = s.read.parquet(s"$d/events.parquet")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        // integer division: `/` on Long is DOUBLE division and nano epochs
+        // exceed 2^53, so `/1000` rounds the microsecond (off-by-1 vs the
+        // oracle's exact ns→µs truncation)
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+    }
   }
 }

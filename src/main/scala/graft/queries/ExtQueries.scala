@@ -106,6 +106,13 @@ object ExtQueries {
       KMeans.assign(
         Similarity.prepare(embs(s, d), "vec_id", "embedding"), k = 8, iters = 3)),
 
+    // ---- SemDeDup: learned k-means buckets + within-cluster ε-neighbor
+    // scan, min-id star survivors — semantic dedup when no labels exist ----
+    "q_semdedup" -> ((s, d) =>
+      Similarity.semanticDedup(
+        Similarity.prepare(embs(s, d), "vec_id", "embedding"),
+        k = 8, iters = 3, threshold = 0.3)),
+
     // ---- product quantization: per-subspace integer-Lloyd codebooks
     // (m=8 × 8 dims, 16 codes, 2 iterations), every vector PQ-encoded ----
     "q_sim_pq" -> ((s, d) =>
@@ -200,6 +207,37 @@ object ExtQueries {
         .select("event_id", "asof_signup_ts")
     }),
 
+    // ---- binned range join: attribution windows (45 min after each
+    // purchase) matched to the user's events with an EQUI-join plan —
+    // the bin key keeps the planner off BroadcastNestedLoop/Cartesian ----
+    "q_range_join" -> ((s, d) => {
+      val ev = EventsSource.load(s, d)
+      val windows = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("window_id"),
+          unix_micros(col("ts")).as("w_start"),
+          (unix_micros(col("ts")) + lit(2700L * 1000000L)).as("w_end"))
+      RangeJoin.pointInInterval(
+        ev.select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("ts_us")),
+        windows, pointCol = "ts_us", startCol = "w_start", endCol = "w_end",
+        binWidth = 3600L * 1000000L, keyCols = Seq("user_id"),
+        valueCols = Seq("window_id"))
+        .select(col("event_id"), col("iv_window_id").as("window_id"))
+    }),
+
+    // interval-overlap flavor: purchase windows × error windows per user,
+    // each pair emitted once via the first-shared-bin trick (no distinct)
+    "q_range_overlap" -> ((s, d) => {
+      val ev = EventsSource.load(s, d)
+      def win(t: String) = ev.filter(col("event_type") === t)
+        .select(col("user_id"), col("event_id").as("window_id"),
+          unix_micros(col("ts")).as("ws"),
+          (unix_micros(col("ts")) + lit(2700L * 1000000L)).as("we"))
+      RangeJoin.intervalOverlap(win("purchase"), win("error"),
+        keyCols = Seq("user_id"), leftStart = "ws", leftEnd = "we",
+        rightStart = "ws", rightEnd = "we", binWidth = 3600L * 1000000L,
+        leftValueCols = Seq("window_id"), rightValueCols = Seq("window_id"))
+    }),
+
     // ---- multimodal ----
     "q_mm_features" -> ((s, d) =>
       Multimodal.decodeFeatures(Multimodal.synthesizePayloads(s, d)).toDF()),
@@ -216,6 +254,13 @@ object ExtQueries {
     "q_sample_hash" -> ((s, d) =>
       Sampling.hashSample(docs(s, d), col("doc_id").cast("string"), permille = 250)
         .select("doc_id", "lang", "n_chars")),
+
+    // temperature-balanced mix (α=1/2): keep lang i at rate sqrt(n_min/n_i)
+    // — low-resource languages survive whole, the head is flattened
+    "q_sample_temperature" -> ((s, d) =>
+      Sampling.temperatureSample(docs(s, d), col("lang"),
+        col("doc_id").cast("string"))
+        .select("doc_id", "lang")),
 
     // 30 docs per language, picked by deterministic hash order
     "q_sample_stratified" -> ((s, d) =>
@@ -708,6 +753,19 @@ FROM exact e LEFT JOIN (SELECT source, h FROM ranked WHERE rn = 64) r
 
     "q_sim_kmeans" -> KMeans.oracleSql(k = 8, iters = 3),
 
+    "q_semdedup" -> (KMeans.assignmentCteSql(k = 8, iters = 3) + """, withc AS (
+  SELECT n.vec_id, n.qe,
+    sqrt(CAST(list_sum(list_transform(n.qe, x -> x * x)) AS DOUBLE)) AS nrm,
+    a.cluster
+  FROM n JOIN asg a USING (vec_id)),
+dropped AS (
+  SELECT DISTINCT x.vec_id
+  FROM withc x JOIN withc y ON x.cluster = y.cluster AND x.vec_id > y.vec_id
+  WHERE (CAST(list_sum(list_transform(range(64), i -> x.qe[i+1] * y.qe[i+1])) AS DOUBLE)
+    / x.nrm) / y.nrm >= 0.3)
+SELECT w.vec_id, w.cluster FROM withc w
+WHERE NOT EXISTS (SELECT 1 FROM dropped d WHERE d.vec_id = w.vec_id)"""),
+
     "q_sim_pq" -> PQ.encodeOracleSql(m = 8, ksub = 32, iters = 3),
 
     "q_pq_recall" -> PQ.recallOracleSql(m = 8, ksub = 32, iters = 3, k = 5,
@@ -741,6 +799,28 @@ FROM events e ASOF LEFT JOIN
   (SELECT user_id, ts FROM events WHERE event_type = 'signup') s
 ON e.user_id = s.user_id AND e.ts >= s.ts""",
 
+    "q_range_join" -> """SELECT e.event_id, w.window_id
+FROM events e JOIN (
+  SELECT user_id, event_id AS window_id,
+    epoch_us(CAST(ts AS TIMESTAMP)) AS ws
+  FROM events WHERE event_type = 'purchase') w
+ON e.user_id = w.user_id
+AND epoch_us(CAST(e.ts AS TIMESTAMP)) >= w.ws
+AND epoch_us(CAST(e.ts AS TIMESTAMP)) < w.ws + 2700000000""",
+
+    "q_range_overlap" -> """WITH p AS (
+  SELECT user_id, event_id AS window_id,
+    epoch_us(CAST(ts AS TIMESTAMP)) AS s,
+    epoch_us(CAST(ts AS TIMESTAMP)) + 2700000000 AS e
+  FROM events WHERE event_type = 'purchase'),
+x AS (
+  SELECT user_id, event_id AS window_id,
+    epoch_us(CAST(ts AS TIMESTAMP)) AS s,
+    epoch_us(CAST(ts AS TIMESTAMP)) + 2700000000 AS e
+  FROM events WHERE event_type = 'error')
+SELECT p.user_id, p.window_id AS l_window_id, x.window_id AS r_window_id
+FROM p JOIN x ON p.user_id = x.user_id AND p.s < x.e AND x.s < p.e""",
+
     "q_mm_features" -> """WITH h AS (
   SELECT doc_id, CAST(n_chars % 640 + 1 AS INTEGER) AS width,
     CAST((doc_id * 7) % 480 + 1 AS INTEGER) AS height,
@@ -759,6 +839,15 @@ FROM documents""",
 
     "q_sample_hash" -> s"""SELECT doc_id, lang, n_chars FROM documents
 WHERE ${oh32("CAST(doc_id AS VARCHAR)")} % 1000 < 250""",
+
+    "q_sample_temperature" -> s"""WITH c AS (
+  SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+m AS (SELECT min(n) AS nmin FROM c),
+r AS (SELECT lang,
+  CAST(floor(sqrt(CAST(nmin AS DOUBLE) / n) * 1000000) AS BIGINT) AS ppm
+  FROM c, m)
+SELECT d.doc_id, d.lang FROM documents d JOIN r USING (lang)
+WHERE ${oh32("CAST(doc_id AS VARCHAR)")} % 1000000 < r.ppm""",
 
     "q_sample_stratified" -> s"""SELECT doc_id, lang, source FROM (
   SELECT doc_id, lang, source, row_number() OVER (

@@ -154,6 +154,25 @@ class KMeansSpec extends AnyFunSuite {
     val blob2 = (21L to 40L).map(a1)
     assert(blob1.toSet.size == 1 && blob2.toSet.size == 1 && blob1.head != blob2.head)
   }
+
+  test("semanticDedup drops exactly the rows with a lower-id ε-mate in their learned cluster") {
+    // two orthogonal blobs: within a blob every pair is near-parallel
+    // (cos ≈ 1), across blobs cos = 0 — so with threshold 0.9 each learned
+    // cluster should collapse to its min-id member
+    val vecs = ((1 to 20).map(i => (i.toLong, Array(1.0f + i * 0.001f, 0.0f, 0.0f))) ++
+      (21 to 40).map(i => (i.toLong, Array(0.0f, 1.0f + i * 0.001f, 0.0f))))
+      .toDF("vec_id", "embedding")
+    val prep = Similarity.prepare(vecs, "vec_id", "embedding")
+    val survivors = Similarity.semanticDedup(prep, k = 2, iters = 3,
+      threshold = 0.9, dim = 3).as[(Long, Int)].collect().toMap
+    assert(survivors.keySet === Set(1L, 21L),
+      s"each blob collapses to its min id, got ${survivors.keySet}")
+    assert(survivors(1L) !== survivors(21L)) // distinct learned clusters
+    // threshold above every within-blob cosine ⇒ nothing drops
+    val none = Similarity.semanticDedup(prep, k = 2, iters = 3,
+      threshold = 1.1, dim = 3)
+    assert(none.count() === 40L)
+  }
 }
 
 class TextAnalysisSpec extends AnyFunSuite {
@@ -401,6 +420,25 @@ class SamplingSpec extends AnyFunSuite {
     val tighter = Sampling.hashSample(corpus, key, 100).select("doc_id")
       .as[Long].collect().toSet
     assert(tighter.subsetOf(a))
+  }
+
+  test("temperature mix keeps the smallest group whole and flattens the head at sqrt") {
+    // skewed corpus: 40 "lo", 160 "mid", 640 "hi" — 1:4:16, so α=1/2 keeps
+    // rates 1, 1/2, 1/4 and post-sample shares become 1:2:4
+    val skewed = ((1L to 40L).map(i => (i, "lo")) ++
+      (41L to 200L).map(i => (i, "mid")) ++
+      (201L to 840L).map(i => (i, "hi"))).toDF("doc_id", "lang")
+    val key = col("doc_id").cast("string")
+    val out = Sampling.temperatureSample(skewed, col("lang"), key)
+    val kept = out.groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(kept("lo") === 40L, "smallest group must survive whole (rate 1)")
+    // hash banding targets n·rate with binomial-ish noise
+    assert(math.abs(kept("mid") - 80L) < 25, s"mid ≈ 160·1/2, got ${kept("mid")}")
+    assert(math.abs(kept("hi") - 160L) < 40, s"hi ≈ 640·1/4, got ${kept("hi")}")
+    // membership is keyed-hash: partition-invariant and a subset of the corpus
+    val again = Sampling.temperatureSample(skewed.repartition(7), col("lang"), key)
+      .select("doc_id").as[Long].collect().toSet
+    assert(again === out.select("doc_id").as[Long].collect().toSet)
   }
 
   test("stratified sample takes exactly n per stratum, deterministically") {
