@@ -111,6 +111,34 @@ object TextAnalysis {
       transform(array_distinct(tk), t => size(filter(tk, x => x === t))))
     floor(lit(1000.0) * maxCnt / size(tk)).cast("long")
   }
+
+  /** Linear text-classifier INFERENCE at scan speed — the fastText serving
+    * shape (Joulin et al. 2016: score = Σ over tokens of w[h(token) mod B]),
+    * the way a trained quality/toxicity/language filter actually runs over
+    * a 100 TB corpus. The model is a bucket→weight vector in integer
+    * MICRO-units, shipped into the expression as an array literal (the
+    * codegen analog of broadcasting a small trained model): the per-doc
+    * fold is then EXACT integer arithmetic — order-independent, identical
+    * in any engine — with no explode, no join, no shuffle; convert to a
+    * float score with one division at the consumer if wanted.
+    *
+    * Weights are a Seq (model-sized driver state, like k-means centroids);
+    * train elsewhere, serve here. */
+  def linearScoreMicros(text: Column, weightMicros: Seq[Long]): Column = {
+    require(weightMicros.nonEmpty, "empty weight vector")
+    val b = weightMicros.size
+    val warr = array(weightMicros.map(lit): _*)
+    aggregate(tokens(text), lit(0L),
+      (acc, t) => acc +
+        element_at(warr, (pmod(Dedup.h32(t), lit(b)) + 1).cast("int")))
+  }
+
+  /** A deterministic stand-in weight vector (Knuth multiplicative hash into
+    * [-1e6, 1e6] micros) — the PLUMBING under test is real inference; a
+    * real deployment passes trained weights. Replayed verbatim in the
+    * oracle SQL. */
+  def standInWeights(buckets: Int): Seq[Long] =
+    (0 until buckets).map(i => (i * 2654435761L) % 2000001L - 1000000L)
 }
 
 /** KMV (k-minimum-values) distinct-count sketch: estimate = (k−1)·2³² / hₖ

@@ -31,6 +31,16 @@ object ExtQueries {
         TextAnalysis.qualityScore(col("text")).as("quality"),
         TextAnalysis.langId(col("text")).as("lang_pred"))),
 
+    // linear classifier inference (fastText serving shape): hashed token
+    // buckets × micro-weights folded per row — no explode/join/shuffle
+    "q_text_classify" -> ((s, d) =>
+      docs(s, d).select(
+        col("doc_id"),
+        TextAnalysis.linearScoreMicros(col("text"),
+          TextAnalysis.standInWeights(256)).as("score_micros"))
+        .withColumn("label",
+          when(col("score_micros") >= 0, "keep").otherwise("drop"))),
+
     "q_text_fingerprint" -> ((s, d) =>
       docs(s, d).select(
         col("doc_id"),
@@ -551,6 +561,19 @@ cand AS (SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b,
   }
 
   def oracles: Map[String, String] = Map(
+    "q_text_classify" -> s"""WITH w AS (
+  SELECT i AS bucket, (i * 2654435761) % 2000001 - 1000000 AS wm
+  FROM (SELECT unnest(range(256)) AS i)),
+t AS (
+  SELECT doc_id, ${oh32("tok")} % 256 AS bucket
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)),
+s AS (
+  SELECT t.doc_id, CAST(sum(w.wm) AS BIGINT) AS score_micros
+  FROM t JOIN w USING (bucket) GROUP BY t.doc_id)
+SELECT doc_id, score_micros,
+  CASE WHEN score_micros >= 0 THEN 'keep' ELSE 'drop' END AS label
+FROM s""",
+
     "q_text_stats" -> s"""SELECT doc_id,
   len(string_split(text, ' ')) AS n_tokens,
   CAST(ceil(length(text) / 4.0) AS BIGINT) AS est_bpe_tokens,

@@ -192,6 +192,29 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(r.getAs[Long]("bpe") == math.ceil(22 / 4.0).toLong)
   }
 
+  test("linearScoreMicros folds exactly what the explode+join reference computes") {
+    import graft.ext.Dedup
+    val docs = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "zzz qqq zzz"),
+      (3L, "solo"),
+      (4L, "")).toDF("doc_id", "text") // empty text = one "" token, still scored
+    val w = TextAnalysis.standInWeights(64)
+    val got = docs.select(col("doc_id"),
+      TextAnalysis.linearScoreMicros(col("text"), w).as("s"))
+      .as[(Long, Long)].collect().toMap
+    // reference: explode tokens, bucket by the same hash, sum looked-up weights
+    val ref = docs
+      .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("tok"))
+      .withColumn("bucket", pmod(Dedup.h32(col("tok")), lit(64)))
+      .as[(Long, String, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(r => w(r._3.toInt)).sum).toMap
+    assert(got === ref)
+    // weights in whole micros: a one-token doc's score IS its bucket weight
+    val soloBucket = ref(3L)
+    assert(w.contains(soloBucket))
+  }
+
   test("langId: english-ish vs tiny vs no stopwords") {
     val df = Seq(
       (1L, "the cat sat on a mat with the dog"),
