@@ -188,6 +188,30 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Edit-distance verification of candidate near-dup pairs — the final
+    * arbiter a production dedup pipeline runs AFTER the sketch stages:
+    * MinHash/SimHash NOMINATE pairs cheaply, exact Levenshtein on the
+    * pair's full texts CONFIRMS. Distance is normalized to millis of the
+    * longer text (0 = identical, 1000 = nothing shared) and kept iff
+    * ≤ maxMillis.
+    *
+    * Scale shape: `pairs` is sketch-pruned (never corpus²); the texts
+    * come back via two id-keyed equi-joins and the O(len_a·len_b) DP runs
+    * per pair, embarrassingly parallel — no shuffle beyond the joins.
+    * Levenshtein is exact integer DP, so any engine agrees; the millis
+    * division is exact-into-floor (1000·lev is an exact double). */
+  def editVerifiedPairs(df: DataFrame, idCol: String, textCol: String,
+      pairs: DataFrame, maxMillis: Int): DataFrame =
+    pairs.select("id_a", "id_b")
+      .join(df.select(col(idCol).as("id_a"), col(textCol).as("_ta")), Seq("id_a"))
+      .join(df.select(col(idCol).as("id_b"), col(textCol).as("_tb")), Seq("id_b"))
+      .withColumn("lev", levenshtein(col("_ta"), col("_tb")))
+      .withColumn("lev_millis",
+        floor(lit(1000.0) * col("lev") /
+          greatest(length(col("_ta")), length(col("_tb")), lit(1))).cast("long"))
+      .filter(col("lev_millis") <= maxMillis)
+      .select("id_a", "id_b", "lev", "lev_millis")
+
   // --------------------------------------------------------------- simhash
 
   /** 32-bit SimHash over the token multiset: per bit, sum ±occurrences by

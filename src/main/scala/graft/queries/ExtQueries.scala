@@ -60,6 +60,15 @@ object ExtQueries {
     "q_dedup_simhash" -> ((s, d) =>
       Dedup.simhashPairs(docs(s, d), "doc_id", "text", maxHamming = 3)),
 
+    // sketch-nominate → edit-distance-confirm: exact Levenshtein over the
+    // LSH candidates only, normalized to millis of the longer text
+    "q_dedup_editverify" -> ((s, d) => {
+      val dd = docs(s, d)
+      Dedup.editVerifiedPairs(dd, "doc_id", "text",
+        Dedup.minhashLshPairs(dd, "doc_id", "text", n = 3, threshold = 0.5),
+        maxMillis = 400)
+    }),
+
     "q_dedup_embedding" -> ((s, d) =>
       Similarity.nearDupPairs(
         Similarity.prepare(embs(s, d), "vec_id", "embedding"), threshold = 0.4)),
@@ -653,6 +662,30 @@ pairs AS (SELECT a.sid AS id_a, b.sid AS id_b, count(*) AS common
           JOIN cand c ON c.id_a = a.sid AND c.id_b = b.sid
           GROUP BY 1, 2)
 $jaccardVerify""",
+
+    "q_dedup_editverify" -> s"""WITH $shinglesCte,
+hsh AS (SELECT sid, ${oh32("shingle")} AS h FROM sh),
+sig AS (SELECT sid,
+       $minhashSigCols
+FROM hsh GROUP BY sid),
+bands AS ($minhashBandSelects),
+cand AS (SELECT DISTINCT x.sid AS id_a, y.sid AS id_b
+         FROM bands x JOIN bands y ON x.band = y.band AND x.bsig = y.bsig
+         WHERE x.sid < y.sid),
+pairs AS (SELECT a.sid AS id_a, b.sid AS id_b, count(*) AS common
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.sid < b.sid
+          JOIN cand c ON c.id_a = a.sid AND c.id_b = b.sid
+          GROUP BY 1, 2),
+lsh AS ($jaccardVerify)
+SELECT l.id_a, l.id_b,
+  CAST(levenshtein(da.text, db.text) AS INTEGER) AS lev,
+  CAST(floor(1000.0 * levenshtein(da.text, db.text)
+    / greatest(length(da.text), length(db.text), 1)) AS BIGINT) AS lev_millis
+FROM lsh l
+JOIN documents da ON da.doc_id = l.id_a
+JOIN documents db ON db.doc_id = l.id_b
+WHERE floor(1000.0 * levenshtein(da.text, db.text)
+    / greatest(length(da.text), length(db.text), 1)) <= 400""",
 
     // Naive O(n²) twin — the Spark side's band LSH is lossless for
     // hamming ≤ 3 over 4 bands (pigeonhole), so results are identical.

@@ -37,6 +37,28 @@ class DedupSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("editVerifiedPairs confirms identical/near pairs and rejects distant candidates") {
+    val texts = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),  // identical → lev 0
+      (3L, "the quick brown fox jumped over the lazy dog"), // 1 edit region
+      (4L, "completely different content here entirely")).toDF("doc_id", "text")
+    // candidates: all three pairs, including the far one — the verifier decides
+    val cand = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("id_a", "id_b")
+    val out = Dedup.editVerifiedPairs(texts, "doc_id", "text", cand, maxMillis = 400)
+      .as[(Long, Long, Int, Long)].collect().map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    assert(out((1L, 2L)) === ((0, 0L)))
+    val (lev13, m13) = out((1L, 3L))
+    assert(lev13 === 2 && m13 === math.floor(1000.0 * 2 / 44).toLong)
+    assert(!out.contains((1L, 4L)), "distant pair must fail verification")
+    // normalization divides by the LONGER text: asymmetric lengths share one millis
+    val asym = Seq((10L, "abc"), (11L, "abcdefghij")).toDF("doc_id", "text")
+    val m = Dedup.editVerifiedPairs(asym, "doc_id", "text",
+        Seq((10L, 11L)).toDF("id_a", "id_b"), maxMillis = 1000)
+      .select("lev_millis").as[Long].head()
+    assert(m === 700L) // lev 7 / len 10
+  }
+
   test("docs shorter than n tokens yield NO shingles (ADVICE r1: no negative-index slices)") {
     val short = Seq((1L, "one two"), (2L, "solo"), (3L, "exactly three tokens"),
       (4L, "")).toDF("doc_id", "text")
