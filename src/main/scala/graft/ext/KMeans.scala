@@ -112,15 +112,19 @@ object KMeans {
   /** DuckDB twin: the same seeds/iterations/rounding unrolled as SQL. Kept
     * here (not in the oracle file) so the iteration logic and its SQL twin
     * live side by side. */
-  def oracleSql(k: Int, iters: Int, dim: Int = 64): String = {
-    val sb = new StringBuilder
-    sb.append(s"""WITH n AS (
+  /** The quantization CTE: (vec_id, qe) for every embeddings row. */
+  private def quantCte: String = """n AS (
   SELECT vec_id,
     list_transform(embedding, x -> CAST(floor(x * 1048576 + 0.5) AS BIGINT)) AS qe
-  FROM embeddings),
-c0 AS (
+  FROM embeddings)"""
+
+  /** Training CTEs c0..c{iters} (seeds + unrolled assign→update rounds)
+    * over the vector CTE `src`. */
+  private def unrolled(src: String, k: Int, iters: Int, dim: Int): String = {
+    val sb = new StringBuilder
+    sb.append(s"""c0 AS (
   SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cluster, qe AS c
-  FROM (SELECT vec_id, qe FROM n ORDER BY vec_id LIMIT $k))
+  FROM (SELECT vec_id, qe FROM $src ORDER BY vec_id LIMIT $k))
 """)
     for (it <- 1 to iters) {
       val prev = s"c${it - 1}"
@@ -130,7 +134,7 @@ c0 AS (
       row_number() OVER (PARTITION BY n.vec_id ORDER BY
         list_sum(list_transform(range($dim), i -> (n.qe[i+1] - c.c[i+1]) * (n.qe[i+1] - c.c[i+1]))),
         c.cluster) AS rn
-    FROM n, $prev c) WHERE rn = 1)
+    FROM $src n, $prev c) WHERE rn = 1)
 """)
       sb.append(s""", c$it AS (
   SELECT cluster, list(v ORDER BY dim) AS c FROM (
@@ -141,16 +145,39 @@ c0 AS (
   GROUP BY cluster)
 """)
     }
-    // final assignment under the post-update centroids (matches the Spark
-    // loop: iters × (assign → update), then one closing assignment)
-    sb.append(s"""SELECT vec_id, cluster FROM (
+    sb.toString
+  }
+
+  /** Nearest-centroid assignment of `src` rows under centroid CTE `cs`
+    * (the closing-assignment pattern; works for ANY vector set, which is
+    * what the cross-corpus twin exploits). */
+  private def assignSelect(src: String, cs: String, dim: Int): String =
+    s"""SELECT vec_id, cluster FROM (
   SELECT n.vec_id, c.cluster,
     row_number() OVER (PARTITION BY n.vec_id ORDER BY
       list_sum(list_transform(range($dim), i -> (n.qe[i+1] - c.c[i+1]) * (n.qe[i+1] - c.c[i+1]))),
       c.cluster) AS rn
-  FROM n, c$iters c) WHERE rn = 1""")
-    sb.toString
-  }
+  FROM $src n, $cs c) WHERE rn = 1"""
+
+  def oracleSql(k: Int, iters: Int, dim: Int = 64): String =
+    // final assignment under the post-update centroids (matches the Spark
+    // loop: iters × (assign → update), then one closing assignment)
+    s"WITH $quantCte,\n" + unrolled("n", k, iters, dim) +
+      assignSelect("n", s"c$iters", dim)
+
+  /** WITH prefix for the INCREMENTAL twin: train on the rows matching
+    * `corpusWhere` only, then expose `asgc` (corpus assignment) and
+    * `asgn` (rows matching `newWhere` assigned under the SAME centroids)
+    * — the corpus is never re-clustered per batch. Append further CTEs
+    * and a final SELECT. */
+  def crossAssignCteSql(k: Int, iters: Int, dim: Int,
+      corpusWhere: String, newWhere: String): String =
+    s"WITH $quantCte,\n" +
+      s"nc AS (SELECT * FROM n WHERE $corpusWhere),\n" +
+      s"nn AS (SELECT * FROM n WHERE $newWhere),\n" +
+      unrolled("nc", k, iters, dim) +
+      s", asgc AS (\n${assignSelect("nc", s"c$iters", dim)})\n" +
+      s", asgn AS (\n${assignSelect("nn", s"c$iters", dim)})\n"
 
   /** The same unrolled iterations as [[oracleSql]], reshaped as a WITH
     * prefix whose last CTE `asg` is the (vec_id, cluster) assignment — for

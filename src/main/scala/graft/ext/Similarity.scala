@@ -194,4 +194,35 @@ object Similarity {
     withC.join(dropped, Seq(idCol), "left_anti")
       .select(col(idCol), col("cluster"))
   }
+
+  /** Incremental (cross-corpus) semantic dedup — the continuous-ingest
+    * twin of [[semanticDedup]], mirroring [[Dedup.crossCorpusJaccardPairs]]
+    * for the embedding modality: centroids are trained on the EXISTING
+    * corpus once, the new batch is assigned under those fixed centroids,
+    * and the ε-scan compares new×corpus within shared clusters only — a
+    * new row drops iff some corpus row sits at cosine ≥ threshold in its
+    * cluster. Corpus×corpus is never recompared and the corpus is never
+    * re-clustered per batch: the work is O(|new| · cluster-co-residents),
+    * the shape a 100 TB ingest pipeline actually runs (within-batch dups
+    * are [[semanticDedup]]'s job, handled separately).
+    *
+    * @return new-batch survivors as (idCol, cluster). */
+  def crossCorpusSemanticDedup(newPrepared: DataFrame, corpusPrepared: DataFrame,
+      k: Int, iters: Int, threshold: Double, dim: Int = 64,
+      idCol: String = "vec_id"): DataFrame = {
+    KMeans.ensureCached(corpusPrepared) // Lloyd loop + assignment + ε-scan
+    KMeans.ensureCached(newPrepared)
+    val cs = KMeans.lloyd(corpusPrepared, k, iters, dim, idCol)
+    def assigned(prep: DataFrame) = prep.join(
+      KMeans.assignmentUnder(KMeans.withQq(prep, idCol), cs, idCol)
+        .select(col(idCol), col("cluster")), Seq(idCol))
+    val nw = assigned(newPrepared)
+    val cw = assigned(corpusPrepared)
+    val dropped = nw.as("x").join(cw.as("y"),
+        col("x.cluster") === col("y.cluster"))
+      .filter(cosine >= threshold)
+      .select(col(s"x.$idCol").as(idCol)).distinct()
+    nw.join(dropped, Seq(idCol), "left_anti")
+      .select(col(idCol), col("cluster"))
+  }
 }

@@ -132,6 +132,16 @@ object ExtQueries {
         Similarity.prepare(embs(s, d), "vec_id", "embedding"),
         k = 8, iters = 3, threshold = 0.3)),
 
+    // incremental SemDeDup: new batch (vec_id % 5 = 0) deduped against the
+    // corpus-trained clusters only — corpus never recompared or re-clustered
+    "q_semdedup_incremental" -> ((s, d) => {
+      val all = Similarity.prepare(embs(s, d), "vec_id", "embedding")
+      Similarity.crossCorpusSemanticDedup(
+        all.filter(col("vec_id") % 5 === 0),
+        all.filter(col("vec_id") % 5 =!= 0),
+        k = 8, iters = 3, threshold = 0.3)
+    }),
+
     // ---- product quantization: per-subspace integer-Lloyd codebooks
     // (m=8 × 8 dims, 16 codes, 2 iterations), every vector PQ-encoded ----
     "q_sim_pq" -> ((s, d) =>
@@ -820,6 +830,26 @@ dropped AS (
   WHERE (CAST(list_sum(list_transform(range(64), i -> x.qe[i+1] * y.qe[i+1])) AS DOUBLE)
     / x.nrm) / y.nrm >= 0.3)
 SELECT w.vec_id, w.cluster FROM withc w
+WHERE NOT EXISTS (SELECT 1 FROM dropped d WHERE d.vec_id = w.vec_id)"""),
+
+    "q_semdedup_incremental" -> (KMeans.crossAssignCteSql(k = 8, iters = 3,
+      dim = 64, corpusWhere = "vec_id % 5 <> 0", newWhere = "vec_id % 5 = 0") +
+      """, wc AS (
+  SELECT n.vec_id, n.qe,
+    sqrt(CAST(list_sum(list_transform(n.qe, x -> x * x)) AS DOUBLE)) AS nrm,
+    a.cluster
+  FROM nc n JOIN asgc a USING (vec_id)),
+wn AS (
+  SELECT n.vec_id, n.qe,
+    sqrt(CAST(list_sum(list_transform(n.qe, x -> x * x)) AS DOUBLE)) AS nrm,
+    a.cluster
+  FROM nn n JOIN asgn a USING (vec_id)),
+dropped AS (
+  SELECT DISTINCT x.vec_id
+  FROM wn x JOIN wc y ON x.cluster = y.cluster
+  WHERE (CAST(list_sum(list_transform(range(64), i -> x.qe[i+1] * y.qe[i+1])) AS DOUBLE)
+    / x.nrm) / y.nrm >= 0.3)
+SELECT w.vec_id, w.cluster FROM wn w
 WHERE NOT EXISTS (SELECT 1 FROM dropped d WHERE d.vec_id = w.vec_id)"""),
 
     "q_sim_pq" -> PQ.encodeOracleSql(m = 8, ksub = 32, iters = 3),

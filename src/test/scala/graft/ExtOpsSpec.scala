@@ -177,6 +177,24 @@ class KMeansSpec extends AnyFunSuite {
     assert(blob1.toSet.size == 1 && blob2.toSet.size == 1 && blob1.head != blob2.head)
   }
 
+  test("crossCorpusSemanticDedup drops new rows near the corpus, keeps novel directions") {
+    val corpus = ((1 to 20).map(i => (i.toLong, Array(1.0f + i * 0.001f, 0.0f, 0.0f))) ++
+      (21 to 40).map(i => (i.toLong, Array(0.0f, 1.0f + i * 0.001f, 0.0f))))
+      .toDF("vec_id", "embedding")
+    // new batch: two near blob A (drop), one near blob B (drop), one on a
+    // genuinely new axis (keep — zero cosine to every corpus vector)
+    val fresh = Seq(
+      (101L, Array(1.5f, 0.0f, 0.0f)), (102L, Array(2.0f, 0.001f, 0.0f)),
+      (103L, Array(0.0f, 0.7f, 0.0f)), (104L, Array(0.0f, 0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.crossCorpusSemanticDedup(
+      Similarity.prepare(fresh, "vec_id", "embedding"),
+      Similarity.prepare(corpus, "vec_id", "embedding"),
+      k = 2, iters = 3, threshold = 0.9, dim = 3)
+      .as[(Long, Int)].collect().toMap
+    assert(out.keySet === Set(104L), s"only the novel axis survives, got ${out.keySet}")
+  }
+
   test("semanticDedup drops exactly the rows with a lower-id ε-mate in their learned cluster") {
     // two orthogonal blobs: within a blob every pair is near-parallel
     // (cos ≈ 1), across blobs cos = 0 — so with threshold 0.9 each learned
