@@ -188,6 +188,36 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Winnowing fingerprints (Schleimer, Wilkerson & Aiken 2003 — the MOSS
+    * scheme): hash every k-token gram, slide a window of `w` consecutive
+    * hashes, keep each window's MINIMUM — the selected set is position-
+    * robust (guaranteed to share fingerprints with any copy that overlaps
+    * by at least w+k-1 tokens, unlike fixed-stride sampling) and ~1/w the
+    * size of the full gram set. Short docs: fewer than k tokens → no
+    * fingerprints; fewer than w grams → one fingerprint, the global min.
+    *
+    * Pure array expressions — per-row O(len·w), no shuffle until the final
+    * distinct explode; at 100 TB this is the scan-speed fingerprint pass
+    * whose output feeds an overlap join a corpus-scale plagiarism /
+    * contamination check runs on (doc_id, fp).
+    *
+    * @return (idCol, fp) — distinct winnowed fingerprints per document. */
+  def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 4, w: Int = 4): DataFrame = {
+    require(k >= 1 && w >= 1, s"k and w must be positive: k=$k w=$w")
+    val toks = split(col(textCol), " ")
+    val grams = when(size(toks) >= k,
+        transform(sequence(lit(0), size(toks) - k),
+          i => h32(concat_ws(" ", slice(toks, i + 1, lit(k))))))
+      .otherwise(array().cast("array<long>"))
+    val fps = when(size(col("_hs")) === 0, array().cast("array<long>"))
+      .when(size(col("_hs")) < w, array(array_min(col("_hs"))))
+      .otherwise(transform(sequence(lit(0), size(col("_hs")) - w),
+        j => array_min(slice(col("_hs"), j + 1, lit(w)))))
+    df.select(col(idCol), grams.as("_hs"))
+      .select(col(idCol), explode(array_distinct(fps)).as("fp"))
+  }
+
   /** Edit-distance verification of candidate near-dup pairs — the final
     * arbiter a production dedup pipeline runs AFTER the sketch stages:
     * MinHash/SimHash NOMINATE pairs cheaply, exact Levenshtein on the

@@ -60,6 +60,11 @@ object ExtQueries {
     "q_dedup_simhash" -> ((s, d) =>
       Dedup.simhashPairs(docs(s, d), "doc_id", "text", maxHamming = 3)),
 
+    // winnowing fingerprints (MOSS scheme): window-min of k-gram hashes —
+    // position-robust overlap fingerprints at ~1/w the gram count
+    "q_dedup_winnow" -> ((s, d) =>
+      Dedup.winnowFingerprints(docs(s, d), "doc_id", "text", k = 4, w = 4)),
+
     // sketch-nominate → edit-distance-confirm: exact Levenshtein over the
     // LSH candidates only, normalized to millis of the longer text
     "q_dedup_editverify" -> ((s, d) => {
@@ -672,6 +677,23 @@ pairs AS (SELECT a.sid AS id_a, b.sid AS id_b, count(*) AS common
           JOIN cand c ON c.id_a = a.sid AND c.id_b = b.sid
           GROUP BY 1, 2)
 $jaccardVerify""",
+
+    "q_dedup_winnow" -> s"""WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+g AS (
+  SELECT doc_id,
+    list_transform(range(0, greatest(len(t) - 3, 0)),
+      i -> ${oh32("array_to_string(t[(i+1):(i+4)], ' ')")}) AS hs
+  FROM toks),
+m AS (
+  SELECT doc_id,
+    CASE WHEN len(hs) = 0 THEN CAST([] AS BIGINT[])
+         WHEN len(hs) < 4 THEN [list_min(hs)]
+         ELSE list_transform(range(0, len(hs) - 3),
+           j -> list_min(hs[(j+1):(j+4)]))
+    END AS fps
+  FROM g)
+SELECT DISTINCT doc_id, unnest(fps) AS fp FROM m""",
 
     "q_dedup_editverify" -> s"""WITH $shinglesCte,
 hsh AS (SELECT sid, ${oh32("shingle")} AS h FROM sh),

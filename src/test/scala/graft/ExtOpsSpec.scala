@@ -37,6 +37,29 @@ class DedupSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("winnowing: overlap guarantee, window-min subset, short-doc edges") {
+    import graft.ext.Dedup
+    val base = (1 to 30).map(i => s"w$i").mkString(" ") // 30 distinct tokens
+    val shifted = "x1 x2 x3 " + base                    // same content, offset 3
+    val data = Seq(
+      (1L, base), (2L, shifted),
+      (3L, "a b c"),      // 3 tokens < k=4 → no fingerprints
+      (4L, "a b c d e"),  // 2 grams < w=4 → exactly one fp (their min)
+      (5L, "")).toDF("doc_id", "text")
+    val fp = Dedup.winnowFingerprints(data, "doc_id", "text", k = 4, w = 4)
+      .as[(Long, Long)].collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    // position robustness: a copy with a 3-token prefix still shares fps
+    assert((fp(1L) & fp(2L)).nonEmpty, "offset copy must share fingerprints")
+    assert(!fp.contains(3L) && !fp.contains(5L))
+    assert(fp(4L).size === 1)
+    // every fingerprint is the min of SOME window ⇒ subset of the gram hashes
+    val grams1 = (0 to 26).map(i =>
+      (i until i + 4).map(j => s"w${j + 1}").mkString(" "))
+    val hashes1 = data.sparkSession.range(1).select(
+      grams1.map(g => graft.ext.Dedup.h32(lit(g))): _*).head().toSeq.map(_.asInstanceOf[Long]).toSet
+    assert(fp(1L).subsetOf(hashes1))
+  }
+
   test("editVerifiedPairs confirms identical/near pairs and rejects distant candidates") {
     val texts = Seq(
       (1L, "the quick brown fox jumps over the lazy dog"),
