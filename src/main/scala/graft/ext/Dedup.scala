@@ -218,6 +218,30 @@ object Dedup {
       .select(col(idCol), explode(array_distinct(fps)).as("fp"))
   }
 
+  /** Document-pair overlap via shared winnowed fingerprints — the join
+    * [[winnowFingerprints]] exists to feed: pairs sharing ≥ `minShared`
+    * selected fingerprints, i.e. contamination / plagiarism candidates.
+    * Same capped equi-join shape as the shingle join, but over the
+    * winnowed set (~1/w the rows), so the join input — the term that
+    * dominates at corpus scale — shrinks by the window factor while the
+    * overlap guarantee (≥ w+k−1 contiguous tokens ⇒ a shared
+    * fingerprint) keeps recall for meaningful copies.
+    *
+    * @return (id_a, id_b, shared) with id_a < id_b. */
+  def winnowOverlapPairs(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 4, w: Int = 4, minShared: Long = 2,
+      maxFpFreq: Long = 1000): DataFrame = {
+    val fps = winnowFingerprints(df, idCol, textCol, k, w)
+    val capped = fps.withColumn("ffreq",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("fp")))
+      .filter(col("ffreq") <= maxFpFreq).drop("ffreq")
+    capped.select(col(idCol).as("id_a"), col("fp"))
+      .join(capped.select(col(idCol).as("id_b"), col("fp")), Seq("fp"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+  }
+
   /** Edit-distance verification of candidate near-dup pairs — the final
     * arbiter a production dedup pipeline runs AFTER the sketch stages:
     * MinHash/SimHash NOMINATE pairs cheaply, exact Levenshtein on the

@@ -65,6 +65,12 @@ object ExtQueries {
     "q_dedup_winnow" -> ((s, d) =>
       Dedup.winnowFingerprints(docs(s, d), "doc_id", "text", k = 4, w = 4)),
 
+    // contamination candidates: pairs sharing >= 2 winnowed fingerprints —
+    // the join winnowing shrinks by the window factor
+    "q_dedup_winnow_pairs" -> ((s, d) =>
+      Dedup.winnowOverlapPairs(docs(s, d), "doc_id", "text",
+        k = 4, w = 4, minShared = 2)),
+
     // sketch-nominate → edit-distance-confirm: exact Levenshtein over the
     // LSH candidates only, normalized to millis of the longer text
     "q_dedup_editverify" -> ((s, d) => {
@@ -694,6 +700,29 @@ m AS (
     END AS fps
   FROM g)
 SELECT DISTINCT doc_id, unnest(fps) AS fp FROM m""",
+
+    "q_dedup_winnow_pairs" -> s"""WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+g AS (
+  SELECT doc_id,
+    list_transform(range(0, greatest(len(t) - 3, 0)),
+      i -> ${oh32("array_to_string(t[(i+1):(i+4)], ' ')")}) AS hs
+  FROM toks),
+m AS (
+  SELECT doc_id,
+    CASE WHEN len(hs) = 0 THEN CAST([] AS BIGINT[])
+         WHEN len(hs) < 4 THEN [list_min(hs)]
+         ELSE list_transform(range(0, len(hs) - 3),
+           j -> list_min(hs[(j+1):(j+4)]))
+    END AS fps
+  FROM g),
+fp AS (SELECT DISTINCT doc_id, unnest(fps) AS fp FROM m),
+capped AS (SELECT doc_id, fp FROM (
+  SELECT doc_id, fp, count(*) OVER (PARTITION BY fp) AS ffreq FROM fp)
+  WHERE ffreq <= 1000)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS shared
+FROM capped a JOIN capped b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2 HAVING count(*) >= 2""",
 
     "q_dedup_editverify" -> s"""WITH $shinglesCte,
 hsh AS (SELECT sid, ${oh32("shingle")} AS h FROM sh),

@@ -60,6 +60,20 @@ class DedupSpec extends AnyFunSuite {
     assert(fp(1L).subsetOf(hashes1))
   }
 
+  test("winnowOverlapPairs surfaces the overlapping pair, not disjoint docs") {
+    import graft.ext.Dedup
+    val base = (1 to 30).map(i => s"w$i").mkString(" ")
+    val data = Seq(
+      (1L, base),
+      (2L, "x1 x2 x3 " + base),                         // large shared span
+      (3L, (101 to 130).map(i => s"z$i").mkString(" ")) // disjoint
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.winnowOverlapPairs(data, "doc_id", "text",
+        k = 4, w = 4, minShared = 2)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((1L, 2L)))
+  }
+
   test("editVerifiedPairs confirms identical/near pairs and rejects distant candidates") {
     val texts = Seq(
       (1L, "the quick brown fox jumps over the lazy dog"),
