@@ -60,4 +60,48 @@ object AsOfJoin {
     filled.filter(col("_is_right") === 0)
       .select(leftCols.map(col) ++ valueCols.map(c => col(s"_v_$c").as(s"asof_$c")): _*)
   }
+
+  /** Forward as-of join: each left row picks the EARLIEST right row with
+    * `rightTime >= leftTime` within the same key — "the next deploy after
+    * this alert", "the next purchase at or after this click". Same
+    * union+window composition as [[asofBackward]], mirrored: the window
+    * looks at CURRENT ROW → UNBOUNDED FOLLOWING and takes the first
+    * non-null value; right rows sort AFTER left rows at equal time so an
+    * event at t sees a right row taking effect at t (inclusive match).
+    * One shuffle per side, identical scale shape. */
+  def asofForward(
+      left: DataFrame,
+      right: DataFrame,
+      keyCols: Seq[String],
+      leftTimeCol: String,
+      rightTimeCol: String,
+      valueCols: Seq[String]): DataFrame = {
+
+    val leftCols = left.columns
+    val l = left
+      .withColumn("_t", col(leftTimeCol))
+      .withColumn("_is_right", lit(0))
+      .select(keyCols.map(col) ++ Seq(col("_t"), col("_is_right")) ++
+        leftCols.filterNot(keyCols.contains).map(col) ++
+        valueCols.map(c => lit(null).cast(right.schema(c).dataType).as(s"_v_$c")): _*)
+    val r = right
+      .withColumn("_t", col(rightTimeCol))
+      .withColumn("_is_right", lit(1))
+      .select(keyCols.map(col) ++ Seq(col("_t"), col("_is_right")) ++
+        leftCols.filterNot(keyCols.contains)
+          .map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+        valueCols.map(c => col(c).as(s"_v_$c")): _*)
+
+    // left rows sort BEFORE right rows at equal time, so the forward
+    // window (current → following) still includes an equal-time right row
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("_t").asc, col("_is_right").asc)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+
+    val filled = valueCols.foldLeft(l.unionByName(r)) { (df, c) =>
+      df.withColumn(s"_v_$c", first(col(s"_v_$c"), ignoreNulls = true).over(w))
+    }
+    filled.filter(col("_is_right") === 0)
+      .select(leftCols.map(col) ++ valueCols.map(c => col(s"_v_$c").as(s"asof_$c")): _*)
+  }
 }

@@ -278,6 +278,19 @@ object ExtQueries {
         leftValueCols = Seq("window_id"), rightValueCols = Seq("window_id"))
     }),
 
+    // forward as-of: each event matched to the user's NEXT purchase at or
+    // after it (the mirror lookup: conversion attribution forward in time)
+    "q_asof_next" -> ((s, d) => {
+      val ev = EventsSource.load(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("ts").as("purchase_ts"))
+      AsOfJoin.asofForward(
+        ev.select("event_id", "user_id", "ts"), purchases,
+        keyCols = Seq("user_id"), leftTimeCol = "ts", rightTimeCol = "ts",
+        valueCols = Seq("purchase_ts"))
+        .select("event_id", "asof_purchase_ts")
+    }),
+
     // ---- multimodal ----
     "q_mm_features" -> ((s, d) =>
       Multimodal.decodeFeatures(Multimodal.synthesizePayloads(s, d)).toDF()),
@@ -935,6 +948,12 @@ WHERE NOT EXISTS (SELECT 1 FROM dropped d WHERE d.vec_id = w.vec_id)"""),
 FROM events e ASOF LEFT JOIN
   (SELECT user_id, ts FROM events WHERE event_type = 'signup') s
 ON e.user_id = s.user_id AND e.ts >= s.ts""",
+
+    "q_asof_next" -> """SELECT e.event_id,
+  (SELECT min(CAST(p.ts AS TIMESTAMP)) FROM events p
+   WHERE p.user_id = e.user_id AND p.event_type = 'purchase'
+     AND p.ts >= e.ts) AS asof_purchase_ts
+FROM events e""",
 
     "q_range_join" -> """SELECT e.event_id, w.window_id
 FROM events e JOIN (
