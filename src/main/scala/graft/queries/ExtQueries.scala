@@ -278,6 +278,18 @@ object ExtQueries {
         leftValueCols = Seq("window_id"), rightValueCols = Seq("window_id"))
     }),
 
+    // rolling 15-minute activity features per user (RANGE frame — equal-
+    // timestamp peers share one frame, which a ROWS frame cannot give)
+    "q_feat_rolling" -> ((s, d) => {
+      val ev = EventsSource.load(s, d)
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("tu"),
+          floor(col("value") * lit(1000000.0) + lit(0.5)).cast("long").as("vm"))
+      Features.rollingTimeWindow(ev, col("user_id"), col("tu"), col("vm"),
+        windowMicros = 900L * 1000000L)
+        .select("event_id", "n_window", "sum_window_micros")
+    }),
+
     // forward as-of: each event matched to the user's NEXT purchase at or
     // after it (the mirror lookup: conversion attribution forward in time)
     "q_asof_next" -> ((s, d) => {
@@ -948,6 +960,14 @@ WHERE NOT EXISTS (SELECT 1 FROM dropped d WHERE d.vec_id = w.vec_id)"""),
 FROM events e ASOF LEFT JOIN
   (SELECT user_id, ts FROM events WHERE event_type = 'signup') s
 ON e.user_id = s.user_id AND e.ts >= s.ts""",
+
+    "q_feat_rolling" -> """SELECT event_id,
+  count(*) OVER w AS n_window,
+  CAST(sum(vm) OVER w AS BIGINT) AS sum_window_micros
+FROM (SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tu,
+        CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS vm FROM events)
+WINDOW w AS (PARTITION BY user_id ORDER BY tu
+             RANGE BETWEEN 900000000 PRECEDING AND CURRENT ROW)""",
 
     "q_asof_next" -> """SELECT e.event_id,
   (SELECT min(CAST(p.ts AS TIMESTAMP)) FROM events p
