@@ -694,7 +694,13 @@ $jaccardVerify""",
 
     // Full LSH pipeline replicated: h32 → 16 universal hashes → min per doc
     // → 4 band signatures → bucket join candidates → exact-Jaccard verify.
+    // The verify join runs over the hot-shingle-CAPPED relation (freq
+    // computed over the FULL corpus, mirroring Dedup.minhashLshPairs'
+    // maxShingleFreq=1000); sizes stay uncapped.
     "q_dedup_minhash" -> s"""WITH $shinglesCte,
+capped AS (SELECT sid, shingle FROM (
+  SELECT sid, shingle, count(*) OVER (PARTITION BY shingle) AS sfreq FROM sh)
+  WHERE sfreq <= 1000),
 hsh AS (SELECT sid, ${oh32("shingle")} AS h FROM sh),
 sig AS (SELECT sid,
        $minhashSigCols
@@ -704,7 +710,7 @@ cand AS (SELECT DISTINCT x.sid AS id_a, y.sid AS id_b
          FROM bands x JOIN bands y ON x.band = y.band AND x.bsig = y.bsig
          WHERE x.sid < y.sid),
 pairs AS (SELECT a.sid AS id_a, b.sid AS id_b, count(*) AS common
-          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.sid < b.sid
+          FROM capped a JOIN capped b ON a.shingle = b.shingle AND a.sid < b.sid
           JOIN cand c ON c.id_a = a.sid AND c.id_b = b.sid
           GROUP BY 1, 2)
 $jaccardVerify""",
@@ -750,6 +756,9 @@ FROM capped a JOIN capped b ON a.fp = b.fp AND a.doc_id < b.doc_id
 GROUP BY 1, 2 HAVING count(*) >= 2""",
 
     "q_dedup_editverify" -> s"""WITH $shinglesCte,
+capped AS (SELECT sid, shingle FROM (
+  SELECT sid, shingle, count(*) OVER (PARTITION BY shingle) AS sfreq FROM sh)
+  WHERE sfreq <= 1000),
 hsh AS (SELECT sid, ${oh32("shingle")} AS h FROM sh),
 sig AS (SELECT sid,
        $minhashSigCols
@@ -759,7 +768,7 @@ cand AS (SELECT DISTINCT x.sid AS id_a, y.sid AS id_b
          FROM bands x JOIN bands y ON x.band = y.band AND x.bsig = y.bsig
          WHERE x.sid < y.sid),
 pairs AS (SELECT a.sid AS id_a, b.sid AS id_b, count(*) AS common
-          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.sid < b.sid
+          FROM capped a JOIN capped b ON a.shingle = b.shingle AND a.sid < b.sid
           JOIN cand c ON c.id_a = a.sid AND c.id_b = b.sid
           GROUP BY 1, 2),
 lsh AS ($jaccardVerify)
@@ -775,19 +784,28 @@ WHERE floor(1000.0 * levenshtein(da.text, db.text)
 
     // Naive O(n²) twin — the Spark side's band LSH is lossless for
     // hamming ≤ 3 over 4 bands (pigeonhole), so results are identical.
+    // 64-bit SimHash as two independent 32-bit halves (bits 0–31 from
+    // md5(tok), 32–63 from md5('g2|'||tok)); hamming is the sum of the
+    // per-half bit_counts — identical to Spark's single 64-bit xor, and no
+    // BIGINT arithmetic ever reaches bit 63.
     "q_dedup_simhash" -> s"""WITH toks AS (
-  SELECT doc_id AS sid, tok, count(*) AS cnt, ${oh32("tok")} AS h
+  SELECT doc_id AS sid, tok, count(*) AS cnt,
+    ${oh32("tok")} AS h, ${oh32("'g2|' || tok")} AS h2
   FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
   GROUP BY doc_id, tok),
 sims AS (SELECT sid,
   ${(0 until 32).map(b =>
       s"(CASE WHEN sum(CASE WHEN (h >> $b) & 1 = 1 THEN cnt ELSE -cnt END) > 0 THEN ${1L << b} ELSE 0 END)")
-      .mkString(" +\n  ")} AS simhash
+      .mkString(" +\n  ")} AS sim_lo,
+  ${(0 until 32).map(b =>
+      s"(CASE WHEN sum(CASE WHEN (h2 >> $b) & 1 = 1 THEN cnt ELSE -cnt END) > 0 THEN ${1L << b} ELSE 0 END)")
+      .mkString(" +\n  ")} AS sim_hi
 FROM toks GROUP BY sid)
 SELECT a.sid AS id_a, b.sid AS id_b,
-  bit_count(xor(a.simhash, b.simhash)) AS hamming
+  CAST(bit_count(xor(a.sim_lo, b.sim_lo))
+     + bit_count(xor(a.sim_hi, b.sim_hi)) AS INTEGER) AS hamming
 FROM sims a JOIN sims b ON a.sid < b.sid
-WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""",
+WHERE bit_count(xor(a.sim_lo, b.sim_lo)) + bit_count(xor(a.sim_hi, b.sim_hi)) <= 3""",
 
     "q_dedup_embedding" -> """WITH q AS (
   SELECT vec_id, label,

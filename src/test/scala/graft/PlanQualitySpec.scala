@@ -303,6 +303,32 @@ class PlanQualitySpec extends AnyFunSuite {
       s"expected 1 file scanned, got ${scan.metrics("numFiles").value}")
   }
 
+  test("minhash verify stage is candidate-restricted: both shingle sides " +
+      "semi-join the candidate ids BEFORE the shingle self-join (VERDICT r5 #1)") {
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    import org.apache.spark.sql.catalyst.plans.{Inner, LeftSemi}
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val df = graft.ext.Dedup.minhashLshPairs(docs, "doc_id", "text")
+    val plan = df.queryExecution.optimizedPlan
+    // exactly one inner equi-join keyed on the shingle column: the verify
+    // self-join (the band join keys on (band, bsig))
+    val shingleJoins = plan.collect {
+      case j @ Join(_, _, Inner, Some(cond), _)
+          if cond.references.exists(_.name == "shingle") => j
+    }
+    assert(shingleJoins.size == 1,
+      s"expected exactly one shingle-keyed inner join, got ${shingleJoins.size}:\n$plan")
+    val verify = shingleJoins.head
+    // each input subtree must contain a LeftSemi join (the candidate-id
+    // restriction) — without it the join materializes every co-shingle
+    // pair in the corpus, the exact blowup the banding exists to avoid
+    Seq("left" -> verify.left, "right" -> verify.right).foreach { case (side, child) =>
+      val semis = child.collect { case s @ Join(_, _, LeftSemi, _, _) => s }
+      assert(semis.nonEmpty,
+        s"$side input of the verify join is NOT candidate-restricted:\n$child")
+    }
+  }
+
   test("native array expressions participate in codegen (no Scala UDF nodes)") {
     val prep = graft.ext.Similarity.prepare(
       spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet"),
