@@ -27,6 +27,11 @@ object Verify {
         catch { case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
         }
+        // operators persist() shared frames for their own multi-action
+        // lifetimes (Lloyd loops, PQ trainings); once a query's result is
+        // written nothing references them — drop the lot so the 110-query
+        // sweep doesn't accumulate executor memory (ADVICE r5)
+        spark.catalog.clearCache()
       }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

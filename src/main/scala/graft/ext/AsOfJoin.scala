@@ -18,7 +18,12 @@ import org.apache.spark.sql.functions._
   * the same way.
   *
   * Requirement: (key, rightTime) unique on the right side (ties would make
-  * "the" latest row ambiguous).
+  * "the" latest row ambiguous). If duplicates exist anyway, the window
+  * ordering tiebreaks on the value columns, so the output is DETERMINISTIC
+  * (backward: greatest value tuple wins; forward: smallest) — but when a
+  * duplicate right row holds NULL in some value column, the per-column
+  * ignoreNulls fill may mix columns from different equal-time rows; keep
+  * (key, rightTime) unique for row-consistent output.
   */
 object AsOfJoin {
 
@@ -49,9 +54,11 @@ object AsOfJoin {
         valueCols.map(c => col(c).as(s"_v_$c")): _*)
 
     // right rows sort BEFORE left rows at equal time: a status taking effect
-    // at t applies to an event at t
+    // at t applies to an event at t. Value columns tiebreak equal-time
+    // duplicate right rows deterministically (ADVICE r5).
     val w = Window.partitionBy(keyCols.map(col): _*)
-      .orderBy(col("_t").asc, col("_is_right").desc)
+      .orderBy(col("_t").asc +: col("_is_right").desc +:
+        valueCols.map(c => col(s"_v_$c").asc): _*)
       .rowsBetween(Window.unboundedPreceding, 0)
 
     val filled = valueCols.foldLeft(l.unionByName(r)) { (df, c) =>
@@ -93,9 +100,12 @@ object AsOfJoin {
         valueCols.map(c => col(c).as(s"_v_$c")): _*)
 
     // left rows sort BEFORE right rows at equal time, so the forward
-    // window (current → following) still includes an equal-time right row
+    // window (current → following) still includes an equal-time right row.
+    // Value columns tiebreak equal-time duplicate right rows
+    // deterministically (ADVICE r5).
     val w = Window.partitionBy(keyCols.map(col): _*)
-      .orderBy(col("_t").asc, col("_is_right").asc)
+      .orderBy(col("_t").asc +: col("_is_right").asc +:
+        valueCols.map(c => col(s"_v_$c").asc): _*)
       .rowsBetween(Window.currentRow, Window.unboundedFollowing)
 
     val filled = valueCols.foldLeft(l.unionByName(r)) { (df, c) =>

@@ -60,7 +60,11 @@ object Components {
         .select(col("id"),
           least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp"))
         .localCheckpoint()
-      labels.unpersist()
+      // no unpersist: checkpoint blocks are not CacheManager-tracked — the
+      // previous round's blocks are reclaimed when the ContextCleaner GCs
+      // its RDD. localCheckpoint also forfeits recomputability (an executor
+      // loss fails the job) — the accepted price of flat per-round plans;
+      // use reliable checkpoint() on a cluster where that trade matters.
       labels = next
     }
     labels
@@ -127,7 +131,8 @@ object Components {
         .union(j.select(col("x"), col("m").as("p")))
         .filter(col("x") =!= col("p")).distinct().localCheckpoint()
       val nfp = fingerprint(next)
-      e.unpersist()
+      // previous round's checkpoint blocks are ContextCleaner-reclaimed
+      // (see labelPropagate) — an unpersist() here would be a no-op
       e = next
       converged = nfp == fp
       fp = nfp

@@ -183,11 +183,9 @@ object KMeans {
     * prefix whose last CTE `asg` is the (vec_id, cluster) assignment — for
     * oracles that COMPOSE on the assignment (e.g. SemDeDup's within-cluster
     * pair scan). Append further `, cte AS (...)` blocks and a final SELECT. */
-  def assignmentCteSql(k: Int, iters: Int, dim: Int = 64): String = {
-    val full = oracleSql(k, iters, dim)
-    val marker = s"SELECT vec_id, cluster FROM (\n"
-    val at = full.lastIndexOf(marker)
-    require(at >= 0, "oracleSql shape changed; update assignmentCteSql")
-    full.substring(0, at) + ", asg AS (\n" + full.substring(at) + ")\n"
-  }
+  def assignmentCteSql(k: Int, iters: Int, dim: Int = 64): String =
+    // composed from the same parts as oracleSql (ADVICE r5: no substring
+    // surgery — marker matching silently broke if any CTE wording converged)
+    s"WITH $quantCte,\n" + unrolled("n", k, iters, dim) +
+      s", asg AS (\n${assignSelect("n", s"c$iters", dim)})\n"
 }

@@ -136,7 +136,11 @@ object Sampling {
       .select(col("_grp"),
         floor(sqrt(col("_nmin").cast("double") / col("_n")) * lit(1000000L))
           .cast("long").as("_ppm"))
-    df.join(broadcast(rates), groupCol === col("_grp"))
+    // null-safe equality: a NULL group is a regular group — it was counted
+    // into `counts` (groupBy keeps the null key), so it must also join back
+    // and get sampled at its own rate instead of being silently dropped
+    // while still deflating n_min (ADVICE r5)
+    df.join(broadcast(rates), groupCol <=> col("_grp"))
       .filter(pmod(Dedup.h32(keyCol), lit(1000000L)) < col("_ppm"))
       .drop("_grp", "_ppm")
   }

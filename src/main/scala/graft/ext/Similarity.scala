@@ -183,7 +183,11 @@ object Similarity {
     * @return survivors as (idCol, cluster). */
   def semanticDedup(prepared: DataFrame, k: Int, iters: Int,
       threshold: Double, dim: Int = 64, idCol: String = "vec_id"): DataFrame = {
-    KMeans.ensureCached(prepared) // shared: Lloyd loop + pair scan + output
+    // shared: Lloyd loop + pair scan + output. Deliberately NOT unpersisted
+    // here — the returned frame is lazy, so the cache must outlive this
+    // call; entries are plan-keyed (reused across queries over the same
+    // corpus) and the sweep drivers clearCache() per query (ADVICE r5).
+    KMeans.ensureCached(prepared)
     val withC = prepared.join(
       KMeans.assign(prepared, k, iters, dim, idCol), Seq(idCol))
     val dropped = withC.as("x").join(withC.as("y"),
@@ -210,7 +214,9 @@ object Similarity {
   def crossCorpusSemanticDedup(newPrepared: DataFrame, corpusPrepared: DataFrame,
       k: Int, iters: Int, threshold: Double, dim: Int = 64,
       idCol: String = "vec_id"): DataFrame = {
-    KMeans.ensureCached(corpusPrepared) // Lloyd loop + assignment + ε-scan
+    // Lloyd loop + assignment + ε-scan; lifecycle as in semanticDedup
+    // (lazy result ⇒ cache outlives the call; sweep clears per query)
+    KMeans.ensureCached(corpusPrepared)
     KMeans.ensureCached(newPrepared)
     val cs = KMeans.lloyd(corpusPrepared, k, iters, dim, idCol)
     def assigned(prep: DataFrame) = prep.join(
