@@ -216,6 +216,22 @@ FROM (
                       AND ${graft.sync.SyncFixtures.SkipHi}
 ) GROUP BY l_returnflag"""),
 
+    // min twin: ≡ direct min over the same final state
+    "q_cdf_maintain_min" -> (prefix + s"""SELECT l_returnflag,
+  CAST(min(SysRowVersion) AS BIGINT) AS mn
+FROM (
+  SELECT l_returnflag, SysRowVersion FROM tgt
+  WHERE RecId NOT IN (SELECT RecId FROM src WHERE RecId % 20 = 3)
+    AND RecId NOT IN (SELECT RecId FROM src
+                      WHERE RecId BETWEEN ${graft.sync.SyncFixtures.SkipLo}
+                                      AND ${graft.sync.SyncFixtures.SkipHi})
+  UNION ALL
+  SELECT l_returnflag, SysRowVersion FROM src
+  WHERE RecId % 20 = 3
+    AND RecId NOT BETWEEN ${graft.sync.SyncFixtures.SkipLo}
+                      AND ${graft.sync.SyncFixtures.SkipHi}
+) GROUP BY l_returnflag"""),
+
     // sum twin of q_cdf_maintain over the same final state
     "q_cdf_maintain_sum" -> (prefix + s"""SELECT l_returnflag,
   CAST(count(*) AS BIGINT) AS n,

@@ -302,6 +302,29 @@ object SyncQueries {
         LakeTable.read(s, dir), "RecId", "l_returnflag", "SysRowVersion")
     }),
 
+    // min-maintenance twin (the reference's A1 min(RecId) analog over the
+    // change feed): inserts lower the candidate in O(changes); groups whose
+    // deleted pre-image HELD the candidate min recompute from the pruned
+    // final state
+    "q_cdf_maintain_min" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft_lake_q").toString + "/t"
+      val src = slim(SyncFixtures.source(s, d))
+      val tgt = slim(SyncFixtures.target(s, d))
+      LakeTable.overwrite(tgt, dir)
+      val changed = src.filter(col("RecId") % 20 === 3)
+      LakeTable.appendCommit(
+        Apply.ChangeSet(changed.select("RecId"), changed, changed.select("RecId")),
+        dir, nowMs = 1000L)
+      val delBand = src
+        .filter(col("RecId").between(SyncFixtures.SkipLo, SyncFixtures.SkipHi))
+        .select("RecId")
+      LakeTable.appendCommit(
+        Apply.ChangeSet(delBand, src.filter(lit(false)), delBand), dir, nowMs = 2000L)
+      val fromSeq = LakeTable.resolve(dir).get._2
+      Maintain.mins(tgt, LakeTable.changes(s, dir, fromSeq),
+        LakeTable.read(s, dir), "RecId", "l_returnflag", "SysRowVersion")
+    }),
+
     // commit-level data skipping: a key-range read of the logged table —
     // disjoint commits never enter the plan, the range predicate reaches
     // every surviving parquet scan, and the result is provably the plain

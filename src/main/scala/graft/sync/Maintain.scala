@@ -105,16 +105,39 @@ object Maintain {
     * deleted value < candidate can never have been the survivor-max,
     * and a fully-drained group necessarily deleted its max row. */
   def maxes(initialState: DataFrame, feed: DataFrame, finalState: DataFrame,
-      keyCol: String, groupCol: String, valueCol: String): DataFrame = {
+      keyCol: String, groupCol: String, valueCol: String): DataFrame =
+    extreme(initialState, feed, finalState, keyCol, groupCol, valueCol,
+      isMax = true, outCol = "mx")
+
+  /** Maintained per-group min(valueCol) — [[maxes]] mirrored: an insert can
+    * only LOWER a min; deleting the row that held it dirties the group. The
+    * same soundness argument applies with the order flipped: every
+    * pre-image is ≥ its group's candidate min. */
+  def mins(initialState: DataFrame, feed: DataFrame, finalState: DataFrame,
+      keyCol: String, groupCol: String, valueCol: String): DataFrame =
+    extreme(initialState, feed, finalState, keyCol, groupCol, valueCol,
+      isMax = false, outCol = "mn")
+
+  /** Shared machinery of [[maxes]]/[[mins]]: candidate = init ⊔ inserted
+    * extremes; groups whose deleted pre-image value EQUALS the candidate
+    * are dirty and recompute from `finalState` pruned to those groups. */
+  private def extreme(initialState: DataFrame, feed: DataFrame,
+      finalState: DataFrame, keyCol: String, groupCol: String,
+      valueCol: String, isMax: Boolean, outCol: String): DataFrame = {
+    val aggF: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      if (isMax) max else min
+    val pick: (org.apache.spark.sql.Column, org.apache.spark.sql.Column) =>
+        org.apache.spark.sql.Column =
+      if (isMax) greatest(_, _) else least(_, _)
     val init = initialState.groupBy(col(groupCol))
-      .agg(max(col(valueCol)).as("_mx0"))
-    val insMax = feed.filter(col("_op") === "insert")
-      .groupBy(col(groupCol)).agg(max(col(valueCol)).as("_mxIns"))
-    val candidate = init.join(insMax, Seq(groupCol), "full_outer")
+      .agg(aggF(col(valueCol)).as("_x0"))
+    val insExt = feed.filter(col("_op") === "insert")
+      .groupBy(col(groupCol)).agg(aggF(col(valueCol)).as("_xIns"))
+    val candidate = init.join(insExt, Seq(groupCol), "full_outer")
       .select(col(groupCol),
-        greatest(
-          coalesce(col("_mx0"), col("_mxIns")),
-          coalesce(col("_mxIns"), col("_mx0"))).as("_cand"))
+        pick(
+          coalesce(col("_x0"), col("_xIns")),
+          coalesce(col("_xIns"), col("_x0"))).as("_cand"))
 
     val dirty = effectiveDeletes(initialState, feed, keyCol,
         Seq(groupCol, valueCol))
@@ -123,11 +146,11 @@ object Maintain {
       .select(groupCol).distinct()
 
     val clean = candidate.join(dirty, Seq(groupCol), "left_anti")
-      .select(col(groupCol), col("_cand").as("mx"))
+      .select(col(groupCol), col("_cand").as(outCol))
     // recompute ONLY the dirty groups, from final rows of those groups
     val recomputed = finalState
       .join(broadcast(dirty), Seq(groupCol), "left_semi")
-      .groupBy(col(groupCol)).agg(max(col(valueCol)).as("mx"))
+      .groupBy(col(groupCol)).agg(aggF(col(valueCol)).as(outCol))
     clean.unionByName(recomputed)
   }
 

@@ -89,6 +89,33 @@ class MaintainSpec extends AnyFunSuite {
     assert(got == Map("a" -> 10L, "b" -> 5L))
   }
 
+  test("maintained mins: clean groups keep the candidate, deleting the " +
+      "min-holder recomputes only that group, drained groups drop") {
+    val t = freshTable()
+    def csv(deletes: Seq[Long], inserts: Seq[(Long, String, Long)]): Apply.ChangeSet =
+      Apply.ChangeSet(deletes.toDF("RecId"),
+        inserts.toDF("RecId", "grp", "v"), keyFlags = deletes.toDF("RecId"))
+    val initial = Seq(
+      (1L, "a", 10L), (2L, "a", 7L),   // a: min 7 held by key 2
+      (3L, "b", 5L), (4L, "b", 9L),    // b: min 5 held by key 3
+      (5L, "c", 3L))                   // c: will drain
+    LakeTable.overwrite(initial.toDF("RecId", "grp", "v"), t)
+    // delete a's NON-min row (clean path), delete b's MIN holder (dirty →
+    // recompute finds 9), insert a lower a-min then delete it in the next
+    // commit (dirty via in-window pre-image), drain c entirely
+    LakeTable.appendCommit(csv(Seq(1L, 3L, 5L), Seq((6L, "a", 1L))), t)
+    LakeTable.appendCommit(csv(Seq(6L), Seq.empty), t)
+
+    val fromSeq = LakeTable.resolve(t).get._2
+    val got = Maintain.mins(initial.toDF("RecId", "grp", "v"),
+        LakeTable.changes(spark, t, fromSeq), LakeTable.read(spark, t),
+        "RecId", "grp", "v")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // a: 1 inserted then deleted → back to 7; b: min-holder gone → 9;
+    // c: drained → absent
+    assert(got == Map("a" -> 7L, "b" -> 9L))
+  }
+
   test("maintained sums decrement by the deleted rows' pre-image values") {
     val t = freshTable()
     def csv(deletes: Seq[Long], inserts: Seq[(Long, String, Long)]): Apply.ChangeSet =
