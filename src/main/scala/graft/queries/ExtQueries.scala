@@ -80,6 +80,18 @@ object ExtQueries {
         maxMillis = 400)
     }),
 
+    // the composed contamination pipeline end-to-end: winnowed-fingerprint
+    // overlap NOMINATES pairs (~1/w the join rows), exact edit distance
+    // CONFIRMS — the production shape (cheap position-robust sketch, then
+    // per-pair DP on the survivors only)
+    "q_contam_verified" -> ((s, d) => {
+      val dd = docs(s, d)
+      Dedup.editVerifiedPairs(dd, "doc_id", "text",
+        Dedup.winnowOverlapPairs(dd, "doc_id", "text",
+          k = 4, w = 4, minShared = 2),
+        maxMillis = 400)
+    }),
+
     "q_dedup_embedding" -> ((s, d) =>
       Similarity.nearDupPairs(
         Similarity.prepare(embs(s, d), "vec_id", "embedding"), threshold = 0.4)),
@@ -779,6 +791,39 @@ SELECT l.id_a, l.id_b,
 FROM lsh l
 JOIN documents da ON da.doc_id = l.id_a
 JOIN documents db ON db.doc_id = l.id_b
+WHERE floor(1000.0 * levenshtein(da.text, db.text)
+    / greatest(length(da.text), length(db.text), 1)) <= 400""",
+
+    // winnow-nominate → edit-distance-confirm, composed end-to-end
+    "q_contam_verified" -> s"""WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+g AS (
+  SELECT doc_id,
+    list_transform(range(0, greatest(len(t) - 3, 0)),
+      i -> ${oh32("array_to_string(t[(i+1):(i+4)], ' ')")}) AS hs
+  FROM toks),
+m AS (
+  SELECT doc_id,
+    CASE WHEN len(hs) = 0 THEN CAST([] AS BIGINT[])
+         WHEN len(hs) < 4 THEN [list_min(hs)]
+         ELSE list_transform(range(0, len(hs) - 3),
+           j -> list_min(hs[(j+1):(j+4)]))
+    END AS fps
+  FROM g),
+fp AS (SELECT DISTINCT doc_id, unnest(fps) AS fp FROM m),
+capped AS (SELECT doc_id, fp FROM (
+  SELECT doc_id, fp, count(*) OVER (PARTITION BY fp) AS ffreq FROM fp)
+  WHERE ffreq <= 1000),
+wp AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+       FROM capped a JOIN capped b ON a.fp = b.fp AND a.doc_id < b.doc_id
+       GROUP BY 1, 2 HAVING count(*) >= 2)
+SELECT w.id_a, w.id_b,
+  CAST(levenshtein(da.text, db.text) AS INTEGER) AS lev,
+  CAST(floor(1000.0 * levenshtein(da.text, db.text)
+    / greatest(length(da.text), length(db.text), 1)) AS BIGINT) AS lev_millis
+FROM wp w
+JOIN documents da ON da.doc_id = w.id_a
+JOIN documents db ON db.doc_id = w.id_b
 WHERE floor(1000.0 * levenshtein(da.text, db.text)
     / greatest(length(da.text), length(db.text), 1)) <= 400""",
 
