@@ -168,6 +168,39 @@ object AnalyticsQueries {
             unix_micros(col("ts")) - col("prev_us") > 1800L * 1000000L, 1L).otherwise(0L))
         .groupBy(col("user_id"))
         .agg(sum(col("new_session")).as("n_sessions"), count(lit(1)).as("n_events"))
+    }),
+
+    // streaming sessionization run END TO END (flatMapGroupsWithState over
+    // one checkpoint): run 1 feeds every event as one batch, two sentinel
+    // runs advance the watermark past last+gap and give the engine a batch
+    // in which every open session times out and flushes — the completed-
+    // session table then equals batch gap-islands sessionization
+    // (VERDICT r5 #4)
+    "q_stream_sessions" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft_stream_sess").toString
+      val (evDir, outDir, ckpt) = (s"$dir/ev", s"$dir/out", s"$dir/ckpt")
+      val ev = EventsSource.load(s, d).select(col("user_id"), col("ts"))
+      ev.coalesce(1).write.parquet(evDir) // ONE file → run 1 is one batch
+      def runOnce(): Unit = {
+        val stream = s.readStream.schema(s.read.parquet(evDir).schema).parquet(evDir)
+        graft.streaming.StreamingSync.completedSessions(stream).toDF()
+          .writeStream.format("parquet").option("path", outDir)
+          .option("checkpointLocation", ckpt)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start().awaitTermination(120000)
+      }
+      runOnce()
+      // sentinels: past max(ts) + gap(30m) + watermark delay(10m) + margin
+      val maxUs = ev.agg(max(unix_micros(col("ts")))).head.getLong(0)
+      val step = 100L * 60L * 1000000L // 100 minutes in micros
+      Seq(1, 2).foreach { i =>
+        s.sql(s"SELECT -1L AS user_id, timestamp_micros(${maxUs + i * step}L) AS ts")
+          .coalesce(1).write.mode("append").parquet(evDir)
+        runOnce()
+      }
+      s.read.parquet(outDir).filter(col("user_id") >= 0)
+        .select(col("user_id"), col("start_ts"), col("end_ts"), col("n_events"))
     })
   )
 
@@ -249,7 +282,28 @@ FROM lineitem GROUP BY l_returnflag""",
     FROM events)
 )
 SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions, count(*) AS n_events
-FROM g GROUP BY user_id"""
+FROM g GROUP BY user_id""",
+
+    // batch twin of the streamed completed-session table: gap-islands
+    // sessionization (boundary when the gap to the previous event of the
+    // same user exceeds 30 minutes), one row per island
+    "q_stream_sessions" -> """WITH d AS (
+  SELECT user_id, ts,
+    CASE WHEN prev IS NULL
+           OR epoch_us(ts) - epoch_us(prev) > 1800 * 1000000 THEN 1 ELSE 0
+    END AS brk
+  FROM (
+    SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+      lag(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+    FROM events)),
+s AS (
+  SELECT user_id, ts,
+    sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                   ROWS UNBOUNDED PRECEDING) AS sess
+  FROM d)
+SELECT user_id, min(ts) AS start_ts, max(ts) AS end_ts,
+  CAST(count(*) AS BIGINT) AS n_events
+FROM s GROUP BY user_id, sess"""
   )
 }
 

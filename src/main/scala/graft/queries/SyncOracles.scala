@@ -216,6 +216,13 @@ FROM (
                       AND ${graft.sync.SyncFixtures.SkipHi}
 ) GROUP BY l_returnflag"""),
 
+    // streamed bootstrap + changed-band micro-batch ≡ upsert of the band
+    // into the stale target (upsert-only: tgt-only keys survive)
+    "q_stream_sync" -> (prefix + s"""SELECT $outCols FROM tgt
+WHERE RecId NOT IN (SELECT RecId FROM src WHERE RecId % 20 = 3)
+UNION ALL
+SELECT $outCols FROM src WHERE RecId % 20 = 3"""),
+
     // min twin: ≡ direct min over the same final state
     "q_cdf_maintain_min" -> (prefix + s"""SELECT l_returnflag,
   CAST(min(SysRowVersion) AS BIGINT) AS mn

@@ -158,21 +158,30 @@ object StreamingSync {
     * State per user is one (start, last, n) triple; the watermark bounds
     * how long a silent user's state lives — O(active users), not
     * O(history), the deployability condition for a 100 TB/day stream. */
-  final case class UserEventT(user_id: Long, ts: java.sql.Timestamp)
-  final case class OpenSession(startMs: Long, lastMs: Long, events: Long)
+  final case class UserEventT(user_id: Long, ts: java.time.Instant)
+  final case class OpenSession(startUs: Long, lastUs: Long, events: Long)
   final case class CompletedSession(
-      user_id: Long, start_ts: java.sql.Timestamp, end_ts: java.sql.Timestamp,
+      user_id: Long, start_ts: java.time.Instant, end_ts: java.time.Instant,
       n_events: Long)
 
-  val SessionGapMs: Long = 1800L * 1000L
+  val SessionGapUs: Long = 1800L * 1000000L
+
+  /** Session timestamps carry full MICROSECOND precision (Instant, not
+    * java.sql.Timestamp whose getTime is millis — sub-ms event times were
+    * silently truncated in the emitted sessions, caught by the streamed-vs-
+    * batch hash compare). */
+  private def toUs(i: java.time.Instant): Long =
+    i.getEpochSecond * 1000000L + i.getNano / 1000L
+  private def toInstant(us: Long): java.time.Instant =
+    java.time.Instant.ofEpochSecond(
+      Math.floorDiv(us, 1000000L), Math.floorMod(us, 1000000L) * 1000L)
 
   def emitCompletedSessions(
       userId: Long,
       events: Iterator[UserEventT],
       state: GroupState[OpenSession]): Iterator[CompletedSession] = {
     def done(s: OpenSession) = CompletedSession(userId,
-      new java.sql.Timestamp(s.startMs), new java.sql.Timestamp(s.lastMs),
-      s.events)
+      toInstant(s.startUs), toInstant(s.lastUs), s.events)
     if (state.hasTimedOut) {
       // watermark passed last-event + gap with no new data: flush and drop
       val out = state.getOption.map(done).iterator
@@ -181,11 +190,11 @@ object StreamingSync {
     }
     val closed = scala.collection.mutable.ArrayBuffer.empty[CompletedSession]
     var cur = state.getOption
-    events.toSeq.sortBy(_.ts.getTime).foreach { e =>
-      val t = e.ts.getTime
+    events.toSeq.sortBy(e => toUs(e.ts)).foreach { e =>
+      val t = toUs(e.ts)
       cur match {
-        case Some(s) if t - s.lastMs <= SessionGapMs =>
-          cur = Some(OpenSession(s.startMs, t, s.events + 1))
+        case Some(s) if t - s.lastUs <= SessionGapUs =>
+          cur = Some(OpenSession(s.startUs, t, s.events + 1))
         case Some(s) =>
           closed += done(s)
           cur = Some(OpenSession(t, t, 1))
@@ -195,10 +204,13 @@ object StreamingSync {
     }
     cur.foreach { s =>
       state.update(s)
-      // a timeout timestamp at-or-before the watermark is rejected by the
-      // engine; clamp just past it (the flush then fires next batch)
+      // timeout is millis: round last+gap UP so the flush never fires for a
+      // watermark still inside the gap (a sub-ms-early fire could split a
+      // session an event in that sliver would have extended); a timeout
+      // at-or-before the watermark is rejected by the engine — clamp past it
       state.setTimeoutTimestamp(
-        math.max(s.lastMs + SessionGapMs, state.getCurrentWatermarkMs() + 1))
+        math.max((s.lastUs + SessionGapUs + 999L) / 1000L,
+          state.getCurrentWatermarkMs() + 1))
     }
     closed.iterator
   }
