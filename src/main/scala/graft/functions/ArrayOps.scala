@@ -142,5 +142,8 @@ object GraftFunctions {
         exprs(1).eval(InternalRow.empty).asInstanceOf[Number].intValue()), "scala_udf")
     reg.createOrReplaceTempFunction("interleave_bits",
       exprs => InterleaveBits(exprs(0), exprs(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("hll_sketch",
+      exprs => HllSketchAgg(exprs(0),
+        exprs(1).eval(InternalRow.empty).asInstanceOf[Number].intValue()), "scala_udf")
   }
 }

@@ -142,6 +142,24 @@ object ExtQueries {
         docs(s, d).select(col("source"), explode(split(col("text"), " ")).as("tok")),
         "source", "tok", k = 64)),
 
+    // ---- HLL distinct sketch: m-byte mergeable registers, raw estimate
+    // with MEASURED error permille vs the exact count (no ln-based
+    // small-range correction — the determinism rule) ----
+    "q_text_hll" -> ((s, d) =>
+      Hll.distinctEstimate(
+        docs(s, d).select(col("source"), explode(split(col("text"), " ")).as("tok")),
+        "source", "tok", p = 8)),
+
+    // ---- DSIR-shaped importance weighting: hashed-bigram probability
+    // ratios (target vs raw corpus) in integer micros, per-doc exact sums —
+    // the data-selection score a curated-domain upsample runs on ----
+    "q_dsir_weights" -> ((s, d) => {
+      val dd = docs(s, d)
+      Importance.importanceWeights(dd,
+        dd.filter(col("source").isin("src0", "src1", "src2")),
+        "doc_id", "text")
+    }),
+
     // ---- learned-centroid IVF: deterministic integer k-means (k=8, 3
     // Lloyd iterations), the coarse quantizer when no labels exist ----
     "q_sim_kmeans" -> ((s, d) =>
@@ -955,6 +973,52 @@ SELECT e.source,
   coalesce((63.0 * 4294967296.0) / r.h, CAST(e.nd AS DOUBLE)) AS kmv_estimate
 FROM exact e LEFT JOIN (SELECT source, h FROM ranked WHERE rn = 64) r
   ON e.source = r.source""",
+
+    // HLL replay: bucket/rank from the shared 32-bit hash (rank via bin()
+    // string length — identical minimal rendering in both engines), register
+    // max per bucket, Σ 1/2^rank with the (m − present) empty buckets
+    // contributing 1.0 each — exact binary-fraction arithmetic throughout,
+    // αm·m² interpolated from the SAME Scala constant the engine uses.
+    "q_text_hll" -> s"""WITH tok AS (
+  SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents),
+h AS (SELECT DISTINCT source, tok, ${oh32("tok")} AS h FROM tok),
+b AS (SELECT source, h % 256 AS bucket,
+        CASE WHEN (h >> 8) = 0 THEN ${32 - 8 + 1}
+             ELSE ${32 - 8} - length(bin(h >> 8)) + 1 END AS r
+      FROM h),
+regs AS (SELECT source, bucket, max(r) AS mr FROM b GROUP BY 1, 2),
+ssum AS (SELECT source,
+           sum(1.0 / CAST((CAST(1 AS BIGINT) << mr) AS DOUBLE))
+             + (256 - count(*)) * 1.0 AS s
+         FROM regs GROUP BY source),
+est AS (SELECT source, ${graft.ext.Hll.alphaM2(8)} / s AS e FROM ssum),
+x AS (SELECT source, count(DISTINCT tok) AS n_exact FROM tok GROUP BY source)
+SELECT x.source, x.n_exact,
+  CAST(floor(e.e) AS BIGINT) AS est_floor,
+  CAST(floor(abs(e.e - x.n_exact) * 1000.0 / x.n_exact) AS BIGINT) AS err_permille
+FROM x JOIN est e ON x.source = e.source""",
+
+    // DSIR replay: per-bucket Laplace-ratio micros with the EXACT Spark op
+    // order ((ct+1)/(Nt+B)) / ((cr+1)/(Nr+B)) * 1e6, doc weights as exact
+    // integer occurrence-weighted sums
+    "q_dsir_weights" -> s"""WITH t AS (
+  SELECT doc_id, source, string_split(text, ' ') AS t FROM documents),
+bg AS (SELECT doc_id, source, array_to_string(t[(i+1):(i+2)], ' ') AS g
+       FROM t, LATERAL (SELECT unnest(range(0, len(t) - 1)) i)),
+b AS (SELECT doc_id, source, ${oh32("g")} % 4096 AS bucket FROM bg),
+cr AS (SELECT bucket, count(*) AS cr FROM b GROUP BY 1),
+ct AS (SELECT bucket, count(*) AS ct FROM b
+       WHERE source IN ('src0', 'src1', 'src2') GROUP BY 1),
+nr AS (SELECT count(*) AS nr FROM b),
+nt AS (SELECT count(*) AS nt FROM b WHERE source IN ('src0', 'src1', 'src2')),
+ratio AS (SELECT r.bucket,
+  CAST(floor(((COALESCE(c.ct, 0) + 1.0) / (nt.nt + 4096.0))
+    / ((r.cr + 1.0) / (nr.nr + 4096.0)) * 1000000.0) AS BIGINT) AS score_micros
+  FROM cr r LEFT JOIN ct c USING (bucket), nr, nt),
+dc AS (SELECT doc_id, bucket, count(*) AS c FROM b GROUP BY 1, 2)
+SELECT dc.doc_id, CAST(sum(dc.c) AS BIGINT) AS n_bigrams,
+  CAST(sum(dc.c * ratio.score_micros) AS BIGINT) AS weight_micros
+FROM dc JOIN ratio USING (bucket) GROUP BY dc.doc_id""",
 
     "q_sim_kmeans" -> KMeans.oracleSql(k = 8, iters = 3),
 
