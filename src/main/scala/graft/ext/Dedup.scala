@@ -160,16 +160,23 @@ object Dedup {
     * product the banding exists to avoid — and the same hot-shingle cap as
     * [[ngramJaccardPairs]] bounds any shingle shared across many candidates.
     * Sizes stay uncapped (the Jaccard denominator is the true shingle
-    * count). The candidate subplan is referenced three times; its band
-    * shuffle is reused (ReusedExchange) and the set itself is
-    * candidate-sized, i.e. tiny next to the corpus. */
+    * count). The candidate frame is referenced three times, so it is
+    * PERSISTED: without that, each reference re-runs the corpus-wide
+    * sketch aggregation (the initial plan held SIX minhashsketch
+    * aggregates — measured in PLANS.md before the fix); cached it
+    * materializes once and is candidate-sized, i.e. tiny next to the
+    * corpus. Cache lifecycle follows the [[Similarity]] convention:
+    * plan-keyed, sweep drivers clearCache() per query. */
   def minhashLshPairs(
       df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.5, maxShingleFreq: Long = 1000): DataFrame = {
     val sh = shingles(df, idCol, textCol, n)
     // signature via the one-pass sketch aggregate (identical values to the
-    // 16-min aggregation — spec-pinned — at one buffer update per row)
-    val sig = minhashSignaturesSketch(sh)
+    // 16-min aggregation — spec-pinned — at one buffer update per row).
+    // Persisted: the band self-join references it from both sides, and
+    // without the cache each side re-runs the corpus-wide aggregation
+    // (one slim row per doc — cheap to hold; same lifecycle as cand below)
+    val sig = minhashSignaturesSketch(sh).persist()
     val rowsPerBand = MinhashA.size / MinhashBands
     val bandCols = (0 until MinhashBands).map { bnd =>
       val sigExpr = concat_ws("_",
@@ -181,6 +188,7 @@ object Dedup {
     val cand = bands.as("x").join(bands.as("y"), Seq("band", "bsig"))
       .filter(col("x.sid") < col("y.sid"))
       .select(col("x.sid").as("id_a"), col("y.sid").as("id_b")).distinct()
+      .persist()
 
     // verify candidates with the true Jaccard: shingles of CANDIDATE docs
     // only (semi-join per side), hot shingles capped, exact pair semi-join
