@@ -68,6 +68,45 @@ object AsOfJoin {
       .select(leftCols.map(col) ++ valueCols.map(c => col(s"_v_$c").as(s"asof_$c")): _*)
   }
 
+  /** Backward as-of with a STALENESS BOUND — "price as of trade, but never
+    * older than X": a match more than `tolerance` before the left row
+    * counts as no match (values null). Equivalent to post-nulling the
+    * unconstrained match: the unconstrained winner is the LATEST preceding
+    * right row, so if it is out of tolerance every other preceding row is
+    * too. Implemented by carrying the matched right time through the same
+    * single window — still one shuffle per side, no extra join.
+    *
+    * `tolerance` is in the time column's units: MICROSECONDS for timestamp
+    * columns, the raw value difference for numeric ones. */
+  def asofBackwardTolerance(
+      left: DataFrame,
+      right: DataFrame,
+      keyCols: Seq[String],
+      leftTimeCol: String,
+      rightTimeCol: String,
+      valueCols: Seq[String],
+      tolerance: Long): DataFrame = {
+    def asLong(c: Column, dt: org.apache.spark.sql.types.DataType): Column =
+      dt match {
+        case org.apache.spark.sql.types.TimestampType |
+             org.apache.spark.sql.types.TimestampNTZType => unix_micros(c)
+        case _ => c.cast("long")
+      }
+    val carried = "_asof_matched_t"
+    val rtType = right.schema(rightTimeCol).dataType
+    val r2 = right.withColumn(carried, col(rightTimeCol))
+    val res = asofBackward(left, r2, keyCols, leftTimeCol, rightTimeCol,
+      valueCols :+ carried)
+    val stale = col(s"asof_$carried").isNull ||
+      asLong(col(leftTimeCol), left.schema(leftTimeCol).dataType) -
+        asLong(col(s"asof_$carried"), rtType) > tolerance
+    valueCols.foldLeft(res) { (df, c) =>
+      df.withColumn(s"asof_$c",
+        when(stale, lit(null).cast(right.schema(c).dataType))
+          .otherwise(col(s"asof_$c")))
+    }.drop(s"asof_$carried")
+  }
+
   /** Forward as-of join: each left row picks the EARLIEST right row with
     * `rightTime >= leftTime` within the same key — "the next deploy after
     * this alert", "the next purchase at or after this click". Same

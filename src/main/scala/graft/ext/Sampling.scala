@@ -62,6 +62,27 @@ object Sampling {
       .drop("_rn")
   }
 
+  /** Quantile gate per group: keep the top ⌊n_g·keepPermille/1000⌋ rows of
+    * each group under `ordering` — "keep the best 30 % of every source by
+    * quality", the relative-threshold curation rule (an absolute score
+    * cutoff drifts as the corpus mix shifts; a per-group quantile doesn't).
+    * The cutoff is the exact integer comparison 1000·rank ≤ n·permille —
+    * no percent_rank floating points, so any engine replays it. Ordering
+    * must be total (add a key tiebreak). One shuffle: both windows share
+    * the group partitioning. */
+  def keepTopQuantilePerGroup(df: DataFrame, groupCol: Column,
+      ordering: Seq[Column], keepPermille: Int): DataFrame = {
+    require(keepPermille >= 0 && keepPermille <= 1000,
+      s"keepPermille must be in [0,1000]: $keepPermille")
+    val wOrd = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol).orderBy(ordering: _*)
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(groupCol)
+    df.withColumn("_rn", row_number().over(wOrd))
+      .withColumn("_ng", count(lit(1)).over(wAll))
+      .filter(col("_rn") * 1000 <= col("_ng") * keepPermille)
+      .drop("_rn", "_ng")
+  }
+
   /** Mixture weighting by replication: emit each row `weight` times
     * (0 drops the row), tagged with `copy_no` (1-based). Deterministic
     * upsampling for corpus mixing — the weight is data-derived (quality

@@ -201,6 +201,42 @@ object AnalyticsQueries {
       }
       s.read.parquet(outDir).filter(col("user_id") >= 0)
         .select(col("user_id"), col("start_ts"), col("end_ts"), col("n_events"))
+    }),
+
+    // streaming windowed aggregation run END TO END (watermark + tumbling
+    // window, Append mode): values are pre-quantized to integer micros so
+    // the windowed sums are exact; sentinel batches push the watermark past
+    // every real window's end so Append finalizes them all — the emitted
+    // table then equals the batch hourly aggregate
+    "q_stream_hourly" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft_stream_hr").toString
+      val (evDir, outDir, ckpt) = (s"$dir/ev", s"$dir/out", s"$dir/ckpt")
+      val ev = EventsSource.load(s, d).select(col("ts"), col("event_type"),
+        floor(col("value") * 1000000.0 + 0.5).cast("long").as("value"))
+      ev.coalesce(1).write.parquet(evDir) // ONE file → run 1 is one batch
+      def runOnce(): Unit = {
+        val stream = s.readStream.schema(s.read.parquet(evDir).schema).parquet(evDir)
+        graft.streaming.StreamingSync.windowedEventCounts(stream)
+          .select(col("window.start").as("hour"), col("event_type"),
+            col("n"), col("sum_value"))
+          .writeStream.format("parquet").option("path", outDir)
+          .option("checkpointLocation", ckpt)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start().awaitTermination(120000)
+      }
+      runOnce()
+      // sentinels: past max(ts) + watermark(2h) + window(1h) + margin
+      val maxUs = ev.agg(max(unix_micros(col("ts")))).head.getLong(0)
+      val step = 4L * 3600L * 1000000L
+      Seq(1, 2).foreach { i =>
+        s.sql(s"SELECT timestamp_micros(${maxUs + i * step * i}L) AS ts, " +
+            "'_sentinel' AS event_type, 0L AS value")
+          .coalesce(1).write.mode("append").parquet(evDir)
+        runOnce()
+      }
+      s.read.parquet(outDir).filter(col("event_type") =!= "_sentinel")
+        .select(col("hour"), col("event_type"), col("n"), col("sum_value"))
     })
   )
 
@@ -250,6 +286,14 @@ FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""",
     "q_events_hourly" -> """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour, event_type,
   count(*) AS n,
   CAST(sum(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) / 1000000.0 AS sum_value
+FROM events GROUP BY 1, 2""",
+
+    // batch twin of the streamed hourly table: tumbling 1-hour windows are
+    // epoch-aligned, so window.start ≡ date_trunc('hour'); sums are exact
+    // integer micros (quantized before the stream)
+    "q_stream_hourly" -> """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour,
+  event_type, count(*) AS n,
+  CAST(sum(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value
 FROM events GROUP BY 1, 2""",
 
     "q_agg_distinct" -> """SELECT source,

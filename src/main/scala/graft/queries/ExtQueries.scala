@@ -277,6 +277,20 @@ object ExtQueries {
         .select("event_id", "asof_signup_ts")
     }),
 
+    // as-of with a staleness bound: same lookup, but a signup more than a
+    // day before the event no longer counts (the production guard against
+    // matching arbitrarily stale reference data)
+    "q_asof_tolerance" -> ((s, d) => {
+      val ev = EventsSource.load(s, d)
+      val signups = ev.filter(col("event_type") === "signup")
+        .select(col("user_id"), col("ts"), col("ts").as("signup_ts"))
+      AsOfJoin.asofBackwardTolerance(
+        ev.select("event_id", "user_id", "ts"), signups,
+        keyCols = Seq("user_id"), leftTimeCol = "ts", rightTimeCol = "ts",
+        valueCols = Seq("signup_ts"), tolerance = 86400000000L)
+        .select("event_id", "asof_signup_ts")
+    }),
+
     // ---- binned range join: attribution windows (45 min after each
     // purchase) matched to the user's events with an EQUI-join plan —
     // the bin key keeps the planner off BroadcastNestedLoop/Cartesian ----
@@ -377,6 +391,15 @@ object ExtQueries {
       Sampling.capPerGroup(docs(s, d), col("source"),
         Seq(TextAnalysis.qualityScore(col("text")).desc, col("doc_id").asc),
         n = 15)
+        .select("doc_id", "source")),
+
+    // per-source quality QUANTILE gate: keep the best 30 % of each source
+    // (relative cutoff — robust to corpus-mix drift where an absolute
+    // score threshold is not); exact integer rank comparison
+    "q_quality_gate" -> ((s, d) =>
+      Sampling.keepTopQuantilePerGroup(docs(s, d), col("source"),
+        Seq(TextAnalysis.qualityScore(col("text")).desc, col("doc_id").asc),
+        keepPermille = 300)
         .select("doc_id", "source")),
 
     // ---- dedup clusters: pairwise near-dup verdicts → transitive
@@ -684,6 +707,24 @@ SELECT doc_id, source FROM (
     row_number() OVER (PARTITION BY source
                        ORDER BY quality DESC, doc_id ASC) AS rn
   FROM q) WHERE rn <= 15""",
+
+    "q_quality_gate" -> s"""WITH t AS (
+  SELECT doc_id, source,
+    CAST(len(string_split(text, ' ')) AS DOUBLE) AS n,
+    len(list_distinct(string_split(text, ' '))) AS nd,
+    len(list_filter(string_split(text, ' '), t -> t IN ($stopList))) AS nstop
+  FROM documents),
+q AS (
+  SELECT doc_id, source,
+    least(n / 100.0, 1.0) * 0.4 + (CAST(nd AS DOUBLE) / n) * 0.3
+      + least((CAST(nstop AS DOUBLE) / n) * 10.0, 1.0) * 0.3 AS quality
+  FROM t)
+SELECT doc_id, source FROM (
+  SELECT doc_id, source,
+    row_number() OVER (PARTITION BY source
+                       ORDER BY quality DESC, doc_id ASC) AS rn,
+    count(*) OVER (PARTITION BY source) AS ng
+  FROM q) WHERE rn * 1000 <= ng * 300""",
 
     "q_text_quality" -> s"""WITH t AS (
   SELECT doc_id,
@@ -1095,6 +1136,18 @@ FROM (SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tu,
         CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS vm FROM events)
 WINDOW w AS (PARTITION BY user_id ORDER BY tu
              RANGE BETWEEN 900000000 PRECEDING AND CURRENT ROW)""",
+
+    // tolerance twin: unconstrained ASOF match, then the staleness guard
+    // nulls matches older than a day (equivalent to bounding the match —
+    // the ASOF winner is the latest preceding row)
+    "q_asof_tolerance" -> """SELECT e.event_id,
+  CASE WHEN s.ts IS NULL
+         OR epoch_us(CAST(e.ts AS TIMESTAMP)) - epoch_us(CAST(s.ts AS TIMESTAMP))
+            > 86400000000 THEN NULL
+       ELSE CAST(s.ts AS TIMESTAMP) END AS asof_signup_ts
+FROM events e ASOF LEFT JOIN
+  (SELECT user_id, ts FROM events WHERE event_type = 'signup') s
+ON e.user_id = s.user_id AND e.ts >= s.ts""",
 
     "q_asof_next" -> """SELECT e.event_id,
   (SELECT min(CAST(p.ts AS TIMESTAMP)) FROM events p

@@ -30,6 +30,24 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(out((2L, 7L)) === None)       // other key sees nothing
   }
 
+  test("tolerance: a match older than the bound nulls out; within-bound unchanged") {
+    val out = AsOfJoin.asofBackwardTolerance(
+        left, right, Seq("k"), "t", "rt", Seq("v"), tolerance = 5L)
+      .select("k", "t", "asof_v").as[(Long, Long, Option[String])]
+      .collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(out((1L, 10L)) === Some("a")) // distance 0: within
+    assert(out((1L, 15L)) === Some("a")) // distance 5: inclusive bound
+    assert(out((1L, 25L)) === Some("b")) // distance 5 to t=20
+    assert(out((1L, 5L)) === None)       // no match stays no match
+    // shrink the bound: the t=15 probe's only preceding row is now stale
+    val tight = AsOfJoin.asofBackwardTolerance(
+        left, right, Seq("k"), "t", "rt", Seq("v"), tolerance = 3L)
+      .select("k", "t", "asof_v").as[(Long, Long, Option[String])]
+      .collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(tight((1L, 15L)) === None)
+    assert(tight((1L, 10L)) === Some("a"))
+  }
+
   test("forward: earliest right at-or-after; equal time matches; none after = null") {
     val out = AsOfJoin.asofForward(left, right, Seq("k"), "t", "rt", Seq("v"))
       .select("k", "t", "asof_v").as[(Long, Long, Option[String])]

@@ -541,6 +541,20 @@ class SamplingSpec extends AnyFunSuite {
     assert(again === out.select("doc_id").as[Long].collect().toSet)
   }
 
+  test("quantile gate keeps floor(n*permille/1000) best rows per group") {
+    val df = ((1L to 10L).map(i => (i, "a", i * 10L)) ++   // 10 rows
+      (11L to 13L).map(i => (i, "b", i))).toDF("id", "g", "score") // 3 rows
+    val kept = Sampling.keepTopQuantilePerGroup(df, col("g"),
+        Seq(col("score").desc, col("id").asc), keepPermille = 300)
+      .select("id", "g").as[(Long, String)].collect().toSet
+    // group a: 10·300/1000 = 3 best scores → ids 10, 9, 8
+    // group b: floor(3·0.3) = 0 — a 3-row group keeps NOTHING at 30%
+    assert(kept == Set((10L, "a"), (9L, "a"), (8L, "a")))
+    // permille 1000 keeps everything
+    assert(Sampling.keepTopQuantilePerGroup(df, col("g"),
+      Seq(col("score").desc, col("id").asc), 1000).count() == 13)
+  }
+
   test("stratified sample takes exactly n per stratum, deterministically") {
     val out = Sampling.stratifiedSample(
       corpus, col("lang"), col("doc_id").cast("string"), n = 25)
