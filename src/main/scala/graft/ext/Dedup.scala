@@ -213,6 +213,38 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Exact duplicated-span detection — the ExactSubstr rule of Lee et al.
+    * 2022 ("Deduplicating Training Data Makes Language Models Better"),
+    * n-gram-granular: every length-`n` token span whose hash occurs in at
+    * least `minDocs` DISTINCT documents is a duplicated span; the output
+    * (doc, span-hash, corpus stats) is the mask a span-removal pass
+    * consumes. Unlike [[winnowFingerprints]] (sampled, for pair
+    * nomination) this is exhaustive — every span is checked, so recall is
+    * total at the chosen granularity.
+    *
+    * Scale shape: one explode + one hash-keyed groupBy for the span stats
+    * (map-side combined), then a semi-style join back of the per-doc span
+    * list against the (much smaller) duplicated-span set. Nothing is ever
+    * all-pairs; the shuffle keys are content hashes.
+    *
+    * @return (idCol, fp, n_docs, n_occurrences) — one row per (document,
+    *         duplicated span) with the span's corpus-wide counts. */
+  def duplicatedSpans(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 8, minDocs: Long = 2): DataFrame = {
+    val toks = split(col(textCol), " ")
+    val grams = df.select(col(idCol),
+        explode(when(size(toks) >= n,
+          transform(sequence(lit(0), size(toks) - n),
+            i => h32(concat_ws(" ", slice(toks, i + 1, lit(n))))))
+          .otherwise(array().cast("array<long>"))).as("fp"))
+    val stats = grams.groupBy("fp")
+      .agg(countDistinct(col(idCol)).as("n_docs"),
+        count(lit(1)).as("n_occurrences"))
+      .filter(col("n_docs") >= minDocs)
+    grams.distinct().join(stats, Seq("fp"))
+      .select(col(idCol), col("fp"), col("n_docs"), col("n_occurrences"))
+  }
+
   /** Winnowing fingerprints (Schleimer, Wilkerson & Aiken 2003 — the MOSS
     * scheme): hash every k-token gram, slide a window of `w` consecutive
     * hashes, keep each window's MINIMUM — the selected set is position-

@@ -83,6 +83,25 @@ object Sampling {
       .drop("_rn", "_ng")
   }
 
+  /** Token-budget mix per group: walk each group in `ordering` (best
+    * first) and keep rows while the RUNNING token total stays within
+    * `budget` — "take the best docs of every source up to B tokens each",
+    * the pretraining-mix allocation rule (a row-count cap ignores that
+    * documents differ 100× in length; the budget is what the training run
+    * actually consumes). Greedy prefix: the first row that overflows the
+    * budget stops the group (tokens ≥ 0 ⇒ the running sum is monotone, so
+    * the cut is a prefix — exact integer arithmetic, replayable anywhere).
+    * Ordering must be total. One shuffle. */
+  def tokenBudgetPerGroup(df: DataFrame, groupCol: Column,
+      ordering: Seq[Column], tokensCol: Column, budget: Long): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol).orderBy(ordering: _*)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    df.withColumn("_running", sum(tokensCol.cast("long")).over(w))
+      .filter(col("_running") <= budget)
+      .drop("_running")
+  }
+
   /** Mixture weighting by replication: emit each row `weight` times
     * (0 drops the row), tagged with `copy_no` (1-based). Deterministic
     * upsampling for corpus mixing — the weight is data-derived (quality

@@ -237,6 +237,34 @@ object AnalyticsQueries {
       }
       s.read.parquet(outDir).filter(col("event_type") =!= "_sentinel")
         .select(col("hour"), col("event_type"), col("n"), col("sum_value"))
+    }),
+
+    // stream-stream interval join run END TO END: every event matched to
+    // the user's signups in the hour before it. Inner interval joins emit
+    // matches EAGERLY (the watermark only bounds state retention), so one
+    // AvailableNow run over one batch per side emits every pair — no
+    // sentinels needed; the emitted table equals the batch interval join
+    "q_stream_interval" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft_stream_ij").toString
+      val ev = EventsSource.load(s, d)
+      ev.select("event_id", "user_id", "ts")
+        .coalesce(1).write.parquet(s"$dir/l")
+      ev.filter(col("event_type") === "signup")
+        .select(col("user_id"), col("event_id").as("s_event_id"),
+          col("ts").as("s_ts"))
+        .coalesce(1).write.parquet(s"$dir/r")
+      def stream(p: String) =
+        s.readStream.schema(s.read.parquet(p).schema).parquet(p)
+      graft.streaming.StreamingSync.intervalJoin(
+          stream(s"$dir/l"), stream(s"$dir/r"), "user_id",
+          leftTs = "ts", rightTs = "s_ts", maxDelay = "1 hour")
+        .select(col("l.event_id"), col("s_event_id"))
+        .writeStream.format("parquet").option("path", s"$dir/out")
+        .option("checkpointLocation", s"$dir/ckpt")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start().awaitTermination(120000)
+      s.read.parquet(s"$dir/out")
     })
   )
 
@@ -295,6 +323,14 @@ FROM events GROUP BY 1, 2""",
   event_type, count(*) AS n,
   CAST(sum(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value
 FROM events GROUP BY 1, 2""",
+
+    // batch twin of the streamed interval join: signups within the hour
+    // before each event, inclusive bounds both ends
+    "q_stream_interval" -> """SELECT e.event_id, s.event_id AS s_event_id
+FROM events e JOIN (SELECT user_id, event_id, ts FROM events
+                    WHERE event_type = 'signup') s
+ON e.user_id = s.user_id AND s.ts <= e.ts
+   AND s.ts >= CAST(e.ts AS TIMESTAMP) - INTERVAL 1 HOUR""",
 
     "q_agg_distinct" -> """SELECT source,
   CAST(count(DISTINCT tok) AS BIGINT) AS vocab, count(*) AS n_tokens

@@ -393,6 +393,20 @@ object ExtQueries {
         n = 15)
         .select("doc_id", "source")),
 
+    // exact duplicated-span detection (Lee et al. ExactSubstr rule,
+    // 8-token granularity): every span hash occurring in >= 2 distinct
+    // docs, with corpus-wide stats — the span-removal mask
+    "q_dedup_spans" -> ((s, d) =>
+      Dedup.duplicatedSpans(docs(s, d), "doc_id", "text", n = 8, minDocs = 2)),
+
+    // token-budget mix: best docs of each source up to 500 tokens —
+    // the pretraining-mix allocation rule (length-aware, not row-count)
+    "q_token_budget" -> ((s, d) =>
+      Sampling.tokenBudgetPerGroup(docs(s, d), col("source"),
+        Seq(TextAnalysis.qualityScore(col("text")).desc, col("doc_id").asc),
+        size(split(col("text"), " ")), budget = 500L)
+        .select("doc_id", "source")),
+
     // per-source quality QUANTILE gate: keep the best 30 % of each source
     // (relative cutoff — robust to corpus-mix drift where an absolute
     // score threshold is not); exact integer rank comparison
@@ -707,6 +721,41 @@ SELECT doc_id, source FROM (
     row_number() OVER (PARTITION BY source
                        ORDER BY quality DESC, doc_id ASC) AS rn
   FROM q) WHERE rn <= 15""",
+
+    // ExactSubstr replay: exhaustive 8-gram hashes, per-span distinct-doc
+    // and occurrence counts, >= 2-doc filter, per-doc span list joined back
+    "q_dedup_spans" -> s"""WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+g AS (
+  SELECT doc_id, ${oh32("array_to_string(t[(i+1):(i+8)], ' ')")} AS fp
+  FROM toks, LATERAL (SELECT unnest(range(0, greatest(len(t) - 7, 0))) i)),
+stats AS (
+  SELECT fp, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+    CAST(count(*) AS BIGINT) AS n_occurrences
+  FROM g GROUP BY fp HAVING count(DISTINCT doc_id) >= 2)
+SELECT d.doc_id, d.fp, s.n_docs, s.n_occurrences
+FROM (SELECT DISTINCT doc_id, fp FROM g) d JOIN stats s USING (fp)""",
+
+    // token-budget replay: running token total per source under the
+    // quality order, greedy prefix within the 2000-token budget
+    "q_token_budget" -> s"""WITH t AS (
+  SELECT doc_id, source,
+    CAST(len(string_split(text, ' ')) AS DOUBLE) AS n,
+    len(string_split(text, ' ')) AS ntok,
+    len(list_distinct(string_split(text, ' '))) AS nd,
+    len(list_filter(string_split(text, ' '), t -> t IN ($stopList))) AS nstop
+  FROM documents),
+q AS (
+  SELECT doc_id, source, ntok,
+    least(n / 100.0, 1.0) * 0.4 + (CAST(nd AS DOUBLE) / n) * 0.3
+      + least((CAST(nstop AS DOUBLE) / n) * 10.0, 1.0) * 0.3 AS quality
+  FROM t)
+SELECT doc_id, source FROM (
+  SELECT doc_id, source,
+    sum(ntok) OVER (PARTITION BY source
+                    ORDER BY quality DESC, doc_id ASC
+                    ROWS UNBOUNDED PRECEDING) AS running
+  FROM q) WHERE running <= 500""",
 
     "q_quality_gate" -> s"""WITH t AS (
   SELECT doc_id, source,

@@ -106,6 +106,22 @@ class DedupSpec extends AnyFunSuite {
     assert(Dedup.ngramJaccardPairs(short, "doc_id", "text", n = 3).count() == 0)
   }
 
+  test("duplicated spans: only spans in >= minDocs distinct docs survive; " +
+      "within-doc repeats alone do not qualify") {
+    val df = Seq(
+      (1L, "the quick brown fox jumps"),     // shares "the quick brown" with 2
+      (2L, "the quick brown cat sleeps"),
+      (3L, "aa bb aa bb aa bb aa bb"),       // repeats within ONE doc only
+      (4L, "totally different words here")).toDF("doc_id", "text")
+    val out = Dedup.duplicatedSpans(df, "doc_id", "text", n = 3, minDocs = 2)
+      .select("doc_id", "n_docs", "n_occurrences")
+      .as[(Long, Long, Long)].collect()
+    assert(out.map(_._1).toSet == Set(1L, 2L), s"unexpected docs: ${out.toSeq}")
+    assert(out.forall { case (_, nd, _) => nd == 2L })
+    // the shared span "the quick brown" occurs once in each doc
+    assert(out.forall { case (_, _, occ) => occ == 2L })
+  }
+
   test("minhash LSH finds the same high-jaccard pairs as the exact scan") {
     val lsh = Dedup.minhashLshPairs(docs, "doc_id", "text", n = 3, threshold = 0.5)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
@@ -553,6 +569,20 @@ class SamplingSpec extends AnyFunSuite {
     // permille 1000 keeps everything
     assert(Sampling.keepTopQuantilePerGroup(df, col("g"),
       Seq(col("score").desc, col("id").asc), 1000).count() == 13)
+  }
+
+  test("token budget keeps the greedy best-first prefix within the budget") {
+    // group a, quality order by score desc: 40 + 30 + 50(overflow stops) …
+    val df = Seq(
+      (1L, "a", 9L, 40L), (2L, "a", 8L, 30L), (3L, "a", 7L, 50L),
+      (4L, "a", 6L, 10L), // would fit after 3 is dropped, but prefix rule stops
+      (5L, "b", 9L, 100L), (6L, "b", 8L, 1L)).toDF("id", "g", "score", "ntok")
+    val kept = Sampling.tokenBudgetPerGroup(df, col("g"),
+        Seq(col("score").desc, col("id").asc), col("ntok"), budget = 100L)
+      .select("id").as[Long].collect().toSet
+    // a: 40 ≤ 100, 70 ≤ 100, 120 > 100 stop (4 excluded though it would fit)
+    // b: 100 ≤ 100, 101 > 100
+    assert(kept == Set(1L, 2L, 5L))
   }
 
   test("stratified sample takes exactly n per stratum, deterministically") {
