@@ -107,6 +107,52 @@ object AsOfJoin {
     }.drop(s"asof_$carried")
   }
 
+  /** Nearest as-of join: each left row picks the right row with MINIMUM
+    * |rightTime − leftTime| within the key — telemetry alignment where the
+    * reference reading may sit on either side of the probe. Backward wins
+    * exact distance ties (the reading that was already in effect beats one
+    * that wasn't yet). Composition: one backward pass + one forward pass
+    * (each a single window — two shuffles per side total), the matched
+    * times carried, then a scan-speed per-row pick; the pick chooses a SIDE
+    * once, so multi-column output is row-consistent. */
+  def asofNearest(
+      left: DataFrame,
+      right: DataFrame,
+      keyCols: Seq[String],
+      leftTimeCol: String,
+      rightTimeCol: String,
+      valueCols: Seq[String]): DataFrame = {
+    def asLong(c: Column, dt: org.apache.spark.sql.types.DataType): Column =
+      dt match {
+        case org.apache.spark.sql.types.TimestampType |
+             org.apache.spark.sql.types.TimestampNTZType => unix_micros(c)
+        case _ => c.cast("long")
+      }
+    val carried = "_asof_matched_t"
+    val r2 = right.withColumn(carried, col(rightTimeCol))
+    val vc = valueCols :+ carried
+
+    val bwd = asofBackward(left, r2, keyCols, leftTimeCol, rightTimeCol, vc)
+    val bRenamed = vc.foldLeft(bwd) { (df, c) =>
+      df.withColumnRenamed(s"asof_$c", s"_b_$c") }
+    val both = asofForward(bRenamed, r2, keyCols, leftTimeCol, rightTimeCol, vc)
+
+    val lt = asLong(col(leftTimeCol), left.schema(leftTimeCol).dataType)
+    val rtType = right.schema(rightTimeCol).dataType
+    val bDist = lt - asLong(col(s"_b_$carried"), rtType)
+    val fDist = asLong(col(s"asof_$carried"), rtType) - lt
+    // backward unless absent or strictly beaten by the forward match
+    val pickBackward = col(s"_b_$carried").isNotNull &&
+      (col(s"asof_$carried").isNull || bDist <= fDist)
+
+    val out = valueCols.foldLeft(both) { (df, c) =>
+      df.withColumn(s"asof_$c",
+        when(pickBackward, col(s"_b_$c")).otherwise(col(s"asof_$c")))
+    }
+    out.select(left.columns.map(col) ++
+      valueCols.map(c => col(s"asof_$c")): _*)
+  }
+
   /** Forward as-of join: each left row picks the EARLIEST right row with
     * `rightTime >= leftTime` within the same key — "the next deploy after
     * this alert", "the next purchase at or after this click". Same

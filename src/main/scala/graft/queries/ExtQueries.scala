@@ -277,6 +277,19 @@ object ExtQueries {
         .select("event_id", "asof_signup_ts")
     }),
 
+    // nearest-in-time flavor: the signup closest to the event on EITHER
+    // side (backward wins ties) — telemetry-alignment semantics
+    "q_asof_nearest" -> ((s, d) => {
+      val ev = EventsSource.load(s, d)
+      val signups = ev.filter(col("event_type") === "signup")
+        .select(col("user_id"), col("ts"), col("ts").as("signup_ts"))
+      AsOfJoin.asofNearest(
+        ev.select("event_id", "user_id", "ts"), signups,
+        keyCols = Seq("user_id"), leftTimeCol = "ts", rightTimeCol = "ts",
+        valueCols = Seq("signup_ts"))
+        .select("event_id", "asof_signup_ts")
+    }),
+
     // as-of with a staleness bound: same lookup, but a signup more than a
     // day before the event no longer counts (the production guard against
     // matching arbitrarily stale reference data)
@@ -1185,6 +1198,22 @@ FROM (SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tu,
         CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS vm FROM events)
 WINDOW w AS (PARTITION BY user_id ORDER BY tu
              RANGE BETWEEN 900000000 PRECEDING AND CURRENT ROW)""",
+
+    // nearest twin: backward/forward correlated extremes, backward wins
+    // exact-distance ties
+    "q_asof_nearest" -> """WITH s AS (
+  SELECT user_id, ts FROM events WHERE event_type = 'signup'),
+bf AS (SELECT e.event_id, CAST(e.ts AS TIMESTAMP) AS lt,
+  (SELECT max(CAST(p.ts AS TIMESTAMP)) FROM s p
+   WHERE p.user_id = e.user_id AND p.ts <= e.ts) AS b,
+  (SELECT min(CAST(p.ts AS TIMESTAMP)) FROM s p
+   WHERE p.user_id = e.user_id AND p.ts >= e.ts) AS f
+  FROM events e)
+SELECT event_id,
+  CASE WHEN b IS NOT NULL AND (f IS NULL
+         OR epoch_us(lt) - epoch_us(b) <= epoch_us(f) - epoch_us(lt))
+       THEN b ELSE f END AS asof_signup_ts
+FROM bf""",
 
     // tolerance twin: unconstrained ASOF match, then the staleness guard
     // nulls matches older than a day (equivalent to bounding the match —

@@ -30,6 +30,18 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(out((2L, 7L)) === None)       // other key sees nothing
   }
 
+  test("nearest: min |Δt| either side; backward wins exact ties; " +
+      "one-sided keys fall back to the available side") {
+    val out = AsOfJoin.asofNearest(left, right, Seq("k"), "t", "rt", Seq("v"))
+      .select("k", "t", "asof_v").as[(Long, Long, Option[String])]
+      .collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(out((1L, 5L)) === Some("a"))  // only forward exists
+    assert(out((1L, 10L)) === Some("a")) // distance 0
+    assert(out((1L, 15L)) === Some("a")) // 5 back vs 5 forward: backward wins
+    assert(out((1L, 25L)) === Some("b")) // only backward exists
+    assert(out((2L, 7L)) === None)       // no right rows for the key
+  }
+
   test("tolerance: a match older than the bound nulls out; within-bound unchanged") {
     val out = AsOfJoin.asofBackwardTolerance(
         left, right, Seq("k"), "t", "rt", Seq("v"), tolerance = 5L)
