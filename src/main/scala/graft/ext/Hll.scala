@@ -58,6 +58,22 @@ object Hll {
       .agg(max(col("r")).as("rank"))
   }
 
+  /** Estimate from sparse (groupCols…, bucket, rank) register rows — the
+    * rollup consumer: registers MERGE by per-bucket max, so a coarser
+    * grouping's estimate derives from finer sketches WITHOUT rescanning
+    * the data (the 100 TB contract: per-partition sketches, hierarchy of
+    * rollups, one scan total). Empty buckets contribute 1.0 each. */
+  def estimateFromRegisters(regs: DataFrame, groupCols: Seq[String],
+      p: Int = DefaultP): DataFrame = {
+    val m = 1 << p
+    regs.groupBy(groupCols.map(col): _*)
+      .agg((sum(lit(1.0) /
+            expr("CAST(shiftleft(CAST(1 AS BIGINT), rank) AS DOUBLE)"))
+          + (lit(m) - count(lit(1))) * lit(1.0)).as("_s"))
+      .select(groupCols.map(col) :+
+        floor(lit(alphaM2(p)) / col("_s")).cast("long").as("est_floor"): _*)
+  }
+
   /** Distinct estimate per group with measured error: ONE pass through the
     * mergeable sketch aggregate (m bytes of state per group), estimate from
     * the register array, exact distinct alongside for the error column.

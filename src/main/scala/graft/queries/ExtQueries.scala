@@ -150,6 +150,20 @@ object ExtQueries {
         docs(s, d).select(col("source"), explode(split(col("text"), " ")).as("tok")),
         "source", "tok", p = 8)),
 
+    // HLL mergeability IN-PLAN: the global estimate derives from the
+    // per-source sketches (per-bucket max rollup) — the data is never
+    // rescanned at the coarser grouping, the 100 TB rollup contract
+    "q_hll_rollup" -> ((s, d) => {
+      val toks = docs(s, d)
+        .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+      val perSource = Hll.registers(toks, "source", "tok", p = 8)
+      val global = perSource.groupBy(col("bucket"))
+        .agg(max(col("rank")).as("rank"))
+      Hll.estimateFromRegisters(global, Seq.empty, p = 8)
+        .crossJoin(broadcast(toks.agg(countDistinct(col("tok")).as("n_exact"))))
+        .select(col("n_exact"), col("est_floor"))
+    }),
+
     // ---- DSIR-shaped importance weighting: hashed-bigram probability
     // ratios (target vs raw corpus) in integer micros, per-doc exact sums —
     // the data-selection score a curated-domain upsample runs on ----
@@ -1100,6 +1114,23 @@ SELECT x.source, x.n_exact,
   CAST(floor(e.e) AS BIGINT) AS est_floor,
   CAST(floor(abs(e.e - x.n_exact) * 1000.0 / x.n_exact) AS BIGINT) AS err_permille
 FROM x JOIN est e ON x.source = e.source""",
+
+    // rollup twin: global registers computed directly — identical to the
+    // merged per-source sketches because register merge IS per-bucket max
+    "q_hll_rollup" -> s"""WITH tok AS (
+  SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents),
+h AS (SELECT DISTINCT tok, ${oh32("tok")} AS h FROM tok),
+b AS (SELECT h % 256 AS bucket,
+        CASE WHEN (h >> 8) = 0 THEN ${32 - 8 + 1}
+             ELSE ${32 - 8} - length(bin(h >> 8)) + 1 END AS r
+      FROM h),
+regs AS (SELECT bucket, max(r) AS mr FROM b GROUP BY 1),
+ssum AS (SELECT sum(1.0 / CAST((CAST(1 AS BIGINT) << mr) AS DOUBLE))
+           + (256 - count(*)) * 1.0 AS s
+         FROM regs)
+SELECT (SELECT count(DISTINCT tok) FROM tok) AS n_exact,
+  CAST(floor(${graft.ext.Hll.alphaM2(8)} / s) AS BIGINT) AS est_floor
+FROM ssum""",
 
     // DSIR replay: per-bucket Laplace-ratio micros with the EXACT Spark op
     // order ((ct+1)/(Nt+B)) / ((cr+1)/(Nr+B)) * 1e6, doc weights as exact

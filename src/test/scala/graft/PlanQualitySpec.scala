@@ -329,6 +329,22 @@ class PlanQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("quantile gate and token budget pay exactly ONE exchange: both " +
+      "windows share the group partitioning") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    def nExchanges(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.executedPlan.toString
+        .linesIterator.count(_.contains("Exchange hashpartitioning"))
+    val gate = graft.ext.Sampling.keepTopQuantilePerGroup(docs, col("source"),
+      Seq(col("doc_id").asc), keepPermille = 300)
+    assert(nExchanges(gate) == 1,
+      s"quantile gate must shuffle once:\n${gate.queryExecution.executedPlan}")
+    val budget = graft.ext.Sampling.tokenBudgetPerGroup(docs, col("source"),
+      Seq(col("doc_id").asc), size(split(col("text"), " ")), budget = 500L)
+    assert(nExchanges(budget) == 1,
+      s"token budget must shuffle once:\n${budget.queryExecution.executedPlan}")
+  }
+
   test("native array expressions participate in codegen (no Scala UDF nodes)") {
     val prep = graft.ext.Similarity.prepare(
       spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet"),
