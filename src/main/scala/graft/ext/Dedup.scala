@@ -237,11 +237,16 @@ object Dedup {
           transform(sequence(lit(0), size(toks) - n),
             i => h32(concat_ws(" ", slice(toks, i + 1, lit(n))))))
           .otherwise(array().cast("array<long>"))).as("fp"))
-    val stats = grams.groupBy("fp")
-      .agg(countDistinct(col(idCol)).as("n_docs"),
-        count(lit(1)).as("n_occurrences"))
+    // pre-aggregate to (doc, span) first: the corpus-wide stats then roll
+    // up from doc-distinct rows (count = distinct docs, no expensive
+    // count-distinct), and the mask join moves pre-aggregated rows instead
+    // of re-shuffling every raw gram occurrence through a distinct
+    val perDoc = grams.groupBy(col(idCol), col("fp"))
+      .agg(count(lit(1)).as("_occ"))
+    val stats = perDoc.groupBy("fp")
+      .agg(count(lit(1)).as("n_docs"), sum(col("_occ")).as("n_occurrences"))
       .filter(col("n_docs") >= minDocs)
-    grams.distinct().join(stats, Seq("fp"))
+    perDoc.join(stats, Seq("fp"))
       .select(col(idCol), col("fp"), col("n_docs"), col("n_occurrences"))
   }
 

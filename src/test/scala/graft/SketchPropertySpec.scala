@@ -90,4 +90,41 @@ class SketchPropertySpec extends AnyFunSuite {
         s"seed $seed: fp rate ${fp.toDouble / probes.size}")
     }
   }
+
+  test("HLL registers are chunking- and merge-order-invariant with " +
+      "serialize round-trips; merged estimate tracks the union") {
+    val agg = graft.functions.HllSketchAgg(
+      BoundReference(0, LongType, nullable = true), p = 8)
+    for (seed <- 1 to 10) {
+      val rnd = new scala.util.Random(seed)
+      val n = 5000 + rnd.nextInt(10000)
+      // h32's domain: uniform over the FULL 32 bits (a narrower domain
+      // inflates every rank and the estimate with it), with duplicates
+      val hashes = Seq.fill(n)(rnd.nextInt().toLong & 0xFFFFFFFFL)
+      // reference registers: sequential single-buffer build
+      val ref = agg.createAggregationBuffer()
+      hashes.foreach(h => agg.update(ref, longRow(h)))
+      // random chunking + random merge-tree order + mid-merge serialization
+      val bufs = scala.collection.mutable.Buffer(
+        hashes.grouped(1 + rnd.nextInt(700)).toSeq.map { chunk =>
+          val b = agg.createAggregationBuffer()
+          chunk.foreach(h => agg.update(b, longRow(h)))
+          agg.deserialize(agg.serialize(b))
+        }: _*)
+      while (bufs.size > 1) {
+        val i = rnd.nextInt(bufs.size - 1)
+        val merged = agg.merge(bufs(i), bufs.remove(i + 1))
+        bufs(i) = merged
+      }
+      assert(bufs.head.toSeq == ref.toSeq,
+        s"seed $seed: merged registers differ from sequential build")
+      // raw estimate vs true distinct: loose 4-sigma band (sigma ~ 6.5% at p=8)
+      val m = 256
+      val s = ref.map(r => 1.0 / (1L << r)).sum
+      val est = graft.ext.Hll.alphaM2(8) / s
+      val truth = hashes.distinct.size
+      assert(math.abs(est - truth) / truth < 0.26,
+        s"seed $seed: est $est vs truth $truth")
+    }
+  }
 }
