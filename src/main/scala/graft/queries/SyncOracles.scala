@@ -223,6 +223,27 @@ WHERE RecId NOT IN (SELECT RecId FROM src WHERE RecId % 20 = 3)
 UNION ALL
 SELECT $outCols FROM src WHERE RecId % 20 = 3"""),
 
+    // SCD-2 replay: the same per-key event timeline (start row at t=-1,
+    // commit-k tombstone at 2k, insert at 2k+1), a version closes at the
+    // next event's seq; version rows = start + inserts
+    "q_scd2_history" -> (prefix + s""", ev AS (
+  SELECT RecId, RECVERSION, -1 AS _t, CAST(NULL AS BIGINT) AS _from FROM tgt
+  UNION ALL
+  SELECT RecId, CAST(NULL AS INTEGER), 0, 0 FROM src WHERE RecId % 20 = 3
+  UNION ALL
+  SELECT RecId, RECVERSION, 1, 0 FROM src WHERE RecId % 20 = 3
+  UNION ALL
+  SELECT RecId, CAST(NULL AS INTEGER), 2, 1 FROM src
+  WHERE RecId BETWEEN ${graft.sync.SyncFixtures.SkipLo}
+                  AND ${graft.sync.SyncFixtures.SkipHi}
+),
+w AS (
+  SELECT RecId, RECVERSION, _t, _from,
+    lead(_from) OVER (PARTITION BY RecId ORDER BY _t) AS valid_to_seq
+  FROM ev)
+SELECT RecId, RECVERSION, _from AS valid_from_seq, valid_to_seq
+FROM w WHERE _t = -1 OR _t % 2 = 1"""),
+
     // min twin: ≡ direct min over the same final state
     "q_cdf_maintain_min" -> (prefix + s"""SELECT l_returnflag,
   CAST(min(SysRowVersion) AS BIGINT) AS mn

@@ -325,6 +325,29 @@ object SyncQueries {
         LakeTable.read(s, dir), "RecId", "l_returnflag", "SysRowVersion")
     }),
 
+    // SCD-2 history build over the change feed: every version of every key
+    // with its validity interval in commit-seq space — the dimension-
+    // history view the current-row sync cannot answer (who held what when)
+    "q_scd2_history" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft_lake_q").toString + "/t"
+      val src = slim(SyncFixtures.source(s, d))
+      val tgt = slim(SyncFixtures.target(s, d))
+      LakeTable.overwrite(tgt, dir)
+      val changed = src.filter(col("RecId") % 20 === 3)
+      LakeTable.appendCommit(
+        Apply.ChangeSet(changed.select("RecId"), changed, changed.select("RecId")),
+        dir, nowMs = 1000L)
+      val delBand = src
+        .filter(col("RecId").between(SyncFixtures.SkipLo, SyncFixtures.SkipHi))
+        .select("RecId")
+      LakeTable.appendCommit(
+        Apply.ChangeSet(delBand, src.filter(lit(false)), delBand), dir, nowMs = 2000L)
+      val fromSeq = LakeTable.resolve(dir).get._2
+      val feed = LakeTable.changes(s, dir, fromSeq)
+        .withColumn("_seq", col("_seq") - lit(fromSeq)) // pointer-relative
+      Maintain.history(tgt, feed, "RecId", Seq("RECVERSION"))
+    }),
+
     // streaming incremental sync run END TO END: two AvailableNow runs over
     // a file source (bootstrap = the stale target, then the changed band as
     // a second file = one micro-batch delta commit through the SAME

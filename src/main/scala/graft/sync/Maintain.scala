@@ -154,6 +154,57 @@ object Maintain {
     clean.unionByName(recomputed)
   }
 
+  /** SCD-2 key history from the change feed: one row per VERSION of each
+    * key with its validity interval in commit-sequence space — the
+    * slowly-changing-dimension view a warehouse keeps where the sync keeps
+    * only the current row. `valid_from_seq` is NULL for pre-history
+    * (window-start) versions; `valid_to_seq` is NULL for the currently
+    * open version; a version closes at the NEXT event touching its key
+    * (tombstone, or the tombstone phase of an upsert).
+    *
+    * Scale shape: keys the feed never touches bypass the window entirely
+    * (anti-join against the broadcast feed-key set) and emit their trivial
+    * open row at scan speed; only touched keys' events enter the per-key
+    * timeline window — O(table) output (a dimension build is), O(changes)
+    * windowed work. */
+  def history(initialState: DataFrame, feed: DataFrame, keyCol: String,
+      cols: Seq[String]): DataFrame = {
+    val nulls = cols.map(c =>
+      lit(null).cast(initialState.schema(c).dataType).as(c))
+    val feedKeys = feed.select(keyCol).distinct()
+
+    val touched = initialState
+      .join(broadcast(feedKeys), Seq(keyCol), "left_semi")
+    val bypass = initialState
+      .join(broadcast(feedKeys), Seq(keyCol), "left_anti")
+      .select(col(keyCol) +: cols.map(col): _*)
+      .withColumn("valid_from_seq", lit(null).cast("long"))
+      .withColumn("valid_to_seq", lit(null).cast("long"))
+
+    val init = touched.select(col(keyCol) +: cols.map(col): _*)
+      .withColumn("_t", lit(-1L))
+      .withColumn("_from", lit(null).cast("long"))
+    // within a commit the tombstone precedes the insert: del 2s, ins 2s+1
+    val dels = feed.filter(col("_op") === "delete")
+      .select(col(keyCol) +: nulls :+
+        (col("_seq").cast("long") * 2).as("_t") :+
+        col("_seq").cast("long").as("_from"): _*)
+    val ins = feed.filter(col("_op") === "insert")
+      .select(col(keyCol) +: cols.map(col) :+
+        (col("_seq").cast("long") * 2 + 1).as("_t") :+
+        col("_seq").cast("long").as("_from"): _*)
+
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("_t"))
+    val timeline = init.unionByName(dels).unionByName(ins)
+      .withColumn("valid_to_seq", lead(col("_from"), 1).over(w))
+      // version rows only: the start row and inserts (odd _t); tombstones
+      // exist in the timeline purely to close the preceding version
+      .filter(col("_t") === -1L || col("_t") % 2 === 1)
+      .select(col(keyCol) +: cols.map(col) :+
+        col("_from").as("valid_from_seq") :+ col("valid_to_seq"): _*)
+    timeline.unionByName(bypass)
+  }
+
   /** Maintained per-group (count, sum(valueCol)): the same pre-image
     * machinery, additionally carrying the deleted rows' VALUES so the sum
     * can be decremented exactly. `valueCol` must be integral (exact

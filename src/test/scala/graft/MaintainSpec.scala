@@ -116,6 +116,42 @@ class MaintainSpec extends AnyFunSuite {
     assert(got == Map("a" -> 7L, "b" -> 9L))
   }
 
+  test("scd2 history: versions close at the next event; untouched keys " +
+      "bypass with one open pre-history row; deletes of absent keys add nothing") {
+    val t = freshTable()
+    def csv(deletes: Seq[Long], inserts: Seq[(Long, String, Long)]): Apply.ChangeSet =
+      Apply.ChangeSet(deletes.toDF("RecId"),
+        inserts.toDF("RecId", "grp", "v"), keyFlags = deletes.toDF("RecId"))
+    val initial = Seq(
+      (1L, "a", 10L),  // updated in commit 0, deleted in commit 1
+      (2L, "a", 7L),   // untouched
+      (3L, "b", 5L))   // deleted in commit 0
+    LakeTable.overwrite(initial.toDF("RecId", "grp", "v"), t)
+    // commit 0: upsert key 1 (v=11), delete key 3, insert NEW key 4,
+    // delete absent key 9 (must contribute no version row)
+    LakeTable.appendCommit(csv(Seq(1L, 3L, 9L), Seq((1L, "a", 11L), (4L, "c", 1L))), t)
+    // commit 1: delete key 1
+    LakeTable.appendCommit(csv(Seq(1L), Seq.empty), t)
+
+    val fromSeq = LakeTable.resolve(t).get._2
+    val feed = LakeTable.changes(spark, t, fromSeq)
+      .withColumn("_seq", col("_seq") - lit(fromSeq))
+    val got = Maintain.history(initial.toDF("RecId", "grp", "v"), feed,
+        "RecId", Seq("v"))
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3))).toSet
+    // (key, v, from, to) with -1 encoding NULL
+    assert(got == Set(
+      (1L, 10L, -1L, 0L), // pre-history v10 closed by commit-0 tombstone
+      (1L, 11L, 0L, 1L),  // v11 valid [0,1), closed by commit-1 delete
+      (2L, 7L, -1L, -1L), // untouched: open pre-history row (bypass path)
+      (3L, 5L, -1L, 0L),  // deleted in commit 0, never reopened
+      (4L, 1L, 0L, -1L)), // new key, still current
+      s"got: $got")
+  }
+
   test("maintained sums decrement by the deleted rows' pre-image values") {
     val t = freshTable()
     def csv(deletes: Seq[Long], inserts: Seq[(Long, String, Long)]): Apply.ChangeSet =
