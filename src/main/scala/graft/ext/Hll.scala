@@ -51,7 +51,9 @@ object Hll {
   def registers(df: DataFrame, groupCol: String, itemCol: String,
       p: Int = DefaultP): DataFrame = {
     val m = 1 << p
-    df.select(col(groupCol), Dedup.h32(col(itemCol)).as("_h"))
+    // hash the canonical string form: md5 needs string/binary input, and
+    // CAST(x AS VARCHAR) renders integers identically in any engine
+    df.select(col(groupCol), Dedup.h32(col(itemCol).cast("string")).as("_h"))
       .withColumn("bucket", (col("_h") % m).cast("int"))
       .withColumn("r", rank(col("_h"), p))
       .groupBy(col(groupCol), col("bucket"))

@@ -223,6 +223,40 @@ WHERE RecId NOT IN (SELECT RecId FROM src WHERE RecId % 20 = 3)
 UNION ALL
 SELECT $outCols FROM src WHERE RecId % 20 = 3"""),
 
+    // maintained-distinct twin: HLL registers built DIRECTLY over the same
+    // final state (identical to the maintained merge — per-bucket max),
+    // estimate replayed with the shared bucket/rank/alpha arithmetic
+    "q_cdf_maintain_distinct" -> (prefix + s""", fin AS (
+  SELECT l_returnflag, SysRowVersion FROM tgt
+  WHERE RecId NOT IN (SELECT RecId FROM src WHERE RecId % 20 = 3)
+    AND RecId NOT IN (SELECT RecId FROM src
+                      WHERE RecId BETWEEN ${graft.sync.SyncFixtures.SkipLo}
+                                      AND ${graft.sync.SyncFixtures.SkipHi})
+  UNION ALL
+  SELECT l_returnflag, SysRowVersion FROM src
+  WHERE RecId % 20 = 3
+    AND RecId NOT BETWEEN ${graft.sync.SyncFixtures.SkipLo}
+                      AND ${graft.sync.SyncFixtures.SkipHi}
+), hh AS (
+  SELECT l_returnflag,
+    (('0x' || substr(md5(CAST(SysRowVersion AS VARCHAR)), 1, 8))::BIGINT) AS h
+  FROM fin
+), bb AS (
+  SELECT l_returnflag, h % 256 AS bucket,
+    CASE WHEN (h >> 8) = 0 THEN 25
+         ELSE 24 - length(bin(h >> 8)) + 1 END AS r
+  FROM hh
+), regs AS (
+  SELECT l_returnflag, bucket, max(r) AS mr FROM bb GROUP BY 1, 2
+), ssum AS (
+  SELECT l_returnflag,
+    sum(1.0 / CAST((CAST(1 AS BIGINT) << mr) AS DOUBLE))
+      + (256 - count(*)) * 1.0 AS s
+  FROM regs GROUP BY l_returnflag)
+SELECT l_returnflag,
+  CAST(floor(${graft.ext.Hll.alphaM2(8)} / s) AS BIGINT) AS est_floor
+FROM ssum"""),
+
     // SCD-2 replay: the same per-key event timeline (start row at t=-1,
     // commit-k tombstone at 2k, insert at 2k+1), a version closes at the
     // next event's seq; version rows = start + inserts

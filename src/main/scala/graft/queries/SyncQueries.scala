@@ -325,6 +325,29 @@ object SyncQueries {
         LakeTable.read(s, dir), "RecId", "l_returnflag", "SysRowVersion")
     }),
 
+    // maintained distinct-count SKETCH: per-group HLL registers advanced by
+    // the feed — insert-only groups merge registers without touching the
+    // table; delete-dirty groups recompute pruned; either way registers ==
+    // a direct build over the final state (merge IS per-bucket max)
+    "q_cdf_maintain_distinct" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft_lake_q").toString + "/t"
+      val src = slim(SyncFixtures.source(s, d))
+      val tgt = slim(SyncFixtures.target(s, d))
+      LakeTable.overwrite(tgt, dir)
+      val changed = src.filter(col("RecId") % 20 === 3)
+      LakeTable.appendCommit(
+        Apply.ChangeSet(changed.select("RecId"), changed, changed.select("RecId")),
+        dir, nowMs = 1000L)
+      val delBand = src
+        .filter(col("RecId").between(SyncFixtures.SkipLo, SyncFixtures.SkipHi))
+        .select("RecId")
+      LakeTable.appendCommit(
+        Apply.ChangeSet(delBand, src.filter(lit(false)), delBand), dir, nowMs = 2000L)
+      val fromSeq = LakeTable.resolve(dir).get._2
+      Maintain.distincts(tgt, LakeTable.changes(s, dir, fromSeq),
+        LakeTable.read(s, dir), "RecId", "l_returnflag", "SysRowVersion")
+    }),
+
     // SCD-2 history build over the change feed: every version of every key
     // with its validity interval in commit-seq space — the dimension-
     // history view the current-row sync cannot answer (who held what when)

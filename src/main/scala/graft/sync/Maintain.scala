@@ -154,6 +154,39 @@ object Maintain {
     clean.unionByName(recomputed)
   }
 
+  /** Maintained per-group DISTINCT-count estimate via HLL registers — the
+    * sketch analog of [[maxes]]: inserts only ever RAISE registers (per-
+    * bucket max merge, exact algebra), so insert-only groups advance by
+    * merging the feed's registers into the maintained ones without
+    * touching the table; a sketch cannot decrement, so any group with an
+    * effective delete is dirty and recomputes its registers from
+    * `finalState` pruned to those groups. Either way the resulting
+    * registers are IDENTICAL to a direct build over the final state
+    * (merge = per-bucket max), which is what makes the estimate
+    * oracle-checkable. Output: (groupCol, est_floor). */
+  def distincts(initialState: DataFrame, feed: DataFrame,
+      finalState: DataFrame, keyCol: String, groupCol: String,
+      valueCol: String, p: Int = graft.ext.Hll.DefaultP): DataFrame = {
+    import graft.ext.Hll
+    val dirty = effectiveDeletes(initialState, feed, keyCol, Seq(groupCol))
+      .select(groupCol).distinct()
+
+    val initRegs = Hll.registers(
+      initialState.select(col(groupCol), col(valueCol)), groupCol, valueCol, p)
+    val insRegs = Hll.registers(
+      feed.filter(col("_op") === "insert").select(col(groupCol), col(valueCol)),
+      groupCol, valueCol, p)
+    val cleanRegs = initRegs.unionByName(insRegs)
+      .join(broadcast(dirty), Seq(groupCol), "left_anti")
+      .groupBy(col(groupCol), col("bucket")).agg(max(col("rank")).as("rank"))
+
+    val dirtyRegs = Hll.registers(
+      finalState.join(broadcast(dirty), Seq(groupCol), "left_semi")
+        .select(col(groupCol), col(valueCol)), groupCol, valueCol, p)
+
+    Hll.estimateFromRegisters(cleanRegs.unionByName(dirtyRegs), Seq(groupCol), p)
+  }
+
   /** SCD-2 key history from the change feed: one row per VERSION of each
     * key with its validity interval in commit-sequence space — the
     * slowly-changing-dimension view a warehouse keeps where the sync keeps

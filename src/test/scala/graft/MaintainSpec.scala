@@ -116,6 +116,36 @@ class MaintainSpec extends AnyFunSuite {
     assert(got == Map("a" -> 7L, "b" -> 9L))
   }
 
+  test("maintained distincts: clean groups merge registers WITHOUT reading " +
+      "the final state; delete-dirty groups recompute from it") {
+    val t = freshTable()
+    def csv(deletes: Seq[Long], inserts: Seq[(Long, String, Long)]): Apply.ChangeSet =
+      Apply.ChangeSet(deletes.toDF("RecId"),
+        inserts.toDF("RecId", "grp", "v"), keyFlags = deletes.toDF("RecId"))
+    val initial = Seq(
+      (1L, "a", 10L), (2L, "a", 20L), // a stays insert-only (clean)
+      (3L, "b", 5L), (4L, "b", 6L))   // b loses key 3 (dirty)
+    LakeTable.overwrite(initial.toDF("RecId", "grp", "v"), t)
+    LakeTable.appendCommit(csv(Seq(3L), Seq((5L, "a", 30L))), t)
+
+    val fromSeq = LakeTable.resolve(t).get._2
+    val trueFinal = LakeTable.read(spark, t)
+    // poison group a in the final state passed in: if the clean path read
+    // it, a's estimate would change
+    val poisoned = trueFinal.withColumn("v",
+      when(col("grp") === "a", lit(999999L)).otherwise(col("v")))
+    val got = graft.sync.Maintain.distincts(
+        initial.toDF("RecId", "grp", "v"), LakeTable.changes(spark, t, fromSeq),
+        poisoned, "RecId", "grp", "v")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val direct = graft.ext.Hll.estimateFromRegisters(
+        graft.ext.Hll.registers(trueFinal, "grp", "v"), Seq("grp"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got("a") == direct("a"), "clean group must ignore the final state")
+    assert(got("b") == direct("b"), "dirty group must equal the direct build")
+    assert(got.keySet == Set("a", "b"))
+  }
+
   test("scd2 history: versions close at the next event; untouched keys " +
       "bypass with one open pre-history row; deletes of absent keys add nothing") {
     val t = freshTable()
