@@ -250,6 +250,46 @@ object Dedup {
       .select(col(idCol), col("fp"), col("n_docs"), col("n_occurrences"))
   }
 
+  /** Span REMOVAL — the output step of the ExactSubstr pipeline
+    * ([[duplicatedSpans]] finds the mask, this applies it): every token
+    * position covered by a flagged span (one whose hash occurs in ≥
+    * `minDocs` distinct docs) is dropped and the survivors re-joined.
+    * Policy: the span is removed from ALL copies (the conservative
+    * contamination stance; keep-one-copy needs a global owner election —
+    * compose with [[Components]] if that is wanted).
+    *
+    * Scale shape: flagged-span starts ride a per-doc array (collect_list
+    * of the semi-joined gram positions — bounded by the doc's own length);
+    * the token surgery is a pure index-lambda filter expression, scan
+    * speed. Docs with no flagged span pass through a left join with an
+    * empty mask.
+    *
+    * @return (idCol, clean_text). */
+  def removeSpans(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 8, minDocs: Long = 2): DataFrame = {
+    val toks = split(col(textCol), " ")
+    val gramsPos = df.select(col(idCol),
+        posexplode(when(size(toks) >= n,
+          transform(sequence(lit(0), size(toks) - n),
+            i => h32(concat_ws(" ", slice(toks, i + 1, lit(n))))))
+          .otherwise(array().cast("array<long>"))))
+      .toDF(idCol, "pos", "fp")
+    val flagged = gramsPos.groupBy("fp")
+      .agg(countDistinct(col(idCol)).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+      .select("fp")
+    val starts = gramsPos.join(flagged, Seq("fp"), "left_semi")
+      .groupBy(col(idCol)).agg(collect_list(col("pos")).as("_starts"))
+    df.join(starts, Seq(idCol), "left")
+      .withColumn("_starts",
+        coalesce(col("_starts"), array().cast("array<int>")))
+      .select(col(idCol),
+        concat_ws(" ", expr(
+          s"filter(split($textCol, ' '), (t, i) -> " +
+          s"NOT exists(_starts, s -> i >= s AND i < s + $n))"))
+          .as("clean_text"))
+  }
+
   /** Winnowing fingerprints (Schleimer, Wilkerson & Aiken 2003 — the MOSS
     * scheme): hash every k-token gram, slide a window of `w` consecutive
     * hashes, keep each window's MINIMUM — the selected set is position-

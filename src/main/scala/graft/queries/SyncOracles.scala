@@ -223,6 +223,18 @@ WHERE RecId NOT IN (SELECT RecId FROM src WHERE RecId % 20 = 3)
 UNION ALL
 SELECT $outCols FROM src WHERE RecId % 20 = 3"""),
 
+    // drift-report twin: per-column null-safe-difference counts over the
+    // matched keys, one UNION ALL branch per compared column
+    "q_column_drift" -> (prefix +
+      Seq("SysRowVersion", "RECVERSION", "l_quantity",
+          "l_extendedprice", "l_returnflag").map { c =>
+        s"""SELECT '$c' AS column_name,
+  CAST(sum(CASE WHEN s.$c IS DISTINCT FROM t.$c THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_changed,
+  count(*) AS n_compared
+FROM src s JOIN tgt t ON s.RecId = t.RecId"""
+      }.mkString("\nUNION ALL\n")),
+
     // maintained-distinct twin: HLL registers built DIRECTLY over the same
     // final state (identical to the maintained merge — per-bucket max),
     // estimate replayed with the shared bucket/rank/alpha arithmetic

@@ -325,6 +325,15 @@ object SyncQueries {
         LakeTable.read(s, dir), "RecId", "l_returnflag", "SysRowVersion")
     }),
 
+    // per-column drift report: WHICH columns drive the changes across the
+    // matched keys — one join, one combined aggregate, constant-size stack
+    "q_column_drift" -> ((s, d) =>
+      Classify.columnDrift(
+        slim(SyncFixtures.source(s, d)), slim(SyncFixtures.target(s, d)),
+        "RecId",
+        Seq("SysRowVersion", "RECVERSION", "l_quantity",
+          "l_extendedprice", "l_returnflag"))),
+
     // maintained distinct-count SKETCH: per-group HLL registers advanced by
     // the feed — insert-only groups merge registers without touching the
     // table; delete-dirty groups recompute pruned; either way registers ==

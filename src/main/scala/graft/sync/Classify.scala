@@ -85,4 +85,28 @@ object Classify {
   /** Classification counts (TableInfo.cs:41-46 → groupBy/count). */
   def counts(classified: DataFrame): DataFrame =
     classified.groupBy(ChangeTypeCol).agg(count(lit(1)).as("n"))
+
+  /** Per-column drift report over the matched keys — WHICH columns drive
+    * the changes (the sync-health view behind "why is this table always
+    * 5 % changed"): for every compared column, the count of matched key
+    * pairs whose values differ (null-safe), next to the matched total.
+    * ONE key-equi join + one global aggregate (every per-column counter is
+    * a conditional sum in the same map-side-combined pass), then a
+    * constant-size stack to rows — no per-column scans, no shuffle beyond
+    * the join. */
+  def columnDrift(source: DataFrame, target: DataFrame, keyCol: String,
+      cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "columnDrift needs at least one column")
+    val j = source.as("s").join(target.as("t"),
+      col(s"s.$keyCol") === col(s"t.$keyCol"))
+    val aggs = cols.map(c =>
+      sum(when(not(col(s"s.$c") <=> col(s"t.$c")), 1L).otherwise(0L))
+        .as(s"_d_$c"))
+    val row = j.agg(count(lit(1)).as("_n"), aggs: _*)
+    row.selectExpr(
+      s"stack(${cols.size}, " +
+        cols.map(c => s"'$c', _d_$c").mkString(", ") +
+        ") AS (column_name, n_changed)",
+      "_n AS n_compared")
+  }
 }

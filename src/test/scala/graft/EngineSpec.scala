@@ -50,6 +50,18 @@ class ClassifySpec extends AnyFunSuite {
       4L -> ChangeClass.New))
   }
 
+  test("columnDrift counts null-safe per-column differences over matched keys only") {
+    val src = frame(Seq((1L, 1, ts, ts), (2L, 2, ts, ts2), (4L, 1, ts, ts)))
+    val tgt = frame(Seq((1L, 1, ts, ts), (2L, 1, ts, ts), (3L, 1, ts, ts)))
+    val got = Classify.columnDrift(src, tgt, "RecId",
+        Seq("RECVERSION", "MODIFIEDDATETIME"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // matched keys: 1 (equal) and 2 (RECVERSION 2≠1, MODIFIED ts2≠ts)
+    assert(got == Map(
+      "RECVERSION" -> (1L, 2L),
+      "MODIFIEDDATETIME" -> (1L, 2L)))
+  }
+
   test("NULL==NULL datetime is a match; NULL vs value is not (AxDbDataService.cs:872-886)") {
     val src = spark.createDataFrame(
       spark.sparkContext.parallelize(Seq(

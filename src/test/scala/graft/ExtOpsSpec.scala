@@ -122,6 +122,19 @@ class DedupSpec extends AnyFunSuite {
     assert(out.forall { case (_, _, occ) => occ == 2L })
   }
 
+  test("span removal drops exactly the covered positions in every copy; " +
+      "clean docs pass through verbatim") {
+    val df = Seq(
+      (1L, "one two three x y z"),   // shares "one two three" with doc 2
+      (2L, "a one two three b"),
+      (3L, "totally unrelated text here")).toDF("doc_id", "text")
+    val out = Dedup.removeSpans(df, "doc_id", "text", n = 3, minDocs = 2)
+      .as[(Long, String)].collect().toMap
+    assert(out(1L) == "x y z")       // positions 0..2 covered
+    assert(out(2L) == "a b")         // positions 1..3 covered (both copies)
+    assert(out(3L) == "totally unrelated text here")
+  }
+
   test("minhash LSH finds the same high-jaccard pairs as the exact scan") {
     val lsh = Dedup.minhashLshPairs(docs, "doc_id", "text", n = 3, threshold = 0.5)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
