@@ -136,6 +136,27 @@ object ExtQueries {
       base.select("doc_id").join(nearDupLosers, Seq("doc_id"), "left_anti")
     }),
 
+    // ---- the curation pipeline v2: quality/lang filter → exact dedup →
+    // per-source quality QUANTILE gate (top 50%) → token budget (800) —
+    // four stages of the engine composed end-to-end, one plan ----
+    "q_corpus_pipeline" -> ((s, d) => {
+      val scored = docs(s, d).select(
+        col("doc_id"), col("source"), col("text"),
+        TextAnalysis.qualityScore(col("text")).as("q"),
+        TextAnalysis.langId(col("text")).as("lp"))
+      val filtered = scored.filter(col("q") >= 0.55 && col("lp") === "en")
+      val exactKept = Dedup.exactDedup(
+          filtered.select("doc_id", "text"), "doc_id", "text")
+        .filter(col("is_kept")).select("doc_id")
+      val base = filtered.join(exactKept, Seq("doc_id"), "left_semi")
+      val gated = Sampling.keepTopQuantilePerGroup(base, col("source"),
+        Seq(col("q").desc, col("doc_id").asc), keepPermille = 500)
+      Sampling.tokenBudgetPerGroup(gated, col("source"),
+          Seq(col("q").desc, col("doc_id").asc),
+          size(split(col("text"), " ")), budget = 800L)
+        .select("doc_id", "source")
+    }),
+
     // ---- KMV distinct sketch: per-source vocabulary estimate vs exact ----
     "q_text_kmv" -> ((s, d) =>
       KmvSketch.distinctEstimate(
@@ -1073,6 +1094,38 @@ SELECT (SELECT COUNT(*) FROM truth) AS n_true,
   (SELECT COUNT(*) FROM hit) AS n_hit,
   CAST(floor((SELECT COUNT(*) FROM hit) * 1000.0
     / greatest((SELECT COUNT(*) FROM truth), 1)) AS BIGINT) AS recall_millis""",
+
+    // pipeline v2 replay: the same four stages, each from its own proven
+    // CTE pattern (quality, exact-dedup min-keep, quantile rank gate,
+    // running-token budget)
+    "q_corpus_pipeline" -> s"""WITH scored AS (
+  SELECT doc_id, source, text,
+    len(string_split(text,' ')) AS ntok,
+    least(CAST(len(string_split(text,' ')) AS DOUBLE) / 100.0, 1.0) * 0.4
+      + (CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE)
+         / len(string_split(text,' '))) * 0.3
+      + least((CAST(len(list_filter(string_split(text,' '), t -> t IN ($stopList))) AS DOUBLE)
+               / len(string_split(text,' '))) * 10.0, 1.0) * 0.3 AS q,
+    CASE WHEN len(string_split(text,' ')) < 3 THEN 'und'
+         WHEN CAST(len(list_filter(string_split(text,' '), t -> t IN ($stopList))) AS DOUBLE)
+              / len(string_split(text,' ')) >= 0.02 THEN 'en'
+         ELSE 'unk' END AS lp
+  FROM documents),
+filtered AS (SELECT doc_id, source, ntok, q, text FROM scored
+             WHERE q >= 0.55 AND lp = 'en'),
+h AS (SELECT doc_id, source, ntok, q, md5(lower(trim(text))) AS fp FROM filtered),
+base AS (SELECT doc_id, source, ntok, q FROM h
+         WHERE doc_id = (SELECT min(h2.doc_id) FROM h h2 WHERE h2.fp = h.fp)),
+gated AS (SELECT doc_id, source, ntok, q FROM (
+  SELECT doc_id, source, ntok, q,
+    row_number() OVER (PARTITION BY source ORDER BY q DESC, doc_id ASC) AS rn,
+    count(*) OVER (PARTITION BY source) AS ng
+  FROM base) WHERE rn * 1000 <= ng * 500)
+SELECT doc_id, source FROM (
+  SELECT doc_id, source,
+    sum(ntok) OVER (PARTITION BY source ORDER BY q DESC, doc_id ASC
+                    ROWS UNBOUNDED PRECEDING) AS running
+  FROM gated) WHERE running <= 800""",
 
     "q_corpus_clean" -> s"""WITH scored AS (
   SELECT doc_id, text,
