@@ -57,6 +57,53 @@ object Profile {
       s"stack(${fields.length}, $stackArgs) as (column, metric, value)")
   }
 
+  /** The SCALE form of [[profile]]: identical single-pass metrics, but
+    * string cardinalities come from HLL register sketches
+    * ([[graft.functions.HllSketchAgg]]) carried in the SAME aggregate —
+    * m bytes of state per column instead of `count(distinct)`'s
+    * per-value expansion, which is the difference between ANALYZE costing
+    * one scan and costing a shuffle of every distinct string at 100 TB.
+    * The `distinct_est` metric is the deterministic raw HLL estimate
+    * (same arithmetic as [[Hll.distinctEstimate]], oracle-replayable). */
+  def profileApprox(df: DataFrame, longCols: Seq[String],
+      doubleCols: Seq[String], stringCols: Seq[String],
+      p: Int = Hll.DefaultP): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    def nulls(c: String): Column =
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls")
+    val rows = count(lit(1)).as("rows__count")
+    val longAggs = longCols.flatMap(c => Seq(
+      nulls(c), min(col(c)).as(s"${c}__min"), max(col(c)).as(s"${c}__max")))
+    val doubleAggs = doubleCols.flatMap(c => Seq(
+      nulls(c),
+      min(floor(col(c) * 1000000 + 0.5).cast("long")).as(s"${c}__min_micro"),
+      max(floor(col(c) * 1000000 + 0.5).cast("long")).as(s"${c}__max_micro")))
+    val stringAggs = stringCols.flatMap(c => Seq(
+      nulls(c),
+      min(length(col(c))).cast("long").as(s"${c}__min_len"),
+      max(length(col(c))).cast("long").as(s"${c}__max_len"),
+      expr(s"hll_sketch(`__h_$c`, $p)").as(s"${c}__regs")))
+    val hashed = df.select(df.columns.map(col) ++
+      stringCols.map(c => Dedup.h32(col(c).cast("string")).as(s"__h_$c")): _*)
+    val aggs = rows +: (longAggs ++ doubleAggs ++ stringAggs)
+    val one = hashed.agg(aggs.head, aggs.tail: _*)
+
+    val fold = (c: String) => expr(s"aggregate(`${c}__regs`, CAST(0 AS DOUBLE), " +
+      "(acc, r) -> acc + CAST(1 AS DOUBLE) / CAST(shiftleft(CAST(1 AS BIGINT), r) AS DOUBLE))")
+    val withEst = stringCols.foldLeft(one) { (d, c) =>
+      d.withColumn(s"${c}__distinct_est",
+        floor(lit(Hll.alphaM2(p)) / fold(c)).cast("long"))
+        .drop(s"${c}__regs")
+    }
+    val fields = withEst.schema.fieldNames
+    val stackArgs = fields.map { f =>
+      val Array(c, m) = f.split("__", 2)
+      s"'$c', '$m', cast(`$f` as bigint)"
+    }.mkString(", ")
+    withEst.selectExpr(
+      s"stack(${fields.length}, $stackArgs) as (column, metric, value)")
+  }
+
   /** Fixed-width histogram of a numeric column over [lo, hi]: bucket =
     * clamp(floor(((x − lo) · buckets) / (hi − lo)), 0, buckets−1), with the
     * IDENTICAL IEEE expression order in the oracle so counts match exactly.

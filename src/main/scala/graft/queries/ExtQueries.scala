@@ -514,6 +514,14 @@ object ExtQueries {
         longCols = ProfileLongCols, doubleCols = ProfileDoubleCols,
         stringCols = ProfileStringCols)),
 
+    // the SCALE profile: string cardinalities as HLL register sketches in
+    // the same one-pass aggregate (m bytes/column, no count-distinct
+    // expansion) — ANALYZE that stays one scan at 100 TB
+    "q_profile_approx" -> ((s, d) =>
+      Profile.profileApprox(docs(s, d),
+        longCols = Seq("doc_id", "n_chars"), doubleCols = Seq.empty,
+        stringCols = Seq("text", "source"))),
+
     // ---- Bloom-pruned semi-join: filter-at-scan via the bloom sketch,
     // exact join over survivors — results identical to the plain semi-join
     // (which is all the oracle needs to say) ----
@@ -1442,6 +1450,8 @@ SELECT a AS id, least(a, min(b)) AS comp FROM reach GROUP BY a""",
 
     "q_profile" -> profileOracle,
 
+    "q_profile_approx" -> profileApproxOracle,
+
     "q_dedup_keepbest" -> s"""WITH $shinglesCte,
 capped AS (SELECT sid, shingle FROM (
   SELECT sid, shingle, count(*) OVER (PARTITION BY shingle) AS sfreq FROM sh)
@@ -1687,6 +1697,36 @@ SELECT p.new_id, p.old_id,
 FROM pairs p JOIN sizes ca ON ca.sid = p.new_id JOIN sizes cb ON cb.sid = p.old_id
 WHERE p.common * 1.0 / (ca.nsh + cb.nsh - p.common) >= 0.5"""
   )
+
+  /** Tall-union twin of Profile.profileApprox over documents: same metric
+    * rows, string distincts replayed through the shared HLL arithmetic. */
+  private def profileApproxOracle: String = {
+    def row(c: String, m: String, e: String) =
+      s"""SELECT '$c' AS "column", '$m' AS metric, CAST($e AS BIGINT) AS value FROM documents"""
+    def hllRow(c: String) =
+      s"""SELECT '$c' AS "column", 'distinct_est' AS metric,
+  CAST(floor(${graft.ext.Hll.alphaM2(8)} / s) AS BIGINT) AS value FROM (
+  SELECT sum(1.0 / CAST((CAST(1 AS BIGINT) << mr) AS DOUBLE))
+    + (256 - count(*)) * 1.0 AS s
+  FROM (
+    SELECT h % 256 AS bucket,
+      max(CASE WHEN (h >> 8) = 0 THEN 25
+               ELSE 24 - length(bin(h >> 8)) + 1 END) AS mr
+    FROM (SELECT DISTINCT ${oh32(c)} AS h FROM documents
+          WHERE $c IS NOT NULL)
+    GROUP BY 1))"""
+    val rows = Seq(row("rows", "count", "count(*)")) ++
+      Seq("doc_id", "n_chars").flatMap(c => Seq(
+        row(c, "nulls", s"sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END)"),
+        row(c, "min", s"min($c)"),
+        row(c, "max", s"max($c)"))) ++
+      Seq("text", "source").flatMap(c => Seq(
+        row(c, "nulls", s"sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END)"),
+        row(c, "min_len", s"min(length($c))"),
+        row(c, "max_len", s"max(length($c))"),
+        hllRow(c)))
+    rows.mkString("\nUNION ALL ")
+  }
 
   /** Tall-union twin of Profile.profile over the same column lists. */
   private def profileOracle: String = {
