@@ -175,8 +175,11 @@ object Dedup {
     // 16-min aggregation — spec-pinned — at one buffer update per row).
     // Persisted: the band self-join references it from both sides, and
     // without the cache each side re-runs the corpus-wide aggregation
-    // (one slim row per doc — cheap to hold; same lifecycle as cand below)
-    val sig = minhashSignaturesSketch(sh).persist()
+    // (one slim row per doc — cheap to hold; same lifecycle as cand below).
+    // ensureCached: a composed query (editverify, contam) may already hold
+    // an identical cached plan — re-persisting would only WARN-spam
+    val sig = minhashSignaturesSketch(sh)
+    KMeans.ensureCached(sig)
     val rowsPerBand = MinhashA.size / MinhashBands
     val bandCols = (0 until MinhashBands).map { bnd =>
       val sigExpr = concat_ws("_",
@@ -188,7 +191,7 @@ object Dedup {
     val cand = bands.as("x").join(bands.as("y"), Seq("band", "bsig"))
       .filter(col("x.sid") < col("y.sid"))
       .select(col("x.sid").as("id_a"), col("y.sid").as("id_b")).distinct()
-      .persist()
+    KMeans.ensureCached(cand)
 
     // verify candidates with the true Jaccard: shingles of CANDIDATE docs
     // only (semi-join per side), hot shingles capped, exact pair semi-join
