@@ -265,6 +265,29 @@ object AnalyticsQueries {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start().awaitTermination(120000)
       s.read.parquet(s"$dir/out")
+    }),
+
+    // stream-static enrichment run END TO END: streamed events pick up
+    // customer dimension attributes per micro-batch (no state, no
+    // watermark — the default production enrichment shape); one run over
+    // one batch equals the batch left join
+    "q_stream_enrich" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft_stream_en").toString
+      graft.queries.EventsSource.load(s, d)
+        .select("event_id", "user_id", "event_type")
+        .coalesce(1).write.parquet(s"$dir/ev")
+      val dim = s.read.parquet(s"$d/customer.parquet")
+      val stream = s.readStream
+        .schema(s.read.parquet(s"$dir/ev").schema).parquet(s"$dir/ev")
+      graft.streaming.StreamingSync.enrichStream(
+          stream, dim, "user_id", "c_custkey",
+          Seq("c_nationkey", "c_mktsegment"))
+        .writeStream.format("parquet").option("path", s"$dir/out")
+        .option("checkpointLocation", s"$dir/ckpt")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start().awaitTermination(120000)
+      s.read.parquet(s"$dir/out")
     })
   )
 
@@ -331,6 +354,11 @@ FROM events e JOIN (SELECT user_id, event_id, ts FROM events
                     WHERE event_type = 'signup') s
 ON e.user_id = s.user_id AND s.ts <= e.ts
    AND s.ts >= CAST(e.ts AS TIMESTAMP) - INTERVAL 1 HOUR""",
+
+    // batch twin of the streamed enrichment: plain left join to the dim
+    "q_stream_enrich" -> """SELECT e.event_id, e.user_id, e.event_type,
+  c.c_nationkey, c.c_mktsegment
+FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey""",
 
     "q_agg_distinct" -> """SELECT source,
   CAST(count(DISTINCT tok) AS BIGINT) AS vocab, count(*) AS n_tokens

@@ -441,6 +441,20 @@ object ExtQueries {
         n = 15)
         .select("doc_id", "source")),
 
+    // per-source dedup AUDIT: how duplicated is each domain — the report
+    // that decides where the dedup budget goes
+    "q_dedup_report" -> ((s, d) => {
+      val dd = docs(s, d)
+      Dedup.exactDedup(dd, "doc_id", "text")
+        .join(dd.select("doc_id", "source"), Seq("doc_id"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("is_kept"), 1L).otherwise(0L)).as("n_unique"))
+        .withColumn("dup_permille",
+          floor((col("n_docs") - col("n_unique")) * lit(1000.0)
+            / col("n_docs")).cast("long"))
+    }),
+
     // exact duplicated-span detection (Lee et al. ExactSubstr rule,
     // 8-token granularity): every span hash occurring in >= 2 distinct
     // docs, with corpus-wide stats — the span-removal mask
@@ -782,6 +796,18 @@ SELECT doc_id, source FROM (
     row_number() OVER (PARTITION BY source
                        ORDER BY quality DESC, doc_id ASC) AS rn
   FROM q) WHERE rn <= 15""",
+
+    // audit replay: global min-keep per content hash, per-source rollup
+    "q_dedup_report" -> """WITH h AS (
+  SELECT doc_id, source, md5(lower(trim(text))) AS fp FROM documents),
+k AS (SELECT doc_id, source,
+        doc_id = (SELECT min(h2.doc_id) FROM h h2 WHERE h2.fp = h.fp) AS is_kept
+      FROM h)
+SELECT source, count(*) AS n_docs,
+  CAST(sum(CASE WHEN is_kept THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+  CAST(floor((count(*) - sum(CASE WHEN is_kept THEN 1 ELSE 0 END)) * 1000.0
+    / count(*)) AS BIGINT) AS dup_permille
+FROM k GROUP BY source""",
 
     // ExactSubstr replay: exhaustive 8-gram hashes, per-span distinct-doc
     // and occurrence counts, >= 2-doc filter, per-doc span list joined back

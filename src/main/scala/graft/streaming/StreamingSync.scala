@@ -117,6 +117,20 @@ object StreamingSync {
       "inner")
   }
 
+  /** Stream–static enrichment — the most common production streaming
+    * join: each streamed event picks up its dimension attributes from a
+    * BATCH table. No watermark and no state: the static side is planned
+    * per micro-batch (broadcast when it fits), so dimension updates
+    * between batches are picked up automatically and stream state stays
+    * zero — the property that makes this the default enrichment shape at
+    * any scale. */
+  def enrichStream(events: DataFrame, dim: DataFrame,
+      keyCol: String, dimKeyCol: String,
+      dimCols: Seq[String]): DataFrame =
+    events.join(
+      dim.select(col(dimKeyCol).as(keyCol) +: dimCols.map(col): _*),
+      Seq(keyCol), "left")
+
   /** Custom keyed state: running per-user session counts via
     * mapGroupsWithState (30-minute inactivity gap), the streaming twin of
     * q_events_sessions. */
