@@ -19,7 +19,8 @@ import org.apache.spark.sql.functions._
   *
   * Requirement: (key, rightTime) unique on the right side (ties would make
   * "the" latest row ambiguous). If duplicates exist anyway, the window
-  * ordering tiebreaks on the value columns, so the output is DETERMINISTIC
+  * ordering tiebreaks on the ORDERABLE value columns (maps are skipped —
+  * they cannot sort), so the output is DETERMINISTIC
   * (backward: greatest value tuple wins; forward: smallest) — but when a
   * duplicate right row holds NULL in some value column, the per-column
   * ignoreNulls fill may mix columns from different equal-time rows; keep
@@ -54,11 +55,16 @@ object AsOfJoin {
         valueCols.map(c => col(c).as(s"_v_$c")): _*)
 
     // right rows sort BEFORE left rows at equal time: a status taking effect
-    // at t applies to an event at t. Value columns tiebreak equal-time
-    // duplicate right rows deterministically (ADVICE r5).
+    // at t applies to an event at t. ORDERABLE value columns tiebreak
+    // equal-time duplicate right rows deterministically (ADVICE r5) —
+    // unorderable types (maps) are skipped so they keep working, at the
+    // documented cost of no tiebreak through them.
+    val tiebreak = valueCols.filter(c =>
+      org.apache.spark.sql.catalyst.expressions.RowOrdering.isOrderable(
+        right.schema(c).dataType))
     val w = Window.partitionBy(keyCols.map(col): _*)
       .orderBy(col("_t").asc +: col("_is_right").desc +:
-        valueCols.map(c => col(s"_v_$c").asc): _*)
+        tiebreak.map(c => col(s"_v_$c").asc): _*)
       .rowsBetween(Window.unboundedPreceding, 0)
 
     val filled = valueCols.foldLeft(l.unionByName(r)) { (df, c) =>
@@ -186,11 +192,15 @@ object AsOfJoin {
 
     // left rows sort BEFORE right rows at equal time, so the forward
     // window (current → following) still includes an equal-time right row.
-    // Value columns tiebreak equal-time duplicate right rows
-    // deterministically (ADVICE r5).
+    // Orderable value columns tiebreak equal-time duplicate right rows
+    // deterministically (ADVICE r5; unorderable types skipped, as in
+    // asofBackward).
+    val tiebreak = valueCols.filter(c =>
+      org.apache.spark.sql.catalyst.expressions.RowOrdering.isOrderable(
+        right.schema(c).dataType))
     val w = Window.partitionBy(keyCols.map(col): _*)
       .orderBy(col("_t").asc +: col("_is_right").asc +:
-        valueCols.map(c => col(s"_v_$c").asc): _*)
+        tiebreak.map(c => col(s"_v_$c").asc): _*)
       .rowsBetween(Window.currentRow, Window.unboundedFollowing)
 
     val filled = valueCols.foldLeft(l.unionByName(r)) { (df, c) =>

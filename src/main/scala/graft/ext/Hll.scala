@@ -84,7 +84,10 @@ object Hll {
       p: Int = DefaultP): DataFrame = {
     graft.functions.GraftFunctions.register(df.sparkSession)
     val sk = df
-      .select(col(groupCol), col(itemCol), Dedup.h32(col(itemCol)).as("_h"))
+      .select(col(groupCol), col(itemCol),
+        // canonical string form, same as registers() — without the cast a
+        // numeric item column fails analysis (md5 takes string/binary)
+        Dedup.h32(col(itemCol).cast("string")).as("_h"))
       .groupBy(col(groupCol))
       .agg(expr(s"hll_sketch(_h, $p)").as("regs"),
         countDistinct(col(itemCol)).as("n_exact"))

@@ -55,8 +55,11 @@ object Importance {
 
     val crStats = bgRaw.groupBy("bucket").agg(count(lit(1)).as("cr"))
     val ctStats = bgTgt.groupBy("bucket").agg(count(lit(1)).as("ct"))
-    val nr = bgRaw.agg(count(lit(1)).as("nr"))
-    val nt = bgTgt.agg(count(lit(1)).as("nt"))
+    // corpus totals from the B-sized bucket frames — a separate count()
+    // over bgRaw/bgTgt would re-run the full ngram explode of each corpus
+    // coalesce: sum over an empty frame is NULL where count() was 0
+    val nr = crStats.agg(coalesce(sum(col("cr")), lit(0L)).as("nr"))
+    val nt = ctStats.agg(coalesce(sum(col("ct")), lit(0L)).as("nt"))
 
     // every doc bucket exists in crStats by construction (raw ⊇ docs);
     // target-absent buckets smooth to ct = 0

@@ -24,11 +24,13 @@ import org.apache.spark.sql.functions._
   */
 object Profile {
 
-  /** Metrics for `longCols` (null count, min, max), `doubleCols` (null
-    * count + min/max quantized to micro-units), and `stringCols` (null
-    * count, min/max length, exact distinct count). */
-  def profile(df: DataFrame, longCols: Seq[String], doubleCols: Seq[String],
-      stringCols: Seq[String]): DataFrame = {
+  /** Shared null/min/max scaffolding: rows + long + double + per-string
+    * base metrics. Column names must not contain "__" (the metric-name
+    * separator the tall reshape splits on). */
+  private def baseAggs(longCols: Seq[String], doubleCols: Seq[String],
+      stringCols: Seq[String]): Seq[Column] = {
+    require((longCols ++ doubleCols ++ stringCols).forall(!_.contains("__")),
+      "profiled column names must not contain '__' (metric separator)")
     def nulls(c: String): Column =
       sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls")
     val rows = count(lit(1)).as("rows__count")
@@ -43,11 +45,12 @@ object Profile {
     val stringAggs = stringCols.flatMap(c => Seq(
       nulls(c),
       min(length(col(c))).cast("long").as(s"${c}__min_len"),
-      max(length(col(c))).cast("long").as(s"${c}__max_len"),
-      countDistinct(col(c)).as(s"${c}__distinct")))
-    val aggs = rows +: (longAggs ++ doubleAggs ++ stringAggs)
-    val one = df.agg(aggs.head, aggs.tail: _*)
+      max(length(col(c))).cast("long").as(s"${c}__max_len")))
+    rows +: (longAggs ++ doubleAggs ++ stringAggs)
+  }
 
+  /** One-row wide profile → tall (column, metric, value) via stack. */
+  private def toTall(one: DataFrame): DataFrame = {
     val fields = one.schema.fieldNames
     val stackArgs = fields.map { f =>
       val Array(c, m) = f.split("__", 2)
@@ -55,6 +58,16 @@ object Profile {
     }.mkString(", ")
     one.selectExpr(
       s"stack(${fields.length}, $stackArgs) as (column, metric, value)")
+  }
+
+  /** Metrics for `longCols` (null count, min, max), `doubleCols` (null
+    * count + min/max quantized to micro-units), and `stringCols` (null
+    * count, min/max length, exact distinct count). */
+  def profile(df: DataFrame, longCols: Seq[String], doubleCols: Seq[String],
+      stringCols: Seq[String]): DataFrame = {
+    val aggs = baseAggs(longCols, doubleCols, stringCols) ++
+      stringCols.map(c => countDistinct(col(c)).as(s"${c}__distinct"))
+    toTall(df.agg(aggs.head, aggs.tail: _*))
   }
 
   /** The SCALE form of [[profile]]: identical single-pass metrics, but
@@ -69,23 +82,10 @@ object Profile {
       doubleCols: Seq[String], stringCols: Seq[String],
       p: Int = Hll.DefaultP): DataFrame = {
     graft.functions.GraftFunctions.register(df.sparkSession)
-    def nulls(c: String): Column =
-      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls")
-    val rows = count(lit(1)).as("rows__count")
-    val longAggs = longCols.flatMap(c => Seq(
-      nulls(c), min(col(c)).as(s"${c}__min"), max(col(c)).as(s"${c}__max")))
-    val doubleAggs = doubleCols.flatMap(c => Seq(
-      nulls(c),
-      min(floor(col(c) * 1000000 + 0.5).cast("long")).as(s"${c}__min_micro"),
-      max(floor(col(c) * 1000000 + 0.5).cast("long")).as(s"${c}__max_micro")))
-    val stringAggs = stringCols.flatMap(c => Seq(
-      nulls(c),
-      min(length(col(c))).cast("long").as(s"${c}__min_len"),
-      max(length(col(c))).cast("long").as(s"${c}__max_len"),
-      expr(s"hll_sketch(`__h_$c`, $p)").as(s"${c}__regs")))
     val hashed = df.select(df.columns.map(col) ++
       stringCols.map(c => Dedup.h32(col(c).cast("string")).as(s"__h_$c")): _*)
-    val aggs = rows +: (longAggs ++ doubleAggs ++ stringAggs)
+    val aggs = baseAggs(longCols, doubleCols, stringCols) ++
+      stringCols.map(c => expr(s"hll_sketch(`__h_$c`, $p)").as(s"${c}__regs"))
     val one = hashed.agg(aggs.head, aggs.tail: _*)
 
     val fold = (c: String) => expr(s"aggregate(`${c}__regs`, CAST(0 AS DOUBLE), " +
@@ -95,13 +95,7 @@ object Profile {
         floor(lit(Hll.alphaM2(p)) / fold(c)).cast("long"))
         .drop(s"${c}__regs")
     }
-    val fields = withEst.schema.fieldNames
-    val stackArgs = fields.map { f =>
-      val Array(c, m) = f.split("__", 2)
-      s"'$c', '$m', cast(`$f` as bigint)"
-    }.mkString(", ")
-    withEst.selectExpr(
-      s"stack(${fields.length}, $stackArgs) as (column, metric, value)")
+    toTall(withEst)
   }
 
   /** Fixed-width histogram of a numeric column over [lo, hi]: bucket =

@@ -77,9 +77,12 @@ object Sampling {
     val wOrd = org.apache.spark.sql.expressions.Window
       .partitionBy(groupCol).orderBy(ordering: _*)
     val wAll = org.apache.spark.sql.expressions.Window.partitionBy(groupCol)
+    // cast BEFORE the multiply: row_number() is IntegerType, and int*1000
+    // silently wraps past ~2.1M rows per group — exactly the group sizes
+    // this operator exists for
     df.withColumn("_rn", row_number().over(wOrd))
       .withColumn("_ng", count(lit(1)).over(wAll))
-      .filter(col("_rn") * 1000 <= col("_ng") * keepPermille)
+      .filter(col("_rn").cast("long") * 1000L <= col("_ng") * keepPermille)
       .drop("_rn", "_ng")
   }
 

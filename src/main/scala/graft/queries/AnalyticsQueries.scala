@@ -188,7 +188,10 @@ object AnalyticsQueries {
           .option("checkpointLocation", ckpt)
           .outputMode("append")
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start().awaitTermination(120000)
+          .start().awaitTermination(300000) match {
+          case true => ()
+          case false => sys.error("streaming run did not finish in 300 s")
+        }
       }
       runOnce()
       // sentinels: past max(ts) + gap(30m) + watermark delay(10m) + margin
@@ -223,7 +226,10 @@ object AnalyticsQueries {
           .option("checkpointLocation", ckpt)
           .outputMode("append")
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start().awaitTermination(120000)
+          .start().awaitTermination(300000) match {
+          case true => ()
+          case false => sys.error("streaming run did not finish in 300 s")
+        }
       }
       runOnce()
       // sentinels: past max(ts) + watermark(2h) + window(1h) + margin
@@ -263,7 +269,10 @@ object AnalyticsQueries {
         .option("checkpointLocation", s"$dir/ckpt")
         .outputMode("append")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start().awaitTermination(120000)
+        .start().awaitTermination(300000) match {
+          case true => ()
+          case false => sys.error("streaming run did not finish in 300 s")
+        }
       s.read.parquet(s"$dir/out")
     }),
 
@@ -286,7 +295,10 @@ object AnalyticsQueries {
         .option("checkpointLocation", s"$dir/ckpt")
         .outputMode("append")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start().awaitTermination(120000)
+        .start().awaitTermination(300000) match {
+          case true => ()
+          case false => sys.error("streaming run did not finish in 300 s")
+        }
       s.read.parquet(s"$dir/out")
     })
   )

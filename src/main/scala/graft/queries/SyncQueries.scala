@@ -393,10 +393,16 @@ object SyncQueries {
       val changed = slim(SyncFixtures.source(s, d)).filter(col("RecId") % 20 === 3)
       tgt.write.parquet(inDir) // run 1: bootstrap snapshot
       graft.streaming.StreamingSync.incrementalSyncStream(
-        s, inDir, tgtDir, ckpt, tgt.schema).awaitTermination(120000)
+        s, inDir, tgtDir, ckpt, tgt.schema).awaitTermination(300000) match {
+        case true => ()
+        case false => sys.error("streaming sync run did not finish in 300 s")
+      }
       changed.write.mode("append").parquet(inDir) // run 2: the delta batch
       graft.streaming.StreamingSync.incrementalSyncStream(
-        s, inDir, tgtDir, ckpt, tgt.schema).awaitTermination(120000)
+        s, inDir, tgtDir, ckpt, tgt.schema).awaitTermination(300000) match {
+        case true => ()
+        case false => sys.error("streaming sync run did not finish in 300 s")
+      }
       LakeTable.read(s, tgtDir).select(outCols.map(col): _*)
     }),
 
