@@ -429,4 +429,77 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")
   }
+
+  // ------------------------------------------------------- prefix filtering
+
+  /** EXACT all-pairs Jaccard join via prefix filtering (Chaudhuri et al.
+    * 2006; Bayardo, Ma & Srikant 2007 "Scaling Up All Pairs Similarity
+    * Search") — the sketch-free alternative to MinHash when missed pairs
+    * are unacceptable: candidate generation is lossless, so the output is
+    * exactly every pair with Jaccard ≥ threshold, yet the join never goes
+    * all-pairs.
+    *
+    * Principle: order each doc's shingles by GLOBAL document frequency
+    * ascending (rarest first, ties by shingle value — a total order both
+    * engines replay). For Jaccard ≥ t, a qualifying pair has
+    * |A∩B| ≥ ⌈t·|A|⌉ and ≥ ⌈t·|B|⌉, so it MUST share a shingle inside
+    * each side's (|X| − ⌈t·|X|⌉ + 1)-prefix: if all common shingles sat
+    * outside A's prefix, at most ⌈t·|A|⌉ − 1 of A's shingles could be
+    * shared — contradiction. Joining prefix×prefix therefore loses
+    * nothing, and the prefixes hold the corpus-RAREST shingles, so bucket
+    * sizes in the candidate join are small by construction — the hot-key
+    * cap the sketch paths need is unnecessary here (a hot shingle is by
+    * definition never in a large doc's prefix).
+    *
+    * Verify stage: per-PAIR, not per-shingle — candidate pairs pull each
+    * side's distinct shingle-hash array via two id-keyed joins and compute
+    * |∩| with `array_intersect` at scan speed, so the verify moves
+    * O(candidates · doc_len) and never re-shuffles the shingle relation
+    * (a different shape from [[minhashLshPairs]]'s candidate-restricted
+    * shingle join — per-pair arrays win when candidates are few and docs
+    * bounded, the shingle join when docs are huge).
+    *
+    * Threshold arithmetic is integer permille end to end (⌈t·n⌉ =
+    * (t·n + 999) div 1000; the final gate is common·1000 ≥
+    * t·(na+nb−common)) — bit-deterministic across engines; the reported
+    * `jaccard` is the exact integer ratio widened to double.
+    *
+    * @return (id_a, id_b, jaccard) with id_a < id_b — EVERY qualifying
+    *         pair, no sketch recall loss. */
+  def prefixFilterJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, thresholdPermille: Int = 500): DataFrame = {
+    require(thresholdPermille > 0 && thresholdPermille <= 1000,
+      s"thresholdPermille in (0,1000]: $thresholdPermille")
+    val w = org.apache.spark.sql.expressions.Window
+    val sh = shingles(df, idCol, textCol, n)
+    // global shingle rarity (one shuffle on the shingle), then per-doc
+    // rank + size in ONE sid-partitioned sort (second shuffle)
+    val withFreq = sh.withColumn("dfreq",
+      count(lit(1)).over(w.partitionBy("shingle")))
+    val ranked = withFreq
+      .withColumn("rk", row_number().over(
+        w.partitionBy("sid").orderBy(col("dfreq"), col("shingle"))))
+      .withColumn("nsh", count(lit(1)).over(w.partitionBy("sid")))
+    val prefix = ranked.filter(
+      col("rk") <= col("nsh") -
+        expr(s"(nsh * $thresholdPermille + 999) div 1000") + 1)
+      .select("sid", "shingle")
+    val cand = prefix.select(col("sid").as("id_a"), col("shingle"))
+      .join(prefix.select(col("sid").as("id_b"), col("shingle")), Seq("shingle"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    // per-pair verify: distinct shingle-hash arrays, id-keyed joins only
+    val arrs = sh.groupBy("sid")
+      .agg(collect_set(h32(col("shingle"))).as("hs"))
+    cand
+      .join(arrs.select(col("sid").as("id_a"), col("hs").as("_ha")), Seq("id_a"))
+      .join(arrs.select(col("sid").as("id_b"), col("hs").as("_hb")), Seq("id_b"))
+      .withColumn("common", size(array_intersect(col("_ha"), col("_hb"))).cast("long"))
+      .withColumn("na", size(col("_ha")).cast("long"))
+      .withColumn("nb", size(col("_hb")).cast("long"))
+      .filter(col("common") * 1000 >= lit(thresholdPermille) * (col("na") + col("nb") - col("common")))
+      .withColumn("jaccard",
+        col("common").cast("double") / (col("na") + col("nb") - col("common")))
+      .select("id_a", "id_b", "jaccard")
+  }
 }

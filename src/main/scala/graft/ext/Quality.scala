@@ -1,0 +1,91 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Data-quality audit — the Deequ-style "stop the line" gate a training
+  * pipeline runs before shipping a dataset snapshot (completeness, key
+  * uniqueness, referential integrity), answering the reference's pre-copy
+  * validation instinct (DBSyncTool probes row counts and key marks before
+  * trusting a table — SURVEY §2.1 S11/A5) with a general, declarative
+  * constraint pass.
+  *
+  * Output: one long-format row per check —
+  * `(check_name, col_name, value, passed)` with `value` an exact BIGINT
+  * (fractions in permille), so the frame is engine-independent and can
+  * gate a run with a single `passed = false` filter.
+  *
+  * Scale shape (100 TB):
+  *  - all SCAN measures (row count + per-column non-null counts) fold in
+  *    ONE aggregate over a single pass — map-side partials reduce to one
+  *    row, nothing wide shuffles;
+  *  - key uniqueness is one hash groupBy on the key (the unavoidable
+  *    shuffle), reduced map-side, emitting one row;
+  *  - referential integrity is a left-anti join against the dimension's
+  *    key projection — broadcast when the dim is small, plain hash join
+  *    otherwise; only non-null FKs are checked (SQL FK semantics).
+  * Everything stays in-plan (the checks union single-row aggregates; no
+  * driver-side actions), so one `collect()` of a handful of rows drives
+  * the gate.
+  */
+object Quality {
+
+  /** Referential-integrity check: `fkCol` of the audited frame must hit
+    * `pkCol` of `dim` (nulls exempt, as in SQL FOREIGN KEY). */
+  final case class RefCheck(name: String, dim: DataFrame, fkCol: String, pkCol: String)
+
+  /** Run the audit. `keyCols` non-empty → a uniqueness check; every column
+    * in `completenessCols` gets a non-null permille vs
+    * `minCompletenessPermille`. */
+  def audit(df: DataFrame,
+            completenessCols: Seq[String],
+            keyCols: Seq[String],
+            refChecks: Seq[RefCheck] = Nil,
+            minCompletenessPermille: Long = 1000): DataFrame = {
+    require(completenessCols.nonEmpty || keyCols.nonEmpty || refChecks.nonEmpty,
+      "audit needs at least one check")
+
+    // one scan: row count + all non-null counts folded together
+    val scanAggs = count(lit(1)).as("_n") +:
+      completenessCols.map(c => count(col(c)).as(s"_nn_$c"))
+    val scan = df.agg(scanAggs.head, scanAggs.tail: _*)
+
+    val rowCount = scan.select(
+      lit("row_count").as("check_name"), lit("*").as("col_name"),
+      col("_n").as("value"), (col("_n") > 0).as("passed"))
+
+    val completeness = completenessCols.map { c =>
+      val permille = when(col("_n") === 0, lit(1000L))
+        .otherwise(expr(s"(_nn_$c * 1000) div _n"))
+      scan.select(
+        lit("completeness_permille").as("check_name"), lit(c).as("col_name"),
+        permille.as("value"), (permille >= minCompletenessPermille).as("passed"))
+    }
+
+    val uniqueness =
+      if (keyCols.isEmpty) Nil
+      else {
+        val dups = df.groupBy(keyCols.map(col): _*)
+          .agg(count(lit(1)).as("_c"))
+          .agg(coalesce(sum(col("_c") - 1), lit(0L)).as("value"))
+        Seq(dups.select(
+          lit("key_duplicate_rows").as("check_name"),
+          lit(keyCols.mkString(",")).as("col_name"),
+          col("value"), (col("value") === 0).as("passed")))
+      }
+
+    val integrity = refChecks.map { rc =>
+      val violations = df.select(col(rc.fkCol))
+        .filter(col(rc.fkCol).isNotNull)
+        .join(rc.dim.select(col(rc.pkCol).as(rc.fkCol)), Seq(rc.fkCol), "left_anti")
+        .agg(count(lit(1)).as("value"))
+      violations.select(
+        lit(s"ri_violations_${rc.name}").as("check_name"),
+        lit(rc.fkCol).as("col_name"),
+        col("value"), (col("value") === 0).as("passed"))
+    }
+
+    (Seq(rowCount) ++ completeness ++ uniqueness ++ integrity)
+      .reduce(_ unionByName _)
+  }
+}

@@ -53,6 +53,18 @@ object AnalyticsQueries {
           count(lit(1)).as("n_items"))
     }),
 
+    // Data-quality audit (Deequ-style stop-the-line gate): one-scan
+    // completeness, one-shuffle key uniqueness, anti-join referential
+    // integrity — long-format check rows a release gate filters on
+    "q_dq_audit" -> ((s, d) => {
+      val o = s.read.parquet(s"$d/orders.parquet")
+      val c = s.read.parquet(s"$d/customer.parquet")
+      graft.ext.Quality.audit(o,
+        completenessCols = Seq("o_custkey", "o_orderdate", "o_orderpriority"),
+        keyCols = Seq("o_orderkey"),
+        refChecks = Seq(graft.ext.Quality.RefCheck("customer", c, "o_custkey", "c_custkey")))
+    }),
+
     // Top-k with deterministic tie-break (TakeOrderedAndProject, no full sort)
     "q_topk_orders" -> ((s, d) =>
       s.read.parquet(s"$d/orders.parquet")
@@ -67,6 +79,23 @@ object AnalyticsQueries {
         .agg(
           count(lit(1)).as("n"),
           (sum(units(col("value"), 1000000.0)) / 1000000.0).as("sum_value"))),
+
+    // Ordered funnel conversion: earliest strictly-increasing chain
+    // view → click → purchase, per-step user counts + permille vs step 1
+    "q_funnel" -> ((s, d) =>
+      graft.ext.Funnel.conversion(EventsSource.load(s, d),
+        "user_id", "event_type", "ts", Seq("view", "click", "purchase"))),
+
+    // Cohort retention matrix: first-seen day × day offset → active users
+    "q_cohort_retention" -> ((s, d) =>
+      graft.ext.Cohort.retention(EventsSource.load(s, d),
+        "user_id", "ts", maxOffsetDays = 30)),
+
+    // Hourly resample with materialized gaps + forward fill (per-key grid
+    // from the key's own span — never a global calendar cross join)
+    "q_ts_resample" -> ((s, d) =>
+      graft.ext.Resample.hourlyWithGapsFilled(EventsSource.load(s, d),
+        "user_id", "ts", "value")),
 
     // Grouped distinct aggregation: vocabulary size per source
     "q_agg_distinct" -> ((s, d) =>
@@ -304,6 +333,79 @@ object AnalyticsQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    // greedy earliest-chain funnel replay; scalar subqueries per step
+    "q_funnel" -> """WITH s1 AS (
+  SELECT user_id AS u, min(ts) AS t FROM events
+  WHERE event_type = 'view' GROUP BY 1),
+s2 AS (SELECT e.user_id AS u, min(e.ts) AS t FROM events e
+       JOIN s1 ON s1.u = e.user_id
+       WHERE e.event_type = 'click' AND e.ts > s1.t GROUP BY 1),
+s3 AS (SELECT e.user_id AS u, min(e.ts) AS t FROM events e
+       JOIN s2 ON s2.u = e.user_id
+       WHERE e.event_type = 'purchase' AND e.ts > s2.t GROUP BY 1),
+b AS (SELECT count(*) AS n0 FROM s1)
+SELECT 1 AS step_idx, 'view' AS step,
+  (SELECT count(*) FROM s1) AS n_users,
+  CASE WHEN b.n0 = 0 THEN 0
+       ELSE ((SELECT count(*) FROM s1) * 1000) // b.n0 END AS conv_permille
+FROM b
+UNION ALL SELECT 2, 'click', (SELECT count(*) FROM s2),
+  CASE WHEN b.n0 = 0 THEN 0
+       ELSE ((SELECT count(*) FROM s2) * 1000) // b.n0 END FROM b
+UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3),
+  CASE WHEN b.n0 = 0 THEN 0
+       ELSE ((SELECT count(*) FROM s3) * 1000) // b.n0 END FROM b""",
+
+    "q_cohort_retention" -> """WITH f AS (
+  SELECT user_id AS u, CAST(min(ts) AS DATE) AS cohort_day
+  FROM events GROUP BY 1),
+sz AS (SELECT cohort_day, CAST(count(*) AS BIGINT) AS cohort_size
+       FROM f GROUP BY 1),
+act AS (SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS d FROM events),
+r AS (SELECT f.cohort_day, act.d - f.cohort_day AS day_offset,
+        CAST(count(*) AS BIGINT) AS n_active
+      FROM act JOIN f ON f.u = act.u
+      WHERE act.d - f.cohort_day <= 30 GROUP BY 1, 2)
+SELECT r.cohort_day, r.day_offset, r.n_active, sz.cohort_size,
+  (r.n_active * 1000) // sz.cohort_size AS retention_permille
+FROM r JOIN sz ON sz.cohort_day = r.cohort_day""",
+
+    "q_ts_resample" -> """WITH e AS (
+  SELECT user_id, epoch_us(ts) // 3600000000 AS bucket,
+    CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS v FROM events),
+a AS (SELECT user_id, bucket, CAST(count(*) AS BIGINT) AS n,
+        CAST(sum(v) AS BIGINT) AS vsum FROM e GROUP BY 1, 2),
+s AS (SELECT user_id, min(bucket) AS b0, max(bucket) AS b1
+      FROM a GROUP BY 1),
+grid AS (SELECT user_id, unnest(range(b0, b1 + 1)) AS bucket FROM s),
+j AS (SELECT g.user_id, g.bucket, COALESCE(a.n, 0) AS n, a.vsum
+      FROM grid g LEFT JOIN a ON a.user_id = g.user_id AND a.bucket = g.bucket)
+SELECT user_id, bucket, n, COALESCE(vsum, 0) AS v_micros,
+  last_value(vsum IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY bucket
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_ffill_micros
+FROM j""",
+
+    // long-format audit rows; value is BIGINT everywhere (permille for
+    // fractions), passed mirrors the Scala thresholds exactly
+    "q_dq_audit" -> """SELECT 'row_count' AS check_name, '*' AS col_name,
+  CAST(count(*) AS BIGINT) AS value, count(*) > 0 AS passed FROM orders
+UNION ALL SELECT 'completeness_permille', 'o_custkey',
+  (count(o_custkey) * 1000) // count(*),
+  (count(o_custkey) * 1000) // count(*) >= 1000 FROM orders
+UNION ALL SELECT 'completeness_permille', 'o_orderdate',
+  (count(o_orderdate) * 1000) // count(*),
+  (count(o_orderdate) * 1000) // count(*) >= 1000 FROM orders
+UNION ALL SELECT 'completeness_permille', 'o_orderpriority',
+  (count(o_orderpriority) * 1000) // count(*),
+  (count(o_orderpriority) * 1000) // count(*) >= 1000 FROM orders
+UNION ALL SELECT 'key_duplicate_rows', 'o_orderkey',
+  CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT),
+  count(*) = count(DISTINCT o_orderkey) FROM orders
+UNION ALL SELECT 'ri_violations_customer', 'o_custkey',
+  CAST(count(*) AS BIGINT), count(*) = 0
+  FROM orders o WHERE o.o_custkey IS NOT NULL
+    AND NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)""",
+
     "q_part_prune" -> """SELECT event_type, count(*) AS n,
   CAST(sum(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS v_micros
 FROM events WHERE CAST(ts AS DATE) = DATE '2024-01-15'

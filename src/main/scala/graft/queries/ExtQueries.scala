@@ -41,6 +41,25 @@ object ExtQueries {
         .withColumn("label",
           when(col("score_micros") >= 0, "keep").otherwise("drop"))),
 
+    // count-min sketch point queries: fixed depth×width registers (merge
+    // by summing — the streaming/mergeable frequency sketch), estimates
+    // vs the exact counts so the one-sided error is MEASURED
+    "q_text_cms" -> ((s, d) => {
+      val toks = docs(s, d).select(explode(split(col("text"), " ")).as("tok"))
+      val qs = toks.filter(pmod(Dedup.h32(col("tok")), lit(3)) === 0)
+      Cms.estimatesWithTruth(toks, "tok", qs, "tok")
+    }),
+
+    // weight-balanced output shards via the scalable exact global rank
+    // (range-partitioned two-phase ordinal — never a single-partition
+    // window) — "write 8 files of near-equal token mass"
+    "q_shard_balance" -> ((s, d) => {
+      val dd = docs(s, d).select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+      Sharding.balancedShards(dd, "n_tokens", "doc_id", numShards = 8)
+        .select("doc_id", "n_tokens", "ordinal", "shard")
+    }),
+
     "q_text_fingerprint" -> ((s, d) =>
       docs(s, d).select(
         col("doc_id"),
@@ -59,6 +78,14 @@ object ExtQueries {
 
     "q_dedup_simhash" -> ((s, d) =>
       Dedup.simhashPairs(docs(s, d), "doc_id", "text", maxHamming = 3)),
+
+    // EXACT all-pairs Jaccard via prefix filtering (AllPairs/PPJoin
+    // family): lossless candidate pruning on rarest-first shingle
+    // prefixes, per-pair array-intersect verify — the sketch-free path
+    // when missed pairs are unacceptable
+    "q_dedup_prefix" -> ((s, d) =>
+      Dedup.prefixFilterJaccardPairs(docs(s, d), "doc_id", "text",
+        n = 3, thresholdPermille = 500)),
 
     // winnowing fingerprints (MOSS scheme): window-min of k-gram hashes —
     // position-robust overlap fingerprints at ~1/w the gram count
@@ -900,6 +927,37 @@ SELECT doc_id,
        ELSE 'unk' END AS lang_pred
 FROM t""",
 
+    // CMS replay: salted h32 per register row, depth×width registers,
+    // min-over-rows point estimates, exact counts joined for the truth
+    "q_text_cms" -> s"""WITH toks AS (
+  SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+rb AS (SELECT tok, r, ${oh32("CAST(r AS VARCHAR) || ':' || tok")} % 1024 AS b
+       FROM toks, LATERAL (SELECT unnest(range(0, 4)) AS r)),
+reg AS (SELECT r, b, CAST(count(*) AS BIGINT) AS cnt FROM rb GROUP BY r, b),
+q AS (SELECT DISTINCT tok FROM toks WHERE ${oh32("tok")} % 3 = 0),
+qrb AS (SELECT tok, r, ${oh32("CAST(r AS VARCHAR) || ':' || tok")} % 1024 AS b
+        FROM q, LATERAL (SELECT unnest(range(0, 4)) AS r)),
+est AS (SELECT qrb.tok, min(COALESCE(reg.cnt, 0)) AS est_count
+        FROM qrb LEFT JOIN reg ON reg.r = qrb.r AND reg.b = qrb.b
+        GROUP BY qrb.tok),
+tru AS (SELECT tok, CAST(count(*) AS BIGINT) AS true_count
+        FROM toks GROUP BY tok)
+SELECT est.tok AS key, est.est_count,
+  COALESCE(tru.true_count, 0) AS true_count
+FROM est LEFT JOIN tru ON tru.tok = est.tok""",
+
+    // balanced-shard replay: exact global rank by (tokens DESC, id ASC),
+    // round-robin deal — DuckDB's single-node window IS the oracle for
+    // the engine's range-partitioned two-phase ordinal
+    "q_shard_balance" -> """WITH t AS (
+  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents),
+r AS (SELECT doc_id, n_tokens,
+        row_number() OVER (ORDER BY n_tokens DESC, doc_id ASC) AS ordinal
+      FROM t)
+SELECT doc_id, n_tokens, ordinal,
+  CAST((ordinal - 1) % 8 AS INT) AS shard FROM r""",
+
     "q_text_fingerprint" -> s"""SELECT doc_id, md5(lower(trim(text))) AS fp,
   ${oh32("text")} AS fp32
 FROM documents""",
@@ -922,6 +980,30 @@ pairs AS (SELECT a.sid AS id_a, b.sid AS id_b, count(*) AS common
           FROM capped a JOIN capped b ON a.shingle = b.shingle AND a.sid < b.sid
           GROUP BY 1, 2)
 $jaccardVerify""",
+
+    // Prefix-filtering replay: global dfreq → rarest-first per-doc rank →
+    // (n − ⌈t·n⌉ + 1)-prefix → prefix×prefix candidates → per-pair
+    // list_intersect verify on the distinct shingle-hash lists. Integer
+    // permille threshold arithmetic mirrors the Scala exactly.
+    "q_dedup_prefix" -> s"""WITH $shinglesCte,
+st AS (SELECT sid, shingle,
+         count(*) OVER (PARTITION BY shingle) AS dfreq FROM sh),
+rk AS (SELECT sid, shingle,
+         row_number() OVER (PARTITION BY sid ORDER BY dfreq, shingle) AS rk,
+         count(*) OVER (PARTITION BY sid) AS nsh
+       FROM st),
+pref AS (SELECT sid, shingle FROM rk
+         WHERE rk <= nsh - ((nsh * 500 + 999) // 1000) + 1),
+cand AS (SELECT DISTINCT a.sid AS id_a, b.sid AS id_b
+         FROM pref a JOIN pref b ON a.shingle = b.shingle AND a.sid < b.sid),
+arrs AS (SELECT sid, list(DISTINCT ${oh32("shingle")}) AS hs FROM sh GROUP BY sid),
+v AS (SELECT c.id_a, c.id_b,
+        CAST(len(list_intersect(x.hs, y.hs)) AS BIGINT) AS common,
+        CAST(len(x.hs) AS BIGINT) AS na, CAST(len(y.hs) AS BIGINT) AS nb
+      FROM cand c JOIN arrs x ON x.sid = c.id_a
+                  JOIN arrs y ON y.sid = c.id_b)
+SELECT id_a, id_b, common * 1.0 / (na + nb - common) AS jaccard
+FROM v WHERE common * 1000 >= 500 * (na + nb - common)""",
 
     // Full LSH pipeline replicated: h32 → 16 universal hashes → min per doc
     // → 4 band signatures → bucket join candidates → exact-Jaccard verify.

@@ -152,6 +152,46 @@ class DedupSpec extends AnyFunSuite {
     assert(viaSketch == viaCols)
   }
 
+  test("prefix filtering is EXACT: same pairs + jaccards as the all-shingle join") {
+    // a corpus big enough that prefixes actually prune: 30 docs sharing a
+    // common template with per-doc noise, plus near-dup clones
+    val corpus = ((1 to 30).map { i =>
+      (i.toLong, s"alpha beta gamma delta w$i x${i % 5} y${i % 3} z${i % 7} end")
+    } ++ Seq(
+      (101L, "alpha beta gamma delta w7 x2 y1 z0 end"),   // clone of doc 7
+      (102L, "only unique words appear in this document never shared")
+    )).toDF("doc_id", "text")
+    val viaPrefix = Dedup.prefixFilterJaccardPairs(corpus, "doc_id", "text",
+        n = 3, thresholdPermille = 500)
+      .as[(Long, Long, Double)].collect().toSet
+    val viaFull = Dedup.ngramJaccardPairs(corpus, "doc_id", "text",
+        n = 3, threshold = 0.5, maxShingleFreq = Long.MaxValue)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(viaPrefix == viaFull)
+    assert(viaPrefix.exists(p => p._1 == 7L && p._2 == 101L && p._3 == 1.0))
+    assert(!viaPrefix.exists(p => p._1 == 102L || p._2 == 102L))
+  }
+
+  test("prefix join: candidate stage prunes (prefix strictly smaller than shingle set)") {
+    val corpus = (1 to 20).map { i =>
+      (i.toLong, s"shared head words here tail$i t${i % 4} u${i % 6} v$i final token")
+    }.toDF("doc_id", "text")
+    val sh = Dedup.shingles(corpus, "doc_id", "text", 3)
+    val total = sh.count()
+    // replicate the operator's prefix selection to measure the pruning
+    val w = org.apache.spark.sql.expressions.Window
+    val pref = sh.withColumn("dfreq", count(lit(1)).over(w.partitionBy("shingle")))
+      .withColumn("rk", row_number().over(
+        w.partitionBy("sid").orderBy(col("dfreq"), col("shingle"))))
+      .withColumn("nsh", count(lit(1)).over(w.partitionBy("sid")))
+      .filter(col("rk") <= col("nsh") - expr("(nsh * 500 + 999) div 1000") + 1)
+    // prefix length at t=0.5 is n − ⌈n/2⌉ + 1 = ⌊n/2⌋ + 1 per doc, so the
+    // indexed fraction is at most half the shingles plus one per doc
+    val nDocs = corpus.count()
+    assert(pref.count() <= total / 2 + nDocs,
+      "rarest-first 0.5-prefix should index at most half the shingles + 1/doc")
+  }
+
   test("simhash band join is lossless for hamming <= 3 (pigeonhole)") {
     val viaLsh = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet

@@ -345,6 +345,50 @@ class PlanQualitySpec extends AnyFunSuite {
       s"token budget must shuffle once:\n${budget.queryExecution.executedPlan}")
   }
 
+  test("prefix-filter join: candidates join on prefix shingles only; the " +
+      "verify stage is per-pair array_intersect — NO second shingle join") {
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    import org.apache.spark.sql.catalyst.plans.Inner
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val df = graft.ext.Dedup.prefixFilterJaccardPairs(docs, "doc_id", "text")
+    val plan = df.queryExecution.optimizedPlan
+    val shingleJoins = plan.collect {
+      case j @ Join(_, _, Inner, Some(cond), _)
+          if cond.references.exists(_.name == "shingle") => j
+    }
+    // exactly ONE shingle-keyed join (prefix×prefix candidates); the
+    // verify never re-shuffles the shingle relation — it intersects the
+    // per-doc hash arrays pulled by id-keyed joins
+    assert(shingleJoins.size == 1,
+      s"expected one shingle-keyed join (the prefix candidates), got ${shingleJoins.size}:\n$plan")
+    assert(df.queryExecution.executedPlan.toString.contains("array_intersect"),
+      "per-pair verify must use array_intersect")
+  }
+
+  test("global ordinal avoids the single-partition window: range exchange " +
+      "+ pid-local rank + broadcast offsets, never Exchange SinglePartition") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("w"))
+    val df = graft.ext.Sharding.balancedShards(docs, "w", "doc_id", numShards = 4)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"global ordinal collapsed to one partition:\n$plan")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"partition offsets must come in as a broadcast:\n$plan")
+    spark.catalog.clearCache() // globalOrdinal pins its ranged frame
+  }
+
+  test("CMS point estimation probes the registers as a BROADCAST (the " +
+      "sketch is depth×width rows regardless of corpus size)") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val toks = docs.select(explode(split(col("text"), " ")).as("tok"))
+    val est = graft.ext.Cms.estimate(
+      graft.ext.Cms.registers(toks, "tok"), toks.limit(5), "tok")
+    val plan = est.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"register probe must be a broadcast join:\n$plan")
+  }
+
   test("native array expressions participate in codegen (no Scala UDF nodes)") {
     val prep = graft.ext.Similarity.prepare(
       spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet"),
