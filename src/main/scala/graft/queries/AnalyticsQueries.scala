@@ -80,6 +80,17 @@ object AnalyticsQueries {
           count(lit(1)).as("n"),
           (sum(units(col("value"), 1000000.0)) / 1000000.0).as("sum_value"))),
 
+    // Fixed-iteration integer PageRank over the supplier↔part bipartite
+    // graph from lineitem (both directions — an alternating random walk;
+    // vertex ids disjoint via 2k / 2k+1 encoding)
+    "q_graph_pagerank" -> ((s, d) => {
+      val li = s.read.parquet(s"$d/lineitem.parquet")
+      val sp = li.select((col("l_suppkey") * 2).as("src"),
+          (col("l_partkey") * 2 + 1).as("dst")).distinct()
+      val edges = sp.union(sp.select(col("dst").as("src"), col("src").as("dst")))
+      graft.ext.Graph.pagerankMicros(edges, iters = 3)
+    }),
+
     // Ordered funnel conversion: earliest strictly-increasing chain
     // view → click → purchase, per-step user counts + permille vs step 1
     "q_funnel" -> ((s, d) =>
@@ -332,7 +343,32 @@ object AnalyticsQueries {
     })
   )
 
+  /** Unrolled PageRank rounds for the DuckDB twin — generated from the
+    * same constants as [[graft.ext.Graph.pagerankMicros]] (teleport +
+    * damped floor-split contributions, all BIGINT). Expects CTEs `edges`,
+    * `outd`, `verts`, `p0` to exist. */
+  private def pagerankRounds(iters: Int, damping: Int): String = {
+    val teleport = (1000L - damping) * 1000000L / 1000L
+    (1 to iters).map { k =>
+      s"""c$k AS (SELECT e.dst AS vid, CAST(sum(p.pr // o.outdeg) AS BIGINT) AS cs
+       FROM edges e JOIN p${k - 1} p ON p.vid = e.src
+       JOIN outd o ON o.src = e.src GROUP BY 1),
+p$k AS (SELECT v.vid,
+          CAST($teleport + ($damping * COALESCE(c.cs, 0)) // 1000 AS BIGINT) AS pr
+        FROM verts v LEFT JOIN c$k c ON c.vid = v.vid)"""
+    }.mkString(",\n")
+  }
+
   def oracles: Map[String, String] = Map(
+    "q_graph_pagerank" -> s"""WITH sp AS (
+  SELECT DISTINCT l_suppkey * 2 AS src, l_partkey * 2 + 1 AS dst FROM lineitem),
+edges AS (SELECT src, dst FROM sp UNION ALL SELECT dst, src FROM sp),
+outd AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg FROM edges GROUP BY 1),
+verts AS (SELECT src AS vid FROM edges UNION SELECT dst FROM edges),
+p0 AS (SELECT vid, CAST(1000000 AS BIGINT) AS pr FROM verts),
+${pagerankRounds(3, 850)}
+SELECT vid, pr AS pr_micros FROM p3""",
+
     // greedy earliest-chain funnel replay; scalar subqueries per step
     "q_funnel" -> """WITH s1 AS (
   SELECT user_id AS u, min(ts) AS t FROM events

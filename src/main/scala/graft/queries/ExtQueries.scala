@@ -119,6 +119,15 @@ object ExtQueries {
         maxMillis = 400)
     }),
 
+    // per-vertex triangle counts over the near-dup pair graph via the
+    // degree-ordered orientation (wedges only at the low endpoint — the
+    // hot-vertex two-path blowup cannot happen)
+    "q_graph_triangles" -> ((s, d) =>
+      Graph.triangleCounts(
+        Dedup.ngramJaccardPairs(docs(s, d), "doc_id", "text",
+          n = 3, threshold = 0.5)
+          .select(col("id_a").as("a"), col("id_b").as("b")))),
+
     "q_dedup_embedding" -> ((s, d) =>
       Similarity.nearDupPairs(
         Similarity.prepare(embs(s, d), "vec_id", "embedding"), threshold = 0.4)),
@@ -980,6 +989,35 @@ pairs AS (SELECT a.sid AS id_a, b.sid AS id_b, count(*) AS common
           FROM capped a JOIN capped b ON a.shingle = b.shingle AND a.sid < b.sid
           GROUP BY 1, 2)
 $jaccardVerify""",
+
+    // triangle replay: same ngram-pair edges, degree-ordered orientation
+    // via row-value comparisons, wedge join + EXISTS closure
+    "q_graph_triangles" -> s"""WITH $shinglesCte,
+capped AS (SELECT sid, shingle FROM (
+  SELECT sid, shingle, count(*) OVER (PARTITION BY shingle) AS sfreq FROM sh)
+  WHERE sfreq <= 1000),
+pairs AS (SELECT a.sid AS id_a, b.sid AS id_b, count(*) AS common
+          FROM capped a JOIN capped b ON a.shingle = b.shingle AND a.sid < b.sid
+          GROUP BY 1, 2),
+ed AS (SELECT id_a AS a, id_b AS b FROM ($jaccardVerify)),
+deg AS (SELECT v, CAST(count(*) AS BIGINT) AS d FROM (
+          SELECT a AS v FROM ed UNION ALL SELECT b FROM ed) GROUP BY 1),
+wd AS (SELECT e.a, e.b, da.d AS da, db.d AS db
+       FROM ed e JOIN deg da ON da.v = e.a JOIN deg db ON db.v = e.b),
+ori AS (SELECT CASE WHEN (da, a) < (db, b) THEN a ELSE b END AS u,
+               CASE WHEN (da, a) < (db, b) THEN b ELSE a END AS w,
+               CASE WHEN (da, a) < (db, b) THEN db ELSE da END AS dw
+        FROM wd),
+wedge AS (SELECT e1.u, e1.w AS v, e1.dw AS dv, e2.w, e2.dw
+          FROM ori e1 JOIN ori e2 ON e1.u = e2.u
+          WHERE (e1.dw, e1.w) < (e2.dw, e2.w)),
+tri AS (SELECT u, v, w FROM wedge
+        WHERE EXISTS (SELECT 1 FROM ori o WHERE o.u = wedge.v AND o.w = wedge.w))
+SELECT vid, CAST(count(*) AS BIGINT) AS n_triangles FROM (
+  SELECT u AS vid FROM tri
+  UNION ALL SELECT v FROM tri
+  UNION ALL SELECT w FROM tri)
+GROUP BY 1""",
 
     // Prefix-filtering replay: global dfreq → rarest-first per-doc rank →
     // (n − ⌈t·n⌉ + 1)-prefix → prefix×prefix candidates → per-pair
