@@ -566,7 +566,11 @@ object Bench {
     // Skipped only under hard budget pressure (the byte ratios above and
     // the r3 numbers then stand).
     if (remaining > 2.5 * perDraw) {
-      val compactK = 8
+      // K halved 8→4 (ROADMAP round-6: the query loop grew by 13 oracle
+      // queries, and a 1122-s run saw this phase auto-skip — losing the
+      // compact_amortized ratios from the artifact entirely; 4 commits
+      // measure the same per-commit amortization at half the phase cost)
+      val compactK = 4
       linkDir(s"$cache/perf", s"$tmp/tgt_compact")
       val csCompact = Apply.updateOnlyChangeSet(srcT, ctl(srcT), mark)
       (1 to compactK).foreach { _ =>

@@ -488,8 +488,17 @@ object Dedup {
       .join(prefix.select(col("sid").as("id_b"), col("shingle")), Seq("shingle"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
-    // per-pair verify: distinct shingle-hash arrays, id-keyed joins only
-    val arrs = sh.groupBy("sid")
+    // cand feeds the id restriction AND both verify joins — persist so the
+    // prefix pipeline runs once (same lifecycle convention as minhash:
+    // plan-keyed, sweep drivers clearCache per query)
+    KMeans.ensureCached(cand)
+    // per-pair verify: distinct shingle-hash arrays for CANDIDATE docs
+    // only (the r5 minhash lesson — never run the corpus-wide heavy agg
+    // when the verify set is candidate-sized), id-keyed joins only
+    val candIds = cand.select(col("id_a").as("sid"))
+      .union(cand.select(col("id_b").as("sid"))).distinct()
+    val arrs = sh.join(candIds, Seq("sid"), "left_semi")
+      .groupBy("sid")
       .agg(collect_set(h32(col("shingle"))).as("hs"))
     cand
       .join(arrs.select(col("sid").as("id_a"), col("hs").as("_ha")), Seq("id_a"))

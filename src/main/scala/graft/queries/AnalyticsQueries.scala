@@ -91,6 +91,14 @@ object AnalyticsQueries {
       graft.ext.Graph.pagerankMicros(edges, iters = 3)
     }),
 
+    // Robust per-group outliers (Hampel rule): lower-median + MAD in pure
+    // integer arithmetic — no sums of squares, no division anywhere
+    "q_outliers_mad" -> ((s, d) =>
+      graft.ext.Outliers.madOutliers(EventsSource.load(s, d),
+        col("event_type"),
+        floor(col("value") * 1000000.0 + lit(0.5)).cast("long"),
+        col("event_id"))),
+
     // Ordered funnel conversion: earliest strictly-increasing chain
     // view → click → purchase, per-step user counts + permille vs step 1
     "q_funnel" -> ((s, d) =>
@@ -368,6 +376,26 @@ verts AS (SELECT src AS vid FROM edges UNION SELECT dst FROM edges),
 p0 AS (SELECT vid, CAST(1000000 AS BIGINT) AS pr FROM verts),
 ${pagerankRounds(3, 850)}
 SELECT vid, pr AS pr_micros FROM p3""",
+
+    // MAD replay: positional lower-median twice, integer Hampel compare
+    "q_outliers_mad" -> """WITH p AS (
+  SELECT event_type AS g, event_id AS id,
+    CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS v FROM events),
+m AS (SELECT g, v AS med FROM (
+        SELECT g, v, id,
+          row_number() OVER (PARTITION BY g ORDER BY v, id) AS rn,
+          count(*) OVER (PARTITION BY g) AS n FROM p)
+      WHERE rn = (n + 1) // 2),
+dv AS (SELECT p.g, p.id, p.v, m.med, abs(p.v - m.med) AS abs_dev
+       FROM p JOIN m ON m.g = p.g),
+md AS (SELECT g, abs_dev AS mad FROM (
+        SELECT g, abs_dev, id,
+          row_number() OVER (PARTITION BY g ORDER BY abs_dev, id) AS rn,
+          count(*) OVER (PARTITION BY g) AS n FROM dv)
+      WHERE rn = (n + 1) // 2)
+SELECT dv.g AS grp, dv.id, dv.v, dv.med, md.mad, dv.abs_dev,
+  dv.abs_dev > md.mad * 3 AS is_outlier
+FROM dv JOIN md ON md.g = dv.g""",
 
     // greedy earliest-chain funnel replay; scalar subqueries per step
     "q_funnel" -> """WITH s1 AS (

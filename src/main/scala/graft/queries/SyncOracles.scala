@@ -290,6 +290,32 @@ w AS (
 SELECT RecId, RECVERSION, _from AS valid_from_seq, valid_to_seq
 FROM w WHERE _t = -1 OR _t % 2 = 1"""),
 
+    // PIT replay: the history CTE chain, open bounds clamped, then the
+    // half-open point predicate per probe
+    "q_scd2_pit" -> (prefix + s""", ev AS (
+  SELECT RecId, RECVERSION, -1 AS _t, CAST(NULL AS BIGINT) AS _from FROM tgt
+  UNION ALL
+  SELECT RecId, CAST(NULL AS INTEGER), 0, 0 FROM src WHERE RecId % 20 = 3
+  UNION ALL
+  SELECT RecId, RECVERSION, 1, 0 FROM src WHERE RecId % 20 = 3
+  UNION ALL
+  SELECT RecId, CAST(NULL AS INTEGER), 2, 1 FROM src
+  WHERE RecId BETWEEN ${graft.sync.SyncFixtures.SkipLo}
+                  AND ${graft.sync.SyncFixtures.SkipHi}
+),
+w AS (
+  SELECT RecId, RECVERSION, _t, _from,
+    lead(_from) OVER (PARTITION BY RecId ORDER BY _t) AS valid_to_seq
+  FROM ev),
+hist AS (
+  SELECT RecId, RECVERSION,
+    COALESCE(_from, -1) AS vf, COALESCE(valid_to_seq, 2) AS vt
+  FROM w WHERE _t = -1 OR _t % 2 = 1),
+probe AS (SELECT RecId, RecId % 2 AS as_of FROM tgt)
+SELECT p.RecId, p.as_of, h.RECVERSION AS iv_RECVERSION
+FROM probe p JOIN hist h ON h.RecId = p.RecId
+WHERE p.as_of >= h.vf AND p.as_of < h.vt"""),
+
     // min twin: ≡ direct min over the same final state
     "q_cdf_maintain_min" -> (prefix + s"""SELECT l_returnflag,
   CAST(min(SysRowVersion) AS BIGINT) AS mn
@@ -334,6 +360,37 @@ FROM src WHERE RecId % 20 = 3
 UNION ALL
 SELECT RecId, NULL, NULL, NULL, NULL, NULL, 'delete', 1
 FROM src WHERE RecId BETWEEN ${graft.sync.SyncFixtures.SkipLo} AND ${graft.sync.SyncFixtures.SkipHi}"""),
+
+    // net snapshot diff: closed-form after-state (c3 re-insert wins, then
+    // band delete, then c1 upsert, then base), full-outer vs the base with
+    // null-safe column equality filtering the NET no-ops
+    "q_lake_diff" -> (prefix + s""", aft AS (
+  SELECT * FROM tgt WHERE RecId % 23 = 7
+  UNION ALL
+  SELECT * FROM src WHERE RecId % 20 = 3
+    AND NOT (RecId % 89 <> 0 AND RecId % 23 = 7)
+    AND NOT (RecId BETWEEN ${graft.sync.SyncFixtures.SkipLo}
+                       AND ${graft.sync.SyncFixtures.SkipHi})
+  UNION ALL
+  SELECT * FROM tgt WHERE RecId % 23 <> 7
+    AND NOT (RecId % 97 <> 0 AND RecId % 20 = 3)
+    -- the band tombstones come FROM src, so band keys absent from src
+    -- (RecId % 97 = 0) are never deleted
+    AND NOT (RecId % 97 <> 0
+             AND RecId BETWEEN ${graft.sync.SyncFixtures.SkipLo}
+                           AND ${graft.sync.SyncFixtures.SkipHi}))
+SELECT COALESCE(a.RecId, b.RecId) AS RecId,
+  CASE WHEN b.RecId IS NULL THEN 'insert'
+       WHEN a.RecId IS NULL THEN 'delete'
+       ELSE 'update' END AS change_type,
+  a.SysRowVersion, a.RECVERSION, a.l_quantity, a.l_extendedprice, a.l_returnflag
+FROM aft a FULL OUTER JOIN tgt b ON a.RecId = b.RecId
+WHERE NOT (a.RecId IS NOT NULL AND b.RecId IS NOT NULL
+  AND a.SysRowVersion IS NOT DISTINCT FROM b.SysRowVersion
+  AND a.RECVERSION IS NOT DISTINCT FROM b.RECVERSION
+  AND a.l_quantity IS NOT DISTINCT FROM b.l_quantity
+  AND a.l_extendedprice IS NOT DISTINCT FROM b.l_extendedprice
+  AND a.l_returnflag IS NOT DISTINCT FROM b.l_returnflag)"""),
 
     // Standard (J1-classified) merge: UNCHANGED keys keep the TARGET row —
     // J1 compares RECVERSION/datetimes, not SysRowVersion, so a target row

@@ -234,6 +234,32 @@ object SyncQueries {
         .withColumn("_seq", col("_seq") - lit(fromSeq)) // pointer-relative
     }),
 
+    // NET snapshot diff from the commit log (O(changes), never a full-
+    // table outer join): upsert commit + band delete + identical re-insert
+    // — the re-inserted rows are NET no-ops and must vanish, including
+    // band rows deleted at p+1 and restored verbatim at p+2
+    "q_lake_diff" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft_lake_q").toString + "/t"
+      val src = slim(SyncFixtures.source(s, d))
+      val tgt = slim(SyncFixtures.target(s, d))
+      LakeTable.overwrite(tgt, dir)
+      val p = LakeTable.resolve(dir).get._2
+      val changed = src.filter(col("RecId") % 20 === 3)
+      LakeTable.appendCommit(
+        Apply.ChangeSet(changed.select("RecId"), changed, changed.select("RecId")),
+        dir, nowMs = 1000L)
+      val delBand = src
+        .filter(col("RecId").between(SyncFixtures.SkipLo, SyncFixtures.SkipHi))
+        .select("RecId")
+      LakeTable.appendCommit(
+        Apply.ChangeSet(delBand, src.filter(lit(false)), delBand), dir, nowMs = 2000L)
+      val reins = tgt.filter(col("RecId") % 23 === 7)
+      LakeTable.appendCommit(
+        Apply.ChangeSet(reins.select("RecId"), reins, reins.select("RecId")),
+        dir, nowMs = 3000L)
+      LakeTable.snapshotDiff(s, dir, fromSeq = p - 1, toSeq = p + 2)
+    }),
+
     // incremental view maintenance over the change feed: the base's
     // per-group counts advanced by the two commits' events (tombstone
     // pre-images resolved from the window-local timeline) must equal a
@@ -378,6 +404,37 @@ object SyncQueries {
       val feed = LakeTable.changes(s, dir, fromSeq)
         .withColumn("_seq", col("_seq") - lit(fromSeq)) // pointer-relative
       Maintain.history(tgt, feed, "RecId", Seq("RECVERSION"))
+    }),
+
+    // SCD-2 point-in-time join (the train-serving-skew guard): facts carry
+    // an as-of seq, the dimension is the SCD-2 history, and the lookup is
+    // the binned point-in-interval join — each fact sees EXACTLY the
+    // version valid at its own time, never today's. Open validity bounds
+    // clamp to sentinels outside the probed range.
+    "q_scd2_pit" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft_lake_q").toString + "/t"
+      val src = slim(SyncFixtures.source(s, d))
+      val tgt = slim(SyncFixtures.target(s, d))
+      LakeTable.overwrite(tgt, dir)
+      val changed = src.filter(col("RecId") % 20 === 3)
+      LakeTable.appendCommit(
+        Apply.ChangeSet(changed.select("RecId"), changed, changed.select("RecId")),
+        dir, nowMs = 1000L)
+      val delBand = src
+        .filter(col("RecId").between(SyncFixtures.SkipLo, SyncFixtures.SkipHi))
+        .select("RecId")
+      LakeTable.appendCommit(
+        Apply.ChangeSet(delBand, src.filter(lit(false)), delBand), dir, nowMs = 2000L)
+      val fromSeq = LakeTable.resolve(dir).get._2
+      val feed = LakeTable.changes(s, dir, fromSeq)
+        .withColumn("_seq", col("_seq") - lit(fromSeq))
+      val iv = Maintain.history(tgt, feed, "RecId", Seq("RECVERSION"))
+        .select(col("RecId"), col("RECVERSION"),
+          coalesce(col("valid_from_seq"), lit(-1L)).as("vf"),
+          coalesce(col("valid_to_seq"), lit(2L)).as("vt"))
+      val probe = tgt.select(col("RecId"), (col("RecId") % 2).as("as_of"))
+      graft.ext.RangeJoin.pointInInterval(probe, iv, "as_of", "vf", "vt",
+        binWidth = 4, keyCols = Seq("RecId"), valueCols = Seq("RECVERSION"))
     }),
 
     // streaming incremental sync run END TO END: two AvailableNow runs over

@@ -191,6 +191,53 @@ object LakeTable {
     * into the compacted base, so the events no longer exist individually
     * and the consumer must re-seed from a snapshot [[read]] (the same
     * contract Delta's CDF enforces at the retention boundary). */
+  /** NET per-key diff between two snapshots, computed from the COMMIT LOG
+    * in O(changes) — never the O(table) full-outer join two materialized
+    * snapshots would need. The log slice `(fromSeq, toSeq]` yields the
+    * touched keys and each key's final event (within one commit an update
+    * writes tombstone + insert at the same seq — the insert wins); the
+    * before-state is read once at `fromSeq` and immediately restricted to
+    * the touched keys through [[graft.ext.BloomPrune.autoSemiJoin]] (the
+    * broadcast / bloom / shuffle router — the >broadcast-threshold regime
+    * at 100 TB), so the only O(table) cost is one column-pruned scan and
+    * nothing table-sized ever shuffles. Keys whose final content equals
+    * their before-content (e.g. delete-then-identical-reinsert) are NET
+    * no-ops and are dropped — this is a SNAPSHOT diff, not an event feed
+    * (that is [[changes]]).
+    *
+    * @return (keyCol, change_type ∈ insert|update|delete, data columns —
+    *         the after-state for insert/update, NULL for delete). */
+  def snapshotDiff(spark: SparkSession, table: String, fromSeq: Int,
+      toSeq: Int, keyCol: String = "RecId"): DataFrame = {
+    import org.apache.spark.sql.functions.{row_number, struct, when}
+    require(fromSeq <= toSeq, s"fromSeq $fromSeq > toSeq $toSeq")
+    val slice = changes(spark, table, fromSeq + 1, toSeq, keyCol)
+    // latest event per key; within a commit 'insert' beats 'delete'
+    // (lexicographic desc — an update's tombstone never shadows its row)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(keyCol)
+      .orderBy(col("_seq").desc, col("_op").desc)
+    val last = slice.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1).drop("_rn")
+    val before = graft.ext.BloomPrune.autoSemiJoin(
+      readAt(spark, table, fromSeq, keyCol), last.select(col(keyCol)),
+      keyCol, keyCol)
+    val dataCols = before.columns.filterNot(_ == keyCol).toSeq
+    val after = last.filter(col("_op") === "insert").drop("_op", "_seq")
+      .withColumn("_ap", lit(1))
+    val beforeTagged = before
+      .select(col(keyCol) +: dataCols.map(c => col(c).as(s"_b_$c")): _*)
+      .withColumn("_bp", lit(1))
+    after.join(beforeTagged, Seq(keyCol), "full_outer")
+      .withColumn("change_type",
+        when(col("_ap").isNotNull && col("_bp").isNull, "insert")
+          .when(col("_ap").isNull && col("_bp").isNotNull, "delete")
+          .when(struct(dataCols.map(col): _*) <=>
+                struct(dataCols.map(c => col(s"_b_$c")): _*), "noop")
+          .otherwise("update"))
+      .filter(col("change_type") =!= "noop")
+      .select(col(keyCol) +: col("change_type") +: dataCols.map(col): _*)
+  }
+
   def changes(spark: SparkSession, table: String, fromSeq: Int,
       toSeq: Int = Int.MaxValue, keyCol: String = "RecId"): DataFrame =
     resolve(table) match {

@@ -206,3 +206,72 @@ class MaintainSpec extends AnyFunSuite {
     assert(got == direct)
   }
 }
+
+/** Net snapshot diff from the commit log — must match a brute-force
+  * classification of the two materialized snapshots, with NET no-ops
+  * (delete + identical re-insert, insert-then-delete) dropped. */
+class SnapshotDiffSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def freshTable(): String =
+    java.nio.file.Files.createTempDirectory("graft_diff").toString + "/t"
+
+  private def cs(deletes: Seq[Long], inserts: Seq[(Long, String)]): graft.sync.Apply.ChangeSet = {
+    val del = deletes.toDF("RecId")
+    graft.sync.Apply.ChangeSet(del, inserts.toDF("RecId", "grp"), keyFlags = del)
+  }
+
+  test("diff classifies insert/update/delete and drops net no-ops") {
+    val t = freshTable()
+    val initial = Seq(1L -> "a", 2L -> "a", 3L -> "b", 4L -> "b", 5L -> "c")
+    LakeTable.overwrite(initial.toDF("RecId", "grp"), t)
+    val p = LakeTable.resolve(t).get._2
+    // c1: update 1 (a→x), delete 3, insert new key 6
+    LakeTable.appendCommit(cs(Seq(1L, 3L), Seq(1L -> "x", 6L -> "d")), t)
+    // c2: delete 5 + identical re-insert (same commit — insert wins),
+    // and insert 7 (deleted again in c3 → net nothing)
+    LakeTable.appendCommit(cs(Seq(5L), Seq(5L -> "c", 7L -> "e")), t)
+    // c3: delete 7
+    LakeTable.appendCommit(cs(Seq(7L), Seq.empty), t)
+
+    val out = LakeTable.snapshotDiff(spark, t, p - 1, p + 2)
+      .select("RecId", "change_type", "grp")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), Option(r.getString(2))))).toMap
+    assert(out == Map(
+      1L -> (("update", Some("x"))),
+      3L -> (("delete", None)),
+      6L -> (("insert", Some("d")))))
+
+    // brute force: full-outer classify of the two materialized snapshots
+    val before = LakeTable.readAt(spark, t, p - 1)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val after = LakeTable.readAt(spark, t, p + 2)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val brute = (before.keySet ++ after.keySet).flatMap { k =>
+      (before.get(k), after.get(k)) match {
+        case (None, Some(v))              => Some(k -> (("insert", Some(v))))
+        case (Some(_), None)              => Some(k -> (("delete", None)))
+        case (Some(b), Some(a)) if b != a => Some(k -> (("update", Some(a))))
+        case _                            => None
+      }
+    }.toMap
+    assert(out == brute)
+  }
+
+  test("partial windows: a mid-history cut sees only its slice's net effect") {
+    val t = freshTable()
+    LakeTable.overwrite(Seq(1L -> "a").toDF("RecId", "grp"), t)
+    val p = LakeTable.resolve(t).get._2
+    LakeTable.appendCommit(cs(Seq.empty, Seq(2L -> "b")), t)   // p
+    LakeTable.appendCommit(cs(Seq(2L), Seq.empty), t)          // p+1
+    // diff over ONLY the first commit: 2 is an insert there
+    val firstOnly = LakeTable.snapshotDiff(spark, t, p - 1, p)
+      .select("RecId", "change_type").as[(Long, String)].collect().toMap
+    assert(firstOnly == Map(2L -> "insert"))
+    // diff over the whole window: 2 came and went — net nothing
+    val whole = LakeTable.snapshotDiff(spark, t, p - 1, p + 1)
+    assert(whole.isEmpty)
+  }
+}

@@ -363,6 +363,19 @@ class PlanQualitySpec extends AnyFunSuite {
       s"expected one shingle-keyed join (the prefix candidates), got ${shingleJoins.size}:\n$plan")
     assert(df.queryExecution.executedPlan.toString.contains("array_intersect"),
       "per-pair verify must use array_intersect")
+    // the hash-array aggregate must be candidate-restricted (LeftSemi on
+    // the candidate ids below it) — never a corpus-wide collect_set
+    import org.apache.spark.sql.catalyst.plans.LeftSemi
+    import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+    val arrAggs = plan.collect {
+      case a: Aggregate if a.aggregateExpressions.exists(
+          _.toString.contains("collect_set")) => a
+    }
+    assert(arrAggs.nonEmpty && arrAggs.forall(_.collect {
+        case j @ Join(_, _, LeftSemi, _, _) => j
+      }.nonEmpty),
+      s"hash-array collect_set must sit above a candidate-id LeftSemi:\n$plan")
+    spark.catalog.clearCache() // prefix join pins its candidate frame
   }
 
   test("global ordinal avoids the single-partition window: range exchange " +

@@ -118,3 +118,50 @@ class ShardingSpec extends AnyFunSuite {
       s"imbalance beyond the greedy bound: $byShard mean=$mean maxW=$maxW")
   }
 }
+
+/** MAD outlier semantics: hand-computed medians, degenerate MAD=0. */
+class OutliersSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("Hampel rule with hand-computed lower medians") {
+    val df = ((1 to 9).map(i => ("g", i.toLong, i.toLong)) :+ (("g", 10L, 100L)))
+      .toDF("grp", "id", "v")
+    val out = graft.ext.Outliers.madOutliers(df,
+        org.apache.spark.sql.functions.col("grp"),
+        org.apache.spark.sql.functions.col("v"),
+        org.apache.spark.sql.functions.col("id"), k = 3)
+      .select("id", "med", "mad", "abs_dev", "is_outlier")
+      .as[(Long, Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    // lower median of 10 values 1..9,100 = 5th smallest = 5
+    // devs sorted: 0,1,1,2,2,3,3,4,4,95 → MAD (5th) = 2; cutoff 6
+    assert(out(5L) == ((5L, 2L, 0L, false)))
+    assert(out(1L) == ((5L, 2L, 4L, false)))
+    assert(out(10L) == ((5L, 2L, 95L, true)))
+    assert(out.values.count(_._4) == 1)
+  }
+
+  test("MAD = 0 degenerates to any-deviation-is-an-outlier (documented)") {
+    val df = Seq(("g", 1L, 5L), ("g", 2L, 5L), ("g", 3L, 5L), ("g", 4L, 7L))
+      .toDF("grp", "id", "v")
+    val out = graft.ext.Outliers.madOutliers(df,
+        org.apache.spark.sql.functions.col("grp"),
+        org.apache.spark.sql.functions.col("v"),
+        org.apache.spark.sql.functions.col("id"))
+      .select("id", "is_outlier").as[(Long, Boolean)].collect().toMap
+    assert(out == Map(1L -> false, 2L -> false, 3L -> false, 4L -> true))
+  }
+
+  test("groups are isolated: each group gets its own median and MAD") {
+    val df = (Seq.tabulate(5)(i => ("a", i.toLong, 10L + i)) ++
+              Seq.tabulate(5)(i => ("b", 100L + i, 1000L * i)))
+      .toDF("grp", "id", "v")
+    val out = graft.ext.Outliers.madOutliers(df,
+        org.apache.spark.sql.functions.col("grp"),
+        org.apache.spark.sql.functions.col("v"),
+        org.apache.spark.sql.functions.col("id"))
+      .select("grp", "med").as[(String, Long)].collect().toSet
+    assert(out == Set(("a", 12L), ("b", 2000L)))
+  }
+}
