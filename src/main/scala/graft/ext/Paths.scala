@@ -1,0 +1,54 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Click-path mining: gap-islands sessionization → the ordered event-type
+  * sequence of each session → top-k path frequencies. The product question
+  * behind it: "what do users actually DO, in order?" — funnels check one
+  * hypothesized order, paths surface the orders that exist.
+  *
+  * Determinism: events order by (event time micros, event id) — a total
+  * order, so the per-session sequence is bit-identical in any engine; the
+  * top-k is count-desc with the path string as tiebreak.
+  *
+  * Scale shape: one per-user window pass for the session index (lag +
+  * running sum share the same sort), one (user, session) groupBy whose
+  * collect_list is bounded by the session length and CAPPED at `maxLen`
+  * steps (a runaway bot session cannot blow a task), and a
+  * TakeOrderedAndProject top-k — no global sort materialization.
+  */
+object Paths {
+
+  /** One row per session: (userCol, session_idx, path, n_steps) — `path`
+    * is the '>'-joined type sequence, truncated to `maxLen` steps. */
+  def sessionPaths(events: DataFrame, userCol: String, tsCol: String,
+                   typeCol: String, idCol: String,
+                   gapMicros: Long = 1800L * 1000000L,
+                   maxLen: Int = 50): DataFrame = {
+    require(gapMicros > 0 && maxLen > 0)
+    val w = Window.partitionBy(userCol).orderBy(col("_us"), col(idCol))
+    val sessions = events
+      .withColumn("_us", unix_micros(col(tsCol)))
+      .withColumn("_prev", lag(col("_us"), 1).over(w))
+      .withColumn("_ns",
+        when(col("_prev").isNull || col("_us") - col("_prev") > gapMicros, 1L)
+          .otherwise(0L))
+      .withColumn("session_idx", sum(col("_ns")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    sessions.groupBy(col(userCol), col("session_idx"))
+      .agg(sort_array(collect_list(
+        struct(col("_us"), col(idCol), col(typeCol).as("_ty")))).as("_seq"))
+      .select(col(userCol), col("session_idx"),
+        array_join(slice(expr("transform(_seq, x -> x._ty)"), 1, maxLen), ">")
+          .as("path"),
+        least(size(col("_seq")), lit(maxLen)).as("n_steps"))
+  }
+
+  /** Top-k most frequent paths: (path, n), count desc, path asc. */
+  def topPaths(paths: DataFrame, k: Int): DataFrame =
+    paths.groupBy("path").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path").asc)
+      .limit(k)
+}

@@ -91,6 +91,13 @@ object AnalyticsQueries {
       graft.ext.Graph.pagerankMicros(edges, iters = 3)
     }),
 
+    // Click-path mining: gap-islands sessions → ordered type sequences →
+    // top-20 paths (TakeOrderedAndProject, no global sort)
+    "q_event_paths" -> ((s, d) =>
+      graft.ext.Paths.topPaths(
+        graft.ext.Paths.sessionPaths(EventsSource.load(s, d),
+          "user_id", "ts", "event_type", "event_id"), k = 20)),
+
     // Robust per-group outliers (Hampel rule): lower-median + MAD in pure
     // integer arithmetic — no sums of squares, no division anywhere
     "q_outliers_mad" -> ((s, d) =>
@@ -376,6 +383,22 @@ verts AS (SELECT src AS vid FROM edges UNION SELECT dst FROM edges),
 p0 AS (SELECT vid, CAST(1000000 AS BIGINT) AS pr FROM verts),
 ${pagerankRounds(3, 850)}
 SELECT vid, pr AS pr_micros FROM p3""",
+
+    // path replay: lag/cumsum sessionization, ordered list agg capped at
+    // 50 steps, count-desc top-20 with the path tiebreak
+    "q_event_paths" -> """WITH e AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events),
+l AS (SELECT *, lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev
+      FROM e),
+f AS (SELECT *, CASE WHEN prev IS NULL OR us - prev > 1800000000
+                     THEN 1 ELSE 0 END AS ns FROM l),
+s AS (SELECT *, sum(ns) OVER (PARTITION BY user_id ORDER BY us, event_id
+        ROWS UNBOUNDED PRECEDING) AS sess FROM f),
+p AS (SELECT user_id, sess,
+        array_to_string(list(event_type ORDER BY us, event_id)[1:50], '>') AS path
+      FROM s GROUP BY 1, 2)
+SELECT path, CAST(count(*) AS BIGINT) AS n FROM p GROUP BY 1
+ORDER BY n DESC, path ASC LIMIT 20""",
 
     // MAD replay: positional lower-median twice, integer Hampel compare
     "q_outliers_mad" -> """WITH p AS (

@@ -106,3 +106,45 @@ class ResampleSpec extends AnyFunSuite {
     assert(out.size == 5) // no grid rows outside each key's own span
   }
 }
+
+class PathsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(min: Int) = new Timestamp(1700000000000L + min * 60000L)
+
+  test("gap islands split sessions; order is (ts, id); paths join with '>'") {
+    val events = Seq(
+      (1L, 1L, "view", ts(0)), (1L, 2L, "click", ts(5)),
+      (1L, 3L, "purchase", ts(10)),
+      (1L, 4L, "view", ts(120)),                        // > 30 min gap → new session
+      (2L, 5L, "view", ts(0)), (2L, 6L, "click", ts(0)) // same ts → id tiebreak
+    ).toDF("user_id", "event_id", "event_type", "ts")
+    val paths = graft.ext.Paths.sessionPaths(events,
+        "user_id", "ts", "event_type", "event_id")
+      .select("user_id", "session_idx", "path", "n_steps")
+      .as[(Long, Long, String, Int)].collect().toSet
+    assert(paths == Set(
+      (1L, 1L, "view>click>purchase", 3),
+      (1L, 2L, "view", 1),
+      (2L, 1L, "view>click", 2)))
+  }
+
+  test("maxLen truncates runaway sessions; topPaths ranks count desc, path asc") {
+    val long = (1 to 10).map(i => (1L, i.toLong, "e", ts(i)))
+      .toDF("user_id", "event_id", "event_type", "ts")
+    val capped = graft.ext.Paths.sessionPaths(long,
+        "user_id", "ts", "event_type", "event_id", maxLen = 3)
+      .select("path", "n_steps").as[(String, Int)].collect()
+    assert(capped.toSeq == Seq(("e>e>e", 3)))
+
+    val many = Seq(
+      (1L, 1L, "a", ts(0)), (2L, 2L, "a", ts(0)),
+      (3L, 3L, "b", ts(0)), (4L, 4L, "c", ts(0)), (5L, 5L, "b", ts(0)))
+      .toDF("user_id", "event_id", "event_type", "ts")
+    val top = graft.ext.Paths.topPaths(
+        graft.ext.Paths.sessionPaths(many, "user_id", "ts", "event_type", "event_id"),
+        k = 2).as[(String, Long)].collect().toSeq
+    assert(top == Seq(("a", 2L), ("b", 2L))) // tie 2-2 → path asc
+  }
+}
