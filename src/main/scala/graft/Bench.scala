@@ -204,6 +204,57 @@ object Bench {
     }
     flush("zorder")
 
+    // Candidate-reduction ratios of the pruning operators — the MEASURED
+    // form of the scale claims the plan pins assert structurally. Cheap:
+    // row counts over the documents table.
+    locally {
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      val sh = graft.ext.Dedup.shingles(docs, "doc_id", "text", 3)
+      import org.apache.spark.sql.expressions.Window
+      // prefix filtering: co-shingle pairs the full (capped) join would
+      // enumerate vs the pairs the rarest-first prefixes nominate
+      val capped = sh.withColumn("sfreq",
+          count(lit(1)).over(Window.partitionBy("shingle")))
+        .filter(col("sfreq") <= 1000).drop("sfreq")
+      val fullPairs = capped.select(col("sid").as("a"), col("shingle"))
+        .join(capped.select(col("sid").as("b"), col("shingle")), Seq("shingle"))
+        .filter(col("a") < col("b")).count()
+      val pref = sh.withColumn("dfreq",
+          count(lit(1)).over(Window.partitionBy("shingle")))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("sid").orderBy(col("dfreq"), col("shingle"))))
+        .withColumn("nsh", count(lit(1)).over(Window.partitionBy("sid")))
+        .filter(col("rk") <= col("nsh") - expr("(nsh * 500 + 999) div 1000") + 1)
+        .select("sid", "shingle")
+      val prefPairs = pref.select(col("sid").as("a"), col("shingle"))
+        .join(pref.select(col("sid").as("b"), col("shingle")), Seq("shingle"))
+        .filter(col("a") < col("b")).count()
+      ratios("prefix_candidate_reduction_x") =
+        fullPairs.toDouble / math.max(prefPairs, 1)
+      // triangle orientation: wedges enumerated at the low-(degree,id)
+      // endpoint vs the naive any-center two-paths (sum deg·(deg−1)/2)
+      val edges = graft.ext.Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+          n = 3, threshold = 0.5)
+        .select(col("id_a").as("a"), col("id_b").as("b"))
+      edges.persist() // referenced by the degree agg and the orientation
+      val deg = edges.select(col("a").as("v")).union(edges.select(col("b").as("v")))
+        .groupBy("v").agg(count(lit(1)).as("d"))
+      val naiveWedges = deg.agg(sum(expr("d * (d - 1) div 2"))).head.getLong(0)
+      val orientedWedges = edges
+        .join(deg.select(col("v").as("a"), col("d").as("da")), Seq("a"))
+        .join(deg.select(col("v").as("b"), col("d").as("db")), Seq("b"))
+        .select(when(struct(col("da"), col("a")) < struct(col("db"), col("b")), col("a"))
+          .otherwise(col("b")).as("u"))
+        .groupBy("u").agg(count(lit(1)).as("od"))
+        .agg(sum(expr("od * (od - 1) div 2"))).head.getLong(0)
+      ratios("triangle_wedge_reduction_x") =
+        naiveWedges.toDouble / math.max(orientedWedges, 1)
+      spark.catalog.clearCache()
+      System.err.println(f"[bench] prune ratios: prefix pairs $fullPairs%d→$prefPairs%d, " +
+        f"wedges $naiveWedges%d→$orientedWedges%d")
+    }
+    flush("prune_ratios")
+
     // --- reference scenario ratios (BASELINE.md invariants) ---
     // Scenario inputs are MATERIALIZED tables (written once, untimed): a
     // production control pass scans 2 real columns of a real table — deriving

@@ -351,16 +351,32 @@ class PlanQualitySpec extends AnyFunSuite {
     import org.apache.spark.sql.catalyst.plans.Inner
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val df = graft.ext.Dedup.prefixFilterJaccardPairs(docs, "doc_id", "text")
+    // the operator pins its candidate frame; drop the cache entry BEFORE
+    // forcing the plan, or the candidate subtree shows as an opaque
+    // InMemoryRelation and the structural assertions can't see inside it
+    spark.catalog.clearCache()
     val plan = df.queryExecution.optimizedPlan
     val shingleJoins = plan.collect {
       case j @ Join(_, _, Inner, Some(cond), _)
           if cond.references.exists(_.name == "shingle") => j
     }
-    // exactly ONE shingle-keyed join (prefix×prefix candidates); the
+    // every shingle-keyed join is the prefix×prefix candidate join (the
+    // uncached candidate subtree expands once per reference, so it can
+    // appear several times); BOTH inputs must carry the rank-vs-⌈t·n⌉
+    // prefix Filter — a raw corpus-wide shingle self-join has none. The
     // verify never re-shuffles the shingle relation — it intersects the
-    // per-doc hash arrays pulled by id-keyed joins
-    assert(shingleJoins.size == 1,
-      s"expected one shingle-keyed join (the prefix candidates), got ${shingleJoins.size}:\n$plan")
+    // per-doc hash arrays pulled by id-keyed joins.
+    import org.apache.spark.sql.catalyst.plans.logical.Filter
+    assert(shingleJoins.nonEmpty, s"no shingle-keyed candidate join found:\n$plan")
+    shingleJoins.foreach { j =>
+      Seq("left" -> j.left, "right" -> j.right).foreach { case (side, child) =>
+        val prefixFilters = child.collect {
+          case f: Filter if f.condition.toString.contains("div 1000") => f
+        }
+        assert(prefixFilters.nonEmpty,
+          s"$side input of a shingle join is NOT prefix-restricted:\n$child")
+      }
+    }
     assert(df.queryExecution.executedPlan.toString.contains("array_intersect"),
       "per-pair verify must use array_intersect")
     // the hash-array aggregate must be candidate-restricted (LeftSemi on
