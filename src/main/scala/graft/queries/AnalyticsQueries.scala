@@ -91,6 +91,12 @@ object AnalyticsQueries {
       graft.ext.Graph.pagerankMicros(edges, iters = 3)
     }),
 
+    // Item-item co-occurrence (bought-together): basket-keyed pair join
+    // with a basket-size cap, cosine over basket incidence in millis
+    "q_cooccur" -> ((s, d) =>
+      graft.ext.CoOccur.cosinePairs(
+        s.read.parquet(s"$d/lineitem.parquet"), "l_orderkey", "l_partkey")),
+
     // Click-path mining: gap-islands sessions → ordered type sequences →
     // top-20 paths (TakeOrderedAndProject, no global sort)
     "q_event_paths" -> ((s, d) =>
@@ -383,6 +389,23 @@ verts AS (SELECT src AS vid FROM edges UNION SELECT dst FROM edges),
 p0 AS (SELECT vid, CAST(1000000 AS BIGINT) AS pr FROM verts),
 ${pagerankRounds(3, 850)}
 SELECT vid, pr AS pr_micros FROM p3""",
+
+    // co-occurrence replay: basket dedup + size cap, basket-keyed pair
+    // count, cosine = c/sqrt(na*nb) — sqrt+division are correctly-rounded
+    // IEEE so the millis floor is engine-independent
+    "q_cooccur" -> """WITH b AS (
+  SELECT DISTINCT l_orderkey AS bk, l_partkey AS it FROM lineitem),
+kept AS (SELECT bk, it FROM (
+  SELECT bk, it, count(*) OVER (PARTITION BY bk) AS bsz FROM b)
+  WHERE bsz <= 100),
+sz AS (SELECT it, CAST(count(*) AS BIGINT) AS n FROM kept GROUP BY 1),
+pr AS (SELECT a.it AS item_a, k.it AS item_b, CAST(count(*) AS BIGINT) AS c
+       FROM kept a JOIN kept k ON a.bk = k.bk AND a.it < k.it
+       GROUP BY 1, 2 HAVING count(*) >= 2)
+SELECT pr.item_a, pr.item_b, pr.c, sa.n AS na, sb.n AS nb,
+  CAST(floor(pr.c * 1000.0 / sqrt(CAST(sa.n * sb.n AS DOUBLE))) AS BIGINT)
+    AS cosine_millis
+FROM pr JOIN sz sa ON sa.it = pr.item_a JOIN sz sb ON sb.it = pr.item_b""",
 
     // path replay: lag/cumsum sessionization, ordered list agg capped at
     // 50 steps, count-desc top-20 with the path tiebreak

@@ -172,6 +172,30 @@ class DedupSpec extends AnyFunSuite {
     assert(!viaPrefix.exists(p => p._1 == 102L || p._2 == 102L))
   }
 
+  test("prefix-filter exactness PROPERTY: equals the uncapped join on seeded " +
+      "random corpora across thresholds") {
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta",
+      "eta", "theta", "iota", "kappa")
+    for (seed <- 1 to 2; tPermille <- Seq(300, 500, 800)) {
+      val rnd = new scala.util.Random(seed * 7 + tPermille)
+      val corpus = (1 to 40).map { i =>
+        val len = 5 + rnd.nextInt(10)
+        (i.toLong, Seq.fill(len)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      }.toDF("doc_id", "text")
+      val viaPrefix = Dedup.prefixFilterJaccardPairs(corpus, "doc_id", "text",
+          n = 3, thresholdPermille = tPermille)
+        .as[(Long, Long, Double)].collect().toSet
+      // 300/500/800 permille are exactly the doubles 0.3/0.5/0.8 at the
+      // boundary (simple fractions round to the same IEEE value)
+      val viaFull = Dedup.ngramJaccardPairs(corpus, "doc_id", "text",
+          n = 3, threshold = tPermille / 1000.0, maxShingleFreq = Long.MaxValue)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(viaPrefix == viaFull,
+        s"seed=$seed t=$tPermille: prefix ${viaPrefix.size} vs full ${viaFull.size}")
+      spark.catalog.clearCache()
+    }
+  }
+
   test("prefix join: candidate stage prunes (prefix strictly smaller than shingle set)") {
     val corpus = (1 to 20).map { i =>
       (i.toLong, s"shared head words here tail$i t${i % 4} u${i % 6} v$i final token")

@@ -165,3 +165,32 @@ class OutliersSpec extends AnyFunSuite {
     assert(out == Set(("a", 12L), ("b", 2000L)))
   }
 }
+
+/** Co-occurrence cosine semantics: hand example + basket cap. */
+class CoOccurSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("bought-together: counts, sizes, and the 816-millis hand value") {
+    val rows = Seq(
+      (1L, "a"), (1L, "b"), (1L, "c"),
+      (2L, "a"), (2L, "b"),
+      (3L, "a"), (3L, "d"),
+      (2L, "a") // duplicate (basket, item) — must dedup before counting
+    ).toDF("basket", "item")
+    val out = graft.ext.CoOccur.cosinePairs(rows, "basket", "item")
+      .as[(String, String, Long, Long, Long, Long)].collect()
+    // only (a,b) co-occurs >= 2 times; cosine = 2/sqrt(3*2) = 0.8164 -> 816
+    assert(out.toSeq == Seq(("a", "b", 2L, 3L, 2L, 816L)))
+  }
+
+  test("baskets above the cap are dropped whole (the hot-basket guard)") {
+    val mega = (1 to 5).map(i => (1L, s"i$i")) :+ ((2L, "i1")) :+ ((2L, "i2")) :+
+      ((3L, "i1")) :+ ((3L, "i2"))
+    val out = graft.ext.CoOccur.cosinePairs(mega.toDF("basket", "item"),
+        "basket", "item", minCount = 2, maxBasketSize = 4)
+      .as[(String, String, Long, Long, Long, Long)].collect()
+    // the 5-item basket contributes nothing; (i1,i2) co-occur in baskets 2,3
+    assert(out.toSeq == Seq(("i1", "i2", 2L, 2L, 2L, 1000L)))
+  }
+}
