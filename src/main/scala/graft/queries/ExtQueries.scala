@@ -172,6 +172,32 @@ object ExtQueries {
       base.select("doc_id").join(nearDupLosers, Seq("doc_id"), "left_anti")
     }),
 
+    // ---- curation pipeline v3 (the OUTPUT stage composed in): quality/
+    // lang filter → exact dedup → EXACT prefix-filter near-dup removal
+    // (no sketch recall loss on the kept set) → token-balanced shard
+    // assignment — what actually lands on disk, end to end ----
+    "q_corpus_shards" -> ((s, d) => {
+      val scored = docs(s, d).select(
+        col("doc_id"), col("source"), col("text"),
+        TextAnalysis.qualityScore(col("text")).as("q"),
+        TextAnalysis.langId(col("text")).as("lp"))
+      val filtered = scored.filter(col("q") >= 0.55 && col("lp") === "en")
+        .select("doc_id", "source", "text")
+      val exactKept = Dedup.exactDedup(
+          filtered.select("doc_id", "text"), "doc_id", "text")
+        .filter(col("is_kept")).select("doc_id")
+      val base = filtered.join(exactKept, Seq("doc_id"), "left_semi")
+      val losers = Dedup.prefixFilterJaccardPairs(
+          base.select("doc_id", "text"), "doc_id", "text",
+          n = 3, thresholdPermille = 500)
+        .select(col("id_b").as("doc_id")).distinct()
+      val survivors = base.join(losers, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("source"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+      Sharding.balancedShards(survivors, "n_tokens", "doc_id", numShards = 4)
+        .select("doc_id", "source", "n_tokens", "ordinal", "shard")
+    }),
+
     // ---- the curation pipeline v2: quality/lang filter → exact dedup →
     // per-source quality QUANTILE gate (top 50%) → token budget (800) —
     // four stages of the engine composed end-to-end, one plan ----
@@ -1252,6 +1278,55 @@ SELECT (SELECT COUNT(*) FROM truth) AS n_true,
     // pipeline v2 replay: the same four stages, each from its own proven
     // CTE pattern (quality, exact-dedup min-keep, quantile rank gate,
     // running-token budget)
+    // v3 replay: the clean chain with the PREFIX-FILTER near-dup stage and
+    // the round-robin shard deal on the survivors
+    "q_corpus_shards" -> s"""WITH scored AS (
+  SELECT doc_id, source, text,
+    least(CAST(len(string_split(text,' ')) AS DOUBLE) / 100.0, 1.0) * 0.4
+      + (CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE)
+         / len(string_split(text,' '))) * 0.3
+      + least((CAST(len(list_filter(string_split(text,' '), t -> t IN ($stopList))) AS DOUBLE)
+               / len(string_split(text,' '))) * 10.0, 1.0) * 0.3 AS q,
+    CASE WHEN len(string_split(text,' ')) < 3 THEN 'und'
+         WHEN CAST(len(list_filter(string_split(text,' '), t -> t IN ($stopList))) AS DOUBLE)
+              / len(string_split(text,' ')) >= 0.02 THEN 'en'
+         ELSE 'unk' END AS lp
+  FROM documents),
+filtered AS (SELECT doc_id, source, text FROM scored
+             WHERE q >= 0.55 AND lp = 'en'),
+hh AS (SELECT doc_id, source, text, md5(lower(trim(text))) AS fp FROM filtered),
+ek AS (SELECT doc_id, source, text FROM hh
+       WHERE doc_id = (SELECT min(h2.doc_id) FROM hh h2 WHERE h2.fp = hh.fp)),
+toks AS (SELECT doc_id, string_split(text, ' ') t FROM ek),
+sh AS (SELECT DISTINCT doc_id AS sid, array_to_string(t[(i+1):(i+3)], ' ') AS shingle
+       FROM toks, LATERAL (SELECT unnest(range(0, len(t) - 2)) i)),
+st AS (SELECT sid, shingle,
+         count(*) OVER (PARTITION BY shingle) AS dfreq FROM sh),
+rk AS (SELECT sid, shingle,
+         row_number() OVER (PARTITION BY sid ORDER BY dfreq, shingle) AS rk,
+         count(*) OVER (PARTITION BY sid) AS nsh
+       FROM st),
+pref AS (SELECT sid, shingle FROM rk
+         WHERE rk <= nsh - ((nsh * 500 + 999) // 1000) + 1),
+cand AS (SELECT DISTINCT a.sid AS id_a, b.sid AS id_b
+         FROM pref a JOIN pref b ON a.shingle = b.shingle AND a.sid < b.sid),
+arrs AS (SELECT sid, list(DISTINCT ${oh32("shingle")}) AS hs FROM sh GROUP BY sid),
+vv AS (SELECT c.id_a, c.id_b,
+        CAST(len(list_intersect(x.hs, y.hs)) AS BIGINT) AS common,
+        CAST(len(x.hs) AS BIGINT) AS na, CAST(len(y.hs) AS BIGINT) AS nb
+      FROM cand c JOIN arrs x ON x.sid = c.id_a
+                  JOIN arrs y ON y.sid = c.id_b),
+losers AS (SELECT DISTINCT id_b AS doc_id FROM vv
+           WHERE common * 1000 >= 500 * (na + nb - common)),
+surv AS (SELECT doc_id, source,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+         FROM ek WHERE doc_id NOT IN (SELECT doc_id FROM losers)),
+r AS (SELECT doc_id, source, n_tokens,
+        row_number() OVER (ORDER BY n_tokens DESC, doc_id ASC) AS ordinal
+      FROM surv)
+SELECT doc_id, source, n_tokens, ordinal,
+  CAST((ordinal - 1) % 4 AS INT) AS shard FROM r""",
+
     "q_corpus_pipeline" -> s"""WITH scored AS (
   SELECT doc_id, source, text,
     len(string_split(text,' ')) AS ntok,
