@@ -219,13 +219,7 @@ object Bench {
       val fullPairs = capped.select(col("sid").as("a"), col("shingle"))
         .join(capped.select(col("sid").as("b"), col("shingle")), Seq("shingle"))
         .filter(col("a") < col("b")).count()
-      val pref = sh.withColumn("dfreq",
-          count(lit(1)).over(Window.partitionBy("shingle")))
-        .withColumn("rk", row_number().over(
-          Window.partitionBy("sid").orderBy(col("dfreq"), col("shingle"))))
-        .withColumn("nsh", count(lit(1)).over(Window.partitionBy("sid")))
-        .filter(col("rk") <= col("nsh") - expr("(nsh * 500 + 999) div 1000") + 1)
-        .select("sid", "shingle")
+      val pref = graft.ext.Dedup.prefixShingles(sh, thresholdPermille = 500)
       val prefPairs = pref.select(col("sid").as("a"), col("shingle"))
         .join(pref.select(col("sid").as("b"), col("shingle")), Seq("shingle"))
         .filter(col("a") < col("b")).count()
@@ -239,14 +233,16 @@ object Bench {
       edges.persist() // referenced by the degree agg and the orientation
       val deg = edges.select(col("a").as("v")).union(edges.select(col("b").as("v")))
         .groupBy("v").agg(count(lit(1)).as("d"))
-      val naiveWedges = deg.agg(sum(expr("d * (d - 1) div 2"))).head.getLong(0)
+      // coalesce: sum over an empty edge set is null, not 0
+      val naiveWedges = deg.agg(coalesce(sum(expr("d * (d - 1) div 2")), lit(0L)))
+        .head.getLong(0)
       val orientedWedges = edges
         .join(deg.select(col("v").as("a"), col("d").as("da")), Seq("a"))
         .join(deg.select(col("v").as("b"), col("d").as("db")), Seq("b"))
         .select(when(struct(col("da"), col("a")) < struct(col("db"), col("b")), col("a"))
           .otherwise(col("b")).as("u"))
         .groupBy("u").agg(count(lit(1)).as("od"))
-        .agg(sum(expr("od * (od - 1) div 2"))).head.getLong(0)
+        .agg(coalesce(sum(expr("od * (od - 1) div 2")), lit(0L))).head.getLong(0)
       ratios("triangle_wedge_reduction_x") =
         naiveWedges.toDouble / math.max(orientedWedges, 1)
       spark.catalog.clearCache()

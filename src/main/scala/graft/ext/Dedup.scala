@@ -452,7 +452,7 @@ object Dedup {
     * definition never in a large doc's prefix).
     *
     * Verify stage: per-PAIR, not per-shingle — candidate pairs pull each
-    * side's distinct shingle-hash array via two id-keyed joins and compute
+    * side's distinct TRUE-shingle array via two id-keyed joins and compute
     * |∩| with `array_intersect` at scan speed, so the verify moves
     * O(candidates · doc_len) and never re-shuffles the shingle relation
     * (a different shape from [[minhashLshPairs]]'s candidate-restricted
@@ -466,24 +466,28 @@ object Dedup {
     *
     * @return (id_a, id_b, jaccard) with id_a < id_b — EVERY qualifying
     *         pair, no sketch recall loss. */
+  /** The rarest-first prefix of each doc's shingle set: global document
+    * frequency ascending (ties by shingle), first n − ⌈t·n⌉ + 1 per doc.
+    * Shared by [[prefixFilterJaccardPairs]] and the bench's candidate-
+    * reduction measurement — one definition, or the measured claim drifts
+    * from the operator it measures. */
+  def prefixShingles(sh: DataFrame, thresholdPermille: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    sh.withColumn("dfreq", count(lit(1)).over(w.partitionBy("shingle")))
+      .withColumn("rk", row_number().over(
+        w.partitionBy("sid").orderBy(col("dfreq"), col("shingle"))))
+      .withColumn("nsh", count(lit(1)).over(w.partitionBy("sid")))
+      .filter(col("rk") <= col("nsh") -
+        expr(s"(nsh * $thresholdPermille + 999) div 1000") + 1)
+      .select("sid", "shingle")
+  }
+
   def prefixFilterJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, thresholdPermille: Int = 500): DataFrame = {
     require(thresholdPermille > 0 && thresholdPermille <= 1000,
       s"thresholdPermille in (0,1000]: $thresholdPermille")
-    val w = org.apache.spark.sql.expressions.Window
     val sh = shingles(df, idCol, textCol, n)
-    // global shingle rarity (one shuffle on the shingle), then per-doc
-    // rank + size in ONE sid-partitioned sort (second shuffle)
-    val withFreq = sh.withColumn("dfreq",
-      count(lit(1)).over(w.partitionBy("shingle")))
-    val ranked = withFreq
-      .withColumn("rk", row_number().over(
-        w.partitionBy("sid").orderBy(col("dfreq"), col("shingle"))))
-      .withColumn("nsh", count(lit(1)).over(w.partitionBy("sid")))
-    val prefix = ranked.filter(
-      col("rk") <= col("nsh") -
-        expr(s"(nsh * $thresholdPermille + 999) div 1000") + 1)
-      .select("sid", "shingle")
+    val prefix = prefixShingles(sh, thresholdPermille)
     val cand = prefix.select(col("sid").as("id_a"), col("shingle"))
       .join(prefix.select(col("sid").as("id_b"), col("shingle")), Seq("shingle"))
       .filter(col("id_a") < col("id_b"))
@@ -492,14 +496,19 @@ object Dedup {
     // prefix pipeline runs once (same lifecycle convention as minhash:
     // plan-keyed, sweep drivers clearCache per query)
     KMeans.ensureCached(cand)
-    // per-pair verify: distinct shingle-hash arrays for CANDIDATE docs
+    // per-pair verify: distinct TRUE-shingle arrays for CANDIDATE docs
     // only (the r5 minhash lesson — never run the corpus-wide heavy agg
-    // when the verify set is candidate-sized), id-keyed joins only
+    // when the verify set is candidate-sized), id-keyed joins only.
+    // Intersecting the actual shingle strings (not a 32-bit hash of them)
+    // keeps the exactness claim honest: a hash intersection admits
+    // collision false positives, which at corpus scale (billions of
+    // candidate pairs) would be a certainty, and the oracle — replaying
+    // the same hashes — could never catch it.
     val candIds = cand.select(col("id_a").as("sid"))
       .union(cand.select(col("id_b").as("sid"))).distinct()
     val arrs = sh.join(candIds, Seq("sid"), "left_semi")
       .groupBy("sid")
-      .agg(collect_set(h32(col("shingle"))).as("hs"))
+      .agg(collect_set(col("shingle")).as("hs"))
     cand
       .join(arrs.select(col("sid").as("id_a"), col("hs").as("_ha")), Seq("id_a"))
       .join(arrs.select(col("sid").as("id_b"), col("hs").as("_hb")), Seq("id_b"))

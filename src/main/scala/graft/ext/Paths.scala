@@ -37,13 +37,21 @@ object Paths {
           .otherwise(0L))
       .withColumn("session_idx", sum(col("_ns")).over(
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    sessions.groupBy(col(userCol), col("session_idx"))
+    // cap BEFORE the collect: only the first maxLen events of a session
+    // reach the aggregation buffer, so a runaway bot session contributes
+    // maxLen structs, not its full length (the slice-after-collect form
+    // would materialize the whole session in one task first)
+    val capped = sessions
+      .withColumn("_step", row_number().over(
+        Window.partitionBy(col(userCol), col("session_idx"))
+          .orderBy(col("_us"), col(idCol))))
+      .filter(col("_step") <= maxLen)
+    capped.groupBy(col(userCol), col("session_idx"))
       .agg(sort_array(collect_list(
         struct(col("_us"), col(idCol), col(typeCol).as("_ty")))).as("_seq"))
       .select(col(userCol), col("session_idx"),
-        array_join(slice(expr("transform(_seq, x -> x._ty)"), 1, maxLen), ">")
-          .as("path"),
-        least(size(col("_seq")), lit(maxLen)).as("n_steps"))
+        array_join(expr("transform(_seq, x -> x._ty)"), ">").as("path"),
+        size(col("_seq")).as("n_steps"))
   }
 
   /** Top-k most frequent paths: (path, n), count desc, path asc. */

@@ -45,18 +45,23 @@ object Quality {
     require(completenessCols.nonEmpty || keyCols.nonEmpty || refChecks.nonEmpty,
       "audit needs at least one check")
 
-    // one scan: row count + all non-null counts folded together
+    // one scan: row count + all non-null counts folded together.
+    // Internal aliases are INDEX-based and user column names go through
+    // backtick quoting — a name like "user.name" must neither parse as a
+    // struct-field access nor corrupt the generated expressions.
     val scanAggs = count(lit(1)).as("_n") +:
-      completenessCols.map(c => count(col(c)).as(s"_nn_$c"))
+      completenessCols.zipWithIndex.map { case (c, i) =>
+        count(col(s"`$c`")).as(s"_nn_$i")
+      }
     val scan = df.agg(scanAggs.head, scanAggs.tail: _*)
 
     val rowCount = scan.select(
       lit("row_count").as("check_name"), lit("*").as("col_name"),
       col("_n").as("value"), (col("_n") > 0).as("passed"))
 
-    val completeness = completenessCols.map { c =>
+    val completeness = completenessCols.zipWithIndex.map { case (c, i) =>
       val permille = when(col("_n") === 0, lit(1000L))
-        .otherwise(expr(s"(_nn_$c * 1000) div _n"))
+        .otherwise(expr(s"(_nn_$i * 1000) div _n"))
       scan.select(
         lit("completeness_permille").as("check_name"), lit(c).as("col_name"),
         permille.as("value"), (permille >= minCompletenessPermille).as("passed"))
@@ -65,7 +70,7 @@ object Quality {
     val uniqueness =
       if (keyCols.isEmpty) Nil
       else {
-        val dups = df.groupBy(keyCols.map(col): _*)
+        val dups = df.groupBy(keyCols.map(c => col(s"`$c`")): _*)
           .agg(count(lit(1)).as("_c"))
           .agg(coalesce(sum(col("_c") - 1), lit(0L)).as("value"))
         Seq(dups.select(
@@ -75,9 +80,9 @@ object Quality {
       }
 
     val integrity = refChecks.map { rc =>
-      val violations = df.select(col(rc.fkCol))
-        .filter(col(rc.fkCol).isNotNull)
-        .join(rc.dim.select(col(rc.pkCol).as(rc.fkCol)), Seq(rc.fkCol), "left_anti")
+      val violations = df.select(col(s"`${rc.fkCol}`"))
+        .filter(col(s"`${rc.fkCol}`").isNotNull)
+        .join(rc.dim.select(col(s"`${rc.pkCol}`").as(rc.fkCol)), Seq(rc.fkCol), "left_anti")
         .agg(count(lit(1)).as("value"))
       violations.select(
         lit(s"ri_violations_${rc.name}").as("check_name"),

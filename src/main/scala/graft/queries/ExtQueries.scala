@@ -1060,7 +1060,7 @@ pref AS (SELECT sid, shingle FROM rk
          WHERE rk <= nsh - ((nsh * 500 + 999) // 1000) + 1),
 cand AS (SELECT DISTINCT a.sid AS id_a, b.sid AS id_b
          FROM pref a JOIN pref b ON a.shingle = b.shingle AND a.sid < b.sid),
-arrs AS (SELECT sid, list(DISTINCT ${oh32("shingle")}) AS hs FROM sh GROUP BY sid),
+arrs AS (SELECT sid, list(DISTINCT shingle) AS hs FROM sh GROUP BY sid),
 v AS (SELECT c.id_a, c.id_b,
         CAST(len(list_intersect(x.hs, y.hs)) AS BIGINT) AS common,
         CAST(len(x.hs) AS BIGINT) AS na, CAST(len(y.hs) AS BIGINT) AS nb
@@ -1310,7 +1310,7 @@ pref AS (SELECT sid, shingle FROM rk
          WHERE rk <= nsh - ((nsh * 500 + 999) // 1000) + 1),
 cand AS (SELECT DISTINCT a.sid AS id_a, b.sid AS id_b
          FROM pref a JOIN pref b ON a.shingle = b.shingle AND a.sid < b.sid),
-arrs AS (SELECT sid, list(DISTINCT ${oh32("shingle")}) AS hs FROM sh GROUP BY sid),
+arrs AS (SELECT sid, list(DISTINCT shingle) AS hs FROM sh GROUP BY sid),
 vv AS (SELECT c.id_a, c.id_b,
         CAST(len(list_intersect(x.hs, y.hs)) AS BIGINT) AS common,
         CAST(len(x.hs) AS BIGINT) AS na, CAST(len(y.hs) AS BIGINT) AS nb

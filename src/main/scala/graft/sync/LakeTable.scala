@@ -177,20 +177,6 @@ object LakeTable {
         throw new IllegalArgumentException(s"lake table does not exist: $table")
     }
 
-  /** Change-data feed (Delta CDF analog): the logged change EVENTS of
-    * commits `fromSeq..toSeq`, one row per event — inserts carry the full
-    * payload (`_op = 'insert'`), deletes are key-only tombstones
-    * (`_op = 'delete'`, payload null-filled); `_seq` orders the feed
-    * (within a commit, deletes semantically precede inserts).
-    *
-    * This is what lets a downstream consumer (a derived aggregate, a search
-    * index, a replica) stay current in O(changes) instead of re-scanning
-    * the table: checkpoint the last consumed `_seq`, ask for `fromSeq =
-    * checkpoint + 1` on the next pass. A checkpoint older than the
-    * pointer's horizon throws out-of-retention — those commits are folded
-    * into the compacted base, so the events no longer exist individually
-    * and the consumer must re-seed from a snapshot [[read]] (the same
-    * contract Delta's CDF enforces at the retention boundary). */
   /** NET per-key diff between two snapshots, computed from the COMMIT LOG
     * in O(changes) — never the O(table) full-outer join two materialized
     * snapshots would need. The log slice `(fromSeq, toSeq]` yields the
@@ -218,6 +204,13 @@ object LakeTable {
       .orderBy(col("_seq").desc, col("_op").desc)
     val last = slice.withColumn("_rn", row_number().over(w))
       .filter(col("_rn") === 1).drop("_rn")
+    // pinned: the bloom router's KMV estimate (an eager action), the
+    // semi-join key build, and the after-side join each reference `last` —
+    // without the pin every reference re-reads the commit slice and
+    // re-runs the per-key window (cache lifecycle per the repo convention:
+    // plan-keyed, sweep drivers clearCache per query)
+    if (last.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+      last.persist()
     val before = graft.ext.BloomPrune.autoSemiJoin(
       readAt(spark, table, fromSeq, keyCol), last.select(col(keyCol)),
       keyCol, keyCol)
@@ -238,6 +231,20 @@ object LakeTable {
       .select(col(keyCol) +: col("change_type") +: dataCols.map(col): _*)
   }
 
+  /** Change-data feed (Delta CDF analog): the logged change EVENTS of
+    * commits `fromSeq..toSeq`, one row per event — inserts carry the full
+    * payload (`_op = 'insert'`), deletes are key-only tombstones
+    * (`_op = 'delete'`, payload null-filled); `_seq` orders the feed
+    * (within a commit, deletes semantically precede inserts).
+    *
+    * This is what lets a downstream consumer (a derived aggregate, a search
+    * index, a replica) stay current in O(changes) instead of re-scanning
+    * the table: checkpoint the last consumed `_seq`, ask for `fromSeq =
+    * checkpoint + 1` on the next pass. A checkpoint older than the
+    * pointer's horizon throws out-of-retention — those commits are folded
+    * into the compacted base, so the events no longer exist individually
+    * and the consumer must re-seed from a snapshot [[read]] (the same
+    * contract Delta's CDF enforces at the retention boundary). */
   def changes(spark: SparkSession, table: String, fromSeq: Int,
       toSeq: Int = Int.MaxValue, keyCol: String = "RecId"): DataFrame =
     resolve(table) match {
