@@ -211,15 +211,18 @@ object Bench {
       val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       val sh = graft.ext.Dedup.shingles(docs, "doc_id", "text", 3)
       import org.apache.spark.sql.expressions.Window
-      // prefix filtering: co-shingle pairs the full (capped) join would
-      // enumerate vs the pairs the rarest-first prefixes nominate
+      // prefix filtering: co-shingle pairs the full join would enumerate vs
+      // the pairs the rarest-first prefixes nominate — BOTH counted over the
+      // same hot-capped shingle relation (ADVICE r6: asymmetric baselines
+      // misstate the ratio whenever any shingle exceeds the cap; capping
+      // both sides keeps the numerator and denominator on one relation)
       val capped = sh.withColumn("sfreq",
           count(lit(1)).over(Window.partitionBy("shingle")))
         .filter(col("sfreq") <= 1000).drop("sfreq")
       val fullPairs = capped.select(col("sid").as("a"), col("shingle"))
         .join(capped.select(col("sid").as("b"), col("shingle")), Seq("shingle"))
         .filter(col("a") < col("b")).count()
-      val pref = graft.ext.Dedup.prefixShingles(sh, thresholdPermille = 500)
+      val pref = graft.ext.Dedup.prefixShingles(capped, thresholdPermille = 500)
       val prefPairs = pref.select(col("sid").as("a"), col("shingle"))
         .join(pref.select(col("sid").as("b"), col("shingle")), Seq("shingle"))
         .filter(col("a") < col("b")).count()

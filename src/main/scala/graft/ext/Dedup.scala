@@ -447,9 +447,16 @@ object Dedup {
     * outside A's prefix, at most ⌈t·|A|⌉ − 1 of A's shingles could be
     * shared — contradiction. Joining prefix×prefix therefore loses
     * nothing, and the prefixes hold the corpus-RAREST shingles, so bucket
-    * sizes in the candidate join are small by construction — the hot-key
-    * cap the sketch paths need is unnecessary here (a hot shingle is by
-    * definition never in a large doc's prefix).
+    * sizes in the candidate join stay small for LARGE docs by construction
+    * (a hot shingle rarely survives into a long doc's short prefix). The
+    * guarantee weakens in the short-doc regime (ADVICE r6): at t = 500‰ a
+    * doc's prefix covers ⌊n/2⌋+1 of its n shingles, so a corpus of many
+    * short near-identical docs puts hot shingles into prefixes and the
+    * candidate join regains quadratic bucket blowup — exactness is
+    * unaffected, but for skewed short-doc corpora set `minShingles` to
+    * route docs below the bound around this operator (they are cheap to
+    * dedup exactly: [[exactDedup]] on the full text, or [[ngramJaccardPairs]]
+    * whose hot-shingle cap bounds the join).
     *
     * Verify stage: per-PAIR, not per-shingle — candidate pairs pull each
     * side's distinct TRUE-shingle array via two id-keyed joins and compute
@@ -482,11 +489,23 @@ object Dedup {
       .select("sid", "shingle")
   }
 
+  /** @param minShingles docs with fewer distinct shingles are EXCLUDED from
+    *                     the join (both sides) — the documented guard for
+    *                     skewed short-doc corpora (see the scaladoc above);
+    *                     0 (default) = exact over the whole corpus. */
   def prefixFilterJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-      n: Int = 3, thresholdPermille: Int = 500): DataFrame = {
+      n: Int = 3, thresholdPermille: Int = 500,
+      minShingles: Int = 0): DataFrame = {
     require(thresholdPermille > 0 && thresholdPermille <= 1000,
       s"thresholdPermille in (0,1000]: $thresholdPermille")
-    val sh = shingles(df, idCol, textCol, n)
+    val shAll = shingles(df, idCol, textCol, n)
+    val sh =
+      if (minShingles <= 0) shAll
+      else {
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("sid")
+        shAll.withColumn("_nsh", count(lit(1)).over(w))
+          .filter(col("_nsh") >= minShingles).drop("_nsh")
+      }
     val prefix = prefixShingles(sh, thresholdPermille)
     val cand = prefix.select(col("sid").as("id_a"), col("shingle"))
       .join(prefix.select(col("sid").as("id_b"), col("shingle")), Seq("shingle"))

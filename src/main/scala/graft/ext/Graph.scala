@@ -63,9 +63,18 @@ object Graph {
     * two-path join cannot happen, because a high-degree vertex is the low
     * endpoint of almost none of its edges.
     *
+    * Input is normalized defensively (canonicalize to least/greatest, drop
+    * self-loops, distinct): duplicate rows, self-loops, or a > b edges
+    * would silently corrupt degrees and wedge enumeration otherwise
+    * (ADVICE r6). Callers feeding already-canonical pairs pay one distinct
+    * — an edge-keyed shuffle, the same scale class as the joins below.
+    *
     * @return (vid, n_triangles) for every vertex in at least one triangle. */
   def triangleCounts(edges: DataFrame): DataFrame = {
-    val e = edges.select(col("a"), col("b"))
+    val e = edges.select(
+        least(col("a"), col("b")).as("a"),
+        greatest(col("a"), col("b")).as("b"))
+      .filter(col("a") < col("b")).distinct()
     val deg = e.select(col("a").as("v")).union(e.select(col("b").as("v")))
       .groupBy("v").agg(count(lit(1)).as("d"))
     // orient each edge from the smaller (degree, id) endpoint

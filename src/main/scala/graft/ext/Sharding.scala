@@ -32,6 +32,13 @@ object Sharding {
     * `orderCols`. Output columns: input columns + ordinal. */
   def globalOrdinal(df: DataFrame, orderCols: Seq[Column],
                     numPartitions: Int = 0): DataFrame = {
+    // loud guard, not silent corruption: the working columns are dropped at
+    // the end and `ordinal` is the output — an input frame already carrying
+    // any of these names would be overwritten (ADVICE r6)
+    Seq("_pid", "_off", "ordinal").foreach { c =>
+      require(!df.columns.contains(c),
+        s"globalOrdinal reserves column name '$c'; rename it in the input")
+    }
     val parts = if (numPartitions > 0) numPartitions
                 else df.sparkSession.sessionState.conf.numShufflePartitions
     val ranged = df.repartitionByRange(parts, orderCols: _*)
@@ -64,6 +71,8 @@ object Sharding {
   def balancedShards(df: DataFrame, weightCol: String, idCol: String,
                      numShards: Int): DataFrame = {
     require(numShards > 0, s"numShards must be positive: $numShards")
+    require(!df.columns.contains("shard"),
+      "balancedShards reserves column name 'shard'; rename it in the input")
     globalOrdinal(df, Seq(col(weightCol).desc, col(idCol).asc))
       .withColumn("shard", ((col("ordinal") - 1) % numShards).cast("int"))
   }
