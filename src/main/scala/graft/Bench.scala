@@ -113,6 +113,7 @@ object Bench {
       // 3.2→1.4 s, pq 18→10 s); after it, drop everything so the scenario
       // phases — whose timings gate the BASELINE invariants — never carry
       // the query loop's executor-memory footprint
+      graft.ext.CacheLease.releaseAll(spark)
       spark.catalog.clearCache()
     }
     flush("queries")

@@ -29,8 +29,10 @@ object Verify {
         }
         // operators persist() shared frames for their own multi-action
         // lifetimes (Lloyd loops, PQ trainings); once a query's result is
-        // written nothing references them — drop the lot so the 110-query
-        // sweep doesn't accumulate executor memory (ADVICE r5)
+        // written nothing references them. releaseAll reclaims the leased
+        // entries (and empties the lease registry); clearCache stays as the
+        // belt-and-braces sweep for anything persisted outside the leases.
+        graft.ext.CacheLease.releaseAll(spark)
         spark.catalog.clearCache()
       }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -30,11 +30,10 @@ object KMeans {
     * took ownership (callers unpersist only what they persisted, so an
     * outer scope that cached the frame for a larger composition — e.g.
     * [[PQ.pqRecall]] sharing one prepared frame across training, encoding
-    * and ground truth — keeps its cache). */
-  private[ext] def ensureCached(df: DataFrame): Boolean =
-    if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE) {
-      df.persist(); true
-    } else false
+    * and ground truth — keeps its cache). Persists are LEASED through
+    * [[CacheLease]] so sweep drivers reclaim them precisely
+    * (CacheLease.releaseAll) instead of leaking until a clearCache(). */
+  private[ext] def ensureCached(df: DataFrame): Boolean = CacheLease.acquire(df)
 
   private[ext] def withQq(prepared: DataFrame, idCol: String): DataFrame =
     prepared.select(col(idCol), col("qe"))

