@@ -19,36 +19,73 @@ object Graph {
   /** Fixed-iteration PageRank in integer micros over DIRECTED edges
     * `(src, dst)`. Every vertex starts at 10^6; each round a vertex keeps
     * the teleport share (1000−d)‰ of 10^6 and receives d‰ of the floor-
-    * split contributions `pr div outdeg` of its in-neighbors. Dangling
-    * vertices (no out-edges) leak their mass — the standard simplification;
-    * ranks stay comparable, totals are not conserved.
+    * split contributions `pr div outdeg` of its in-neighbors.
+    *
+    * Dangling vertices (no out-edges): by default they leak their mass —
+    * the standard simplification; ranks stay comparable, totals are not
+    * conserved. With `redistributeDangling` their pooled mass is split
+    * uniformly (floor division by |V|) into every vertex's damped share
+    * each round — totals are then conserved up to per-vertex floor losses.
+    * The flag costs one |V| count up front (driver scalar, computed once)
+    * plus a per-round broadcast scalar aggregate over the dangling set.
     *
     * Scale shape: each round is ONE src-keyed join (pr ⋈ edges ⋈ outdeg)
     * + one dst-keyed groupBy — shuffles keyed on vertex ids, partition-even
-    * for real graphs after AQE skew splitting; the plan grows linearly in
-    * `iters` (each round references the previous frame once), so no
-    * checkpointing is needed at the depths a ranking pass uses.
+    * for real graphs after AQE skew splitting. Each round's TREE embeds the
+    * edge subplan (twice: contrib join + outdeg), so deep runs would pay
+    * O(iters²) re-analysis of the edge pipeline; past `checkpointEvery`
+    * iterations the inputs and every k-th label frame are LOCAL-CHECKPOINTED
+    * (the [[Components.labelPropagate]] cure — flat per-round plans at the
+    * cost of recomputability: an executor loss fails the job; use reliable
+    * checkpoint() on a cluster where that trade matters). Shallow ranking
+    * runs (iters ≤ checkpointEvery) keep the fully-lazy plan.
     *
     * @return (vid, pr_micros). */
   def pagerankMicros(edges: DataFrame, iters: Int = 3,
-                     dampingPermille: Int = 850): DataFrame = {
+                     dampingPermille: Int = 850,
+                     checkpointEvery: Int = 8,
+                     redistributeDangling: Boolean = false): DataFrame = {
     require(iters >= 1 && dampingPermille > 0 && dampingPermille < 1000)
-    val e = edges.select(col("src"), col("dst"))
-    val outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
-    val verts = e.select(col("src").as("vid"))
+    require(checkpointEvery >= 1)
+    val deep = iters > checkpointEvery
+    val e0 = edges.select(col("src"), col("dst"))
+    val e = if (deep) e0.localCheckpoint() else e0
+    val outdeg0 = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val outdeg = if (deep) outdeg0.localCheckpoint() else outdeg0
+    val verts0 = e.select(col("src").as("vid"))
       .union(e.select(col("dst").as("vid"))).distinct()
+    val verts = if (deep) verts0.localCheckpoint() else verts0
     val teleport = (1000L - dampingPermille) * 1000000L / 1000L
+    // |V| as a literal for the floor split — one driver scalar, paid only
+    // when the flag asks for it
+    val nV = if (redistributeDangling) verts.count() else 0L
     var pr = verts.withColumn("pr", lit(1000000L))
-    for (_ <- 1 to iters) {
+    for (round <- 1 to iters) {
       val contrib = e
         .join(pr.withColumnRenamed("vid", "src"), Seq("src"))
         .join(outdeg, Seq("src"))
         .select(col("dst").as("vid"), expr("pr div outdeg").as("c"))
         .groupBy("vid").agg(sum(col("c")).as("cs"))
-      pr = verts.join(contrib, Seq("vid"), "left")
-        .select(col("vid"),
-          (lit(teleport) +
-            expr(s"($dampingPermille * coalesce(cs, 0L)) div 1000")).as("pr"))
+      val withC = verts.join(contrib, Seq("vid"), "left")
+      val next =
+        if (redistributeDangling) {
+          val dsum = pr
+            .join(outdeg.select(col("src").as("vid")), Seq("vid"), "left_anti")
+            .agg(coalesce(sum(col("pr")), lit(0L)).as("dsum"))
+          withC.crossJoin(broadcast(dsum))
+            .select(col("vid"),
+              (lit(teleport) + expr(
+                s"($dampingPermille * (coalesce(cs, 0L) + dsum div ${nV}L)) div 1000"))
+                .as("pr"))
+        } else
+          withC.select(col("vid"),
+            (lit(teleport) +
+              expr(s"($dampingPermille * coalesce(cs, 0L)) div 1000")).as("pr"))
+      // checkpoint blocks of the superseded frame are ContextCleaner-
+      // reclaimed (see Components.labelPropagate)
+      pr = if (deep && round % checkpointEvery == 0 && round < iters)
+        next.localCheckpoint()
+      else next
     }
     pr.select(col("vid"), col("pr").as("pr_micros"))
   }

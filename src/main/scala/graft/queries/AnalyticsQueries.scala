@@ -91,6 +91,17 @@ object AnalyticsQueries {
       graft.ext.Graph.pagerankMicros(edges, iters = 3)
     }),
 
+    // The DIRECTED supplier→part graph: every part is a dangling sink, so
+    // this exercises the conserved-mass variant — pooled dangling mass is
+    // floor-split uniformly into each round's damped share
+    "q_graph_pagerank_dangling" -> ((s, d) => {
+      val li = s.read.parquet(s"$d/lineitem.parquet")
+      val edges = li.select((col("l_suppkey") * 2).as("src"),
+        (col("l_partkey") * 2 + 1).as("dst")).distinct()
+      graft.ext.Graph.pagerankMicros(edges, iters = 3,
+        redistributeDangling = true)
+    }),
+
     // Item-item co-occurrence (bought-together): basket-keyed pair join
     // with a basket-size cap, cosine over basket incidence in millis
     "q_cooccur" -> ((s, d) =>
@@ -380,6 +391,24 @@ p$k AS (SELECT v.vid,
     }.mkString(",\n")
   }
 
+  /** The conserved-mass twin of [[pagerankRounds]]: per round, the pooled
+    * pr of dangling vertices (no outd row) is floor-split by |V| and added
+    * into every vertex's damped share — the same integer ops the Spark
+    * path runs. Expects the additional CTE `nv` (single BIGINT count). */
+  private def pagerankRoundsDangling(iters: Int, damping: Int): String = {
+    val teleport = (1000L - damping) * 1000000L / 1000L
+    (1 to iters).map { k =>
+      s"""d$k AS (SELECT CAST(COALESCE(sum(p.pr), 0) AS BIGINT) AS dsum
+       FROM p${k - 1} p WHERE p.vid NOT IN (SELECT src FROM outd)),
+c$k AS (SELECT e.dst AS vid, CAST(sum(p.pr // o.outdeg) AS BIGINT) AS cs
+       FROM edges e JOIN p${k - 1} p ON p.vid = e.src
+       JOIN outd o ON o.src = e.src GROUP BY 1),
+p$k AS (SELECT v.vid,
+          CAST($teleport + ($damping * (COALESCE(c.cs, 0) + d.dsum // nv.nv)) // 1000 AS BIGINT) AS pr
+        FROM verts v LEFT JOIN c$k c ON c.vid = v.vid, d$k d, nv)"""
+    }.mkString(",\n")
+  }
+
   def oracles: Map[String, String] = Map(
     "q_graph_pagerank" -> s"""WITH sp AS (
   SELECT DISTINCT l_suppkey * 2 AS src, l_partkey * 2 + 1 AS dst FROM lineitem),
@@ -388,6 +417,15 @@ outd AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg FROM edges GROUP BY 1),
 verts AS (SELECT src AS vid FROM edges UNION SELECT dst FROM edges),
 p0 AS (SELECT vid, CAST(1000000 AS BIGINT) AS pr FROM verts),
 ${pagerankRounds(3, 850)}
+SELECT vid, pr AS pr_micros FROM p3""",
+
+    "q_graph_pagerank_dangling" -> s"""WITH edges AS (
+  SELECT DISTINCT l_suppkey * 2 AS src, l_partkey * 2 + 1 AS dst FROM lineitem),
+outd AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg FROM edges GROUP BY 1),
+verts AS (SELECT src AS vid FROM edges UNION SELECT dst FROM edges),
+nv AS (SELECT CAST(count(*) AS BIGINT) AS nv FROM verts),
+p0 AS (SELECT vid, CAST(1000000 AS BIGINT) AS pr FROM verts),
+${pagerankRoundsDangling(3, 850)}
 SELECT vid, pr AS pr_micros FROM p3""",
 
     // co-occurrence replay: basket dedup + size cap, basket-keyed pair
