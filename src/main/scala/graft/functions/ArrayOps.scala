@@ -145,5 +145,8 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("hll_sketch",
       exprs => HllSketchAgg(exprs(0),
         exprs(1).eval(InternalRow.empty).asInstanceOf[Number].intValue()), "scala_udf")
+    reg.createOrReplaceTempFunction("quantile_sketch",
+      exprs => QuantileSketchAgg(exprs(0), exprs(1),
+        exprs(2).eval(InternalRow.empty).asInstanceOf[Number].intValue()), "scala_udf")
   }
 }

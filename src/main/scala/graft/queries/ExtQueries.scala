@@ -247,6 +247,20 @@ object ExtQueries {
         .select(col("n_exact"), col("est_floor"))
     }),
 
+    // ---- mergeable quantile sketch (the rank member of the sketch
+    // algebra): per-source n_chars quantiles from O(k) hash-bottom-k
+    // state, exact rank error measured alongside (the q_ann_recall
+    // pattern) ----
+    "q_quantile_sketch" -> ((s, d) =>
+      Quantiles.quantileEstimate(docs(s, d), "source", "doc_id", "n_chars")),
+
+    // quantile mergeability IN-PLAN: per-source sketches merge (union +
+    // truncate) into exactly the direct whole-corpus sketch — bottom-k of
+    // a union is bottom-k of the bottom-k's, so unlike HLL's lossy
+    // register max this rollup is EXACT sketch equality
+    "q_quantile_rollup" -> ((s, d) =>
+      Quantiles.rollupEquivalence(docs(s, d), "source", "doc_id", "n_chars")),
+
     // ---- DSIR-shaped importance weighting: hashed-bigram probability
     // ratios (target vs raw corpus) in integer micros, per-doc exact sums —
     // the data-selection score a curated-domain upsample runs on ----
@@ -1442,6 +1456,56 @@ ssum AS (SELECT sum(1.0 / CAST((CAST(1 AS BIGINT) << mr) AS DOUBLE))
 SELECT (SELECT count(DISTINCT tok) FROM tok) AS n_exact,
   CAST(floor(${graft.ext.Hll.alphaM2(8)} / s) AS BIGINT) AS est_floor
 FROM ssum""",
+
+    // quantile-sketch replay: the k smallest DISTINCT (h, v) pairs per
+    // source under (h, v) order — DuckDB builds them with a window where
+    // the engine uses the bounded-buffer aggregate; both resolve to the
+    // same sample, so estimates AND the exact-rank audit agree bit-for-bit
+    "q_quantile_sketch" -> s"""WITH h AS (
+  SELECT source, ${oh32("CAST(doc_id AS VARCHAR)")} AS h, n_chars AS v
+  FROM documents),
+sk AS (SELECT source, h, v FROM (SELECT DISTINCT source, h, v FROM h)
+       QUALIFY row_number() OVER (PARTITION BY source ORDER BY h, v) <= 256),
+m AS (SELECT source, CAST(count(*) AS BIGINT) AS m FROM sk GROUP BY 1),
+ordv AS (SELECT source, v, row_number() OVER (PARTITION BY source ORDER BY v) AS rv
+         FROM sk),
+qs AS (SELECT unnest([250, 500, 750, 900]) AS q_permille),
+est AS (SELECT o.source, q.q_permille, o.v AS est
+        FROM ordv o JOIN m USING (source) JOIN qs q
+          ON o.rv = GREATEST((q.q_permille * m.m + 999) // 1000, 1)),
+n AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY 1),
+le AS (SELECT e.source, e.q_permille, CAST(count(*) AS BIGINT) AS n_le
+       FROM est e JOIN h ON h.source = e.source AND h.v <= e.est
+       GROUP BY 1, 2)
+SELECT e.source, e.q_permille, e.est, n.n, le.n_le,
+  abs((le.n_le * 1000) // n.n - e.q_permille) AS rank_err_permille
+FROM est e JOIN n USING (source)
+JOIN le ON le.source = e.source AND le.q_permille = e.q_permille""",
+
+    // rollup twin: merged per-source bottom-k's vs the direct global
+    // bottom-k — equal by construction, and the oracle PROVES it by
+    // building both sides independently
+    "q_quantile_rollup" -> s"""WITH h AS (
+  SELECT source, ${oh32("CAST(doc_id AS VARCHAR)")} AS h, n_chars AS v
+  FROM documents),
+skg AS (SELECT source, h, v FROM (SELECT DISTINCT source, h, v FROM h)
+        QUALIFY row_number() OVER (PARTITION BY source ORDER BY h, v) <= 256),
+mrg AS (SELECT h, v FROM (SELECT DISTINCT h, v FROM skg)
+        QUALIFY row_number() OVER (ORDER BY h, v) <= 256),
+dir AS (SELECT h, v FROM (SELECT DISTINCT h, v FROM h)
+        QUALIFY row_number() OVER (ORDER BY h, v) <= 256),
+qs AS (SELECT unnest([250, 500, 750, 900]) AS q_permille),
+estd AS (SELECT q.q_permille, o.v AS est_direct
+         FROM (SELECT v, row_number() OVER (ORDER BY v) AS rv FROM dir) o,
+              (SELECT CAST(count(*) AS BIGINT) AS m FROM dir) m, qs q
+         WHERE o.rv = GREATEST((q.q_permille * m.m + 999) // 1000, 1)),
+estm AS (SELECT q.q_permille, o.v AS est_merged
+         FROM (SELECT v, row_number() OVER (ORDER BY v) AS rv FROM mrg) o,
+              (SELECT CAST(count(*) AS BIGINT) AS m FROM mrg) m, qs q
+         WHERE o.rv = GREATEST((q.q_permille * m.m + 999) // 1000, 1))
+SELECT e.q_permille, e.est_direct, m.est_merged,
+  e.est_direct = m.est_merged AS merged_equals_direct
+FROM estd e JOIN estm m USING (q_permille)""",
 
     // DSIR replay: per-bucket Laplace-ratio micros with the EXACT Spark op
     // order ((ct+1)/(Nt+B)) / ((cr+1)/(Nr+B)) * 1e6, doc weights as exact

@@ -127,4 +127,49 @@ class SketchPropertySpec extends AnyFunSuite {
         s"seed $seed: est $est vs truth $truth")
     }
   }
+
+  test("quantile hash-bottom-k: any chunking + merge tree + serialize " +
+      "round-trip yields exactly the brute-force bottom-k distinct sample") {
+    val k = 64
+    val agg = graft.functions.QuantileSketchAgg(
+      BoundReference(0, LongType, nullable = true),
+      BoundReference(1, LongType, nullable = true), k)
+    for (seed <- 1 to 15) {
+      val rnd = new scala.util.Random(seed)
+      val n = 500 + rnd.nextInt(2000)
+      // narrow hash domain so duplicate (h, v) pairs occur — the distinct
+      // semantics are part of the cross-engine contract
+      val pairs = Seq.fill(n)(
+        (rnd.nextInt(1 << 12).toLong, rnd.nextInt(50).toLong))
+      val bufs = scala.collection.mutable.Buffer(
+        pairs.grouped(1 + rnd.nextInt(300)).toSeq.map { chunk =>
+          val b = agg.createAggregationBuffer()
+          chunk.foreach(p => agg.update(b, InternalRow(p._1, p._2)))
+          agg.deserialize(agg.serialize(b))
+        }: _*)
+      while (bufs.size > 1) {
+        val i = rnd.nextInt(bufs.size - 1)
+        val merged = agg.merge(bufs(i), bufs.remove(i + 1))
+        bufs(i) = merged
+      }
+      val got = {
+        val it = bufs.head.iterator()
+        val b = scala.collection.mutable.Buffer.empty[(Long, Long)]
+        while (it.hasNext) b += it.next()
+        b.toSeq
+      }
+      val want = pairs.distinct.sorted.take(k)
+      assert(got == want, s"seed $seed: sketch content diverged from " +
+        s"brute-force bottom-$k distinct")
+      // rank estimates off the deterministic sample sit within the
+      // 4/sqrt(k) rank band of truth for the mid quantile
+      val vals = got.map(_._2).sorted
+      val m = vals.size
+      val est = vals((((500L * m + 999) / 1000).toInt - 1).max(0))
+      val allVals = pairs.distinct.map(_._2).sorted
+      val trueRank = allVals.count(_ <= est).toDouble / allVals.size
+      assert(math.abs(trueRank - 0.5) < 4.0 / math.sqrt(k.toDouble),
+        s"seed $seed: median est rank $trueRank")
+    }
+  }
 }
