@@ -88,6 +88,89 @@ object Multimodal {
     }
   }
 
+  // ------------------------------------------------ RLE codec (real decode)
+
+  /** Aggregate features of a DECODED pixel buffer — every value derives
+    * from the expanded pixels, so the oracle row only matches if the
+    * byte-level encode → decode round trip is arithmetically right. */
+  case class RleFeature(doc_id: Long, n_runs: Int, n_pixels: Long,
+      sum_pix: Long, min_pix: Int, max_pix: Int, mean_millis: Long)
+
+  /** Synthesize a REAL run-length-encoded "image" per document — the
+    * deterministic-decoder fixture (VERDICT r6 #7): token i of the text
+    * becomes the run (count = i%7 + 1, value = len(token)%256), the body
+    * is the (count, value) byte pairs, the header carries (total_pixels,
+    * 1). Unlike the md5-stub features, the DECODE of these payloads does
+    * real codec arithmetic the oracle can audit end to end. */
+  def synthesizeRlePayloads(spark: SparkSession, sfDir: String): Dataset[MediaCell] = {
+    import spark.implicits._
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text")
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val toks = text.split(" ", -1)
+          val body = new Array[Byte](2 * toks.length)
+          var px = 0L
+          var i = 0
+          while (i < toks.length) {
+            val cnt = i % 7 + 1
+            body(2 * i) = cnt.toByte
+            body(2 * i + 1) = (toks(i).length % 256).toByte
+            px += cnt
+            i += 1
+          }
+          val buf = java.nio.ByteBuffer.allocate(8 + body.length)
+          buf.putInt(px.toInt).putInt(1).put(body)
+          MediaCell(id, px.toInt, 1, "fake/rle8", buf.array())
+        }
+      }
+  }
+
+  /** REAL decode: expand each cell's RLE body into its pixel buffer (the
+    * step a codec performs), then aggregate the buffer — count/sum/min/max
+    * and the integer mean in millis. Everything flows from the payload
+    * BYTES, so a broken encoder or decoder fails the oracle compare; the
+    * DuckDB twin computes the same statistics from the relational form the
+    * fixture was synthesized from. mapPartitions like [[decodeFeatures]]:
+    * a real codec would init per partition and stream cells. */
+  def decodeRleFeatures(cells: Dataset[MediaCell]): Dataset[RleFeature] = {
+    import cells.sparkSession.implicits._
+    cells.mapPartitions { it =>
+      it.map { cell =>
+        val buf = java.nio.ByteBuffer.wrap(cell.payload)
+        val declaredPixels = buf.getInt()
+        buf.getInt() // height (always 1 for rle8)
+        val nRuns = (cell.payload.length - 8) / 2
+        // decode: expand runs into the pixel buffer
+        val pixels = new Array[Int](declaredPixels)
+        var p = 0
+        var r = 0
+        while (r < nRuns) {
+          val cnt = buf.get() & 0xFF
+          val v = buf.get() & 0xFF
+          var c = 0
+          while (c < cnt && p < pixels.length) { pixels(p) = v; p += 1; c += 1 }
+          r += 1
+        }
+        // aggregate the DECODED buffer
+        var sum = 0L
+        var mn = Int.MaxValue
+        var mx = Int.MinValue
+        var j = 0
+        while (j < p) {
+          val v = pixels(j); sum += v
+          if (v < mn) mn = v
+          if (v > mx) mx = v
+          j += 1
+        }
+        RleFeature(cell.doc_id, nRuns, p.toLong, sum,
+          if (p == 0) 0 else mn, if (p == 0) 0 else mx,
+          if (p == 0) 0L else sum * 1000L / p)
+      }
+    }
+  }
+
   /** "Decode" + feature-extract, partition-at-a-time. Parses the real header
     * bytes back out of the payload; the body "decode" is the STUB — a
     * deterministic fake feature vector derived from an md5 of the body

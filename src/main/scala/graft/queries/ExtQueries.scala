@@ -475,6 +475,13 @@ object ExtQueries {
     "q_mm_features" -> ((s, d) =>
       Multimodal.decodeFeatures(Multimodal.synthesizePayloads(s, d)).toDF()),
 
+    // REAL decode arithmetic, oracle-audited end to end: RLE-encode a
+    // deterministic "image" per doc, decode the BYTES back into the pixel
+    // buffer, aggregate the buffer — the oracle recomputes the stats from
+    // the relational form, so any encode/decode bug hash-mismatches
+    "q_mm_decode_rle" -> ((s, d) =>
+      Multimodal.decodeRleFeatures(Multimodal.synthesizeRlePayloads(s, d)).toDF()),
+
     "q_mm_meta" -> ((s, d) => {
       import s.implicits._
       Multimodal.synthesizePayloads(s, d)
@@ -1676,6 +1683,21 @@ FROM h, LATERAL (SELECT unnest(range(0, 8)) j)""",
   'fake/rgb8' AS format,
   CAST(octet_length(encode(text)) + 8 AS INTEGER) AS payload_bytes
 FROM documents""",
+
+    // RLE decode replay: the same run table (count = i%7+1, value =
+    // len(token)%256) aggregated relationally — matches only if Spark's
+    // byte-level encode → expand → aggregate pipeline is exact
+    "q_mm_decode_rle" -> """WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+r AS (SELECT doc_id, (i % 7) + 1 AS cnt, length(toks[i + 1]) % 256 AS val
+      FROM t, LATERAL (SELECT unnest(range(len(toks))) AS i))
+SELECT doc_id, CAST(count(*) AS INTEGER) AS n_runs,
+  CAST(sum(cnt) AS BIGINT) AS n_pixels,
+  CAST(sum(cnt * val) AS BIGINT) AS sum_pix,
+  CAST(min(val) AS INTEGER) AS min_pix,
+  CAST(max(val) AS INTEGER) AS max_pix,
+  CAST((sum(cnt * val) * 1000) // sum(cnt) AS BIGINT) AS mean_millis
+FROM r GROUP BY doc_id""",
 
     "q_sample_hash" -> s"""SELECT doc_id, lang, n_chars FROM documents
 WHERE ${oh32("CAST(doc_id AS VARCHAR)")} % 1000 < 250""",

@@ -503,6 +503,30 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.decodeFeatures(resized, 2).count() > 0)
   }
 
+  test("RLE encode → byte decode round trip equals hand-computed run stats") {
+    import spark.implicits._
+    val docs = Seq((1L, "ab cde f"), (2L, "x"), (3L, "hello world again"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_rle").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val feats = Multimodal.decodeRleFeatures(
+        Multimodal.synthesizeRlePayloads(spark, dir))
+      .collect().map(f => f.doc_id -> f).toMap
+    // doc 1: tokens ab(2) cde(3) f(1); runs (1,2),(2,3),(3,1)
+    //   pixels = 1+2+3 = 6, sum = 1*2+2*3+3*1 = 11, min 1, max 3
+    val f1 = feats(1L)
+    assert(f1.n_runs == 3 && f1.n_pixels == 6L && f1.sum_pix == 11L)
+    assert(f1.min_pix == 1 && f1.max_pix == 3 && f1.mean_millis == 11000L / 6)
+    // doc 2: one run (1,1): 1 pixel of value 1
+    val f2 = feats(2L)
+    assert(f2.n_runs == 1 && f2.n_pixels == 1L && f2.sum_pix == 1L &&
+      f2.mean_millis == 1000L)
+    // doc 3: hello(5) world(5) again(5) → runs (1,5),(2,5),(3,5)
+    val f3 = feats(3L)
+    assert(f3.n_runs == 3 && f3.n_pixels == 6L && f3.sum_pix == 30L &&
+      f3.min_pix == 5 && f3.max_pix == 5 && f3.mean_millis == 5000L)
+  }
+
   test("frame sampling keeps every k-th fixed-size frame of the body") {
     val spark2 = TestSpark.spark
     val cells = Multimodal.synthesizePayloads(spark2, "/root/testdata/sf0.001")
