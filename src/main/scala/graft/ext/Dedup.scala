@@ -87,6 +87,50 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Directional n-gram CONTAINMENT pairs — Broder's (1997) second
+    * resemblance measure: containment(A in B) = |A∩B| / |A|. Catches the
+    * near-SUPERSET contamination symmetric Jaccard is blind to: a short
+    * doc embedded whole in a long one (quote farms, boilerplate-wrapped
+    * copies, benchmark questions pasted into articles) has Jaccard ≈
+    * |A|/|B| — arbitrarily small — but containment ≈ 1. The decontamination
+    * pipelines that check eval sets against training corpora need exactly
+    * this direction-aware form.
+    *
+    * Same scale shape as [[ngramJaccardPairs]]: one capped shingle
+    * equi-join, intersection counts per unordered pair, then BOTH
+    * directions gated in integer permille (common·1000 ≥ t·|side|).
+    * Output: (id_sub, id_super, containment) — id_sub's shingles are
+    * ≥ t‰ inside id_super; a fully mutual pair (near-identical docs)
+    * emits both directions. */
+  def containmentPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, thresholdPermille: Int = 800,
+      maxShingleFreq: Long = 1000): DataFrame = {
+    require(thresholdPermille > 0 && thresholdPermille <= 1000,
+      s"thresholdPermille in (0,1000]: $thresholdPermille")
+    val sh = shingles(df, idCol, textCol, n)
+    val capped = sh.withColumn("sfreq",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("shingle")))
+      .filter(col("sfreq") <= maxShingleFreq).drop("sfreq")
+    val sizes = sh.groupBy("sid").agg(count(lit(1)).as("nsh"))
+    val common = capped.select(col("sid").as("id_a"), col("shingle"))
+      .join(capped.select(col("sid").as("id_b"), col("shingle")), Seq("shingle"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("common"))
+    val withSizes = common
+      .join(sizes.select(col("sid").as("id_a"), col("nsh").as("na")), Seq("id_a"))
+      .join(sizes.select(col("sid").as("id_b"), col("nsh").as("nb")), Seq("id_b"))
+    val aInB = withSizes
+      .filter(col("common") * 1000 >= lit(thresholdPermille) * col("na"))
+      .select(col("id_a").as("id_sub"), col("id_b").as("id_super"),
+        (col("common").cast("double") / col("na")).as("containment"))
+    val bInA = withSizes
+      .filter(col("common") * 1000 >= lit(thresholdPermille) * col("nb"))
+      .select(col("id_b").as("id_sub"), col("id_a").as("id_super"),
+        (col("common").cast("double") / col("nb")).as("containment"))
+    aInB.unionByName(bInA)
+  }
+
   /** Incremental (cross-corpus) near-dup: match a NEW batch against an
     * EXISTING corpus — the shape a continuous ingestion pipeline actually
     * runs (dedup today's crawl against the 100 TB already kept), where

@@ -93,4 +93,32 @@ object Quality {
     (Seq(rowCount) ++ completeness ++ uniqueness ++ integrity)
       .reduce(_ unionByName _)
   }
+
+  /** Corpus-concentration audit: how dominated is the corpus by its
+    * largest groups — the mix-balance check a training pipeline runs
+    * before a source drowns the blend. One row:
+    * `(k, n, gini_micros, top1_permille)` where gini is the Gini
+    * coefficient of the group-size distribution computed as ONE exact
+    * rational, `(2·Σ i·x_i − (k+1)·n) · 10^6 div (k·n)` over sizes sorted
+    * ascending (subtracting two separately-floored terms would diverge
+    * between engines) — 0 = perfectly even mix, → 1 = one group holds
+    * everything.
+    *
+    * Scale shape: one map-side-partial count per group; the rank window
+    * and final fold run over the k-row COUNTS frame (k = number of
+    * groups, metadata-sized — its single-partition window is over k rows,
+    * not the corpus). Overflow headroom: 2·Σ i·x_i · 10^6 ≤ 2·k·n·10^6,
+    * safe under 9.2e18 while k·n < 4.6e12 (e.g. 100 sources × 10^10
+    * rows); beyond that, pre-scale the counts. */
+  def concentration(df: DataFrame, groupCol: org.apache.spark.sql.Column): DataFrame = {
+    val counts = df.groupBy(groupCol.as("_g")).agg(count(lit(1)).as("_x"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("_x").asc, col("_g").asc) // k rows — see scaladoc
+    counts.withColumn("_i", col("_x") * row_number().over(w))
+      .agg(count(lit(1)).as("k"), sum(col("_x")).as("n"),
+        sum(col("_i")).as("_ix"), max(col("_x")).as("_xmax"))
+      .select(col("k"), col("n"),
+        expr("((2 * _ix - (k + 1) * n) * 1000000) div (k * n)").as("gini_micros"),
+        expr("(_xmax * 1000) div n").as("top1_permille"))
+  }
 }

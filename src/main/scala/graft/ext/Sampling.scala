@@ -52,6 +52,39 @@ object Sampling {
     * top-n below the exchange, so a 10-billion-row domain shuffles ~n rows
     * per map partition, never the domain. Ordering must be total (add a
     * key tiebreak) for a deterministic, oracle-replayable result. */
+  /** Deterministic WEIGHTED sample of n rows per group — sequential
+    * Poisson sampling (Ohlsson 1998), the order-sampling scheme real
+    * survey/telemetry systems use: each row gets priority
+    * `⌊h32(key)·10^6 / w⌋` (the integer surrogate of u/w with u =
+    * hash-uniform in [0,1)) and the n SMALLEST priorities per group win —
+    * so inclusion probability grows ∝ weight (a doc with 10× the tokens is
+    * ~10× as likely in, the token-mass-proportional draw a training-mix
+    * pipeline wants), yet membership is a pure function of (key, weight):
+    * stable across re-runs and corpus growth, mergeable bottom-n algebra,
+    * and replayable by any engine (no RNG, no log() — the determinism rule
+    * that keeps Efraimidis–Spirakis' u^(1/w) out).
+    *
+    * Weights must be ≥ 1 (clamped). One group-keyed shuffle: the same
+    * window shape as [[capPerGroup]] with the priority as the order key;
+    * ties broken by the hash then the key (total order). */
+  def weightedSamplePerGroup(df: DataFrame, groupCol: Column, keyCol: Column,
+      weightCol: Column, n: Int): DataFrame = {
+    Seq("_wh", "_ww", "_wpri", "_wrn").foreach { c =>
+      require(!df.columns.contains(c),
+        s"weightedSamplePerGroup reserves column name '$c'; rename it")
+    }
+    val withPri = df
+      .withColumn("_wh", Dedup.h32(keyCol))
+      .withColumn("_ww", greatest(weightCol.cast("long"), lit(1L)))
+      .withColumn("_wpri", expr("(_wh * 1000000L) div _ww"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol)
+      .orderBy(col("_wpri").asc, col("_wh").asc, keyCol.asc)
+    withPri.withColumn("_wrn", row_number().over(w))
+      .filter(col("_wrn") <= n)
+      .drop("_wpri", "_wh", "_ww", "_wrn")
+  }
+
   def capPerGroup(df: DataFrame, groupCol: Column, ordering: Seq[Column],
       n: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window

@@ -65,6 +65,12 @@ object AnalyticsQueries {
         refChecks = Seq(graft.ext.Quality.RefCheck("customer", c, "o_custkey", "c_custkey")))
     }),
 
+    // Corpus-concentration audit: Gini + top-1 share of the per-source
+    // row-count distribution — the mix-domination gate, one exact rational
+    "q_dq_concentration" -> ((s, d) =>
+      graft.ext.Quality.concentration(
+        s.read.parquet(s"$d/documents.parquet"), col("source"))),
+
     // Top-k with deterministic tie-break (TakeOrderedAndProject, no full sort)
     "q_topk_orders" -> ((s, d) =>
       s.read.parquet(s"$d/orders.parquet")
@@ -532,6 +538,18 @@ SELECT user_id, bucket, n, COALESCE(vsum, 0) AS v_micros,
   last_value(vsum IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY bucket
     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_ffill_micros
 FROM j""",
+
+    // concentration replay: the same single-rational Gini over ascending
+    // group sizes (two separately-floored terms would diverge)
+    "q_dq_concentration" -> """WITH c AS (
+  SELECT source AS g, count(*) AS x FROM documents GROUP BY 1),
+r AS (SELECT x, x * row_number() OVER (ORDER BY x, g) AS ix FROM c),
+a AS (SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(x) AS BIGINT) AS n,
+        CAST(sum(ix) AS BIGINT) AS ix, CAST(max(x) AS BIGINT) AS xmax FROM r)
+SELECT k, n,
+  ((2 * ix - (k + 1) * n) * 1000000) // (k * n) AS gini_micros,
+  (xmax * 1000) // n AS top1_permille
+FROM a""",
 
     // long-format audit rows; value is BIGINT everywhere (permille for
     // fractions), passed mirrors the Scala thresholds exactly

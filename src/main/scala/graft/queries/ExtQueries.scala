@@ -73,6 +73,13 @@ object ExtQueries {
     "q_dedup_ngram" -> ((s, d) =>
       Dedup.ngramJaccardPairs(docs(s, d), "doc_id", "text", n = 3, threshold = 0.5)),
 
+    // directional containment (Broder's second measure): near-SUPERSET
+    // detection — a short doc embedded in a long one passes here while
+    // symmetric Jaccard stays arbitrarily small
+    "q_dedup_containment" -> ((s, d) =>
+      Dedup.containmentPairs(docs(s, d), "doc_id", "text",
+        n = 3, thresholdPermille = 800)),
+
     "q_dedup_minhash" -> ((s, d) =>
       Dedup.minhashLshPairs(docs(s, d), "doc_id", "text", n = 3, threshold = 0.5)),
 
@@ -507,6 +514,14 @@ object ExtQueries {
       Sampling.stratifiedSample(
         docs(s, d), col("lang"), col("doc_id").cast("string"), n = 30)
         .select("doc_id", "lang", "source")),
+
+    // WEIGHTED per-source sample (sequential Poisson / order sampling):
+    // 10 docs per source with inclusion odds ∝ n_chars — the token-mass-
+    // proportional draw, deterministic via hash priorities
+    "q_sample_weighted" -> ((s, d) =>
+      Sampling.weightedSamplePerGroup(docs(s, d), col("source"),
+        col("doc_id").cast("string"), col("n_chars"), n = 10)
+        .select("doc_id", "source", "n_chars")),
 
     // mixture weighting: each doc replicated 1-3x by a data-derived weight
     "q_sample_mix" -> ((s, d) =>
@@ -1036,6 +1051,24 @@ pairs AS (SELECT a.sid AS id_a, b.sid AS id_b, count(*) AS common
           FROM capped a JOIN capped b ON a.shingle = b.shingle AND a.sid < b.sid
           GROUP BY 1, 2)
 $jaccardVerify""",
+
+    // containment replay: same capped shingle pairs, both directions gated
+    // in integer permille against each side's OWN size
+    "q_dedup_containment" -> s"""WITH $shinglesCte,
+capped AS (SELECT sid, shingle FROM (
+  SELECT sid, shingle, count(*) OVER (PARTITION BY shingle) AS sfreq FROM sh)
+  WHERE sfreq <= 1000),
+pairs AS (SELECT a.sid AS id_a, b.sid AS id_b, count(*) AS common
+          FROM capped a JOIN capped b ON a.shingle = b.shingle AND a.sid < b.sid
+          GROUP BY 1, 2),
+ws AS (SELECT p.id_a, p.id_b, p.common, ca.nsh AS na, cb.nsh AS nb
+       FROM pairs p JOIN sizes ca ON ca.sid = p.id_a
+       JOIN sizes cb ON cb.sid = p.id_b)
+SELECT id_a AS id_sub, id_b AS id_super, common * 1.0 / na AS containment
+FROM ws WHERE common * 1000 >= 800 * na
+UNION ALL
+SELECT id_b AS id_sub, id_a AS id_super, common * 1.0 / nb AS containment
+FROM ws WHERE common * 1000 >= 800 * nb""",
 
     // triangle replay: same ngram-pair edges, degree-ordered orientation
     // via row-value comparisons, wedge join + EXISTS closure
@@ -1710,6 +1743,16 @@ r AS (SELECT lang,
   FROM c, m)
 SELECT d.doc_id, d.lang FROM documents d JOIN r USING (lang)
 WHERE ${oh32("CAST(doc_id AS VARCHAR)")} % 1000000 < r.ppm""",
+
+    // weighted-sample replay: identical integer priorities (h·10^6 // w),
+    // identical (priority, hash, key) total order
+    "q_sample_weighted" -> s"""SELECT doc_id, source, n_chars FROM (
+  SELECT doc_id, source, n_chars,
+    row_number() OVER (PARTITION BY source ORDER BY
+      (${oh32("CAST(doc_id AS VARCHAR)")} * 1000000) // GREATEST(n_chars, 1),
+      ${oh32("CAST(doc_id AS VARCHAR)")}, CAST(doc_id AS VARCHAR)) AS rn
+  FROM documents)
+WHERE rn <= 10""",
 
     "q_sample_stratified" -> s"""SELECT doc_id, lang, source FROM (
   SELECT doc_id, lang, source, row_number() OVER (

@@ -29,6 +29,29 @@ class DedupSpec extends AnyFunSuite {
     def toMap_ : Map[Long, (Boolean, Long)] = rows.map(r => r._1 -> (r._2, r._3)).toMap
   }
 
+  test("containment flags the embedded doc that symmetric jaccard misses") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta"), // 2 shingles, both inside doc 2
+      (2L, "intro words alpha beta gamma delta plus a very long tail " +
+        "of extra unrelated filler content here"),
+      (3L, "totally different text with nothing shared at all ok")
+    ).toDF("doc_id", "text")
+    val cont = Dedup.containmentPairs(corpus, "doc_id", "text",
+        n = 3, thresholdPermille = 800)
+      .select("id_sub", "id_super", "containment")
+      .as[(Long, Long, Double)].collect()
+    // doc 1 is fully contained in doc 2 (containment 1.0) …
+    assert(cont.exists(c => c._1 == 1L && c._2 == 2L && c._3 == 1.0))
+    // … but NOT vice versa (doc 2 has many shingles outside doc 1)
+    assert(!cont.exists(c => c._1 == 2L))
+    assert(!cont.exists(c => c._1 == 3L || c._2 == 3L))
+    // and the symmetric jaccard at the same bar is blind to the pair
+    val jac = Dedup.ngramJaccardPairs(corpus, "doc_id", "text",
+      n = 3, threshold = 0.8)
+    assert(jac.count() == 0)
+  }
+
   test("3-gram jaccard finds the near-dup pair, not the unrelated doc") {
     val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.5)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
@@ -637,6 +660,37 @@ class SamplingSpec extends AnyFunSuite {
     val tighter = Sampling.hashSample(corpus, key, 100).select("doc_id")
       .as[Long].collect().toSet
     assert(tighter.subsetOf(a))
+  }
+
+  test("weighted sample equals the brute-force bottom-n by integer priority; odds grow with weight") {
+    val weighted = corpus.withColumn("w", (col("doc_id") % 50 + 1).cast("long"))
+    val got = Sampling.weightedSamplePerGroup(weighted, col("lang"),
+        col("doc_id").cast("string"), col("w"), n = 40)
+      .select("doc_id", "lang").as[(Long, String)].collect().toSet
+    // brute-force replay of the priority formula on the driver
+    def h32(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      java.lang.Long.parseLong(
+        md.digest(s.getBytes("UTF-8")).take(4).map(b => f"$b%02x").mkString, 16)
+    }
+    val rows = weighted.select("doc_id", "lang", "w")
+      .as[(Long, String, Long)].collect()
+    val want = rows.groupBy(_._2).toSeq.flatMap { case (_, g) =>
+      g.sortBy { case (id, _, w) =>
+        val h = h32(id.toString)
+        (h * 1000000L / math.max(w, 1L), h, id.toString)
+      }.take(40).toSeq
+    }.map(r => (r._1, r._2)).toSet
+    assert(got == want)
+    // inclusion odds ∝ weight: the heavy half (w > 25) must be
+    // overrepresented in the sample vs its 50% share of the corpus
+    val heavyFrac = got.count(p => p._1 % 50 + 1 > 25).toDouble / got.size
+    assert(heavyFrac > 0.6, s"heavy-weight fraction $heavyFrac")
+    // determinism under repartitioning
+    val again = Sampling.weightedSamplePerGroup(weighted.repartition(7),
+        col("lang"), col("doc_id").cast("string"), col("w"), n = 40)
+      .select("doc_id", "lang").as[(Long, String)].collect().toSet
+    assert(again == got)
   }
 
   test("temperature mix keeps the smallest group whole and flattens the head at sqrt") {

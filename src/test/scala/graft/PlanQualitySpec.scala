@@ -407,6 +407,30 @@ class PlanQualitySpec extends AnyFunSuite {
     spark.catalog.clearCache() // globalOrdinal pins its ranged frame
   }
 
+  test("quantile sketch: exact-rank audit joins the (groups×quantiles)-row " +
+      "estimate frame as a BROADCAST; no cartesian, no single-partition window") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val df = graft.ext.Quantiles.quantileEstimate(
+      docs, "source", "doc_id", "n_chars")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"estimate frame must broadcast into the audit scan:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian in quantile plan:\n$plan")
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"quantile plan collapsed to one partition:\n$plan")
+  }
+
+  test("weighted sample: priority window partitions by the GROUP — never " +
+      "a single-partition sort") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val df = graft.ext.Sampling.weightedSamplePerGroup(docs, col("source"),
+      col("doc_id").cast("string"), col("n_chars"), n = 10)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"weighted sample collapsed to one partition:\n$plan")
+    assert(plan.contains("Window"), s"expected the priority window:\n$plan")
+  }
+
   test("CMS point estimation probes the registers as a BROADCAST (the " +
       "sketch is depth×width rows regardless of corpus size)") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")

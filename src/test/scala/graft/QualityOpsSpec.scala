@@ -44,6 +44,18 @@ class QualitySpec extends AnyFunSuite {
       .as[(String, String, Long, Boolean)].collect()
     assert(out.forall(_._4), s"expected all-pass, got ${out.mkString(", ")}")
   }
+
+  test("concentration: even mix ginis 0; hand-computed skewed mix; one group tops out") {
+    def gini(rows: Seq[String]): (Long, Long, Long, Long) =
+      Quality.concentration(rows.toDF("g"), col("g"))
+        .as[(Long, Long, Long, Long)].collect().head
+    // even: 4 groups × 1 row → gini 0, top1 250‰
+    assert(gini(Seq("a", "b", "c", "d")) == (4L, 4L, 0L, 250L))
+    // skewed [1, 3]: G = (2·(1·1 + 2·3) − 3·4) / (2·4) = 0.25
+    assert(gini(Seq("a", "b", "b", "b")) == (2L, 4L, 250000L, 750L))
+    // single group: k=1 → G = (2·n − 2·n)/n = 0, top1 1000‰
+    assert(gini(Seq("a", "a", "a")) == (1L, 3L, 0L, 1000L))
+  }
 }
 
 /** Count-min sketch: one-sided error, exactness without collisions,
