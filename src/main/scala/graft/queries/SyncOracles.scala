@@ -332,6 +332,37 @@ FROM (
                       AND ${graft.sync.SyncFixtures.SkipHi}
 ) GROUP BY l_returnflag"""),
 
+    // quantile twin: the maintained sketch must equal the DIRECT
+    // hash-bottom-k sketch over the same final state (k = 64; same
+    // (h, v)-ordered distinct sample + integer rank pick as
+    // q_quantile_sketch)
+    "q_cdf_maintain_quantile" -> (prefix + s""", fin AS (
+  SELECT RecId, l_returnflag, RECVERSION FROM tgt
+  WHERE RecId NOT IN (SELECT RecId FROM src WHERE RecId % 20 = 3)
+    AND RecId NOT IN (SELECT RecId FROM src
+                      WHERE RecId BETWEEN ${graft.sync.SyncFixtures.SkipLo}
+                                      AND ${graft.sync.SyncFixtures.SkipHi})
+  UNION ALL
+  SELECT RecId, l_returnflag, RECVERSION FROM src
+  WHERE RecId % 20 = 3
+    AND RecId NOT BETWEEN ${graft.sync.SyncFixtures.SkipLo}
+                      AND ${graft.sync.SyncFixtures.SkipHi}),
+hh AS (SELECT l_returnflag,
+         (('0x' || substr(md5(CAST(RecId AS VARCHAR)), 1, 8))::BIGINT) AS h,
+         CAST(RECVERSION AS BIGINT) AS v
+       FROM fin),
+sk AS (SELECT l_returnflag, h, v
+       FROM (SELECT DISTINCT l_returnflag, h, v FROM hh)
+       QUALIFY row_number() OVER (PARTITION BY l_returnflag ORDER BY h, v) <= 64),
+m AS (SELECT l_returnflag, CAST(count(*) AS BIGINT) AS m FROM sk GROUP BY 1),
+ordv AS (SELECT l_returnflag, v,
+           row_number() OVER (PARTITION BY l_returnflag ORDER BY v) AS rv
+         FROM sk),
+qs AS (SELECT unnest([250, 500, 750, 900]) AS q_permille)
+SELECT o.l_returnflag, q.q_permille, o.v AS est
+FROM ordv o JOIN m USING (l_returnflag) JOIN qs q
+  ON o.rv = GREATEST((q.q_permille * m.m + 999) // 1000, 1)"""),
+
     // sum twin of q_cdf_maintain over the same final state
     "q_cdf_maintain_sum" -> (prefix + s"""SELECT l_returnflag,
   CAST(count(*) AS BIGINT) AS n,

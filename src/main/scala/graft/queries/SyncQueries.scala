@@ -351,6 +351,29 @@ object SyncQueries {
         LakeTable.read(s, dir), "RecId", "l_returnflag", "SysRowVersion")
     }),
 
+    // maintained QUANTILE sketch over the same feed shape: inserts merge
+    // in O(changes); groups whose deleted pair reaches the sketch's
+    // truncation horizon recompute from the pruned final state — result
+    // ≡ the direct sketch over the final state (the oracle replays it)
+    "q_cdf_maintain_quantile" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft_lake_q").toString + "/t"
+      val src = slim(SyncFixtures.source(s, d))
+      val tgt = slim(SyncFixtures.target(s, d))
+      LakeTable.overwrite(tgt, dir)
+      val changed = src.filter(col("RecId") % 20 === 3)
+      LakeTable.appendCommit(
+        Apply.ChangeSet(changed.select("RecId"), changed, changed.select("RecId")),
+        dir, nowMs = 1000L)
+      val delBand = src
+        .filter(col("RecId").between(SyncFixtures.SkipLo, SyncFixtures.SkipHi))
+        .select("RecId")
+      LakeTable.appendCommit(
+        Apply.ChangeSet(delBand, src.filter(lit(false)), delBand), dir, nowMs = 2000L)
+      val fromSeq = LakeTable.resolve(dir).get._2
+      Maintain.quantileSketches(tgt, LakeTable.changes(s, dir, fromSeq),
+        LakeTable.read(s, dir), "RecId", "l_returnflag", "RECVERSION")
+    }),
+
     // per-column drift report: WHICH columns drive the changes across the
     // matched keys — one join, one combined aggregate, constant-size stack
     "q_column_drift" -> ((s, d) =>

@@ -66,7 +66,10 @@ object Maintain {
       (df, c) => df.withColumn(s"_prev_$c", lag(col(c), 1).over(w))
     }
     lagged.filter(col("_e") === "d" && col("_prev_e") === "v")
-      .select(cols.map(c => col(s"_prev_$c").as(c)): _*)
+      // the deleted KEY rides along (the timeline partitions by it):
+      // consumers that sample by key hash (quantileSketches) need it;
+      // aggregate consumers just ignore the extra column
+      .select(col(keyCol) +: cols.map(c => col(s"_prev_$c").as(c)): _*)
   }
 
   /** Maintained per-group row counts: `initialState`'s counts advanced by
@@ -185,6 +188,59 @@ object Maintain {
         .select(col(groupCol), col(valueCol)), groupCol, valueCol, p)
 
     Hll.estimateFromRegisters(cleanRegs.unionByName(dirtyRegs), Seq(groupCol), p)
+  }
+
+  /** Maintained per-group QUANTILE estimates via the deterministic
+    * hash-bottom-k sample sketch ([[graft.functions.QuantileSketchAgg]]) —
+    * the rank analog of [[distincts]]: inserts MERGE in O(changes)
+    * (bottom-k of a union is bottom-k of the bottom-k's, so the candidate
+    * equals the exact pre-delete sketch), but a sketch cannot backfill
+    * past its truncation horizon, so a group is DIRTY — and recomputes
+    * from `finalState` pruned to just those groups — when an effective
+    * delete's (h32(key), value) pair sits at-or-below the candidate's
+    * k-th smallest pair, or the candidate holds fewer than k pairs.
+    * Soundness of the clean case: with a FULL candidate and every deleted
+    * pair strictly above its max, the candidate is a subset of the final
+    * pairs and anything smaller than its max would already be in it — so
+    * bottom-k(final) IS the candidate. Result ≡ the direct sketch
+    * estimates over `finalState`, which is what the oracle replays.
+    * Output: (groupCol, q_permille, est). */
+  def quantileSketches(initialState: DataFrame, feed: DataFrame,
+      finalState: DataFrame, keyCol: String, groupCol: String,
+      valueCol: String, k: Int = 64,
+      qsPermille: Seq[Int] = Seq(250, 500, 750, 900)): DataFrame = {
+    graft.functions.GraftFunctions.register(initialState.sparkSession)
+    def pairs(df: DataFrame) = df.select(col(groupCol),
+      graft.ext.Dedup.h32(col(keyCol).cast("string")).as("_h"),
+      col(valueCol).cast("long").as("_v"))
+    def sketchOf(p: DataFrame) = p.groupBy(col(groupCol))
+      .agg(expr(s"quantile_sketch(_h, _v, $k)").as("sk"))
+    val init = sketchOf(pairs(initialState))
+    val candidate = sketchOf(init
+      .select(col(groupCol), explode(col("sk")).as("p"))
+      .select(col(groupCol), col("p.h").as("_h"), col("p.v").as("_v"))
+      .unionByName(pairs(feed.filter(col("_op") === "insert"))))
+    val delPairs = effectiveDeletes(initialState, feed, keyCol,
+        Seq(groupCol, valueCol))
+      .select(col(groupCol),
+        struct(
+          graft.ext.Dedup.h32(col(keyCol).cast("string")).as("h"),
+          col(valueCol).cast("long").as("v")).as("_dp"))
+    val dirty = delPairs.join(candidate, Seq(groupCol))
+      .filter(size(col("sk")) < k ||
+        col("_dp") <= element_at(col("sk"), size(col("sk"))))
+      .select(groupCol).distinct()
+    val clean = candidate.join(broadcast(dirty), Seq(groupCol), "left_anti")
+    val recomputed = sketchOf(pairs(finalState)
+      .join(broadcast(dirty), Seq(groupCol), "left_semi"))
+    clean.unionByName(recomputed)
+      .select(col(groupCol), col("sk"),
+        explode(array(qsPermille.map(q => lit(q)): _*)).as("q_permille"))
+      .withColumn("_m", size(col("sk")).cast("long"))
+      .withColumn("_vals", array_sort(expr("transform(sk, x -> x.v)")))
+      .select(col(groupCol), col("q_permille"), expr(
+        "element_at(_vals, CAST(greatest((q_permille * _m + 999) div 1000, 1L) AS INT))")
+        .as("est"))
   }
 
   /** SCD-2 key history from the change feed: one row per VERSION of each

@@ -146,6 +146,56 @@ class MaintainSpec extends AnyFunSuite {
     assert(got.keySet == Set("a", "b"))
   }
 
+  test("maintained quantile sketch: insert-only and above-horizon deletes " +
+      "stay clean (poison-proof); in-sketch deletes recompute from final") {
+    val t = freshTable()
+    def csv(deletes: Seq[Long], inserts: Seq[(Long, String, Long)]): Apply.ChangeSet =
+      Apply.ChangeSet(deletes.toDF("RecId"),
+        inserts.toDF("RecId", "grp", "v"), keyFlags = deletes.toDF("RecId"))
+    def h32(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      java.lang.Long.parseLong(
+        md.digest(s.getBytes("UTF-8")).take(4).map(b => f"$b%02x").mkString, 16)
+    }
+    val k = 4
+    val cRows = (100L to 109L).map(i => (i, "c", i))
+    // the c row whose (h, v) pair is the LARGEST: its delete sits above a
+    // full sketch's truncation horizon — provably cannot change bottom-k
+    val aboveKey = cRows.map { case (id, _, v) => ((h32(id.toString), v), id) }
+      .maxBy(_._1)._2
+    val initial = Seq((1L, "a", 10L), (2L, "a", 20L),
+      (3L, "b", 5L), (4L, "b", 6L), (5L, "b", 7L)) ++ cRows
+    LakeTable.overwrite(initial.toDF("RecId", "grp", "v"), t)
+    // b loses an in-sketch row (3 pairs < k ⇒ dirty); c loses its
+    // above-horizon row (clean); a gets an insert (clean merge)
+    LakeTable.appendCommit(csv(Seq(3L, aboveKey), Seq((6L, "a", 30L))), t)
+
+    val fromSeq = LakeTable.resolve(t).get._2
+    val trueFinal = LakeTable.read(spark, t)
+    // poison a and c in the final state handed in: a clean path that READ
+    // it would produce shifted estimates
+    val poisoned = trueFinal.withColumn("v",
+      when(col("grp") =!= "b", col("v") + 1000000L).otherwise(col("v")))
+    val qs = Seq(250, 500, 750)
+    val got = Maintain.quantileSketches(initial.toDF("RecId", "grp", "v"),
+        LakeTable.changes(spark, t, fromSeq), poisoned, "RecId", "grp", "v",
+        k = k, qsPermille = qs)
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+    // expected: direct bottom-k sketch over the TRUE final state
+    val finalRows = trueFinal.select("RecId", "grp", "v")
+      .as[(Long, String, Long)].collect()
+    val want = finalRows.groupBy(_._2).flatMap { case (g, rows) =>
+      val sample = rows.map(r => (h32(r._1.toString), r._3)).distinct
+        .sorted.take(k).map(_._2).sorted
+      qs.map { q =>
+        val r = math.max((q * sample.length + 999) / 1000, 1)
+        (g, q) -> sample(r - 1)
+      }
+    }.toMap
+    assert(got == want,
+      s"maintained $got vs direct $want (clean groups must ignore the poison)")
+  }
+
   test("scd2 history: versions close at the next event; untouched keys " +
       "bypass with one open pre-history row; deletes of absent keys add nothing") {
     val t = freshTable()
