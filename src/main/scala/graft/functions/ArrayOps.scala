@@ -148,5 +148,8 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("quantile_sketch",
       exprs => QuantileSketchAgg(exprs(0), exprs(1),
         exprs(2).eval(InternalRow.empty).asInstanceOf[Number].intValue()), "scala_udf")
+    reg.createOrReplaceTempFunction("topk_agg",
+      exprs => TopKAgg(exprs(0), exprs(1),
+        exprs(2).eval(InternalRow.empty).asInstanceOf[Number].intValue()), "scala_udf")
   }
 }

@@ -71,6 +71,16 @@ object AnalyticsQueries {
       graft.ext.Quality.concentration(
         s.read.parquet(s"$d/documents.parquet"), col("source"))),
 
+    // PER-GROUP top-k through the bounded mergeable aggregate (map-side
+    // partial top-k, O(k) state — never a full per-group window sort):
+    // each supplier's 3 priciest line items in integer cents
+    "q_topk_pergroup" -> ((s, d) =>
+      graft.ext.TopK.perGroup(
+        s.read.parquet(s"$d/lineitem.parquet"), "l_suppkey",
+        floor(col("l_extendedprice") * 100 + 0.5),
+        col("l_orderkey") * 10 + col("l_linenumber"), k = 3)
+        .withColumnRenamed("score", "score_cents")),
+
     // Top-k with deterministic tie-break (TakeOrderedAndProject, no full sort)
     "q_topk_orders" -> ((s, d) =>
       s.read.parquet(s"$d/orders.parquet")
@@ -538,6 +548,19 @@ SELECT user_id, bucket, n, COALESCE(vsum, 0) AS v_micros,
   last_value(vsum IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY bucket
     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_ffill_micros
 FROM j""",
+
+    // per-group top-k replay: DuckDB ranks with the window the aggregate
+    // form exists to avoid — same (score DESC, id ASC) total order, set
+    // semantics irrelevant here because (orderkey·10+linenumber) is unique
+    "q_topk_pergroup" -> """SELECT l_suppkey,
+  CAST(rank AS INTEGER) AS rank, id, score_cents FROM (
+  SELECT l_suppkey,
+    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS score_cents,
+    l_orderkey * 10 + l_linenumber AS id,
+    row_number() OVER (PARTITION BY l_suppkey ORDER BY
+      CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) DESC,
+      l_orderkey * 10 + l_linenumber) AS rank
+  FROM lineitem) WHERE rank <= 3""",
 
     // concentration replay: the same single-rational Gini over ascending
     // group sizes (two separately-floored terms would diverge)

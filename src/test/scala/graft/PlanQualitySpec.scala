@@ -431,6 +431,19 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(plan.contains("Window"), s"expected the priority window:\n$plan")
   }
 
+  test("per-group top-k aggregates with bounded state: ONE partial-reduced " +
+      "groupBy, NO Window, NO per-group sort") {
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    val df = graft.ext.TopK.perGroup(li, "l_suppkey",
+      floor(col("l_extendedprice") * 100 + 0.5),
+      col("l_orderkey") * 10 + col("l_linenumber"), k = 3)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      s"top-k aggregate must not plan a window:\n$plan")
+    assert(plan.contains("ObjectHashAggregate") || plan.contains("SortAggregate"),
+      s"expected the typed-imperative aggregate:\n$plan")
+  }
+
   test("CMS point estimation probes the registers as a BROADCAST (the " +
       "sketch is depth×width rows regardless of corpus size)") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")

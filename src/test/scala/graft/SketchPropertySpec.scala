@@ -172,4 +172,37 @@ class SketchPropertySpec extends AnyFunSuite {
         s"seed $seed: median est rank $trueRank")
     }
   }
+
+  test("top-k aggregate: any chunking + merge tree equals the brute-force " +
+      "(score DESC, id ASC) head") {
+    val k = 16
+    val agg = graft.functions.TopKAgg(
+      BoundReference(0, LongType, nullable = true),
+      BoundReference(1, LongType, nullable = true), k)
+    for (seed <- 1 to 10) {
+      val rnd = new scala.util.Random(seed)
+      val n = 200 + rnd.nextInt(2000)
+      // narrow score domain → heavy score ties, id tiebreak exercised
+      val rows = (1 to n).map(i => (rnd.nextInt(40).toLong, i.toLong))
+      val bufs = scala.collection.mutable.Buffer(
+        rows.grouped(1 + rnd.nextInt(250)).toSeq.map { chunk =>
+          val b = agg.createAggregationBuffer()
+          chunk.foreach(p => agg.update(b, InternalRow(p._1, p._2)))
+          agg.deserialize(agg.serialize(b))
+        }: _*)
+      while (bufs.size > 1) {
+        val i = rnd.nextInt(bufs.size - 1)
+        val merged = agg.merge(bufs(i), bufs.remove(i + 1))
+        bufs(i) = merged
+      }
+      val got = {
+        val it = bufs.head.iterator()
+        val b = scala.collection.mutable.Buffer.empty[(Long, Long)]
+        while (it.hasNext) b += it.next()
+        b.toSeq
+      }
+      val want = rows.distinct.sortBy { case (s, i) => (-s, i) }.take(k)
+      assert(got == want, s"seed $seed: top-k diverged")
+    }
+  }
 }
