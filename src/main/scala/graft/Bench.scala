@@ -281,6 +281,31 @@ object Bench {
       System.err.println(f"[bench] prune ratios: prefix pairs $fullPairs%d→$prefPairs%d, " +
         f"wedges $naiveWedges%d→$orientedWedges%d")
     }
+    // per-group top-k: bounded aggregate vs window form, shuffled bytes.
+    // EXPECTED ≈ 1.0 — Spark ≥3.5's InferWindowGroupLimit gives the
+    // window form a partial group-limit below the exchange too; the ratio
+    // documents that parity honestly (the aggregate's remaining edge is
+    // the sort-free map side + aggregate fusion, not bytes — TopKAgg doc)
+    locally {
+      import org.apache.spark.sql.expressions.Window
+      val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      val score = floor(col("l_extendedprice") * 100 + 0.5)
+      val id = col("l_orderkey") * 10 + col("l_linenumber")
+      val (nAgg, aggIo) = meter.measure {
+        graft.ext.TopK.perGroup(li, "l_suppkey", score, id, k = 3).count()
+      }
+      val w = Window.partitionBy("l_suppkey")
+        .orderBy(col("s").desc, col("i").asc)
+      val (nWin, winIo) = meter.measure {
+        li.select(col("l_suppkey"), score.cast("long").as("s"), id.cast("long").as("i"))
+          .withColumn("rank", row_number().over(w)).filter(col("rank") <= 3).count()
+      }
+      require(nAgg == nWin, s"top-k forms disagree: $nAgg vs $nWin")
+      ratios("topk_agg_vs_window_shuffle_x") =
+        winIo.shuffledMb / math.max(aggIo.shuffledMb, 0.001)
+      System.err.println(f"[bench] topk: window ${winIo.shuffledMb}%.2f MB " +
+        f"shuffled vs aggregate ${aggIo.shuffledMb}%.2f MB")
+    }
     flush("prune_ratios")
 
     // --- reference scenario ratios (BASELINE.md invariants) ---

@@ -4,15 +4,13 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Per-group top-k via the bounded mergeable aggregate
-  * ([[graft.functions.TopKAgg]]) — the scale form of
-  * `row_number().over(partitionBy(g).orderBy(...)) <= k`: the window shape
-  * shuffles and sorts EVERY row of every group; this one reduces map-side
-  * (≤ k pairs per group per input partition reach the exchange) and
-  * merges O(k) buffers, so the exchange moves k·groups·partitions pairs
-  * instead of the table. Use the window form when you need arbitrary
-  * payload columns carried; use this when (score, id) rows are enough —
-  * join the ids back for payloads (id-keyed, the join this engine already
-  * optimizes everywhere).
+  * ([[graft.functions.TopKAgg]]). Spark ≥ 3.5 already bounds the WINDOW
+  * form's shuffle with InferWindowGroupLimit (see TopKAgg's scaladoc for
+  * the measured parity), so the reasons to reach for this form are the
+  * sort-free map side, fusion with sibling aggregates in one groupBy, and
+  * the mergeable buffer (rollups / incremental maintenance). Use the
+  * window form when arbitrary payload columns must ride along; here the
+  * (score, id) rows join payloads back id-keyed.
   *
   * Determinism: rank order is (score DESC, id ASC) — a total order; ids
   * must be unique (set semantics collapse duplicate pairs). */

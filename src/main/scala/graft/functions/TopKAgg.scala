@@ -10,16 +10,23 @@ import org.apache.spark.sql.types._
   * (score DESC, id ASC), kept as O(k) state with a mergeable bounded-
   * buffer — the aggregate form of "top-k per group".
   *
-  * Why this exists next to the window form: `row_number().over(partitionBy
-  * (g).orderBy(...)) <= k` shuffles EVERY row of every group and sorts
-  * each group in full; this aggregate reduces map-side (each input
-  * partition contributes at most k pairs per group to the exchange) and
-  * merges in O(k) — on 100 TB with millions of rows per group that's the
-  * difference between shuffling the table and shuffling k rows per group
-  * per partition. Same algebra class as [[KmvSketchAgg]]: update =
-  * bounded insert, merge = union + truncate, both associative/commutative,
-  * so the result is a pure function of the data (ids must be unique —
-  * duplicate (score, id) pairs collapse, set semantics).
+  * Honest position vs the window form (measured, r7): Spark ≥ 3.5's
+  * `InferWindowGroupLimit` already rewrites `row_number().over(...) <= k`
+  * filters with a PARTIAL WindowGroupLimit below the exchange, so the
+  * window form's shuffle is ALSO ≤ k rows per group per map partition —
+  * the bench's `topk_agg_vs_window_shuffle_x` ratio lands ≈ 1.0, parity,
+  * not the naive-window blowout. What the aggregate still buys:
+  *  - SORT-FREE map side: WindowGroupLimit(Partial) requires a full sort
+  *    of every input partition first (O(n log n) per partition, again on
+  *    the reduce side); the bounded buffer inserts at O(log k) per row
+  *    and never sorts the data;
+  *  - FUSION: it composes with sibling aggregates in ONE groupBy
+  *    (top-k + count + sum in a single pass), which no window can;
+  *  - an explicit mergeable buffer that plugs into the sketch-algebra
+  *    machinery (rollups, incremental maintenance) like [[KmvSketchAgg]].
+  * Update = bounded insert, merge = union + truncate, both associative/
+  * commutative, so the result is a pure function of the data (ids must be
+  * unique — duplicate (score, id) pairs collapse, set semantics).
   *
   * Output: array<struct<score, id>> in rank order (score DESC, id ASC) —
   * explode + posexplode downstream for (rank, id) rows.
