@@ -333,6 +333,52 @@ object AnalyticsQueries {
         .select(col("hour"), col("event_type"), col("n"), col("sum_value"))
     }),
 
+    // streaming windowed QUANTILE sketch end to end: the mergeable
+    // bottom-k buffer lives in the state store across batches; emitted
+    // final sketches equal the batch build (pure function of the data),
+    // estimates derived batch-side with the shared integer-rank pick
+    "q_stream_quantile" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft_stream_qt").toString
+      val (evDir, outDir, ckpt) = (s"$dir/ev", s"$dir/out", s"$dir/ckpt")
+      val ev = EventsSource.load(s, d).select(col("ts"), col("event_id"),
+        floor(col("value") * 1000000.0 + 0.5).cast("long").as("value"))
+      ev.coalesce(1).write.parquet(evDir)
+      def runOnce(): Unit = {
+        val stream = s.readStream.schema(s.read.parquet(evDir).schema).parquet(evDir)
+        graft.streaming.StreamingSync
+          .windowedQuantileSketch(stream, "event_id", "value")
+          .select(col("window.start").as("hour"), col("sk"), col("n"))
+          .writeStream.format("parquet").option("path", outDir)
+          .option("checkpointLocation", ckpt)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start().awaitTermination(300000) match {
+          case true => ()
+          case false => sys.error("streaming run did not finish in 300 s")
+        }
+      }
+      runOnce()
+      val maxUs = ev.agg(max(unix_micros(col("ts")))).head.getLong(0)
+      val step = 4L * 3600L * 1000000L
+      Seq(1, 2).foreach { i =>
+        s.sql(s"SELECT timestamp_micros(${maxUs + i * step * i}L) AS ts, " +
+            "-1L AS event_id, 0L AS value")
+          .coalesce(1).write.mode("append").parquet(evDir)
+        runOnce()
+      }
+      // sentinel windows hold only sentinel rows — drop hours past the
+      // last real event; estimate from the emitted sketches batch-side
+      s.read.parquet(outDir)
+        .filter(unix_micros(col("hour")) <= maxUs)
+        .select(col("hour"), col("n"), col("sk"),
+          explode(array(lit(500), lit(900))).as("q_permille"))
+        .withColumn("_m", size(col("sk")).cast("long"))
+        .withColumn("_vals", array_sort(expr("transform(sk, x -> x.v)")))
+        .select(col("hour"), col("q_permille"), expr(
+          "element_at(_vals, CAST(greatest((q_permille * _m + 999) div 1000, 1L) AS INT))")
+          .as("est"), col("n"))
+    }),
+
     // stream-stream interval join run END TO END: every event matched to
     // the user's signups in the hour before it. Inner interval joins emit
     // matches EAGERLY (the watermark only bounds state retention), so one
@@ -649,6 +695,25 @@ FROM events GROUP BY 1, 2""",
   event_type, count(*) AS n,
   CAST(sum(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value
 FROM events GROUP BY 1, 2""",
+
+    // batch twin of the streamed quantile sketch: per-hour bottom-64
+    // distinct (h32(event_id), value-micros) pairs + the shared
+    // integer-rank pick — the streamed state-store sketch must equal it
+    "q_stream_quantile" -> """WITH hh AS (
+  SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour,
+    (('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8))::BIGINT) AS h,
+    CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS v
+  FROM events),
+sk AS (SELECT hour, h, v FROM (SELECT DISTINCT hour, h, v FROM hh)
+       QUALIFY row_number() OVER (PARTITION BY hour ORDER BY h, v) <= 64),
+m AS (SELECT hour, CAST(count(*) AS BIGINT) AS m FROM sk GROUP BY 1),
+ordv AS (SELECT hour, v, row_number() OVER (PARTITION BY hour ORDER BY v) AS rv
+         FROM sk),
+qs AS (SELECT unnest([500, 900]) AS q_permille),
+nn AS (SELECT hour, CAST(count(*) AS BIGINT) AS n FROM hh GROUP BY 1)
+SELECT o.hour, q.q_permille, o.v AS est, nn.n
+FROM ordv o JOIN m USING (hour) JOIN nn USING (hour) JOIN qs q
+  ON o.rv = GREATEST((q.q_permille * m.m + 999) // 1000, 1)""",
 
     // batch twin of the streamed interval join: signups within the hour
     // before each event, inclusive bounds both ends

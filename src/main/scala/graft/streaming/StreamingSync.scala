@@ -93,6 +93,34 @@ object StreamingSync {
       .groupBy(window(col("ts"), windowLen), col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
 
+  /** Streaming windowed QUANTILE sketch: the mergeable hash-bottom-k
+    * aggregate ([[graft.functions.QuantileSketchAgg]]) running INSIDE the
+    * streaming aggregation — the state store carries the O(k) serialized
+    * buffer per window, partial batches MERGE into it (the same union+
+    * truncate algebra the batch rollup uses), the watermark bounds state,
+    * and Append emits each window's FINAL sketch once the watermark
+    * passes its end. Because the sketch is a pure function of the data,
+    * the emitted sketch is bit-identical to a batch build over the same
+    * window — which is exactly what the oracle replays.
+    *
+    * Output: (window, sk, n) — estimate from `sk` downstream with the
+    * [[graft.ext.Quantiles]] integer-rank arithmetic. */
+  def windowedQuantileSketch(
+      events: DataFrame, keyCol: String, valueCol: String,
+      k: Int = 64,
+      windowLen: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame = {
+    graft.functions.GraftFunctions.register(events.sparkSession)
+    events
+      .withWatermark("ts", watermark)
+      .select(col("ts"),
+        graft.ext.Dedup.h32(col(keyCol).cast("string")).as("_h"),
+        col(valueCol).cast("long").as("_v"))
+      .groupBy(window(col("ts"), windowLen))
+      .agg(expr(s"quantile_sketch(_h, _v, $k)").as("sk"),
+        count(lit(1)).as("n"))
+  }
+
   /** Stream–stream interval join: enrich an event stream with the matching
     * row from a second stream (e.g. clicks ⋈ impressions, orders ⋈
     * payments) where the right event arrived within `[0, maxDelay]` BEFORE
