@@ -646,17 +646,19 @@ object Bench {
     //
     // Pool size adapts to the remaining wall-clock budget (r4 postmortem:
     // a fixed 6-draw pool + compaction overran the driver and lost the
-    // round): compaction already ran above, so only ~1 draw of headroom is
-    // reserved for the tail (probe medians + lakeskip), and an even number
-    // of draws (6 → 4 → 2 → 0) fits into what's left. At 0 the plough
-    // draw's time stands in for the pool median — a degraded but honest
-    // Standard-mode measurement.
+    // round): compaction already ran above, so the reserve is only the
+    // ~60 s tail (probe medians + lakeskip) plus margin. ODD pool sizes
+    // are allowed (r7: the even-rounding starved the pool to 0 twice when
+    // exactly one draw fit) — both modes share the pooled full-apply
+    // phase, so a 1-draw pool is a degraded-but-honest median, strictly
+    // better evidence than falling back to the plough alone. At 0 the
+    // plough draw's time stands in.
     val perDraw = math.max(ploughT, 10.0)
     val nDraws = {
       // each pooled rewrite draw is chased by one interleaved 5pct draw
       // (see below), so a draw slot costs perDraw + tIncr
-      val fit = ((remaining - 1.0 * perDraw) / (perDraw + tIncr)).toInt
-      math.max(0, math.min(6, fit - (fit % 2)))
+      val fit = ((remaining - 0.5 * perDraw) / (perDraw + tIncr)).toInt
+      math.max(0, math.min(6, fit))
     }
     if (nDraws < 6)
       System.err.println(f"[bench] budget pressure: $nDraws%d pooled draws " +
