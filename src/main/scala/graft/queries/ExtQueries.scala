@@ -149,6 +149,18 @@ object ExtQueries {
       Similarity.ivfTopK(
         Similarity.prepare(embs(s, d), "vec_id", "embedding"), k = 3)),
 
+    // reciprocal-rank fusion of two genuinely different retrievers
+    // (global exact top-5 + bucket-restricted IVF top-5) — the
+    // calibration-free hybrid-retrieval merge, in exact integer micros
+    "q_sim_rrf" -> ((s, d) => {
+      val prep = Similarity.prepare(embs(s, d), "vec_id", "embedding")
+      val brute = Similarity.bruteForceTopK(prep,
+        prep.filter(col("vec_id") % 40 === 0), k = 5)
+      val ivf = Similarity.ivfTopK(prep, k = 5)
+        .filter(col("query_id") % 40 === 0)
+      Retrieval.rrfFuse(Seq(brute, ivf), topN = 5)
+    }),
+
     // ---- LSH-bucketed ANN (scale path without given clusters) ----
     "q_sim_lsh" -> ((s, d) =>
       Similarity.lshNearDupPairs(
@@ -1297,6 +1309,42 @@ SELECT query_id, rank, neighbor_id FROM (
   SELECT query_id, neighbor_id,
     row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
   FROM p) WHERE rank <= 5""",
+
+    // RRF replay: both retrievers' ranked lists rebuilt from the shared
+    // quantized-cosine CTEs, fused with the identical integer-micros rule
+    "q_sim_rrf" -> """WITH q AS (
+  SELECT vec_id, label,
+    list_transform(embedding, x -> CAST(floor(x * 1048576 + 0.5) AS BIGINT)) AS qe
+  FROM embeddings),
+n AS (SELECT vec_id, label, qe,
+  sqrt(CAST(list_sum(list_transform(qe, x -> x * x)) AS DOUBLE)) AS nrm FROM q),
+pb AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+  (CAST(list_sum(list_transform(range(64), i -> a.qe[i+1] * b.qe[i+1])) AS DOUBLE)
+   / a.nrm) / b.nrm AS cos
+  FROM n a JOIN n b ON a.vec_id % 40 = 0 AND a.vec_id <> b.vec_id),
+r1 AS (SELECT query_id, neighbor_id, rank FROM (
+  SELECT query_id, neighbor_id,
+    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+  FROM pb) WHERE rank <= 5),
+pi AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+  (CAST(list_sum(list_transform(range(64), i -> a.qe[i+1] * b.qe[i+1])) AS DOUBLE)
+   / a.nrm) / b.nrm AS cos
+  FROM n a JOIN n b ON a.label = b.label AND a.vec_id % 40 = 0 AND a.vec_id <> b.vec_id),
+r2 AS (SELECT query_id, neighbor_id, rank FROM (
+  SELECT query_id, neighbor_id,
+    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+  FROM pi) WHERE rank <= 5),
+u AS (SELECT query_id, neighbor_id, 1000000 // (60 + rank) AS c FROM r1
+      UNION ALL
+      SELECT query_id, neighbor_id, 1000000 // (60 + rank) AS c FROM r2),
+f AS (SELECT query_id, neighbor_id, CAST(sum(c) AS BIGINT) AS rrf_micros
+      FROM u GROUP BY 1, 2)
+SELECT query_id, CAST(fused_rank AS INTEGER) AS fused_rank, neighbor_id, rrf_micros
+FROM (SELECT query_id, neighbor_id, rrf_micros,
+        row_number() OVER (PARTITION BY query_id
+          ORDER BY rrf_micros DESC, neighbor_id ASC) AS fused_rank
+      FROM f)
+WHERE fused_rank <= 5""",
 
     "q_sim_ivf" -> """WITH q AS (
   SELECT vec_id, label,

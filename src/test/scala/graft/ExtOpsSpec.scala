@@ -265,6 +265,18 @@ class SimilaritySpec extends AnyFunSuite {
     (4L, Array(0.0f, 0.0f, 1.0f), 1)    // other bucket
   ).toDF("vec_id", "embedding", "label")
 
+  test("RRF fusion: hand-computed micros; doc in both lists outranks either single-list doc") {
+    import spark.implicits._
+    val r1 = Seq((1L, 10L, 1), (1L, 20L, 2)).toDF("query_id", "neighbor_id", "rank")
+    val r2 = Seq((1L, 20L, 1), (1L, 30L, 2)).toDF("query_id", "neighbor_id", "rank")
+    val fused = Retrieval.rrfFuse(Seq(r1, r2), topN = 3)
+      .as[(Long, Int, Long, Long)].collect().sortBy(_._2)
+    // 20 in both lists: 10^6 div 62 + 10^6 div 61 = 16129 + 16393
+    assert(fused(0) == (1L, 1, 20L, 16129L + 16393L))
+    assert(fused(1) == (1L, 2, 10L, 16393L)) // rank-1 single beats rank-2 single
+    assert(fused(2) == (1L, 3, 30L, 16129L))
+  }
+
   test("quantized cosine ranks the near neighbor first") {
     val prep = Similarity.prepare(vecs, "vec_id", "embedding")
     val top = Similarity.bruteForceTopK(prep, prep.filter(col("vec_id") === 1), k = 2)
