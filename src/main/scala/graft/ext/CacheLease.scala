@@ -25,18 +25,31 @@ import org.apache.spark.storage.StorageLevel
   *    call it after materializing each query's result, leaving any
   *    user-owned cache entries alone.
   *
-  * Sessions are weak keys: a dropped SparkSession must not be pinned by its
-  * outstanding leases.
+  * A STOPPED session's entries are purged on the next acquire/release
+  * call (its cache died with the context, so dropping the references is
+  * correct). Weak keys would not work here: each leased DataFrame holds a
+  * runtime reference to its SparkSession, so a WeakHashMap's values would
+  * resurrect their own keys (the r7 review finding) — and weakly holding
+  * the FRAMES instead would let the GC clear exactly the internal frames
+  * releaseAll exists to unpersist.
   */
 object CacheLease {
 
   private val leases =
-    new java.util.WeakHashMap[SparkSession, java.util.ArrayList[DataFrame]]()
+    new java.util.HashMap[SparkSession, java.util.ArrayList[DataFrame]]()
+
+  /** Drop entries of sessions whose context has stopped — their cached
+    * blocks are already gone. Called under `synchronized`. */
+  private def purgeStopped(): Unit = {
+    val it = leases.keySet().iterator()
+    while (it.hasNext) if (it.next().sparkContext.isStopped) it.remove()
+  }
 
   /** Persist `df` only if nothing cached it yet; record the lease so
     * [[releaseAll]] can reclaim it. Returns whether THIS call persisted
     * (callers that unpersist early only unpersist what they persisted). */
   def acquire(df: DataFrame): Boolean = synchronized {
+    purgeStopped()
     if (df.storageLevel == StorageLevel.NONE) {
       df.persist()
       leases.computeIfAbsent(df.sparkSession,
@@ -55,6 +68,7 @@ object CacheLease {
     * of a sweep, or whenever the results of the leased operators have been
     * materialized. */
   def releaseAll(spark: SparkSession): Unit = synchronized {
+    purgeStopped()
     Option(leases.remove(spark)).foreach { l =>
       l.forEach { df => df.unpersist(blocking = false); () }
     }

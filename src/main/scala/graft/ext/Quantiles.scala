@@ -34,12 +34,15 @@ object Quantiles {
     graft.functions.GraftFunctions.register(df.sparkSession)
     require(qsPermille.nonEmpty && qsPermille.forall(q => q > 0 && q <= 1000))
     // null values sit outside the quantile domain (SQL percentile
-    // semantics); filtering them up front also guarantees every present
-    // group has a non-empty sketch, so the ANSI element_at below is safe
+    // semantics) and a null KEY hashes to null (the aggregate would skip
+    // it while the row still counted — r7 review); filtering both up
+    // front guarantees every present group has a non-empty sketch, so the
+    // ANSI element_at below is safe, and `n` counts exactly the sketch's
+    // population
     val hashed = df.select(col(groupCol),
       Dedup.h32(col(keyCol).cast("string")).as("_h"),
       col(valueCol).cast("long").as("_v"))
-      .filter(col("_v").isNotNull)
+      .filter(col("_v").isNotNull && col("_h").isNotNull)
     val sk = hashed.groupBy(col(groupCol))
       .agg(expr(s"quantile_sketch(_h, _v, $k)").as("sk"),
         count(lit(1)).as("n"))
@@ -80,7 +83,7 @@ object Quantiles {
     val hashed = df.select(col(groupCol),
       Dedup.h32(col(keyCol).cast("string")).as("_h"),
       col(valueCol).cast("long").as("_v"))
-      .filter(col("_v").isNotNull) // see quantileEstimate
+      .filter(col("_v").isNotNull && col("_h").isNotNull) // see quantileEstimate
     val perGroup = hashed.groupBy(col(groupCol))
       .agg(expr(s"quantile_sketch(_h, _v, $k)").as("sk"))
     val merged = perGroup

@@ -44,7 +44,9 @@ case class QuantileSketchAgg(
 
   require(k > 0, s"quantile sketch needs k > 0, got $k")
 
-  private def ord: java.util.Comparator[(Long, Long)] =
+  // transient lazy: one comparator per JVM, not per update() call (the
+  // per-row hot path), and never serialized with the expression tree
+  @transient private lazy val ord: java.util.Comparator[(Long, Long)] =
     new java.util.Comparator[(Long, Long)] {
       override def compare(a: (Long, Long), b: (Long, Long)): Int = {
         val c = java.lang.Long.compare(a._1, b._1)

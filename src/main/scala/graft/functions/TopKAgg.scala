@@ -41,8 +41,9 @@ case class TopKAgg(
 
   require(k > 0, s"top-k needs k > 0, got $k")
 
-  // rank order: score DESC, id ASC — the buffer's "last" is the WORST kept
-  private def ord: java.util.Comparator[(Long, Long)] =
+  // rank order: score DESC, id ASC — the buffer's "last" is the WORST kept.
+  // transient lazy: one comparator per JVM, not per update() call
+  @transient private lazy val ord: java.util.Comparator[(Long, Long)] =
     new java.util.Comparator[(Long, Long)] {
       override def compare(a: (Long, Long), b: (Long, Long)): Int = {
         val c = java.lang.Long.compare(b._1, a._1) // higher score first

@@ -703,7 +703,7 @@ FROM events GROUP BY 1, 2""",
   SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour,
     (('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8))::BIGINT) AS h,
     CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS v
-  FROM events),
+  FROM events WHERE value IS NOT NULL AND event_id IS NOT NULL),
 sk AS (SELECT hour, h, v FROM (SELECT DISTINCT hour, h, v FROM hh)
        QUALIFY row_number() OVER (PARTITION BY hour ORDER BY h, v) <= 64),
 m AS (SELECT hour, CAST(count(*) AS BIGINT) AS m FROM sk GROUP BY 1),

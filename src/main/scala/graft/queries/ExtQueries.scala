@@ -1551,7 +1551,7 @@ FROM ssum""",
     // same sample, so estimates AND the exact-rank audit agree bit-for-bit
     "q_quantile_sketch" -> s"""WITH h AS (
   SELECT source, ${oh32("CAST(doc_id AS VARCHAR)")} AS h, n_chars AS v
-  FROM documents),
+  FROM documents WHERE n_chars IS NOT NULL AND doc_id IS NOT NULL),
 sk AS (SELECT source, h, v FROM (SELECT DISTINCT source, h, v FROM h)
        QUALIFY row_number() OVER (PARTITION BY source ORDER BY h, v) <= 256),
 m AS (SELECT source, CAST(count(*) AS BIGINT) AS m FROM sk GROUP BY 1),
@@ -1561,7 +1561,7 @@ qs AS (SELECT unnest([250, 500, 750, 900]) AS q_permille),
 est AS (SELECT o.source, q.q_permille, o.v AS est
         FROM ordv o JOIN m USING (source) JOIN qs q
           ON o.rv = GREATEST((q.q_permille * m.m + 999) // 1000, 1)),
-n AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY 1),
+n AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM h GROUP BY 1),
 le AS (SELECT e.source, e.q_permille, CAST(count(*) AS BIGINT) AS n_le
        FROM est e JOIN h ON h.source = e.source AND h.v <= e.est
        GROUP BY 1, 2)
@@ -1575,7 +1575,7 @@ JOIN le ON le.source = e.source AND le.q_permille = e.q_permille""",
     // building both sides independently
     "q_quantile_rollup" -> s"""WITH h AS (
   SELECT source, ${oh32("CAST(doc_id AS VARCHAR)")} AS h, n_chars AS v
-  FROM documents),
+  FROM documents WHERE n_chars IS NOT NULL AND doc_id IS NOT NULL),
 skg AS (SELECT source, h, v FROM (SELECT DISTINCT source, h, v FROM h)
         QUALIFY row_number() OVER (PARTITION BY source ORDER BY h, v) <= 256),
 mrg AS (SELECT h, v FROM (SELECT DISTINCT h, v FROM skg)

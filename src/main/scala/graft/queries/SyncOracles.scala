@@ -350,7 +350,7 @@ FROM (
 hh AS (SELECT l_returnflag,
          (('0x' || substr(md5(CAST(RecId AS VARCHAR)), 1, 8))::BIGINT) AS h,
          CAST(RECVERSION AS BIGINT) AS v
-       FROM fin),
+       FROM fin WHERE RECVERSION IS NOT NULL AND RecId IS NOT NULL),
 sk AS (SELECT l_returnflag, h, v
        FROM (SELECT DISTINCT l_returnflag, h, v FROM hh)
        QUALIFY row_number() OVER (PARTITION BY l_returnflag ORDER BY h, v) <= 64),

@@ -116,7 +116,7 @@ object StreamingSync {
       .select(col("ts"),
         graft.ext.Dedup.h32(col(keyCol).cast("string")).as("_h"),
         col(valueCol).cast("long").as("_v"))
-      .filter(col("_v").isNotNull) // null values sit outside the domain
+      .filter(col("_v").isNotNull && col("_h").isNotNull) // outside the domain
       .groupBy(window(col("ts"), windowLen))
       .agg(expr(s"quantile_sketch(_h, _v, $k)").as("sk"),
         count(lit(1)).as("n"))

@@ -213,7 +213,7 @@ object Maintain {
     def pairs(df: DataFrame) = df.select(col(groupCol),
       graft.ext.Dedup.h32(col(keyCol).cast("string")).as("_h"),
       col(valueCol).cast("long").as("_v"))
-      .filter(col("_v").isNotNull) // null values sit outside the domain
+      .filter(col("_v").isNotNull && col("_h").isNotNull) // outside the domain
     def sketchOf(p: DataFrame) = p.groupBy(col(groupCol))
       .agg(expr(s"quantile_sketch(_h, _v, $k)").as("sk"))
     val init = sketchOf(pairs(initialState))
