@@ -244,6 +244,14 @@ object ExtQueries {
         docs(s, d).select(col("source"), explode(split(col("text"), " ")).as("tok")),
         "source", "tok", k = 64)),
 
+    // ---- source-pair vocabulary overlap matrix from per-source KMV
+    // sketches: which sources duplicate each other, at sketch cost ----
+    "q_source_overlap" -> ((s, d) =>
+      KmvSketch.pairwiseJaccardMatrix(
+        docs(s, d).select(col("source"),
+          explode(split(col("text"), " ")).as("tok")),
+        "source", "tok", k = 64)),
+
     // ---- HLL distinct sketch: m-byte mergeable registers, raw estimate
     // with MEASURED error permille vs the exact count (no ln-based
     // small-range correction — the determinism rule) ----
@@ -1503,6 +1511,35 @@ SELECT e.source,
   coalesce((63.0 * 4294967296.0) / r.h, CAST(e.nd AS DOUBLE)) AS kmv_estimate
 FROM exact e LEFT JOIN (SELECT source, h FROM ranked WHERE rn = 64) r
   ON e.source = r.source""",
+
+    // source-overlap replay: per-source bottom-k distinct hashes, per-pair
+    // union sketch (k smallest of the union), m = shared mins at-or-below
+    // the union's k-th, ρ in floored millis — zero-overlap pairs included
+    "q_source_overlap" -> s"""WITH tok AS (
+  SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents),
+h AS (SELECT DISTINCT source, ${oh32("tok")} AS h FROM tok),
+sk AS (SELECT source, h FROM (
+  SELECT source, h, row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+  FROM h) WHERE rn <= 64),
+g AS (SELECT DISTINCT source FROM sk),
+pairs AS (SELECT a.source AS g_a, b.source AS g_b
+          FROM g a JOIN g b ON a.source < b.source),
+ab AS (SELECT p.g_a, p.g_b, s.h, s.source
+       FROM pairs p JOIN sk s ON s.source IN (p.g_a, p.g_b)),
+u AS (SELECT g_a, g_b, h FROM (
+  SELECT g_a, g_b, h, row_number() OVER (PARTITION BY g_a, g_b ORDER BY h) AS rn
+  FROM (SELECT DISTINCT g_a, g_b, h FROM ab)) WHERE rn <= 64),
+kth AS (SELECT g_a, g_b, max(h) AS kth, count(*) AS usz FROM u GROUP BY 1, 2),
+inter AS (SELECT x.g_a, x.g_b, x.h
+          FROM ab x JOIN ab y ON x.g_a = y.g_a AND x.g_b = y.g_b
+            AND x.h = y.h AND x.source = x.g_a AND y.source = x.g_b),
+m AS (SELECT i.g_a, i.g_b, CAST(count(*) AS BIGINT) AS m
+      FROM inter i JOIN kth t ON t.g_a = i.g_a AND t.g_b = i.g_b
+        AND i.h <= t.kth
+      GROUP BY 1, 2)
+SELECT t.g_a, t.g_b, COALESCE(m.m, 0) AS n_common_mins,
+  CAST(floor(COALESCE(m.m, 0) * 1000.0 / t.usz) AS BIGINT) AS jaccard_millis
+FROM kth t LEFT JOIN m ON m.g_a = t.g_a AND m.g_b = t.g_b""",
 
     // HLL replay: bucket/rank from the shared 32-bit hash (rank via bin()
     // string length — identical minimal rendering in both engines), register

@@ -29,6 +29,24 @@ class DedupSpec extends AnyFunSuite {
     def toMap_ : Map[Long, (Boolean, Long)] = rows.map(r => r._1 -> (r._2, r._3)).toMap
   }
 
+  test("pairwise source-overlap matrix is EXACT below the sketch size") {
+    import spark.implicits._
+    // vocabularies small enough that every sketch is the full distinct
+    // set: estimates must equal true Jaccard exactly
+    val toks = Seq(
+      ("s1", "a"), ("s1", "b"), ("s1", "c"), ("s1", "d"),
+      ("s2", "c"), ("s2", "d"), ("s2", "e"), ("s2", "f"), // J(s1,s2)=2/6
+      ("s3", "x"), ("s3", "y")                            // disjoint
+    ).toDF("source", "tok")
+    val out = KmvSketch.pairwiseJaccardMatrix(toks, "source", "tok", k = 64)
+      .as[(String, String, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    assert(out(("s1", "s2")) == (2L, (2000L / 6)))
+    assert(out(("s1", "s3")) == (0L, 0L))
+    assert(out(("s2", "s3")) == (0L, 0L))
+    assert(out.size == 3)
+  }
+
   test("containment flags the embedded doc that symmetric jaccard misses") {
     import spark.implicits._
     val corpus = Seq(
