@@ -131,6 +131,35 @@ object Dedup {
     aInB.unionByName(bInA)
   }
 
+  /** Per-doc n-gram NOVELTY of a new batch against an existing corpus:
+    * novelty = |shingles(doc) ∖ corpus-shingles| · 1000 div
+    * |shingles(doc)| — the ingest-freshness diagnostic (1000 = entirely
+    * new content, 0 = every n-gram already in the corpus; a low-novelty
+    * gate catches paraphrase-grade duplication that exact dedup misses,
+    * and a batch-level mean tracks crawl staleness over time).
+    *
+    * Scale shape: the corpus contributes only its DISTINCT shingle set
+    * (at 100 TB, a precomputed shingle index maintained incrementally —
+    * the same artifact [[crossCorpusJaccardPairs]] probes); the counting
+    * join is new-shingles LEFT ANTI corpus-shingles, keyed on the shingle
+    * — O(|new| + matches), the corpus never re-shuffles per batch.
+    *
+    * @return (idCol, nsh, n_fresh, novelty_permille) for every new doc
+    *         with at least one shingle. */
+  def noveltyReport(newDf: DataFrame, corpusDf: DataFrame,
+      idCol: String, textCol: String, n: Int = 3): DataFrame = {
+    val newSh = shingles(newDf, idCol, textCol, n)
+    val corpusSh = shingles(corpusDf, idCol, textCol, n)
+      .select("shingle").distinct()
+    val sizes = newSh.groupBy("sid").agg(count(lit(1)).as("nsh"))
+    val fresh = newSh.join(corpusSh, Seq("shingle"), "left_anti")
+      .groupBy("sid").agg(count(lit(1)).as("n_fresh"))
+    sizes.join(fresh, Seq("sid"), "left")
+      .withColumn("n_fresh", coalesce(col("n_fresh"), lit(0L)))
+      .select(col("sid").as(idCol), col("nsh"), col("n_fresh"),
+        expr("(n_fresh * 1000) div nsh").as("novelty_permille"))
+  }
+
   /** Incremental (cross-corpus) near-dup: match a NEW batch against an
     * EXISTING corpus — the shape a continuous ingestion pipeline actually
     * runs (dedup today's crawl against the 100 TB already kept), where

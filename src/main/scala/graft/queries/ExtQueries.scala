@@ -80,6 +80,14 @@ object ExtQueries {
       Dedup.containmentPairs(docs(s, d), "doc_id", "text",
         n = 3, thresholdPermille = 800)),
 
+    // per-doc n-gram novelty of a simulated new batch (doc_id % 5 = 0)
+    // vs the rest of the corpus — the ingest-freshness gate
+    "q_corpus_novelty" -> ((s, d) =>
+      Dedup.noveltyReport(
+        docs(s, d).filter(col("doc_id") % 5 === 0),
+        docs(s, d).filter(col("doc_id") % 5 =!= 0),
+        "doc_id", "text")),
+
     "q_dedup_minhash" -> ((s, d) =>
       Dedup.minhashLshPairs(docs(s, d), "doc_id", "text", n = 3, threshold = 0.5)),
 
@@ -1071,6 +1079,18 @@ pairs AS (SELECT a.sid AS id_a, b.sid AS id_b, count(*) AS common
           FROM capped a JOIN capped b ON a.shingle = b.shingle AND a.sid < b.sid
           GROUP BY 1, 2)
 $jaccardVerify""",
+
+    // novelty replay: new-batch shingles anti-joined to the rest's
+    // distinct shingle set, per-doc integer permille
+    "q_corpus_novelty" -> s"""WITH $shinglesCte,
+nsh AS (SELECT sid, shingle FROM sh WHERE sid % 5 = 0),
+csh AS (SELECT DISTINCT shingle FROM sh WHERE sid % 5 <> 0),
+sz AS (SELECT sid, CAST(count(*) AS BIGINT) AS nsh FROM nsh GROUP BY 1),
+fresh AS (SELECT sid, CAST(count(*) AS BIGINT) AS n_fresh FROM nsh
+          WHERE shingle NOT IN (SELECT shingle FROM csh) GROUP BY 1)
+SELECT s.sid AS doc_id, s.nsh, COALESCE(f.n_fresh, 0) AS n_fresh,
+  (COALESCE(f.n_fresh, 0) * 1000) // s.nsh AS novelty_permille
+FROM sz s LEFT JOIN fresh f USING (sid)""",
 
     // containment replay: same capped shingle pairs, both directions gated
     // in integer permille against each side's OWN size

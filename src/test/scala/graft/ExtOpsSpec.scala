@@ -237,6 +237,52 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("novelty: duplicate batch doc scores 0, fresh doc 1000, partial overlap exact") {
+    import spark.implicits._
+    val corpus = Seq((1L, "the quick brown fox jumps over")).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "the quick brown fox jumps over"),    // identical → 0
+      (11L, "completely different words entirely here"), // fresh → 1000
+      (12L, "the quick brown fox sat down")       // shares 2 of 4 shingles
+    ).toDF("doc_id", "text")
+    val out = Dedup.noveltyReport(batch, corpus, "doc_id", "text")
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(out(10L) == (4L, 0L, 0L))
+    assert(out(11L) == (3L, 3L, 1000L))
+    assert(out(12L) == (4L, 2L, 500L))
+  }
+
+  test("containment PROPERTY: equals brute-force shingle-set containment " +
+      "on seeded random corpora across thresholds") {
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta",
+      "eta", "theta", "iota", "kappa")
+    for (seed <- 1 to 2; tPermille <- Seq(500, 800, 1000)) {
+      val rnd = new scala.util.Random(seed * 13 + tPermille)
+      val rows = (1 to 35).map { i =>
+        val len = 5 + rnd.nextInt(10)
+        (i.toLong, Seq.fill(len)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      }
+      val corpus = rows.toDF("doc_id", "text")
+      val got = Dedup.containmentPairs(corpus, "doc_id", "text",
+          n = 3, thresholdPermille = tPermille)
+        .as[(Long, Long, Double)].collect().toSet
+      // brute force: distinct 3-gram sets per doc, all ordered pairs
+      val sets = rows.map { case (id, text) =>
+        val toks = text.split(" ")
+        id -> toks.sliding(3).map(_.mkString(" ")).toSet
+      }.toMap
+      val want = (for {
+        (a, sa) <- sets.toSeq; (b, sb) <- sets.toSeq
+        if a != b && sa.nonEmpty
+        common = (sa & sb).size
+        if common * 1000 >= tPermille * sa.size
+      } yield (a, b, common.toDouble / sa.size)).toSet
+      assert(got == want,
+        s"seed=$seed t=$tPermille: got ${got.size} vs want ${want.size}")
+    }
+  }
+
   test("prefix join: candidate stage prunes (prefix strictly smaller than shingle set)") {
     val corpus = (1 to 20).map { i =>
       (i.toLong, s"shared head words here tail$i t${i % 4} u${i % 6} v$i final token")
