@@ -94,6 +94,42 @@ object Quality {
       .reduce(_ unionByName _)
   }
 
+  /** Benford expectation for first significant digits, in floored
+    * permille — computed ONCE here (log10(1+1/d)) and inlined as integer
+    * literals into BOTH engines' plans (the alphaM2 rule: no runtime
+    * log(), whose cross-engine last-ulp behavior is unspecified). */
+  def benfordPermille: Seq[(Int, Long)] =
+    (1 to 9).map(d => d -> math.floor(math.log10(1.0 + 1.0 / d) * 1000).toLong)
+
+  /** Benford first-digit audit of a positive numeric column — the classic
+    * fabricated-numbers / unit-mix / truncation screen for financial and
+    * measurement data: observed first-significant-digit shares vs the
+    * Benford expectation, deviation per digit in permille. First digit is
+    * extracted from the decimal string rendering of the positive integer
+    * value (identical in any engine); non-positive rows are excluded.
+    *
+    * Scale shape: one scan + one 9-row groupBy (map-side partials); the
+    * total and the expectation table ride broadcast joins.
+    *
+    * @param valueCol integral-valued column (quantize floats first)
+    * @return (digit, n, obs_permille, benford_permille, dev_permille). */
+  def benfordAudit(df: DataFrame, valueCol: org.apache.spark.sql.Column): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val digits = df.select(valueCol.cast("long").as("_v"))
+      .filter(col("_v") > 0)
+      .select(substring(col("_v").cast("string"), 1, 1).cast("int").as("digit"))
+    val tot = digits.agg(count(lit(1)).as("_tot"))
+    val expected = benfordPermille.toDF("digit", "benford_permille")
+    digits.groupBy(col("digit")).agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(tot))
+      .withColumn("obs_permille", expr("(n * 1000) div _tot"))
+      .join(broadcast(expected), Seq("digit"))
+      .select(col("digit"), col("n"), col("obs_permille"),
+        col("benford_permille"),
+        abs(col("obs_permille") - col("benford_permille")).as("dev_permille"))
+  }
+
   /** Corpus-concentration audit: how dominated is the corpus by its
     * largest groups — the mix-balance check a training pipeline runs
     * before a source drowns the blend. One row:

@@ -71,6 +71,13 @@ object AnalyticsQueries {
       graft.ext.Quality.concentration(
         s.read.parquet(s"$d/documents.parquet"), col("source"))),
 
+    // Benford first-digit audit of price cents — fabricated-numbers /
+    // unit-mix screen; expectation constants inlined into both engines
+    "q_dq_benford" -> ((s, d) =>
+      graft.ext.Quality.benfordAudit(
+        s.read.parquet(s"$d/lineitem.parquet"),
+        floor(col("l_extendedprice") * 100 + 0.5))),
+
     // PER-GROUP top-k through the bounded mergeable aggregate (map-side
     // partial top-k, O(k) state — never a full per-group window sort):
     // each supplier's 3 priciest line items in integer cents
@@ -379,6 +386,44 @@ object AnalyticsQueries {
           .as("est"), col("n"))
     }),
 
+    // streaming windowed TOP-K end to end: the bounded buffer in the
+    // state store; emitted windows equal the batch per-hour top-3
+    "q_stream_topk" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft_stream_tk").toString
+      val (evDir, outDir, ckpt) = (s"$dir/ev", s"$dir/out", s"$dir/ckpt")
+      val ev = EventsSource.load(s, d).select(col("ts"), col("event_id"),
+        floor(col("value") * 1000000.0 + 0.5).cast("long").as("value"))
+      ev.coalesce(1).write.parquet(evDir)
+      def runOnce(): Unit = {
+        val stream = s.readStream.schema(s.read.parquet(evDir).schema).parquet(evDir)
+        graft.streaming.StreamingSync
+          .windowedTopK(stream, "value", "event_id", k = 3)
+          .select(col("window.start").as("hour"), col("tk"))
+          .writeStream.format("parquet").option("path", outDir)
+          .option("checkpointLocation", ckpt)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start().awaitTermination(300000) match {
+          case true => ()
+          case false => sys.error("streaming run did not finish in 300 s")
+        }
+      }
+      runOnce()
+      val maxUs = ev.agg(max(unix_micros(col("ts")))).head.getLong(0)
+      val step = 4L * 3600L * 1000000L
+      Seq(1, 2).foreach { i =>
+        s.sql(s"SELECT timestamp_micros(${maxUs + i * step * i}L) AS ts, " +
+            "-1L AS event_id, 0L AS value")
+          .coalesce(1).write.mode("append").parquet(evDir)
+        runOnce()
+      }
+      s.read.parquet(outDir)
+        .filter(unix_micros(col("hour")) <= maxUs)
+        .select(col("hour"), posexplode(col("tk")).as(Seq("_pos", "_e")))
+        .select(col("hour"), (col("_pos") + 1).as("rank"),
+          col("_e.id").as("event_id"), col("_e.score").as("value_micros"))
+    }),
+
     // stream-stream interval join run END TO END: every event matched to
     // the user's signups in the hour before it. Inner interval joins emit
     // matches EAGERLY (the watermark only bounds state retention), so one
@@ -608,6 +653,21 @@ FROM j""",
       l_orderkey * 10 + l_linenumber) AS rank
   FROM lineitem) WHERE rank <= 3""",
 
+    // Benford replay: identical string-prefix digit extraction, identical
+    // inlined expectation literals
+    "q_dq_benford" -> s"""WITH v AS (
+  SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS x FROM lineitem
+  WHERE CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) > 0),
+d AS (SELECT CAST(substr(CAST(x AS VARCHAR), 1, 1) AS INTEGER) AS digit FROM v),
+g AS (SELECT digit, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY 1),
+t AS (SELECT CAST(count(*) AS BIGINT) AS tot FROM d),
+b AS (SELECT unnest([${graft.ext.Quality.benfordPermille.map(_._1).mkString(", ")}]) AS digit,
+             unnest([${graft.ext.Quality.benfordPermille.map(_._2).mkString(", ")}]) AS benford_permille)
+SELECT g.digit, g.n, (g.n * 1000) // t.tot AS obs_permille,
+  CAST(b.benford_permille AS BIGINT) AS benford_permille,
+  abs((g.n * 1000) // t.tot - b.benford_permille) AS dev_permille
+FROM g CROSS JOIN t JOIN b ON b.digit = g.digit""",
+
     // concentration replay: the same single-rational Gini over ascending
     // group sizes (two separately-floored terms would diverge)
     "q_dq_concentration" -> """WITH c AS (
@@ -695,6 +755,18 @@ FROM events GROUP BY 1, 2""",
   event_type, count(*) AS n,
   CAST(sum(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value
 FROM events GROUP BY 1, 2""",
+
+    // batch twin of the streamed top-k: per-hour (value DESC, id ASC)
+    // head, distinct (score, id) pairs — TopKAgg's set semantics
+    "q_stream_topk" -> """WITH h AS (
+  SELECT DISTINCT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour,
+    CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS v, event_id
+  FROM events WHERE value IS NOT NULL AND event_id IS NOT NULL)
+SELECT hour, CAST(rank AS INTEGER) AS rank, event_id, v AS value_micros
+FROM (SELECT hour, event_id, v,
+        row_number() OVER (PARTITION BY hour ORDER BY v DESC, event_id ASC) AS rank
+      FROM h)
+WHERE rank <= 3""",
 
     // batch twin of the streamed quantile sketch: per-hour bottom-64
     // distinct (h32(event_id), value-micros) pairs + the shared

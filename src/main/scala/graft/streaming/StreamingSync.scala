@@ -122,6 +122,27 @@ object StreamingSync {
         count(lit(1)).as("n"))
   }
 
+  /** Streaming windowed TOP-K: [[graft.functions.TopKAgg]]'s bounded
+    * buffer in the state store — "the k biggest events of each hour",
+    * maintained in O(k) state per window, emitted final once the
+    * watermark passes. Like [[windowedQuantileSketch]], the buffer is a
+    * pure function of the window's data (set semantics, unique ids), so
+    * the emitted result is bit-identical to a batch top-k. Output:
+    * (window, tk) — explode downstream for (rank, id, score) rows. */
+  def windowedTopK(
+      events: DataFrame, scoreCol: String, idCol: String, k: Int,
+      windowLen: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame = {
+    graft.functions.GraftFunctions.register(events.sparkSession)
+    events
+      .withWatermark("ts", watermark)
+      .select(col("ts"), col(scoreCol).cast("long").as("_s"),
+        col(idCol).cast("long").as("_i"))
+      .filter(col("_s").isNotNull && col("_i").isNotNull)
+      .groupBy(window(col("ts"), windowLen))
+      .agg(expr(s"topk_agg(_s, _i, $k)").as("tk"))
+  }
+
   /** Stream–stream interval join: enrich an event stream with the matching
     * row from a second stream (e.g. clicks ⋈ impressions, orders ⋈
     * payments) where the right event arrived within `[0, maxDelay]` BEFORE

@@ -45,6 +45,21 @@ class QualitySpec extends AnyFunSuite {
     assert(out.forall(_._4), s"expected all-pass, got ${out.mkString(", ")}")
   }
 
+  test("benford audit: hand-computed shares; non-positive rows excluded") {
+    // digits: 1×4, 2×2, 9×2, plus excluded 0 and negative
+    val vals = Seq(1L, 10L, 150L, 199L, 2L, 25L, 9L, 900L, 0L, -5L).toDF("x")
+    val out = Quality.benfordAudit(vals, col("x"))
+      .as[(Int, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._5)).toMap
+    assert(out(1) == (4L, 500L, 500L - 301L))
+    assert(out(2) == (2L, 250L, 250L - 176L))
+    assert(out(9) == (2L, 250L, 250L - 45L))
+    assert(out.size == 3)
+    // expectation constants: permille floors of log10(1+1/d)
+    assert(Quality.benfordPermille.head == (1 -> 301L))
+    assert(Quality.benfordPermille.map(_._2).sum <= 1000L)
+  }
+
   test("concentration: even mix ginis 0; hand-computed skewed mix; one group tops out") {
     def gini(rows: Seq[String]): (Long, Long, Long, Long) =
       Quality.concentration(rows.toDF("g"), col("g"))
