@@ -185,36 +185,6 @@ object KmvSketch {
     * Output: one row (m, kth_union, est_overlap); pure integer arithmetic
     * plus IEEE divisions in a fixed order, so DuckDB reproduces it
     * bit-for-bit. */
-  /** Corpus-similarity MATRIX: estimated vocabulary Jaccard between every
-    * PAIR of groups, from their per-group KMV sketches — the "which
-    * sources duplicate each other" diagnostic a curation pipeline runs
-    * before blending, at sketch cost. Same Beyer et al. construction as
-    * [[overlapEstimate]] per pair: union sketch = k smallest of K_a ∪ K_b,
-    * ρ = |K_a ∩ K_b ∩ union| / |union| estimates J(A,B); when the union
-    * fits in one sketch the sketches ARE the distinct sets and ρ is exact.
-    *
-    * Scale shape: ONE groupBy pass over the data (k longs of state per
-    * group, map-side partials), then a pair join over the |groups|-row
-    * sketch frame — metadata-sized, never the corpus; groups² pairs of
-    * k-element array ops. Output: (g_a, g_b, n_common_mins,
-    * jaccard_millis) for every unordered pair, zero-overlap pairs
-    * included. */
-  def pairwiseJaccardMatrix(df: DataFrame, groupCol: String,
-      valueCol: String, k: Int = 64): DataFrame = {
-    graft.functions.GraftFunctions.register(df.sparkSession)
-    val sk = df.select(col(groupCol).as("_g"), Dedup.h32(col(valueCol)).as("h"))
-      .groupBy(col("_g")).agg(expr(s"kmv_sketch(h, $k)").as("mins"))
-    sk.select(col("_g").as("g_a"), col("mins").as("ka"))
-      .join(sk.select(col("_g").as("g_b"), col("mins").as("kb")),
-        col("g_a") < col("g_b"))
-      .withColumn("u", slice(expr("array_sort(array_union(ka, kb))"), 1, k))
-      .withColumn("usz", size(col("u")))
-      .withColumn("kth", element_at(col("u"), col("usz")))
-      .withColumn("m", expr("size(filter(array_intersect(ka, kb), x -> x <= kth))"))
-      .select(col("g_a"), col("g_b"), col("m").cast("long").as("n_common_mins"),
-        floor(col("m") * lit(1000.0) / col("usz")).cast("long").as("jaccard_millis"))
-  }
-
   def overlapEstimate(a: DataFrame, aCol: String, b: DataFrame, bCol: String,
       k: Int = 64): DataFrame = {
     graft.functions.GraftFunctions.register(a.sparkSession)
@@ -232,5 +202,39 @@ object KmvSketch {
             ((col("m").cast("double") * lit((k - 1).toDouble * HashSpace))
               / lit(k.toDouble)) / col("kth_union")))
       .select(col("m"), col("kth_union"), col("est_overlap"))
+  }
+
+  /** Corpus-similarity MATRIX: estimated vocabulary Jaccard between every
+    * PAIR of groups, from their per-group KMV sketches — the "which
+    * sources duplicate each other" diagnostic a curation pipeline runs
+    * before blending, at sketch cost. Same Beyer et al. construction as
+    * [[overlapEstimate]] per pair: union sketch = k smallest of K_a ∪ K_b,
+    * ρ = |K_a ∩ K_b ∩ union| / |union| estimates J(A,B); when the union
+    * fits in one sketch the sketches ARE the distinct sets and ρ is exact.
+    *
+    * Scale shape: ONE groupBy pass over the data (k longs of state per
+    * group, map-side partials), then a pair join over the |groups|-row
+    * sketch frame — metadata-sized, never the corpus; groups² pairs of
+    * k-element array ops. Output: (g_a, g_b, n_common_mins,
+    * jaccard_millis) for every unordered pair, zero-overlap pairs
+    * included. */
+  def pairwiseJaccardMatrix(df: DataFrame, groupCol: String,
+      valueCol: String, k: Int = 64): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    // null values hash to null and the aggregate would skip them while
+    // the group row survived — an all-null group's empty sketch then
+    // crashes element_at(u, 0) (same guard as the streaming sketches)
+    val sk = df.select(col(groupCol).as("_g"), Dedup.h32(col(valueCol)).as("h"))
+      .filter(col("h").isNotNull)
+      .groupBy(col("_g")).agg(expr(s"kmv_sketch(h, $k)").as("mins"))
+    sk.select(col("_g").as("g_a"), col("mins").as("ka"))
+      .join(sk.select(col("_g").as("g_b"), col("mins").as("kb")),
+        col("g_a") < col("g_b"))
+      .withColumn("u", slice(expr("array_sort(array_union(ka, kb))"), 1, k))
+      .withColumn("usz", size(col("u")))
+      .withColumn("kth", element_at(col("u"), col("usz")))
+      .withColumn("m", expr("size(filter(array_intersect(ka, kb), x -> x <= kth))"))
+      .select(col("g_a"), col("g_b"), col("m").cast("long").as("n_common_mins"),
+        floor(col("m") * lit(1000.0) / col("usz")).cast("long").as("jaccard_millis"))
   }
 }

@@ -23,6 +23,46 @@ object AnalyticsQueries {
   private def units(c: Column, scale: Double): Column =
     floor(c * scale + lit(0.5)).cast("long")
 
+  /** Shared AvailableNow sentinel harness for the windowed streaming
+    * queries: write `ev` as ONE file (run 1 = one batch), run the stream,
+    * then append two far-future sentinel batches (spacing i²·step — 4 h
+    * then 16 h past max real ts, monotone and beyond watermark + window)
+    * re-running after each, so Append finalizes every REAL window.
+    * Returns (outDir, maxUs) — the caller filters sentinel windows
+    * (`unix_micros(hour) <= maxUs` or a sentinel-marker column) and
+    * projects its result. One copy of the scaffolding: the r7 review
+    * found three drifting verbatim copies. */
+  private def runSentineled(s: SparkSession,
+      ev: org.apache.spark.sql.DataFrame, prefix: String,
+      sentinelSelect: Long => String)(
+      buildStream: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)
+      : (String, Long) = {
+    val dir = java.nio.file.Files.createTempDirectory(prefix).toString
+    val (evDir, outDir, ckpt) = (s"$dir/ev", s"$dir/out", s"$dir/ckpt")
+    ev.coalesce(1).write.parquet(evDir)
+    def runOnce(): Unit = {
+      val stream = s.readStream.schema(s.read.parquet(evDir).schema).parquet(evDir)
+      buildStream(stream)
+        .writeStream.format("parquet").option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start().awaitTermination(300000) match {
+        case true => ()
+        case false => sys.error("streaming run did not finish in 300 s")
+      }
+    }
+    runOnce()
+    val maxUs = ev.agg(max(unix_micros(col("ts")))).head.getLong(0)
+    val step = 4L * 3600L * 1000000L
+    Seq(1, 2).foreach { i =>
+      s.sql(sentinelSelect(maxUs + i * step * i))
+        .coalesce(1).write.mode("append").parquet(evDir)
+      runOnce()
+    }
+    (outDir, maxUs)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Pricing-summary aggregate (grouped agg with exact-decimal sums)
     "q_agg_pricing" -> ((s, d) => {
@@ -307,34 +347,14 @@ object AnalyticsQueries {
     // every real window's end so Append finalizes them all — the emitted
     // table then equals the batch hourly aggregate
     "q_stream_hourly" -> ((s, d) => {
-      val dir = java.nio.file.Files.createTempDirectory("graft_stream_hr").toString
-      val (evDir, outDir, ckpt) = (s"$dir/ev", s"$dir/out", s"$dir/ckpt")
       val ev = EventsSource.load(s, d).select(col("ts"), col("event_type"),
         floor(col("value") * 1000000.0 + 0.5).cast("long").as("value"))
-      ev.coalesce(1).write.parquet(evDir) // ONE file → run 1 is one batch
-      def runOnce(): Unit = {
-        val stream = s.readStream.schema(s.read.parquet(evDir).schema).parquet(evDir)
+      val (outDir, _) = runSentineled(s, ev, "graft_stream_hr",
+        ts => s"SELECT timestamp_micros(${ts}L) AS ts, " +
+          "'_sentinel' AS event_type, 0L AS value") { stream =>
         graft.streaming.StreamingSync.windowedEventCounts(stream)
           .select(col("window.start").as("hour"), col("event_type"),
             col("n"), col("sum_value"))
-          .writeStream.format("parquet").option("path", outDir)
-          .option("checkpointLocation", ckpt)
-          .outputMode("append")
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start().awaitTermination(300000) match {
-          case true => ()
-          case false => sys.error("streaming run did not finish in 300 s")
-        }
-      }
-      runOnce()
-      // sentinels: past max(ts) + watermark(2h) + window(1h) + margin
-      val maxUs = ev.agg(max(unix_micros(col("ts")))).head.getLong(0)
-      val step = 4L * 3600L * 1000000L
-      Seq(1, 2).foreach { i =>
-        s.sql(s"SELECT timestamp_micros(${maxUs + i * step * i}L) AS ts, " +
-            "'_sentinel' AS event_type, 0L AS value")
-          .coalesce(1).write.mode("append").parquet(evDir)
-        runOnce()
       }
       s.read.parquet(outDir).filter(col("event_type") =!= "_sentinel")
         .select(col("hour"), col("event_type"), col("n"), col("sum_value"))
@@ -345,33 +365,14 @@ object AnalyticsQueries {
     // final sketches equal the batch build (pure function of the data),
     // estimates derived batch-side with the shared integer-rank pick
     "q_stream_quantile" -> ((s, d) => {
-      val dir = java.nio.file.Files.createTempDirectory("graft_stream_qt").toString
-      val (evDir, outDir, ckpt) = (s"$dir/ev", s"$dir/out", s"$dir/ckpt")
       val ev = EventsSource.load(s, d).select(col("ts"), col("event_id"),
         floor(col("value") * 1000000.0 + 0.5).cast("long").as("value"))
-      ev.coalesce(1).write.parquet(evDir)
-      def runOnce(): Unit = {
-        val stream = s.readStream.schema(s.read.parquet(evDir).schema).parquet(evDir)
+      val (outDir, maxUs) = runSentineled(s, ev, "graft_stream_qt",
+        ts => s"SELECT timestamp_micros(${ts}L) AS ts, " +
+          "-1L AS event_id, 0L AS value") { stream =>
         graft.streaming.StreamingSync
           .windowedQuantileSketch(stream, "event_id", "value")
           .select(col("window.start").as("hour"), col("sk"), col("n"))
-          .writeStream.format("parquet").option("path", outDir)
-          .option("checkpointLocation", ckpt)
-          .outputMode("append")
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start().awaitTermination(300000) match {
-          case true => ()
-          case false => sys.error("streaming run did not finish in 300 s")
-        }
-      }
-      runOnce()
-      val maxUs = ev.agg(max(unix_micros(col("ts")))).head.getLong(0)
-      val step = 4L * 3600L * 1000000L
-      Seq(1, 2).foreach { i =>
-        s.sql(s"SELECT timestamp_micros(${maxUs + i * step * i}L) AS ts, " +
-            "-1L AS event_id, 0L AS value")
-          .coalesce(1).write.mode("append").parquet(evDir)
-        runOnce()
       }
       // sentinel windows hold only sentinel rows — drop hours past the
       // last real event; estimate from the emitted sketches batch-side
@@ -389,33 +390,14 @@ object AnalyticsQueries {
     // streaming windowed TOP-K end to end: the bounded buffer in the
     // state store; emitted windows equal the batch per-hour top-3
     "q_stream_topk" -> ((s, d) => {
-      val dir = java.nio.file.Files.createTempDirectory("graft_stream_tk").toString
-      val (evDir, outDir, ckpt) = (s"$dir/ev", s"$dir/out", s"$dir/ckpt")
       val ev = EventsSource.load(s, d).select(col("ts"), col("event_id"),
         floor(col("value") * 1000000.0 + 0.5).cast("long").as("value"))
-      ev.coalesce(1).write.parquet(evDir)
-      def runOnce(): Unit = {
-        val stream = s.readStream.schema(s.read.parquet(evDir).schema).parquet(evDir)
+      val (outDir, maxUs) = runSentineled(s, ev, "graft_stream_tk",
+        ts => s"SELECT timestamp_micros(${ts}L) AS ts, " +
+          "-1L AS event_id, 0L AS value") { stream =>
         graft.streaming.StreamingSync
           .windowedTopK(stream, "value", "event_id", k = 3)
           .select(col("window.start").as("hour"), col("tk"))
-          .writeStream.format("parquet").option("path", outDir)
-          .option("checkpointLocation", ckpt)
-          .outputMode("append")
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start().awaitTermination(300000) match {
-          case true => ()
-          case false => sys.error("streaming run did not finish in 300 s")
-        }
-      }
-      runOnce()
-      val maxUs = ev.agg(max(unix_micros(col("ts")))).head.getLong(0)
-      val step = 4L * 3600L * 1000000L
-      Seq(1, 2).foreach { i =>
-        s.sql(s"SELECT timestamp_micros(${maxUs + i * step * i}L) AS ts, " +
-            "-1L AS event_id, 0L AS value")
-          .coalesce(1).write.mode("append").parquet(evDir)
-        runOnce()
       }
       s.read.parquet(outDir)
         .filter(unix_micros(col("hour")) <= maxUs)
