@@ -38,6 +38,16 @@ object CacheLease {
   private val leases =
     new java.util.HashMap[SparkSession, java.util.ArrayList[DataFrame]]()
 
+  /** Lease count past which [[acquire]] warns (once per multiple): the
+    * registry holds STRONG references to leased frames until [[releaseAll]],
+    * so a long-lived interactive session that runs leased operators
+    * (semanticDedup, KMeans, PQ, the candidate pipelines) without ever
+    * releasing accumulates both cache entries and plan references —
+    * releaseAll between logical units of work is a required lifecycle step,
+    * and this threshold makes forgetting it observable instead of a silent
+    * leak (ADVICE r7). */
+  val WarnEvery = 64
+
   /** Drop entries of sessions whose context has stopped — their cached
     * blocks are already gone. Called under `synchronized`. */
   private def purgeStopped(): Unit = {
@@ -52,8 +62,14 @@ object CacheLease {
     purgeStopped()
     if (df.storageLevel == StorageLevel.NONE) {
       df.persist()
-      leases.computeIfAbsent(df.sparkSession,
-        _ => new java.util.ArrayList[DataFrame]()).add(df)
+      val l = leases.computeIfAbsent(df.sparkSession,
+        _ => new java.util.ArrayList[DataFrame]())
+      l.add(df)
+      if (l.size % WarnEvery == 0)
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"${l.size} outstanding cache leases for this session — call " +
+            "CacheLease.releaseAll(spark) between units of work, or leased " +
+            "frames (and their plans) accumulate for the session's lifetime")
       true
     } else false
   }

@@ -101,7 +101,14 @@ object Dedup {
     * directions gated in integer permille (common·1000 ≥ t·|side|).
     * Output: (id_sub, id_super, containment) — id_sub's shingles are
     * ≥ t‰ inside id_super; a fully mutual pair (near-identical docs)
-    * emits both directions. */
+    * emits both directions.
+    *
+    * @param maxShingleFreq hot-shingle cap, same guard as
+    *        [[ngramJaccardPairs]]: the intersection count is taken over the
+    *        CAPPED shingle relation while |A| comes from the uncapped one,
+    *        so capping can only LOWER a containment score — false negatives
+    *        for pairs whose overlap rides hot shingles, never false
+    *        positives. The oracle mirrors the cap, so nothing diverges. */
   def containmentPairs(
       df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, thresholdPermille: Int = 800,

@@ -56,9 +56,12 @@ object Graph {
       .union(e.select(col("dst").as("vid"))).distinct()
     val verts = if (deep) verts0.localCheckpoint() else verts0
     val teleport = (1000L - dampingPermille) * 1000000L / 1000L
-    // |V| as a literal for the floor split — one driver scalar, paid only
-    // when the flag asks for it
-    val nV = if (redistributeDangling) verts.count() else 0L
+    // |V| IN-PLAN as a broadcast scalar aggregate (like dsum below): the
+    // function stays fully lazy — the previous eager verts.count() at
+    // plan-construction time scanned the edge frame before the caller ever
+    // executed anything, and on shallow runs (no checkpoint) re-ran the
+    // distinct twice (ADVICE r7)
+    val nvDf = verts.agg(count(lit(1)).as("_nv"))
     var pr = verts.withColumn("pr", lit(1000000L))
     for (round <- 1 to iters) {
       val contrib = e
@@ -72,10 +75,10 @@ object Graph {
           val dsum = pr
             .join(outdeg.select(col("src").as("vid")), Seq("vid"), "left_anti")
             .agg(coalesce(sum(col("pr")), lit(0L)).as("dsum"))
-          withC.crossJoin(broadcast(dsum))
+          withC.crossJoin(broadcast(dsum)).crossJoin(broadcast(nvDf))
             .select(col("vid"),
               (lit(teleport) + expr(
-                s"($dampingPermille * (coalesce(cs, 0L) + dsum div ${nV}L)) div 1000"))
+                s"($dampingPermille * (coalesce(cs, 0L) + dsum div _nv)) div 1000"))
                 .as("pr"))
         } else
           withC.select(col("vid"),

@@ -38,8 +38,11 @@ object Similarity {
     (expr("array_dot_long(x.qe, y.qe)").cast("double") / col("x.nrm")) / col("y.nrm")
 
   /** Brute-force cosine top-k: a bounded query set against the full corpus.
-    * The query side is broadcast; ranking is a per-query window over k·|Q|
-    * rows only (filter before the window keeps the sort tiny). */
+    * The query side is broadcast; the per-query `row_number` window sees all
+    * |Q|·N scored pairs, but Spark ≥3.5's InferWindowGroupLimit rule inserts
+    * a partial top-k below the exchange, so only ~k·|Q| rows survive the
+    * shuffle — parity with the explicit bounded aggregate is measured in the
+    * bench (`topk_agg_vs_window_shuffle_x` ≈ 1). */
   def bruteForceTopK(
       corpus: DataFrame, queries: DataFrame, k: Int,
       idCol: String = "vec_id"): DataFrame = {

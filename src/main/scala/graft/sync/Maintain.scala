@@ -35,9 +35,18 @@ object Maintain {
     * pre-image payloads `cols` — the shared machinery behind [[counts]] and
     * [[sums]]. A delete's pre-image is the latest preceding version of its
     * key (window-start state or an in-window insert); a delete whose
-    * preceding event is another delete is a no-op. */
+    * preceding event is another delete is a no-op.
+    *
+    * The output PREPENDS `keyCol` to `cols` (consumers that sample by key
+    * hash need it), so a group/value column equal to the key column would
+    * produce two same-named columns and ambiguous downstream references —
+    * refused here rather than failing obscurely in the caller (ADVICE r7). */
   private def effectiveDeletes(initialState: DataFrame, feed: DataFrame,
       keyCol: String, cols: Seq[String]): DataFrame = {
+    require(!cols.contains(keyCol),
+      s"group/value columns must not include the key column '$keyCol': the " +
+        "pre-image frame already carries the key, and a duplicate name makes " +
+        "every downstream groupBy/filter reference ambiguous")
     val dels = feed.filter(col("_op") === "delete")
       // within a commit deletes precede inserts: delete time 2s, insert 2s+1
       .select(col(keyCol), (col("_seq").cast("long") * 2).as("_t"))
