@@ -333,6 +333,40 @@ object Dedup {
       .select(col(idCol), col("fp"), col("n_docs"), col("n_occurrences"))
   }
 
+  /** [[duplicatedSpans]] with a WINNOW PREFILTER — the scale-bound form
+    * (VERDICT r7 #3): exhaustive span enumeration shuffles O(total tokens)
+    * of position-granular hashes, the heaviest dedup shuffle at 100 TB, yet
+    * most documents share no span with anything. This variant enumerates
+    * spans only for CANDIDATE docs — those sharing at least one winnowed
+    * fingerprint ([[winnowFingerprints]], ~1/w the rows) with another doc —
+    * so the heavy pass moves O(candidate tokens) and the corpus-wide cost
+    * is the cheap fingerprint scan.
+    *
+    * EXACT result equality with the exhaustive form (oracle-checked), from
+    * the winnowing guarantee: two docs sharing any `n`-token span share a
+    * contiguous run of ≥ w+k−1 tokens (required: `n ≥ w+k−1`), hence at
+    * least one selected fingerprint — so every doc holding a duplicated
+    * span is a candidate, and the per-span `n_docs`/`n_occurrences` counts
+    * over the candidate set equal the corpus-wide counts. Not a sketch:
+    * the prefilter loses nothing, it only skips docs that PROVABLY cannot
+    * contribute. */
+  def duplicatedSpansWinnowed(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 8, minDocs: Long = 2, k: Int = 4, w: Int = 4): DataFrame = {
+    require(n >= w + k - 1,
+      s"result equality needs n >= w+k-1 (the winnowing guarantee window): " +
+        s"n=$n, k=$k, w=$w")
+    require(minDocs >= 2,
+      "minDocs must be >= 2: a 1-doc 'duplicate' has no partner for the " +
+        "fingerprint prefilter to key on")
+    val fps = winnowFingerprints(df, idCol, textCol, k, w)
+    val candidates = fps.withColumn("nfp",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("fp")))
+      .filter(col("nfp") >= 2)
+      .select(col(idCol)).distinct()
+    duplicatedSpans(df.join(candidates, Seq(idCol), "left_semi"),
+      idCol, textCol, n, minDocs)
+  }
+
   /** Span REMOVAL — the output step of the ExactSubstr pipeline
     * ([[duplicatedSpans]] finds the mask, this applies it): every token
     * position covered by a flagged span (one whose hash occurs in ≥
@@ -371,6 +405,34 @@ object Dedup {
           s"filter(split($textCol, ' '), (t, i) -> " +
           s"NOT exists(_starts, s -> i >= s AND i < s + $n))"))
           .as("clean_text"))
+  }
+
+  /** [[removeSpans]] with the same winnow prefilter as
+    * [[duplicatedSpansWinnowed]]: only candidate docs (sharing a winnowed
+    * fingerprint) enter position enumeration and token surgery; everyone
+    * else passes through verbatim — which is exact, because a doc with no
+    * shared fingerprint provably holds no ≥`minDocs` span (`n ≥ w+k−1`)
+    * and its clean text IS its text. The corpus-wide cost drops from
+    * O(total tokens) of position-granular hashes to the fingerprint scan
+    * plus O(candidate tokens). */
+  def removeSpansWinnowed(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 8, minDocs: Long = 2, k: Int = 4, w: Int = 4): DataFrame = {
+    require(n >= w + k - 1,
+      s"result equality needs n >= w+k-1 (the winnowing guarantee window): " +
+        s"n=$n, k=$k, w=$w")
+    require(minDocs >= 2,
+      "minDocs must be >= 2: a 1-doc 'duplicate' has no partner for the " +
+        "fingerprint prefilter to key on")
+    val fps = winnowFingerprints(df, idCol, textCol, k, w)
+    val candidates = fps.withColumn("nfp",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("fp")))
+      .filter(col("nfp") >= 2)
+      .select(col(idCol)).distinct()
+    val surgically = removeSpans(
+      df.join(candidates, Seq(idCol), "left_semi"), idCol, textCol, n, minDocs)
+    val untouched = df.join(candidates, Seq(idCol), "left_anti")
+      .select(col(idCol), col(textCol).as("clean_text"))
+    surgically.unionByName(untouched)
   }
 
   /** Winnowing fingerprints (Schleimer, Wilkerson & Aiken 2003 — the MOSS

@@ -587,10 +587,25 @@ object ExtQueries {
     "q_dedup_spans" -> ((s, d) =>
       Dedup.duplicatedSpans(docs(s, d), "doc_id", "text", n = 8, minDocs = 2)),
 
+    // the winnow-PREFILTERED span pass: span enumeration restricted to docs
+    // sharing a winnowed fingerprint — O(candidate tokens), not O(corpus
+    // tokens). The oracle is the EXHAUSTIVE replay (same SQL as
+    // q_dedup_spans): the prefilter must be lossless, and any doc it
+    // wrongly skips fails the hash
+    "q_dedup_spans_winnow" -> ((s, d) =>
+      Dedup.duplicatedSpansWinnowed(docs(s, d), "doc_id", "text",
+        n = 8, minDocs = 2, k = 4, w = 4)),
+
     // span REMOVAL: the mask applied — tokens covered by any >=2-doc span
     // dropped, survivors re-joined (pure index-lambda filter, scan speed)
     "q_dedup_despan" -> ((s, d) =>
       Dedup.removeSpans(docs(s, d), "doc_id", "text", n = 8, minDocs = 2)),
+
+    // winnow-prefiltered span removal: surgery only on candidate docs,
+    // verbatim pass-through for the rest — oracle = the exhaustive replay
+    "q_dedup_despan_winnow" -> ((s, d) =>
+      Dedup.removeSpansWinnowed(docs(s, d), "doc_id", "text",
+        n = 8, minDocs = 2, k = 4, w = 4)),
 
     // token-budget mix: best docs of each source up to 500 tokens —
     // the pretraining-mix allocation rule (length-aware, not row-count)
@@ -949,8 +964,49 @@ stats AS (
 SELECT d.doc_id, d.fp, s.n_docs, s.n_occurrences
 FROM (SELECT DISTINCT doc_id, fp FROM g) d JOIN stats s USING (fp)""",
 
+    // the winnow-prefiltered variant's oracle is DELIBERATELY the same
+    // exhaustive replay — no prefilter on the DuckDB side. Equal hashes =
+    // the prefilter provably lost nothing on this corpus.
+    "q_dedup_spans_winnow" -> s"""WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+g AS (
+  SELECT doc_id, ${oh32("array_to_string(t[(i+1):(i+8)], ' ')")} AS fp
+  FROM toks, LATERAL (SELECT unnest(range(0, greatest(len(t) - 7, 0))) i)),
+stats AS (
+  SELECT fp, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+    CAST(count(*) AS BIGINT) AS n_occurrences
+  FROM g GROUP BY fp HAVING count(DISTINCT doc_id) >= 2)
+SELECT d.doc_id, d.fp, s.n_docs, s.n_occurrences
+FROM (SELECT DISTINCT doc_id, fp FROM g) d JOIN stats s USING (fp)""",
+
     // span-removal replay: flagged starts per doc, index-lambda token drop
     "q_dedup_despan" -> s"""WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+g AS (
+  SELECT doc_id, i AS pos,
+    ${oh32("array_to_string(t[(i+1):(i+8)], ' ')")} AS fp
+  FROM toks, LATERAL (SELECT unnest(range(0, greatest(len(t) - 7, 0))) i)),
+flagged AS (
+  SELECT fp FROM g GROUP BY fp HAVING count(DISTINCT doc_id) >= 2),
+starts AS (
+  SELECT doc_id, list(pos) AS ss
+  FROM g WHERE fp IN (SELECT fp FROM flagged) GROUP BY doc_id)
+SELECT d.doc_id,
+  COALESCE(array_to_string(
+    list_filter(
+      list_transform(range(0, len(t.t)),
+        i -> CASE WHEN len(list_filter(COALESCE(s.ss, []),
+                         x -> i >= x AND i < x + 8)) > 0
+                  THEN NULL ELSE t.t[i + 1] END),
+      v -> v IS NOT NULL), ' '), '') AS clean_text
+FROM documents d
+JOIN toks t ON t.doc_id = d.doc_id
+LEFT JOIN starts s ON s.doc_id = d.doc_id""",
+
+    // winnow-prefiltered removal oracle = the same exhaustive replay: a
+    // doc wrongly routed around the surgery (or wrongly into it) fails
+    // the clean_text hash
+    "q_dedup_despan_winnow" -> s"""WITH toks AS (
   SELECT doc_id, string_split(text, ' ') AS t FROM documents),
 g AS (
   SELECT doc_id, i AS pos,

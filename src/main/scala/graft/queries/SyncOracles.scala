@@ -179,6 +179,18 @@ FROM (SELECT max(SysRowVersion) AS max_src_version, min(RecId) AS min_src_recid,
     // state (the later band-delete is excluded by the timestamp cut)
     "q_lake_asof_ts" -> (prefix + s"SELECT $outCols FROM src"),
 
+    // partially-compacted state ≡ band upsert applied to tgt: tgt rows
+    // whose key is outside the band's SOURCE keys, plus the band's source
+    // rows (the manifest-carried files supply everything outside the band)
+    "q_lake_compact_partial" -> (prefix + s"""SELECT $outCols FROM tgt
+WHERE RecId NOT IN (SELECT RecId FROM src
+                    WHERE RecId BETWEEN ${graft.sync.SyncFixtures.SkipLo}
+                                    AND ${graft.sync.SyncFixtures.SkipHi})
+UNION ALL
+SELECT $outCols FROM src
+WHERE RecId BETWEEN ${graft.sync.SyncFixtures.SkipLo}
+                AND ${graft.sync.SyncFixtures.SkipHi}"""),
+
     // replayed state ≡ src; the skip read is that state range-filtered
     "q_lake_skip" -> (prefix + s"""SELECT $outCols FROM src
 WHERE RecId BETWEEN ${graft.sync.SyncFixtures.SkipLo} AND ${graft.sync.SyncFixtures.SkipHi}"""),

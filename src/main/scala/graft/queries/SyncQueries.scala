@@ -189,6 +189,29 @@ object SyncQueries {
       LakeTable.read(s, dir)
     }),
 
+    // PARTIAL compaction end-to-end (VERDICT r7 #1): a range-CLUSTERED base
+    // snapshot of tgt + one band-localized upsert commit, folded by
+    // LakeTable.compact — which must take the partial path (asserted: most
+    // base files are carried by manifest reference, zero bytes moved) —
+    // then read back through the manifest. Result ≡ tgt outside the band's
+    // source keys ∪ the band's source rows; any divergence between the
+    // carried files, the rewritten files, or the manifest resolution fails
+    // the hash.
+    "q_lake_compact_partial" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft_lake_q").toString + "/t"
+      val src = slim(SyncFixtures.source(s, d))
+      val tgt = slim(SyncFixtures.target(s, d))
+      LakeTable.overwriteClustered(tgt, dir, nFiles = 8)
+      val band = src
+        .filter(col("RecId").between(SyncFixtures.SkipLo, SyncFixtures.SkipHi))
+      LakeTable.appendCommit(
+        Apply.ChangeSet(band.select("RecId"), band, band.select("RecId")), dir)
+      val r = LakeTable.compact(s, dir)
+      require(r.mode == "partial" && r.carriedFiles > 0,
+        s"band-localized commit over a clustered base must compact partially: $r")
+      LakeTable.read(s, dir)
+    }),
+
     // timestamp time travel: base (state time 500) + the incremental commit
     // stamped 1000 + a LATER band-delete commit stamped 2000; reading as-of
     // 1500 must resolve exactly the commit-1 state (== src, the replay

@@ -88,16 +88,35 @@ trait TableApplier {
 }
 
 /** Lake applier: [[LakeTable]] snapshot/commit layout with compaction every
-  * `compactEvery` commits. */
-final case class LakeApplier(path: String, compactEvery: Int = 8) extends TableApplier {
+  * `compactEvery` commits. Compaction is PARTIAL whenever the commits' key
+  * locality allows ([[LakeTable.compact]]): untouched base files carry into
+  * the new generation by manifest reference, so the steady-state cost is
+  * O(touched data + changes), not O(table).
+  *
+  * @param clusterKey opt into the KEY-RANGE-CLUSTERED base layout
+  *        ([[LakeTable.overwriteClustered]]): full-snapshot applies pay one
+  *        range exchange so base files carry tight disjoint key ranges —
+  *        the layout that turns commit key locality into file-level rewrite
+  *        pruning (and point/range-read pruning). The right policy for
+  *        tables whose drift is key-local (monotone RecId sequences);
+  *        None (default) keeps the plain snapshot write.
+  * @param clusterFiles target file count for the clustered layout
+  *        (0 = the session's shuffle parallelism). */
+final case class LakeApplier(path: String, compactEvery: Int = 8,
+    clusterKey: Option[String] = None, clusterFiles: Int = 0) extends TableApplier {
   def exists: Boolean = LakeTable.exists(path)
   def current(spark: SparkSession, keyCol: String): DataFrame =
     LakeTable.read(spark, path, keyCol)
-  def overwrite(df: DataFrame): Unit = LakeTable.overwrite(df, path)
+  def overwrite(df: DataFrame): Unit = clusterKey match {
+    case Some(k) => LakeTable.overwriteClustered(df, path, k, clusterFiles)
+    case None => LakeTable.overwrite(df, path)
+  }
   def applyChangeSet(cs: Apply.ChangeSet, spark: SparkSession, keyCol: String): Unit = {
     LakeTable.appendCommit(cs, path)
-    if (LakeTable.pendingCommits(path) >= compactEvery)
+    if (LakeTable.pendingCommits(path) >= compactEvery) {
       LakeTable.compact(spark, path, keyCol)
+      ()
+    }
   }
 }
 

@@ -183,12 +183,25 @@ object ChangeLog {
       keyCol: String = "RecId", fromSeq: Int = 0,
       keyRange: Option[(Long, Long)] = None,
       toSeq: Int = Int.MaxValue,
+      typePolicy: TypePolicy = TypePolicy.Strict): DataFrame =
+    // manifest resolution (LakeTable.readPaths): a partially-compacted
+    // base's files live across generation dirs — the dir alone is not the
+    // base. Plain dirs pass through unchanged.
+    replayPaths(spark, LakeTable.readPaths(basePath), logDir, keyCol,
+      fromSeq, keyRange, toSeq, typePolicy)
+
+  /** [[replay]] over an EXPLICIT base file list — the entry partial
+    * compaction uses to fold commits into just the touched files. */
+  def replayPaths(spark: SparkSession, basePaths: Seq[String], logDir: String,
+      keyCol: String = "RecId", fromSeq: Int = 0,
+      keyRange: Option[(Long, Long)] = None,
+      toSeq: Int = Int.MaxValue,
       typePolicy: TypePolicy = TypePolicy.Strict): DataFrame = {
     val prune: DataFrame => DataFrame = keyRange match {
       case Some((lo, hi)) => df => df.filter(col(keyCol).between(lo, hi))
       case None => identity
     }
-    val base = prune(spark.read.parquet(basePath))
+    val base = prune(spark.read.parquet(basePaths: _*))
     // ALL commits in the pointer's range participate in the SCHEMA (widening
     // + column set) — schema reads are footer-only metadata, cheap. keyRange
     // data skipping prunes only the ROW scans below; otherwise a skipped

@@ -45,6 +45,50 @@ object LakeTable {
   private def currentPath(table: String) = s"$table/_current"
   private def logDir(table: String) = s"$table/_log"
 
+  /** Optional file-list sidecar inside a base dir, written by PARTIAL
+    * compaction: one table-root-relative path per line — the rewritten
+    * files (in this dir) plus the UNTOUCHED files carried over from older
+    * generations BY REFERENCE (they are never copied or rewritten; at
+    * 100 TB carrying a file is one manifest line, not terabytes of IO).
+    * A base dir without the sidecar is read as a plain directory, so every
+    * pre-manifest table keeps working. Invisible to a raw directory scan
+    * (Spark ignores `_`-prefixed files), readable only through
+    * [[readPaths]]/[[baseDataFiles]] — which is what [[ChangeLog.replay]]
+    * resolves through. */
+  val ManifestFile = "_manifest"
+
+  private def parentOf(p: String): String =
+    new org.apache.hadoop.fs.Path(p).getParent.toString
+
+  /** Identity of a base data file within its table: the last two path
+    * components (`base-<n>/part-...parquet`) — scheme/absolute-prefix
+    * independent, unique because all base files live exactly one dir below
+    * the table root. */
+  private def fileId(p: String): String =
+    p.split('/').filter(_.nonEmpty).takeRight(2).mkString("/")
+
+  /** The concrete data files of a base: the manifest's resolved entries
+    * when present, else the dir's parquet files. */
+  def baseDataFiles(basePath: String): Seq[String] = {
+    val mf = s"$basePath/$ManifestFile"
+    if (LakeFs.exists(mf)) {
+      val root = parentOf(basePath)
+      LakeFs.readUtf8(mf).split("\n").toSeq
+        .map(_.trim).filter(_.nonEmpty).map(rel => s"$root/$rel")
+    } else
+      LakeFs.list(basePath)
+        .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+        .map(_.getPath.toString)
+  }
+
+  /** What a reader should hand to `spark.read.parquet`: the explicit file
+    * list for a manifested base (its files may live in several generation
+    * dirs), the dir itself otherwise (preserves Spark's own listing,
+    * including the schema-from-empty-dir error semantics). */
+  def readPaths(basePath: String): Seq[String] =
+    if (LakeFs.exists(s"$basePath/$ManifestFile")) baseDataFiles(basePath)
+    else Seq(basePath)
+
   /** `"<baseName>\t<fromSeq>[\t<stateTimeMs>]"` — None when torn/garbled.
     * The optional third field is the wall-clock time of the newest change
     * the BASE folds in (timestamp time travel's retention horizon); absent
@@ -151,8 +195,15 @@ object LakeTable {
     *
     * Retention matches [[readAt]]: an `asOfMs` older than the base's state
     * time throws (the base already folds newer changes — returning it would
-    * present wrong-time data). A commit in range without a stamp (written
-    * before stamps existed) fails loudly: resolve those tables by seq. */
+    * present wrong-time data).
+    *
+    * Mixed histories (commits written before stamps existed) are tolerated
+    * exactly as far as certainty allows: stamps are monotone in seq (single
+    * writer), so an unstamped commit is CERTAINLY at-or-before `asOfMs`
+    * when a later stamped commit is, and certainly after it when an earlier
+    * stamp already is — only a commit the instant cannot be ordered against
+    * fails, with [[earliestReadableTs]] named as the probe for where the
+    * valid range starts (below it, resolve by seq via [[readAt]]). */
   def readAtTimestamp(spark: SparkSession, table: String, asOfMs: Long,
       keyCol: String = "RecId"): DataFrame =
     resolveWithTime(table) match {
@@ -164,17 +215,57 @@ object LakeTable {
         }
         val timed = ChangeLog.commitSeqs(logDir(table)).filter(_ >= fromSeq).sorted
           .map(seq => seq -> ChangeLog.commitTime(s"${logDir(table)}/$seq"))
-        timed.collectFirst { case (seq, None) => seq }.foreach { seq =>
-          throw new IllegalStateException(
-            s"commit $seq carries no timestamp (pre-stamp layout); " +
-              "use readAt(seq) for this table")
+        val stamped = timed.collect { case (s, Some(t)) => (s, t) }
+        timed.foreach {
+          case (u, None) =>
+            val certainlyIncluded =
+              stamped.exists { case (s, t) => s > u && t <= asOfMs }
+            val certainlyExcluded =
+              stamped.exists { case (s, t) => s < u && t > asOfMs }
+            if (!certainlyIncluded && !certainlyExcluded)
+              throw new IllegalStateException(
+                s"commit $u carries no timestamp (pre-stamp layout) and " +
+                  s"asOfMs=$asOfMs cannot be ordered against it; timestamp " +
+                  s"reads of this table are valid from earliestReadableTs = " +
+                  s"${earliestReadableTs(table).fold("none")(_.toString)} — " +
+                  "use readAt(seq) below that")
+          case _ => ()
         }
-        val toSeq = timed.takeWhile(_._2.exists(_ <= asOfMs))
-          .lastOption.map(_._1).getOrElse(fromSeq - 1)
+        val toSeq = timed.takeWhile {
+          case (_, Some(t)) => t <= asOfMs
+          // unstamped: reached only when certainly included (an ambiguous
+          // one threw above; a certainly-excluded one sits after a stamp
+          // that already ended the prefix)
+          case (u, None) => stamped.exists { case (s, t) => s > u && t <= asOfMs }
+        }.lastOption.map(_._1).getOrElse(fromSeq - 1)
         ChangeLog.replay(spark, base, logDir(table), keyCol, fromSeq,
           keyRange = None, toSeq = toSeq)
       case None =>
         throw new IllegalArgumentException(s"lake table does not exist: $table")
+    }
+
+  /** The earliest `asOfMs` that [[readAtTimestamp]] can serve for this
+    * table — the discovery probe for mixed-history tables (commits from
+    * before stamps existed make SOME instants unresolvable, not all of
+    * them). None = no instant resolves (a table with no stamps anywhere,
+    * or whose NEWEST commits are unstamped — nothing can ever be ordered
+    * after them): resolve such tables by seq with [[readAt]]. */
+  def earliestReadableTs(table: String): Option[Long] =
+    resolveWithTime(table).flatMap { case (_, fromSeq, stateTime) =>
+      val log = logDir(table)
+      val timed = ChangeLog.commitSeqs(log).filter(_ >= fromSeq).sorted
+        .map(seq => seq -> ChangeLog.commitTime(s"$log/$seq"))
+      val lastUnstamped = timed.collect { case (s, None) => s }.lastOption
+      val horizon = lastUnstamped match {
+        // fully stamped history: readable from the base's own state time; a
+        // legacy pointer without one is readable from the first commit stamp
+        // (the state AT that stamp is base + that commit — well-defined)
+        case None => stateTime.orElse(timed.collectFirst { case (_, Some(t)) => t })
+        // unstamped commits exist: readable once the first stamp AFTER the
+        // last of them certainly covers them all
+        case Some(u) => timed.collectFirst { case (s, Some(t)) if s > u => t }
+      }
+      horizon.map(h => math.max(h, stateTime.getOrElse(Long.MinValue)))
     }
 
   /** NET per-key diff between two snapshots, computed from the COMMIT LOG
@@ -258,7 +349,7 @@ object LakeTable {
         val seqs = ChangeLog.commitSeqs(log)
           .filter(q => q >= fromSeq && q <= toSeq).sorted
         if (seqs.isEmpty)
-          spark.read.parquet(base).limit(0)
+          spark.read.parquet(readPaths(base): _*).limit(0)
             .withColumn("_op", lit("")).withColumn("_seq", lit(0))
         else seqs.map { q =>
           val ins = spark.read.parquet(s"$log/$q/inserts")
@@ -311,12 +402,148 @@ object LakeTable {
     gc(table, keepBase = newBase, prev = prev)
   }
 
-  /** Rewrite base = current replayed state, then drop the replayed commits.
-    * Amortizes replay cost: run after every N incremental commits. The new
-    * base's state time = the newest folded commit's stamp (NOT "now": the
-    * data is only as new as the last commit — a later `readAtTimestamp`
-    * between that stamp and the compaction must still resolve). */
-  def compact(spark: SparkSession, table: String, keyCol: String = "RecId"): Unit = {
+  /** [[overwrite]] with a KEY-RANGE-CLUSTERED base layout: files carry
+    * disjoint, footer-tight key ranges, which is what makes [[compact]]'s
+    * partial path effective — commit key locality then maps onto a small
+    * set of touched FILES instead of smearing across all of them. This is
+    * the base-layout half of the partitioned-rewrite story (the lake
+    * composition of [[PartitionedLayout]]'s pruning idea at file
+    * granularity): pay one range exchange at snapshot time, and every
+    * later point/range read AND every partial compaction prunes on it.
+    * Not the default `overwrite` because the range exchange (sampling pass
+    * + shuffle) is a real cost a plain full reload shouldn't pay unless
+    * the table opts into the clustered-layout policy. */
+  def overwriteClustered(df: DataFrame, table: String,
+      keyCol: String = "RecId", nFiles: Int = 0,
+      stateTimeMs: Long = System.currentTimeMillis()): Unit = {
+    val n = if (nFiles > 0) nFiles
+      else df.sparkSession.sessionState.conf.numShufflePartitions
+    overwrite(
+      df.repartitionByRange(n, col(keyCol)).sortWithinPartitions(keyCol),
+      table, stateTimeMs)
+  }
+
+  /** What a [[compact]] call did: `partial` folded the pending commits into
+    * only the TOUCHED base files and carried the rest by manifest reference;
+    * `full` rewrote the whole base (fallback, with the reason); `noop` had
+    * nothing to fold. */
+  final case class CompactResult(mode: String, rewrittenFiles: Int,
+      carriedFiles: Int, foldedCommits: Int, reason: String = "")
+
+  /** Fold the pending commits into the base and drop them — PARTIALLY when
+    * the commit `_stats` key ranges prove most base files untouched, falling
+    * back to the full rewrite otherwise.
+    *
+    * Partial compaction is the last piece of the O(changes) steady-state
+    * story: an incremental sync appends ~change% as a commit, and compaction
+    * previously paid O(table) every `compactEvery` commits regardless of
+    * what the commits touched. Now the per-commit `_stats` key interval is
+    * intersected with every base file's parquet-footer key range
+    * ([[ParquetStats.fileKeyRange]] — driver-side metadata, no scan):
+    * files DISJOINT from every commit interval cannot hold any inserted,
+    * replaced or tombstoned key, so they are carried into the new
+    * generation BY MANIFEST REFERENCE (see [[ManifestFile]]) — zero bytes
+    * moved — and only the touched files replay against the commits. The
+    * rewrite is therefore O(touched data + changes), which on a
+    * key-clustered base (see [[overwriteClustered]]) tracks the commits'
+    * key LOCALITY: a drift confined to recent keys — the shape a
+    * monotonically-minted RecId sequence produces — rewrites only the hot
+    * tail of a 100 TB table. Scattered drift degrades honestly to the full
+    * rewrite (every file intersects), never to a wrong result.
+    *
+    * Correctness: every commit event's key lies inside its commit's
+    * `_stats` interval, so untouched-file rows can never be shadowed by a
+    * tombstone or replaced by an insert — `replay(touched ∪ untouched,
+    * commits) = untouched ∪ replay(touched, commits)` exactly. Guards (all
+    * → full fallback, never a guess): a commit without stats, a flat
+    * (pre-pointer) base, a base file with unusable footer stats is simply
+    * treated as touched, and commits that CHANGED the schema (new columns /
+    * widened types — the rewritten files would diverge from the carried
+    * ones, breaking the one-schema-per-base invariant the manifest read
+    * relies on).
+    *
+    * The new base's state time = the newest folded commit's stamp (NOT
+    * "now": the data is only as new as the last commit — a later
+    * `readAtTimestamp` between that stamp and the compaction must still
+    * resolve). */
+  def compact(spark: SparkSession, table: String,
+      keyCol: String = "RecId"): CompactResult = {
+    val (base, fromSeq, prevTime) = resolveWithTime(table).getOrElse(
+      throw new IllegalArgumentException(s"lake table does not exist: $table"))
+    val log = logDir(table)
+    val seqs = ChangeLog.commitSeqs(log).filter(_ >= fromSeq).sorted
+    if (seqs.isEmpty) return CompactResult("noop", 0, 0, 0)
+    val foldedTime =
+      (seqs.flatMap(seq => ChangeLog.commitTime(s"$log/$seq")) ++ prevTime)
+        .maxOption.getOrElse(System.currentTimeMillis())
+    def full(reason: String): CompactResult = {
+      overwrite(read(spark, table, keyCol), table, foldedTime)
+      CompactResult("full", -1, 0, seqs.size, reason)
+    }
+    if (base == table) return full("flat pre-pointer base")
+    val stats = seqs.map(q => ChangeLog.commitStats(s"$log/$q"))
+    if (stats.exists(_.isEmpty)) return full("commit without _stats")
+    val intervals = stats.flatten.collect { case (lo, hi, n) if n > 0 => (lo, hi) }
+    val files = baseDataFiles(base)
+    if (files.isEmpty) return full("base has no data files")
+    if (intervals.isEmpty) {
+      // only EMPTY commits pend: advance the pointer past them without
+      // touching a byte (the base is already the current state)
+      val nextSeq = (ChangeLog.commitSeqs(log) :+ fromSeq).max + 1
+      commitPointer(table, base.substring(base.lastIndexOf('/') + 1),
+        nextSeq, foldedTime)
+      return CompactResult("pointer-only", 0, files.size, seqs.size)
+    }
+    val ranged = files.map(f => f -> ParquetStats.fileKeyRange(f, keyCol))
+    val (touched0, untouched0) = ranged.partition { case (_, r) =>
+      // unknown range ⇒ touched (conservative); known ⇒ touched iff it
+      // intersects ANY commit interval
+      r.forall { case (mn, mx) =>
+        intervals.exists { case (lo, hi) => mx >= lo && mn <= hi } }
+    }
+    if (untouched0.isEmpty)
+      return full("every base file intersects the commit key ranges")
+    // keep at least one data file in the new dir so the generation is
+    // self-describing (schema) even when the commits touch no base file
+    val (touched, untouched) =
+      if (touched0.nonEmpty) (touched0, untouched0)
+      else (untouched0.take(1), untouched0.drop(1))
+    val rewritten = ChangeLog.replayPaths(spark, touched.map(_._1), log,
+      keyCol, fromSeq)
+    def norm(s: org.apache.spark.sql.types.StructType) =
+      s.fields.map(f => f.name.toLowerCase -> f.dataType).toMap
+    val baseSchema = spark.read.parquet(files: _*).schema
+    if (norm(rewritten.schema) != norm(baseSchema))
+      return full("commits changed the schema (new columns or widened types)")
+    val nextSeq = (ChangeLog.commitSeqs(log) :+ fromSeq).max + 1
+    val newBaseName = s"base-$nextSeq"
+    val newBase = s"$table/$newBaseName"
+    // rewritten files are RANGE-CLUSTERED on the key so their footer ranges
+    // stay tight — the next partial compaction prunes them just as well as
+    // the files they replace
+    rewritten
+      .repartitionByRange(math.max(touched.size, 1), col(keyCol))
+      .sortWithinPartitions(keyCol)
+      .write.mode("overwrite").parquet(newBase)
+    val newFiles = LakeFs.list(newBase)
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      .map(st => s"$newBaseName/${st.getPath.getName}")
+    val carried = untouched.map { case (p, _) => fileId(p) }
+    // the manifest is part of the staged generation: written BEFORE the
+    // pointer swap, so a reader can never resolve the new base without it
+    LakeFs.writeUtf8(s"$newBase/$ManifestFile",
+      (newFiles ++ carried).mkString("\n"))
+    val prev = Some((base, fromSeq))
+    commitPointer(table, newBaseName, nextSeq, foldedTime)
+    gc(table, keepBase = newBaseName, prev = prev)
+    CompactResult("partial", newFiles.size, carried.size, seqs.size)
+  }
+
+  /** The unconditional full rewrite: base = current replayed state, then
+    * drop the replayed commits. [[compact]]'s fallback, kept callable for
+    * schedule-driven policies (e.g. re-clustering a fragmented base). */
+  def compactFull(spark: SparkSession, table: String,
+      keyCol: String = "RecId"): CompactResult = {
     val foldedTime = resolveWithTime(table) match {
       case Some((_, fromSeq, prevTime)) =>
         val commitTimes = ChangeLog.commitSeqs(logDir(table)).filter(_ >= fromSeq)
@@ -324,7 +551,9 @@ object LakeTable {
         (commitTimes ++ prevTime).maxOption.getOrElse(System.currentTimeMillis())
       case None => System.currentTimeMillis()
     }
+    val folded = pendingCommits(table)
     overwrite(read(spark, table, keyCol), table, foldedTime)
+    CompactResult("full", -1, 0, folded, "explicit compactFull")
   }
 
   /** The commit point: write pointer to a temp file, rename over `_current`
@@ -339,20 +568,37 @@ object LakeTable {
   /** Drop snapshots/commits older than the PREVIOUS generation. `prev` is
     * the pointer state captured before the swap: its base dir (or flat
     * files) and its commits survive one more overwrite so a reader that
-    * resolved it can finish scanning. */
+    * resolved it can finish scanning.
+    *
+    * Manifest-aware: a partially-compacted base REFERENCES files living in
+    * older `base-*` dirs ([[ManifestFile]]), so a stale dir is not deleted
+    * wholesale — only its files unreferenced by BOTH kept generations'
+    * manifests go, and the dir itself only once emptied (the Delta vacuum
+    * rule: liveness is defined by the reachable manifests, not by dir
+    * age). */
   private def gc(table: String, keepBase: String, prev: Option[(String, Int)]): Unit = {
     val prevBaseName = prev.map(_._1).map(p => p.substring(p.lastIndexOf('/') + 1))
     val prevWasFlat = prev.exists(_._1 == table)
+    val referenced: Set[String] =
+      (baseDataFiles(s"$table/$keepBase") ++
+        prev.toSeq.filterNot(_._1 == table).flatMap(p => baseDataFiles(p._1)))
+        .map(fileId).toSet
     LakeFs.list(table).foreach { st =>
       val name = st.getPath.getName
-      val staleBase = name.startsWith("base-") &&
+      val staleBase = st.isDirectory && name.startsWith("base-") &&
         name != keepBase && !prevBaseName.contains(name)
       // pre-pointer flat-layout files are superseded by the first snapshot;
       // kept one generation when the previous pointer state WAS the flat dir
       val staleFlat = !prevWasFlat && st.isFile &&
         (name.endsWith(".parquet") || name == "_SUCCESS" ||
           (name.startsWith(".") && name.endsWith(".crc") && !name.contains("_current")))
-      if (staleBase || staleFlat) LakeFs.delete(st.getPath.toString)
+      if (staleBase) {
+        val children = LakeFs.list(st.getPath.toString)
+        val (kept, doomed) = children.partition(c =>
+          referenced.contains(fileId(c.getPath.toString)))
+        doomed.foreach(c => LakeFs.delete(c.getPath.toString))
+        if (kept.isEmpty) LakeFs.delete(st.getPath.toString)
+      } else if (staleFlat) LakeFs.delete(st.getPath.toString)
     }
     // commits below the previous pointer's horizon are unreachable by both
     // the current and the previous generation

@@ -115,6 +115,36 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs === Set((1L, 2L)))
   }
 
+  test("duplicatedSpansWinnowed equals the exhaustive span pass; the " +
+      "prefilter actually prunes non-duplicated docs") {
+    import graft.ext.Dedup
+    val sharedSpan = (1 to 12).map(i => s"s$i").mkString(" ") // 12-token copy
+    val data = Seq(
+      (1L, s"alpha beta $sharedSpan gamma delta"),
+      (2L, s"$sharedSpan epsilon zeta eta theta"),
+      // shares winnow fps with nothing (all-distinct vocab)
+      (3L, (1 to 20).map(i => s"u$i").mkString(" ")),
+      // 3-way duplicated span, different container each time
+      (4L, s"one two $sharedSpan"),
+      (5L, (31 to 50).map(i => s"v$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val exhaustive = Dedup.duplicatedSpans(data, "doc_id", "text",
+        n = 8, minDocs = 2)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val winnowed = Dedup.duplicatedSpansWinnowed(data, "doc_id", "text",
+        n = 8, minDocs = 2, k = 4, w = 4)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(winnowed == exhaustive, "prefilter must be lossless")
+    assert(exhaustive.map(_._1) == Set(1L, 2L, 4L))
+    // some span is held by all three copies
+    assert(exhaustive.groupBy(_._2).exists(_._2.map(_._1) == Set(1L, 2L, 4L)))
+    // the guard refuses a span length below the winnowing guarantee window
+    intercept[IllegalArgumentException] {
+      Dedup.duplicatedSpansWinnowed(data, "doc_id", "text",
+        n = 6, minDocs = 2, k = 4, w = 4)
+    }
+  }
+
   test("editVerifiedPairs confirms identical/near pairs and rejects distant candidates") {
     val texts = Seq(
       (1L, "the quick brown fox jumps over the lazy dog"),

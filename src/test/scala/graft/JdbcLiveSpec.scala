@@ -59,6 +59,41 @@ class JdbcLiveSpec extends AnyFunSuite {
     } finally conn.close()
   }
 
+  test("readPartitioned splits the table into concurrent range slices with " +
+      "row identity to the single-stream read (S10 at scale, live)") {
+    val c = cfg("graft_pt")
+    // deliberately non-contiguous keys: range partitioning must not assume
+    // density, only bounds
+    val rows = (1L to 400L).filter(i => i % 3 != 0).map(i => (i * 7, i, s"p_$i"))
+    rows.toDF("RECID", "VERSION", "PAYLOAD")
+      .write.format("jdbc").mode("append")
+      .option("url", c.url).option("dbtable", "T_PT").save()
+    // bounds come from the discovery aggregates (A6-style live probes),
+    // exactly how the runner would parameterize the 100 TB S10 read
+    val conn = connect("graft_pt")
+    val (lo, hi) =
+      try (JdbcTxn.scalarLong(conn, "SELECT MIN(RECID) FROM T_PT").get,
+        JdbcTxn.scalarLong(conn, "SELECT MAX(RECID) FROM T_PT").get)
+      finally conn.close()
+    val part = Jdbc.readPartitioned(spark, c, "T_PT", "RECID", lo, hi,
+      numPartitions = 4)
+    assert(part.rdd.getNumPartitions == 4,
+      "the ranged read must fan out into the requested partitions")
+    // every slice actually carries rows — the work is genuinely spread, not
+    // one stream plus three empty bounds
+    val perSlice = part
+      .groupBy(org.apache.spark.sql.functions.spark_partition_id().as("pid"))
+      .count().collect().map(_.getLong(1))
+    assert(perSlice.count(_ > 0) >= 2, s"slices: ${perSlice.toSeq}")
+    // row identity with the single-stream pushdown read
+    val single = Jdbc.readPushdown(spark, c,
+      "SELECT RECID, VERSION, PAYLOAD FROM T_PT")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    val ranged = part.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(ranged == single && ranged.size == rows.size)
+  }
+
   test("changeset apply shape live: staged loads, ONE atomic mutation (D5)") {
     val c = cfg("graft_cs")
     // target bootstrap: keys 1-10

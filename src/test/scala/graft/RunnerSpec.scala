@@ -97,6 +97,63 @@ class RunnerSpec extends AnyFunSuite {
     assert(state.filter(col("SysRowVersion") > 300000L).count() == 25)
   }
 
+  test("clustered lake layout + key-local drift: the production compaction " +
+      "rewrites only touched files and writes a small fraction of the table " +
+      "(partitioned-rewrite composition, VERDICT r7 #2)") {
+    import graft.run.{IoMeter, LakeApplier, ParquetSource}
+    val (dir, store, _) = newEnv()
+    // compactEvery=1 ⇒ the incremental sync's commit is folded immediately:
+    // the measured write cost below is commit + compaction, the full
+    // steady-state apply path
+    val runner = new SyncRunner(spark, store, parallelWorkers = 1, compactEvery = 1)
+    val srcPath = s"$dir/src_pc"
+    def writeSrc(version: Long => Long): Unit =
+      (1L to 2000L).map(i => (i, version(i), s"row$i" * 8))
+        .toDF("RecId", "SysRowVersion", "payload")
+        .write.mode("overwrite").parquet(srcPath)
+    writeSrc(identity)
+    val tgt = s"$dir/tgt_pc"
+    def plan = runner.TablePlan("PC", "ignored", "ignored",
+      sourceOverride = Some(ParquetSource(srcPath)),
+      applierOverride = Some(LakeApplier(tgt, compactEvery = 1,
+        clusterKey = Some("RecId"), clusterFiles = 8)))
+    assert(runner.runAll(Seq(plan)).head.mode == SyncMode.Standard)
+
+    def baseFiles(): Map[String, (Long, Long)] = {
+      val base = LakeTable.resolve(tgt).get._1
+      LakeTable.baseDataFiles(base).map { p =>
+        val st = graft.sync.LakeFs.list(p).head
+        (p.split('/').takeRight(2).mkString("/"), (st.getLen, st.getModificationTime))
+      }.toMap
+    }
+    val before = baseFiles()
+    assert(before.size == 8, s"clustered layout must yield 8 files: $before")
+    val baseBytes = before.values.map(_._1).sum
+
+    // key-local 5% drift: only the top 100 keys change (the monotone-RecId
+    // production shape)
+    writeSrc(i => if (i > 1900L) i + 100000L else i)
+    val meter = IoMeter.install(spark.sparkContext)
+    val (r, io) = meter.measure { runner.runAll(Seq(plan)) }
+    assert(r.head.ok && r.head.mode == SyncMode.Incremental, r.head.toString)
+    assert(LakeTable.pendingCommits(tgt) == 0, "compactEvery=1 must fold the commit")
+
+    val after = baseFiles()
+    val carried = before.keySet.intersect(after.keySet)
+    assert(carried.size >= 6,
+      s"a top-5% drift over 8 range-clustered files must carry most:\n$before\nvs\n$after")
+    carried.foreach(k => assert(before(k) == after(k),
+      s"carried base file was rewritten: $k"))
+    // the sync's TOTAL writes (commit + compaction rewrite) stay a small
+    // fraction of the base — the partitioned-rewrite claim in bytes
+    assert(io.writtenB < baseBytes / 2,
+      s"5% key-local sync wrote ${io.writtenB} B vs base $baseBytes B")
+    // and the state is exactly the drifted source
+    val state = LakeTable.read(spark, tgt)
+    assert(state.count() == 2000)
+    assert(state.filter(col("SysRowVersion") > 100000L).count() == 100)
+  }
+
   test("source deletes are pruned, new rows inserted (J2/J3 via runner)") {
     val (dir, store, runner) = newEnv()
     val src = mkSource(dir, "t2", identity)
