@@ -607,6 +607,15 @@ object ExtQueries {
       Dedup.removeSpansWinnowed(docs(s, d), "doc_id", "text",
         n = 8, minDocs = 2, k = 4, w = 4)),
 
+    // incremental ExactSubstr: the new batch's spans against the kept
+    // corpus's span index — combined counts, batch-side enumeration only;
+    // oracle = exhaustive union stats restricted to new docs
+    "q_dedup_spans_incremental" -> ((s, d) =>
+      Dedup.crossCorpusDuplicatedSpans(
+        docs(s, d).filter(col("doc_id") > 250),
+        docs(s, d).filter(col("doc_id") <= 250),
+        "doc_id", "text", n = 8, minDocs = 2)),
+
     // token-budget mix: best docs of each source up to 500 tokens —
     // the pretraining-mix allocation rule (length-aware, not row-count)
     "q_token_budget" -> ((s, d) =>
@@ -963,6 +972,22 @@ stats AS (
   FROM g GROUP BY fp HAVING count(DISTINCT doc_id) >= 2)
 SELECT d.doc_id, d.fp, s.n_docs, s.n_occurrences
 FROM (SELECT DISTINCT doc_id, fp FROM g) d JOIN stats s USING (fp)""",
+
+    // incremental-span oracle: exhaustive stats over the WHOLE corpus,
+    // output restricted to the new batch — the combined batch+index counts
+    // the operator reports must equal them exactly
+    "q_dedup_spans_incremental" -> s"""WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+g AS (
+  SELECT doc_id, ${oh32("array_to_string(t[(i+1):(i+8)], ' ')")} AS fp
+  FROM toks, LATERAL (SELECT unnest(range(0, greatest(len(t) - 7, 0))) i)),
+stats AS (
+  SELECT fp, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+    CAST(count(*) AS BIGINT) AS n_occurrences
+  FROM g GROUP BY fp HAVING count(DISTINCT doc_id) >= 2)
+SELECT d.doc_id, d.fp, s.n_docs, s.n_occurrences
+FROM (SELECT DISTINCT doc_id, fp FROM g WHERE doc_id > 250) d
+JOIN stats s USING (fp)""",
 
     // the winnow-prefiltered variant's oracle is DELIBERATELY the same
     // exhaustive replay — no prefilter on the DuckDB side. Equal hashes =

@@ -194,6 +194,40 @@ class PartialCompactSpec extends AnyFunSuite {
     assert(ranges.head._1 == 1L && ranges.last._2 == 1000L)
   }
 
+  test("a crash before the pointer swap leaves an orphan generation dir: " +
+      "reads stay on the old generation, the next overwrite GCs the orphan") {
+    val t = freshTable()
+    clusteredBase(t, 100L, files = 2)
+    LakeTable.appendCommit(cs(Seq(95L), Seq((95L, "v2"))), t)
+    val expected = state(t)
+    // simulate the torn partial compaction: a staged base dir with data and
+    // manifest exists, but the pointer never moved (writes happen in exactly
+    // this order, so this IS the worst crash window). A RETRY would reuse
+    // the same seq-derived dir name safely — Spark's overwrite mode replaces
+    // the dir wholesale before the fresh manifest is written.
+    val orphan = s"$t/base-7"
+    val aFile = LakeTable.baseDataFiles(LakeTable.resolve(t).get._1).head
+    LakeFs.mkdirs(orphan)
+    val orphanFile = s"$orphan/part-orphan.parquet"
+    // copy one real data file so the orphan looks like a finished stage
+    val bytes = {
+      val st = LakeFs.list(aFile).head
+      val in = LakeFs.fs(aFile).open(st.getPath)
+      try { val b = new Array[Byte](st.getLen.toInt); in.readFully(0, b); b }
+      finally in.close()
+    }
+    val out = LakeFs.fs(orphanFile).create(new org.apache.hadoop.fs.Path(orphanFile), true)
+    try out.write(bytes) finally out.close()
+    LakeFs.writeUtf8(s"$orphan/${LakeTable.ManifestFile}", "base-7/part-orphan.parquet")
+
+    assert(state(t) == expected, "orphan dirs must not affect resolution")
+    // next real snapshot write collects the orphan (unreferenced by both
+    // kept generations), keeps the previous generation intact
+    LakeTable.overwrite(LakeTable.read(spark, t), t)
+    assert(!LakeFs.exists(orphan), "orphan generation must be GC'd")
+    assert(state(t) == expected)
+  }
+
   test("earliestReadableTs: stamped table = base state time; mixed history " +
       "= first stamp after the last unstamped commit; tolerant reads") {
     val t = freshTable()
