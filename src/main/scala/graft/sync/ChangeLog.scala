@@ -74,14 +74,26 @@ object ChangeLog {
       catch { case scala.util.control.NonFatal(_) => None }
   }
 
+  /** Sub-interval count of the v2 stats line: the commit's key set banded
+    * into up to this many TIGHT [min,max] intervals. Why it matters: a
+    * single envelope interval turns "hot-tail updates + a few stragglers"
+    * into a full-width range — defeating both commit skipping and partial
+    * compaction for exactly the mixed-locality commits real syncs produce;
+    * 8 tight bands keep the stragglers' band narrow and the hot band
+    * tighter still. */
+  val StatsBands = 8
+
   /** Commit-level data-skipping stats: the key range every event (insert or
     * tombstone) in one commit falls into, stored as `_stats` INSIDE the
     * staged dir so it rides the same atomic rename as the data.
     *
     * Computed by scanning the freshly-STAGED parquet (O(commit), which is
     * O(change%) — never the table) rather than re-evaluating the changeset
-    * DAG a second time. Format mirrors the pointer file: `min\tmax\tevents`.
-    */
+    * DAG a second time. Line 1 mirrors the pointer file:
+    * `min\tmax\tevents`; line 2 (v2, optional) holds up to [[StatsBands]]
+    * tight sub-intervals `lo,hi;lo,hi;…` — equal-width bands of the
+    * envelope, each shrunk to its actual key min/max. Pre-v2 commits have
+    * only line 1 and degrade to the envelope interval. */
   private def writeStats(spark: SparkSession, staging: String): Unit = {
     val del = spark.read.parquet(s"$staging/deletes")
     val keyCol = del.schema.fieldNames.head
@@ -92,8 +104,27 @@ object ChangeLog {
     if (r.getLong(2) == 0L)
       // truly empty commit: always skippable
       LakeFs.writeUtf8(s"$staging/_stats", "0\t-1\t0")
-    else if (!r.isNullAt(0) && !r.isNullAt(1))
-      LakeFs.writeUtf8(s"$staging/_stats", s"${r.getLong(0)}\t${r.getLong(1)}\t${r.getLong(2)}")
+    else if (!r.isNullAt(0) && !r.isNullAt(1)) {
+      val (mn, mx) = (r.getLong(0), r.getLong(1))
+      val line1 = s"$mn\t$mx\t${r.getLong(2)}"
+      val span = mx - mn // < 0 only on a Long-overflow-wide domain
+      val bands =
+        if (span < 0 || span < StatsBands) Nil // envelope already tight
+        else {
+          val step = span / StatsBands + 1
+          keys.filter(col("k").isNotNull)
+            .groupBy(expr(s"(k - ${mn}L) div ${step}L").as("b"))
+            .agg(min(col("k")).as("lo"), max(col("k")).as("hi"))
+            .collect().toSeq
+            .map(row => (row.getLong(1), row.getLong(2)))
+            .sortBy(_._1)
+        }
+      val body =
+        if (bands.size > 1)
+          line1 + "\n" + bands.map { case (a, b) => s"$a,$b" }.mkString(";")
+        else line1
+      LakeFs.writeUtf8(s"$staging/_stats", body)
+    }
     // else: events exist but keys are null / fail the long cast (non-numeric
     // key column) — a key-range read cannot reason about them, so write NO
     // stats: the reader treats absence as "not skippable" and the commit is
@@ -103,23 +134,51 @@ object ChangeLog {
 
   /** (minKey, maxKey, events) of a committed changeset — None when the
     * commit predates stats or the file is torn (both degrade to
-    * "not skippable", never to a wrong skip). */
+    * "not skippable", never to a wrong skip). Reads line 1 only (v2 files
+    * carry the sub-interval line below it). */
   def commitStats(commitPath: String): Option[(Long, Long, Long)] = {
     val p = s"$commitPath/_stats"
     if (!LakeFs.exists(p)) None
     else
-      try LakeFs.readUtf8(p).trim.split("\t") match {
-        case Array(mn, mx, n) =>
-          for (a <- mn.toLongOption; b <- mx.toLongOption; c <- n.toLongOption)
-            yield (a, b, c)
-        case _ => None
-      } catch { case scala.util.control.NonFatal(_) => None }
+      try LakeFs.readUtf8(p).linesIterator.toSeq.headOption
+        .map(_.trim.split("\t")).flatMap {
+          case Array(mn, mx, n) =>
+            for (a <- mn.toLongOption; b <- mx.toLongOption; c <- n.toLongOption)
+              yield (a, b, c)
+          case _ => None
+        }
+      catch { case scala.util.control.NonFatal(_) => None }
   }
 
+  /** The commit's key coverage as TIGHT sub-intervals: the v2 band line
+    * when present and parseable, else the v1 envelope; `Some(Nil)` = empty
+    * commit (coverable by nothing), None = no usable stats (degrade to
+    * "not skippable"/"touched", same rule as [[commitStats]]). */
+  def commitStatsIntervals(commitPath: String): Option[Seq[(Long, Long)]] =
+    commitStats(commitPath).map { case (mn, mx, n) =>
+      if (n == 0L) Nil
+      else {
+        val banded =
+          try LakeFs.readUtf8(s"$commitPath/_stats").linesIterator.toSeq
+            .drop(1).headOption.map { line =>
+              line.trim.split(";").toSeq.map { iv =>
+                val Array(a, b) = iv.split(",")
+                (a.toLong, b.toLong)
+              }
+            }
+          catch { case scala.util.control.NonFatal(_) => None }
+        // a torn/garbled band line degrades to the envelope, never to a skip
+        banded.filter(_.forall { case (a, b) => a >= mn && b <= mx && a <= b })
+          .getOrElse(Seq((mn, mx)))
+      }
+    }
+
   /** Can a key-range read skip this commit entirely? Only with positive
-    * evidence: stats present AND (empty commit OR disjoint range). */
+    * evidence: stats present AND (empty commit OR every covered interval
+    * disjoint from the range). */
   private def skippable(commitPath: String, lo: Long, hi: Long): Boolean =
-    commitStats(commitPath).exists { case (mn, mx, n) => n == 0L || mx < lo || mn > hi }
+    commitStatsIntervals(commitPath).exists(
+      _.forall { case (a, b) => b < lo || a > hi })
 
   /** Least lossless-widening supertype of two column types, or None if the
     * pair has no lossless join (→ replay refuses under [[TypePolicy.Strict]];
@@ -183,12 +242,30 @@ object ChangeLog {
       keyCol: String = "RecId", fromSeq: Int = 0,
       keyRange: Option[(Long, Long)] = None,
       toSeq: Int = Int.MaxValue,
-      typePolicy: TypePolicy = TypePolicy.Strict): DataFrame =
+      typePolicy: TypePolicy = TypePolicy.Strict): DataFrame = {
     // manifest resolution (LakeTable.readPaths): a partially-compacted
     // base's files live across generation dirs — the dir alone is not the
     // base. Plain dirs pass through unchanged.
-    replayPaths(spark, LakeTable.readPaths(basePath), logDir, keyCol,
+    val paths0 = LakeTable.readPaths(basePath)
+    // FILE-level base pruning for ranged reads of a manifested base: the
+    // file list is already explicit, so disjoint files (footer key range vs
+    // the requested range — same conservative rule as commit skipping:
+    // unknown = kept) never become scan tasks at all. Parquet row-group
+    // pruning would drop their ROWS anyway; this drops the task scheduling
+    // + footer reads, which is what a point lookup on a 100 TB clustered
+    // base actually waits on. One file is always kept: a manifested base's
+    // files share one schema, and an all-pruned read still needs it.
+    val paths = keyRange match {
+      case Some((lo, hi)) if paths0.size > 1 =>
+        val kept = paths0.filter(p =>
+          ParquetStats.fileKeyRange(p, keyCol)
+            .forall { case (mn, mx) => mx >= lo && mn <= hi })
+        if (kept.nonEmpty) kept else paths0.take(1)
+      case _ => paths0
+    }
+    replayPaths(spark, paths, logDir, keyCol,
       fromSeq, keyRange, toSeq, typePolicy)
+  }
 
   /** [[replay]] over an EXPLICIT base file list — the entry partial
     * compaction uses to fold commits into just the touched files. */

@@ -481,9 +481,13 @@ object LakeTable {
       CompactResult("full", -1, 0, seqs.size, reason)
     }
     if (base == table) return full("flat pre-pointer base")
-    val stats = seqs.map(q => ChangeLog.commitStats(s"$log/$q"))
+    // v2 sub-intervals when present: a commit mixing hot-tail updates with
+    // a few stragglers covers two narrow bands, not their full-width
+    // envelope — so the straggler band touches its one file instead of
+    // dragging everything in between into the rewrite
+    val stats = seqs.map(q => ChangeLog.commitStatsIntervals(s"$log/$q"))
     if (stats.exists(_.isEmpty)) return full("commit without _stats")
-    val intervals = stats.flatten.collect { case (lo, hi, n) if n > 0 => (lo, hi) }
+    val intervals = stats.flatten.flatten
     val files = baseDataFiles(base)
     if (files.isEmpty) return full("base has no data files")
     if (intervals.isEmpty) {

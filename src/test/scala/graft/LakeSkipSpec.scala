@@ -183,6 +183,37 @@ class LakeSkipSpec extends AnyFunSuite {
     }
   }
 
+  test("v2 banded stats: a two-band commit is skipped by a range between " +
+      "its bands, where the v1 envelope would keep it") {
+    val t = freshTable()
+    LakeTable.overwrite((1L to 10000L).map(i => (i, s"p$i")).toDF("RecId", "payload"), t)
+    // commit touches two distant narrow bands: low stragglers + hot tail
+    val seq = LakeTable.appendCommit(
+      cs(Seq(5L, 9L), Seq((9500L, "hot"), (9600L, "hot"))), t)
+    val ivs = ChangeLog.commitStatsIntervals(s"$t/_log/$seq").get
+    assert(ivs.size >= 2, s"banded stats expected: $ivs")
+    assert(ivs.head._2 < 1000L && ivs.last._1 > 9000L, s"bands not tight: $ivs")
+    // a mid-range read between the bands must skip the commit entirely —
+    // the v1 envelope [5, 9600] could not
+    val mid = LakeTable.readKeyRange(spark, t, 4000L, 5000L)
+    assert(!mid.inputFiles.exists(_.contains(s"/_log/$seq/")),
+      "two-band commit must be skipped between its bands")
+    assert(mid.count() == 1001)
+    // a read overlapping either band keeps it
+    val hot = LakeTable.readKeyRange(spark, t, 9400L, 9700L)
+    assert(hot.inputFiles.exists(_.contains(s"/_log/$seq/")))
+    assert(hot.select("RecId", "payload").as[(Long, String)].collect().toSet
+      .contains((9500L, "hot")))
+    // a garbled band line degrades to the envelope, never to a wrong skip
+    val raw = LakeFs.readUtf8(s"$t/_log/$seq/_stats")
+    LakeFs.writeUtf8(s"$t/_log/$seq/_stats",
+      raw.linesIterator.toSeq.head + "\ngarbage;;not,numbers")
+    assert(ChangeLog.commitStatsIntervals(s"$t/_log/$seq")
+      .contains(Seq((5L, 9600L))))
+    assert(LakeTable.readKeyRange(spark, t, 4000L, 5000L)
+      .inputFiles.exists(_.contains(s"/_log/$seq/")))
+  }
+
   test("empty changeset commits are always skippable") {
     val t = freshTable()
     LakeTable.overwrite((1L to 10L).map(i => (i, s"p$i")).toDF("RecId", "payload"), t)

@@ -99,8 +99,11 @@ class PartialCompactSpec extends AnyFunSuite {
   test("scattered commits fall back to a full rewrite, results unchanged") {
     val t = freshTable()
     clusteredBase(t, 1000L, files = 8)
-    // one commit spanning the whole key range: every file intersects
-    LakeTable.appendCommit(cs(Seq(5L), Seq((995L, "v2"))), t)
+    // genuinely scattered drift: every 13th key — every band of the v2
+    // stats is populated, every file intersects
+    val touched = (5L to 1000L by 13L).toSeq
+    LakeTable.appendCommit(
+      cs(touched, touched.map(i => (i, "v2"))), t)
     val before = state(t) // replayed pre-compact
     val r = LakeTable.compact(spark, t)
     assert(r.mode == "full" && r.reason.contains("intersects"), r.toString)
@@ -192,6 +195,39 @@ class PartialCompactSpec extends AnyFunSuite {
       case _ => ()
     }
     assert(ranges.head._1 == 1L && ranges.last._2 == 1000L)
+  }
+
+  test("mixed-locality commit (hot tail + stragglers) still compacts " +
+      "partially: v2 banded stats keep the files between the bands carried") {
+    val t = freshTable()
+    clusteredBase(t, 1000L, files = 8)
+    // one commit touching the low edge AND the hot tail — a v1 envelope
+    // [5, 990] would intersect every file and force the full rewrite
+    LakeTable.appendCommit(
+      cs(Seq(5L, 990L), Seq((5L, "v2"), (990L, "v2"), (995L, "v2"))), t)
+    val before = state(t)
+    val r = LakeTable.compact(spark, t)
+    assert(r.mode == "partial", s"banded stats must keep this partial: $r")
+    assert(r.carriedFiles >= 5,
+      s"only the two edge files should rewrite, middle files carry: $r")
+    assert(state(t) == before)
+  }
+
+  test("ranged read of a manifested base prunes disjoint base FILES from " +
+      "the plan, not just their rows") {
+    val t = freshTable()
+    clusteredBase(t, 1000L, files = 8)
+    LakeTable.appendCommit(cs(Seq(950L), Seq((950L, "v2"))), t)
+    assert(LakeTable.compact(spark, t).mode == "partial")
+    // a low-band point lookup: only the one covering base file may plan
+    val read = LakeTable.readKeyRange(spark, t, 100L, 120L)
+    val baseFilesPlanned = read.inputFiles.toSeq.filterNot(_.contains("/_log/"))
+    // 1 covering file normally; 2 if the range straddles a sampled
+    // partitioner boundary — never the whole manifest
+    assert(baseFilesPlanned.size <= 2,
+      s"disjoint base files must be pruned from the ranged plan:\n${baseFilesPlanned.mkString("\n")}")
+    assert(read.select("RecId", "payload").as[(Long, String)].collect().toSet ==
+      (100L to 120L).map(i => (i, s"p$i")).toSet)
   }
 
   test("a crash before the pointer swap leaves an orphan generation dir: " +
