@@ -135,6 +135,27 @@ object AnalyticsQueries {
         .limit(10)
         .select("o_orderkey", "o_custkey", "o_totalprice")),
 
+    // Semi-structured property bag: typed extraction from the events table's
+    // JSON `props` column (codegen'd JsonToStructs, scan speed, no UDF),
+    // then filter + aggregate on the extracted field — the metadata-filter
+    // shape a crawl pipeline runs over record headers
+    "q_events_props" -> ((s, d) => {
+      val ev = graft.ext.SemiStructured.extractJson(
+        s.read.parquet(s"$d/events.parquet"), "props", Seq("k" -> "BIGINT"))
+      ev.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("k")).as("sum_k"),
+          sum(when(col("k") >= 50, 1L).otherwise(0L)).as("n_k_ge_50"))
+    }),
+
+    // The dirt report for the same bag: parseability + per-field coverage
+    // per group (decides whether a metadata field is trustworthy enough to
+    // filter 100 TB on); `absent` quantifies a field that never occurs
+    "q_events_props_audit" -> ((s, d) =>
+      graft.ext.SemiStructured.jsonAudit(
+        s.read.parquet(s"$d/events.parquet"), "props", "event_type",
+        Seq("k" -> "BIGINT", "absent" -> "STRING"))),
+
     // Event-time tumbling window (batch analog of the streaming agg)
     "q_events_hourly" -> ((s, d) =>
       EventsSource.load(s, d)
@@ -533,6 +554,23 @@ SELECT pr.item_a, pr.item_b, pr.c, sa.n AS na, sb.n AS nb,
   CAST(floor(pr.c * 1000.0 / sqrt(CAST(sa.n * sb.n AS DOUBLE))) AS BIGINT)
     AS cosine_millis
 FROM pr JOIN sz sa ON sa.it = pr.item_a JOIN sz sb ON sb.it = pr.item_b""",
+
+    // JSON property extraction replay: ->> path + BIGINT cast
+    "q_events_props" -> """SELECT event_type,
+  CAST(count(*) AS BIGINT) AS n,
+  CAST(sum(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
+  CAST(sum(CASE WHEN CAST(props->>'k' AS BIGINT) >= 50 THEN 1 ELSE 0 END)
+    AS BIGINT) AS n_k_ge_50
+FROM events GROUP BY event_type""",
+
+    // audit replay: json_valid + per-field presence
+    "q_events_props_audit" -> """SELECT event_type,
+  CAST(count(*) AS BIGINT) AS n,
+  CAST(sum(CASE WHEN json_valid(props) THEN 1 ELSE 0 END) AS BIGINT) AS n_valid,
+  CAST(sum(CASE WHEN props->>'k' IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_k,
+  CAST(sum(CASE WHEN props->>'absent' IS NOT NULL THEN 1 ELSE 0 END)
+    AS BIGINT) AS n_absent
+FROM events GROUP BY event_type""",
 
     // path replay: lag/cumsum sessionization, ordered list agg capped at
     // 50 steps, count-desc top-20 with the path tiebreak
