@@ -312,20 +312,29 @@ object Dedup {
     *
     * @return (idCol, fp, n_docs, n_occurrences) — one row per (document,
     *         duplicated span) with the span's corpus-wide counts. */
-  def duplicatedSpans(df: DataFrame, idCol: String, textCol: String,
-      n: Int = 8, minDocs: Long = 2): DataFrame = {
+  /** One row per (doc, span-hash) with its in-doc occurrence count `_occ` —
+    * THE span tokenization/hash shape, defined once: [[duplicatedSpans]],
+    * [[crossCorpusDuplicatedSpans]] and the winnowed variants all build on
+    * it, so the exhaustive/incremental/prefiltered count-equality contracts
+    * cannot drift apart. */
+  private def spanGramsPerDoc(df: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame = {
     val toks = split(col(textCol), " ")
-    val grams = df.select(col(idCol),
+    df.select(col(idCol),
         explode(when(size(toks) >= n,
           transform(sequence(lit(0), size(toks) - n),
             i => h32(concat_ws(" ", slice(toks, i + 1, lit(n))))))
           .otherwise(array().cast("array<long>"))).as("fp"))
+      .groupBy(col(idCol), col("fp")).agg(count(lit(1)).as("_occ"))
+  }
+
+  def duplicatedSpans(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 8, minDocs: Long = 2): DataFrame = {
     // pre-aggregate to (doc, span) first: the corpus-wide stats then roll
     // up from doc-distinct rows (count = distinct docs, no expensive
     // count-distinct), and the mask join moves pre-aggregated rows instead
     // of re-shuffling every raw gram occurrence through a distinct
-    val perDoc = grams.groupBy(col(idCol), col("fp"))
-      .agg(count(lit(1)).as("_occ"))
+    val perDoc = spanGramsPerDoc(df, idCol, textCol, n)
     val stats = perDoc.groupBy("fp")
       .agg(count(lit(1)).as("n_docs"), sum(col("_occ")).as("n_occurrences"))
       .filter(col("n_docs") >= minDocs)
@@ -352,17 +361,8 @@ object Dedup {
     *         [[duplicatedSpans]] over the union would emit for them. */
   def crossCorpusDuplicatedSpans(newDf: DataFrame, corpusDf: DataFrame,
       idCol: String, textCol: String, n: Int = 8, minDocs: Long = 2): DataFrame = {
-    def perDoc(df: DataFrame): DataFrame = {
-      val toks = split(col(textCol), " ")
-      df.select(col(idCol),
-          explode(when(size(toks) >= n,
-            transform(sequence(lit(0), size(toks) - n),
-              i => h32(concat_ws(" ", slice(toks, i + 1, lit(n))))))
-            .otherwise(array().cast("array<long>"))).as("fp"))
-        .groupBy(col(idCol), col("fp")).agg(count(lit(1)).as("_occ"))
-    }
-    val newPerDoc = perDoc(newDf)
-    val corpusIndex = perDoc(corpusDf).groupBy("fp")
+    val newPerDoc = spanGramsPerDoc(newDf, idCol, textCol, n)
+    val corpusIndex = spanGramsPerDoc(corpusDf, idCol, textCol, n).groupBy("fp")
       .agg(count(lit(1)).as("_cd"), sum(col("_occ")).as("_co"))
     val combined = newPerDoc.groupBy("fp")
       .agg(count(lit(1)).as("_nd"), sum(col("_occ")).as("_no"))
@@ -392,19 +392,28 @@ object Dedup {
     * over the candidate set equal the corpus-wide counts. Not a sketch:
     * the prefilter loses nothing, it only skips docs that PROVABLY cannot
     * contribute. */
-  def duplicatedSpansWinnowed(df: DataFrame, idCol: String, textCol: String,
-      n: Int = 8, minDocs: Long = 2, k: Int = 4, w: Int = 4): DataFrame = {
+  /** The winnow-prefilter's candidate set: docs sharing at least one
+    * winnowed fingerprint with another doc. Preconditions of the EXACTNESS
+    * argument (n ≥ w+k−1, a partner to key on) are enforced HERE, once —
+    * both winnowed variants route through it. */
+  private def winnowCandidates(df: DataFrame, idCol: String, textCol: String,
+      n: Int, minDocs: Long, k: Int, w: Int): DataFrame = {
     require(n >= w + k - 1,
       s"result equality needs n >= w+k-1 (the winnowing guarantee window): " +
         s"n=$n, k=$k, w=$w")
     require(minDocs >= 2,
       "minDocs must be >= 2: a 1-doc 'duplicate' has no partner for the " +
         "fingerprint prefilter to key on")
-    val fps = winnowFingerprints(df, idCol, textCol, k, w)
-    val candidates = fps.withColumn("nfp",
+    winnowFingerprints(df, idCol, textCol, k, w)
+      .withColumn("nfp",
         count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("fp")))
       .filter(col("nfp") >= 2)
       .select(col(idCol)).distinct()
+  }
+
+  def duplicatedSpansWinnowed(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 8, minDocs: Long = 2, k: Int = 4, w: Int = 4): DataFrame = {
+    val candidates = winnowCandidates(df, idCol, textCol, n, minDocs, k, w)
     duplicatedSpans(df.join(candidates, Seq(idCol), "left_semi"),
       idCol, textCol, n, minDocs)
   }
@@ -459,17 +468,7 @@ object Dedup {
     * plus O(candidate tokens). */
   def removeSpansWinnowed(df: DataFrame, idCol: String, textCol: String,
       n: Int = 8, minDocs: Long = 2, k: Int = 4, w: Int = 4): DataFrame = {
-    require(n >= w + k - 1,
-      s"result equality needs n >= w+k-1 (the winnowing guarantee window): " +
-        s"n=$n, k=$k, w=$w")
-    require(minDocs >= 2,
-      "minDocs must be >= 2: a 1-doc 'duplicate' has no partner for the " +
-        "fingerprint prefilter to key on")
-    val fps = winnowFingerprints(df, idCol, textCol, k, w)
-    val candidates = fps.withColumn("nfp",
-        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("fp")))
-      .filter(col("nfp") >= 2)
-      .select(col(idCol)).distinct()
+    val candidates = winnowCandidates(df, idCol, textCol, n, minDocs, k, w)
     val surgically = removeSpans(
       df.join(candidates, Seq(idCol), "left_semi"), idCol, textCol, n, minDocs)
     val untouched = df.join(candidates, Seq(idCol), "left_anti")

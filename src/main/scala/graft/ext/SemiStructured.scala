@@ -27,6 +27,12 @@ object SemiStructured {
   def extractJson(df: DataFrame, jsonCol: String,
       fields: Seq[(String, String)], prefix: String = ""): DataFrame = {
     require(fields.nonEmpty, "at least one field to extract")
+    val outNames = fields.map(prefix + _._1)
+    require(outNames.distinct.size == outNames.size,
+      s"duplicate extracted column names: $outNames")
+    val clash = df.columns.toSet.intersect(outNames.toSet)
+    require(clash.isEmpty,
+      s"extracted column(s) $clash collide with existing columns — set a prefix")
     val ddl = fields.map { case (n, t) => s"`$n` $t" }.mkString(", ")
     val parsed = from_json(col(jsonCol), ddl, Map.empty[String, String])
     df.withColumn("_sj", parsed)
@@ -46,6 +52,10 @@ object SemiStructured {
     val corrupt = "_corrupt_doc"
     require(!fields.exists(_._1 == corrupt),
       s"'$corrupt' is reserved for the corrupt-record channel")
+    val outNames = Seq(groupCol, "n", "n_valid") ++ fields.map("n_" + _._1)
+    require(outNames.distinct.size == outNames.size,
+      s"audit output column collision (a field named 'valid', or a group " +
+        s"column shadowing a count column): $outNames")
     val ddl = (fields.map { case (n, t) => s"`$n` $t" } :+
       s"`$corrupt` STRING").mkString(", ")
     val parsed = from_json(col(jsonCol), ddl,

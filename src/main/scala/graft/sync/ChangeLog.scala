@@ -100,6 +100,16 @@ object ChangeLog {
     val keys = spark.read.parquet(s"$staging/inserts")
       .select(col(keyCol).cast("long").as("k"))
       .union(del.select(col(keyCol).cast("long").as("k")))
+    // pinned across the envelope agg and the band groupBy below — without
+    // it every commit append scans its staged changeset twice
+    keys.persist()
+    try {
+      writeStatsBody(staging, keys)
+    } finally { keys.unpersist(); () }
+  }
+
+  private def writeStatsBody(staging: String,
+      keys: org.apache.spark.sql.DataFrame): Unit = {
     val r = keys.agg(min(col("k")), max(col("k")), count(lit(1))).head
     if (r.getLong(2) == 0L)
       // truly empty commit: always skippable
@@ -153,25 +163,39 @@ object ChangeLog {
   /** The commit's key coverage as TIGHT sub-intervals: the v2 band line
     * when present and parseable, else the v1 envelope; `Some(Nil)` = empty
     * commit (coverable by nothing), None = no usable stats (degrade to
-    * "not skippable"/"touched", same rule as [[commitStats]]). */
-  def commitStatsIntervals(commitPath: String): Option[Seq[(Long, Long)]] =
-    commitStats(commitPath).map { case (mn, mx, n) =>
-      if (n == 0L) Nil
-      else {
-        val banded =
-          try LakeFs.readUtf8(s"$commitPath/_stats").linesIterator.toSeq
-            .drop(1).headOption.map { line =>
-              line.trim.split(";").toSeq.map { iv =>
-                val Array(a, b) = iv.split(",")
-                (a.toLong, b.toLong)
+    * "not skippable"/"touched", same rule as [[commitStats]]). ONE file
+    * read parses both lines — this sits on the ranged-read planning path,
+    * where each extra small read is an object-store round-trip per commit. */
+  def commitStatsIntervals(commitPath: String): Option[Seq[(Long, Long)]] = {
+    val p = s"$commitPath/_stats"
+    if (!LakeFs.exists(p)) None
+    else
+      try {
+        val lines = LakeFs.readUtf8(p).linesIterator.toSeq
+        lines.headOption.map(_.trim.split("\t")).flatMap {
+          case Array(mn0, mx0, n0) =>
+            for (mn <- mn0.toLongOption; mx <- mx0.toLongOption;
+                n <- n0.toLongOption) yield {
+              if (n == 0L) Nil
+              else {
+                val banded = lines.drop(1).headOption.flatMap { line =>
+                  try Some(line.trim.split(";").toSeq.map { iv =>
+                    val Array(a, b) = iv.split(",")
+                    (a.toLong, b.toLong)
+                  })
+                  catch { case scala.util.control.NonFatal(_) => None }
+                }
+                // torn/garbled band line degrades to the envelope, never to
+                // a wrong skip
+                banded
+                  .filter(_.forall { case (a, b) => a >= mn && b <= mx && a <= b })
+                  .getOrElse(Seq((mn, mx)))
               }
             }
-          catch { case scala.util.control.NonFatal(_) => None }
-        // a torn/garbled band line degrades to the envelope, never to a skip
-        banded.filter(_.forall { case (a, b) => a >= mn && b <= mx && a <= b })
-          .getOrElse(Seq((mn, mx)))
-      }
-    }
+          case _ => None
+        }
+      } catch { case scala.util.control.NonFatal(_) => None }
+  }
 
   /** Can a key-range read skip this commit entirely? Only with positive
     * evidence: stats present AND (empty commit OR every covered interval

@@ -425,7 +425,9 @@ object LakeTable {
 
   /** What a [[compact]] call did: `partial` folded the pending commits into
     * only the TOUCHED base files and carried the rest by manifest reference;
-    * `full` rewrote the whole base (fallback, with the reason); `noop` had
+    * `full` rewrote the whole base (fallback, with the reason;
+    * rewrittenFiles = -1 meaning "all"); `pointer-only` advanced the pointer
+    * past exclusively-empty commits without touching a byte; `noop` had
     * nothing to fold. */
   final case class CompactResult(mode: String, rewrittenFiles: Int,
       carriedFiles: Int, foldedCommits: Int, reason: String = "")
@@ -499,6 +501,13 @@ object LakeTable {
       return CompactResult("pointer-only", 0, files.size, seqs.size)
     }
     val ranged = files.map(f => f -> ParquetStats.fileKeyRange(f, keyCol))
+    // name the real cause when NO file carries a usable range (non-INT64
+    // key column, stats disabled): otherwise the fallback would misreport
+    // "every file intersects" and send the operator tuning key locality
+    // when the footer ranges were never readable at all
+    if (ranged.forall(_._2.isEmpty))
+      return full("base footer key ranges unusable (non-INT64 key column " +
+        "or footer stats missing) — partial compaction needs a long key")
     val (touched0, untouched0) = ranged.partition { case (_, r) =>
       // unknown range ⇒ touched (conservative); known ⇒ touched iff it
       // intersects ANY commit interval
@@ -516,7 +525,10 @@ object LakeTable {
       keyCol, fromSeq)
     def norm(s: org.apache.spark.sql.types.StructType) =
       s.fields.map(f => f.name.toLowerCase -> f.dataType).toMap
-    val baseSchema = spark.read.parquet(files: _*).schema
+    // ONE footer suffices: all files of a base share a schema (the invariant
+    // this very guard preserves) — reading every carried file's footer would
+    // put O(all files) metadata IO back into the O(touched) path
+    val baseSchema = spark.read.parquet(files.head).schema
     if (norm(rewritten.schema) != norm(baseSchema))
       return full("commits changed the schema (new columns or widened types)")
     val nextSeq = (ChangeLog.commitSeqs(log) :+ fromSeq).max + 1
