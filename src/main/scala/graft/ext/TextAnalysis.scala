@@ -139,6 +139,33 @@ object TextAnalysis {
     * oracle SQL. */
   def standInWeights(buckets: Int): Seq[Long] =
     (0 until buckets).map(i => (i * 2654435761L) % 2000001L - 1000000L)
+
+  /** Per-document token-ENTROPY surrogate in micro-bits — the
+    * junk/gibberish quality signal compression-ratio filters approximate
+    * (Gopher's repetition rules catch structured repeats; entropy catches
+    * low-diversity sludge and random-character noise at the distribution
+    * level): 0 = one token repeated, log2(n) = all tokens distinct.
+    *
+    * log2 is the exact integer BIT LENGTH (`length(bin(x)) - 1`) — libm-free
+    * by the repo determinism rule (same precedent as BM25/markov rational
+    * micros), and DuckDB replays it exactly via `length(printf('%b', x))`.
+    * The surrogate H = (Σ ci·(L(n) − L(ci)))/n is EXACT whenever every
+    * count is a power of two and overestimates by < 1 bit otherwise —
+    * ordinal quality filtering only needs the ranking.
+    *
+    * Scale shape: explode + two hash-keyed groupBys (map-side combined),
+    * the [[graft.ext.Dedup.simhash]] precedent — never a per-row O(len²)
+    * array scan. Output: (idCol, n_tokens, entropy_microbits). */
+  def tokenEntropyMicros(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame =
+    df.select(col(idCol), explode(split(col(textCol), " ")).as("tok"))
+      .groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("c"))
+      .groupBy(col(idCol))
+      .agg(sum(col("c")).as("n"),
+        sum(col("c") * (length(bin(col("c"))) - 1)).as("_sl"))
+      .select(col(idCol), col("n").as("n_tokens"),
+        expr("(((length(bin(n)) - 1) * n - _sl) * 1000000) div n")
+          .as("entropy_microbits"))
 }
 
 /** KMV (k-minimum-values) distinct-count sketch: estimate = (k−1)·2³² / hₖ

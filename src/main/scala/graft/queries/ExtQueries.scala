@@ -785,6 +785,12 @@ object ExtQueries {
         TextAnalysis.dupBigramMillis("text").as("dup_bigram_millis"),
         TextAnalysis.topTokenMillis("text").as("top_token_millis"))),
 
+    // ---- token-entropy surrogate (micro-bits, bit-length log2): the
+    // distribution-level junk signal — 0 for one-token sludge, log2(n)
+    // for all-distinct; exact when counts are powers of two ----
+    "q_text_entropy" -> ((s, d) =>
+      TextAnalysis.tokenEntropyMicros(docs(s, d), "doc_id", "text")),
+
     // ---- document chunking: 32-token sliding windows with 8-token
     // overlap — pure per-row expression + explode, no shuffle ----
     "q_text_chunks" -> ((s, d) =>
@@ -2198,6 +2204,21 @@ SELECT doc_id,
     x -> len(list_filter(tk, y -> y = x)))) / len(tk)) AS BIGINT)
     AS top_token_millis
 FROM t""",
+
+    // entropy replay: per-token counts, bit-length log2 via printf('%b'),
+    // exact integer arithmetic end to end
+    "q_text_entropy" -> """WITH tk AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+c AS (
+  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS c FROM tk GROUP BY 1, 2),
+a AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n,
+    CAST(sum(c * (length(printf('%b', c)) - 1)) AS BIGINT) AS sl
+  FROM c GROUP BY 1)
+SELECT doc_id, n AS n_tokens,
+  CAST((((length(printf('%b', n)) - 1) * n - sl) * 1000000) // n AS BIGINT)
+    AS entropy_microbits
+FROM a""",
 
     "q_text_chunks" -> """WITH t AS (
   SELECT doc_id, string_split(text, ' ') tk FROM documents),

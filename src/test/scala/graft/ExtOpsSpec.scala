@@ -478,6 +478,22 @@ class TextAnalysisSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
 
+  test("token entropy surrogate: exact at power-of-two counts, 0 for " +
+      "sludge, log2(n) for all-distinct") {
+    val df = Seq(
+      (1L, "a a a a"),          // one token: entropy 0
+      (2L, "a b c d"),          // all distinct: exactly 2 bits
+      (3L, "a a b b"),          // two tokens evenly: exactly 1 bit
+      (4L, "a a a b")           // skewed: surrogate (2*4-3)/4 = 1.25 bits
+    ).toDF("doc_id", "text")
+    val m = graft.ext.TextAnalysis.tokenEntropyMicros(df, "doc_id", "text")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(m(1L) == ((4L, 0L)))
+    assert(m(2L) == ((4L, 2000000L)))
+    assert(m(3L) == ((4L, 1000000L)))
+    assert(m(4L) == ((4L, 1250000L)))
+  }
+
   test("token stats") {
     val df = Seq((1L, "the cat sat on the mat")).toDF("doc_id", "text")
     val r = df.select(
