@@ -33,7 +33,13 @@ object StreamingSync {
     * design exists to avoid.) The first batch bootstraps the base snapshot.
     * Within a batch, the newest version per key wins (older duplicates are
     * window-deduped before the append, mirroring replay's newest-wins
-    * rule). Read the result with [[graft.sync.LakeTable.read]]. */
+    * rule). Read the result with [[graft.sync.LakeTable.read]].
+    *
+    * `clusterByKey` opts the base into the key-range-clustered layout
+    * ([[graft.sync.LakeTable.overwriteClustered]] via the applier), which
+    * is what lets the periodic compaction take the PARTIAL path when the
+    * stream's keys are local (monotone ids): steady-state cost becomes
+    * O(batches + touched files), never O(table). */
   def incrementalSyncStream(
       spark: SparkSession,
       sourceDir: String,
@@ -42,7 +48,8 @@ object StreamingSync {
       schema: StructType,
       keyCol: String = "RecId",
       versionCol: String = "SysRowVersion",
-      compactEvery: Int = 8): StreamingQuery = {
+      compactEvery: Int = 8,
+      clusterByKey: Boolean = false): StreamingQuery = {
     spark.readStream
       .schema(schema)
       .parquet(sourceDir)
@@ -56,7 +63,8 @@ object StreamingSync {
         val rows = batch.toDF()
           .withColumn("_rn", row_number().over(w))
           .filter(col("_rn") === 1).drop("_rn")
-        val applier = graft.run.LakeApplier(targetDir, compactEvery)
+        val applier = graft.run.LakeApplier(targetDir, compactEvery,
+          clusterKey = if (clusterByKey) Some(keyCol) else None)
         if (!applier.exists) applier.overwrite(rows)
         else applier.applyChangeSet(
           graft.sync.Apply.ChangeSet(

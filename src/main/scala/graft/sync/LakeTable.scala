@@ -362,6 +362,41 @@ object LakeTable {
         throw new IllegalArgumentException(s"lake table does not exist: $table")
     }
 
+  /** DESCRIBE HISTORY analog: one row per element of the CURRENT
+    * generation — the base snapshot plus every pending commit — newest
+    * last. Driver-side metadata only (pointer + listings + `_stats`/`_ts`
+    * sidecars + manifest), no data scan: on a 100 TB table this costs the
+    * same as resolving the pointer.
+    *
+    * Columns: kind ('base'|'commit'), seq (the base row carries
+    * `fromSeq - 1` — the state the generation started from, [[readAt]]'s
+    * lowest legal argument), files (base data files incl. manifest-carried;
+    * commits: -1 = not enumerated), events (commit event count, -1 =
+    * unknown/no stats), min_key/max_key (null = unknown), time_ms (base
+    * state time / commit stamp, null = unstamped). */
+  def history(spark: SparkSession, table: String): DataFrame = {
+    import spark.implicits._
+    resolveWithTime(table) match {
+      case None =>
+        throw new IllegalArgumentException(s"lake table does not exist: $table")
+      case Some((base, fromSeq, stateTime)) =>
+        val log = logDir(table)
+        val baseRow = ("base", fromSeq - 1, baseDataFiles(base).size,
+          -1L, Option.empty[Long], Option.empty[Long], stateTime)
+        val commitRows = ChangeLog.commitSeqs(log).filter(_ >= fromSeq).sorted
+          .map { seq =>
+            val stats = ChangeLog.commitStats(s"$log/$seq")
+            ("commit", seq, -1,
+              stats.map(_._3).getOrElse(-1L),
+              stats.filter(_._3 > 0).map(_._1),
+              stats.filter(_._3 > 0).map(_._2),
+              ChangeLog.commitTime(s"$log/$seq"))
+          }
+        (baseRow +: commitRows)
+          .toDF("kind", "seq", "files", "events", "min_key", "max_key", "time_ms")
+    }
+  }
+
   /** Number of commits the current pointer depends on (compaction signal). */
   def pendingCommits(table: String): Int = resolve(table) match {
     case Some((_, fromSeq)) => ChangeLog.commitSeqs(logDir(table)).count(_ >= fromSeq)

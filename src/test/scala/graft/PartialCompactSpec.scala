@@ -183,6 +183,25 @@ class PartialCompactSpec extends AnyFunSuite {
     assert(out.contains((950L, "v2")) && !out.contains((950L, "p950")))
   }
 
+  test("history lists the current generation: base row + pending commits " +
+      "with stats/stamps; compaction folds the commit rows away") {
+    val t = freshTable()
+    clusteredBase(t, 100L, files = 2)
+    LakeTable.appendCommit(cs(Seq(95L), Seq((95L, "v2"))), t, nowMs = 1234L)
+    val h1 = LakeTable.history(spark, t)
+      .select("kind", "seq", "events", "min_key", "max_key", "time_ms")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2),
+        Option(r.get(3)), Option(r.get(4)), Option(r.get(5))))
+    assert(h1.length == 2)
+    assert(h1.head._1 == "base" && h1.head._2 == -1)
+    assert(h1.last == (("commit", 0, 2L, Some(95L), Some(95L), Some(1234L))))
+    assert(LakeTable.compact(spark, t).foldedCommits == 1)
+    val h2 = LakeTable.history(spark, t).collect()
+    assert(h2.length == 1 && h2.head.getString(0) == "base")
+    // manifest-carried files are counted as part of the base
+    assert(h2.head.getInt(2) >= 2)
+  }
+
   test("clustered base files carry tight disjoint footer key ranges") {
     val t = freshTable()
     clusteredBase(t, 1000L, files = 4)
