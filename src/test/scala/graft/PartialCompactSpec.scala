@@ -183,6 +183,46 @@ class PartialCompactSpec extends AnyFunSuite {
     assert(out.contains((950L, "v2")) && !out.contains((950L, "p950")))
   }
 
+  test("PROPERTY: compaction preserves state exactly across seeded random " +
+      "commit histories (localized, scattered, inserts, deletes, chained)") {
+    val rnd = new scala.util.Random(20260814L)
+    for (trial <- 1 to 4) {
+      val t = freshTable()
+      val n = 200 + rnd.nextInt(600)
+      clusteredBase(t, n.toLong, files = 2 + rnd.nextInt(5))
+      (1 to 2 + rnd.nextInt(2)).foreach { _ =>
+        // random commit: localized band or scattered; deletes of existing
+        // keys, upserts of existing keys, inserts of brand-new keys
+        val keys =
+          if (rnd.nextBoolean()) {
+            val lo = 1 + rnd.nextInt(n); val hi = math.min(n, lo + rnd.nextInt(50))
+            (lo.toLong to hi.toLong)
+          } else (1 to 20).map(_ => 1L + rnd.nextInt(n))
+        val dels = keys.filter(_ => rnd.nextBoolean()).distinct
+        val ups = keys.filterNot(dels.contains).distinct.map(k => (k, s"u$k"))
+        val news = (1 to rnd.nextInt(5)).map(_ => (n + 1L + rnd.nextInt(200), "new"))
+          .distinct
+        LakeTable.appendCommit(
+          cs(dels ++ ups.map(_._1) ++ news.map(_._1), ups ++ news), t)
+      }
+      val expected = state(t)
+      val r = LakeTable.compact(spark, t)
+      assert(LakeTable.pendingCommits(t) == 0, s"trial $trial: $r")
+      assert(state(t) == expected, s"trial $trial (mode ${r.mode}) changed state")
+      // a random ranged read over the compacted table equals the filter form
+      val lo = 1L + rnd.nextInt(n); val hi = lo + rnd.nextInt(n)
+      val ranged = LakeTable.readKeyRange(spark, t, lo, hi)
+        .select("RecId", "payload").as[(Long, String)].collect().toSet
+      assert(ranged == expected.filter(kv => kv._1 >= lo && kv._1 <= hi),
+        s"trial $trial: ranged read diverged after ${r.mode} compaction")
+      // and the table keeps working: one more commit + compact round-trips
+      LakeTable.appendCommit(cs(Seq(1L), Seq((1L, "zz"))), t)
+      val r2 = LakeTable.compact(spark, t)
+      assert(state(t) == expected - ((1L, "p1")) - ((1L, "u1")) + ((1L, "zz")),
+        s"trial $trial: chained ${r.mode}->${r2.mode} diverged")
+    }
+  }
+
   test("history lists the current generation: base row + pending commits " +
       "with stats/stamps; compaction folds the commit rows away") {
     val t = freshTable()
