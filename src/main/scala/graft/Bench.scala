@@ -681,6 +681,26 @@ object Bench {
       System.err.println(f"[bench] partial compact of $compactK%d key-local " +
         f"commits: $tP%.1f s (read $readMb%.0f MB, wrote $writeMb%.0f MB, " +
         f"carried ${res.carriedFiles}%d files / $carriedMb%.0f MB untouched)")
+      // FILE-level base pruning over the manifested result (byte-
+      // deterministic, like lakeskip): a cold-band point lookup plans only
+      // the covering base file(s), not the whole manifest — total base
+      // bytes over planned base bytes is the ratio a 100 TB point lookup
+      // actually feels
+      locally {
+        val allFiles = LakeTable.baseDataFiles(newBase)
+        val totalMb = allFiles.map(p => graft.sync.LakeFs.sizeBytes(p)).sum / 1e6
+        val coldLo = 1000L // far below every replicate band's hot tail
+        val planned = LakeTable.readKeyRange(spark, t, coldLo, coldLo + 10L)
+          .inputFiles.toSeq.filterNot(_.contains("/_log/"))
+        val plannedMb = planned.map(u =>
+          new java.io.File(new java.net.URI(u).getPath).length).sum / 1e6
+        require(planned.nonEmpty && planned.size < allFiles.size,
+          s"manifest file pruning regressed: ${planned.size}/${allFiles.size}")
+        ratios("manifest_base_file_prune_x") = totalMb / math.max(plannedMb, 0.001)
+        System.err.println(f"[bench] manifested point lookup plans " +
+          f"${planned.size}%d/${allFiles.size}%d base files " +
+          f"($plannedMb%.0f of $totalMb%.0f MB)")
+      }
       rmRecF(new java.io.File(t))
       results(s"scn_compact_partial_${compactK}commits") = tP
       ratios("compact_partial_carried_files") = res.carriedFiles.toDouble
