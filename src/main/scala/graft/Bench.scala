@@ -736,6 +736,20 @@ object Bench {
           math.max(fullReadMb + fullWriteMb, 1e-9)
       tF
     }
+    // The compact TIME ratios use a PAIRED full-apply draw from the SAME
+    // minutes as their denominator — the pct5 per-pair cure: with the pool
+    // median (minutes later) as denominator, identical code drew 0.088 and
+    // 0.545 on consecutive runs purely from write-regime drift, while the
+    // byte forms sat at 0.036 both times. The plough draw is NOT a valid
+    // pair (it absorbs the post-quiet writeback ramp by design — an
+    // inflated denominator would flatter the ratio).
+    val tFullPair = standardDraw()
+    System.err.println(f"[bench] paired full-apply draw for the compact " +
+      f"ratios: $tFullPair%.1f s")
+    ratios("compact_amortized_vs_full") =
+      (tCompactPartial / compactK) / math.max(tFullPair, 1e-9)
+    ratios("compact_scattered_vs_full") =
+      (tCompact / compactK) / math.max(tFullPair, 1e-9)
     flush("compact")
     // Timing is decomposed BY PHASE, because the two scenarios share their
     // dominant phase: a full apply of the same bytes to the same path.
@@ -819,14 +833,13 @@ object Bench {
       if (pairRatios.nonEmpty) median(pairRatios.toSeq) else tFull / tIncrAligned
     ratios("pct5_speedup_pool_medians") = tFull / tIncrAligned // advisory
     ratios("truncate_vs_full") = tTrunc / tFull
-    // amortized per-commit share of the compaction rewrite (timed in the
-    // compact phase above) vs a full reload per sync — the append-only
-    // path's honest total cost. Headline = the PARTIAL path (key-local
-    // drift, clustered base — the production policy); the scattered
-    // worst case (full-rewrite fallback) is disclosed alongside.
-    ratios("compact_amortized_vs_full") =
+    // advisory cross-phase variants of the compact ratios (the per-pair
+    // headline forms are set in the compact phase above; these document how
+    // far the pool-median denominator drifts from the paired one)
+    ratios("compact_amortized_vs_full_poolmedian") =
       (tCompactPartial / compactK) / math.max(tFull, 1e-9)
-    ratios("compact_scattered_vs_full") = (tCompact / compactK) / math.max(tFull, 1e-9)
+    ratios("compact_scattered_vs_full_poolmedian") =
+      (tCompact / compactK) / math.max(tFull, 1e-9)
     flush("draws")
 
     // --- commit-level data skipping (structural, byte-deterministic) ---
