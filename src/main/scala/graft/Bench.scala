@@ -689,13 +689,20 @@ object Bench {
       locally {
         val allFiles = LakeTable.baseDataFiles(newBase)
         val totalMb = allFiles.map(p => graft.sync.LakeFs.sizeBytes(p)).sum / 1e6
-        val coldLo = 1000L // far below every replicate band's hot tail
-        val planned = LakeTable.readKeyRange(spark, t, coldLo, coldLo + 10L)
-          .inputFiles.toSeq.filterNot(_.contains("/_log/"))
+        // the probe key is a CARRIED file's own footer minimum — a key that
+        // provably exists in a cold band (an out-of-domain constant would
+        // match nothing and exercise only the take-1 schema fallback, r8
+        // review finding), so the lookup must both prune AND return the row
+        val coldKey = allFiles.filter(_.contains("base-0")).iterator
+          .flatMap(p => graft.sync.ParquetStats.fileKeyRange(p, "RecId"))
+          .next()._1
+        val lookup = LakeTable.readKeyRange(spark, t, coldKey, coldKey)
+        val planned = lookup.inputFiles.toSeq.filterNot(_.contains("/_log/"))
         val plannedMb = planned.map(u =>
           new java.io.File(new java.net.URI(u).getPath).length).sum / 1e6
         require(planned.nonEmpty && planned.size < allFiles.size,
           s"manifest file pruning regressed: ${planned.size}/${allFiles.size}")
+        require(lookup.count() >= 1, "cold-band probe key must resolve its row")
         ratios("manifest_base_file_prune_x") = totalMb / math.max(plannedMb, 0.001)
         System.err.println(f"[bench] manifested point lookup plans " +
           f"${planned.size}%d/${allFiles.size}%d base files " +
@@ -710,6 +717,13 @@ object Bench {
           math.max(fullReadMb + fullWriteMb, 1e-9)
       tP
     }
+    // the paired denominator is drawn IMMEDIATELY after the partial compact
+    // and immediately before the scattered one — adjacent to BOTH numerators
+    // (r8 review: a pair taken after the ~200 s scattered phase still let
+    // regime drift land on the partial ratio)
+    val tFullPair = standardDraw()
+    System.err.println(f"[bench] paired full-apply draw for the compact " +
+      f"ratios: $tFullPair%.1f s")
     val tCompact = {
       val t = s"$tmp/tgt_compact"
       lakeTarget(s"$cache/perf", t)
@@ -736,16 +750,13 @@ object Bench {
           math.max(fullReadMb + fullWriteMb, 1e-9)
       tF
     }
-    // The compact TIME ratios use a PAIRED full-apply draw from the SAME
-    // minutes as their denominator — the pct5 per-pair cure: with the pool
+    // The compact TIME ratios use the PAIRED full-apply draw sandwiched
+    // between the two numerators — the pct5 per-pair cure: with the pool
     // median (minutes later) as denominator, identical code drew 0.088 and
     // 0.545 on consecutive runs purely from write-regime drift, while the
     // byte forms sat at 0.036 both times. The plough draw is NOT a valid
     // pair (it absorbs the post-quiet writeback ramp by design — an
     // inflated denominator would flatter the ratio).
-    val tFullPair = standardDraw()
-    System.err.println(f"[bench] paired full-apply draw for the compact " +
-      f"ratios: $tFullPair%.1f s")
     ratios("compact_amortized_vs_full") =
       (tCompactPartial / compactK) / math.max(tFullPair, 1e-9)
     ratios("compact_scattered_vs_full") =

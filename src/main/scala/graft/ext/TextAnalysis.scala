@@ -149,9 +149,13 @@ object TextAnalysis {
     * log2 is the exact integer BIT LENGTH (`length(bin(x)) - 1`) — libm-free
     * by the repo determinism rule (same precedent as BM25/markov rational
     * micros), and DuckDB replays it exactly via `length(printf('%b', x))`.
-    * The surrogate H = (Σ ci·(L(n) − L(ci)))/n is EXACT whenever every
-    * count is a power of two and overestimates by < 1 bit otherwise —
-    * ordinal quality filtering only needs the ranking.
+    * The surrogate H = (Σ ci·(L(n) − L(ci)))/n is EXACT when the counts
+    * AND the total n are all powers of two; otherwise each term's floor
+    * errors can land on either side, so it deviates by STRICTLY LESS THAN
+    * 1 bit in EITHER direction (e.g. counts (2,2,1): surrogate 1.2 vs true
+    * 1.522 bits — an underestimate despite power-of-two counts, because
+    * n=5 is not one). Ordinal quality filtering only needs the ranking;
+    * a one-sided threshold must budget the ±1-bit band.
     *
     * Scale shape: explode + two hash-keyed groupBys (map-side combined),
     * the [[graft.ext.Dedup.simhash]] precedent — never a per-row O(len²)

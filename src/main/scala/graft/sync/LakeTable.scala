@@ -513,8 +513,21 @@ object LakeTable {
     val foldedTime =
       (seqs.flatMap(seq => ChangeLog.commitTime(s"$log/$seq")) ++ prevTime)
         .maxOption.getOrElse(System.currentTimeMillis())
-    def full(reason: String): CompactResult = {
-      overwrite(read(spark, table, keyCol), table, foldedTime)
+    // recluster=true PRESERVES a key-clustered layout through the full
+    // rewrite: without it, ONE scattered/schema-change fallback would write
+    // an unclustered base whose wide overlapping file ranges make every
+    // LATER compaction full as well — the O(table) steady state silently
+    // returning for good (r8 review finding). Costs the range exchange
+    // only when the base demonstrably WAS clustered.
+    def full(reason: String, recluster: Boolean = false,
+        nFiles: Int = 0): CompactResult = {
+      val cur = read(spark, table, keyCol)
+      val df =
+        if (recluster)
+          cur.repartitionByRange(math.max(nFiles, 1), col(keyCol))
+            .sortWithinPartitions(keyCol)
+        else cur
+      overwrite(df, table, foldedTime)
       CompactResult("full", -1, 0, seqs.size, reason)
     }
     if (base == table) return full("flat pre-pointer base")
@@ -523,10 +536,19 @@ object LakeTable {
     // envelope — so the straggler band touches its one file instead of
     // dragging everything in between into the rewrite
     val stats = seqs.map(q => ChangeLog.commitStatsIntervals(s"$log/$q"))
-    if (stats.exists(_.isEmpty)) return full("commit without _stats")
-    val intervals = stats.flatten.flatten
     val files = baseDataFiles(base)
     if (files.isEmpty) return full("base has no data files")
+    lazy val ranged = files.map(f => f -> ParquetStats.fileKeyRange(f, keyCol))
+    // the base counts as clustered when every file range is known and they
+    // are pairwise disjoint — the layout overwriteClustered/partial
+    // compaction writes; fallbacks then re-cluster to keep it
+    lazy val wasClustered = ranged.forall(_._2.isDefined) && {
+      val known = ranged.flatMap(_._2).sortBy(_._1)
+      known.lazyZip(known.drop(1)).forall { case ((_, h), (l, _)) => h < l }
+    }
+    if (stats.exists(_.isEmpty))
+      return full("commit without _stats", wasClustered, files.size)
+    val intervals = stats.flatten.flatten
     if (intervals.isEmpty) {
       // only EMPTY commits pend: advance the pointer past them without
       // touching a byte (the base is already the current state)
@@ -535,7 +557,6 @@ object LakeTable {
         nextSeq, foldedTime)
       return CompactResult("pointer-only", 0, files.size, seqs.size)
     }
-    val ranged = files.map(f => f -> ParquetStats.fileKeyRange(f, keyCol))
     // name the real cause when NO file carries a usable range (non-INT64
     // key column, stats disabled): otherwise the fallback would misreport
     // "every file intersects" and send the operator tuning key locality
@@ -550,7 +571,8 @@ object LakeTable {
         intervals.exists { case (lo, hi) => mx >= lo && mn <= hi } }
     }
     if (untouched0.isEmpty)
-      return full("every base file intersects the commit key ranges")
+      return full("every base file intersects the commit key ranges",
+        wasClustered, files.size)
     // keep at least one data file in the new dir so the generation is
     // self-describing (schema) even when the commits touch no base file
     val (touched, untouched) =
@@ -565,7 +587,8 @@ object LakeTable {
     // put O(all files) metadata IO back into the O(touched) path
     val baseSchema = spark.read.parquet(files.head).schema
     if (norm(rewritten.schema) != norm(baseSchema))
-      return full("commits changed the schema (new columns or widened types)")
+      return full("commits changed the schema (new columns or widened types)",
+        wasClustered, files.size)
     val nextSeq = (ChangeLog.commitSeqs(log) :+ fromSeq).max + 1
     val newBaseName = s"base-$nextSeq"
     val newBase = s"$table/$newBaseName"

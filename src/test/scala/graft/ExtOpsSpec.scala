@@ -478,13 +478,17 @@ class TextAnalysisSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
 
-  test("token entropy surrogate: exact at power-of-two counts, 0 for " +
-      "sludge, log2(n) for all-distinct") {
+  test("token entropy surrogate: exact at power-of-two counts AND total, " +
+      "0 for sludge, log2(n) for all-distinct, <1-bit deviation either way") {
     val df = Seq(
       (1L, "a a a a"),          // one token: entropy 0
       (2L, "a b c d"),          // all distinct: exactly 2 bits
       (3L, "a a b b"),          // two tokens evenly: exactly 1 bit
-      (4L, "a a a b")           // skewed: surrogate (2*4-3)/4 = 1.25 bits
+      (4L, "a a a b"),          // skewed: surrogate (2*4-3)/4 = 1.25 bits
+                                // (true 0.811 — overestimate)
+      (5L, "a a b b c")         // counts all powers of two but n=5 is not:
+                                // surrogate (2*5-4)/5 = 1.2 bits vs true
+                                // 1.522 — an UNDERestimate (doc contract)
     ).toDF("doc_id", "text")
     val m = graft.ext.TextAnalysis.tokenEntropyMicros(df, "doc_id", "text")
       .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
@@ -492,6 +496,7 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(m(2L) == ((4L, 2000000L)))
     assert(m(3L) == ((4L, 1000000L)))
     assert(m(4L) == ((4L, 1250000L)))
+    assert(m(5L) == ((5L, 1200000L)))
   }
 
   test("token stats") {

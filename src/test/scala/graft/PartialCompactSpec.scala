@@ -109,6 +109,24 @@ class PartialCompactSpec extends AnyFunSuite {
     assert(r.mode == "full" && r.reason.contains("intersects"), r.toString)
     assert(state(t) == before)
     assert(LakeTable.pendingCommits(t) == 0)
+
+    // the fallback must PRESERVE the clustered layout (a single scattered
+    // round must not doom every later compaction to O(table)): the rewritten
+    // base carries disjoint ranges again, and a subsequent key-local commit
+    // compacts partially
+    val base = LakeTable.resolve(t).get._1
+    val ranges = LakeTable.baseDataFiles(base)
+      .flatMap(p => ParquetStats.fileKeyRange(p, "RecId")).sortBy(_._1)
+    assert(ranges.size > 1)
+    ranges.lazyZip(ranges.drop(1)).foreach { case ((_, h), (l, _)) =>
+      assert(h < l, s"full fallback lost the clustered layout: $ranges")
+    }
+    LakeTable.appendCommit(cs(Seq(990L), Seq((990L, "v3"))), t)
+    val r2 = LakeTable.compact(spark, t)
+    assert(r2.mode == "partial" && r2.carriedFiles > 0,
+      s"post-fallback table must still compact partially: $r2")
+    // 990 is not on the 13-step grid, so its pre-image is the base row
+    assert(state(t) == before - ((990L, "p990")) + ((990L, "v3")))
   }
 
   test("a commit without _stats forces the full fallback") {

@@ -36,6 +36,49 @@ class StreamingSpec extends AnyFunSuite {
     assert(out == Map(1L -> "a", 2L -> "b2", 3L -> "c"))
   }
 
+  test("clusterByKey stream: clustered bootstrap, key-local batch folds " +
+      "PARTIALLY at compactEvery (manifested base, carried files)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_ck").toString
+    val srcDir = s"$dir/src"
+    val schema = Seq((1L, 1L, "a")).toDF("RecId", "SysRowVersion", "payload").schema
+    // batch 1 bootstraps a CLUSTERED base
+    (1L to 400L).map(i => (i, 1L, s"p$i"))
+      .toDF("RecId", "SysRowVersion", "payload").write.parquet(srcDir)
+    val q1 = StreamingSync.incrementalSyncStream(
+      spark, srcDir, s"$dir/tgt", s"$dir/ckpt", schema,
+      compactEvery = 1, clusterByKey = true)
+    q1.awaitTermination(60000)
+    val base0 = graft.sync.LakeTable.resolve(s"$dir/tgt").get._1
+    val ranges0 = graft.sync.LakeTable.baseDataFiles(base0)
+      .flatMap(p => graft.sync.ParquetStats.fileKeyRange(p, "RecId")).sortBy(_._1)
+    assert(ranges0.size > 1, "clustered bootstrap must write multiple files")
+    ranges0.lazyZip(ranges0.drop(1)).foreach { case ((_, h), (l, _)) =>
+      assert(h < l, s"bootstrap files must carry disjoint ranges: $ranges0")
+    }
+    // batch 2: key-LOCAL drift (hot tail only); compactEvery=1 folds it
+    // immediately — the partial path leaves a manifested base that carries
+    // the bootstrap's cold files by reference
+    (390L to 400L).map(i => (i, 2L, s"v2_$i"))
+      .toDF("RecId", "SysRowVersion", "payload")
+      .write.mode("append").parquet(srcDir)
+    val q2 = StreamingSync.incrementalSyncStream(
+      spark, srcDir, s"$dir/tgt", s"$dir/ckpt", schema,
+      compactEvery = 1, clusterByKey = true)
+    q2.awaitTermination(60000)
+    assert(graft.sync.LakeTable.pendingCommits(s"$dir/tgt") == 0)
+    val base1 = graft.sync.LakeTable.resolve(s"$dir/tgt").get._1
+    assert(graft.sync.LakeFs.exists(
+      s"$base1/${graft.sync.LakeTable.ManifestFile}"),
+      "key-local fold must take the partial path (manifested base)")
+    val carried = graft.sync.LakeTable.baseDataFiles(base1)
+      .count(_.split('/').takeRight(2).head ==
+        base0.split('/').last)
+    assert(carried > 0, "cold bootstrap files must carry by reference")
+    val out = graft.sync.LakeTable.read(spark, s"$dir/tgt")
+      .select("RecId", "payload").as[(Long, String)].collect().toMap
+    assert(out.size == 400 && out(395L) == "v2_395" && out(10L) == "p10")
+  }
+
   test("streaming dedup drops duplicate keys with watermark-bounded state") {
     val dir = java.nio.file.Files.createTempDirectory("graft_stream_dd").toString
     val t0 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
