@@ -160,6 +160,13 @@ object Bench {
       if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rmRecF))
       f.delete(); ()
     }
+    // reap leftovers of killed/crashed prior runs: a kill skips the final
+    // cleanup and each orphaned scratch dir holds ~13 GB — two of them
+    // starved a later run into ENOSPC mid-compaction (observed)
+    Option(new java.io.File(System.getProperty("java.io.tmpdir")).listFiles)
+      .foreach(_.filter(f => f.isDirectory &&
+          (f.getName.startsWith("graft_bench") || f.getName.startsWith("graft_bloomph")))
+        .foreach(rmRecF))
     val bloomTmp = java.nio.file.Files.createTempDirectory("graft_bloomph").toString
     try {
       val li = spark.read.parquet(s"$sfDir/lineitem.parquet")

@@ -614,10 +614,15 @@ object LakeTable {
   }
 
   /** The unconditional full rewrite: base = current replayed state, then
-    * drop the replayed commits. [[compact]]'s fallback, kept callable for
-    * schedule-driven policies (e.g. re-clustering a fragmented base). */
+    * drop the replayed commits. [[compact]]'s fallback shape, kept callable
+    * for schedule-driven policies. `recluster = true` writes the
+    * key-range-clustered layout (the `nFiles`-file form of
+    * [[overwriteClustered]], 0 = keep the current base's file count) —
+    * the re-clustering pass that turns a fragmented or never-clustered
+    * base into one partial compaction can prune. */
   def compactFull(spark: SparkSession, table: String,
-      keyCol: String = "RecId"): CompactResult = {
+      keyCol: String = "RecId", recluster: Boolean = false,
+      nFiles: Int = 0): CompactResult = {
     val foldedTime = resolveWithTime(table) match {
       case Some((_, fromSeq, prevTime)) =>
         val commitTimes = ChangeLog.commitSeqs(logDir(table)).filter(_ >= fromSeq)
@@ -626,7 +631,15 @@ object LakeTable {
       case None => System.currentTimeMillis()
     }
     val folded = pendingCommits(table)
-    overwrite(read(spark, table, keyCol), table, foldedTime)
+    val cur = read(spark, table, keyCol)
+    val df =
+      if (recluster) {
+        val n = if (nFiles > 0) nFiles
+          else math.max(resolve(table).map(r => baseDataFiles(r._1).size)
+            .getOrElse(0), 1)
+        cur.repartitionByRange(n, col(keyCol)).sortWithinPartitions(keyCol)
+      } else cur
+    overwrite(df, table, foldedTime)
     CompactResult("full", -1, 0, folded, "explicit compactFull")
   }
 

@@ -129,6 +129,33 @@ class PartialCompactSpec extends AnyFunSuite {
     assert(state(t) == before - ((990L, "p990")) + ((990L, "v3")))
   }
 
+  test("compactFull(recluster) turns a never-clustered base into one " +
+      "partial compaction can prune") {
+    val t = freshTable()
+    // plain (unclustered) overwrite: files span overlapping ranges
+    LakeTable.overwrite(
+      (1L to 1000L).map(i => (i, s"p$i")).toDF("RecId", "payload")
+        .repartition(4), t)
+    LakeTable.appendCommit(cs(Seq(990L), Seq((990L, "v2"))), t)
+    // without reclustering this key-local commit would hit every file
+    assert(LakeTable.compact(spark, t).mode == "full")
+    LakeTable.appendCommit(cs(Seq(991L), Seq((991L, "v2"))), t)
+    assert(LakeTable.compactFull(spark, t, recluster = true, nFiles = 8)
+      .foldedCommits == 1)
+    val ranges = LakeTable.baseDataFiles(LakeTable.resolve(t).get._1)
+      .flatMap(p => ParquetStats.fileKeyRange(p, "RecId")).sortBy(_._1)
+    assert(ranges.size == 8)
+    ranges.lazyZip(ranges.drop(1)).foreach { case ((_, h), (l, _)) =>
+      assert(h < l, s"recluster must yield disjoint ranges: $ranges")
+    }
+    LakeTable.appendCommit(cs(Seq(992L), Seq((992L, "v3"))), t)
+    val r = LakeTable.compact(spark, t)
+    assert(r.mode == "partial" && r.carriedFiles >= 6,
+      s"reclustered base must compact partially: $r")
+    assert(state(t).size == 1000)
+    assert(state(t).contains((991L, "v2")) && state(t).contains((992L, "v3")))
+  }
+
   test("a commit without _stats forces the full fallback") {
     val t = freshTable()
     clusteredBase(t, 1000L, files = 8)
