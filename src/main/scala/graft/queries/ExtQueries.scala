@@ -33,6 +33,15 @@ object ExtQueries {
 
     // linear classifier inference (fastText serving shape): hashed token
     // buckets × micro-weights folded per row — no explode/join/shuffle
+    // MEASURED language-ID accuracy: the heuristic's confusion matrix
+    // against the corpus's ground-truth lang column — the same
+    // honesty-about-approximation discipline as q_ann_recall (the
+    // heuristic's misses become numbers, not hopes)
+    "q_text_langid_eval" -> ((s, d) =>
+      docs(s, d)
+        .groupBy(col("lang"), TextAnalysis.langId(col("text")).as("lang_pred"))
+        .agg(count(lit(1)).as("n"))),
+
     "q_text_classify" -> ((s, d) =>
       docs(s, d).select(
         col("doc_id"),
@@ -1112,6 +1121,19 @@ SELECT doc_id,
        WHEN CAST(nstop AS DOUBLE) / n >= 0.02 THEN 'en'
        ELSE 'unk' END AS lang_pred
 FROM t""",
+
+    // lang-ID confusion replay: same heuristic, grouped against truth
+    "q_text_langid_eval" -> s"""WITH t AS (
+  SELECT lang,
+    CAST(len(string_split(text, ' ')) AS DOUBLE) AS n,
+    len(list_filter(string_split(text, ' '), t -> t IN ($stopList))) AS nstop
+  FROM documents)
+SELECT lang,
+  CASE WHEN n < 3 THEN 'und'
+       WHEN CAST(nstop AS DOUBLE) / n >= 0.02 THEN 'en'
+       ELSE 'unk' END AS lang_pred,
+  CAST(count(*) AS BIGINT) AS n
+FROM t GROUP BY 1, 2""",
 
     // CMS replay: salted h32 per register row, depth×width registers,
     // min-over-rows point estimates, exact counts joined for the truth
