@@ -29,6 +29,40 @@ final case class JdbcSource(cfg: Jdbc.JdbcConfig, pushdownSql: String) extends T
   def load(spark: SparkSession): DataFrame = Jdbc.readPushdown(spark, cfg, pushdownSql)
 }
 
+/** PARTITIONED JDBC source — S10 at the 100 TB scale: the key bounds are
+  * probed live from the server (two A6-style scalar aggregates, one small
+  * round-trip each) and the table streams as `numPartitions` concurrent
+  * range slices instead of one connection. Each sync run re-probes, so a
+  * growing table keeps its slices balanced without configuration drift.
+  * An empty table (no bounds) degrades to the single-stream pushdown
+  * read — never an error. */
+final case class JdbcPartitionedSource(
+    cfg: Jdbc.JdbcConfig, table: String, fields: Seq[String],
+    keyCol: String = "RECID", numPartitions: Int = 8) extends TableSource {
+  def load(spark: SparkSession): DataFrame = {
+    val conn = java.sql.DriverManager.getConnection(cfg.url, cfg.user, cfg.password)
+    val bounds =
+      try {
+        // count guards the empty table: MIN/MAX of zero rows is SQL NULL,
+        // which JDBC getLong reads as 0 — bogus bounds, not absent ones
+        val n = JdbcTxn.scalarLong(conn, s"SELECT COUNT(*) FROM $table")
+        if (n.exists(_ > 0))
+          for (lo <- JdbcTxn.scalarLong(conn, s"SELECT MIN($keyCol) FROM $table");
+               hi <- JdbcTxn.scalarLong(conn, s"SELECT MAX($keyCol) FROM $table"))
+            yield (lo, hi)
+        else None
+      } finally conn.close()
+    bounds match {
+      case Some((lo, hi)) if hi >= lo =>
+        Jdbc.readPartitioned(spark, cfg, table, keyCol, lo, hi, numPartitions)
+          .select(fields.map(org.apache.spark.sql.functions.col): _*)
+      case _ =>
+        Jdbc.readPushdown(spark, cfg,
+          s"SELECT ${fields.mkString(", ")} FROM $table")
+    }
+  }
+}
+
 /** CSV export/landing-zone source with an EXPLICIT schema (inference would
   * both re-scan the data and guess types — a sync source must be typed).
   * RFC-4180 quoting (`escape` = `"` on both edges, unlike Spark's backslash

@@ -155,6 +155,53 @@ class JdbcRunnerLiveSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
 
+  test("runner lifecycle over the PARTITIONED jdbc source (S10 at scale): " +
+      "live-probed bounds, concurrent slices, same converged state") {
+    import graft.jdbc.Jdbc
+    import graft.run.JdbcTxn
+    val c = Jdbc.JdbcConfig("jdbc:derby:memory:graft_ps;create=true", "", "")
+    val conn = java.sql.DriverManager
+      .getConnection("jdbc:derby:memory:graft_ps;create=true")
+    try {
+      JdbcTxn.runStatements(conn, Seq(
+        "CREATE TABLE SRCP (RECID BIGINT NOT NULL, SYSROWVERSION BIGINT, PAYLOAD VARCHAR(64))",
+        "CREATE TABLE TGTP (RECID BIGINT NOT NULL, SYSROWVERSION BIGINT, PAYLOAD VARCHAR(64))"))
+      import spark.implicits._
+      (1L to 300L).map(i => (i, i, s"v1_$i"))
+        .toDF("RECID", "SYSROWVERSION", "PAYLOAD")
+        .write.format("jdbc").mode("append")
+        .option("url", c.url).option("dbtable", "SRCP").save()
+
+      val fields = Seq("RECID", "SYSROWVERSION", "PAYLOAD")
+      val src = graft.run.JdbcPartitionedSource(c, "SRCP", fields,
+        keyCol = "RECID", numPartitions = 4)
+      // the source itself fans out (probed bounds, 4 slices)
+      assert(src.load(spark).rdd.getNumPartitions == 4)
+
+      val dir = java.nio.file.Files.createTempDirectory("graft_jdbc_ps").toString
+      val store = new graft.state.SyncStateStore(s"$dir/state.json")
+      val runner = new graft.run.SyncRunner(spark, store)
+      val plan = runner.TablePlan("PSYNC", "-", "-",
+        keyCol = "RECID", versionCol = "SYSROWVERSION",
+        sourceOverride = Some(src),
+        applierOverride = Some(graft.run.AnsiJdbcApplier(c, "TGTP", fields)))
+      val r1 = runner.runTable(plan)
+      assert(r1.ok && r1.mode == graft.model.SyncMode.Standard, r1.toString)
+      // drift, re-sync incrementally through the partitioned read
+      JdbcTxn.runStatements(conn, Seq(
+        "UPDATE SRCP SET SYSROWVERSION = SYSROWVERSION + 1000, " +
+          "PAYLOAD = 'v2' WHERE RECID <= 15"))
+      val r2 = runner.runTable(plan)
+      assert(r2.ok && r2.mode == graft.model.SyncMode.Incremental, r2.toString)
+      val tgt = Jdbc.readPushdown(spark, c,
+        "SELECT RECID, SYSROWVERSION, PAYLOAD FROM TGTP").collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+      assert(tgt.size == 300)
+      assert((1L to 15L).forall(k => tgt(k) == ((k + 1000L, "v2"))))
+      assert(tgt(16L) == ((16L, "v1_16")))
+    } finally conn.close()
+  }
+
   test("runner lifecycle jdbc→jdbc on live Derby: Standard → Noop → " +
       "Incremental (staged txn apply) → Truncate") {
     val c = Jdbc.JdbcConfig("jdbc:derby:memory:graft_rl;create=true", "", "")
