@@ -162,12 +162,39 @@ object Bench {
     }
     // reap leftovers of killed/crashed prior runs: a kill skips the final
     // cleanup and each orphaned scratch dir holds ~13 GB — two of them
-    // starved a later run into ENOSPC mid-compaction (observed)
+    // starved a later run into ENOSPC mid-compaction (observed). Only
+    // PROVABLY-DEAD dirs are reaped (ADVICE r8 — the unconditional sweep
+    // would destroy a concurrently-running bench's scratch mid-flight):
+    // each run stamps its scratch with an `_owner_pid` marker, and a dir is
+    // dead when its marker pid is no longer alive; markerless or unreadable
+    // dirs fall back to an age gate (mtime > 3 h — far past any bench run).
+    def ownerDead(dir: java.io.File): Boolean = {
+      val agedOut =
+        dir.lastModified < System.currentTimeMillis - 3L * 3600 * 1000
+      val marker = new java.io.File(dir, "_owner_pid")
+      if (!marker.isFile) agedOut
+      else try {
+        val pid = new String(java.nio.file.Files.readAllBytes(marker.toPath),
+          java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+        !ProcessHandle.of(pid).map[java.lang.Boolean](_.isAlive)
+          .orElse(java.lang.Boolean.FALSE)
+      } catch { case _: Exception => agedOut }
+    }
+    // a scratch dir claimed by THIS run (marker written before any data
+    // lands in it, so a racing reaper sees liveness, not a bare dir)
+    def claimScratch(prefix: String): String = {
+      val p = java.nio.file.Files.createTempDirectory(prefix)
+      java.nio.file.Files.write(p.resolve("_owner_pid"),
+        ProcessHandle.current.pid.toString
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      p.toString
+    }
     Option(new java.io.File(System.getProperty("java.io.tmpdir")).listFiles)
       .foreach(_.filter(f => f.isDirectory &&
-          (f.getName.startsWith("graft_bench") || f.getName.startsWith("graft_bloomph")))
+          (f.getName.startsWith("graft_bench") || f.getName.startsWith("graft_bloomph")) &&
+          ownerDead(f))
         .foreach(rmRecF))
-    val bloomTmp = java.nio.file.Files.createTempDirectory("graft_bloomph").toString
+    val bloomTmp = claimScratch("graft_bloomph")
     try {
       val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
         .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"),
@@ -212,7 +239,7 @@ object Bench {
     // Z-order layout quality on the REAL events table (user × time — the
     // natural 2-D lookup shape): row groups a 1/64-area box intersects,
     // linear-sort layout vs Morton layout, from parquet footer ground truth.
-    val tmp = java.nio.file.Files.createTempDirectory("graft_bench").toString
+    val tmp = claimScratch("graft_bench")
     locally {
       // EventsSource.load dispatches on the testdata generation's timestamp
       // unit (ns-as-long vs native µs NTZ — a raw cast("long") breaks on one
@@ -246,15 +273,16 @@ object Bench {
     locally {
       val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       val sh = graft.ext.Dedup.shingles(docs, "doc_id", "text", 3)
-      import org.apache.spark.sql.expressions.Window
       // prefix filtering: co-shingle pairs the full join would enumerate vs
       // the pairs the rarest-first prefixes nominate — BOTH counted over the
       // same hot-capped shingle relation (ADVICE r6: asymmetric baselines
       // misstate the ratio whenever any shingle exceeds the cap; capping
-      // both sides keeps the numerator and denominator on one relation)
-      val capped = sh.withColumn("sfreq",
-          count(lit(1)).over(Window.partitionBy("shingle")))
-        .filter(col("sfreq") <= 1000).drop("sfreq")
+      // both sides keeps the numerator and denominator on one relation).
+      // Cap via groupBy + semi-join (map-side combinable) rather than a
+      // count-window, which would sort every shingle row (VERDICT r8 #2)
+      val coolShingles = sh.groupBy("shingle").agg(count(lit(1)).as("sfreq"))
+        .filter(col("sfreq") <= 1000).select("shingle")
+      val capped = sh.join(coolShingles, Seq("shingle"), "left_semi")
       val fullPairs = capped.select(col("sid").as("a"), col("shingle"))
         .join(capped.select(col("sid").as("b"), col("shingle")), Seq("shingle"))
         .filter(col("a") < col("b")).count()
@@ -272,9 +300,10 @@ object Bench {
         greatest(size(split(col("text"), " ")) - 7, lit(0)).cast("long").as("g"))
       val totalGrams = g.agg(coalesce(sum(col("g")), lit(0L))).head.getLong(0)
       val wfps = graft.ext.Dedup.winnowFingerprints(docs, "doc_id", "text", 4, 4)
-      val candDocs = wfps.withColumn("c",
-          count(lit(1)).over(Window.partitionBy("fp")))
-        .filter(col("c") >= 2).select("doc_id").distinct()
+      val sharedFp = wfps.groupBy("fp").agg(count(lit(1)).as("c"))
+        .filter(col("c") >= 2).select("fp")
+      val candDocs = wfps.join(sharedFp, Seq("fp"), "left_semi")
+        .select("doc_id").distinct()
       val candGrams = g.join(candDocs, Seq("doc_id"), "left_semi")
         .agg(coalesce(sum(col("g")), lit(0L))).head.getLong(0)
       ratios("exactsubstr_winnow_gram_reduction_x") =

@@ -404,19 +404,67 @@ object Dedup {
     require(minDocs >= 2,
       "minDocs must be >= 2: a 1-doc 'duplicate' has no partner for the " +
         "fingerprint prefilter to key on")
-    winnowFingerprints(df, idCol, textCol, k, w)
-      .withColumn("nfp",
-        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("fp")))
-      .filter(col("nfp") >= 2)
+    val fps = winnowFingerprints(df, idCol, textCol, k, w)
+    // shared-fingerprint set via groupBy + semi-join, NOT a count-window:
+    // the groupBy is map-side combinable (partial counts per partition, a
+    // fingerprint-keyed exchange of combined rows) where the window form
+    // sorts EVERY fingerprint row — the prefilter's whole-corpus cost is
+    // exactly this scan, so it must be the cheap shape (VERDICT r8 #2)
+    val shared = fps.groupBy("fp").agg(count(lit(1)).as("nfp"))
+      .filter(col("nfp") >= 2).select("fp")
+    fps.join(shared, Seq("fp"), "left_semi")
       .select(col(idCol)).distinct()
   }
 
-  def duplicatedSpansWinnowed(df: DataFrame, idCol: String, textCol: String,
-      n: Int = 8, minDocs: Long = 2, k: Int = 4, w: Int = 4): DataFrame = {
+  /** ADAPTIVE route selection for the winnowed variants (VERDICT r8 #1):
+    * the prefilter only pays when most docs are NOT candidates — on a
+    * dup-dense corpus (measured: the r8 bench corpus, candidate fraction
+    * ~0.97) it adds a whole fingerprint scan and then enumerates nearly
+    * every span anyway, a strict pessimization. Routing needs a runtime
+    * statistic (the same reason AQE re-plans joins at runtime), so this
+    * probes the candidate fraction with ONE cheap count over the leased
+    * fingerprint-candidate frame — O(corpus/w) rows, a fraction of the
+    * span pass it gates — and falls back to the exhaustive pass when the
+    * fraction exceeds `maxCandidateFraction`. Net: the prefilter can never
+    * lose more than the probe, and wins big exactly where its premise
+    * holds (most documents share no span with anything).
+    *
+    * Returns Some(candidates) when the prefiltered route should run (the
+    * frame is cache-leased iff a probe materialized it — released by the
+    * sweep driver's `CacheLease.releaseAll`), None for the exhaustive
+    * route. `maxCandidateFraction >= 1` forces the prefilter with no probe
+    * (the oracle queries pin the prefilter machinery this way);
+    * `<= 0` forces the exhaustive route (preconditions still checked). */
+  private[graft] def winnowRouted(df: DataFrame, idCol: String, textCol: String,
+      n: Int, minDocs: Long, k: Int, w: Int,
+      maxCandidateFraction: Double): Option[DataFrame] = {
     val candidates = winnowCandidates(df, idCol, textCol, n, minDocs, k, w)
-    duplicatedSpans(df.join(candidates, Seq(idCol), "left_semi"),
-      idCol, textCol, n, minDocs)
+    if (maxCandidateFraction >= 1.0) Some(candidates)
+    else if (maxCandidateFraction <= 0.0) None
+    else {
+      val leased = CacheLease.acquire(candidates)
+      val nCand = candidates.count()
+      val nTotal = df.count()
+      if (nTotal > 0 && nCand.toDouble / nTotal <= maxCandidateFraction)
+        Some(candidates)
+      else {
+        // exhaustive route: the leased probe frame is dead weight — drop it
+        // now instead of holding executor memory until releaseAll
+        if (leased) candidates.unpersist()
+        None
+      }
+    }
   }
+
+  def duplicatedSpansWinnowed(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 8, minDocs: Long = 2, k: Int = 4, w: Int = 4,
+      maxCandidateFraction: Double = 0.5): DataFrame =
+    winnowRouted(df, idCol, textCol, n, minDocs, k, w, maxCandidateFraction) match {
+      case Some(candidates) =>
+        duplicatedSpans(df.join(candidates, Seq(idCol), "left_semi"),
+          idCol, textCol, n, minDocs)
+      case None => duplicatedSpans(df, idCol, textCol, n, minDocs)
+    }
 
   /** Span REMOVAL — the output step of the ExactSubstr pipeline
     * ([[duplicatedSpans]] finds the mask, this applies it): every token
@@ -467,14 +515,17 @@ object Dedup {
     * O(total tokens) of position-granular hashes to the fingerprint scan
     * plus O(candidate tokens). */
   def removeSpansWinnowed(df: DataFrame, idCol: String, textCol: String,
-      n: Int = 8, minDocs: Long = 2, k: Int = 4, w: Int = 4): DataFrame = {
-    val candidates = winnowCandidates(df, idCol, textCol, n, minDocs, k, w)
-    val surgically = removeSpans(
-      df.join(candidates, Seq(idCol), "left_semi"), idCol, textCol, n, minDocs)
-    val untouched = df.join(candidates, Seq(idCol), "left_anti")
-      .select(col(idCol), col(textCol).as("clean_text"))
-    surgically.unionByName(untouched)
-  }
+      n: Int = 8, minDocs: Long = 2, k: Int = 4, w: Int = 4,
+      maxCandidateFraction: Double = 0.5): DataFrame =
+    winnowRouted(df, idCol, textCol, n, minDocs, k, w, maxCandidateFraction) match {
+      case Some(candidates) =>
+        val surgically = removeSpans(
+          df.join(candidates, Seq(idCol), "left_semi"), idCol, textCol, n, minDocs)
+        val untouched = df.join(candidates, Seq(idCol), "left_anti")
+          .select(col(idCol), col(textCol).as("clean_text"))
+        surgically.unionByName(untouched)
+      case None => removeSpans(df, idCol, textCol, n, minDocs)
+    }
 
   /** Winnowing fingerprints (Schleimer, Wilkerson & Aiken 2003 — the MOSS
     * scheme): hash every k-token gram, slide a window of `w` consecutive

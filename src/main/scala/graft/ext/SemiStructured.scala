@@ -18,6 +18,17 @@ import org.apache.spark.sql.functions._
   */
 object SemiStructured {
 
+  /** Internal temp column both entry points stage the parsed struct under;
+    * an input frame already using the name would be silently clobbered by
+    * `withColumn`, so it is guarded like the output-name collisions
+    * (ADVICE r8). */
+  private val TempStructCol = "_sj"
+
+  private def requireNoTempCol(df: DataFrame): Unit =
+    require(!df.columns.contains(TempStructCol),
+      s"input column '$TempStructCol' collides with the internal parse " +
+        "staging column — rename it before extraction")
+
   /** Typed top-level extraction: each `(name, ddlType)` field of the JSON
     * object column lands as its own column (optionally prefixed), the
     * original column is kept. Missing fields and malformed documents yield
@@ -27,6 +38,7 @@ object SemiStructured {
   def extractJson(df: DataFrame, jsonCol: String,
       fields: Seq[(String, String)], prefix: String = ""): DataFrame = {
     require(fields.nonEmpty, "at least one field to extract")
+    requireNoTempCol(df)
     val outNames = fields.map(prefix + _._1)
     require(outNames.distinct.size == outNames.size,
       s"duplicate extracted column names: $outNames")
@@ -35,9 +47,9 @@ object SemiStructured {
       s"extracted column(s) $clash collide with existing columns — set a prefix")
     val ddl = fields.map { case (n, t) => s"`$n` $t" }.mkString(", ")
     val parsed = from_json(col(jsonCol), ddl, Map.empty[String, String])
-    df.withColumn("_sj", parsed)
+    df.withColumn(TempStructCol, parsed)
       .select(df.columns.map(col) ++
-        fields.map { case (n, _) => col(s"_sj.`$n`").as(s"$prefix$n") }: _*)
+        fields.map { case (n, _) => col(s"$TempStructCol.`$n`").as(s"$prefix$n") }: _*)
   }
 
   /** Parseability/coverage audit per group: total rows, rows that parse AND
@@ -50,6 +62,7 @@ object SemiStructured {
   def jsonAudit(df: DataFrame, jsonCol: String, groupCol: String,
       fields: Seq[(String, String)]): DataFrame = {
     val corrupt = "_corrupt_doc"
+    requireNoTempCol(df)
     require(!fields.exists(_._1 == corrupt),
       s"'$corrupt' is reserved for the corrupt-record channel")
     val outNames = Seq(groupCol, "n", "n_valid") ++ fields.map("n_" + _._1)
@@ -61,12 +74,12 @@ object SemiStructured {
     val parsed = from_json(col(jsonCol), ddl,
       Map("columnNameOfCorruptRecord" -> corrupt, "mode" -> "PERMISSIVE"))
     val covCols = fields.map { case (n, _) =>
-      sum(when(col(s"_sj.`$n`").isNotNull, 1L).otherwise(0L)).as(s"n_$n")
+      sum(when(col(s"$TempStructCol.`$n`").isNotNull, 1L).otherwise(0L)).as(s"n_$n")
     }
     val aggCols: Seq[Column] =
-      sum(when(col("_sj").isNotNull && col(s"_sj.`$corrupt`").isNull, 1L)
+      sum(when(col(TempStructCol).isNotNull && col(s"$TempStructCol.`$corrupt`").isNull, 1L)
         .otherwise(0L)).as("n_valid") +: covCols
-    df.withColumn("_sj", parsed)
+    df.withColumn(TempStructCol, parsed)
       .groupBy(col(groupCol))
       .agg(count(lit(1)).as("n"), aggCols: _*)
   }

@@ -150,11 +150,27 @@ object AnalyticsQueries {
 
     // The dirt report for the same bag: parseability + per-field coverage
     // per group (decides whether a metadata field is trustworthy enough to
-    // filter 100 TB on); `absent` quantifies a field that never occurs
-    "q_events_props_audit" -> ((s, d) =>
+    // filter 100 TB on); `absent` quantifies a field that never occurs.
+    // The fixture corpus is all well-formed AND well-typed, so a synthetic
+    // 'typedirt' group is unioned in (ADVICE r8): type-dirty values for the
+    // BIGINT field ("abc", 2.5, true, and the quoted-"42" coercion trap —
+    // Spark's JSON parser does NOT coerce string to long), one malformed
+    // doc, one JSON-null k, one fully valid control — so the corrupt-record
+    // CONFORMANCE channel (valid JSON, wrong type) is actually exercised
+    // against the oracle, not just json_valid
+    "q_events_props_audit" -> ((s, d) => {
+      import s.implicits._
+      val ev = s.read.parquet(s"$d/events.parquet")
+        .select("event_type", "props")
+      val dirty = Seq(
+          """{"k": "abc"}""", """{"k": 2.5}""", """{"k": true}""",
+          """{"k": "42"}""", """not json""", """{"k": null}""",
+          """{"k": 11, "absent": "seen"}""")
+        .map(("typedirt", _)).toDF("event_type", "props")
       graft.ext.SemiStructured.jsonAudit(
-        s.read.parquet(s"$d/events.parquet"), "props", "event_type",
-        Seq("k" -> "BIGINT", "absent" -> "STRING"))),
+        ev.unionByName(dirty), "props", "event_type",
+        Seq("k" -> "BIGINT", "absent" -> "STRING"))
+    }),
 
     // Event-time tumbling window (batch analog of the streaming agg)
     "q_events_hourly" -> ((s, d) =>
@@ -563,14 +579,33 @@ FROM pr JOIN sz sa ON sa.it = pr.item_a JOIN sz sb ON sb.it = pr.item_b""",
     AS BIGINT) AS n_k_ge_50
 FROM events GROUP BY event_type""",
 
-    // audit replay: json_valid + per-field presence
-    "q_events_props_audit" -> """SELECT event_type,
+    // audit replay: TYPE-CONFORMANCE validity, not just json_valid — a doc
+    // is valid iff it parses AND its k is an integer token or absent/null
+    // (json_type BIGINT/UBIGINT; Spark's parser rejects floats, bools and
+    // quoted numbers for BIGINT — pinned empirically). try_cast AS JSON
+    // NULL-degrades the malformed doc instead of erroring; json_extract
+    // maps both absent and JSON-null to SQL NULL, exactly Spark's null
+    // field. The dirty union mirrors the Spark side verbatim.
+    "q_events_props_audit" -> """WITH ev AS (
+  SELECT event_type, props FROM events
+  UNION ALL
+  SELECT 'typedirt', x FROM (VALUES ('{"k": "abc"}'), ('{"k": 2.5}'),
+    ('{"k": true}'), ('{"k": "42"}'), ('not json'), ('{"k": null}'),
+    ('{"k": 11, "absent": "seen"}')) t(x)),
+p AS (SELECT event_type, try_cast(props AS JSON) AS j FROM ev)
+SELECT event_type,
   CAST(count(*) AS BIGINT) AS n,
-  CAST(sum(CASE WHEN json_valid(props) THEN 1 ELSE 0 END) AS BIGINT) AS n_valid,
-  CAST(sum(CASE WHEN props->>'k' IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_k,
-  CAST(sum(CASE WHEN props->>'absent' IS NOT NULL THEN 1 ELSE 0 END)
-    AS BIGINT) AS n_absent
-FROM events GROUP BY event_type""",
+  CAST(sum(CASE WHEN j IS NOT NULL
+              AND (json_extract(j, '$.k') IS NULL
+                   OR json_type(json_extract(j, '$.k'))
+                        IN ('BIGINT', 'UBIGINT'))
+           THEN 1 ELSE 0 END) AS BIGINT) AS n_valid,
+  CAST(sum(CASE WHEN json_type(json_extract(j, '$.k'))
+                     IN ('BIGINT', 'UBIGINT')
+           THEN 1 ELSE 0 END) AS BIGINT) AS n_k,
+  CAST(sum(CASE WHEN json_extract(j, '$.absent') IS NOT NULL
+           THEN 1 ELSE 0 END) AS BIGINT) AS n_absent
+FROM p GROUP BY event_type""",
 
     // path replay: lag/cumsum sessionization, ordered list agg capped at
     // 50 steps, count-desc top-20 with the path tiebreak

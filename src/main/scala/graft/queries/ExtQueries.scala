@@ -12,6 +12,25 @@ import org.apache.spark.sql.functions._
 object ExtQueries {
 
   private def docs(s: SparkSession, d: String) = s.read.parquet(s"$d/documents.parquet")
+
+  /** A SPARSE-duplication derivation of the documents corpus — the regime
+    * the ExactSubstr winnow prefilter exists for (most docs share no span
+    * with anything): every token is salted with its own doc_id, destroying
+    * all cross-doc spans, except each 25th doc keeps a 10-token shared
+    * prefix (3 duplicated 8-gram spans across that ~4% of docs). Derived
+    * identically in the DuckDB oracle, so the winnowed results replay
+    * exhaustively. */
+  private val SparseSharedPrefix =
+    "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+  private def sparseDocs(s: SparkSession, d: String) = {
+    val salted = concat_ws(" ",
+      transform(split(col("text"), " "),
+        t => concat(t, lit("#"), col("doc_id").cast("string"))))
+    docs(s, d).select(col("doc_id"),
+      when(col("doc_id") % 25 === 0,
+        concat(lit(SparseSharedPrefix + " "), salted))
+        .otherwise(salted).as("text"))
+  }
   private def embs(s: SparkSession, d: String) = s.read.parquet(s"$d/embeddings.parquet")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -600,9 +619,20 @@ object ExtQueries {
     // sharing a winnowed fingerprint — O(candidate tokens), not O(corpus
     // tokens). The oracle is the EXHAUSTIVE replay (same SQL as
     // q_dedup_spans): the prefilter must be lossless, and any doc it
-    // wrongly skips fails the hash
+    // wrongly skips fails the hash. maxCandidateFraction = 1 pins the
+    // PREFILTER route (this corpus is dup-dense, so the adaptive default
+    // would route exhaustive and leave the prefilter machinery untested)
     "q_dedup_spans_winnow" -> ((s, d) =>
       Dedup.duplicatedSpansWinnowed(docs(s, d), "doc_id", "text",
+        n = 8, minDocs = 2, k = 4, w = 4, maxCandidateFraction = 1.0)),
+
+    // the prefilter on the corpus its premise targets (most docs share no
+    // span): every token salted with its doc_id except a 10-token shared
+    // prefix on each 25th doc — the ADAPTIVE route (probe + threshold)
+    // chooses the prefilter here, and the oracle is again the exhaustive
+    // replay over the same derived corpus
+    "q_dedup_spans_winnow_sparse" -> ((s, d) =>
+      Dedup.duplicatedSpansWinnowed(sparseDocs(s, d), "doc_id", "text",
         n = 8, minDocs = 2, k = 4, w = 4)),
 
     // span REMOVAL: the mask applied — tokens covered by any >=2-doc span
@@ -611,9 +641,17 @@ object ExtQueries {
       Dedup.removeSpans(docs(s, d), "doc_id", "text", n = 8, minDocs = 2)),
 
     // winnow-prefiltered span removal: surgery only on candidate docs,
-    // verbatim pass-through for the rest — oracle = the exhaustive replay
+    // verbatim pass-through for the rest — oracle = the exhaustive replay;
+    // prefilter route pinned for the same reason as q_dedup_spans_winnow
     "q_dedup_despan_winnow" -> ((s, d) =>
       Dedup.removeSpansWinnowed(docs(s, d), "doc_id", "text",
+        n = 8, minDocs = 2, k = 4, w = 4, maxCandidateFraction = 1.0)),
+
+    // adaptive removal on the sparse corpus: the probe routes to the
+    // prefilter, surgery touches only the ~4% shared-prefix docs, everyone
+    // else passes through verbatim — exhaustive-replay oracle
+    "q_dedup_despan_winnow_sparse" -> ((s, d) =>
+      Dedup.removeSpansWinnowed(sparseDocs(s, d), "doc_id", "text",
         n = 8, minDocs = 2, k = 4, w = 4)),
 
     // incremental ExactSubstr: the new batch's spans against the kept
@@ -850,6 +888,10 @@ object ExtQueries {
   /** DuckDB twin of Dedup.h32. */
   private def oh32(e: String) = s"(('0x' || substr(md5($e), 1, 8))::BIGINT)"
 
+  /** The sparse-corpus shared prefix, spliced into the oracle SQL literal —
+    * single token chars only (no quotes to escape). */
+  private def sparsePrefixSql: String = SparseSharedPrefix
+
   private val shinglesCte =
     """toks AS (SELECT doc_id, string_split(text, ' ') t FROM documents),
 sh AS (SELECT DISTINCT doc_id AS sid, array_to_string(t[(i+1):(i+3)], ' ') AS shingle
@@ -1019,6 +1061,28 @@ stats AS (
 SELECT d.doc_id, d.fp, s.n_docs, s.n_occurrences
 FROM (SELECT DISTINCT doc_id, fp FROM g) d JOIN stats s USING (fp)""",
 
+    // sparse-corpus winnow replay: the same exhaustive span stats, over the
+    // salted derivation (identical to the Spark-side sparseDocs) — proves
+    // the ADAPTIVE route (probe → prefilter) loses nothing either
+    "q_dedup_spans_winnow_sparse" -> s"""WITH sparse AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 25 = 0 THEN '$sparsePrefixSql' || ' ' || sal
+         ELSE sal END AS text
+  FROM (SELECT doc_id,
+          array_to_string(list_transform(string_split(text, ' '),
+            t -> t || '#' || CAST(doc_id AS VARCHAR)), ' ') AS sal
+        FROM documents)),
+toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM sparse),
+g AS (
+  SELECT doc_id, ${oh32("array_to_string(t[(i+1):(i+8)], ' ')")} AS fp
+  FROM toks, LATERAL (SELECT unnest(range(0, greatest(len(t) - 7, 0))) i)),
+stats AS (
+  SELECT fp, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+    CAST(count(*) AS BIGINT) AS n_occurrences
+  FROM g GROUP BY fp HAVING count(DISTINCT doc_id) >= 2)
+SELECT d.doc_id, d.fp, s.n_docs, s.n_occurrences
+FROM (SELECT DISTINCT doc_id, fp FROM g) d JOIN stats s USING (fp)""",
+
     // span-removal replay: flagged starts per doc, index-lambda token drop
     "q_dedup_despan" -> s"""WITH toks AS (
   SELECT doc_id, string_split(text, ' ') AS t FROM documents),
@@ -1068,6 +1132,40 @@ SELECT d.doc_id,
 FROM documents d
 JOIN toks t ON t.doc_id = d.doc_id
 LEFT JOIN starts s ON s.doc_id = d.doc_id""",
+
+    // sparse-corpus removal replay: exhaustive surgery over the salted
+    // derivation — the adaptively-routed prefilter's pass-through for the
+    // ~96% untouched docs must be verbatim, and the shared-prefix docs'
+    // surgery exact
+    "q_dedup_despan_winnow_sparse" -> s"""WITH sparse AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 25 = 0 THEN '$sparsePrefixSql' || ' ' || sal
+         ELSE sal END AS text
+  FROM (SELECT doc_id,
+          array_to_string(list_transform(string_split(text, ' '),
+            t -> t || '#' || CAST(doc_id AS VARCHAR)), ' ') AS sal
+        FROM documents)),
+toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM sparse),
+g AS (
+  SELECT doc_id, i AS pos,
+    ${oh32("array_to_string(t[(i+1):(i+8)], ' ')")} AS fp
+  FROM toks, LATERAL (SELECT unnest(range(0, greatest(len(t) - 7, 0))) i)),
+flagged AS (
+  SELECT fp FROM g GROUP BY fp HAVING count(DISTINCT doc_id) >= 2),
+starts AS (
+  SELECT doc_id, list(pos) AS ss
+  FROM g WHERE fp IN (SELECT fp FROM flagged) GROUP BY doc_id)
+SELECT sp.doc_id,
+  COALESCE(array_to_string(
+    list_filter(
+      list_transform(range(0, len(t.t)),
+        i -> CASE WHEN len(list_filter(COALESCE(s.ss, []),
+                         x -> i >= x AND i < x + 8)) > 0
+                  THEN NULL ELSE t.t[i + 1] END),
+      v -> v IS NOT NULL), ' '), '') AS clean_text
+FROM sparse sp
+JOIN toks t ON t.doc_id = sp.doc_id
+LEFT JOIN starts s ON s.doc_id = sp.doc_id""",
 
     // token-budget replay: running token total per source under the
     // quality order, greedy prefix within the 2000-token budget

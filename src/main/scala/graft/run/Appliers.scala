@@ -40,17 +40,18 @@ final case class JdbcPartitionedSource(
     cfg: Jdbc.JdbcConfig, table: String, fields: Seq[String],
     keyCol: String = "RECID", numPartitions: Int = 8) extends TableSource {
   def load(spark: SparkSession): DataFrame = {
+    import JdbcPartitionedSource.quoteIdent
     val conn = java.sql.DriverManager.getConnection(cfg.url, cfg.user, cfg.password)
     val bounds =
       try {
-        // count guards the empty table: MIN/MAX of zero rows is SQL NULL,
-        // which JDBC getLong reads as 0 — bogus bounds, not absent ones
-        val n = JdbcTxn.scalarLong(conn, s"SELECT COUNT(*) FROM $table")
-        if (n.exists(_ > 0))
-          for (lo <- JdbcTxn.scalarLong(conn, s"SELECT MIN($keyCol) FROM $table");
-               hi <- JdbcTxn.scalarLong(conn, s"SELECT MAX($keyCol) FROM $table"))
-            yield (lo, hi)
-        else None
+        // MIN of zero rows is SQL NULL, which scalarLong reports as None
+        // (wasNull-aware) — absent bounds, never bogus zeros, and no
+        // COUNT(*) round-trip (a full scan on many row stores; ADVICE r8)
+        for (lo <- JdbcTxn.scalarLong(conn,
+               s"SELECT MIN(${quoteIdent(keyCol)}) FROM ${quoteIdent(table)}");
+             hi <- JdbcTxn.scalarLong(conn,
+               s"SELECT MAX(${quoteIdent(keyCol)}) FROM ${quoteIdent(table)}"))
+          yield (lo, hi)
       } finally conn.close()
     bounds match {
       case Some((lo, hi)) if hi >= lo =>
@@ -58,9 +59,17 @@ final case class JdbcPartitionedSource(
           .select(fields.map(org.apache.spark.sql.functions.col): _*)
       case _ =>
         Jdbc.readPushdown(spark, cfg,
-          s"SELECT ${fields.mkString(", ")} FROM $table")
+          s"SELECT ${fields.map(quoteIdent).mkString(", ")} FROM ${quoteIdent(table)}")
     }
   }
+}
+object JdbcPartitionedSource {
+  /** ANSI double-quote each dot-separated part (`sch.tbl` → `"sch"."tbl"`),
+    * doubling embedded quotes — config-carried names may be reserved words
+    * (ADVICE r8). Unquoted DDL folds to the dialect's canonical case, so
+    * configs must carry that canonical spelling (as they already did). */
+  private[run] def quoteIdent(id: String): String =
+    id.split('.').map(p => "\"" + p.replace("\"", "\"\"") + "\"").mkString(".")
 }
 
 /** CSV export/landing-zone source with an EXPLICIT schema (inference would
@@ -354,13 +363,21 @@ object JdbcTxn {
     finally st.close()
   }
 
-  /** Single-value query (e.g. the staged MAX(key)). */
+  /** Single-value query (e.g. the staged MAX(key)). None for both an empty
+    * result set AND a SQL NULL scalar (`rs.wasNull` — `getLong` alone reads
+    * NULL as 0, which turned "empty table" into bogus zero bounds;
+    * ADVICE r8). */
   def scalarLong(conn: java.sql.Connection, sql: String): Option[Long] = {
     val st = conn.createStatement()
     try {
       val rs = st.executeQuery(sql)
-      try { if (rs.next()) Some(rs.getLong(1)) else None }
-      finally rs.close()
+      try {
+        if (!rs.next()) None
+        else {
+          val v = rs.getLong(1)
+          if (rs.wasNull()) None else Some(v)
+        }
+      } finally rs.close()
     } finally st.close()
   }
 }

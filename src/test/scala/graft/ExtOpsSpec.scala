@@ -131,10 +131,16 @@ class DedupSpec extends AnyFunSuite {
     val exhaustive = Dedup.duplicatedSpans(data, "doc_id", "text",
         n = 8, minDocs = 2)
       .as[(Long, Long, Long, Long)].collect().toSet
+    // prefilter route PINNED (maxCandidateFraction = 1): lossless equality
     val winnowed = Dedup.duplicatedSpansWinnowed(data, "doc_id", "text",
-        n = 8, minDocs = 2, k = 4, w = 4)
+        n = 8, minDocs = 2, k = 4, w = 4, maxCandidateFraction = 1.0)
       .as[(Long, Long, Long, Long)].collect().toSet
     assert(winnowed == exhaustive, "prefilter must be lossless")
+    // and the adaptive default gives the same answer whichever way it routes
+    val adaptive = Dedup.duplicatedSpansWinnowed(data, "doc_id", "text",
+        n = 8, minDocs = 2, k = 4, w = 4)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(adaptive == exhaustive)
     assert(exhaustive.map(_._1) == Set(1L, 2L, 4L))
     // some span is held by all three copies
     assert(exhaustive.groupBy(_._2).exists(_._2.map(_._1) == Set(1L, 2L, 4L)))
@@ -143,6 +149,45 @@ class DedupSpec extends AnyFunSuite {
       Dedup.duplicatedSpansWinnowed(data, "doc_id", "text",
         n = 6, minDocs = 2, k = 4, w = 4)
     }
+  }
+
+  test("winnowed ExactSubstr routes ADAPTIVELY: prefilter only when the " +
+      "candidate fraction clears the threshold, so it is never a net loss") {
+    import graft.ext.Dedup
+    val sharedSpan = (1 to 12).map(i => s"s$i").mkString(" ")
+    // dup-DENSE: every doc shares the span → fraction 1.0 > 0.5 → exhaustive
+    val dense = Seq(
+      (1L, s"alpha beta $sharedSpan"),
+      (2L, s"$sharedSpan gamma delta"),
+      (3L, s"x y $sharedSpan z w")).toDF("doc_id", "text")
+    assert(Dedup.winnowRouted(dense, "doc_id", "text",
+      n = 8, minDocs = 2, k = 4, w = 4, maxCandidateFraction = 0.5).isEmpty,
+      "dense corpus must route to the exhaustive pass")
+    // dup-SPARSE: 2 of 12 docs share → fraction ~0.17 <= 0.5 → prefilter
+    val sparse = (Seq(
+      (1L, s"alpha beta $sharedSpan"),
+      (2L, s"$sharedSpan gamma delta")) ++
+      (3L to 12L).map(i => i ->
+        (1 to 20).map(j => s"u${i}_$j").mkString(" "))).toDF("doc_id", "text")
+    val routed = Dedup.winnowRouted(sparse, "doc_id", "text",
+      n = 8, minDocs = 2, k = 4, w = 4, maxCandidateFraction = 0.5)
+    assert(routed.isDefined, "sparse corpus must route to the prefilter")
+    assert(routed.get.as[Long].collect().toSet == Set(1L, 2L))
+    // forced routes skip the probe entirely
+    assert(Dedup.winnowRouted(dense, "doc_id", "text",
+      8, 2, 4, 4, maxCandidateFraction = 1.0).isDefined)
+    assert(Dedup.winnowRouted(sparse, "doc_id", "text",
+      8, 2, 4, 4, maxCandidateFraction = 0.0).isEmpty)
+    // removal: identical output under both routes, including verbatim
+    // pass-through of untouched docs
+    val viaPrefilter = Dedup.removeSpansWinnowed(sparse, "doc_id", "text",
+        n = 8, minDocs = 2, k = 4, w = 4, maxCandidateFraction = 1.0)
+      .as[(Long, String)].collect().toMap
+    val viaExhaustive = Dedup.removeSpansWinnowed(sparse, "doc_id", "text",
+        n = 8, minDocs = 2, k = 4, w = 4, maxCandidateFraction = 0.0)
+      .as[(Long, String)].collect().toMap
+    assert(viaPrefilter == viaExhaustive)
+    assert(viaPrefilter(3L) == (1 to 20).map(j => s"u3_$j").mkString(" "))
   }
 
   test("editVerifiedPairs confirms identical/near pairs and rejects distant candidates") {

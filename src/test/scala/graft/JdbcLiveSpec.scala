@@ -56,6 +56,28 @@ class JdbcLiveSpec extends AnyFunSuite {
         "SELECT COALESCE(MAX(RECID), 0) FROM S").contains(999L))
       assert(JdbcTxn.scalarLong(conn,
         "SELECT COALESCE(MAX(RECID), 0) FROM S WHERE RECID > 10000").contains(0L))
+      // SQL NULL scalar (un-coalesced aggregate over zero rows) is None,
+      // not Some(0) — the wasNull distinction empty-table bound probes
+      // depend on (ADVICE r8)
+      assert(JdbcTxn.scalarLong(conn,
+        "SELECT MAX(RECID) FROM S WHERE RECID > 10000").isEmpty)
+    } finally conn.close()
+  }
+
+  test("JdbcPartitionedSource degrades to the single-stream read on an " +
+      "EMPTY table: NULL MIN/MAX = absent bounds, no COUNT(*) probe, " +
+      "quoted identifiers (ADVICE r8)") {
+    val c = cfg("graft_eb")
+    val conn = connect("graft_eb")
+    try {
+      JdbcTxn.runStatements(conn, Seq(
+        "CREATE TABLE EMPT (RECID BIGINT NOT NULL, PAYLOAD VARCHAR(16))"))
+      val src = graft.run.JdbcPartitionedSource(c, "EMPT",
+        Seq("RECID", "PAYLOAD"), keyCol = "RECID", numPartitions = 4)
+      val out = src.load(spark)
+      assert(out.collect().isEmpty)
+      assert(out.rdd.getNumPartitions == 1,
+        "absent bounds must degrade to one stream, not 4 empty slices")
     } finally conn.close()
   }
 

@@ -431,6 +431,21 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(plan.contains("Window"), s"expected the priority window:\n$plan")
   }
 
+  test("winnow-candidate prefilter plans a map-side-combinable groupBy + " +
+      "semi-join, NO Window (VERDICT r8 #2: the count-window sorted every " +
+      "fingerprint row)") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val cand = graft.ext.Dedup.winnowRouted(docs, "doc_id", "text",
+      n = 8, minDocs = 2, k = 4, w = 4, maxCandidateFraction = 1.0).get
+    val plan = cand.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      s"candidate selection must not rank fingerprints via a window:\n$plan")
+    assert(plan.contains("LeftSemi"),
+      s"expected the shared-fingerprint semi-join:\n$plan")
+    assert(plan.contains("partial_count") || plan.contains("partial"),
+      s"expected a partial (map-side) count aggregate:\n$plan")
+  }
+
   test("per-group top-k aggregates with bounded state: ONE partial-reduced " +
       "groupBy, NO Window, NO per-group sort") {
     val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")

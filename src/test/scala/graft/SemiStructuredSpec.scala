@@ -46,6 +46,35 @@ class SemiStructuredSpec extends AnyFunSuite {
     assert(audit("b") == ((4L, 1L, 0L, 1L)))
   }
 
+  test("an input column named '_sj' is refused, not silently clobbered " +
+      "(ADVICE r8: the internal staging column must be guarded like the " +
+      "output collisions)") {
+    val hasTemp = dirty.withColumnRenamed("grp", "_sj")
+    intercept[IllegalArgumentException] {
+      SemiStructured.extractJson(hasTemp, "props", Seq("k" -> "BIGINT"))
+    }
+    intercept[IllegalArgumentException] {
+      SemiStructured.jsonAudit(hasTemp, "props", "id", Seq("k" -> "BIGINT"))
+    }
+  }
+
+  test("jsonAudit distinguishes type-dirty from merely-valid JSON: integer " +
+      "tokens conform to BIGINT, floats/bools/quoted numbers do not " +
+      "(pins the parser semantics the DuckDB oracle mirrors)") {
+    val typed = Seq(
+      (1L, "t", """{"k": 7}"""),        // integer token → conformant
+      (2L, "t", """{"k": -5}"""),       // negative integer → conformant
+      (3L, "t", """{"k": null}"""),     // JSON null → conformant, k not covered
+      (4L, "t", """{"k": 2.5}"""),      // float for BIGINT → corrupt
+      (5L, "t", """{"k": "42"}"""),     // quoted number: NO coercion → corrupt
+      (6L, "t", """{"k": true}""")      // bool → corrupt
+    ).toDF("id", "grp", "props")
+    val Array(r) = SemiStructured.jsonAudit(typed, "props", "grp",
+      Seq("k" -> "BIGINT")).collect()
+    assert((r.getLong(1), r.getLong(2), r.getLong(3)) == ((6L, 3L, 2L)),
+      s"(n, n_valid, n_k) was ${(r.getLong(1), r.getLong(2), r.getLong(3))}")
+  }
+
   test("jsonPath gives the ->> scalar shape for ad hoc predicates") {
     import org.apache.spark.sql.functions.{col, expr}
     val n = dirty
