@@ -404,7 +404,15 @@ object Dedup {
     require(minDocs >= 2,
       "minDocs must be >= 2: a 1-doc 'duplicate' has no partner for the " +
         "fingerprint prefilter to key on")
-    val fps = winnowFingerprints(df, idCol, textCol, k, w)
+    // the native one-pass winnow expression ([[graft.functions.WinnowFps]]):
+    // the fingerprints never leave the plan (the output is a doc-id set),
+    // so no DuckDB-replayable hash is needed, and the array-expression
+    // formulation (md5 per gram + a slice alloc per window position) cost
+    // ~1.4x the very span pass it gates. A hash collision can only ADD a
+    // candidate — the prefilter stays lossless.
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    val fps = df.select(col(idCol),
+      explode(expr(s"winnow_fps(split(`$textCol`, ' '), $k, $w)")).as("fp"))
     // shared-fingerprint set via groupBy + semi-join, NOT a count-window:
     // the groupBy is map-side combinable (partial counts per partition, a
     // fingerprint-keyed exchange of combined rows) where the window form
@@ -539,6 +547,14 @@ object Dedup {
     * distinct explode; at 100 TB this is the scan-speed fingerprint pass
     * whose output feeds an overlap join a corpus-scale plagiarism /
     * contamination check runs on (doc_id, fp).
+    *
+    * Hashes with [[h32]] (md5-derived) because this surface is
+    * oracle-checked — DuckDB replays the same selection. The internal
+    * candidate prefilter ([[winnowCandidates]]) instead uses the native
+    * one-pass [[graft.functions.WinnowFps]] expression, whose hash never
+    * leaves the plan: the winnowing guarantee holds for any deterministic
+    * hash, and md5 per token position costs about as much CPU as the span
+    * pass the prefilter is supposed to undercut.
     *
     * @return (idCol, fp) — distinct winnowed fingerprints per document. */
   def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,

@@ -123,6 +123,10 @@ object GraftFunctions {
         exprs(1).eval(InternalRow.empty).asInstanceOf[Number].longValue()), "scala_udf")
     reg.createOrReplaceTempFunction("rolling_hash",
       exprs => RollingHash(exprs.head), "scala_udf")
+    reg.createOrReplaceTempFunction("winnow_fps",
+      exprs => WinnowFps(exprs(0),
+        exprs(1).eval(InternalRow.empty).asInstanceOf[Number].intValue(),
+        exprs(2).eval(InternalRow.empty).asInstanceOf[Number].intValue()), "scala_udf")
     reg.createOrReplaceTempFunction("minhash_sketch",
       exprs => MinHashSketch(exprs.head,
         graft.ext.Dedup.MinhashA, graft.ext.Dedup.MinhashB,

@@ -22,7 +22,9 @@ object ExtQueries {
     * exhaustively. */
   private val SparseSharedPrefix =
     "alpha beta gamma delta epsilon zeta eta theta iota kappa"
-  private def sparseDocs(s: SparkSession, d: String) = {
+  /** graft-visible: Bench derives the same corpus to measure the prefilter
+    * in the regime its premise targets. */
+  private[graft] def sparseDocs(s: SparkSession, d: String) = {
     val salted = concat_ws(" ",
       transform(split(col("text"), " "),
         t => concat(t, lit("#"), col("doc_id").cast("string"))))

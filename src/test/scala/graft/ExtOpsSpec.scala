@@ -151,6 +151,49 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("WinnowFps native expression: winnowing guarantee, short-doc edges, " +
+      "distinct sorted output (the prefilter's one-pass fingerprint scan)") {
+    import org.apache.spark.sql.functions.{expr, split => fsplit, col}
+    graft.functions.GraftFunctions.register(spark)
+    def fps(text: String, k: Int = 4, w: Int = 4): Seq[Long] =
+      Seq(Tuple1(text)).toDF("t")
+        .select(expr(s"winnow_fps(split(t, ' '), $k, $w)").as("f"))
+        .as[Seq[Long]].head()
+    // guarantee: two docs overlapping by >= w+k-1 tokens share a fingerprint
+    val shared = (1 to 12).map(i => s"s$i").mkString(" ")
+    val a = fps(s"alpha beta $shared gamma")
+    val b = fps(s"$shared delta epsilon zeta")
+    assert(a.toSet.intersect(b.toSet).nonEmpty,
+      "overlapping docs must share a winnowed fingerprint")
+    // disjoint vocab shares nothing (no collisions at this size)
+    val c = fps((1 to 20).map(i => s"u$i").mkString(" "))
+    assert(a.toSet.intersect(c.toSet).isEmpty)
+    // short docs: < k tokens -> no fingerprints; < w grams -> exactly one
+    assert(fps("one two three").isEmpty)
+    assert(fps("one two three four five").size == 1) // 2 grams < w
+    // output is distinct and sorted (repeated content collapses)
+    val rep = fps(((1 to 6).map(_ => "x y z w") :+ "tail").mkString(" "))
+    assert(rep == rep.sorted && rep.distinct == rep)
+    // and the Dataset-API array expression agrees with itself under codegen
+    // (same plan evaluated whole-stage vs interpreted fallback would differ
+    // only on a codegen bug)
+    val many = (1L to 200L).map(i =>
+      (i, (0 to 30).map(j => s"t${(i * 7 + j) % 50}").mkString(" ")))
+      .toDF("id", "text")
+    val viaExpr = many.select(col("id"),
+        expr("winnow_fps(split(text, ' '), 4, 4)").as("f"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val viaEval = many.collect().map { r =>
+      val toks = r.getString(1).split(' ')
+        .map(org.apache.spark.unsafe.types.UTF8String.fromString)
+      r.getLong(0) -> graft.functions.WinnowFps.compute(
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(
+          toks.asInstanceOf[Array[Any]]), 4, 4)
+        .toLongArray().toSeq
+    }.toMap
+    assert(viaExpr == viaEval)
+  }
+
   test("winnowed ExactSubstr routes ADAPTIVELY: prefilter only when the " +
       "candidate fraction clears the threshold, so it is never a net loss") {
     import graft.ext.Dedup
