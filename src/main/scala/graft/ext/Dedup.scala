@@ -514,6 +514,49 @@ object Dedup {
           .as("clean_text"))
   }
 
+  /** [[removeSpans]] with the KEEP-ONE-COPY policy: every duplicated span
+    * survives in exactly one document — its OWNER, elected globally and
+    * deterministically as the minimum doc id holding the span — and is cut
+    * from all other copies. This is the policy Lee et al. 2022 actually
+    * train with (removing every copy deletes the content from the corpus
+    * entirely; [[removeSpans]]' all-copies stance is the conservative
+    * contamination cut): dedup should keep one instance of the text, not
+    * zero.
+    *
+    * Scale shape: identical to [[removeSpans]] plus one column — the
+    * owner election rides the SAME span-stats groupBy as the flagging
+    * aggregate (min over doc ids, map-side combined, no extra shuffle) and
+    * the mask join simply skips the owner's rows. Overlapping spans with
+    * different owners resolve per position: a token survives iff NO
+    * non-owned flagged span covers it.
+    *
+    * @return (idCol, clean_text). */
+  def removeSpansKeepOne(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 8, minDocs: Long = 2): DataFrame = {
+    val toks = split(col(textCol), " ")
+    val gramsPos = df.select(col(idCol),
+        posexplode(when(size(toks) >= n,
+          transform(sequence(lit(0), size(toks) - n),
+            i => h32(concat_ws(" ", slice(toks, i + 1, lit(n))))))
+          .otherwise(array().cast("array<long>"))))
+      .toDF(idCol, "pos", "fp")
+    val flagged = gramsPos.groupBy("fp")
+      .agg(countDistinct(col(idCol)).as("n_docs"), min(col(idCol)).as("_owner"))
+      .filter(col("n_docs") >= minDocs)
+      .select("fp", "_owner")
+    val starts = gramsPos.join(flagged, Seq("fp"))
+      .filter(col(idCol) =!= col("_owner"))
+      .groupBy(col(idCol)).agg(collect_list(col("pos")).as("_starts"))
+    df.join(starts, Seq(idCol), "left")
+      .withColumn("_starts",
+        coalesce(col("_starts"), array().cast("array<int>")))
+      .select(col(idCol),
+        concat_ws(" ", expr(
+          s"filter(split($textCol, ' '), (t, i) -> " +
+          s"NOT exists(_starts, s -> i >= s AND i < s + $n))"))
+          .as("clean_text"))
+  }
+
   /** [[removeSpans]] with the same winnow prefilter as
     * [[duplicatedSpansWinnowed]]: only candidate docs (sharing a winnowed
     * fingerprint) enter position enumeration and token surgery; everyone

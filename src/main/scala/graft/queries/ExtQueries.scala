@@ -656,6 +656,13 @@ object ExtQueries {
       Dedup.removeSpansWinnowed(sparseDocs(s, d), "doc_id", "text",
         n = 8, minDocs = 2, k = 4, w = 4)),
 
+    // KEEP-ONE-COPY span removal (the Lee et al. training policy): each
+    // duplicated span survives in its min-doc-id owner and is cut from
+    // every other copy — owner election rides the span-stats groupBy
+    "q_dedup_despan_keepone" -> ((s, d) =>
+      Dedup.removeSpansKeepOne(docs(s, d), "doc_id", "text",
+        n = 8, minDocs = 2)),
+
     // incremental ExactSubstr: the new batch's spans against the kept
     // corpus's span index — combined counts, batch-side enumeration only;
     // oracle = exhaustive union stats restricted to new docs
@@ -1168,6 +1175,33 @@ SELECT sp.doc_id,
 FROM sparse sp
 JOIN toks t ON t.doc_id = sp.doc_id
 LEFT JOIN starts s ON s.doc_id = sp.doc_id""",
+
+    // keep-one-copy replay: min-doc-id owner per flagged span; surgery
+    // masks only NON-owner occurrences
+    "q_dedup_despan_keepone" -> s"""WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+g AS (
+  SELECT doc_id, i AS pos,
+    ${oh32("array_to_string(t[(i+1):(i+8)], ' ')")} AS fp
+  FROM toks, LATERAL (SELECT unnest(range(0, greatest(len(t) - 7, 0))) i)),
+flagged AS (
+  SELECT fp, min(doc_id) AS owner FROM g
+  GROUP BY fp HAVING count(DISTINCT doc_id) >= 2),
+starts AS (
+  SELECT g.doc_id, list(g.pos) AS ss
+  FROM g JOIN flagged f ON f.fp = g.fp AND g.doc_id != f.owner
+  GROUP BY g.doc_id)
+SELECT d.doc_id,
+  COALESCE(array_to_string(
+    list_filter(
+      list_transform(range(0, len(t.t)),
+        i -> CASE WHEN len(list_filter(COALESCE(s.ss, []),
+                         x -> i >= x AND i < x + 8)) > 0
+                  THEN NULL ELSE t.t[i + 1] END),
+      v -> v IS NOT NULL), ' '), '') AS clean_text
+FROM documents d
+JOIN toks t ON t.doc_id = d.doc_id
+LEFT JOIN starts s ON s.doc_id = d.doc_id""",
 
     // token-budget replay: running token total per source under the
     // quality order, greedy prefix within the 2000-token budget

@@ -662,8 +662,10 @@ object LakeTable {
     * wholesale — only its files unreferenced by BOTH kept generations'
     * manifests go, and the dir itself only once emptied (the Delta vacuum
     * rule: liveness is defined by the reachable manifests, not by dir
-    * age). */
-  private def gc(table: String, keepBase: String, prev: Option[(String, Int)]): Unit = {
+    * age). Returns the number of deleted entries (files + dirs). */
+  private def gc(table: String, keepBase: String, prev: Option[(String, Int)]): Int = {
+    var deleted = 0
+    def del(p: String): Unit = { LakeFs.delete(p); deleted += 1 }
     val prevBaseName = prev.map(_._1).map(p => p.substring(p.lastIndexOf('/') + 1))
     val prevWasFlat = prev.exists(_._1 == table)
     val referenced: Set[String] =
@@ -683,9 +685,9 @@ object LakeTable {
         val children = LakeFs.list(st.getPath.toString)
         val (kept, doomed) = children.partition(c =>
           referenced.contains(fileId(c.getPath.toString)))
-        doomed.foreach(c => LakeFs.delete(c.getPath.toString))
-        if (kept.isEmpty) LakeFs.delete(st.getPath.toString)
-      } else if (staleFlat) LakeFs.delete(st.getPath.toString)
+        doomed.foreach(c => del(c.getPath.toString))
+        if (kept.isEmpty) del(st.getPath.toString)
+      } else if (staleFlat) del(st.getPath.toString)
     }
     // commits below the previous pointer's horizon are unreachable by both
     // the current and the previous generation
@@ -693,6 +695,38 @@ object LakeTable {
     LakeFs.list(logDir(table))
       .filter(st => st.isDirectory &&
         st.getPath.getName.toIntOption.exists(_ < keepFromSeq))
-      .foreach(st => LakeFs.delete(st.getPath.toString))
+      .foreach(st => del(st.getPath.toString))
+    deleted
+  }
+
+  /** EXPLICIT space reclamation — the `VACUUM` analog with the retention
+    * horizon pulled up to NOW. The automatic GC (run after every
+    * [[overwrite]]/[[compact]] swap) always retains the immediately-
+    * previous generation so a reader that resolved before the swap can
+    * finish scanning; the price is one stale base (plus its folded
+    * commits) of disk held until the NEXT rewrite — which for a table that
+    * just compacted for the last time this cycle may be hours away.
+    * `vacuum` drops that retained generation immediately by re-running the
+    * manifest-aware GC with "previous := current": everything unreachable
+    * from the current generation goes — stale `base-*` dirs (minus any
+    * file the current base's manifest still references — partial
+    * compaction carries files across generations BY REFERENCE, and those
+    * must survive), pre-pointer flat files, and commits below the current
+    * pointer's horizon.
+    *
+    * CONTRACT (same as lowering Delta's `deletedFileRetentionDuration`
+    * below the reader horizon): the caller asserts no in-flight reader
+    * resolved the table before its last swap. A flat (pre-pointer) table
+    * is a single implicit generation — nothing to drop. Crash-safe: pure
+    * deletion of unreferenced entries, no pointer write; a crash mid-vacuum
+    * leaves a subset of the garbage for the next GC pass.
+    *
+    * @return number of deleted entries (files + dirs), 0 when nothing was
+    *         reclaimable. */
+  def vacuum(table: String): Int = resolve(table) match {
+    case Some((basePath, fromSeq)) if basePath != table =>
+      val baseName = basePath.substring(basePath.lastIndexOf('/') + 1)
+      gc(table, keepBase = baseName, prev = Some((basePath, fromSeq)))
+    case _ => 0
   }
 }

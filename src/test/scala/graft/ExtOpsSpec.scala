@@ -294,6 +294,33 @@ class DedupSpec extends AnyFunSuite {
     assert(out(3L) == "totally unrelated text here")
   }
 
+  test("keep-one-copy span removal: the min-id owner keeps the span, every " +
+      "other copy loses it; ownership is per-span") {
+    val df = Seq(
+      (1L, "one two three x y z"),
+      (2L, "a one two three b"),
+      (3L, "p one two three q"),
+      (4L, "totally unrelated text here")).toDF("doc_id", "text")
+    val out = Dedup.removeSpansKeepOne(df, "doc_id", "text", n = 3, minDocs = 2)
+      .as[(Long, String)].collect().toMap
+    assert(out(1L) == "one two three x y z", "owner keeps the span intact")
+    assert(out(2L) == "a b")
+    assert(out(3L) == "p q")
+    assert(out(4L) == "totally unrelated text here")
+    // overlapping spans, same owner: the owner doc keeps both, each other
+    // doc loses exactly the span it shares
+    val ov = Seq(
+      (1L, "s1 s2 s3 s4"),  // holds spans A=(s1 s2 s3) and B=(s2 s3 s4)
+      (2L, "s1 s2 s3 zz"),  // shares A -> loses positions 0..2
+      (3L, "yy s2 s3 s4")   // shares B -> loses positions 1..3
+    ).toDF("doc_id", "text")
+    val out2 = Dedup.removeSpansKeepOne(ov, "doc_id", "text", n = 3, minDocs = 2)
+      .as[(Long, String)].collect().toMap
+    assert(out2(1L) == "s1 s2 s3 s4")
+    assert(out2(2L) == "zz")
+    assert(out2(3L) == "yy")
+  }
+
   test("minhash LSH finds the same high-jaccard pairs as the exact scan") {
     val lsh = Dedup.minhashLshPairs(docs, "doc_id", "text", n = 3, threshold = 0.5)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet

@@ -213,6 +213,60 @@ class PartialCompactSpec extends AnyFunSuite {
     assert(state(t).size == 1000)
   }
 
+  test("vacuum drops the retained previous generation NOW: stale base + " +
+      "below-horizon commits go, current state intact, idempotent") {
+    val t = freshTable()
+    LakeTable.overwrite((1L to 100L).map(i => (i, s"p$i")).toDF("RecId", "payload"), t)
+    LakeTable.appendCommit(cs(Seq(1L), Seq((1L, "v2"))), t)
+    val snap = LakeTable.read(spark, t)
+      .select("RecId", "payload").as[(Long, String)].collect().toSeq
+    LakeTable.overwrite(snap.toDF("RecId", "payload"), t)
+    // auto-GC keeps the previous generation (base-0 + its commit)
+    assert(LakeFs.exists(s"$t/base-0"), "one generation retained by auto-GC")
+    val before = state(t)
+    val n = LakeTable.vacuum(t)
+    assert(n > 0, "vacuum must reclaim the retained generation")
+    assert(!LakeFs.exists(s"$t/base-0"))
+    assert(LakeFs.list(s"$t/_log").isEmpty ||
+      LakeFs.list(s"$t/_log").forall(_.getPath.getName.toIntOption.forall(_ >=
+        LakeTable.resolve(t).get._2)), "below-horizon commits reclaimed")
+    assert(state(t) == before, "current generation untouched")
+    assert(LakeTable.vacuum(t) == 0, "second vacuum finds nothing")
+  }
+
+  test("vacuum is manifest-aware: files the current base carries BY " +
+      "REFERENCE from an older generation dir survive, the rest of that " +
+      "dir goes") {
+    val t = freshTable()
+    clusteredBase(t, 1000L, files = 8)
+    LakeTable.appendCommit(cs(Seq(10L), Seq((10L, "v2"))), t)
+    assert(LakeTable.compact(spark, t).mode == "partial")
+    val carried = fileIdentities(t).map(_._1)
+      .filter(_.startsWith("base-0/")).map(suffix => s"$t/$suffix")
+    assert(carried.nonEmpty, "partial compaction must carry base-0 files")
+    val before = state(t)
+    LakeTable.vacuum(t)
+    assert(carried.forall(LakeFs.exists),
+      "manifest-referenced carried files must survive vacuum")
+    assert(state(t) == before)
+    // pending commits ABOVE the horizon also survive
+    LakeTable.appendCommit(cs(Seq(20L), Seq((20L, "v3"))), t)
+    val withCommit = state(t)
+    LakeTable.vacuum(t)
+    assert(state(t) == withCommit, "pending commits must survive vacuum")
+  }
+
+  test("vacuum on a flat (pre-pointer) table is a safe no-op") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_vflat").toString + "/t"
+    (1L to 50L).map(i => (i, s"p$i")).toDF("RecId", "payload")
+      .write.parquet(dir)
+    val before = LakeTable.read(spark, dir)
+      .select("RecId", "payload").as[(Long, String)].collect().toSet
+    assert(LakeTable.vacuum(dir) == 0)
+    assert(LakeTable.read(spark, dir)
+      .select("RecId", "payload").as[(Long, String)].collect().toSet == before)
+  }
+
   test("key-range reads and commit skipping still work over a manifested base") {
     val t = freshTable()
     clusteredBase(t, 1000L, files = 8)
