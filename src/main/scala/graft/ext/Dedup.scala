@@ -360,13 +360,51 @@ object Dedup {
     *         combined batch+corpus counts — exactly the rows
     *         [[duplicatedSpans]] over the union would emit for them. */
   def crossCorpusDuplicatedSpans(newDf: DataFrame, corpusDf: DataFrame,
+      idCol: String, textCol: String, n: Int = 8, minDocs: Long = 2): DataFrame =
+    crossCorpusDuplicatedSpansIndexed(newDf,
+      spanIndex(corpusDf, idCol, textCol, n), idCol, textCol, n, minDocs)
+
+  /** The ExactSubstr span INDEX as a first-class mergeable artifact:
+    * (fp, n_docs, n_occurrences) over EVERY span of `df`, unfiltered — the
+    * `minDocs` cut belongs to the read side, because an index that dropped
+    * singleton spans could never learn that a later batch turned one into
+    * a duplicate. At 100 TB this is what actually persists (a lake table
+    * keyed on fp): per-ingest deltas are [[spanIndex]] over the batch,
+    * rollup is [[mergeSpanIndexes]], and flagging new data is
+    * [[crossCorpusDuplicatedSpansIndexed]] — the corpus text itself is
+    * never re-read. */
+  def spanIndex(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 8): DataFrame =
+    spanGramsPerDoc(df, idCol, textCol, n).groupBy("fp")
+      .agg(count(lit(1)).as("n_docs"), sum(col("_occ")).as("n_occurrences"))
+
+  /** Additive merge of span indexes built over DISJOINT doc sets —
+    * associative and commutative (plain sums keyed on the span hash), so
+    * per-shard / per-ingest indexes roll up in any order and equal the
+    * index built directly over the union (EXACT, the same merged==direct
+    * discipline as the quantile-sketch rollup). A doc present in two
+    * inputs would double count itself — same contract as the other
+    * cross-corpus operators. */
+  def mergeSpanIndexes(indexes: DataFrame*): DataFrame = {
+    require(indexes.nonEmpty, "at least one index to merge")
+    indexes.reduce(_.unionByName(_)).groupBy("fp")
+      .agg(sum(col("n_docs")).as("n_docs"),
+        sum(col("n_occurrences")).as("n_occurrences"))
+  }
+
+  /** [[crossCorpusDuplicatedSpans]] against a PRECOMPUTED corpus index
+    * ([[spanIndex]] shape) — the form the continuous-ingest pipeline
+    * actually runs: O(|batch spans| + matches) moved per ingest, the
+    * corpus contributes only its (fp → counts) rows and never re-shuffles.
+    * @return (idCol, fp, n_docs, n_occurrences) for NEW docs only, with
+    *         combined batch+index counts. */
+  def crossCorpusDuplicatedSpansIndexed(newDf: DataFrame, corpusIndex: DataFrame,
       idCol: String, textCol: String, n: Int = 8, minDocs: Long = 2): DataFrame = {
     val newPerDoc = spanGramsPerDoc(newDf, idCol, textCol, n)
-    val corpusIndex = spanGramsPerDoc(corpusDf, idCol, textCol, n).groupBy("fp")
-      .agg(count(lit(1)).as("_cd"), sum(col("_occ")).as("_co"))
     val combined = newPerDoc.groupBy("fp")
       .agg(count(lit(1)).as("_nd"), sum(col("_occ")).as("_no"))
-      .join(corpusIndex, Seq("fp"), "left")
+      .join(corpusIndex.select(col("fp"), col("n_docs").as("_cd"),
+        col("n_occurrences").as("_co")), Seq("fp"), "left")
       .select(col("fp"),
         (col("_nd") + coalesce(col("_cd"), lit(0L))).as("n_docs"),
         (col("_no") + coalesce(col("_co"), lit(0L))).as("n_occurrences"))
@@ -489,8 +527,17 @@ object Dedup {
     * empty mask.
     *
     * @return (idCol, clean_text). */
+  /** Guard for the internal `_starts` mask column the span-removal family
+    * joins onto the caller's frame — an input already carrying the name
+    * would be clobbered by `withColumn` (the `_sj` lesson, ADVICE r8). */
+  private def requireNoStartsCol(df: DataFrame): Unit =
+    require(!df.columns.contains("_starts"),
+      "input column '_starts' collides with the span-removal mask column " +
+        "— rename it before removal")
+
   def removeSpans(df: DataFrame, idCol: String, textCol: String,
       n: Int = 8, minDocs: Long = 2): DataFrame = {
+    requireNoStartsCol(df)
     val toks = split(col(textCol), " ")
     val gramsPos = df.select(col(idCol),
         posexplode(when(size(toks) >= n,
@@ -533,6 +580,7 @@ object Dedup {
     * @return (idCol, clean_text). */
   def removeSpansKeepOne(df: DataFrame, idCol: String, textCol: String,
       n: Int = 8, minDocs: Long = 2): DataFrame = {
+    requireNoStartsCol(df)
     val toks = split(col(textCol), " ")
     val gramsPos = df.select(col(idCol),
         posexplode(when(size(toks) >= n,

@@ -97,10 +97,13 @@ object WinnowFps {
     val th = new Array[Long](L)
     var i = 0
     while (i < L) {
-      val b = tokens.getUTF8String(i).getBytes
+      val u = tokens.getUTF8String(i) // null element (not from split) = empty
       var h = -3750763034362895579L // FNV-1a 64 offset basis
-      var j = 0
-      while (j < b.length) { h = (h ^ (b(j) & 0xff)) * 1099511628211L; j += 1 }
+      if (u != null) {
+        val b = u.getBytes
+        var j = 0
+        while (j < b.length) { h = (h ^ (b(j) & 0xff)) * 1099511628211L; j += 1 }
+      }
       th(i) = h
       i += 1
     }

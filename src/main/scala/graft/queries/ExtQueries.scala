@@ -672,6 +672,51 @@ object ExtQueries {
         docs(s, d).filter(col("doc_id") <= 250),
         "doc_id", "text", n = 8, minDocs = 2)),
 
+    // STREAMING ExactSubstr end to end: the span index lives in the
+    // checkpointed state store; two micro-batches (docs <= 250, then the
+    // rest) stream through flatMapGroupsWithState, and each batch's flags
+    // reflect the CUMULATIVE counts as of that batch — batch 1 flags =
+    // within-batch duplicates, batch 2 flags = duplicates against
+    // everything kept so far (the incremental contract, replayed as the
+    // union of the two prefix-stat joins in the oracle)
+    "q_stream_spans" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft_stream_span").toString
+      val (inDir, outDir, ckpt) = (s"$dir/in", s"$dir/out", s"$dir/ckpt")
+      val all = docs(s, d).select(col("doc_id"), col("text"))
+      all.filter(col("doc_id") <= 250).coalesce(1).write.parquet(inDir)
+      def runOnce(): Unit = {
+        val stream = s.readStream.schema(s.read.parquet(inDir).schema).parquet(inDir)
+        graft.streaming.StreamingSync
+          .flagDuplicatedSpansStream(stream, "doc_id", "text", n = 8, minDocs = 2)
+          .toDF()
+          .writeStream.format("parquet").option("path", outDir)
+          .option("checkpointLocation", ckpt)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start().awaitTermination(300000) match {
+          case true => ()
+          case false => sys.error("streaming run did not finish in 300 s")
+        }
+      }
+      runOnce() // batch 1: docs <= 250
+      all.filter(col("doc_id") > 250).coalesce(1)
+        .write.mode("append").parquet(inDir)
+      runOnce() // batch 2: the rest, flagged against batch 1's state
+      s.read.parquet(outDir)
+        .select("doc_id", "fp", "n_docs", "n_occurrences")
+    }),
+
+    // the span INDEX as a mergeable artifact: three per-batch indexes over
+    // disjoint doc ranges rolled up additively must equal the index built
+    // directly over the whole corpus (merged == direct, EXACT — the
+    // quantile-rollup discipline applied to the ExactSubstr state)
+    "q_span_index_merge" -> ((s, d) =>
+      Dedup.mergeSpanIndexes(
+        Dedup.spanIndex(docs(s, d).filter(col("doc_id") <= 150), "doc_id", "text", n = 8),
+        Dedup.spanIndex(docs(s, d).filter(col("doc_id") > 150 && col("doc_id") <= 300),
+          "doc_id", "text", n = 8),
+        Dedup.spanIndex(docs(s, d).filter(col("doc_id") > 300), "doc_id", "text", n = 8))),
+
     // token-budget mix: best docs of each source up to 500 tokens —
     // the pretraining-mix allocation rule (length-aware, not row-count)
     "q_token_budget" -> ((s, d) =>
@@ -1054,6 +1099,43 @@ stats AS (
 SELECT d.doc_id, d.fp, s.n_docs, s.n_occurrences
 FROM (SELECT DISTINCT doc_id, fp FROM g WHERE doc_id > 250) d
 JOIN stats s USING (fp)""",
+
+    // streaming-span replay: each batch's flags join the PREFIX stats as
+    // of that batch — batch 1 against docs <= 250 only, batch 2 against
+    // the whole corpus — unioned; equal hashes prove the state-store
+    // accumulation matches the batch cross-corpus arithmetic
+    "q_stream_spans" -> s"""WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+g AS (
+  SELECT doc_id, ${oh32("array_to_string(t[(i+1):(i+8)], ' ')")} AS fp
+  FROM toks, LATERAL (SELECT unnest(range(0, greatest(len(t) - 7, 0))) i)),
+s1 AS (
+  SELECT fp, count(DISTINCT doc_id) AS nd, count(*) AS no
+  FROM g WHERE doc_id <= 250 GROUP BY fp),
+s2 AS (
+  SELECT fp, count(DISTINCT doc_id) AS nd, count(*) AS no
+  FROM g GROUP BY fp)
+SELECT d.doc_id, d.fp, CAST(s1.nd AS BIGINT) AS n_docs,
+  CAST(s1.no AS BIGINT) AS n_occurrences
+FROM (SELECT DISTINCT doc_id, fp FROM g WHERE doc_id <= 250) d
+JOIN s1 USING (fp) WHERE s1.nd >= 2
+UNION ALL
+SELECT d.doc_id, d.fp, CAST(s2.nd AS BIGINT) AS n_docs,
+  CAST(s2.no AS BIGINT) AS n_occurrences
+FROM (SELECT DISTINCT doc_id, fp FROM g WHERE doc_id > 250) d
+JOIN s2 USING (fp) WHERE s2.nd >= 2""",
+
+    // merged-index replay: the DIRECT whole-corpus index, every span,
+    // no minDocs cut (the index keeps singletons so a later batch can
+    // promote them) — equal hashes prove merged == direct
+    "q_span_index_merge" -> s"""WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+g AS (
+  SELECT doc_id, ${oh32("array_to_string(t[(i+1):(i+8)], ' ')")} AS fp
+  FROM toks, LATERAL (SELECT unnest(range(0, greatest(len(t) - 7, 0))) i))
+SELECT fp, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+  CAST(count(*) AS BIGINT) AS n_occurrences
+FROM g GROUP BY fp""",
 
     // the winnow-prefiltered variant's oracle is DELIBERATELY the same
     // exhaustive replay — no prefilter on the DuckDB side. Equal hashes =

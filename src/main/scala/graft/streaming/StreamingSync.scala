@@ -192,6 +192,64 @@ object StreamingSync {
   /** Custom keyed state: running per-user session counts via
     * mapGroupsWithState (30-minute inactivity gap), the streaming twin of
     * q_events_sessions. */
+  final case class SpanObs(doc_id: Long, fp: Long)
+  final case class SpanIdxState(nDocs: Long, nOcc: Long)
+  final case class SpanFlag(doc_id: Long, fp: Long, n_docs: Long, n_occurrences: Long)
+
+  /** Streaming ExactSubstr — the continuous-ingest form of
+    * [[graft.ext.Dedup.crossCorpusDuplicatedSpans]] with the span INDEX
+    * living in the STATE STORE: each micro-batch's n-gram spans update
+    * per-fp `(n_docs, n_occurrences)` state, and every batch doc holding a
+    * span whose CUMULATIVE distinct-doc count reaches `minDocs` is flagged
+    * with the counts as of its own batch. Earlier holders are not
+    * retro-flagged — the incremental contract: a span's first holder
+    * streamed by before anyone knew it would become a duplicate, and the
+    * flags answer "is THIS batch contaminated against everything kept so
+    * far".
+    *
+    * State per key is one 16-byte pair — the [[graft.ext.Dedup.spanIndex]]
+    * artifact held by the engine's checkpointed state store instead of a
+    * lake table, so exactly-once batch accounting (offsets + state
+    * versions) comes for free. O(distinct spans) state: bound it in
+    * deployment by keying on a REDUCED span alphabet (bigger `n`) or
+    * sharding the stream; the per-batch work is O(batch spans), the corpus
+    * is never re-read. Same disjointness contract as the batch
+    * cross-corpus operators: a doc id must not recur across batches.
+    *
+    * Append mode, no timeout, no watermark — flags for a batch are final
+    * the moment the batch commits. */
+  def flagDuplicatedSpansStream(docs: DataFrame, idCol: String,
+      textCol: String, n: Int = 8, minDocs: Long = 2): Dataset[SpanFlag] = {
+    import docs.sparkSession.implicits._
+    val toks = split(col(textCol), " ")
+    val grams = docs.select(col(idCol).cast("long").as("doc_id"),
+        explode(when(size(toks) >= n,
+          transform(sequence(lit(0), size(toks) - n),
+            i => graft.ext.Dedup.h32(concat_ws(" ", slice(toks, i + 1, lit(n))))))
+          .otherwise(array().cast("array<long>"))).as("fp"))
+      .as[SpanObs]
+    grams.groupByKey(_.fp)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        updateSpanIndex(minDocs))
+  }
+
+  /** The per-fp state transition, separated for direct unit testing. */
+  def updateSpanIndex(minDocs: Long)(fp: Long, obs: Iterator[SpanObs],
+      state: GroupState[SpanIdxState]): Iterator[SpanFlag] = {
+    val perDoc = scala.collection.mutable.LinkedHashMap.empty[Long, Long]
+    var occ = 0L
+    obs.foreach { o =>
+      perDoc.update(o.doc_id, perDoc.getOrElse(o.doc_id, 0L) + 1L)
+      occ += 1L
+    }
+    val prev = state.getOption.getOrElse(SpanIdxState(0L, 0L))
+    val next = SpanIdxState(prev.nDocs + perDoc.size, prev.nOcc + occ)
+    state.update(next)
+    if (next.nDocs >= minDocs)
+      perDoc.keysIterator.map(d => SpanFlag(d, fp, next.nDocs, next.nOcc))
+    else Iterator.empty
+  }
+
   final case class UserEvent(user_id: Long, tsMicros: Long)
   final case class UserSessions(user_id: Long, sessions: Long, events: Long)
   final case class SessionState(lastTsMicros: Long, sessions: Long, events: Long)

@@ -294,6 +294,38 @@ class DedupSpec extends AnyFunSuite {
     assert(out(3L) == "totally unrelated text here")
   }
 
+  test("span index is mergeable: per-batch indexes roll up to the direct " +
+      "whole-corpus index; the indexed cross-corpus form equals the " +
+      "text-input form") {
+    val shared = (1 to 10).map(i => s"s$i").mkString(" ")
+    val corpus = Seq(
+      (1L, s"alpha $shared beta"),
+      (2L, s"$shared gamma delta"),
+      (3L, (1 to 15).map(i => s"u$i").mkString(" ")),
+      (4L, s"x y $shared"),
+      (5L, (21 to 40).map(i => s"v$i").mkString(" "))).toDF("doc_id", "text")
+    val direct = Dedup.spanIndex(corpus, "doc_id", "text", n = 8)
+      .as[(Long, Long, Long)].collect().toSet
+    val merged = Dedup.mergeSpanIndexes(
+        Dedup.spanIndex(corpus.filter($"doc_id" <= 2), "doc_id", "text", n = 8),
+        Dedup.spanIndex(corpus.filter($"doc_id" === 3), "doc_id", "text", n = 8),
+        Dedup.spanIndex(corpus.filter($"doc_id" >= 4), "doc_id", "text", n = 8))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(merged == direct, "merged per-batch indexes must equal direct")
+    // singletons ARE in the index (the minDocs cut is read-side)
+    assert(direct.exists(_._2 == 1L))
+    // indexed cross-corpus == text-input cross-corpus
+    val batch = Seq((10L, s"fresh tokens $shared end")).toDF("doc_id", "text")
+    val viaText = Dedup.crossCorpusDuplicatedSpans(batch, corpus,
+        "doc_id", "text", n = 8, minDocs = 2)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val viaIndex = Dedup.crossCorpusDuplicatedSpansIndexed(batch,
+        Dedup.spanIndex(corpus, "doc_id", "text", n = 8),
+        "doc_id", "text", n = 8, minDocs = 2)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(viaText == viaIndex && viaIndex.nonEmpty)
+  }
+
   test("keep-one-copy span removal: the min-id owner keeps the span, every " +
       "other copy loses it; ownership is per-span") {
     val df = Seq(

@@ -187,6 +187,32 @@ class StreamingSpec extends AnyFunSuite {
       s"timeout flush missing from: ${emitted()}")
   }
 
+  test("streaming span-index state transition: cumulative counts, batch " +
+      "flags only at/after the minDocs crossing, occurrences accumulate") {
+    import StreamingSync._
+    import org.apache.spark.api.java.Optional
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    val fp = 42L
+    // batch 1: one doc holds the span twice -> state (1 doc, 2 occ), no flag
+    val s1 = TestGroupState.create[SpanIdxState](Optional.empty(),
+      GroupStateTimeout.NoTimeout, 0L, Optional.empty(), false)
+    val out1 = updateSpanIndex(2L)(fp,
+      Iterator(SpanObs(7L, fp), SpanObs(7L, fp)), s1).toSeq
+    assert(out1.isEmpty && s1.get == SpanIdxState(1L, 2L))
+    // batch 2: a second doc arrives -> crossing; only batch-2 docs flagged,
+    // with the CUMULATIVE counts
+    val s2 = TestGroupState.create[SpanIdxState](Optional.of(s1.get),
+      GroupStateTimeout.NoTimeout, 0L, Optional.empty(), false)
+    val out2 = updateSpanIndex(2L)(fp, Iterator(SpanObs(9L, fp)), s2).toSeq
+    assert(out2 == Seq(SpanFlag(9L, fp, 2L, 3L)))
+    // batch 3: two more docs -> all of batch 3 flagged at the new counts
+    val s3 = TestGroupState.create[SpanIdxState](Optional.of(s2.get),
+      GroupStateTimeout.NoTimeout, 0L, Optional.empty(), false)
+    val out3 = updateSpanIndex(2L)(fp,
+      Iterator(SpanObs(11L, fp), SpanObs(12L, fp)), s3).toSeq
+    assert(out3.toSet == Set(SpanFlag(11L, fp, 4L, 5L), SpanFlag(12L, fp, 4L, 5L)))
+  }
+
   test("mapGroupsWithState session counting matches the batch sessionization rule") {
     import StreamingSync._
     val m = 1000000L
