@@ -329,7 +329,7 @@ object Bench {
         f"$totalGramsS%d grams → $candGramsS%d candidate grams")
       // End-to-end ADAPTIVE-routing evidence, draws paired in the same
       // minutes: on the dense corpus the probe must route exhaustive
-      // (overhead ≈ 1 + the cheap xxhash64 fingerprint scan — the r8 2x
+      // (overhead ≈ 1 + the cheap native winnow_fps scan — the r8 2x
       // pessimization gone); on the sparse corpus it must route to the
       // prefilter and WIN. The sf corpus is ~24k grams at sf0.01 — pure
       // scheduler latency — so the draws run on a 16x-replicated corpus
@@ -880,53 +880,68 @@ object Bench {
     //
     // Pool size adapts to the remaining wall-clock budget (r4 postmortem:
     // a fixed 6-draw pool + compaction overran the driver and lost the
-    // round): compaction already ran above, so the reserve is only the
-    // ~60 s tail (probe medians + lakeskip) plus margin. ODD pool sizes
+    // round). DEADLINE-DRIVEN since r9: the old up-front fit divided the
+    // budget by ploughT — but the plough absorbs the ~4x writeback ramp BY
+    // DESIGN, so one ramp-inflated plough (124 s vs 31-55 s real draws,
+    // r9 log) halved the pool to 3 slots exactly when more evidence was
+    // wanted. Now the per-slot cost is MEASURED as slots land (seeded by
+    // the plough, corrected after slot 1) and the loop keeps drawing while
+    // the budget demonstrably fits another slot, cap 8. ODD pool sizes
     // are allowed (r7: the even-rounding starved the pool to 0 twice when
     // exactly one draw fit) — both modes share the pooled full-apply
     // phase, so a 1-draw pool is a degraded-but-honest median, strictly
     // better evidence than falling back to the plough alone. At 0 the
     // plough draw's time stands in.
-    val perDraw = math.max(ploughT, 10.0)
-    val nDraws = {
-      // each pooled rewrite draw is chased by one interleaved 5pct draw
-      // (see below), so a draw slot costs perDraw + tIncr. Cap raised 6→8
-      // (VERDICT r8 #3): scn_full_reload drew 37 s and 113 s across two
-      // same-code r8 runs — more same-minutes pairs tighten the medians
-      // the time-form invariants stand on; the budget fit still degrades
-      // the count first under pressure
-      val fit = ((remaining - 0.5 * perDraw) / (perDraw + tIncr)).toInt
-      math.max(0, math.min(8, fit))
-    }
-    if (nDraws < 8)
-      System.err.println(f"[bench] budget pressure: $nDraws%d pooled draws " +
-        f"(plough $ploughT%.0f s, remaining $remaining%.0f s)")
+    //
     // pct5_speedup's numerator (pooled full draws) and denominator (5pct
     // draws) must sample the SAME minutes: the early scn_incr phase runs
     // long before the rewrite pool, and this box's writeback regime drifts
     // enough in between to swing the cross-phase ratio 3-6x (a driver run
     // drew 3.3 for an invariant whose byte form is ~20x). So each pooled
-    // rewrite draw is immediately followed by one 5pct draw, and the ratio
-    // uses the interleaved medians — same cure as the F,T,F,T alternation.
+    // rewrite draw is chased by 5pct draws and the ratio uses the
+    // interleaved medians — same cure as the F,T,F,T alternation. THREE
+    // 5pct draws per slot (r9): the 5pct side owns most of the pair
+    // variance — identical 5pct work drew 12.9/3.4/26.8 s inside one r9
+    // pool (the throttle stalls a clean ~3 s draw to ~27 s several times
+    // an hour) and a stalled denominator alone dragged a pair ratio to
+    // 1.2 where the byte form is 12.5x. A per-slot median of 3 cheap
+    // draws lets one stall poison neither the pair ratio nor the pool,
+    // for ~10 s of slot cost.
     val drawTimes = scala.collection.mutable.ArrayBuffer.empty[Double]
     val incrDraws = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val pairRatios = scala.collection.mutable.ArrayBuffer.empty[Double]
     def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
-    (1 to nDraws).foreach { i =>
-      val standard = (i % 2 == 1)
+    val poolReserve = 60.0 // probe medians + lakeskip tail
+    var slotCost = math.max(ploughT, 10.0) + 3 * tIncr // seed estimate
+    var slotI = 0
+    while (slotI < 8 && remaining - poolReserve > 1.15 * slotCost) {
+      slotI += 1
+      val slot0 = elapsed
+      val standard = (slotI % 2 == 1)
       val d = if (standard) standardDraw() else truncateDraw()
-      System.err.println(f"[bench] ${if (standard) "standard" else "truncate"} draw $i: $d%.1f s")
+      System.err.println(f"[bench] ${if (standard) "standard" else "truncate"} draw $slotI: $d%.1f s")
       drawTimes += d
-      incrPrep(); osSync()
-      val di = time(incrRun())
-      System.err.println(f"[bench] interleaved 5pct draw $i: $di%.1f s")
-      incrDraws += di
+      val slotIncr = (1 to 3).map { _ =>
+        incrPrep(); osSync()
+        val di = time(incrRun())
+        incrDraws += di
+        di
+      }
       rmRecF(new java.io.File(s"$tmp/tgt_scn_incr"))
+      pairRatios += d / math.max(median(slotIncr), 1e-9)
+      System.err.println(f"[bench] chased 5pct draws $slotI: " +
+        slotIncr.map(x => f"$x%.1f").mkString("[", ", ", "]") +
+        f" s, pair ratio ${pairRatios.last}%.1f")
       // provisional medians-so-far: a kill mid-pool keeps the finished
       // draws' evidence (the post-loop block overwrites with final values)
       results("scn_full_reload") = median(drawTimes.toSeq)
       results("scn_5pct_incremental") = median(incrDraws.toSeq)
-      flush(s"draw_$i")
+      slotCost = elapsed - slot0
+      flush(s"draw_$slotI")
     }
+    if (slotI < 8)
+      System.err.println(f"[bench] budget pressure: $slotI%d pooled slots " +
+        f"(last slot $slotCost%.0f s, remaining $remaining%.0f s)")
     val tProbe = median((1 to 3).map(_ => probeDraw()))
     val tFull = if (drawTimes.nonEmpty) median(drawTimes.toSeq) else ploughT
     val tIncrAligned = if (incrDraws.nonEmpty) median(incrDraws.toSeq) else tIncr
@@ -937,8 +952,8 @@ object Bench {
     // (r5 recorded 5.41 where an identical run 70 min earlier drew 6.43 —
     // the deterministic byte form was 12.5×/19.9×); within a pair both
     // draws share the regime, so monotone drift cancels multiplicatively.
-    val pairRatios = drawTimes.zip(incrDraws).map { case (f, d5) =>
-      f / math.max(d5, 1e-9) }
+    // Since r9 each pair's denominator is itself a median of the slot's 3
+    // chased draws (computed in-loop above).
     System.err.println(f"[bench] full-apply median $tFull%.1f s, probe median $tProbe%.2f s, " +
       f"aligned 5pct median $tIncrAligned%.1f s, pair ratios " +
       pairRatios.map(r => f"$r%.1f").mkString("[", ", ", "]"))
@@ -954,6 +969,7 @@ object Bench {
     // pairs the medians stand on, and the pair-ratio spread — a 1-pair
     // artifact is a degraded draw, visibly so, not a silent median
     ratios("pct5_pairs") = pairRatios.size.toDouble
+    ratios("pct5_incr_draws") = incrDraws.size.toDouble
     if (pairRatios.nonEmpty) {
       ratios("pct5_pair_min") = pairRatios.min
       ratios("pct5_pair_max") = pairRatios.max
