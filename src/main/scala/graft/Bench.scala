@@ -913,25 +913,45 @@ object Bench {
     def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
     val poolReserve = 60.0 // probe medians + lakeskip tail
     var slotCost = math.max(ploughT, 10.0) + 3 * tIncr // seed estimate
+    // CPU-time twin of every pooled draw: process CPU time excludes
+    // IO-wait, so the writeback-throttle regime the WALL ratios suffer
+    // from cancels out of it — in particular the SYSTEMATIC asymmetry
+    // where a full draw's multi-GB flush leaves the box throttled for
+    // exactly its own chased 5pct draws (r9 log: full drew 31.9 s fast
+    // while all three chased draws drew 15-22 s slow — the regime flipped
+    // MID-SLOT, which no pairing can cure). pct5_speedup_cpu is the
+    // work-ratio corroboration in the time domain, the same story the
+    // byte gate tells deterministically.
+    val osCpu = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      .asInstanceOf[com.sun.management.OperatingSystemMXBean]
+    def cpuSec[A](f: => A): Double = {
+      val c0 = osCpu.getProcessCpuTime; f
+      (osCpu.getProcessCpuTime - c0) / 1e9
+    }
+    val pairRatiosCpu = scala.collection.mutable.ArrayBuffer.empty[Double]
     var slotI = 0
     while (slotI < 8 && remaining - poolReserve > 1.15 * slotCost) {
       slotI += 1
       val slot0 = elapsed
       val standard = (slotI % 2 == 1)
-      val d = if (standard) standardDraw() else truncateDraw()
-      System.err.println(f"[bench] ${if (standard) "standard" else "truncate"} draw $slotI: $d%.1f s")
+      var d = 0.0
+      val dCpu = cpuSec { d = if (standard) standardDraw() else truncateDraw() }
+      System.err.println(f"[bench] ${if (standard) "standard" else "truncate"} draw $slotI: $d%.1f s ($dCpu%.1f cpu-s)")
       drawTimes += d
+      val slotIncrCpu = scala.collection.mutable.ArrayBuffer.empty[Double]
       val slotIncr = (1 to 3).map { _ =>
         incrPrep(); osSync()
-        val di = time(incrRun())
+        var di = 0.0
+        slotIncrCpu += cpuSec { di = time(incrRun()) }
         incrDraws += di
         di
       }
       rmRecF(new java.io.File(s"$tmp/tgt_scn_incr"))
       pairRatios += d / math.max(median(slotIncr), 1e-9)
+      pairRatiosCpu += dCpu / math.max(median(slotIncrCpu.toSeq), 1e-9)
       System.err.println(f"[bench] chased 5pct draws $slotI: " +
         slotIncr.map(x => f"$x%.1f").mkString("[", ", ", "]") +
-        f" s, pair ratio ${pairRatios.last}%.1f")
+        f" s, pair ratio ${pairRatios.last}%.1f (cpu ${pairRatiosCpu.last}%.1f)")
       // provisional medians-so-far: a kill mid-pool keeps the finished
       // draws' evidence (the post-loop block overwrites with final values)
       results("scn_full_reload") = median(drawTimes.toSeq)
@@ -965,6 +985,11 @@ object Bench {
     ratios("pct5_speedup") =
       if (pairRatios.nonEmpty) median(pairRatios.toSeq) else tFull / tIncrAligned
     ratios("pct5_speedup_pool_medians") = tFull / tIncrAligned // advisory
+    // the throttle-immune time-domain corroboration (see cpuSec above):
+    // CPU seconds per draw, same per-slot pairing — wall ratios carry the
+    // box's write-regime lottery, CPU ratios don't
+    if (pairRatiosCpu.nonEmpty)
+      ratios("pct5_speedup_cpu") = median(pairRatiosCpu.toSeq)
     // evidence-weight disclosure (VERDICT r8 #3): how many same-minutes
     // pairs the medians stand on, and the pair-ratio spread — a 1-pair
     // artifact is a degraded draw, visibly so, not a silent median

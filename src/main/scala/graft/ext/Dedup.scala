@@ -229,6 +229,42 @@ object Dedup {
       .agg(expr("minhash_sketch(h)").as("sig"))
   }
 
+  /** Per-ROW MinHash band rows — the same (id, band, bsig) values as the
+    * aggregate signature path, computed entirely with array expressions
+    * (shingle array → h32 per element → 16 `array_min`s → band concat),
+    * so it needs NO aggregation and therefore composes with stateful
+    * streaming operators (a streaming groupBy before
+    * flatMapGroupsWithState is rejected by the planner; per-row columns
+    * are not). Equivalence with [[minhashSignatures]] holds because `min`
+    * is duplicate-insensitive: the aggregate path mins over DISTINCT
+    * shingles, this path over all positions — same minimum. Docs with no
+    * shingles (< n tokens) emit nothing, matching the aggregate path
+    * (empty-array mins are null and would otherwise collapse every short
+    * doc into one all-null bucket). Spec-pinned equal to the aggregate
+    * path on a mixed corpus. */
+  def minhashBandRowsPerDoc(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3): DataFrame = {
+    val toks = split(col(textCol), " ")
+    val shArr = when(size(toks) >= n,
+        transform(sequence(lit(0), size(toks) - n),
+          i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+    val hs = transform(shArr, s => h32(s))
+    val rowsPerBand = MinhashA.size / MinhashBands
+    val mins = MinhashA.zip(MinhashB).map { case (a, b) =>
+      array_min(transform(col("_hs"), h => (h * a + b) % MinhashP))
+    }
+    val bandCols = (0 until MinhashBands).map { bnd =>
+      struct(lit(bnd).as("band"),
+        concat_ws("_",
+          (0 until rowsPerBand).map(r => mins(bnd * rowsPerBand + r)): _*).as("bsig"))
+    }
+    df.select(col(idCol).as("doc_id"), hs.as("_hs"))
+      .filter(size(col("_hs")) > 0)
+      .select(col("doc_id"), explode(array(bandCols: _*)).as("b"))
+      .select(col("doc_id"), col("b.band").as("band"), col("b.bsig").as("bsig"))
+  }
+
   /** MinHash LSH candidates → exact-Jaccard verification.
     * Banding: 4 bands of 4 rows; docs sharing any band signature are
     * candidates (joined on the band bucket — never all-pairs); candidates

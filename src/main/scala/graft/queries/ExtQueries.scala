@@ -13,6 +13,42 @@ object ExtQueries {
 
   private def docs(s: SparkSession, d: String) = s.read.parquet(s"$d/documents.parquet")
 
+  /** Shared two-micro-batch runner for the stateful streaming oracles:
+    * batch 1 = docs with id <= 250, batch 2 = the rest (each written as
+    * one file so AvailableNow sees exactly one batch per run), `f` builds
+    * the streaming transform over the file-source frame, output parquet'd
+    * through a checkpoint so batch 2 resumes batch 1's state store —
+    * exactly the restart-with-state path a production stream exercises. */
+  private def twoBatchDocStream(s: SparkSession, d: String, tag: String)(
+      f: DataFrame => DataFrame): DataFrame =
+    twoBatchStream(s, d, tag, "documents", "doc_id")(f)
+
+  private def twoBatchStream(s: SparkSession, d: String, tag: String,
+      table: String, idColName: String)(
+      f: DataFrame => DataFrame): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory(s"graft_stream_$tag").toString
+    val (inDir, outDir, ckpt) = (s"$dir/in", s"$dir/out", s"$dir/ckpt")
+    val all = s.read.parquet(s"$d/$table.parquet")
+    all.filter(col(idColName) <= 250).coalesce(1).write.parquet(inDir)
+    def runOnce(): Unit = {
+      val stream = s.readStream.schema(s.read.parquet(inDir).schema).parquet(inDir)
+      f(stream)
+        .writeStream.format("parquet").option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start().awaitTermination(300000) match {
+        case true => ()
+        case false => sys.error("streaming run did not finish in 300 s")
+      }
+    }
+    runOnce() // batch 1
+    all.filter(col(idColName) > 250).coalesce(1)
+      .write.mode("append").parquet(inDir)
+    runOnce() // batch 2 resumes the checkpointed state
+    s.read.parquet(outDir)
+  }
+
   /** A SPARSE-duplication derivation of the documents corpus — the regime
     * the ExactSubstr winnow prefilter exists for (most docs share no span
     * with anything): every token is salted with its own doc_id, destroying
@@ -679,32 +715,52 @@ object ExtQueries {
     // within-batch duplicates, batch 2 flags = duplicates against
     // everything kept so far (the incremental contract, replayed as the
     // union of the two prefix-stat joins in the oracle)
-    "q_stream_spans" -> ((s, d) => {
-      val dir = java.nio.file.Files.createTempDirectory("graft_stream_span").toString
-      val (inDir, outDir, ckpt) = (s"$dir/in", s"$dir/out", s"$dir/ckpt")
-      val all = docs(s, d).select(col("doc_id"), col("text"))
-      all.filter(col("doc_id") <= 250).coalesce(1).write.parquet(inDir)
-      def runOnce(): Unit = {
-        val stream = s.readStream.schema(s.read.parquet(inDir).schema).parquet(inDir)
+    "q_stream_spans" -> ((s, d) =>
+      twoBatchDocStream(s, d, "span")(st => graft.streaming.StreamingSync
+        .flagDuplicatedSpansStream(st, "doc_id", "text", n = 8, minDocs = 2).toDF())
+        .select("doc_id", "fp", "n_docs", "n_occurrences")),
+
+    // STREAMING MinHash-LSH near-dup candidates: the band-bucket index
+    // lives in the state store; two micro-batches stream through, and each
+    // batch's flags reflect the CUMULATIVE bucket membership as of that
+    // batch (batch 1 = within-batch near-dup candidates, batch 2 =
+    // candidates against everything kept so far). The oracle replays both
+    // batches' prefix bucket-stat joins from the SAME minhash constants.
+    "q_stream_neardup" -> ((s, d) =>
+      twoBatchDocStream(s, d, "nd")(st => graft.streaming.StreamingSync
+        .flagNearDupStream(st, "doc_id", "text", n = 3).toDF())
+        .select("doc_id", "band", "bsig", "n_docs", "first_doc")),
+
+    // STREAMING embedding near-dup candidates — the semantic modality of
+    // q_stream_neardup: per-row hyperplane signatures over the quantized
+    // vectors, 3×4-bit bands, the same cumulative bucket-state contract;
+    // the oracle replays the prefix bucket stats from the SAME inlined
+    // plane constants as the batch LSH oracles.
+    "q_stream_semdedup" -> ((s, d) =>
+      twoBatchStream(s, d, "sd", "embeddings", "vec_id")(st =>
         graft.streaming.StreamingSync
-          .flagDuplicatedSpansStream(stream, "doc_id", "text", n = 8, minDocs = 2)
-          .toDF()
-          .writeStream.format("parquet").option("path", outDir)
-          .option("checkpointLocation", ckpt)
-          .outputMode("append")
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start().awaitTermination(300000) match {
-          case true => ()
-          case false => sys.error("streaming run did not finish in 300 s")
-        }
-      }
-      runOnce() // batch 1: docs <= 250
-      all.filter(col("doc_id") > 250).coalesce(1)
-        .write.mode("append").parquet(inDir)
-      runOnce() // batch 2: the rest, flagged against batch 1's state
-      s.read.parquet(outDir)
-        .select("doc_id", "fp", "n_docs", "n_occurrences")
-    }),
+          .flagEmbeddingNearDupStream(st, "vec_id", "embedding").toDF())
+        .select("doc_id", "band", "bsig", "n_docs", "first_doc")),
+
+    // STREAMING exact dedup: per-fingerprint keeper state, every doc
+    // decided on arrival with the deterministic min-id rule (built-in
+    // dropDuplicates keeps an arbitrary within-batch row — unreplayable).
+    // The batch split at 250 aligns with the id order, so the keeper is
+    // provably the GLOBAL min id per hash — the oracle needs no prefix
+    // arithmetic at all, which is itself the determinism proof.
+    "q_stream_dedup_exact" -> ((s, d) =>
+      twoBatchDocStream(s, d, "dx")(st => graft.streaming.StreamingSync
+        .dedupExactStream(st, "doc_id", "text").toDF())
+        .select("doc_id", "text_hash", "is_kept", "keeper_doc")),
+
+    // STREAMING per-source token-budget quota: per-source running-total
+    // state, prefix semantics identical to the batch tokenBudgetPerGroup
+    // (the overflowing doc's tokens still count), arrival order = id
+    // order — so ONE window replays the whole stream's decisions.
+    "q_stream_quota" -> ((s, d) =>
+      twoBatchDocStream(s, d, "tq")(st => graft.streaming.StreamingSync
+        .streamTokenQuota(st, "doc_id", "source", "text", budget = 800L).toDF())
+        .select("doc_id", "source", "n_tokens", "running_tokens", "is_kept")),
 
     // the span INDEX as a mergeable artifact: three per-batch indexes over
     // disjoint doc ranges rolled up additively must equal the index built
@@ -1124,6 +1180,71 @@ SELECT d.doc_id, d.fp, CAST(s2.nd AS BIGINT) AS n_docs,
   CAST(s2.no AS BIGINT) AS n_occurrences
 FROM (SELECT DISTINCT doc_id, fp FROM g WHERE doc_id > 250) d
 JOIN s2 USING (fp) WHERE s2.nd >= 2""",
+
+    // streaming near-dup replay: band signatures from the SAME minhash
+    // constants as the Scala; each batch's flags join the PREFIX bucket
+    // stats as of that batch — batch 1 over docs <= 250 only, batch 2 over
+    // the whole corpus — unioned; equal hashes prove the state-store
+    // accumulation matches the batch banding arithmetic
+    "q_stream_neardup" -> s"""WITH $shinglesCte,
+hsh AS (SELECT sid, ${oh32("shingle")} AS h FROM sh),
+sig AS (SELECT sid,
+       $minhashSigCols
+FROM hsh GROUP BY sid),
+bands AS ($minhashBandSelects),
+b1 AS (SELECT band, bsig, count(*) AS nd, min(sid) AS fd
+       FROM bands WHERE sid <= 250 GROUP BY band, bsig),
+b2 AS (SELECT band, bsig, count(*) AS nd, min(sid) AS fd
+       FROM bands GROUP BY band, bsig)
+SELECT x.sid AS doc_id, x.band, x.bsig, CAST(b1.nd AS BIGINT) AS n_docs,
+  CAST(b1.fd AS BIGINT) AS first_doc
+FROM bands x JOIN b1 USING (band, bsig) WHERE x.sid <= 250 AND b1.nd >= 2
+UNION ALL
+SELECT x.sid, x.band, x.bsig, CAST(b2.nd AS BIGINT), CAST(b2.fd AS BIGINT)
+FROM bands x JOIN b2 USING (band, bsig) WHERE x.sid > 250 AND b2.nd >= 2""",
+
+    // streaming embedding-near-dup replay: hyperplane signatures and bands
+    // from the same inlined plane constants, then the prefix bucket-stat
+    // joins — batch 1 over vec_id <= 250, batch 2 over the whole corpus
+    "q_stream_semdedup" -> s"""WITH $lshOracleCtes,
+bb AS (SELECT vec_id, band, CAST(bsig AS VARCHAR) AS bsig FROM bands),
+b1 AS (SELECT band, bsig, count(*) AS nd, min(vec_id) AS fd
+       FROM bb WHERE vec_id <= 250 GROUP BY band, bsig),
+b2 AS (SELECT band, bsig, count(*) AS nd, min(vec_id) AS fd
+       FROM bb GROUP BY band, bsig)
+SELECT x.vec_id AS doc_id, x.band, x.bsig, CAST(b1.nd AS BIGINT) AS n_docs,
+  CAST(b1.fd AS BIGINT) AS first_doc
+FROM bb x JOIN b1 USING (band, bsig) WHERE x.vec_id <= 250 AND b1.nd >= 2
+UNION ALL
+SELECT x.vec_id, x.band, x.bsig, CAST(b2.nd AS BIGINT), CAST(b2.fd AS BIGINT)
+FROM bb x JOIN b2 USING (band, bsig) WHERE x.vec_id > 250 AND b2.nd >= 2""",
+
+    // streaming exact-dedup replay: the keeper is the hash's min id in its
+    // FIRST-seeing batch — and because the batch split (<=250 / >250) is
+    // id-ordered, that equals the GLOBAL min id per hash, so the replay is
+    // one grouped min with no prefix arithmetic (see the query comment)
+    "q_stream_dedup_exact" -> """WITH h AS (
+  SELECT doc_id, md5(lower(trim(text))) AS text_hash FROM documents),
+k AS (SELECT text_hash, min(doc_id) AS keeper FROM h GROUP BY text_hash)
+SELECT h.doc_id, h.text_hash, h.doc_id = k.keeper AS is_kept,
+  k.keeper AS keeper_doc
+FROM h JOIN k USING (text_hash)""",
+
+    // streaming token-quota replay: arrival order = id order, so the whole
+    // stream's running totals are ONE cumulative window per source; kept
+    // iff the running total including the doc stays within the budget —
+    // the batch tokenBudgetPerGroup prefix rule verbatim
+    "q_stream_quota" -> """WITH t AS (
+  SELECT doc_id, source,
+    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents),
+r AS (SELECT doc_id, source, n_tokens,
+        CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+          AS running_tokens
+      FROM t)
+SELECT doc_id, source, n_tokens, running_tokens,
+  running_tokens <= 800 AS is_kept FROM r""",
 
     // merged-index replay: the DIRECT whole-corpus index, every span,
     // no minDocs cut (the index keeps singletons so a later batch can

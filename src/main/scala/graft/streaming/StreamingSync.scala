@@ -250,6 +250,173 @@ object StreamingSync {
     else Iterator.empty
   }
 
+  final case class BandObs(doc_id: Long, band: Int, bsig: String)
+  final case class BucketState(nDocs: Long, firstDoc: Long)
+  final case class NearDupFlag(doc_id: Long, band: Int, bsig: String,
+    n_docs: Long, first_doc: Long)
+
+  /** Streaming MinHash-LSH near-dup flagging — the continuous-ingest form
+    * of [[graft.ext.Dedup.minhashLshPairs]]' candidate stage with the
+    * band-bucket index in the STATE STORE: each micro-batch doc's
+    * signature is computed PER ROW ([[graft.ext.Dedup.minhashBandRowsPerDoc]]
+    * — array expressions, no aggregation, so the stateful operator is the
+    * plan's only stateful node), its 4 band rows update per-(band, bsig)
+    * `(n_docs, first_doc)` state, and every batch doc landing in a bucket
+    * whose CUMULATIVE doc count reaches 2 is flagged with the counts and
+    * canonical keeper (min doc id ever seen) as of its own batch. Earlier
+    * holders are not retro-flagged — the [[flagDuplicatedSpansStream]]
+    * contract: flags answer "is THIS batch near-duplicate against
+    * everything kept so far".
+    *
+    * These are LSH CANDIDATES, exactly what the batch operator's banding
+    * stage emits — verification (true Jaccard against the flagged
+    * `first_doc`) stays a batch-side join because it needs the kept docs'
+    * text, and candidates are a tiny fraction of the stream. State per key
+    * is one 16-byte pair; O(distinct band buckets) keys. Append mode, no
+    * timeout, no watermark. */
+  def flagNearDupStream(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3): Dataset[NearDupFlag] = {
+    import docs.sparkSession.implicits._
+    graft.ext.Dedup.minhashBandRowsPerDoc(docs, idCol, textCol, n)
+      .as[BandObs]
+      .groupByKey(o => (o.band, o.bsig))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        updateBandBucket)
+  }
+
+  /** The per-bucket state transition, separated for direct unit testing. */
+  def updateBandBucket(key: (Int, String), obs: Iterator[BandObs],
+      state: GroupState[BucketState]): Iterator[NearDupFlag] = {
+    // one row per (doc, bucket) by construction; sorted for determinism
+    val docs = obs.map(_.doc_id).toArray.distinct.sorted
+    if (docs.isEmpty) Iterator.empty
+    else {
+      val prev = state.getOption.getOrElse(BucketState(0L, Long.MaxValue))
+      val next = BucketState(prev.nDocs + docs.length,
+        math.min(prev.firstDoc, docs.head))
+      state.update(next)
+      if (next.nDocs >= 2L)
+        docs.iterator.map(d =>
+          NearDupFlag(d, key._1, key._2, next.nDocs, next.firstDoc))
+      else Iterator.empty
+    }
+  }
+
+  /** Streaming EMBEDDING near-dup candidates — [[flagNearDupStream]] for
+    * the semantic modality: random-hyperplane signatures
+    * ([[graft.ext.Similarity.withLshSignature]] — already a per-row
+    * expression over the quantized vector, no aggregation to dodge),
+    * banded 3×4 bits, the same per-(band, bsig) `(n_docs, first_doc)`
+    * bucket state and cumulative-flagging contract. With this, every
+    * dedup modality has a continuous-ingest form: exact (fingerprint),
+    * textual near-dup (minhash), semantic near-dup (hyperplane),
+    * substring (span index), plus the quota gate — the full streaming
+    * curation pipeline. Candidates only, as in the batch op: exact-cosine
+    * verification stays a batch-side join against the flagged keeper. */
+  def flagEmbeddingNearDupStream(vecs: DataFrame, idCol: String,
+      embCol: String,
+      dim: Int = graft.ext.Similarity.DefaultDim): Dataset[NearDupFlag] = {
+    import vecs.sparkSession.implicits._
+    val sig = graft.ext.Similarity.withLshSignature(
+      graft.ext.Similarity.prepare(vecs, idCol, embCol), dim)
+    val bandBits = graft.ext.Similarity.NumPlanes / graft.ext.Similarity.PlaneBands
+    val bandCols = (0 until graft.ext.Similarity.PlaneBands).map { k =>
+      struct(lit(k).as("band"),
+        shiftright(col("lsh_sig"), k * bandBits)
+          .bitwiseAND((1L << bandBits) - 1).cast("string").as("bsig"))
+    }
+    sig.select(col(idCol).cast("long").as("doc_id"),
+        explode(array(bandCols: _*)).as("b"))
+      .select(col("doc_id"), col("b.band").as("band"), col("b.bsig").as("bsig"))
+      .as[BandObs]
+      .groupByKey(o => (o.band, o.bsig))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        updateBandBucket)
+  }
+
+  final case class DocHash(doc_id: Long, text_hash: String)
+  final case class SeenState(keeperDoc: Long)
+  final case class DedupDecision(doc_id: Long, text_hash: String,
+    is_kept: Boolean, keeper_doc: Long)
+
+  /** Streaming exact dedup — the continuous-ingest form of
+    * [[graft.ext.Dedup.exactDedup]]: per-fingerprint state remembers the
+    * canonical keeper (the min doc id of the hash's FIRST-seeing batch),
+    * and every arriving doc is decided on arrival: kept iff its hash is
+    * new and it is that batch's min id for the hash. Built-in
+    * `dropDuplicates` cannot give this contract: within a micro-batch it
+    * keeps an ARBITRARY row per key, which is unreplayable — the min-id
+    * rule is deterministic, so the whole stream's decisions are
+    * oracle-checkable. Every doc is emitted exactly once with its
+    * decision (the audit shape, not just the survivor stream — a filter
+    * on is_kept is the deduped corpus). State per key: one Long. */
+  def dedupExactStream(docs: DataFrame, idCol: String,
+      textCol: String): Dataset[DedupDecision] = {
+    import docs.sparkSession.implicits._
+    docs.select(col(idCol).cast("long").as("doc_id"),
+        graft.ext.TextAnalysis.fingerprint(col(textCol)).as("text_hash"))
+      .as[DocHash]
+      .groupByKey(_.text_hash)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        decideExactDedup)
+  }
+
+  /** The per-fingerprint state transition, separated for unit testing. */
+  def decideExactDedup(hash: String, obs: Iterator[DocHash],
+      state: GroupState[SeenState]): Iterator[DedupDecision] = {
+    val docs = obs.map(_.doc_id).toArray.distinct.sorted
+    if (docs.isEmpty) Iterator.empty
+    else {
+      val keeper = state.getOption match {
+        case Some(s) => s.keeperDoc // hash already kept — all arrivals drop
+        case None =>
+          state.update(SeenState(docs.head)); docs.head
+      }
+      docs.iterator.map(d => DedupDecision(d, hash, d == keeper, keeper))
+    }
+  }
+
+  final case class SourcedDoc(doc_id: Long, source: String, n_tokens: Long)
+  final case class QuotaState(consumed: Long)
+  final case class QuotaDecision(doc_id: Long, source: String, n_tokens: Long,
+    running_tokens: Long, is_kept: Boolean)
+
+  /** Streaming per-source token-budget quota — the continuous-ingest form
+    * of [[graft.ext.Sampling.tokenBudgetPerGroup]] with arrival order as
+    * the ordering: per-source state carries the running token total, each
+    * batch's docs are walked in doc-id order, and a doc is kept iff the
+    * running total INCLUDING it stays within `budget`. Prefix semantics
+    * exactly as the batch op (tokens ≥ 0 ⇒ the running sum is monotone,
+    * so after the first overflow nothing is ever kept again — the
+    * overflowing doc's tokens still count, keeping the two forms
+    * replayable by one window). Every doc is emitted with its decision
+    * and the running total as of itself — the audit shape. State per
+    * source: one Long. */
+  def streamTokenQuota(docs: DataFrame, idCol: String, sourceCol: String,
+      textCol: String, budget: Long): Dataset[QuotaDecision] = {
+    import docs.sparkSession.implicits._
+    docs.select(col(idCol).cast("long").as("doc_id"),
+        col(sourceCol).as("source"),
+        size(split(col(textCol), " ")).cast("long").as("n_tokens"))
+      .as[SourcedDoc]
+      .groupByKey(_.source)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        decideTokenQuota(budget))
+  }
+
+  /** The per-source state transition, separated for unit testing. */
+  def decideTokenQuota(budget: Long)(source: String, obs: Iterator[SourcedDoc],
+      state: GroupState[QuotaState]): Iterator[QuotaDecision] = {
+    val docs = obs.toArray.sortBy(_.doc_id)
+    var running = state.getOption.map(_.consumed).getOrElse(0L)
+    val out = docs.map { d =>
+      running += d.n_tokens
+      QuotaDecision(d.doc_id, source, d.n_tokens, running, running <= budget)
+    }
+    state.update(QuotaState(running))
+    out.iterator
+  }
+
   final case class UserEvent(user_id: Long, tsMicros: Long)
   final case class UserSessions(user_id: Long, sessions: Long, events: Long)
   final case class SessionState(lastTsMicros: Long, sessions: Long, events: Long)

@@ -326,6 +326,33 @@ class DedupSpec extends AnyFunSuite {
     assert(viaText == viaIndex && viaIndex.nonEmpty)
   }
 
+  test("per-row minhash band rows equal the aggregate signature path; " +
+      "short docs emit nothing; exact dups share every band") {
+    val df = Seq(
+      (1L, "a b c d e f g"),
+      (2L, "a b c d e f g"), // exact dup → identical signature
+      (3L, "z y x w v u t s"),
+      (4L, "ab"), // < 3 tokens → no shingles → no band rows
+      (5L, "q r s")).toDF("doc_id", "text")
+    val perRow = Dedup.minhashBandRowsPerDoc(df, "doc_id", "text", n = 3)
+      .as[(Long, Int, String)].collect().toSet
+    val rowsPerBand = Dedup.MinhashA.size / Dedup.MinhashBands
+    val agg = Dedup.minhashSignatures(Dedup.shingles(df, "doc_id", "text", 3))
+      .collect().flatMap { r =>
+        val sid = r.getLong(0)
+        (0 until Dedup.MinhashBands).map { bnd =>
+          val bsig = (0 until rowsPerBand)
+            .map(q => r.getLong(1 + bnd * rowsPerBand + q)).mkString("_")
+          (sid, bnd, bsig)
+        }
+      }.toSet
+    assert(perRow == agg, "per-row band rows must equal the aggregate path")
+    assert(!perRow.exists(_._1 == 4L), "short doc must emit no band rows")
+    assert(perRow.filter(_._1 == 1L).map(t => (t._2, t._3)) ==
+      perRow.filter(_._1 == 2L).map(t => (t._2, t._3)),
+      "exact dups must share every band signature")
+  }
+
   test("keep-one-copy span removal: the min-id owner keeps the span, every " +
       "other copy loses it; ownership is per-span") {
     val df = Seq(

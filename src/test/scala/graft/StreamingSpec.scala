@@ -213,6 +213,76 @@ class StreamingSpec extends AnyFunSuite {
     assert(out3.toSet == Set(SpanFlag(11L, fp, 4L, 5L), SpanFlag(12L, fp, 4L, 5L)))
   }
 
+  test("streaming band-bucket state transition: no flag below 2 docs, " +
+      "crossing flags only the arriving batch, first_doc is the cumulative min") {
+    import StreamingSync._
+    import org.apache.spark.api.java.Optional
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    val key = (1, "5_6_7_8")
+    // batch 1: one doc in the bucket → state (1, firstDoc 7), no flag
+    val s1 = TestGroupState.create[BucketState](Optional.empty(),
+      GroupStateTimeout.NoTimeout, 0L, Optional.empty(), false)
+    val out1 = updateBandBucket(key, Iterator(BandObs(7L, 1, "5_6_7_8")), s1).toSeq
+    assert(out1.isEmpty && s1.get == BucketState(1L, 7L))
+    // batch 2: two more docs, one with a SMALLER id → crossing; only the
+    // arriving docs are flagged, and first_doc is the cumulative min (3)
+    val s2 = TestGroupState.create[BucketState](Optional.of(s1.get),
+      GroupStateTimeout.NoTimeout, 0L, Optional.empty(), false)
+    val out2 = updateBandBucket(key,
+      Iterator(BandObs(9L, 1, "5_6_7_8"), BandObs(3L, 1, "5_6_7_8")), s2).toSeq
+    assert(out2.toSet == Set(
+      NearDupFlag(3L, 1, "5_6_7_8", 3L, 3L),
+      NearDupFlag(9L, 1, "5_6_7_8", 3L, 3L)))
+    assert(s2.get == BucketState(3L, 3L))
+  }
+
+  test("streaming exact-dedup transition: first batch's min id is the keeper " +
+      "forever; later arrivals are dropped with the keeper recorded") {
+    import StreamingSync._
+    import org.apache.spark.api.java.Optional
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    val h = "abc123"
+    // batch 1: two docs of the same hash — min wins, the other is dropped
+    val s1 = TestGroupState.create[SeenState](Optional.empty(),
+      GroupStateTimeout.NoTimeout, 0L, Optional.empty(), false)
+    val out1 = decideExactDedup(h,
+      Iterator(DocHash(9L, h), DocHash(4L, h)), s1).toSeq
+    assert(out1.toSet == Set(
+      DedupDecision(4L, h, true, 4L), DedupDecision(9L, h, false, 4L)))
+    assert(s1.get == SeenState(4L))
+    // batch 2: a SMALLER id arrives late — still dropped, keeper unchanged
+    val s2 = TestGroupState.create[SeenState](Optional.of(s1.get),
+      GroupStateTimeout.NoTimeout, 0L, Optional.empty(), false)
+    val out2 = decideExactDedup(h, Iterator(DocHash(1L, h)), s2).toSeq
+    assert(out2 == Seq(DedupDecision(1L, h, false, 4L)) && s2.get == SeenState(4L))
+  }
+
+  test("streaming token-quota transition: prefix rule across batches, the " +
+      "overflowing doc's tokens still count, nothing kept after overflow") {
+    import StreamingSync._
+    import org.apache.spark.api.java.Optional
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    val s1 = TestGroupState.create[QuotaState](Optional.empty(),
+      GroupStateTimeout.NoTimeout, 0L, Optional.empty(), false)
+    // budget 10: docs (1: 4 tok) kept, (2: 5 tok) kept at 9, (3: 3 tok)
+    // overflows at 12 — dropped but COUNTED
+    val out1 = decideTokenQuota(10L)("web",
+      Iterator(SourcedDoc(2L, "web", 5L), SourcedDoc(1L, "web", 4L),
+        SourcedDoc(3L, "web", 3L)), s1).toSeq
+    assert(out1 == Seq(
+      QuotaDecision(1L, "web", 4L, 4L, true),
+      QuotaDecision(2L, "web", 5L, 9L, true),
+      QuotaDecision(3L, "web", 3L, 12L, false)))
+    assert(s1.get == QuotaState(12L))
+    // batch 2: a 1-token doc would fit a naive remaining-budget rule but
+    // NOT the prefix rule — running is already past the budget
+    val s2 = TestGroupState.create[QuotaState](Optional.of(s1.get),
+      GroupStateTimeout.NoTimeout, 0L, Optional.empty(), false)
+    val out2 = decideTokenQuota(10L)("web",
+      Iterator(SourcedDoc(4L, "web", 1L)), s2).toSeq
+    assert(out2 == Seq(QuotaDecision(4L, "web", 1L, 13L, false)))
+  }
+
   test("mapGroupsWithState session counting matches the batch sessionization rule") {
     import StreamingSync._
     val m = 1000000L
