@@ -180,6 +180,31 @@ object AnalyticsQueries {
           count(lit(1)).as("n"),
           (sum(units(col("value"), 1000000.0)) / 1000000.0).as("sum_value"))),
 
+    // Event-time HOPPING window (1 h window, 15 min slide — each event
+    // lands in exactly 4 overlapping windows): the trend-smoothing shape
+    // tumbling windows can't give; epoch-aligned starts, exact micros
+    "q_events_hopping" -> ((s, d) =>
+      EventsSource.load(s, d)
+        .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(units(col("value"), 1000000.0)).as("sum_value_micros"))
+        .select(col("window.start").as("window_start"), col("event_type"),
+          col("n"), col("sum_value_micros"))),
+
+    // Built-in SESSION windows (session_window, 30 min gap) — the
+    // merge-interval operator form of the gap-islands sessionization in
+    // q_events_sessions; session end = last event + gap. The boundary
+    // differs from the islands rule only at an EXACT 30:00.000000 gap
+    // (session_window starts a new session, islands does not — the oracle
+    // replays session_window's >= rule).
+    "q_events_sessionwin" -> ((s, d) =>
+      EventsSource.load(s, d)
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("user_id"),
+          col("session_window.start").as("session_start"),
+          col("session_window.end").as("session_end"), col("n"))),
+
     // Fixed-iteration integer PageRank over the supplier↔part bipartite
     // graph from lineitem (both directions — an alternating random walk;
     // vertex ids disjoint via 2k / 2k+1 encoding)
@@ -395,6 +420,25 @@ object AnalyticsQueries {
       }
       s.read.parquet(outDir).filter(col("event_type") =!= "_sentinel")
         .select(col("hour"), col("event_type"), col("n"), col("sum_value"))
+    }),
+
+    // streaming HOPPING-window aggregation end to end (1 h / 15 min slide
+    // — each event in 4 overlapping windows, all held in the state store
+    // until the watermark passes their ends): the q_stream_hourly pattern
+    // with overlap; sentinel batches finalize every real window
+    "q_stream_hopping" -> ((s, d) => {
+      val ev = EventsSource.load(s, d).select(col("ts"), col("event_type"),
+        floor(col("value") * 1000000.0 + 0.5).cast("long").as("value"))
+      val (outDir, _) = runSentineled(s, ev, "graft_stream_hop",
+        ts => s"SELECT timestamp_micros(${ts}L) AS ts, " +
+          "'_sentinel' AS event_type, 0L AS value") { stream =>
+        graft.streaming.StreamingSync
+          .windowedEventCounts(stream, slide = "15 minutes")
+          .select(col("window.start").as("window_start"), col("event_type"),
+            col("n"), col("sum_value"))
+      }
+      s.read.parquet(outDir).filter(col("event_type") =!= "_sentinel")
+        .select(col("window_start"), col("event_type"), col("n"), col("sum_value"))
     }),
 
     // streaming windowed QUANTILE sketch end to end: the mergeable
@@ -803,6 +847,42 @@ FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""",
   CAST(sum(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) / 1000000.0 AS sum_value
 FROM events GROUP BY 1, 2""",
 
+    // hopping replay: every event expands into its 4 slide-aligned window
+    // starts (floor to the 15-min grid, back-shifted 0..3 slides)
+    "q_events_hopping" -> """WITH e AS (
+  SELECT CAST(ts AS TIMESTAMP) AS ts, event_type,
+    CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS vmic
+  FROM events),
+x AS (
+  SELECT make_timestamp((epoch_us(ts) // 900000000) * 900000000
+           - k * 900000000) AS window_start,
+         event_type, vmic
+  FROM e, LATERAL (SELECT unnest(range(4)) AS k))
+SELECT window_start, event_type, count(*) AS n,
+  CAST(sum(vmic) AS BIGINT) AS sum_value_micros
+FROM x GROUP BY 1, 2""",
+
+    // session_window replay: gap-islands with the >= boundary (Spark's
+    // session_window starts a new session at an exact-gap tie), session
+    // end = last event + the 30-minute gap
+    "q_events_sessionwin" -> """WITH e AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+    lag(epoch_us(CAST(ts AS TIMESTAMP)))
+      OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us,
+    epoch_us(CAST(ts AS TIMESTAMP)) AS us
+  FROM events),
+g AS (
+  SELECT user_id, ts,
+    CAST(sum(CASE WHEN prev_us IS NULL OR us - prev_us >= 1800 * 1000000
+               THEN 1 ELSE 0 END)
+      OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      AS sid
+  FROM e)
+SELECT user_id, min(ts) AS session_start,
+  max(ts) + INTERVAL '30 minutes' AS session_end, count(*) AS n
+FROM g GROUP BY user_id, sid""",
+
     // batch twin of the streamed hourly table: tumbling 1-hour windows are
     // epoch-aligned, so window.start ≡ date_trunc('hour'); sums are exact
     // integer micros (quantized before the stream)
@@ -810,6 +890,22 @@ FROM events GROUP BY 1, 2""",
   event_type, count(*) AS n,
   CAST(sum(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value
 FROM events GROUP BY 1, 2""",
+
+    // batch twin of the streamed hopping table: the same 4-way slide
+    // expansion as q_events_hopping (values pre-quantized to micros
+    // before the stream, so sums are exact integers)
+    "q_stream_hopping" -> """WITH e AS (
+  SELECT CAST(ts AS TIMESTAMP) AS ts, event_type,
+    CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS vmic
+  FROM events),
+x AS (
+  SELECT make_timestamp((epoch_us(ts) // 900000000) * 900000000
+           - k * 900000000) AS window_start,
+         event_type, vmic
+  FROM e, LATERAL (SELECT unnest(range(4)) AS k))
+SELECT window_start, event_type, count(*) AS n,
+  CAST(sum(vmic) AS BIGINT) AS sum_value
+FROM x GROUP BY 1, 2""",
 
     // batch twin of the streamed top-k: per-hour (value DESC, id ASC)
     // head, distinct (score, id) pairs — TopKAgg's set semantics

@@ -95,10 +95,14 @@ object StreamingSync {
   def windowedEventCounts(
       events: DataFrame,
       windowLen: String = "1 hour",
-      watermark: String = "2 hours"): DataFrame =
+      watermark: String = "2 hours",
+      slide: String = ""): DataFrame =
     events
       .withWatermark("ts", watermark)
-      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .groupBy(
+        if (slide.nonEmpty) window(col("ts"), windowLen, slide)
+        else window(col("ts"), windowLen),
+        col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
 
   /** Streaming windowed QUANTILE sketch: the mergeable hash-bottom-k
