@@ -168,17 +168,21 @@ object Bench {
     // each run stamps its scratch with an `_owner_pid` marker, and a dir is
     // dead when its marker pid is no longer alive; markerless or unreadable
     // dirs fall back to an age gate (mtime > 3 h — far past any bench run).
+    // The age gate also OVERRIDES a live-looking marker (r9 review): after
+    // a reboot the dead run's pid can be recycled by a long-lived daemon,
+    // which would otherwise make the 13 GB orphan immortal — no legitimate
+    // bench scratch goes 3 h without an mtime bump.
     def ownerDead(dir: java.io.File): Boolean = {
       val agedOut =
         dir.lastModified < System.currentTimeMillis - 3L * 3600 * 1000
       val marker = new java.io.File(dir, "_owner_pid")
-      if (!marker.isFile) agedOut
+      if (agedOut || !marker.isFile) agedOut
       else try {
         val pid = new String(java.nio.file.Files.readAllBytes(marker.toPath),
           java.nio.charset.StandardCharsets.UTF_8).trim.toLong
         !ProcessHandle.of(pid).map[java.lang.Boolean](_.isAlive)
           .orElse(java.lang.Boolean.FALSE)
-      } catch { case _: Exception => agedOut }
+      } catch { case _: Exception => false }
     }
     // a scratch dir claimed by THIS run (marker written before any data
     // lands in it, so a racing reaper sees liveness, not a bare dir)
@@ -191,7 +195,8 @@ object Bench {
     }
     Option(new java.io.File(System.getProperty("java.io.tmpdir")).listFiles)
       .foreach(_.filter(f => f.isDirectory &&
-          (f.getName.startsWith("graft_bench") || f.getName.startsWith("graft_bloomph")) &&
+          (f.getName.startsWith("graft_bench") || f.getName.startsWith("graft_bloomph") ||
+            f.getName.startsWith("graft_stream")) && // markerless → 3 h age gate
           ownerDead(f))
         .foreach(rmRecF))
     val bloomTmp = claimScratch("graft_bloomph")
@@ -341,15 +346,9 @@ object Bench {
         val e = docs.select(col("doc_id"), col("text"),
             explode(sequence(lit(0L), lit(repl - 1L))).as("r"))
           .select((col("doc_id") * repl + col("r")).as("doc_id"), col("text"))
-        if (!saltPerCopy) e
-        else {
-          val salted = concat_ws(" ", transform(split(col("text"), " "),
-            t => concat(t, lit("#"), col("doc_id").cast("string"))))
-          e.select(col("doc_id"),
-            when(col("doc_id") % 25 === 0, concat(
-              lit("alpha beta gamma delta epsilon zeta eta theta iota kappa "),
-              salted)).otherwise(salted).as("text"))
-        }
+        // the SHARED salting rule (ExtQueries.saltSparse) — same regime
+        // the sparse oracle queries pin, by construction not by copy
+        if (!saltPerCopy) e else graft.queries.ExtQueries.saltSparse(e)
       }
       replicated(saltPerCopy = false).write.parquet(s"$tmp/spanbench_dense")
       replicated(saltPerCopy = true).write.parquet(s"$tmp/spanbench_sparse")
@@ -687,11 +686,25 @@ object Bench {
     val rewriteOut = s"$tmp/tgt_rewrite"
     var fullWriteMbMeasured = 0.0
     val rewritePlan = runner.TablePlan("scn_rewrite", s"$cache/src", rewriteOut)
+    // CPU-time twin of a draw's TIMED section only (r9 review: wrapping the
+    // whole draw would count untimed prep — warmSrc's full-source scan, the
+    // multi-GB rmRec — in the numerator the wall time excludes, biasing
+    // pct5_speedup_cpu upward). `lastDrawCpuS` is set around exactly the
+    // same block `time` wraps.
+    val osCpu = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      .asInstanceOf[com.sun.management.OperatingSystemMXBean]
+    var lastDrawCpuS = 0.0
+    def timeWithCpu(f: => Unit): Double = {
+      val c0 = osCpu.getProcessCpuTime
+      val t = time(f)
+      lastDrawCpuS = (osCpu.getProcessCpuTime - c0) / 1e9
+      t
+    }
     def standardDraw(): Double = {
       rmRecF(new java.io.File(rewriteOut)) // no target + no usable marks ⇒ Standard
       store.putVersions("scn_rewrite", 0L, 0L, None)
       warmSrc(); osSync()
-      val t = time { runAsserting(rewritePlan, graft.model.SyncMode.Standard); osSync() }
+      val t = timeWithCpu { runAsserting(rewritePlan, graft.model.SyncMode.Standard); osSync() }
       fullWriteMbMeasured = dirMbRec(rewriteOut)
       t
     }
@@ -699,7 +712,7 @@ object Bench {
       linkDir(s"$cache/perf", rewriteOut) // stale target, marks at 0 ⇒ 100% changed
       store.putVersions("scn_rewrite", 0L, 0L, Some(maxId))
       warmSrc(); osSync()
-      time { runAsserting(rewritePlan, graft.model.SyncMode.Truncate); osSync() }
+      timeWithCpu { runAsserting(rewritePlan, graft.model.SyncMode.Truncate); osSync() }
     }
     // the decision pass truncate mode adds over a plain full apply, timed
     // on its own (it is cheap and stable where the multi-GB apply is not)
@@ -921,28 +934,23 @@ object Bench {
     // while all three chased draws drew 15-22 s slow — the regime flipped
     // MID-SLOT, which no pairing can cure). pct5_speedup_cpu is the
     // work-ratio corroboration in the time domain, the same story the
-    // byte gate tells deterministically.
-    val osCpu = java.lang.management.ManagementFactory.getOperatingSystemMXBean
-      .asInstanceOf[com.sun.management.OperatingSystemMXBean]
-    def cpuSec[A](f: => A): Double = {
-      val c0 = osCpu.getProcessCpuTime; f
-      (osCpu.getProcessCpuTime - c0) / 1e9
-    }
+    // byte gate tells deterministically. Both sides sample EXACTLY the
+    // block their wall `time` wraps (timeWithCpu above).
     val pairRatiosCpu = scala.collection.mutable.ArrayBuffer.empty[Double]
     var slotI = 0
     while (slotI < 8 && remaining - poolReserve > 1.15 * slotCost) {
       slotI += 1
       val slot0 = elapsed
       val standard = (slotI % 2 == 1)
-      var d = 0.0
-      val dCpu = cpuSec { d = if (standard) standardDraw() else truncateDraw() }
+      val d = if (standard) standardDraw() else truncateDraw()
+      val dCpu = lastDrawCpuS
       System.err.println(f"[bench] ${if (standard) "standard" else "truncate"} draw $slotI: $d%.1f s ($dCpu%.1f cpu-s)")
       drawTimes += d
       val slotIncrCpu = scala.collection.mutable.ArrayBuffer.empty[Double]
       val slotIncr = (1 to 3).map { _ =>
         incrPrep(); osSync()
-        var di = 0.0
-        slotIncrCpu += cpuSec { di = time(incrRun()) }
+        val di = timeWithCpu(incrRun())
+        slotIncrCpu += lastDrawCpuS
         incrDraws += di
         di
       }

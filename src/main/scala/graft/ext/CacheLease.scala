@@ -79,6 +79,22 @@ object CacheLease {
     Option(leases.get(spark)).map(_.size).getOrElse(0)
   }
 
+  /** Unpersist ONE leased frame and drop its registry entry — for an
+    * operator that learns mid-flight its leased frame is dead weight (the
+    * adaptive winnow route probing the candidate fraction). A bare
+    * unpersist would free the blocks but leave the dead strong reference
+    * (frame + full plan) in the registry until [[releaseAll]], piling up
+    * in long-lived sessions and skewing the WarnEvery diagnostics with
+    * entries that hold no cached blocks (r9 review). Reference equality —
+    * pass the exact frame that was acquired. No-op if not leased. */
+  def release(df: DataFrame): Unit = synchronized {
+    Option(leases.get(df.sparkSession)).foreach { l =>
+      if (l.remove(df)) df.unpersist(blocking = false)
+      if (l.isEmpty) leases.remove(df.sparkSession)
+      ()
+    }
+  }
+
   /** Unpersist every frame this library leased for `spark`. Non-blocking,
     * idempotent; user-persisted frames are untouched. Call between queries
     * of a sweep, or whenever the results of the leased operators have been

@@ -530,9 +530,10 @@ object Dedup {
       if (nTotal > 0 && nCand.toDouble / nTotal <= maxCandidateFraction)
         Some(candidates)
       else {
-        // exhaustive route: the leased probe frame is dead weight — drop it
-        // now instead of holding executor memory until releaseAll
-        if (leased) candidates.unpersist()
+        // exhaustive route: the leased probe frame is dead weight — drop
+        // the lease (blocks AND registry entry; a bare unpersist would
+        // leave a dead strong reference until releaseAll, r9 review)
+        if (leased) CacheLease.release(candidates)
         None
       }
     }
@@ -547,6 +548,14 @@ object Dedup {
           idCol, textCol, n, minDocs)
       case None => duplicatedSpans(df, idCol, textCol, n, minDocs)
     }
+
+  /** Guard for the internal `_starts` mask column the span-removal family
+    * joins onto the caller's frame — an input already carrying the name
+    * would be clobbered by `withColumn` (the `_sj` lesson, ADVICE r8). */
+  private def requireNoStartsCol(df: DataFrame): Unit =
+    require(!df.columns.contains("_starts"),
+      "input column '_starts' collides with the span-removal mask column " +
+        "— rename it before removal")
 
   /** Span REMOVAL — the output step of the ExactSubstr pipeline
     * ([[duplicatedSpans]] finds the mask, this applies it): every token
@@ -563,14 +572,6 @@ object Dedup {
     * empty mask.
     *
     * @return (idCol, clean_text). */
-  /** Guard for the internal `_starts` mask column the span-removal family
-    * joins onto the caller's frame — an input already carrying the name
-    * would be clobbered by `withColumn` (the `_sj` lesson, ADVICE r8). */
-  private def requireNoStartsCol(df: DataFrame): Unit =
-    require(!df.columns.contains("_starts"),
-      "input column '_starts' collides with the span-removal mask column " +
-        "— rename it before removal")
-
   def removeSpans(df: DataFrame, idCol: String, textCol: String,
       n: Int = 8, minDocs: Long = 2): DataFrame = {
     requireNoStartsCol(df)

@@ -23,6 +23,23 @@ object AnalyticsQueries {
   private def units(c: Column, scale: Double): Column =
     floor(c * scale + lit(0.5)).cast("long")
 
+  /** Temp dir deleted at JVM exit — query results lazily read from these,
+    * so in-query deletion is impossible; without the hook every verify/
+    * bench run leaks corpus copies + checkpoint state into tmpdir (the
+    * ENOSPC orphan class the bench reaper handles for crashed runs — its
+    * prefix list covers graft_stream; markerless dirs age out at 3 h). */
+  private[queries] def scratchDir(prefix: String): String = {
+    val dir = java.nio.file.Files.createTempDirectory(prefix).toString
+    sys.addShutdownHook {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
+        f.delete(); ()
+      }
+      rm(new java.io.File(dir))
+    }
+    dir
+  }
+
   /** Shared AvailableNow sentinel harness for the windowed streaming
     * queries: write `ev` as ONE file (run 1 = one batch), run the stream,
     * then append two far-future sentinel batches (spacing i²·step — 4 h
@@ -37,7 +54,7 @@ object AnalyticsQueries {
       sentinelSelect: Long => String)(
       buildStream: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)
       : (String, Long) = {
-    val dir = java.nio.file.Files.createTempDirectory(prefix).toString
+    val dir = scratchDir(prefix)
     val (evDir, outDir, ckpt) = (s"$dir/ev", s"$dir/out", s"$dir/ckpt")
     ev.coalesce(1).write.parquet(evDir)
     def runOnce(): Unit = {
@@ -299,7 +316,7 @@ object AnalyticsQueries {
     // (PartitionFilters — before any footer is opened; pinned in
     // PlanQualitySpec) and the result equals the flat-table filter
     "q_part_prune" -> ((s, d) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_part").toString
+      val tmp = scratchDir("graft_part")
       val ev = EventsSource.load(s, d).withColumn("event_date", to_date(col("ts")))
       graft.sync.PartitionedLayout.write(ev, tmp, "event_date")
       graft.sync.PartitionedLayout.read(s, tmp)
@@ -314,7 +331,7 @@ object AnalyticsQueries {
     // co-located layout with zero exchanges (pinned in PlanQualitySpec) —
     // pay the shuffle once per table, not once per query
     "q_bucket_join" -> ((s, d) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_bucket").toString
+      val tmp = scratchDir("graft_bucket")
       val li = s.read.parquet(s"$d/lineitem.parquet")
         .select(col("l_orderkey"), col("l_linenumber"))
       val o = s.read.parquet(s"$d/orders.parquet")
@@ -374,7 +391,7 @@ object AnalyticsQueries {
     // session table then equals batch gap-islands sessionization
     // (VERDICT r5 #4)
     "q_stream_sessions" -> ((s, d) => {
-      val dir = java.nio.file.Files.createTempDirectory("graft_stream_sess").toString
+      val dir = scratchDir("graft_stream_sess")
       val (evDir, outDir, ckpt) = (s"$dir/ev", s"$dir/out", s"$dir/ckpt")
       val ev = EventsSource.load(s, d).select(col("user_id"), col("ts"))
       ev.coalesce(1).write.parquet(evDir) // ONE file → run 1 is one batch
@@ -493,7 +510,7 @@ object AnalyticsQueries {
     // AvailableNow run over one batch per side emits every pair — no
     // sentinels needed; the emitted table equals the batch interval join
     "q_stream_interval" -> ((s, d) => {
-      val dir = java.nio.file.Files.createTempDirectory("graft_stream_ij").toString
+      val dir = scratchDir("graft_stream_ij")
       val ev = EventsSource.load(s, d)
       ev.select("event_id", "user_id", "ts")
         .coalesce(1).write.parquet(s"$dir/l")
@@ -523,7 +540,7 @@ object AnalyticsQueries {
     // watermark — the default production enrichment shape); one run over
     // one batch equals the batch left join
     "q_stream_enrich" -> ((s, d) => {
-      val dir = java.nio.file.Files.createTempDirectory("graft_stream_en").toString
+      val dir = scratchDir("graft_stream_en")
       graft.queries.EventsSource.load(s, d)
         .select("event_id", "user_id", "event_type")
         .coalesce(1).write.parquet(s"$dir/ev")

@@ -26,7 +26,10 @@ object ExtQueries {
   private def twoBatchStream(s: SparkSession, d: String, tag: String,
       table: String, idColName: String)(
       f: DataFrame => DataFrame): DataFrame = {
-    val dir = java.nio.file.Files.createTempDirectory(s"graft_stream_$tag").toString
+    // exit-cleaned scratch (r9 review: the returned frame lazily reads
+    // outDir, so without the exit hook every verify/bench run leaked
+    // input copies + checkpoint state into tmpdir)
+    val dir = AnalyticsQueries.scratchDir(s"graft_stream_$tag")
     val (inDir, outDir, ckpt) = (s"$dir/in", s"$dir/out", s"$dir/ckpt")
     val all = s.read.parquet(s"$d/$table.parquet")
     all.filter(col(idColName) <= 250).coalesce(1).write.parquet(inDir)
@@ -58,17 +61,23 @@ object ExtQueries {
     * exhaustively. */
   private val SparseSharedPrefix =
     "alpha beta gamma delta epsilon zeta eta theta iota kappa"
-  /** graft-visible: Bench derives the same corpus to measure the prefilter
-    * in the regime its premise targets. */
-  private[graft] def sparseDocs(s: SparkSession, d: String) = {
+  /** The salting rule itself, on any (doc_id, text) frame — ONE copy
+    * (r9 review: Bench's replicated corpus re-implemented it inline, so a
+    * rule change would silently de-sync the bench regime from the
+    * oracle-pinned one). */
+  private[graft] def saltSparse(df: DataFrame): DataFrame = {
     val salted = concat_ws(" ",
       transform(split(col("text"), " "),
         t => concat(t, lit("#"), col("doc_id").cast("string"))))
-    docs(s, d).select(col("doc_id"),
+    df.select(col("doc_id"),
       when(col("doc_id") % 25 === 0,
         concat(lit(SparseSharedPrefix + " "), salted))
         .otherwise(salted).as("text"))
   }
+  /** graft-visible: Bench derives the same corpus to measure the prefilter
+    * in the regime its premise targets. */
+  private[graft] def sparseDocs(s: SparkSession, d: String) =
+    saltSparse(docs(s, d))
   private def embs(s: SparkSession, d: String) = s.read.parquet(s"$d/embeddings.parquet")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

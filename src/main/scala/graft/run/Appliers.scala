@@ -55,7 +55,14 @@ final case class JdbcPartitionedSource(
       } finally conn.close()
     bounds match {
       case Some((lo, hi)) if hi >= lo =>
-        Jdbc.readPartitioned(spark, cfg, table, keyCol, lo, hi, numPartitions)
+        // table quoted HERE too, not just in the probes — Spark embeds
+        // dbtable raw in its generated SQL (it may be a subquery), so a
+        // reserved-word table would fail exactly when non-empty. The
+        // partition column stays raw: Spark resolves it against the read
+        // schema and quotes it itself via the dialect when building the
+        // stride predicates.
+        Jdbc.readPartitioned(spark, cfg, JdbcPartitionedSource.quoteIdent(table),
+            keyCol, lo, hi, numPartitions)
           .select(fields.map(org.apache.spark.sql.functions.col): _*)
       case _ =>
         Jdbc.readPushdown(spark, cfg,
