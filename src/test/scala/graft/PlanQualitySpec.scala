@@ -122,6 +122,19 @@ class PlanQualitySpec extends AnyFunSuite {
       s"expected the sketch aggregate in the plan:\n$plan")
   }
 
+  test("per-row minhash band rows: no aggregate, no exchange — pure " +
+      "scan→project→explode (the property flagNearDupStream relies on to " +
+      "put flatMapGroupsWithState directly on these rows)") {
+    val docs = (1L to 30L).map(i => (i, s"tok${i % 5} tok${i % 7} tok${i % 3} tok$i"))
+      .toDF("doc_id", "text")
+    val plan = graft.ext.Dedup.minhashBandRowsPerDoc(docs, "doc_id", "text", n = 3)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"band rows must not shuffle:\n$plan")
+    assert(!plan.toLowerCase.contains("aggregate"),
+      s"band rows must not aggregate:\n$plan")
+    assert(plan.contains("Generate"), s"expected the band explode:\n$plan")
+  }
+
   test("tier-2 changeset: literal version predicate pushed to the scan, ZERO joins") {
     val cs = graft.sync.Apply.updateOnlyChangeSet(
       spark.read.parquet(tableDir),
