@@ -782,6 +782,32 @@ object ExtQueries {
           "doc_id", "text", n = 8),
         Dedup.spanIndex(docs(s, d).filter(col("doc_id") > 300), "doc_id", "text", n = 8))),
 
+    // Record LINKAGE (entity resolution): customer vs a deterministically
+    // DIRTIED copy of itself (every 3rd name re-punctuated, every 7th
+    // segment re-keyed) — nation-blocked candidates, three Fellegi–Sunter
+    // field rules (edit-tolerant name + exact balance + exact segment),
+    // threshold at 5000 millis. True matches survive one dirty field
+    // (score 6500/8000); a name-collision pair (adjacent keys differ by
+    // one digit — edit distance 1) fails on balance+segment (3500) — the
+    // discrimination the summed-evidence model exists for.
+    "q_link_customers" -> ((s, d) => {
+      val c = s.read.parquet(s"$d/customer.parquet")
+        .select("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+      val dirty = c.select(col("c_custkey"),
+        when(col("c_custkey") % 3 === 0, translate(col("c_name"), "#", "_"))
+          .otherwise(col("c_name")).as("c_name"),
+        col("c_nationkey"), col("c_acctbal"),
+        when(col("c_custkey") % 7 === 0, lit("UNKNOWN"))
+          .otherwise(col("c_mktsegment")).as("c_mktsegment"))
+      graft.ext.Linkage.linkPairs(c, dirty, "c_custkey", "c_custkey",
+        "c_nationkey", "c_nationkey",
+        Seq(
+          graft.ext.Linkage.FieldRule("c_name", "c_name", 4000L, -2000L, maxEdit = 1),
+          graft.ext.Linkage.FieldRule("c_acctbal", "c_acctbal", 3000L, -1500L),
+          graft.ext.Linkage.FieldRule("c_mktsegment", "c_mktsegment", 1000L, -500L)),
+        minScoreMillis = 5000L)
+    }),
+
     // token-budget mix: best docs of each source up to 500 tokens —
     // the pretraining-mix allocation rule (length-aware, not row-count)
     "q_token_budget" -> ((s, d) =>
@@ -1227,6 +1253,32 @@ FROM bb x JOIN b1 USING (band, bsig) WHERE x.vec_id <= 250 AND b1.nd >= 2
 UNION ALL
 SELECT x.vec_id, x.band, x.bsig, CAST(b2.nd AS BIGINT), CAST(b2.fd AS BIGINT)
 FROM bb x JOIN b2 USING (band, bsig) WHERE x.vec_id > 250 AND b2.nd >= 2""",
+
+    // linkage replay: the same dirtying, blocking, and integer-weight
+    // arithmetic (DuckDB's levenshtein is the same unit-cost edit
+    // distance as Spark's)
+    "q_link_customers" -> """WITH dirty AS (
+  SELECT c_custkey,
+    CASE WHEN c_custkey % 3 = 0 THEN replace(c_name, '#', '_')
+         ELSE c_name END AS c_name,
+    c_nationkey, c_acctbal,
+    CASE WHEN c_custkey % 7 = 0 THEN 'UNKNOWN'
+         ELSE c_mktsegment END AS c_mktsegment
+  FROM customer),
+p AS (
+  SELECT x.c_custkey AS id_a, y.c_custkey AS id_b,
+    (CASE WHEN levenshtein(x.c_name, y.c_name) <= 1 THEN 1 ELSE 0 END) AS a_name,
+    (CASE WHEN x.c_acctbal = y.c_acctbal THEN 1 ELSE 0 END) AS a_bal,
+    (CASE WHEN x.c_mktsegment = y.c_mktsegment THEN 1 ELSE 0 END) AS a_seg
+  FROM customer x JOIN dirty y ON x.c_nationkey = y.c_nationkey),
+sc AS (
+  SELECT id_a, id_b, CAST(a_name + a_bal + a_seg AS BIGINT) AS n_agree,
+    CAST(a_name * 4000 - (1 - a_name) * 2000
+       + a_bal * 3000 - (1 - a_bal) * 1500
+       + a_seg * 1000 - (1 - a_seg) * 500 AS BIGINT) AS score_millis
+  FROM p)
+SELECT id_a, id_b, n_agree, score_millis FROM sc
+WHERE score_millis >= 5000""",
 
     // streaming exact-dedup replay: the keeper is the hash's min id in its
     // FIRST-seeing batch — and because the batch split (<=250 / >250) is

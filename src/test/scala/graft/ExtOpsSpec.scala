@@ -326,6 +326,33 @@ class DedupSpec extends AnyFunSuite {
     assert(viaText == viaIndex && viaIndex.nonEmpty)
   }
 
+  test("record linkage: dirty-but-decisive pairs link, near-name collisions " +
+      "fail on the other fields, NULL counts as disagreement") {
+    import graft.ext.Linkage
+    val a = Seq(
+      (1L, "ann smith", 10, "gold", 100.0),
+      (2L, "bob jones", 10, "iron", 250.0),
+      (3L, "cal verde", 20, "gold", 77.0)).toDF("id", "name", "blk", "seg", "bal")
+    val b = Seq(
+      (11L, "ann smyth", 10, "gold", 100.0), // 1 edit off ann smith + bal+seg agree
+      (12L, "bob jones", 10, null.asInstanceOf[String], 250.0), // null seg
+      (13L, "zed quark", 20, "gold", 9.0)).toDF("id", "name", "blk", "seg", "bal")
+    val rules = Seq(
+      Linkage.FieldRule("name", "name", 4000L, -2000L, maxEdit = 1),
+      Linkage.FieldRule("bal", "bal", 3000L, -1500L),
+      Linkage.FieldRule("seg", "seg", 1000L, -500L))
+    val out = Linkage.linkPairs(a, b, "id", "id", "blk", "blk", rules, 5000L)
+      .as[(Long, Long, Long, Long)].collect()
+      .map { case (ia, ib, n, sc) => (ia, ib) -> ((n, sc)) }.toMap
+    // (1,11): name within 1 edit + bal + seg -> 8000, 3 agree
+    assert(out((1L, 11L)) == (3L, 8000L))
+    // (2,12): name + bal agree, NULL seg = disagreement -> 6500, 2 agree
+    assert(out((2L, 12L)) == (2L, 6500L))
+    // (3,13): only seg agrees -> -2000-1500+1000 = -2500: not a link
+    // (1,12)/(2,11): cross pairs fail everything relevant
+    assert(out.size == 2)
+  }
+
   test("per-row minhash band rows equal the aggregate signature path; " +
       "short docs emit nothing; exact dups share every band") {
     val df = Seq(
