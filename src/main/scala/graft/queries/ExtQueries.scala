@@ -784,23 +784,28 @@ object ExtQueries {
 
     // Record LINKAGE (entity resolution): customer vs a deterministically
     // DIRTIED copy of itself (every 3rd name re-punctuated, every 7th
-    // segment re-keyed) — nation-blocked candidates, three Fellegi–Sunter
-    // field rules (edit-tolerant name + exact balance + exact segment),
-    // threshold at 5000 millis. True matches survive one dirty field
-    // (score 6500/8000); a name-collision pair (adjacent keys differ by
-    // one digit — edit distance 1) fails on balance+segment (3500) — the
-    // discrimination the summed-evidence model exists for.
+    // segment re-keyed). Blocking key = the name's last 3 characters — a
+    // stable field FRAGMENT, the standard blocking move: selective
+    // (~n²/1000 candidates, where nation blocking enumerated 9M pairs at
+    // sf0.1 — 21 s of levenshtein for the same links), yet it co-blocks
+    // every true pair (the dirt never touches the digits) AND keeps the
+    // near-collision case (keys ≡ mod 1000 differ by one higher digit —
+    // edit distance 1, name falsely agrees, balance+segment reject at
+    // 3500 < 5000). Three Fellegi–Sunter rules, threshold 5000 millis;
+    // true matches survive one dirty field (6500/8000).
     "q_link_customers" -> ((s, d) => {
-      val c = s.read.parquet(s"$d/customer.parquet")
+      val base = s.read.parquet(s"$d/customer.parquet")
         .select("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
-      val dirty = c.select(col("c_custkey"),
+      val c = base.withColumn("blk", substring(col("c_name"), -3, 3))
+      val dirty = base.select(col("c_custkey"),
         when(col("c_custkey") % 3 === 0, translate(col("c_name"), "#", "_"))
           .otherwise(col("c_name")).as("c_name"),
         col("c_nationkey"), col("c_acctbal"),
         when(col("c_custkey") % 7 === 0, lit("UNKNOWN"))
           .otherwise(col("c_mktsegment")).as("c_mktsegment"))
+        .withColumn("blk", substring(col("c_name"), -3, 3))
       graft.ext.Linkage.linkPairs(c, dirty, "c_custkey", "c_custkey",
-        "c_nationkey", "c_nationkey",
+        "blk", "blk",
         Seq(
           graft.ext.Linkage.FieldRule("c_name", "c_name", 4000L, -2000L, maxEdit = 1),
           graft.ext.Linkage.FieldRule("c_acctbal", "c_acctbal", 3000L, -1500L),
@@ -1270,7 +1275,9 @@ p AS (
     (CASE WHEN levenshtein(x.c_name, y.c_name) <= 1 THEN 1 ELSE 0 END) AS a_name,
     (CASE WHEN x.c_acctbal = y.c_acctbal THEN 1 ELSE 0 END) AS a_bal,
     (CASE WHEN x.c_mktsegment = y.c_mktsegment THEN 1 ELSE 0 END) AS a_seg
-  FROM customer x JOIN dirty y ON x.c_nationkey = y.c_nationkey),
+  FROM customer x JOIN dirty y
+    ON substr(x.c_name, len(x.c_name) - 2, 3)
+     = substr(y.c_name, len(y.c_name) - 2, 3)),
 sc AS (
   SELECT id_a, id_b, CAST(a_name + a_bal + a_seg AS BIGINT) AS n_agree,
     CAST(a_name * 4000 - (1 - a_name) * 2000
