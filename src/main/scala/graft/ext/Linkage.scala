@@ -68,4 +68,42 @@ object Linkage {
         nAgree.as("n_agree"), score.as("score_millis"))
       .filter(col("score_millis") >= minScoreMillis)
   }
+
+  /** SURVIVORSHIP — the golden-record merge after linkage: for every
+    * linked pair, emit ONE record whose fields resolve conflicts by a
+    * trust rule. The rule here is source-precedence with null-demotion
+    * (the common MDM default): take side A's value unless it is NULL, in
+    * which case side B's survives — "the system of record wins, but
+    * absent beats nothing". `n_conflicts` counts the fields where both
+    * sides were non-null and disagreed (A's value won) — the stewardship
+    * signal that tells a pipeline which golden records to audit.
+    *
+    * Deterministic (pure per-pair projection over the links join — the
+    * links frame already paid the blocking), so the merged corpus replays
+    * anywhere. Two broadcast-or-keyed joins, no extra shuffle beyond
+    * them.
+    *
+    * @param links  output of [[linkPairs]] (or any (id_a, id_b) frame)
+    * @param fields (colA, colB, outName) triples to survive
+    * @return (id_a, id_b, <outName fields>, n_conflicts). */
+  def goldenRecords(links: DataFrame, a: DataFrame, b: DataFrame,
+      idA: String, idB: String,
+      fields: Seq[(String, String, String)]): DataFrame = {
+    require(fields.nonEmpty, "at least one field to survive")
+    val l = links.select(col("id_a"), col("id_b"))
+    val x = a.alias("x")
+    val y = b.alias("y")
+    val joined = l
+      .join(x, col("id_a") === col(s"x.$idA").cast("long"))
+      .join(y, col("id_b") === col(s"y.$idB").cast("long"))
+    val survived = fields.map { case (ca, cb, out) =>
+      coalesce(col(s"x.$ca"), col(s"y.$cb")).as(out)
+    }
+    val conflicts = fields.map { case (ca, cb, _) =>
+      when(col(s"x.$ca").isNotNull && col(s"y.$cb").isNotNull &&
+        col(s"x.$ca") =!= col(s"y.$cb"), lit(1L)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    joined.select(col("id_a") +: col("id_b") +: survived :+
+      conflicts.as("n_conflicts"): _*)
+  }
 }

@@ -61,6 +61,30 @@ object ExtQueries {
     * exhaustively. */
   private val SparseSharedPrefix =
     "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+  /** The linkage demo fixture, shared by q_link_customers and
+    * q_link_golden: (trusted side with block key, dirtied side, links). */
+  private def linkFixture(s: SparkSession, d: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val base = s.read.parquet(s"$d/customer.parquet")
+      .select("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+    val c = base.withColumn("blk", substring(col("c_name"), -3, 3))
+    val dirty = base.select(col("c_custkey"),
+      when(col("c_custkey") % 3 === 0, translate(col("c_name"), "#", "_"))
+        .otherwise(col("c_name")).as("c_name"),
+      col("c_nationkey"), col("c_acctbal"),
+      when(col("c_custkey") % 7 === 0, lit("UNKNOWN"))
+        .otherwise(col("c_mktsegment")).as("c_mktsegment"))
+      .withColumn("blk", substring(col("c_name"), -3, 3))
+    val links = graft.ext.Linkage.linkPairs(c, dirty, "c_custkey", "c_custkey",
+      "blk", "blk",
+      Seq(
+        graft.ext.Linkage.FieldRule("c_name", "c_name", 4000L, -2000L, maxEdit = 1),
+        graft.ext.Linkage.FieldRule("c_acctbal", "c_acctbal", 3000L, -1500L),
+        graft.ext.Linkage.FieldRule("c_mktsegment", "c_mktsegment", 1000L, -500L)),
+      minScoreMillis = 5000L)
+    (c, dirty, links)
+  }
+
   /** The salting rule itself, on any (doc_id, text) frame — ONE copy
     * (r9 review: Bench's replicated corpus re-implemented it inline, so a
     * rule change would silently de-sync the bench regime from the
@@ -793,24 +817,20 @@ object ExtQueries {
     // edit distance 1, name falsely agrees, balance+segment reject at
     // 3500 < 5000). Three Fellegi–Sunter rules, threshold 5000 millis;
     // true matches survive one dirty field (6500/8000).
-    "q_link_customers" -> ((s, d) => {
-      val base = s.read.parquet(s"$d/customer.parquet")
-        .select("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
-      val c = base.withColumn("blk", substring(col("c_name"), -3, 3))
-      val dirty = base.select(col("c_custkey"),
-        when(col("c_custkey") % 3 === 0, translate(col("c_name"), "#", "_"))
-          .otherwise(col("c_name")).as("c_name"),
-        col("c_nationkey"), col("c_acctbal"),
-        when(col("c_custkey") % 7 === 0, lit("UNKNOWN"))
-          .otherwise(col("c_mktsegment")).as("c_mktsegment"))
-        .withColumn("blk", substring(col("c_name"), -3, 3))
-      graft.ext.Linkage.linkPairs(c, dirty, "c_custkey", "c_custkey",
-        "blk", "blk",
-        Seq(
-          graft.ext.Linkage.FieldRule("c_name", "c_name", 4000L, -2000L, maxEdit = 1),
-          graft.ext.Linkage.FieldRule("c_acctbal", "c_acctbal", 3000L, -1500L),
-          graft.ext.Linkage.FieldRule("c_mktsegment", "c_mktsegment", 1000L, -500L)),
-        minScoreMillis = 5000L)
+    "q_link_customers" -> ((s, d) => linkFixture(s, d)._3),
+
+    // SURVIVORSHIP: the golden-record merge after linkage — one record
+    // per linked pair, source-precedence with null-demotion (the trusted
+    // side wins, absent beats nothing), n_conflicts flagging the pairs a
+    // steward should audit (1 for a re-punctuated name, +1 for a
+    // re-keyed segment)
+    "q_link_golden" -> ((s, d) => {
+      val (c, dirty, links) = linkFixture(s, d)
+      graft.ext.Linkage.goldenRecords(links, c, dirty,
+        "c_custkey", "c_custkey",
+        Seq(("c_name", "c_name", "name"),
+          ("c_mktsegment", "c_mktsegment", "segment"),
+          ("c_acctbal", "c_acctbal", "acctbal")))
     }),
 
     // token-budget mix: best docs of each source up to 500 tokens —
@@ -1038,6 +1058,31 @@ object ExtQueries {
   /** DuckDB twin of Dedup.h32. */
   private def oh32(e: String) = s"(('0x' || substr(md5($e), 1, 8))::BIGINT)"
 
+  /** Shared linkage-oracle CTE chain (dirtying → blocking → field
+    * agreement → integer score) — one copy for both linkage oracles. */
+  private val linkOracleCtes = """dirty AS (
+  SELECT c_custkey,
+    CASE WHEN c_custkey % 3 = 0 THEN replace(c_name, '#', '_')
+         ELSE c_name END AS c_name,
+    c_nationkey, c_acctbal,
+    CASE WHEN c_custkey % 7 = 0 THEN 'UNKNOWN'
+         ELSE c_mktsegment END AS c_mktsegment
+  FROM customer),
+p AS (
+  SELECT x.c_custkey AS id_a, y.c_custkey AS id_b,
+    (CASE WHEN levenshtein(x.c_name, y.c_name) <= 1 THEN 1 ELSE 0 END) AS a_name,
+    (CASE WHEN x.c_acctbal = y.c_acctbal THEN 1 ELSE 0 END) AS a_bal,
+    (CASE WHEN x.c_mktsegment = y.c_mktsegment THEN 1 ELSE 0 END) AS a_seg
+  FROM customer x JOIN dirty y
+    ON substr(x.c_name, len(x.c_name) - 2, 3)
+     = substr(y.c_name, len(y.c_name) - 2, 3)),
+sc AS (
+  SELECT id_a, id_b, CAST(a_name + a_bal + a_seg AS BIGINT) AS n_agree,
+    CAST(a_name * 4000 - (1 - a_name) * 2000
+       + a_bal * 3000 - (1 - a_bal) * 1500
+       + a_seg * 1000 - (1 - a_seg) * 500 AS BIGINT) AS score_millis
+  FROM p)"""
+
   /** The sparse-corpus shared prefix, spliced into the oracle SQL literal —
     * single token chars only (no quotes to escape). */
   private def sparsePrefixSql: String = SparseSharedPrefix
@@ -1262,30 +1307,24 @@ FROM bb x JOIN b2 USING (band, bsig) WHERE x.vec_id > 250 AND b2.nd >= 2""",
     // linkage replay: the same dirtying, blocking, and integer-weight
     // arithmetic (DuckDB's levenshtein is the same unit-cost edit
     // distance as Spark's)
-    "q_link_customers" -> """WITH dirty AS (
-  SELECT c_custkey,
-    CASE WHEN c_custkey % 3 = 0 THEN replace(c_name, '#', '_')
-         ELSE c_name END AS c_name,
-    c_nationkey, c_acctbal,
-    CASE WHEN c_custkey % 7 = 0 THEN 'UNKNOWN'
-         ELSE c_mktsegment END AS c_mktsegment
-  FROM customer),
-p AS (
-  SELECT x.c_custkey AS id_a, y.c_custkey AS id_b,
-    (CASE WHEN levenshtein(x.c_name, y.c_name) <= 1 THEN 1 ELSE 0 END) AS a_name,
-    (CASE WHEN x.c_acctbal = y.c_acctbal THEN 1 ELSE 0 END) AS a_bal,
-    (CASE WHEN x.c_mktsegment = y.c_mktsegment THEN 1 ELSE 0 END) AS a_seg
-  FROM customer x JOIN dirty y
-    ON substr(x.c_name, len(x.c_name) - 2, 3)
-     = substr(y.c_name, len(y.c_name) - 2, 3)),
-sc AS (
-  SELECT id_a, id_b, CAST(a_name + a_bal + a_seg AS BIGINT) AS n_agree,
-    CAST(a_name * 4000 - (1 - a_name) * 2000
-       + a_bal * 3000 - (1 - a_bal) * 1500
-       + a_seg * 1000 - (1 - a_seg) * 500 AS BIGINT) AS score_millis
-  FROM p)
+    "q_link_customers" -> s"""WITH $linkOracleCtes
 SELECT id_a, id_b, n_agree, score_millis FROM sc
 WHERE score_millis >= 5000""",
+
+    // survivorship replay: trusted side's values (the fixture has no
+    // NULLs, so null-demotion never fires — coalesce = x), conflicts =
+    // non-null disagreement count
+    "q_link_golden" -> s"""WITH $linkOracleCtes,
+links AS (SELECT id_a, id_b FROM sc WHERE score_millis >= 5000)
+SELECT l.id_a, l.id_b, x.c_name AS name, x.c_mktsegment AS segment,
+  x.c_acctbal AS acctbal,
+  CAST((CASE WHEN x.c_name <> y.c_name THEN 1 ELSE 0 END)
+     + (CASE WHEN x.c_mktsegment <> y.c_mktsegment THEN 1 ELSE 0 END)
+     + (CASE WHEN x.c_acctbal <> y.c_acctbal THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_conflicts
+FROM links l
+JOIN customer x ON l.id_a = x.c_custkey
+JOIN dirty y ON l.id_b = y.c_custkey""",
 
     // streaming exact-dedup replay: the keeper is the hash's min id in its
     // FIRST-seeing batch — and because the batch split (<=250 / >250) is

@@ -353,6 +353,27 @@ class DedupSpec extends AnyFunSuite {
     assert(out.size == 2)
   }
 
+  test("survivorship: trusted side wins conflicts, NULL demotes to the " +
+      "other side, conflicts counted only on non-null disagreement") {
+    import graft.ext.Linkage
+    val links = Seq((1L, 11L), (2L, 12L)).toDF("id_a", "id_b")
+    val a = Seq(
+      (1L, "ann", null.asInstanceOf[String], "gold"),
+      (2L, "bob", "22 oak st", "iron")).toDF("id", "name", "addr", "seg")
+    val b = Seq(
+      (11L, "anne", "9 elm rd", "gold"),
+      (12L, "bob", null.asInstanceOf[String], "wood")).toDF("id", "name", "addr", "seg")
+    val out = Linkage.goldenRecords(links, a, b, "id", "id",
+        Seq(("name", "name", "name"), ("addr", "addr", "addr"), ("seg", "seg", "seg")))
+      .as[(Long, Long, String, String, String, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    // pair 1: name conflicts (A wins), A addr NULL -> B's survives (not a
+    // conflict), seg agrees -> 1 conflict
+    assert(out(1L) == ((1L, 11L, "ann", "9 elm rd", "gold", 1L)))
+    // pair 2: name agrees, B addr NULL -> A's survives, seg conflicts -> 1
+    assert(out(2L) == ((2L, 12L, "bob", "22 oak st", "iron", 1L)))
+  }
+
   test("per-row minhash band rows equal the aggregate signature path; " +
       "short docs emit nothing; exact dups share every band") {
     val df = Seq(
