@@ -69,6 +69,95 @@ object Linkage {
       .filter(col("score_millis") >= minScoreMillis)
   }
 
+  /** INCREMENTAL linkage — assign a NEW batch of records to a persisted
+    * entity registry: each batch record either adopts the best-matching
+    * entity's id (blocking + [[FieldRule]] scoring, same decision model as
+    * [[linkPairs]]) or MINTS a new entity id. This is the continuous-
+    * ingest twin of [[linkPairs]] the way `Dedup.incremental*` twins the
+    * batch dedup family: the registry is NEVER re-linked against itself —
+    * per batch the work is O(batch-touched blocks), not O(registry²).
+    *
+    * Scale shape: the registry is first SEMI-JOINED to the batch's
+    * distinct block keys (a small set — Spark broadcasts it), so registry
+    * rows in untouched blocks never reach the wide scoring join; with the
+    * registry stored block-partitioned the prune happens at the scan. The
+    * best candidate per record is a `max(struct(score, -entity_id))`
+    * aggregate — map-side combinable, no sort window — making the choice
+    * deterministic: highest score wins, ties break to the LOWEST entity
+    * id. Minted ids are `newEntityBase + record_id` — deterministic and
+    * collision-free when the caller picks a base above the registry's id
+    * range (enforced only by convention; ids are opaque here).
+    *
+    * @return (record_id, entity_id, matched, score_millis) — one row per
+    *         batch record; `score_millis` is NULL on minted entities. */
+  def assignEntities(batch: DataFrame, registry: DataFrame,
+      recordId: String, entityId: String,
+      blockColBatch: String, blockColReg: String, fields: Seq[FieldRule],
+      minScoreMillis: Long, newEntityBase: Long): DataFrame = {
+    val touched = batch.select(col(blockColBatch)).distinct()
+    val pruned = registry.join(touched,
+      registry(blockColReg) === touched(blockColBatch), "left_semi")
+    val cand = linkPairs(batch, pruned, recordId, entityId,
+      blockColBatch, blockColReg, fields, minScoreMillis)
+    val best = cand
+      .groupBy(col("id_a").as("record_id"))
+      .agg(max(struct(col("score_millis"), (-col("id_b")).as("neg_ent"))).as("m"))
+      .select(col("record_id"), (-col("m.neg_ent")).as("ent"),
+        col("m.score_millis").as("best_score"))
+    batch.select(col(recordId).cast("long").as("record_id"))
+      .join(best, Seq("record_id"), "left")
+      .select(col("record_id"),
+        coalesce(col("ent"), col("record_id") + lit(newEntityBase))
+          .as("entity_id"),
+        col("ent").isNotNull.as("matched"),
+        col("best_score").as("score_millis"))
+  }
+
+  /** Measured BLOCKING QUALITY — the two numbers every blocking-key choice
+    * trades between, as data instead of hope (the linkage twin of
+    * `q_ann_recall` / `q_text_langid_eval`):
+    *
+    *   - pair completeness: of the KNOWN true pairs, how many does the
+    *     blocking key co-block (a candidate pair can still be scored)?
+    *     Every true pair in a missed block is an unrecoverable false
+    *     negative — no downstream scoring can see it.
+    *   - reduction ratio: how many of the |A|·|B| possible pairs did
+    *     blocking eliminate? This is the entire scale budget: candidates
+    *     are what the scoring join pays for.
+    *
+    * Integer permille (floor), single-row output; every input reduces to
+    * a one-row aggregate before the broadcast cross joins, so the operator
+    * costs one block-join count plus two scans regardless of data size.
+    *
+    * @param truePairs ground-truth (id_a, id_b) links — from labels, a
+    *                  fixture, or a previous exhaustive run
+    * @return one row: (n_true, n_coblocked, completeness_permille,
+    *         n_candidates, n_possible, reduction_permille). */
+  def blockingQuality(a: DataFrame, b: DataFrame, idA: String, idB: String,
+      blockColA: String, blockColB: String, truePairs: DataFrame): DataFrame = {
+    val nCand = a.select(col(blockColA).as("_blk_a")).join(
+        b.select(col(blockColB).as("_blk_b")), col("_blk_a") === col("_blk_b"))
+      .agg(count(lit(1)).as("n_candidates"))
+    val truth = truePairs.select(col("id_a"), col("id_b"))
+      .join(a.select(col(idA).cast("long").as("id_a"),
+        col(blockColA).as("_blk_a")), Seq("id_a"))
+      .join(b.select(col(idB).cast("long").as("id_b"),
+        col(blockColB).as("_blk_b")), Seq("id_b"))
+      .agg(count(lit(1)).as("n_true"),
+        sum(when(col("_blk_a") === col("_blk_b"), 1L).otherwise(0L))
+          .as("n_coblocked"))
+    val sizes = a.agg(count(lit(1)).as("n_a"))
+      .crossJoin(broadcast(b.agg(count(lit(1)).as("n_b"))))
+    truth.crossJoin(broadcast(nCand)).crossJoin(broadcast(sizes))
+      .select(col("n_true"), col("n_coblocked"),
+        floor(col("n_coblocked") * 1000L / col("n_true"))
+          .as("completeness_permille"),
+        col("n_candidates"),
+        (col("n_a") * col("n_b")).as("n_possible"),
+        floor((col("n_a") * col("n_b") - col("n_candidates")) * 1000L /
+          (col("n_a") * col("n_b"))).as("reduction_permille"))
+  }
+
   /** SURVIVORSHIP — the golden-record merge after linkage: for every
     * linked pair, emit ONE record whose fields resolve conflicts by a
     * trust rule. The rule here is source-precedence with null-demotion

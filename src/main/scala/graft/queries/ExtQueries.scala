@@ -85,6 +85,29 @@ object ExtQueries {
     (c, dirty, links)
   }
 
+  /** The incremental-linkage fixture, shared by q_link_assign and
+    * q_link_blocking_eval: (registry with block key, re-keyed ingest batch
+    * — every 11th record an unmatchable NEW entity, the rest dirtied like
+    * linkFixture). */
+  private def assignFixture(s: SparkSession, d: String)
+      : (DataFrame, DataFrame) = {
+    val base = s.read.parquet(s"$d/customer.parquet")
+      .select("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+    val registry = base.withColumn("blk", substring(col("c_name"), -3, 3))
+    val batch = base.select(
+      (col("c_custkey") + 1000000L).as("record_id"),
+      when(col("c_custkey") % 11 === 0,
+          concat(lit("NEW ENTITY "), col("c_custkey").cast("string")))
+        .when(col("c_custkey") % 3 === 0, translate(col("c_name"), "#", "_"))
+        .otherwise(col("c_name")).as("c_name"),
+      when(col("c_custkey") % 11 === 0, col("c_acctbal") + 7.5)
+        .otherwise(col("c_acctbal")).as("c_acctbal"),
+      when(col("c_custkey") % 7 === 0, lit("UNKNOWN"))
+        .otherwise(col("c_mktsegment")).as("c_mktsegment"))
+      .withColumn("blk", substring(col("c_name"), -3, 3))
+    (registry, batch)
+  }
+
   /** The salting rule itself, on any (doc_id, text) frame — ONE copy
     * (r9 review: Bench's replicated corpus re-implemented it inline, so a
     * rule change would silently de-sync the bench regime from the
@@ -833,6 +856,40 @@ object ExtQueries {
           ("c_acctbal", "c_acctbal", "acctbal")))
     }),
 
+    // INCREMENTAL linkage: a re-keyed ingest batch (same dirtying as
+    // q_link_customers, plus every 11th record an unmatchable NEW entity —
+    // fresh name, shifted balance) assigned against the customer registry.
+    // Matches adopt the best entity's id (argmax score, ties to the lowest
+    // id); the rest MINT record_id + 9e6. Per batch the work is
+    // O(batch-touched blocks) — the registry is semi-join-pruned to the
+    // batch's block keys and never re-linked against itself
+    "q_link_assign" -> ((s, d) => {
+      val (registry, batch) = assignFixture(s, d)
+      graft.ext.Linkage.assignEntities(batch, registry,
+        "record_id", "c_custkey", "blk", "blk",
+        Seq(
+          graft.ext.Linkage.FieldRule("c_name", "c_name", 4000L, -2000L, maxEdit = 1),
+          graft.ext.Linkage.FieldRule("c_acctbal", "c_acctbal", 3000L, -1500L),
+          graft.ext.Linkage.FieldRule("c_mktsegment", "c_mktsegment", 1000L, -500L)),
+        minScoreMillis = 5000L, newEntityBase = 9000000L)
+    }),
+
+    // MEASURED blocking quality: the last-3-char fragment key's pair
+    // completeness and reduction ratio against the known truth (record
+    // k+1e6 derives from entity k unless k%11 minted it new). The demo
+    // comments CLAIM "every true pair still co-blocked, ~n²/1000
+    // candidates" — this query makes both claims numbers the corpus can
+    // falsify (the langid_eval/ann_recall honesty discipline)
+    "q_link_blocking_eval" -> ((s, d) => {
+      val (registry, batch) = assignFixture(s, d)
+      val truth = registry
+        .filter(col("c_custkey") % 11 =!= 0)
+        .select(col("c_custkey").cast("long").as("id_a"),
+          (col("c_custkey") + 1000000L).as("id_b"))
+      graft.ext.Linkage.blockingQuality(registry, batch,
+        "c_custkey", "record_id", "blk", "blk", truth)
+    }),
+
     // token-budget mix: best docs of each source up to 500 tokens —
     // the pretraining-mix allocation rule (length-aware, not row-count)
     "q_token_budget" -> ((s, d) =>
@@ -1325,6 +1382,74 @@ SELECT l.id_a, l.id_b, x.c_name AS name, x.c_mktsegment AS segment,
 FROM links l
 JOIN customer x ON l.id_a = x.c_custkey
 JOIN dirty y ON l.id_b = y.c_custkey""",
+
+    // incremental-linkage replay: fresh batch CTE (the %11 new-entity arm
+    // precedes the %3 dirtying arm, same order as the Spark when-chain),
+    // best candidate via row_number (score DESC, entity ASC — the exact
+    // tiebreak assignEntities' max(struct(score, -entity)) encodes),
+    // minted ids for the unmatched rest
+    "q_link_assign" -> """WITH batch AS (
+  SELECT c_custkey + 1000000 AS record_id,
+    CASE WHEN c_custkey % 11 = 0 THEN 'NEW ENTITY ' || CAST(c_custkey AS VARCHAR)
+         WHEN c_custkey % 3 = 0 THEN replace(c_name, '#', '_')
+         ELSE c_name END AS c_name,
+    CASE WHEN c_custkey % 11 = 0 THEN c_acctbal + 7.5 ELSE c_acctbal END AS c_acctbal,
+    CASE WHEN c_custkey % 7 = 0 THEN 'UNKNOWN' ELSE c_mktsegment END AS c_mktsegment
+  FROM customer),
+cand AS (
+  SELECT b.record_id, g.c_custkey AS eid,
+    CAST((CASE WHEN levenshtein(b.c_name, g.c_name) <= 1 THEN 4000 ELSE -2000 END)
+       + (CASE WHEN b.c_acctbal = g.c_acctbal THEN 3000 ELSE -1500 END)
+       + (CASE WHEN b.c_mktsegment = g.c_mktsegment THEN 1000 ELSE -500 END)
+      AS BIGINT) AS sc
+  FROM batch b JOIN customer g
+    ON substr(b.c_name, len(b.c_name) - 2, 3)
+     = substr(g.c_name, len(g.c_name) - 2, 3)),
+best AS (
+  SELECT record_id, eid, sc FROM (
+    SELECT record_id, eid, sc,
+      row_number() OVER (PARTITION BY record_id
+                         ORDER BY sc DESC, eid ASC) AS rn
+    FROM cand WHERE sc >= 5000) WHERE rn = 1)
+SELECT b.record_id, coalesce(t.eid, b.record_id + 9000000) AS entity_id,
+  t.eid IS NOT NULL AS matched, t.sc AS score_millis
+FROM batch b LEFT JOIN best t USING (record_id)""",
+
+    // blocking-quality replay: same batch CTE; completeness over the known
+    // truth (k → k+1e6, %11 minted rows excluded), reduction over the
+    // block-join candidate count vs |registry|·|batch|. Integer counts,
+    // one double division per permille (both engines), floor to BIGINT
+    "q_link_blocking_eval" -> """WITH batch AS (
+  SELECT c_custkey + 1000000 AS record_id,
+    CASE WHEN c_custkey % 11 = 0 THEN 'NEW ENTITY ' || CAST(c_custkey AS VARCHAR)
+         WHEN c_custkey % 3 = 0 THEN replace(c_name, '#', '_')
+         ELSE c_name END AS c_name
+  FROM customer),
+tb AS (
+  SELECT substr(g.c_name, len(g.c_name) - 2, 3)
+           = substr(b.c_name, len(b.c_name) - 2, 3) AS cob
+  FROM customer g
+  JOIN batch b ON g.c_custkey + 1000000 = b.record_id
+  WHERE g.c_custkey % 11 <> 0),
+tr AS (
+  SELECT count(*) AS n_true,
+    CAST(sum(CASE WHEN cob THEN 1 ELSE 0 END) AS BIGINT) AS n_coblocked
+  FROM tb),
+cn AS (
+  SELECT count(*) AS n_candidates
+  FROM customer g JOIN batch b
+    ON substr(g.c_name, len(g.c_name) - 2, 3)
+     = substr(b.c_name, len(b.c_name) - 2, 3)),
+sz AS (
+  SELECT (SELECT count(*) FROM customer) * (SELECT count(*) FROM batch)
+    AS n_possible)
+SELECT n_true, n_coblocked,
+  CAST(floor((n_coblocked * 1000) * 1.0 / n_true) AS BIGINT)
+    AS completeness_permille,
+  n_candidates, n_possible,
+  CAST(floor(((n_possible - n_candidates) * 1000) * 1.0 / n_possible)
+    AS BIGINT) AS reduction_permille
+FROM tr, cn, sz""",
 
     // streaming exact-dedup replay: the keeper is the hash's min id in its
     // FIRST-seeing batch — and because the batch split (<=250 / >250) is

@@ -374,6 +374,49 @@ class DedupSpec extends AnyFunSuite {
     assert(out(2L) == ((2L, 12L, "bob", "22 oak st", "iron", 1L)))
   }
 
+  test("incremental linkage: matches adopt the entity id, score ties " +
+      "break to the lowest entity, unmatched records mint base + id") {
+    import graft.ext.Linkage
+    val registry = Seq(
+      (100L, "ann smith", 10, "gold", 100.0),
+      (101L, "ann smyth", 10, "gold", 100.0), // same block, ties (100,101)
+      (200L, "bob jones", 20, "iron", 250.0)).toDF("eid", "name", "blk", "seg", "bal")
+    val batch = Seq(
+      (1L, "ann smith", 10, "gold", 100.0), // ties 100 vs 101 at 8000 → 100
+      (2L, "bob jonez", 20, "iron", 250.0), // 1 edit → 8000 → 200
+      (3L, "new person", 30, "wood", 5.0)).toDF("rid", "name", "blk", "seg", "bal")
+    val rules = Seq(
+      Linkage.FieldRule("name", "name", 4000L, -2000L, maxEdit = 1),
+      Linkage.FieldRule("bal", "bal", 3000L, -1500L),
+      Linkage.FieldRule("seg", "seg", 1000L, -500L))
+    val out = Linkage.assignEntities(batch, registry, "rid", "eid",
+        "blk", "blk", rules, minScoreMillis = 5000L, newEntityBase = 9000L)
+      .collect().map(r => (r.getLong(0),
+        (r.getLong(1), r.getBoolean(2),
+          if (r.isNullAt(3)) -1L else r.getLong(3)))).toMap
+    assert(out(1L) == ((100L, true, 8000L))) // both score 8000; lower id wins
+    assert(out(2L) == ((200L, true, 8000L)))
+    assert(out(3L) == ((9003L, false, -1L))) // minted, NULL score
+    assert(out.size == 3)
+  }
+
+  test("blocking quality: completeness counts co-blocked truth, reduction " +
+      "counts surviving candidates, both floor-permille") {
+    import graft.ext.Linkage
+    val a = Seq((1L, 10), (2L, 20), (3L, 30)).toDF("id", "blk")
+    val b = Seq((11L, 10), (12L, 99), (13L, 30), (14L, 30)).toDF("id", "blk")
+    // truth: (1,11) co-blocked (10=10); (2,12) NOT (20 vs 99)
+    val truth = Seq((1L, 11L), (2L, 12L)).toDF("id_a", "id_b")
+    val r = Linkage.blockingQuality(a, b, "id", "id", "blk", "blk", truth)
+      .collect().head
+    assert(r.getLong(0) == 2L)   // n_true
+    assert(r.getLong(1) == 1L)   // n_coblocked
+    assert(r.getLong(2) == 500L) // completeness
+    assert(r.getLong(3) == 3L)   // candidates: (1,11), (3,13), (3,14)
+    assert(r.getLong(4) == 12L)  // possible 3*4
+    assert(r.getLong(5) == 750L) // (12-3)*1000/12
+  }
+
   test("per-row minhash band rows equal the aggregate signature path; " +
       "short docs emit nothing; exact dups share every band") {
     val df = Seq(

@@ -472,6 +472,26 @@ class PlanQualitySpec extends AnyFunSuite {
       s"expected the typed-imperative aggregate:\n$plan")
   }
 
+  test("incremental linkage: best-entity choice is a partial-combinable " +
+      "max(struct) aggregate, NO Window; the registry is pruned by a " +
+      "semi-join before the scoring join") {
+    import graft.ext.Linkage
+    val registry = (1L to 100L).map(i => (i, s"name$i", (i % 10).toInt))
+      .toDF("eid", "name", "blk")
+    val batch = (1L to 20L).map(i => (i + 1000L, s"name$i", (i % 10).toInt))
+      .toDF("rid", "name", "blk")
+    val out = Linkage.assignEntities(batch, registry, "rid", "eid",
+      "blk", "blk", Seq(Linkage.FieldRule("name", "name", 4000L, -2000L)),
+      minScoreMillis = 1000L, newEntityBase = 90000L)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      s"argmax must be an aggregate, not a rank window:\n$plan")
+    assert(plan.contains("LeftSemi"),
+      s"expected the touched-blocks registry prune:\n$plan")
+    assert(plan.contains("partial_max") || plan.contains("partial"),
+      s"expected a partial (map-side) max aggregate:\n$plan")
+  }
+
   test("CMS point estimation probes the registers as a BROADCAST (the " +
       "sketch is depth×width rows regardless of corpus size)") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
