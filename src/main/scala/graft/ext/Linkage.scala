@@ -30,6 +30,32 @@ import org.apache.spark.sql.functions._
   * and the threshold filter prunes before anything wide. */
 object Linkage {
 
+  /** Driver/state-side twin of Spark's `levenshtein` builtin (unit-cost
+    * edit distance, two-row DP) — the streaming state transition scores
+    * against block state in Scala, and its decisions must replay what the
+    * batch plan (and DuckDB's `levenshtein`) computes. Null-safe: a NULL
+    * on either side reports `Int.MaxValue` (never agrees), matching the
+    * `coalesce(same, false)` discipline of [[linkPairs]]. */
+  def editDistance(a: String, b: String): Int = {
+    if (a == null || b == null) return Int.MaxValue
+    if (a == b) return 0
+    var prev = Array.tabulate(b.length + 1)(identity)
+    var cur = new Array[Int](b.length + 1)
+    var i = 1
+    while (i <= a.length) {
+      cur(0) = i
+      var j = 1
+      while (j <= b.length) {
+        val sub = prev(j - 1) + (if (a.charAt(i - 1) == b.charAt(j - 1)) 0 else 1)
+        cur(j) = math.min(math.min(prev(j) + 1, cur(j - 1) + 1), sub)
+        j += 1
+      }
+      val t = prev; prev = cur; cur = t
+      i += 1
+    }
+    prev(b.length)
+  }
+
   /** One field comparison: agreement (exact, or levenshtein ≤ `maxEdit`
     * when > 0) adds `agreeMillis`, disagreement adds `disagreeMillis`
     * (conventionally negative). NULL on either side counts as

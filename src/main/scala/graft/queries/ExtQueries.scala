@@ -874,6 +874,66 @@ object ExtQueries {
         minScoreMillis = 5000L, newEntityBase = 9000000L)
     }),
 
+    // STREAMING entity assignment with a GROWING registry — three
+    // micro-batches through one checkpoint: the registry itself (batch 0,
+    // is_registry rows seed the per-block state), then records k<=750
+    // (exact q_link_assign behavior against the initial registry), then
+    // records k>750 PLUS echo-records re-submitting batch 1's NEW
+    // entities' fields — the echoes resolve to entity ids MINTED in batch
+    // 1, the continuous-ER behavior no batch replay of the initial
+    // registry could produce. Balances in integer cents so the state is
+    // exact; the oracle replays both rounds (round 2 against
+    // registry ∪ round-1 mints).
+    "q_stream_assign" -> ((s, d) => {
+      val dir = AnalyticsQueries.scratchDir("graft_stream_as")
+      val (inDir, outDir, ckpt) = (s"$dir/in", s"$dir/out", s"$dir/ckpt")
+      val base = s.read.parquet(s"$d/customer.parquet")
+      val cents = floor(col("c_acctbal") * 100 + 0.5).cast("long")
+      val reg = base.select(lit(true).as("is_registry"),
+        col("c_custkey").cast("long").as("id"),
+        substring(col("c_name"), -3, 3).as("blk"),
+        col("c_name").as("name"), col("c_mktsegment").as("seg"),
+        cents.as("bal_micros"))
+      val recs = base.select(col("c_custkey").as("k"),
+        (col("c_custkey") + 1000000L).as("id"),
+        when(col("c_custkey") % 11 === 0,
+            concat(lit("NEW ENTITY "), col("c_custkey").cast("string")))
+          .when(col("c_custkey") % 3 === 0, translate(col("c_name"), "#", "_"))
+          .otherwise(col("c_name")).as("name"),
+        when(col("c_custkey") % 11 === 0, cents + 750L)
+          .otherwise(cents).as("bal_micros"),
+        when(col("c_custkey") % 7 === 0, lit("UNKNOWN"))
+          .otherwise(col("c_mktsegment")).as("seg"))
+      def rows(df: DataFrame) = df.select(lit(false).as("is_registry"),
+        col("id").cast("long").as("id"),
+        substring(col("name"), -3, 3).as("blk"),
+        col("name"), col("seg"), col("bal_micros"))
+      val b1 = rows(recs.filter(col("k") <= 750))
+      val b2 = rows(recs.filter(col("k") > 750)).unionByName(
+        rows(recs.filter(col("k") <= 750 && col("k") % 11 === 0)
+          .withColumn("id", col("id") + 1000000L)))
+      def runOnce(): Unit = {
+        val st = s.readStream.schema(s.read.parquet(inDir).schema).parquet(inDir)
+        graft.streaming.StreamingSync.assignEntitiesStream(st,
+            graft.streaming.StreamingSync.AssignWeights(
+              4000L, -2000L, 1, 3000L, -1500L, 1000L, -500L,
+              minScoreMillis = 5000L, mintBase = 9000000L))
+          .toDF()
+          .writeStream.format("parquet").option("path", outDir)
+          .option("checkpointLocation", ckpt)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start().awaitTermination(300000) match {
+          case true => ()
+          case false => sys.error("streaming run did not finish in 300 s")
+        }
+      }
+      reg.coalesce(1).write.parquet(inDir); runOnce()
+      b1.coalesce(1).write.mode("append").parquet(inDir); runOnce()
+      b2.coalesce(1).write.mode("append").parquet(inDir); runOnce()
+      s.read.parquet(outDir)
+    }),
+
     // MEASURED blocking quality: the last-3-char fragment key's pair
     // completeness and reduction ratio against the known truth (record
     // k+1e6 derives from entity k unless k%11 minted it new). The demo
@@ -1414,6 +1474,70 @@ best AS (
 SELECT b.record_id, coalesce(t.eid, b.record_id + 9000000) AS entity_id,
   t.eid IS NOT NULL AS matched, t.sc AS score_millis
 FROM batch b LEFT JOIN best t USING (record_id)""",
+
+    // streaming growing-registry replay: round 1 scores records k<=750
+    // against the registry; round 2 scores the rest plus the echo records
+    // against registry ∪ round-1 MINTS (the echoes land on minted ids —
+    // the growing-registry behavior). Same blocking/levenshtein/weight
+    // arithmetic as the q_link_* family, balances in integer cents
+    "q_stream_assign" -> """WITH reg AS (
+  SELECT c_custkey AS eid, c_name AS name, c_mktsegment AS seg,
+    CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS bal
+  FROM customer),
+recs AS (
+  SELECT c_custkey AS k, c_custkey + 1000000 AS rid,
+    CASE WHEN c_custkey % 11 = 0 THEN 'NEW ENTITY ' || CAST(c_custkey AS VARCHAR)
+         WHEN c_custkey % 3 = 0 THEN replace(c_name, '#', '_')
+         ELSE c_name END AS name,
+    CASE WHEN c_custkey % 7 = 0 THEN 'UNKNOWN' ELSE c_mktsegment END AS seg,
+    CASE WHEN c_custkey % 11 = 0
+         THEN CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) + 750
+         ELSE CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) END AS bal
+  FROM customer),
+b1 AS (SELECT rid, name, seg, bal FROM recs WHERE k <= 750),
+c1 AS (
+  SELECT r.rid, g.eid,
+    CAST((CASE WHEN levenshtein(r.name, g.name) <= 1 THEN 4000 ELSE -2000 END)
+       + (CASE WHEN r.bal = g.bal THEN 3000 ELSE -1500 END)
+       + (CASE WHEN r.seg = g.seg THEN 1000 ELSE -500 END) AS BIGINT) AS sc
+  FROM b1 r JOIN reg g
+    ON substr(r.name, len(r.name) - 2, 3) = substr(g.name, len(g.name) - 2, 3)),
+a1 AS (
+  SELECT rid, eid, sc FROM (
+    SELECT rid, eid, sc,
+      row_number() OVER (PARTITION BY rid ORDER BY sc DESC, eid ASC) AS rn
+    FROM c1 WHERE sc >= 5000) WHERE rn = 1),
+o1 AS (
+  SELECT r.rid AS record_id, coalesce(a.eid, r.rid + 9000000) AS entity_id,
+    a.eid IS NOT NULL AS matched, a.sc AS score_millis
+  FROM b1 r LEFT JOIN a1 a ON r.rid = a.rid),
+m1 AS (
+  SELECT r.rid + 9000000 AS eid, r.name, r.seg, r.bal
+  FROM b1 r LEFT JOIN a1 a ON r.rid = a.rid WHERE a.rid IS NULL),
+reg2 AS (SELECT eid, name, seg, bal FROM reg
+         UNION ALL SELECT eid, name, seg, bal FROM m1),
+b2 AS (
+  SELECT rid, name, seg, bal FROM recs WHERE k > 750
+  UNION ALL
+  SELECT rid + 1000000 AS rid, name, seg, bal FROM recs
+  WHERE k <= 750 AND k % 11 = 0),
+c2 AS (
+  SELECT r.rid, g.eid,
+    CAST((CASE WHEN levenshtein(r.name, g.name) <= 1 THEN 4000 ELSE -2000 END)
+       + (CASE WHEN r.bal = g.bal THEN 3000 ELSE -1500 END)
+       + (CASE WHEN r.seg = g.seg THEN 1000 ELSE -500 END) AS BIGINT) AS sc
+  FROM b2 r JOIN reg2 g
+    ON substr(r.name, len(r.name) - 2, 3) = substr(g.name, len(g.name) - 2, 3)),
+a2 AS (
+  SELECT rid, eid, sc FROM (
+    SELECT rid, eid, sc,
+      row_number() OVER (PARTITION BY rid ORDER BY sc DESC, eid ASC) AS rn
+    FROM c2 WHERE sc >= 5000) WHERE rn = 1),
+o2 AS (
+  SELECT r.rid AS record_id, coalesce(a.eid, r.rid + 9000000) AS entity_id,
+    a.eid IS NOT NULL AS matched, a.sc AS score_millis
+  FROM b2 r LEFT JOIN a2 a ON r.rid = a.rid)
+SELECT * FROM o1 UNION ALL SELECT * FROM o2""",
 
     // blocking-quality replay: same batch CTE; completeness over the known
     // truth (k → k+1e6, %11 minted rows excluded), reduction over the

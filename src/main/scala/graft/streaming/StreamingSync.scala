@@ -516,6 +516,86 @@ object StreamingSync {
     closed.iterator
   }
 
+  final case class LinkRow(is_registry: Boolean, id: Long, blk: String,
+    name: String, seg: String, bal_micros: Long)
+  final case class EntityRow(entity_id: Long, name: String, seg: String,
+    bal_micros: Long)
+  final case class BlockEntities(entities: List[EntityRow])
+  final case class AssignDecision(record_id: Long, entity_id: Long,
+    matched: Boolean, score_millis: Option[Long])
+  /** Fellegi–Sunter weights for the streaming three-field shape (fuzzy
+    * name, exact integer balance, exact segment) — the specialization of
+    * [[graft.ext.Linkage.FieldRule]] the state store can carry. */
+  final case class AssignWeights(nameAgree: Long, nameDisagree: Long,
+    maxEdit: Int, balAgree: Long, balDisagree: Long, segAgree: Long,
+    segDisagree: Long, minScoreMillis: Long, mintBase: Long)
+
+  /** Streaming entity assignment with a GROWING registry — the
+    * continuous-ingest form of [[graft.ext.Linkage.assignEntities]]: state
+    * per BLOCK key holds that block's known entities; rows flagged
+    * `is_registry` extend the block state (the initial registry arrives as
+    * its own leading batch); each batch's records score against the state
+    * AS OF BATCH START (exact [[graft.ext.Linkage.assignEntities]] parity
+    * — a mint is matchable from the NEXT batch on, never within its own),
+    * adopt the argmax entity (ties to the lowest id) or mint
+    * `mintBase + record_id`, and every mint joins the block state with the
+    * record's fields — batch N+1 records can resolve to entities batch N
+    * created, which is the whole point of continuous entity resolution.
+    *
+    * Scale shape: state is per-block (the blocking key bounds it exactly
+    * the way it bounds the batch join's candidates); scoring is
+    * state-local Scala using [[graft.ext.Linkage.editDistance]], the
+    * driver holds nothing. Every record is emitted exactly once with its
+    * decision — the audit shape.
+    *
+    * `in` needs (is_registry, id, blk, name, seg, bal_micros) columns. */
+  def assignEntitiesStream(in: DataFrame,
+      w: AssignWeights): Dataset[AssignDecision] = {
+    import in.sparkSession.implicits._
+    in.select(col("is_registry"), col("id").cast("long").as("id"),
+        col("blk"), col("name"), col("seg"),
+        col("bal_micros").cast("long").as("bal_micros"))
+      .as[LinkRow]
+      .groupByKey(_.blk)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        updateAssign(w))
+  }
+
+  /** The per-block state transition, separated for unit testing. */
+  def updateAssign(w: AssignWeights)(blk: String, rows: Iterator[LinkRow],
+      state: GroupState[BlockEntities]): Iterator[AssignDecision] = {
+    val rs = rows.toArray
+    val startEntities = state.getOption.map(_.entities).getOrElse(Nil) ++
+      rs.filter(_.is_registry).sortBy(_.id)
+        .map(r => EntityRow(r.id, r.name, r.seg, r.bal_micros))
+    def score(e: EntityRow, r: LinkRow): Long = {
+      val n = if (graft.ext.Linkage.editDistance(e.name, r.name) <= w.maxEdit)
+        w.nameAgree else w.nameDisagree
+      val b = if (e.bal_micros == r.bal_micros) w.balAgree else w.balDisagree
+      val s = if (e.seg != null && r.seg != null && e.seg == r.seg)
+        w.segAgree else w.segDisagree
+      n + b + s
+    }
+    val records = rs.filter(!_.is_registry).sortBy(_.id)
+    val decisions = records.map { r =>
+      val cands = startEntities
+        .map(e => (score(e, r), e.entity_id))
+        .filter(_._1 >= w.minScoreMillis)
+      if (cands.isEmpty)
+        (AssignDecision(r.id, w.mintBase + r.id, matched = false, None), Some(r))
+      else {
+        val best = cands.minBy { case (s, id) => (-s, id) }
+        (AssignDecision(r.id, best._2, matched = true, Some(best._1)), None)
+      }
+    }
+    val minted = decisions.collect { case (d, Some(r)) =>
+      EntityRow(d.entity_id, r.name, r.seg, r.bal_micros)
+    }
+    val entities = startEntities ++ minted
+    if (entities.nonEmpty) state.update(BlockEntities(entities))
+    decisions.iterator.map(_._1)
+  }
+
   /** `events` needs (user_id, ts[timestamp]) columns. */
   def completedSessions(events: DataFrame,
       watermarkDelay: String = "10 minutes"): Dataset[CompletedSession] = {

@@ -400,6 +400,56 @@ class DedupSpec extends AnyFunSuite {
     assert(out.size == 3)
   }
 
+  test("incremental linkage PROPERTY: equals the brute-force per-record " +
+      "argmax on seeded random registries and batches") {
+    import graft.ext.Linkage
+    val segs = Array("gold", "iron", "wood", null)
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(seed * 31L)
+      def name() = Array.fill(4 + rnd.nextInt(3))(
+        ('a' + rnd.nextInt(4)).toChar).mkString
+      val reg = (1L to 60L).map(i =>
+        (i, name(), rnd.nextInt(5), segs(rnd.nextInt(4)), rnd.nextInt(3) * 50.0))
+      val bat = (1001L to 1080L).map(i =>
+        (i, name(), rnd.nextInt(5), segs(rnd.nextInt(4)), rnd.nextInt(3) * 50.0))
+      val rules = Seq(
+        Linkage.FieldRule("name", "name", 4000L, -2000L, maxEdit = 1),
+        Linkage.FieldRule("bal", "bal", 3000L, -1500L),
+        Linkage.FieldRule("seg", "seg", 1000L, -500L))
+      def lev(a: String, b: String): Int = {
+        val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+          if (i == 0) j else if (j == 0) i else 0)
+        for (i <- 1 to a.length; j <- 1 to b.length)
+          d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+            d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+        d(a.length)(b.length)
+      }
+      def score(r: (Long, String, Int, String, Double),
+          b: (Long, String, Int, String, Double)): Long = {
+        val n = if (lev(b._2, r._2) <= 1) 4000L else -2000L
+        val ba = if (b._5 == r._5) 3000L else -1500L
+        val sg = if (b._4 != null && r._4 != null && b._4 == r._4) 1000L else -500L
+        n + ba + sg
+      }
+      val expect = bat.map { b =>
+        val cands = reg.filter(_._3 == b._3).map(r => (score(r, b), r._1))
+          .filter(_._1 >= 5000L)
+        if (cands.isEmpty) b._1 -> ((b._1 + 9000L, false))
+        else {
+          val best = cands.minBy { case (s, id) => (-s, id) }
+          b._1 -> ((best._2, true))
+        }
+      }.toMap
+      val got = Linkage.assignEntities(
+          bat.toDF("eid2", "name", "blk", "seg", "bal"),
+          reg.toDF("eid", "name", "blk", "seg", "bal"),
+          "eid2", "eid", "blk", "blk", rules, 5000L, 9000L)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2))))
+        .toMap
+      assert(got == expect, s"seed $seed diverged")
+    }
+  }
+
   test("blocking quality: completeness counts co-blocked truth, reduction " +
       "counts surviving candidates, both floor-permille") {
     import graft.ext.Linkage

@@ -187,6 +187,55 @@ class StreamingSpec extends AnyFunSuite {
       s"timeout flush missing from: ${emitted()}")
   }
 
+  test("streaming entity-assignment transition: registry rows seed block " +
+      "state, records match state-at-batch-start only, mints become " +
+      "matchable next batch") {
+    import StreamingSync._
+    import org.apache.spark.api.java.Optional
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    val w = AssignWeights(4000L, -2000L, 1, 3000L, -1500L, 1000L, -500L,
+      minScoreMillis = 5000L, mintBase = 9000L)
+    // batch 0: registry only — no decisions, state seeded
+    val s0 = TestGroupState.create[BlockEntities](Optional.empty(),
+      GroupStateTimeout.NoTimeout, 0L, Optional.empty(), false)
+    val out0 = updateAssign(w)("b", Iterator(
+      LinkRow(true, 100L, "b", "ann smith", "gold", 100L),
+      LinkRow(true, 101L, "b", "ann smyth", "gold", 100L)), s0).toSeq
+    assert(out0.isEmpty && s0.get.entities.map(_.entity_id) == List(100L, 101L))
+    // batch 1: a tie (both entities score 8000) breaks to 100; an
+    // unmatchable record mints 9000+3 — and does NOT match itself or the
+    // other record within its own batch
+    val s1 = TestGroupState.create[BlockEntities](Optional.of(s0.get),
+      GroupStateTimeout.NoTimeout, 0L, Optional.empty(), false)
+    val out1 = updateAssign(w)("b", Iterator(
+      LinkRow(false, 1L, "b", "ann smith", "gold", 100L),
+      LinkRow(false, 3L, "b", "new person", "wood", 5L)), s1).toSeq
+    assert(out1 == Seq(
+      AssignDecision(1L, 100L, true, Some(8000L)),
+      AssignDecision(3L, 9003L, false, None)))
+    assert(s1.get.entities.map(_.entity_id) == List(100L, 101L, 9003L))
+    // batch 2: an echo of the minted fields resolves to the MINTED id
+    val s2 = TestGroupState.create[BlockEntities](Optional.of(s1.get),
+      GroupStateTimeout.NoTimeout, 0L, Optional.empty(), false)
+    val out2 = updateAssign(w)("b", Iterator(
+      LinkRow(false, 4L, "b", "new person", "wood", 5L)), s2).toSeq
+    assert(out2 == Seq(AssignDecision(4L, 9003L, true, Some(8000L))))
+  }
+
+  test("Linkage.editDistance equals Spark's levenshtein builtin on seeded " +
+      "random string pairs (the state transition must replay the plan)") {
+    val rnd = new scala.util.Random(20260815L)
+    def str() = Array.fill(rnd.nextInt(12))(('a' + rnd.nextInt(5)).toChar).mkString
+    val pairs = Seq.tabulate(200)(_ => (str(), str())) ++
+      Seq(("", ""), ("", "abc"), ("same", "same"))
+    val viaSpark = pairs.toDF("a", "b")
+      .select(levenshtein(col("a"), col("b"))).as[Int].collect()
+    pairs.zip(viaSpark).foreach { case ((a, b), expect) =>
+      assert(graft.ext.Linkage.editDistance(a, b) == expect,
+        s"editDistance('$a','$b') diverged from levenshtein=$expect")
+    }
+  }
+
   test("streaming span-index state transition: cumulative counts, batch " +
       "flags only at/after the minDocs crossing, occurrences accumulate") {
     import StreamingSync._
