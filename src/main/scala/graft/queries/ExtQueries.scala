@@ -934,6 +934,38 @@ object ExtQueries {
       s.read.parquet(outDir)
     }),
 
+    // MEASURED linking quality: precision/recall of the assignment
+    // DECISIONS against the fixture truth (record k+1e6 belongs to entity
+    // k unless k%11 minted it new) — the companion to q_link_blocking_eval
+    // one stage later: blocking quality bounds what scoring can see,
+    // this measures what scoring then decided. A false candidate that
+    // ties the true entity's score and wins the id tiebreak would show
+    // up here as lost precision — measured, not assumed away
+    "q_link_eval" -> ((s, d) => {
+      val (registry, batch) = assignFixture(s, d)
+      val asg = graft.ext.Linkage.assignEntities(batch, registry,
+        "record_id", "c_custkey", "blk", "blk",
+        Seq(
+          graft.ext.Linkage.FieldRule("c_name", "c_name", 4000L, -2000L, maxEdit = 1),
+          graft.ext.Linkage.FieldRule("c_acctbal", "c_acctbal", 3000L, -1500L),
+          graft.ext.Linkage.FieldRule("c_mktsegment", "c_mktsegment", 1000L, -500L)),
+        minScoreMillis = 5000L, newEntityBase = 9000000L)
+      val isTrue = (col("record_id") - 1000000L) % 11 =!= 0
+      val isCorrect = col("matched") && isTrue &&
+        col("entity_id") === col("record_id") - 1000000L
+      asg.agg(
+          count(lit(1)).as("n_records"),
+          sum(when(col("matched"), 1L).otherwise(0L)).as("n_matched"),
+          sum(when(isCorrect, 1L).otherwise(0L)).as("n_correct"),
+          sum(when(isTrue, 1L).otherwise(0L)).as("n_true"))
+        .select(col("n_records"), col("n_matched"), col("n_correct"),
+          floor(col("n_correct") * 1000L / col("n_matched"))
+            .as("precision_permille"),
+          col("n_true"),
+          floor(col("n_correct") * 1000L / col("n_true"))
+            .as("recall_permille"))
+    }),
+
     // MEASURED blocking quality: the last-3-char fragment key's pair
     // completeness and reduction ratio against the known truth (record
     // k+1e6 derives from entity k unless k%11 minted it new). The demo
@@ -1200,6 +1232,33 @@ sc AS (
        + a_seg * 1000 - (1 - a_seg) * 500 AS BIGINT) AS score_millis
   FROM p)"""
 
+  /** Shared incremental-assignment CTE chain (batch derivation → blocked
+    * scoring → per-record argmax) — one copy for the q_link_assign and
+    * q_link_eval oracles, mirroring [[assignFixture]] exactly. */
+  private val assignOracleCtes = """batch AS (
+  SELECT c_custkey + 1000000 AS record_id,
+    CASE WHEN c_custkey % 11 = 0 THEN 'NEW ENTITY ' || CAST(c_custkey AS VARCHAR)
+         WHEN c_custkey % 3 = 0 THEN replace(c_name, '#', '_')
+         ELSE c_name END AS c_name,
+    CASE WHEN c_custkey % 11 = 0 THEN c_acctbal + 7.5 ELSE c_acctbal END AS c_acctbal,
+    CASE WHEN c_custkey % 7 = 0 THEN 'UNKNOWN' ELSE c_mktsegment END AS c_mktsegment
+  FROM customer),
+cand AS (
+  SELECT b.record_id, g.c_custkey AS eid,
+    CAST((CASE WHEN levenshtein(b.c_name, g.c_name) <= 1 THEN 4000 ELSE -2000 END)
+       + (CASE WHEN b.c_acctbal = g.c_acctbal THEN 3000 ELSE -1500 END)
+       + (CASE WHEN b.c_mktsegment = g.c_mktsegment THEN 1000 ELSE -500 END)
+      AS BIGINT) AS sc
+  FROM batch b JOIN customer g
+    ON substr(b.c_name, len(b.c_name) - 2, 3)
+     = substr(g.c_name, len(g.c_name) - 2, 3)),
+best AS (
+  SELECT record_id, eid, sc FROM (
+    SELECT record_id, eid, sc,
+      row_number() OVER (PARTITION BY record_id
+                         ORDER BY sc DESC, eid ASC) AS rn
+    FROM cand WHERE sc >= 5000) WHERE rn = 1)"""
+
   /** The sparse-corpus shared prefix, spliced into the oracle SQL literal —
     * single token chars only (no quotes to escape). */
   private def sparsePrefixSql: String = SparseSharedPrefix
@@ -1448,32 +1507,34 @@ JOIN dirty y ON l.id_b = y.c_custkey""",
     // best candidate via row_number (score DESC, entity ASC — the exact
     // tiebreak assignEntities' max(struct(score, -entity)) encodes),
     // minted ids for the unmatched rest
-    "q_link_assign" -> """WITH batch AS (
-  SELECT c_custkey + 1000000 AS record_id,
-    CASE WHEN c_custkey % 11 = 0 THEN 'NEW ENTITY ' || CAST(c_custkey AS VARCHAR)
-         WHEN c_custkey % 3 = 0 THEN replace(c_name, '#', '_')
-         ELSE c_name END AS c_name,
-    CASE WHEN c_custkey % 11 = 0 THEN c_acctbal + 7.5 ELSE c_acctbal END AS c_acctbal,
-    CASE WHEN c_custkey % 7 = 0 THEN 'UNKNOWN' ELSE c_mktsegment END AS c_mktsegment
-  FROM customer),
-cand AS (
-  SELECT b.record_id, g.c_custkey AS eid,
-    CAST((CASE WHEN levenshtein(b.c_name, g.c_name) <= 1 THEN 4000 ELSE -2000 END)
-       + (CASE WHEN b.c_acctbal = g.c_acctbal THEN 3000 ELSE -1500 END)
-       + (CASE WHEN b.c_mktsegment = g.c_mktsegment THEN 1000 ELSE -500 END)
-      AS BIGINT) AS sc
-  FROM batch b JOIN customer g
-    ON substr(b.c_name, len(b.c_name) - 2, 3)
-     = substr(g.c_name, len(g.c_name) - 2, 3)),
-best AS (
-  SELECT record_id, eid, sc FROM (
-    SELECT record_id, eid, sc,
-      row_number() OVER (PARTITION BY record_id
-                         ORDER BY sc DESC, eid ASC) AS rn
-    FROM cand WHERE sc >= 5000) WHERE rn = 1)
+    "q_link_assign" -> s"""WITH $assignOracleCtes
 SELECT b.record_id, coalesce(t.eid, b.record_id + 9000000) AS entity_id,
   t.eid IS NOT NULL AS matched, t.sc AS score_millis
 FROM batch b LEFT JOIN best t USING (record_id)""",
+
+    // linking-quality replay: same assignment CTEs, then the truth
+    // aggregation (record k+1e6 ↔ entity k unless k%11)
+    "q_link_eval" -> s"""WITH $assignOracleCtes,
+asg AS (
+  SELECT b.record_id, coalesce(t.eid, b.record_id + 9000000) AS entity_id,
+    t.eid IS NOT NULL AS matched
+  FROM batch b LEFT JOIN best t USING (record_id)),
+agg AS (
+  SELECT count(*) AS n_records,
+    CAST(sum(CASE WHEN matched THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
+    CAST(sum(CASE WHEN matched AND (record_id - 1000000) % 11 <> 0
+               AND entity_id = record_id - 1000000 THEN 1 ELSE 0 END)
+      AS BIGINT) AS n_correct,
+    CAST(sum(CASE WHEN (record_id - 1000000) % 11 <> 0 THEN 1 ELSE 0 END)
+      AS BIGINT) AS n_true
+  FROM asg)
+SELECT n_records, n_matched, n_correct,
+  CAST(floor((n_correct * 1000) * 1.0 / n_matched) AS BIGINT)
+    AS precision_permille,
+  n_true,
+  CAST(floor((n_correct * 1000) * 1.0 / n_true) AS BIGINT)
+    AS recall_permille
+FROM agg""",
 
     // streaming growing-registry replay: round 1 scores records k<=750
     // against the registry; round 2 scores the rest plus the echo records
