@@ -450,6 +450,22 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("incremental linkage edges: empty registry mints everything, empty " +
+      "batch emits nothing") {
+    import graft.ext.Linkage
+    val rules = Seq(Linkage.FieldRule("name", "name", 4000L, -2000L))
+    val reg = Seq((1L, "ann", 10)).toDF("eid", "name", "blk")
+    val emptyReg = reg.filter(lit(false))
+    val batch = Seq((5L, "ann", 10)).toDF("rid", "name", "blk")
+    val emptyBatch = batch.filter(lit(false))
+    val allMinted = Linkage.assignEntities(batch, emptyReg, "rid", "eid",
+      "blk", "blk", rules, 1000L, 9000L).collect()
+    assert(allMinted.map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+      .toSeq == Seq((5L, 9005L, false)))
+    assert(Linkage.assignEntities(emptyBatch, reg, "rid", "eid",
+      "blk", "blk", rules, 1000L, 9000L).count() == 0L)
+  }
+
   test("blocking quality: completeness counts co-blocked truth, reduction " +
       "counts surviving candidates, both floor-permille") {
     import graft.ext.Linkage
