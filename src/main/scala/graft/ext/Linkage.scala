@@ -39,21 +39,26 @@ object Linkage {
   def editDistance(a: String, b: String): Int = {
     if (a == null || b == null) return Int.MaxValue
     if (a == b) return 0
-    var prev = Array.tabulate(b.length + 1)(identity)
-    var cur = new Array[Int](b.length + 1)
+    // CODE POINTS, not UTF-16 units — Spark's builtin counts code points,
+    // so a supplementary-plane char (astral CJK, emoji) must cost ONE edit
+    // here too or the streaming path diverges from the batch plan
+    val ca = a.codePoints().toArray
+    val cb = b.codePoints().toArray
+    var prev = Array.tabulate(cb.length + 1)(identity)
+    var cur = new Array[Int](cb.length + 1)
     var i = 1
-    while (i <= a.length) {
+    while (i <= ca.length) {
       cur(0) = i
       var j = 1
-      while (j <= b.length) {
-        val sub = prev(j - 1) + (if (a.charAt(i - 1) == b.charAt(j - 1)) 0 else 1)
+      while (j <= cb.length) {
+        val sub = prev(j - 1) + (if (ca(i - 1) == cb(j - 1)) 0 else 1)
         cur(j) = math.min(math.min(prev(j) + 1, cur(j - 1) + 1), sub)
         j += 1
       }
       val t = prev; prev = cur; cur = t
       i += 1
     }
-    prev(b.length)
+    prev(cb.length)
   }
 
   /** One field comparison: agreement (exact, or levenshtein ≤ `maxEdit`
@@ -155,6 +160,16 @@ object Linkage {
     * a one-row aggregate before the broadcast cross joins, so the operator
     * costs one block-join count plus two scans regardless of data size.
     *
+    * Contract: `idA`/`idB` must be unique within their frames (they are
+    * entity/record KEYS — a duplicated id would fan each truth pair out
+    * N times and double-count both counters). A truth pair whose id is
+    * ABSENT from `a`/`b` still counts toward `n_true` but can never be
+    * co-blocked (LEFT joins) — a record that never made it into the
+    * frames is exactly the unrecoverable false negative this metric
+    * exists to expose, so it must not silently vanish from the
+    * denominator. Empty truth → NULL completeness (no evidence is not
+    * 1000‰), never a divide-by-zero even under ANSI mode.
+    *
     * @param truePairs ground-truth (id_a, id_b) links — from labels, a
     *                  fixture, or a previous exhaustive run
     * @return one row: (n_true, n_coblocked, completeness_permille,
@@ -166,22 +181,28 @@ object Linkage {
       .agg(count(lit(1)).as("n_candidates"))
     val truth = truePairs.select(col("id_a"), col("id_b"))
       .join(a.select(col(idA).cast("long").as("id_a"),
-        col(blockColA).as("_blk_a")), Seq("id_a"))
+        col(blockColA).as("_blk_a")), Seq("id_a"), "left")
       .join(b.select(col(idB).cast("long").as("id_b"),
-        col(blockColB).as("_blk_b")), Seq("id_b"))
+        col(blockColB).as("_blk_b")), Seq("id_b"), "left")
       .agg(count(lit(1)).as("n_true"),
+        // missing side → NULL block → when() falls to 0: counted in
+        // n_true, never co-blocked
         sum(when(col("_blk_a") === col("_blk_b"), 1L).otherwise(0L))
           .as("n_coblocked"))
     val sizes = a.agg(count(lit(1)).as("n_a"))
       .crossJoin(broadcast(b.agg(count(lit(1)).as("n_b"))))
+    // permille via double BEFORE the *1000 (the long form overflows at
+    // |a|·|b| > 9.2e15); exact at any realistic count (< 2^53)
     truth.crossJoin(broadcast(nCand)).crossJoin(broadcast(sizes))
       .select(col("n_true"), col("n_coblocked"),
-        floor(col("n_coblocked") * 1000L / col("n_true"))
+        when(col("n_true") > 0,
+          floor(col("n_coblocked") * lit(1000.0) / col("n_true")))
           .as("completeness_permille"),
         col("n_candidates"),
         (col("n_a") * col("n_b")).as("n_possible"),
-        floor((col("n_a") * col("n_b") - col("n_candidates")) * 1000L /
-          (col("n_a") * col("n_b"))).as("reduction_permille"))
+        when(col("n_a") * col("n_b") > 0,
+          floor((col("n_a") * col("n_b") - col("n_candidates")) * lit(1000.0) /
+            (col("n_a") * col("n_b")))).as("reduction_permille"))
   }
 
   /** SURVIVORSHIP — the golden-record merge after linkage: for every

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.ext._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** North-star extension operators (dedup / similarity / text / multimodal)
@@ -26,13 +26,26 @@ object ExtQueries {
   private def twoBatchStream(s: SparkSession, d: String, tag: String,
       table: String, idColName: String)(
       f: DataFrame => DataFrame): DataFrame = {
-    // exit-cleaned scratch (r9 review: the returned frame lazily reads
-    // outDir, so without the exit hook every verify/bench run leaked
-    // input copies + checkpoint state into tmpdir)
+    val all = s.read.parquet(s"$d/$table.parquet")
+    multiBatchStream(s, tag, Seq(
+      all.filter(col(idColName) <= 250),
+      all.filter(col(idColName) > 250)))(f)
+  }
+
+  /** The general N-micro-batch runner (r9 review: q_stream_assign had
+    * duplicated this harness verbatim because the 2-way id-split was
+    * hardcoded here): each frame is appended as ONE file and driven
+    * through the SAME checkpoint with AvailableNow, so batch k+1 resumes
+    * batch k's state store — the restart-with-state path a production
+    * stream exercises, once per boundary. Exit-cleaned scratch (the
+    * returned frame lazily reads outDir, so without the exit hook every
+    * verify/bench run leaked input copies + checkpoint state into
+    * tmpdir). */
+  private def multiBatchStream(s: SparkSession, tag: String,
+      batches: Seq[DataFrame])(f: DataFrame => DataFrame): DataFrame = {
+    require(batches.nonEmpty, "at least one batch frame")
     val dir = AnalyticsQueries.scratchDir(s"graft_stream_$tag")
     val (inDir, outDir, ckpt) = (s"$dir/in", s"$dir/out", s"$dir/ckpt")
-    val all = s.read.parquet(s"$d/$table.parquet")
-    all.filter(col(idColName) <= 250).coalesce(1).write.parquet(inDir)
     def runOnce(): Unit = {
       val stream = s.readStream.schema(s.read.parquet(inDir).schema).parquet(inDir)
       f(stream)
@@ -45,10 +58,12 @@ object ExtQueries {
         case false => sys.error("streaming run did not finish in 300 s")
       }
     }
-    runOnce() // batch 1
-    all.filter(col(idColName) > 250).coalesce(1)
-      .write.mode("append").parquet(inDir)
-    runOnce() // batch 2 resumes the checkpointed state
+    batches.head.coalesce(1).write.parquet(inDir)
+    runOnce()
+    batches.tail.foreach { b =>
+      b.coalesce(1).write.mode("append").parquet(inDir)
+      runOnce()
+    }
     s.read.parquet(outDir)
   }
 
@@ -85,25 +100,37 @@ object ExtQueries {
     (c, dirty, links)
   }
 
-  /** The incremental-linkage fixture, shared by q_link_assign and
-    * q_link_blocking_eval: (registry with block key, re-keyed ingest batch
-    * — every 11th record an unmatchable NEW entity, the rest dirtied like
-    * linkFixture). */
+  /** The ingest-batch dirtying rule, ONE copy (r9 review — the streaming
+    * fixture had re-implemented it inline, so a rule change would have
+    * silently de-synced q_stream_assign's premise from the q_link_*
+    * family): every 11th record becomes an unmatchable NEW entity (fresh
+    * name, shifted balance via `balNew`), every 3rd name is
+    * re-punctuated, every 7th segment re-keyed. `bal`/`balNew` pick the
+    * balance representation (double for the batch ops, integer cents for
+    * the streaming state). Output: (k, id, name, bal, seg). */
+  private def dirtiedRecords(base: DataFrame, bal: Column,
+      balNew: Column): DataFrame =
+    base.select(col("c_custkey").as("k"),
+      (col("c_custkey") + 1000000L).as("id"),
+      when(col("c_custkey") % 11 === 0,
+          concat(lit("NEW ENTITY "), col("c_custkey").cast("string")))
+        .when(col("c_custkey") % 3 === 0, translate(col("c_name"), "#", "_"))
+        .otherwise(col("c_name")).as("name"),
+      when(col("c_custkey") % 11 === 0, balNew).otherwise(bal).as("bal"),
+      when(col("c_custkey") % 7 === 0, lit("UNKNOWN"))
+        .otherwise(col("c_mktsegment")).as("seg"))
+
+  /** The incremental-linkage fixture, shared by q_link_assign,
+    * q_link_eval and q_link_blocking_eval: (registry with block key,
+    * re-keyed ingest batch dirtied by [[dirtiedRecords]]). */
   private def assignFixture(s: SparkSession, d: String)
       : (DataFrame, DataFrame) = {
     val base = s.read.parquet(s"$d/customer.parquet")
       .select("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
     val registry = base.withColumn("blk", substring(col("c_name"), -3, 3))
-    val batch = base.select(
-      (col("c_custkey") + 1000000L).as("record_id"),
-      when(col("c_custkey") % 11 === 0,
-          concat(lit("NEW ENTITY "), col("c_custkey").cast("string")))
-        .when(col("c_custkey") % 3 === 0, translate(col("c_name"), "#", "_"))
-        .otherwise(col("c_name")).as("c_name"),
-      when(col("c_custkey") % 11 === 0, col("c_acctbal") + 7.5)
-        .otherwise(col("c_acctbal")).as("c_acctbal"),
-      when(col("c_custkey") % 7 === 0, lit("UNKNOWN"))
-        .otherwise(col("c_mktsegment")).as("c_mktsegment"))
+    val batch = dirtiedRecords(base, col("c_acctbal"), col("c_acctbal") + 7.5)
+      .select(col("id").as("record_id"), col("name").as("c_name"),
+        col("bal").as("c_acctbal"), col("seg").as("c_mktsegment"))
       .withColumn("blk", substring(col("c_name"), -3, 3))
     (registry, batch)
   }
@@ -885,8 +912,6 @@ object ExtQueries {
     // exact; the oracle replays both rounds (round 2 against
     // registry ∪ round-1 mints).
     "q_stream_assign" -> ((s, d) => {
-      val dir = AnalyticsQueries.scratchDir("graft_stream_as")
-      val (inDir, outDir, ckpt) = (s"$dir/in", s"$dir/out", s"$dir/ckpt")
       val base = s.read.parquet(s"$d/customer.parquet")
       val cents = floor(col("c_acctbal") * 100 + 0.5).cast("long")
       val reg = base.select(lit(true).as("is_registry"),
@@ -894,44 +919,20 @@ object ExtQueries {
         substring(col("c_name"), -3, 3).as("blk"),
         col("c_name").as("name"), col("c_mktsegment").as("seg"),
         cents.as("bal_micros"))
-      val recs = base.select(col("c_custkey").as("k"),
-        (col("c_custkey") + 1000000L).as("id"),
-        when(col("c_custkey") % 11 === 0,
-            concat(lit("NEW ENTITY "), col("c_custkey").cast("string")))
-          .when(col("c_custkey") % 3 === 0, translate(col("c_name"), "#", "_"))
-          .otherwise(col("c_name")).as("name"),
-        when(col("c_custkey") % 11 === 0, cents + 750L)
-          .otherwise(cents).as("bal_micros"),
-        when(col("c_custkey") % 7 === 0, lit("UNKNOWN"))
-          .otherwise(col("c_mktsegment")).as("seg"))
+      val recs = dirtiedRecords(base, cents, cents + 750L)
       def rows(df: DataFrame) = df.select(lit(false).as("is_registry"),
         col("id").cast("long").as("id"),
         substring(col("name"), -3, 3).as("blk"),
-        col("name"), col("seg"), col("bal_micros"))
+        col("name"), col("seg"), col("bal").as("bal_micros"))
       val b1 = rows(recs.filter(col("k") <= 750))
       val b2 = rows(recs.filter(col("k") > 750)).unionByName(
         rows(recs.filter(col("k") <= 750 && col("k") % 11 === 0)
           .withColumn("id", col("id") + 1000000L)))
-      def runOnce(): Unit = {
-        val st = s.readStream.schema(s.read.parquet(inDir).schema).parquet(inDir)
+      multiBatchStream(s, "as", Seq(reg, b1, b2))(st =>
         graft.streaming.StreamingSync.assignEntitiesStream(st,
-            graft.streaming.StreamingSync.AssignWeights(
-              4000L, -2000L, 1, 3000L, -1500L, 1000L, -500L,
-              minScoreMillis = 5000L, mintBase = 9000000L))
-          .toDF()
-          .writeStream.format("parquet").option("path", outDir)
-          .option("checkpointLocation", ckpt)
-          .outputMode("append")
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start().awaitTermination(300000) match {
-          case true => ()
-          case false => sys.error("streaming run did not finish in 300 s")
-        }
-      }
-      reg.coalesce(1).write.parquet(inDir); runOnce()
-      b1.coalesce(1).write.mode("append").parquet(inDir); runOnce()
-      b2.coalesce(1).write.mode("append").parquet(inDir); runOnce()
-      s.read.parquet(outDir)
+          graft.streaming.StreamingSync.AssignWeights(
+            4000L, -2000L, 1, 3000L, -1500L, 1000L, -500L,
+            minScoreMillis = 5000L, mintBase = 9000000L)).toDF())
     }),
 
     // MEASURED linking quality: precision/recall of the assignment
@@ -959,10 +960,12 @@ object ExtQueries {
           sum(when(isCorrect, 1L).otherwise(0L)).as("n_correct"),
           sum(when(isTrue, 1L).otherwise(0L)).as("n_true"))
         .select(col("n_records"), col("n_matched"), col("n_correct"),
-          floor(col("n_correct") * 1000L / col("n_matched"))
+          when(col("n_matched") > 0,
+            floor(col("n_correct") * lit(1000.0) / col("n_matched")))
             .as("precision_permille"),
           col("n_true"),
-          floor(col("n_correct") * 1000L / col("n_true"))
+          when(col("n_true") > 0,
+            floor(col("n_correct") * lit(1000.0) / col("n_true")))
             .as("recall_permille"))
     }),
 
@@ -1529,10 +1532,10 @@ agg AS (
       AS BIGINT) AS n_true
   FROM asg)
 SELECT n_records, n_matched, n_correct,
-  CAST(floor((n_correct * 1000) * 1.0 / n_matched) AS BIGINT)
+  CAST(floor(n_correct * 1000.0 / n_matched) AS BIGINT)
     AS precision_permille,
   n_true,
-  CAST(floor((n_correct * 1000) * 1.0 / n_true) AS BIGINT)
+  CAST(floor(n_correct * 1000.0 / n_true) AS BIGINT)
     AS recall_permille
 FROM agg""",
 
@@ -1629,10 +1632,10 @@ sz AS (
   SELECT (SELECT count(*) FROM customer) * (SELECT count(*) FROM batch)
     AS n_possible)
 SELECT n_true, n_coblocked,
-  CAST(floor((n_coblocked * 1000) * 1.0 / n_true) AS BIGINT)
+  CAST(floor(n_coblocked * 1000.0 / n_true) AS BIGINT)
     AS completeness_permille,
   n_candidates, n_possible,
-  CAST(floor(((n_possible - n_candidates) * 1000) * 1.0 / n_possible)
+  CAST(floor((n_possible - n_candidates) * 1000.0 / n_possible)
     AS BIGINT) AS reduction_permille
 FROM tr, cn, sz""",
 

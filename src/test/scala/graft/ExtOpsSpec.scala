@@ -483,6 +483,23 @@ class DedupSpec extends AnyFunSuite {
     assert(r.getLong(5) == 750L) // (12-3)*1000/12
   }
 
+  test("blocking quality truth accounting: an absent-record truth pair " +
+      "stays in n_true (never co-blocked), empty truth gives NULL " +
+      "completeness, not 1000 or a crash") {
+    import graft.ext.Linkage
+    val a = Seq((1L, 10)).toDF("id", "blk")
+    val b = Seq((11L, 10)).toDF("id", "blk")
+    // (2,11): record 2 was never ingested into a — an unrecoverable miss
+    val truth = Seq((1L, 11L), (2L, 11L)).toDF("id_a", "id_b")
+    val r = Linkage.blockingQuality(a, b, "id", "id", "blk", "blk", truth)
+      .collect().head
+    assert(r.getLong(0) == 2L && r.getLong(1) == 1L && r.getLong(2) == 500L)
+    val empty = Linkage.blockingQuality(a, b, "id", "id", "blk", "blk",
+      truth.filter(lit(false))).collect().head
+    assert(empty.getLong(0) == 0L && empty.isNullAt(2),
+      s"empty truth must yield NULL completeness: $empty")
+  }
+
   test("per-row minhash band rows equal the aggregate signature path; " +
       "short docs emit nothing; exact dups share every band") {
     val df = Seq(

@@ -227,7 +227,11 @@ class StreamingSpec extends AnyFunSuite {
     val rnd = new scala.util.Random(20260815L)
     def str() = Array.fill(rnd.nextInt(12))(('a' + rnd.nextInt(5)).toChar).mkString
     val pairs = Seq.tabulate(200)(_ => (str(), str())) ++
-      Seq(("", ""), ("", "abc"), ("same", "same"))
+      Seq(("", ""), ("", "abc"), ("same", "same"),
+        // supplementary-plane chars: ONE code point = ONE edit (the
+        // UTF-16 charAt DP would count 2) — Spark's builtin arbitrates
+        ("x😀", "x"), ("😀a", "😁a"),
+        ("x😀y", "xy"))
     val viaSpark = pairs.toDF("a", "b")
       .select(levenshtein(col("a"), col("b"))).as[Int].collect()
     pairs.zip(viaSpark).foreach { case ((a, b), expect) =>
