@@ -31,11 +31,15 @@ import org.apache.spark.sql.functions._
 object Linkage {
 
   /** Driver/state-side twin of Spark's `levenshtein` builtin (unit-cost
-    * edit distance, two-row DP) — the streaming state transition scores
-    * against block state in Scala, and its decisions must replay what the
-    * batch plan (and DuckDB's `levenshtein`) computes. Null-safe: a NULL
-    * on either side reports `Int.MaxValue` (never agrees), matching the
-    * `coalesce(same, false)` discipline of [[linkPairs]]. */
+    * edit distance over CODE POINTS, two-row DP) — the streaming state
+    * transition scores against block state in Scala, and its decisions
+    * must replay what the batch plan computes. NOTE: parity is with
+    * Spark's builtin ONLY — DuckDB's `levenshtein` counts BYTES
+    * (levenshtein('x😀','x') = 4 there, 1 here and in Spark), so a
+    * DuckDB-oracle'd fixture using a `maxEdit` FieldRule must stay ASCII
+    * (or normalize names) for the oracle comparison to hold. Null-safe:
+    * a NULL on either side reports `Int.MaxValue` (never agrees),
+    * matching the `coalesce(same, false)` discipline of [[linkPairs]]. */
   def editDistance(a: String, b: String): Int = {
     if (a == null || b == null) return Int.MaxValue
     if (a == b) return 0

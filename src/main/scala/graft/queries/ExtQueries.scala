@@ -1484,8 +1484,9 @@ SELECT x.vec_id, x.band, x.bsig, CAST(b2.nd AS BIGINT), CAST(b2.fd AS BIGINT)
 FROM bb x JOIN b2 USING (band, bsig) WHERE x.vec_id > 250 AND b2.nd >= 2""",
 
     // linkage replay: the same dirtying, blocking, and integer-weight
-    // arithmetic (DuckDB's levenshtein is the same unit-cost edit
-    // distance as Spark's)
+    // arithmetic (DuckDB's levenshtein counts BYTES where Spark counts
+    // code points — identical on this all-ASCII fixture, which is why
+    // the q_link_* family keeps its names ASCII)
     "q_link_customers" -> s"""WITH $linkOracleCtes
 SELECT id_a, id_b, n_agree, score_millis FROM sc
 WHERE score_millis >= 5000""",
@@ -1532,10 +1533,12 @@ agg AS (
       AS BIGINT) AS n_true
   FROM asg)
 SELECT n_records, n_matched, n_correct,
-  CAST(floor(n_correct * 1000.0 / n_matched) AS BIGINT)
+  CASE WHEN n_matched > 0
+    THEN CAST(floor(n_correct * 1000.0 / n_matched) AS BIGINT) END
     AS precision_permille,
   n_true,
-  CAST(floor(n_correct * 1000.0 / n_true) AS BIGINT)
+  CASE WHEN n_true > 0
+    THEN CAST(floor(n_correct * 1000.0 / n_true) AS BIGINT) END
     AS recall_permille
 FROM agg""",
 
@@ -1632,11 +1635,13 @@ sz AS (
   SELECT (SELECT count(*) FROM customer) * (SELECT count(*) FROM batch)
     AS n_possible)
 SELECT n_true, n_coblocked,
-  CAST(floor(n_coblocked * 1000.0 / n_true) AS BIGINT)
+  CASE WHEN n_true > 0
+    THEN CAST(floor(n_coblocked * 1000.0 / n_true) AS BIGINT) END
     AS completeness_permille,
   n_candidates, n_possible,
-  CAST(floor((n_possible - n_candidates) * 1000.0 / n_possible)
-    AS BIGINT) AS reduction_permille
+  CASE WHEN n_possible > 0
+    THEN CAST(floor((n_possible - n_candidates) * 1000.0 / n_possible)
+      AS BIGINT) END AS reduction_permille
 FROM tr, cn, sz""",
 
     // streaming exact-dedup replay: the keeper is the hash's min id in its

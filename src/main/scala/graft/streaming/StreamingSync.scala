@@ -533,10 +533,14 @@ object StreamingSync {
   /** Streaming entity assignment with a GROWING registry — the
     * continuous-ingest form of [[graft.ext.Linkage.assignEntities]]: state
     * per BLOCK key holds that block's known entities; rows flagged
-    * `is_registry` extend the block state (the initial registry arrives as
-    * its own leading batch); each batch's records score against the state
-    * AS OF BATCH START (exact [[graft.ext.Linkage.assignEntities]] parity
-    * — a mint is matchable from the NEXT batch on, never within its own),
+    * `is_registry` extend the block state BEFORE their own batch's records
+    * score (so records co-arriving with registry rows in one micro-batch
+    * DO see those entities — send the initial registry as its own leading
+    * batch, as the fixture does, when strict batch-start registry
+    * semantics matter); only MINTS are deferred — a minted entity is
+    * matchable from the NEXT batch on, never within its own, which is the
+    * [[graft.ext.Linkage.assignEntities]] parity that makes a batch's
+    * decisions order-independent. Records then
     * adopt the argmax entity (ties to the lowest id) or mint
     * `mintBase + record_id`, and every mint joins the block state with the
     * record's fields — batch N+1 records can resolve to entities batch N

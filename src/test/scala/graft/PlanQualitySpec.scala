@@ -488,7 +488,7 @@ class PlanQualitySpec extends AnyFunSuite {
       s"argmax must be an aggregate, not a rank window:\n$plan")
     assert(plan.contains("LeftSemi"),
       s"expected the touched-blocks registry prune:\n$plan")
-    assert(plan.contains("partial_max") || plan.contains("partial"),
+    assert(plan.contains("partial_max"),
       s"expected a partial (map-side) max aggregate:\n$plan")
   }
 
