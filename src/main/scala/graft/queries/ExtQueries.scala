@@ -1173,6 +1173,32 @@ object ExtQueries {
       Chunking.packSequences(docs(s, d), "doc_id", "text",
         shardCol = "source", seqTokens = 256)),
 
+    // ---- BPE tokenizer TRAINING: 12 merge rounds over the word-type
+    // table (one corpus pass, then vocabulary-bounded rounds — the
+    // Sennrich 2016 recipe). The oracle re-derives every round in DuckDB
+    // (unrolled CTEs, same total argmax order), so a tie-break or
+    // overlap-rule drift hash-mismatches ----
+    "q_bpe_merges" -> ((s, d) => {
+      val merges = Bpe.trainMerges(docs(s, d), col("text"), BpeMerges)
+      s.createDataFrame(merges).select(
+        col("rank").cast("long").as("merge_rank"),
+        col("left").as("left_sym"), col("right").as("right_sym"),
+        col("pairCount").as("pair_count"))
+    }),
+
+    // ---- BPE encoding: the trained merges applied as a static replace
+    // chain inside one transform lambda — scan-speed token counting under
+    // the FITTED vocabulary (whitespace counts undercount rare words).
+    // The oracle re-trains AND re-encodes in SQL ----
+    "q_bpe_encode" -> ((s, d) => {
+      val dd = docs(s, d)
+      val merges = Bpe.trainMerges(dd, col("text"), BpeMerges)
+      dd.select(col("doc_id"),
+        size(filter(split(col("text"), " "), w => length(w) > 0))
+          .cast("long").as("n_words"),
+        Bpe.bpeTokenCount(col("text"), merges).as("n_bpe_tokens"))
+    }),
+
     // ---- keep-best dedup resolution: within each near-dup component keep
     // the highest-quality member (not the arbitrary min-id) — the KEEP
     // policy a curation pipeline actually wants. Composition: pairs →
@@ -1212,6 +1238,58 @@ object ExtQueries {
 
   /** Shared linkage-oracle CTE chain (dirtying → blocking → field
     * agreement → integer score) — one copy for both linkage oracles. */
+  /** Merge rounds for the q_bpe_* pair — small enough that the unrolled
+    * DuckDB trainer replay stays readable, large enough that multi-char
+    * symbols keep fusing (round 12 merges two ALREADY-MERGED symbols on
+    * this corpus). */
+  private val BpeMerges = 12
+
+  /** Unrolled DuckDB replay of [[graft.ext.Bpe.trainMerges]]: w0 is the
+    * '|'-wrapped word-type table; each round r extracts adjacent symbol
+    * pairs positionally, takes the (count DESC, l ASC, r ASC) argmax, and
+    * applies it with the same double-delimiter `replace` the Spark side
+    * uses (left-to-right non-overlapping in both engines — the greedy
+    * overlap rule). Every CTE is MATERIALIZED: each round references its
+    * predecessor three times (FROM + two scalar subqueries), so DuckDB's
+    * default inlining would re-expand the chain 3^r times — the same
+    * exponential-lineage trap labelPropagate hit in Spark. */
+  private def bpeOracleCtes(nMerges: Int): String = {
+    val sb = new StringBuilder
+    sb ++= """words AS MATERIALIZED (
+  SELECT word, count(*) AS wcount FROM (
+    SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+  WHERE len(word) > 0 AND word NOT LIKE '%|%' GROUP BY word),
+w0 AS MATERIALIZED (
+  SELECT regexp_replace(word, '(.)', '|\1|', 'g') AS w, wcount FROM words)"""
+    for (r <- 1 to nMerges) {
+      sb ++= s""",
+p$r AS MATERIALIZED (
+  SELECT l, r, CAST(sum(wcount) AS BIGINT) AS cnt FROM (
+    SELECT a[i+1] AS l, a[i+2] AS r, wcount FROM
+      (SELECT string_split(substr(w, 2, len(w)-2), '||') AS a, wcount
+       FROM w${r - 1}),
+      LATERAL (SELECT unnest(range(0, greatest(len(a)-1, 0))) i))
+  GROUP BY l, r),
+b$r AS MATERIALIZED (
+  SELECT l, r, cnt FROM p$r ORDER BY cnt DESC, l ASC, r ASC LIMIT 1),
+w$r AS MATERIALIZED (
+  SELECT replace(w, (SELECT '|'||l||'||'||r||'|' FROM b$r),
+                    (SELECT '|'||l||r||'|' FROM b$r)) AS w, wcount
+  FROM w${r - 1})"""
+    }
+    sb.toString
+  }
+
+  /** The merge chain of [[bpeOracleCtes]] applied to one word expression —
+    * nested replaces in rank order, scalar subqueries against the b_r
+    * rows (computed once each; uncorrelated). */
+  private def bpeEncodeExpr(wordExpr: String, nMerges: Int): String =
+    (1 to nMerges).foldLeft(
+      s"regexp_replace($wordExpr, '(.)', '|\\1|', 'g')") { (acc, r) =>
+      s"""replace($acc, (SELECT '|'||l||'||'||r||'|' FROM b$r),
+       (SELECT '|'||l||r||'|' FROM b$r))"""
+    }
+
   private val linkOracleCtes = """dirty AS (
   SELECT c_custkey,
     CASE WHEN c_custkey % 3 = 0 THEN replace(c_name, '#', '_')
@@ -3025,6 +3103,34 @@ SELECT shard, doc_id, n_tokens,
   CAST(start_offset AS BIGINT) AS start_offset,
   CAST(start_offset // 256 AS BIGINT) AS seq_no
 FROM o""",
+
+    // BPE trainer replay: every merge round unrolled (pair counts →
+    // total-order argmax → double-delimiter replace), so the learned
+    // merge TABLE itself is the compared artifact
+    "q_bpe_merges" -> s"""WITH ${bpeOracleCtes(BpeMerges)}
+${(1 to BpeMerges).map(r =>
+      s"SELECT CAST($r AS BIGINT) AS merge_rank, l AS left_sym, " +
+        s"r AS right_sym, cnt AS pair_count FROM b$r")
+      .mkString("\nUNION ALL\n")}""",
+
+    // BPE encode replay: re-derive the merges, apply the same replace
+    // chain per word, count symbols via the '||' boundary arithmetic;
+    // LEFT JOIN keeps all-filtered docs at 0 tokens like the Spark
+    // projection does
+    "q_bpe_encode" -> s"""WITH ${bpeOracleCtes(BpeMerges)},
+docw AS (
+  SELECT doc_id, word FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+  WHERE len(word) > 0 AND word NOT LIKE '%|%'),
+denc AS (SELECT doc_id, ${bpeEncodeExpr("word", BpeMerges)} AS e FROM docw),
+agg AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+    CAST(sum((len(e) - len(replace(e, '||', ''))) // 2 + 1) AS BIGINT)
+      AS n_bpe_tokens
+  FROM denc GROUP BY doc_id)
+SELECT d.doc_id, coalesce(a.n_words, 0) AS n_words,
+  coalesce(a.n_bpe_tokens, 0) AS n_bpe_tokens
+FROM documents d LEFT JOIN agg a USING (doc_id)""",
 
     "q_dedup_incremental" -> s"""WITH $shinglesCte,
 oldcap AS (SELECT sid, shingle FROM (
