@@ -75,6 +75,61 @@ object CorpusAnalysis {
       .select("doc_id", "n_units", "n_boiler", "boiler_millis")
   }
 
+  /** Segment-level boilerplate REMOVAL — the surgical twin of
+    * [[boilerplateScore]] (which only scores): split every document into
+    * consecutive non-overlapping `segTokens`-token segments (the last one
+    * may be shorter), drop each segment that occurs in at least `minDocs`
+    * distinct documents, and reassemble the survivors in order. This is
+    * the CCNet/RefinedWeb "line-level dedup" pass adapted to token
+    * segments (the corpus has no newlines): headers, footers, cookie
+    * banners and template text repeat ACROSS documents while body text
+    * does not, so cross-document frequency at segment granularity excises
+    * exactly them without dropping whole pages.
+    *
+    * Output: one row per input document — (doc_id, n_segments, n_removed,
+    * cleaned_text); a fully-boilerplate document survives with
+    * cleaned_text = '' (dropping rows is [[graft.ext.Dedup]]'s job, and a
+    * pipeline wants the removal AUDITED, not silent).
+    *
+    * Plan shape at 100 TB: segmentation is a pure projection + explode
+    * (~1/segTokens of the shingle volume — non-overlapping windows, unlike
+    * [[boilerplateScore]]'s sliding n-grams); the frequency pass is one
+    * map-side-combinable distinct-count agg keyed on the segment; the
+    * verdict join is segment-keyed (AQE broadcasts it when the frequent
+    * set is small); reassembly is one doc-keyed agg whose in-group sort
+    * is bounded by a document's own segment count. Nothing driver-side. */
+  def removeBoilerplateSegments(df: DataFrame, idCol: String,
+      textCol: String, segTokens: Int = 8, minDocs: Long = 2): DataFrame = {
+    require(segTokens >= 1, "segTokens must be >= 1")
+    val toks = filter(split(col(textCol), " "), w => length(w) > 0)
+    val segsExpr = when(size(toks) > 0,
+      transform(sequence(lit(0), ceil(size(toks) / lit(segTokens.toDouble)).cast("int") - 1),
+        j => array_join(slice(toks, j * segTokens + 1, lit(segTokens)), " ")))
+      .otherwise(array().cast("array<string>"))
+    val segs = df.select(col(idCol).as("doc_id"),
+        posexplode(segsExpr).as(Seq("seg_no", "seg")))
+    val frequent = segs.groupBy("seg")
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+      .select(col("seg"), lit(true).as("_is_bp"))
+    val marked = segs.join(frequent, Seq("seg"), "left")
+      .select(col("doc_id"), col("seg_no"), col("seg"),
+        coalesce(col("_is_bp"), lit(false)).as("is_bp"))
+    val perDoc = marked.groupBy("doc_id").agg(
+      count(lit(1)).as("n_segments"),
+      sum(when(col("is_bp"), 1L).otherwise(0L)).as("n_removed"),
+      array_join(transform(
+        array_sort(collect_list(when(!col("is_bp"),
+          struct(col("seg_no"), col("seg"))))),
+        x => x.getField("seg")), " ").as("cleaned_text"))
+    // zero-token documents produce no segments: keep them (0, 0, '')
+    df.select(col(idCol).as("doc_id")).join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_segments"), lit(0L)).as("n_segments"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"),
+        coalesce(col("cleaned_text"), lit("")).as("cleaned_text"))
+  }
+
   /** BM25-style lexical retrieval: top-`topN` documents for a small set
     * of query terms — the retrieval pass a curation pipeline runs to pull
     * topical slices out of a corpus (and the classic pre-neural ranking

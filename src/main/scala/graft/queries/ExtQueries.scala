@@ -1199,6 +1199,14 @@ object ExtQueries {
         Bpe.bpeTokenCount(col("text"), merges).as("n_bpe_tokens"))
     }),
 
+    // ---- segment-level boilerplate REMOVAL (CCNet line-dedup adapted to
+    // 8-token segments): drop segments occurring in >= 2 docs, reassemble
+    // the survivors in order — the surgical twin of q_text_boilerplate's
+    // score; removal is audited per doc, never silent ----
+    "q_dedup_segments" -> ((s, d) =>
+      CorpusAnalysis.removeBoilerplateSegments(docs(s, d), "doc_id", "text",
+        segTokens = 8, minDocs = 2)),
+
     // ---- keep-best dedup resolution: within each near-dup component keep
     // the highest-quality member (not the arbitrary min-id) — the KEEP
     // policy a curation pipeline actually wants. Composition: pairs →
@@ -3130,6 +3138,30 @@ agg AS (
   FROM denc GROUP BY doc_id)
 SELECT d.doc_id, coalesce(a.n_words, 0) AS n_words,
   coalesce(a.n_bpe_tokens, 0) AS n_bpe_tokens
+FROM documents d LEFT JOIN agg a USING (doc_id)""",
+
+    // segment-removal replay: non-overlapping 8-token windows, cross-doc
+    // distinct frequency, ordered NULL-skipping string_agg reassembly
+    "q_dedup_segments" -> """WITH t AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), w -> len(w) > 0) AS tk
+  FROM documents),
+s AS (
+  SELECT doc_id, CAST(j AS BIGINT) AS seg_no,
+    array_to_string(tk[(j*8+1):(j*8+8)], ' ') AS seg
+  FROM t, LATERAL (SELECT unnest(range(0, CAST(ceil(len(tk)/8.0) AS BIGINT))) j)),
+bp AS (SELECT seg FROM s GROUP BY seg HAVING count(DISTINCT doc_id) >= 2),
+m AS (
+  SELECT s.doc_id, s.seg_no, s.seg, bp.seg IS NOT NULL AS is_bp
+  FROM s LEFT JOIN bp USING (seg)),
+agg AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_segments,
+    CAST(sum(CASE WHEN is_bp THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+    coalesce(string_agg(CASE WHEN NOT is_bp THEN seg END, ' '
+      ORDER BY seg_no), '') AS cleaned_text
+  FROM m GROUP BY doc_id)
+SELECT d.doc_id, coalesce(a.n_segments, 0) AS n_segments,
+  coalesce(a.n_removed, 0) AS n_removed,
+  coalesce(a.cleaned_text, '') AS cleaned_text
 FROM documents d LEFT JOIN agg a USING (doc_id)""",
 
     "q_dedup_incremental" -> s"""WITH $shinglesCte,

@@ -111,6 +111,30 @@ class CorpusAnalysisSpec extends AnyFunSuite {
     assert(out(4L) == (0L, 0L))
   }
 
+  test("removeBoilerplateSegments drops cross-doc segments, keeps order, " +
+      "audits counts, and keeps degenerate docs") {
+    // segTokens=2: "hdr foo" is the shared 2-token header (docs 1,2);
+    // doc 3 is PURE boilerplate; doc 4 has a short trailing segment;
+    // doc 5 is empty
+    val dd = Seq(
+      (1L, "hdr foo body one body two"),
+      (2L, "hdr foo other text"),
+      (3L, "hdr foo"),
+      (4L, "solo words tail"),
+      (5L, "")
+    ).toDF("doc_id", "text")
+    val out = CorpusAnalysis.removeBoilerplateSegments(dd, "doc_id", "text",
+        segTokens = 2, minDocs = 2)
+      .select("doc_id", "n_segments", "n_removed", "cleaned_text")
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(out(1L) == (3L, 1L, "body one body two"))
+    assert(out(2L) == (2L, 1L, "other text"))
+    assert(out(3L) == (1L, 1L, ""))          // survives, audited, emptied
+    assert(out(4L) == (2L, 0L, "solo words tail")) // short tail segment kept
+    assert(out(5L) == (0L, 0L, ""))          // zero-token doc keeps its row
+  }
+
   test("OrcSource round-trips part losslessly") {
     val p = spark.read.parquet("/root/testdata/sf0.001/part.parquet")
     val out = java.nio.file.Files.createTempDirectory("graft_orc_spec").toString + "/part"
