@@ -104,6 +104,42 @@ object Linkage {
       .filter(col("score_millis") >= minScoreMillis)
   }
 
+  /** ENTITY CLUSTERING — self-deduplication of ONE records frame, the
+    * stage after [[linkPairs]] when the duplicates live inside a single
+    * table (MDM-style dedup): pairwise links within each block
+    * (`id_a < id_b` halves the symmetric self-join), transitive closure
+    * via [[Components.starComponents]] (A~B and B~C cluster A,B,C even
+    * when A~C fails the score threshold — pairwise linkage alone leaves
+    * such chains split), and a canonical cluster id = the component's
+    * minimum record id. Unlinked records are size-1 clusters of
+    * themselves — every input row survives, audited.
+    *
+    * Output: (record_id, cluster_id, cluster_size).
+    *
+    * Scale shape: the block join is the only data-sized shuffle (the
+    * caller bounds candidates by the blocking key's selectivity, exactly
+    * as for [[linkPairs]]); the closure runs on the LINK set (pairs that
+    * passed the threshold — tiny relative to the corpus) with
+    * star-contraction's converged rounds; sizes are one count per
+    * cluster. */
+  def clusterEntities(records: DataFrame, idCol: String, blockCol: String,
+      fields: Seq[FieldRule], minScoreMillis: Long): DataFrame = {
+    val pairs = linkPairs(records, records, idCol, idCol, blockCol, blockCol,
+        fields, minScoreMillis)
+      .filter(col("id_a") < col("id_b"))
+    val comps = Components.starComponents(pairs, "id_a", "id_b")
+      .withColumnRenamed("id", "record_id")
+    val assigned = records
+      .select(col(idCol).cast("long").as("record_id"))
+      .join(comps, Seq("record_id"), "left")
+      .select(col("record_id"),
+        coalesce(col("comp"), col("record_id")).as("cluster_id"))
+    val sizes = assigned.groupBy("cluster_id")
+      .agg(count(lit(1)).as("cluster_size"))
+    assigned.join(sizes, Seq("cluster_id"))
+      .select("record_id", "cluster_id", "cluster_size")
+  }
+
   /** INCREMENTAL linkage — assign a NEW batch of records to a persisted
     * entity registry: each batch record either adopts the best-matching
     * entity's id (blocking + [[FieldRule]] scoring, same decision model as

@@ -135,6 +135,28 @@ object ExtQueries {
     (registry, batch)
   }
 
+  /** The entity-CLUSTERING fixture: every customer plus a 1-edit name
+    * variant (every 3rd key) plus a 2-edit variant of THAT variant (every
+    * 6th) — the 2-edit variant links to the original only TRANSITIVELY
+    * (direct name distance 2 scores 2000 < 5000; each hop along the chain
+    * scores 8000), so q_link_cluster proves closure, not just pairing.
+    * Balance/segment stay equal within a family; both dirtying rules
+    * leave the last-3-char block key untouched. */
+  private def clusterFixture(s: SparkSession, d: String): DataFrame = {
+    val base = s.read.parquet(s"$d/customer.parquet")
+      .select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+    def shape(rid: Column, name: Column) = Seq(rid.as("rid"),
+      name.as("name"), col("c_acctbal").as("bal"), col("c_mktsegment").as("seg"))
+    val v0 = base.select(shape(col("c_custkey").cast("long"), col("c_name")): _*)
+    val v1 = base.filter(col("c_custkey") % 3 === 0)
+      .select(shape(col("c_custkey") + 1000000L,
+        translate(col("c_name"), "#", "_")): _*)
+    val v2 = base.filter(col("c_custkey") % 6 === 0)
+      .select(shape(col("c_custkey") + 2000000L,
+        regexp_replace(col("c_name"), "#0", "_Z")): _*)
+    v0.union(v1).union(v2).withColumn("blk", substring(col("name"), -3, 3))
+  }
+
   /** The salting rule itself, on any (doc_id, text) frame — ONE copy
     * (r9 review: Bench's replicated corpus re-implemented it inline, so a
     * rule change would silently de-sync the bench regime from the
@@ -985,6 +1007,18 @@ object ExtQueries {
         "c_custkey", "record_id", "blk", "blk", truth)
     }),
 
+    // ---- entity CLUSTERING: self-linkage + transitive closure + canonical
+    // cluster ids over the 3-variant chain fixture — the 2-edit variant
+    // joins its family only through the middle hop, so the recursive-CTE
+    // oracle falsifies closure, not just pairwise linking ----
+    "q_link_cluster" -> ((s, d) =>
+      graft.ext.Linkage.clusterEntities(clusterFixture(s, d), "rid", "blk",
+        Seq(
+          graft.ext.Linkage.FieldRule("name", "name", 4000L, -2000L, maxEdit = 1),
+          graft.ext.Linkage.FieldRule("bal", "bal", 3000L, -1500L),
+          graft.ext.Linkage.FieldRule("seg", "seg", 1000L, -500L)),
+        minScoreMillis = 5000L)),
+
     // token-budget mix: best docs of each source up to 500 tokens —
     // the pretraining-mix allocation rule (length-aware, not row-count)
     "q_token_budget" -> ((s, d) =>
@@ -1729,6 +1763,41 @@ SELECT n_true, n_coblocked,
     THEN CAST(floor((n_possible - n_candidates) * 1000.0 / n_possible)
       AS BIGINT) END AS reduction_permille
 FROM tr, cn, sz""",
+
+    // clustering replay: same 3-variant fixture + scoring, then the
+    // transitive closure as a recursive reachability fixpoint (a different
+    // algorithm than star contraction — the components_star discipline)
+    "q_link_cluster" -> """WITH RECURSIVE recs AS (
+  SELECT CAST(c_custkey AS BIGINT) AS rid, c_name AS name,
+    c_acctbal AS bal, c_mktsegment AS seg FROM customer
+  UNION ALL
+  SELECT c_custkey + 1000000, replace(c_name, '#', '_'),
+    c_acctbal, c_mktsegment FROM customer WHERE c_custkey % 3 = 0
+  UNION ALL
+  SELECT c_custkey + 2000000, regexp_replace(c_name, '#0', '_Z'),
+    c_acctbal, c_mktsegment FROM customer WHERE c_custkey % 6 = 0),
+rb AS (SELECT rid, name, bal, seg,
+  substr(name, len(name) - 2, 3) AS blk FROM recs),
+links AS (
+  SELECT x.rid AS id_a, y.rid AS id_b
+  FROM rb x JOIN rb y ON x.blk = y.blk AND x.rid < y.rid
+  WHERE (CASE WHEN levenshtein(x.name, y.name) <= 1 THEN 4000 ELSE -2000 END
+       + CASE WHEN x.bal = y.bal THEN 3000 ELSE -1500 END
+       + CASE WHEN x.seg = y.seg THEN 1000 ELSE -500 END) >= 5000),
+sym AS (SELECT id_a AS a, id_b AS b FROM links
+        UNION SELECT id_b, id_a FROM links),
+reach(a, b) AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),
+comp AS (SELECT a AS rid, least(a, min(b)) AS cluster_id FROM reach GROUP BY a),
+asg AS (
+  SELECT r.rid AS record_id, coalesce(c.cluster_id, r.rid) AS cluster_id
+  FROM rb r LEFT JOIN comp c ON r.rid = c.rid),
+sz AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+       FROM asg GROUP BY cluster_id)
+SELECT a.record_id, a.cluster_id, s.cluster_size
+FROM asg a JOIN sz s USING (cluster_id)""",
 
     // streaming exact-dedup replay: the keeper is the hash's min id in its
     // FIRST-seeing batch — and because the batch split (<=250 / >250) is

@@ -353,6 +353,35 @@ class DedupSpec extends AnyFunSuite {
     assert(out.size == 2)
   }
 
+  test("entity clustering: chains cluster TRANSITIVELY (A~B~C with A!~C), " +
+      "singletons keep their own id at size 1, id_a<id_b kills self-pairs") {
+    import graft.ext.Linkage
+    val recs = Seq(
+      // chain: 1~2 (1 edit), 2~3 (1 edit), 1 vs 3 is 2 edits -> no direct link
+      (1L, "ann smith", 10, "gold", 100.0),
+      (2L, "ann smyth", 10, "gold", 100.0),
+      (3L, "anN smyth", 10, "gold", 100.0),
+      // pair in another block
+      (4L, "bob jones", 20, "iron", 50.0),
+      (5L, "bob jonez", 20, "iron", 50.0),
+      // singleton sharing block 10 but far from everything
+      (6L, "zed quark", 10, "wood", 7.0)).toDF("id", "name", "blk", "seg", "bal")
+    val rules = Seq(
+      Linkage.FieldRule("name", "name", 4000L, -2000L, maxEdit = 1),
+      Linkage.FieldRule("bal", "bal", 3000L, -1500L),
+      Linkage.FieldRule("seg", "seg", 1000L, -500L))
+    // direct 1-3 really is sub-threshold: -2000+3000+1000 = 2000 < 5000
+    val direct = Linkage.linkPairs(recs, recs, "id", "id", "blk", "blk",
+      rules, 5000L).filter(col("id_a") === 1L && col("id_b") === 3L).count()
+    assert(direct == 0L)
+    val out = Linkage.clusterEntities(recs, "id", "blk", rules, 5000L)
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(1L) == ((1L, 3L)) && out(2L) == ((1L, 3L)) && out(3L) == ((1L, 3L)))
+    assert(out(4L) == ((4L, 2L)) && out(5L) == ((4L, 2L)))
+    assert(out(6L) == ((6L, 1L)))
+  }
+
   test("survivorship: trusted side wins conflicts, NULL demotes to the " +
       "other side, conflicts counted only on non-null disagreement") {
     import graft.ext.Linkage
