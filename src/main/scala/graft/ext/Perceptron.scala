@@ -1,0 +1,69 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed FULL-BATCH perceptron training (Rosenblatt 1958, the batch
+  * variant) — linear-classifier FITTING inside the engine, the training
+  * counterpart of [[TextAnalysis.linearScoreMicros]]'s serving shape. A
+  * curation pipeline fits exactly this kind of model (quality filters,
+  * language gates, topic routers) over corpus-derived features before
+  * applying it at scan speed.
+  *
+  * Why the BATCH variant: the classic online perceptron updates after
+  * every row, making the result depend on row ORDER — unreplayable in a
+  * distributed engine (and in any oracle). The batch form accumulates one
+  * update per ROUND, `w += Σ_{misclassified} y·x`, a commutative integer
+  * sum — order-free, so the learned weights replay bit-exactly anywhere.
+  *
+  * Scale shape: each round is ONE map-side-combinable aggregate over the
+  * feature frame (a conditional sum per feature dimension plus a mistake
+  * count); the current weights enter the plan as literals, the driver
+  * holds d+1 longs per round. At 100 TB that is k corpus scans with
+  * partial aggregation — no shuffle of data-sized state, no parameter
+  * server. Features and labels must be integral (exact arithmetic is the
+  * oracle contract; quantize like [[TextAnalysis]] does if needed).
+  *
+  * No learning-rate knob: integer steps are scale-free for the perceptron
+  * (the decision boundary of w is invariant under positive scaling).
+  * Convergence on the fixture corpus is MEASURED, not assumed — the
+  * per-round mistake counts are part of the output artifact (the corpus
+  * may not be linearly separable in the chosen features; the trajectory
+  * is then the honest answer). */
+object Perceptron {
+
+  /** One training round's outcome: mistakes measured against the PREVIOUS
+    * weights, `weights` = the vector AFTER this round's update. */
+  final case class Round(round: Int, nMistakes: Long, weights: Seq[Long])
+
+  /** Train `rounds` batch-perceptron rounds over integral features.
+    *
+    * @param feats      one row per example
+    * @param labelCol   +1 / -1 long column
+    * @param featureCols integral feature columns (include a constant 1
+    *                   column for the bias term)
+    * @return one [[Round]] per round, in order. */
+  def train(feats: DataFrame, labelCol: String, featureCols: Seq[String],
+      rounds: Int): Seq[Round] = {
+    require(featureCols.nonEmpty && rounds >= 1, "features and rounds >= 1")
+    // materialize the (small-width) feature frame once: k rounds re-scan
+    // the projected features, never the corpus derivation above them
+    val f = feats.select((labelCol +: featureCols).map(col): _*)
+      .localCheckpoint()
+    var w = Seq.fill(featureCols.size)(0L)
+    (1 to rounds).map { r =>
+      val dot = featureCols.zip(w)
+        .map { case (c, wi) => col(c) * lit(wi) }
+        .reduce(_ + _)
+      val mistake = (col(labelCol) * dot) <= 0
+      val nmAgg = sum(when(mistake, 1L).otherwise(0L)).as("nm")
+      val dAggs = featureCols.zipWithIndex.map { case (c, i) =>
+        coalesce(sum(when(mistake, col(labelCol) * col(c))), lit(0L))
+          .as(s"d$i")
+      }
+      val row = f.agg(nmAgg, dAggs: _*).collect()(0)
+      w = w.zipWithIndex.map { case (wi, i) => wi + row.getLong(i + 1) }
+      Round(r, row.getLong(0), w)
+    }
+  }
+}

@@ -56,6 +56,26 @@ object Similarity {
       .select("query_id", "rank", "neighbor_id")
   }
 
+  /** HARD-NEGATIVE MINING for contrastive training: per query, the top-k
+    * most-similar corpus vectors with a DIFFERENT label — the negatives
+    * nearest the decision boundary, which a contrastive loss learns most
+    * from (random negatives are trivially separable and teach nothing).
+    * Same plan as [[bruteForceTopK]] with the label-disagreement predicate
+    * pushed into the join, so the scored pair volume shrinks by the
+    * same-label fraction BEFORE the window's partial group-limit. */
+  def hardNegativesTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      idCol: String = "vec_id", labelCol: String = "label"): DataFrame = {
+    val pairs = queries.as("x").join(corpus.as("y"),
+        col(s"x.$idCol") =!= col(s"y.$idCol") &&
+        col(s"x.$labelCol") =!= col(s"y.$labelCol"))
+      .select(col(s"x.$idCol").as("query_id"), col(s"y.$idCol").as("neg_id"),
+        cosine.as("cos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("cos").desc, col("neg_id").asc)
+    pairs.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select("query_id", "rank", "neg_id")
+  }
+
   /** IVF-style bucketed top-k: score only within the assigned cluster
     * (`labelCol` plays the role of the coarse-quantizer assignment). */
   def ivfTopK(prepared: DataFrame, k: Int,

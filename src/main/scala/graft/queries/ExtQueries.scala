@@ -328,6 +328,16 @@ object ExtQueries {
       Similarity.ivfTopK(
         Similarity.prepare(embs(s, d), "vec_id", "embedding"), k = 3)),
 
+    // ---- hard-negative mining: per query the top-5 nearest OTHER-label
+    // vectors — the contrastive-training negatives that actually teach;
+    // the label-disagreement predicate prunes the scored pairs before the
+    // window's partial group-limit ----
+    "q_sim_hardneg" -> ((s, d) => {
+      val prep = Similarity.prepare(embs(s, d), "vec_id", "embedding")
+      Similarity.hardNegativesTopK(prep,
+        prep.filter(col("vec_id") % 40 === 0), k = 5)
+    }),
+
     // reciprocal-rank fusion of two genuinely different retrievers
     // (global exact top-5 + bucket-restricted IVF top-5) — the
     // calibration-free hybrid-retrieval merge, in exact integer micros
@@ -1233,6 +1243,32 @@ object ExtQueries {
         Bpe.bpeTokenCount(col("text"), merges).as("n_bpe_tokens"))
     }),
 
+    // ---- batch-perceptron TRAINING: 6 full-batch rounds fitting
+    // lang='en' from integral text features — distributed model fitting
+    // as k map-side-combinable aggregates (the training counterpart of
+    // q_text_classify's serving shape). The oracle re-derives every
+    // round; the mistake trajectory is a MEASURED artifact (the corpus
+    // shares vocabulary across langs, so separation is partial — the
+    // honest trajectory, not an assumed convergence) ----
+    "q_text_perceptron" -> ((s, d) => {
+      val tk = split(col("text"), " ")
+      val feats = docs(s, d).select(
+        when(col("lang") === "en", 1L).otherwise(-1L).as("y"),
+        lit(1L).as("x0"),
+        size(tk).cast("long").as("x1"),
+        size(array_distinct(tk)).cast("long").as("x2"),
+        size(filter(tk, t => t === "the")).cast("long").as("x3"),
+        size(filter(tk, t => t === "value")).cast("long").as("x4"),
+        size(filter(tk, t => t === "customer")).cast("long").as("x5"))
+      val rs = Perceptron.train(feats, "y",
+        Seq("x0", "x1", "x2", "x3", "x4", "x5"), rounds = 6)
+      s.createDataFrame(rs.map(r => (r.round.toLong, r.nMistakes,
+          r.weights(0), r.weights(1), r.weights(2), r.weights(3),
+          r.weights(4), r.weights(5))))
+        .toDF("round", "n_mistakes", "w_bias", "w_tokens", "w_distinct",
+          "w_the", "w_value", "w_customer")
+    }),
+
     // ---- segment-level boilerplate REMOVAL (CCNet line-dedup adapted to
     // 8-token segments): drop segments occurring in >= 2 docs, reassemble
     // the survivors in order — the surgical twin of q_text_boilerplate's
@@ -1318,6 +1354,42 @@ w$r AS MATERIALIZED (
   SELECT replace(w, (SELECT '|'||l||'||'||r||'|' FROM b$r),
                     (SELECT '|'||l||r||'|' FROM b$r)) AS w, wcount
   FROM w${r - 1})"""
+    }
+    sb.toString
+  }
+
+  /** Unrolled DuckDB replay of [[graft.ext.Perceptron.train]] on the
+    * q_text_perceptron feature set: w0 is the zero vector; each round's
+    * delta CTE measures mistakes and conditional feature sums against the
+    * previous weights (one cross join with the 1-row weight CTE), and the
+    * next weight CTE adds them. MATERIALIZED for the same 3^r-inlining
+    * reason as [[bpeOracleCtes]]. */
+  private def perceptronOracleCtes(rounds: Int): String = {
+    val d = 6
+    val sb = new StringBuilder
+    sb ++= """feats AS MATERIALIZED (
+  SELECT CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y,
+    1 AS x0,
+    len(string_split(text, ' ')) AS x1,
+    len(list_distinct(string_split(text, ' '))) AS x2,
+    len(list_filter(string_split(text, ' '), t -> t = 'the')) AS x3,
+    len(list_filter(string_split(text, ' '), t -> t = 'value')) AS x4,
+    len(list_filter(string_split(text, ' '), t -> t = 'customer')) AS x5
+  FROM documents),
+w0 AS (SELECT """ +
+      (0 until d).map(i => s"CAST(0 AS BIGINT) AS w$i").mkString(", ") + ")"
+    for (r <- 1 to rounds) {
+      val dot = (0 until d).map(i => s"w.w$i * f.x$i").mkString(" + ")
+      sb ++= s""",
+d$r AS MATERIALIZED (
+  SELECT CAST(sum(CASE WHEN f.y * ($dot) <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+      AS nm,
+    ${(0 until d).map(i =>
+        s"CAST(coalesce(sum(CASE WHEN f.y * ($dot) <= 0 " +
+          s"THEN f.y * f.x$i END), 0) AS BIGINT) AS d$i").mkString(",\n    ")}
+  FROM feats f, w${r - 1} w),
+w$r AS (SELECT ${(0 until d).map(i => s"w.w$i + d.d$i AS w$i")
+        .mkString(", ")} FROM w${r - 1} w, d$r d)"""
     }
     sb.toString
   }
@@ -2364,6 +2436,24 @@ SELECT query_id, rank, neighbor_id FROM (
     row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
   FROM p) WHERE rank <= 5""",
 
+    // hard-negative replay: the q_sim_topk arithmetic with the
+    // label-disagreement predicate in the join
+    "q_sim_hardneg" -> """WITH q AS (
+  SELECT vec_id, label,
+    list_transform(embedding, x -> CAST(floor(x * 1048576 + 0.5) AS BIGINT)) AS qe
+  FROM embeddings),
+n AS (SELECT vec_id, label, qe,
+  sqrt(CAST(list_sum(list_transform(qe, x -> x * x)) AS DOUBLE)) AS nrm FROM q),
+p AS (SELECT a.vec_id AS query_id, b.vec_id AS neg_id,
+  (CAST(list_sum(list_transform(range(64), i -> a.qe[i+1] * b.qe[i+1])) AS DOUBLE)
+   / a.nrm) / b.nrm AS cos
+  FROM n a JOIN n b ON a.vec_id % 40 = 0 AND a.vec_id <> b.vec_id
+    AND a.label <> b.label)
+SELECT query_id, rank, neg_id FROM (
+  SELECT query_id, neg_id,
+    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neg_id ASC) AS rank
+  FROM p) WHERE rank <= 5""",
+
     // RRF replay: both retrievers' ranked lists rebuilt from the shared
     // quantized-cosine CTEs, fused with the identical integer-micros rule
     "q_sim_rrf" -> """WITH q AS (
@@ -3208,6 +3298,15 @@ agg AS (
 SELECT d.doc_id, coalesce(a.n_words, 0) AS n_words,
   coalesce(a.n_bpe_tokens, 0) AS n_bpe_tokens
 FROM documents d LEFT JOIN agg a USING (doc_id)""",
+
+    // perceptron replay: every round re-derived against the previous
+    // weights; output = the full (round, mistakes, weights) trajectory
+    "q_text_perceptron" -> s"""WITH ${perceptronOracleCtes(6)}
+${(1 to 6).map(r =>
+      s"SELECT CAST($r AS BIGINT) AS round, d.nm AS n_mistakes, " +
+        "w.w0 AS w_bias, w.w1 AS w_tokens, w.w2 AS w_distinct, " +
+        "w.w3 AS w_the, w.w4 AS w_value, w.w5 AS w_customer " +
+        s"FROM d$r d, w$r w").mkString("\nUNION ALL\n")}""",
 
     // segment-removal replay: non-overlapping 8-token windows, cross-doc
     // distinct frequency, ordered NULL-skipping string_agg reassembly

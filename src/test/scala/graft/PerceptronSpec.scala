@@ -1,0 +1,39 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ext.Perceptron
+
+/** Batch-perceptron update arithmetic on hand-computable fixtures. */
+class PerceptronSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("updates accumulate exactly: both points misclassified at w=0, " +
+      "then the separable pair converges to zero mistakes") {
+    // x=(1,2) y=+1 and x=(1,-3) y=-1
+    // round 1: w=0, both margins 0 <= 0 -> w = (1,2) + (-1)*(1,-3) = (0,5)
+    // round 2: margins 10 and 15 -> no mistakes, w unchanged
+    val feats = Seq((1L, 1L, 2L), (-1L, 1L, -3L)).toDF("y", "x0", "x1")
+    val rs = Perceptron.train(feats, "y", Seq("x0", "x1"), rounds = 2)
+    assert(rs.map(r => (r.round, r.nMistakes, r.weights)) ==
+      Seq((1, 2L, Seq(0L, 5L)), (2, 0L, Seq(0L, 5L))))
+  }
+
+  test("mistake rule is margin <= 0 (a zero dot product updates), and " +
+      "an all-correct round leaves weights frozen thereafter") {
+    // single point, w=0: margin 0 -> update to y*x = (2,); then margin
+    // 2*2=4 > 0 forever
+    val feats = Seq((1L, 2L)).toDF("y", "x0")
+    val rs = Perceptron.train(feats, "y", Seq("x0"), rounds = 3)
+    assert(rs.map(_.nMistakes) == Seq(1L, 0L, 0L))
+    assert(rs.map(_.weights) == Seq(Seq(2L), Seq(2L), Seq(2L)))
+  }
+
+  test("non-separable XOR-ish pair oscillates, never silently converges") {
+    // same feature vector, opposite labels: every round flips/updates,
+    // mistakes never reach 0 — the honest non-separable trajectory
+    val feats = Seq((1L, 1L, 1L), (-1L, 1L, 1L)).toDF("y", "x0", "x1")
+    val rs = Perceptron.train(feats, "y", Seq("x0", "x1"), rounds = 4)
+    assert(rs.forall(_.nMistakes >= 1L))
+  }
+}
