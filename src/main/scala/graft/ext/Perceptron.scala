@@ -36,6 +36,25 @@ object Perceptron {
     * weights, `weights` = the vector AFTER this round's update. */
   final case class Round(round: Int, nMistakes: Long, weights: Seq[Long])
 
+  /** ONE round's aggregate against fixed weights (the plan-inspectable
+    * seam [[train]] loops over): a single map-side-combinable pass
+    * computing the mistake count `nm` and the per-feature conditional
+    * update sums `d0..dn` — the weights enter as literals, so the plan is
+    * scan → partial HashAggregate → one 1-row exchange → final. */
+  def roundAgg(f: DataFrame, labelCol: String, featureCols: Seq[String],
+      w: Seq[Long]): DataFrame = {
+    val dot = featureCols.zip(w)
+      .map { case (c, wi) => col(c) * lit(wi) }
+      .reduce(_ + _)
+    val mistake = (col(labelCol) * dot) <= 0
+    val nmAgg = sum(when(mistake, 1L).otherwise(0L)).as("nm")
+    val dAggs = featureCols.zipWithIndex.map { case (c, i) =>
+      coalesce(sum(when(mistake, col(labelCol) * col(c))), lit(0L))
+        .as(s"d$i")
+    }
+    f.agg(nmAgg, dAggs: _*)
+  }
+
   /** Train `rounds` batch-perceptron rounds over integral features.
     *
     * @param feats      one row per example
@@ -52,16 +71,7 @@ object Perceptron {
       .localCheckpoint()
     var w = Seq.fill(featureCols.size)(0L)
     (1 to rounds).map { r =>
-      val dot = featureCols.zip(w)
-        .map { case (c, wi) => col(c) * lit(wi) }
-        .reduce(_ + _)
-      val mistake = (col(labelCol) * dot) <= 0
-      val nmAgg = sum(when(mistake, 1L).otherwise(0L)).as("nm")
-      val dAggs = featureCols.zipWithIndex.map { case (c, i) =>
-        coalesce(sum(when(mistake, col(labelCol) * col(c))), lit(0L))
-          .as(s"d$i")
-      }
-      val row = f.agg(nmAgg, dAggs: _*).collect()(0)
+      val row = roundAgg(f, labelCol, featureCols, w).collect()(0)
       w = w.zipWithIndex.map { case (wi, i) => wi + row.getLong(i + 1) }
       Round(r, row.getLong(0), w)
     }

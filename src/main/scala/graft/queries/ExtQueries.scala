@@ -1243,6 +1243,26 @@ object ExtQueries {
         Bpe.bpeTokenCount(col("text"), merges).as("n_bpe_tokens"))
     }),
 
+    // ---- tokenizer FERTILITY by language: BPE tokens per whitespace
+    // word under the corpus-trained merges — the standard tokenizer-
+    // fairness metric (a vocabulary fit to the dominant language inflates
+    // token counts, i.e. training cost, for the others). Measured, with
+    // the trainer replayed in the oracle ----
+    "q_bpe_fertility" -> ((s, d) => {
+      val dd = docs(s, d)
+      val merges = Bpe.trainMerges(dd, col("text"), BpeMerges)
+      dd.select(col("lang"),
+          size(filter(split(col("text"), " "), w => length(w) > 0))
+            .cast("long").as("nw"),
+          Bpe.bpeTokenCount(col("text"), merges).as("nb"))
+        .groupBy("lang")
+        .agg(sum("nw").as("n_words"), sum("nb").as("n_bpe_tokens"))
+        .select(col("lang"), col("n_words"), col("n_bpe_tokens"),
+          when(col("n_words") > 0,
+            floor(col("n_bpe_tokens") * lit(1000.0) / col("n_words")))
+            .as("fertility_permille"))
+    }),
+
     // ---- batch-perceptron TRAINING: 6 full-batch rounds fitting
     // lang='en' from integral text features — distributed model fitting
     // as k map-side-combinable aggregates (the training counterpart of
@@ -3298,6 +3318,25 @@ agg AS (
 SELECT d.doc_id, coalesce(a.n_words, 0) AS n_words,
   coalesce(a.n_bpe_tokens, 0) AS n_bpe_tokens
 FROM documents d LEFT JOIN agg a USING (doc_id)""",
+
+    // fertility replay: trainer CTEs + the per-word encode chain, grouped
+    // by language instead of document
+    "q_bpe_fertility" -> s"""WITH ${bpeOracleCtes(BpeMerges)},
+docw AS (
+  SELECT lang, word FROM (
+    SELECT lang, unnest(string_split(text, ' ')) AS word FROM documents)
+  WHERE len(word) > 0 AND word NOT LIKE '%|%'),
+denc AS (SELECT lang, ${bpeEncodeExpr("word", BpeMerges)} AS e FROM docw),
+agg AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_words,
+    CAST(sum((len(e) - len(replace(e, '||', ''))) // 2 + 1) AS BIGINT)
+      AS n_bpe_tokens
+  FROM denc GROUP BY lang)
+SELECT lang, n_words, n_bpe_tokens,
+  CASE WHEN n_words > 0
+    THEN CAST(floor(n_bpe_tokens * 1000.0 / n_words) AS BIGINT) END
+    AS fertility_permille
+FROM agg""",
 
     // perceptron replay: every round re-derived against the previous
     // weights; output = the full (round, mistakes, weights) trajectory

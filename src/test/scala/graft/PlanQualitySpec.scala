@@ -511,4 +511,57 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!plan.contains("BatchEvalPython") && !plan.toLowerCase.contains("scalaudf"),
       s"UDF node found in plan:\n$plan")
   }
+
+  test("perceptron round is ONE map-side-combinable aggregate: partial " +
+      "sums below the single 1-row exchange, no Window, no join") {
+    val feats = (1L to 100L).map(i => (if (i % 2 == 0) 1L else -1L, 1L, i))
+      .toDF("y", "x0", "x1")
+    val df = graft.ext.Perceptron.roundAgg(feats, "y", Seq("x0", "x1"),
+      Seq(3L, -2L))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("partial_sum"),
+      s"expected map-side partial sums:\n$plan")
+    assert(!plan.contains("Window") && !plan.contains("Join"),
+      s"a perceptron round must be a pure aggregate:\n$plan")
+  }
+
+  test("segment-removal reassembly is aggregate-ordered, never a Window; " +
+      "the fused pipeline has no cartesian/nested-loop join") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val df = graft.ext.CorpusAnalysis.removeBoilerplateSegments(
+      d, "doc_id", "text", segTokens = 8, minDocs = 2)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      s"in-group order must come from array_sort in the agg, not a " +
+        s"window sort:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoopJoin"),
+      s"verdict join must be equi-keyed on the segment:\n$plan")
+  }
+
+  test("hard-negative mining keeps the brute-force top-k's partial " +
+      "window group limit (only ~k rows per query survive the exchange)") {
+    val prep = graft.ext.Similarity.prepare(
+      spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet"),
+      "vec_id", "embedding")
+    val df = graft.ext.Similarity.hardNegativesTopK(prep,
+      prep.filter(col("vec_id") % 40 === 0), k = 5)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"expected InferWindowGroupLimit's partial top-k:\n$plan")
+  }
+
+  test("entity clustering never degenerates to an all-pairs join: the " +
+      "self-linkage is equi-keyed on the block") {
+    import graft.ext.Linkage
+    val recs = (1L to 50L).map(i => (i, s"name$i", (i % 7).toInt, "s", 1.0))
+      .toDF("id", "name", "blk", "seg", "bal")
+    val df = Linkage.clusterEntities(recs, "id", "blk",
+      Seq(Linkage.FieldRule("name", "name", 4000L, -2000L, maxEdit = 1)),
+      minScoreMillis = 1000L)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoopJoin"),
+      s"block self-join must be an equi-join:\n$plan")
+  }
 }
