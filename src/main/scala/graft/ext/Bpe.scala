@@ -62,6 +62,21 @@ object Bpe {
   private def mergedSearch(m: Merge) = s"|${m.left}||${m.right}|"
   private def mergedReplace(m: Merge) = s"|${m.left}${m.right}|"
 
+  /** One merge round's pair aggregation over a wrapped word-type frame
+    * (columns `w`, `wcount`) — the plan-inspectable seam [[trainMerges]]
+    * loops over (and DumpPlans renders): positional adjacent pairs,
+    * weighted by word count, one map-side-combinable groupBy. */
+  def pairCounts(words: DataFrame): DataFrame =
+    words
+      .select(col("wcount"), syms(col("w")).as("a"))
+      .filter(size(col("a")) >= 2)
+      .select(col("wcount"), explode(expr(
+        "transform(sequence(1, size(a) - 1), " +
+          "i -> struct(element_at(a, i) AS l, element_at(a, i + 1) AS r))"))
+        .as("p"))
+      .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+      .agg(sum("wcount").as("cnt"))
+
   /** Train up to `nMerges` BPE merges over `textCol`. Each round: count
     * adjacent symbol pairs across word types (weighted by word count),
     * fuse the argmax pair everywhere, repeat. Stops early only when no
@@ -78,15 +93,7 @@ object Bpe {
     var r = 1
     var done = false
     while (r <= nMerges && !done) {
-      val best = words
-        .select(col("wcount"), syms(col("w")).as("a"))
-        .filter(size(col("a")) >= 2)
-        .select(col("wcount"), explode(expr(
-          "transform(sequence(1, size(a) - 1), " +
-            "i -> struct(element_at(a, i) AS l, element_at(a, i + 1) AS r))"))
-          .as("p"))
-        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
-        .agg(sum("wcount").as("cnt"))
+      val best = pairCounts(words)
         .orderBy(col("cnt").desc, col("l").asc, col("r").asc)
         .limit(1).collect()
       if (best.isEmpty) done = true

@@ -59,4 +59,27 @@ object Paths {
     paths.groupBy("path").agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("path").asc)
       .limit(k)
+
+  /** NEXT-EVENT training pairs: for every event, the same user's next
+    * event type and the exact gap to it — the (context, target) example
+    * generation for sequence models (next-action prediction), and the
+    * inter-event-time feature in one pass. Each user's LAST event emits
+    * NULL target/gap — kept, not dropped: a pipeline filters them for
+    * training or keeps them as the open-ended eval rows, and silent
+    * dropping would hide the sequence boundaries.
+    *
+    * Determinism: (event time micros, event id) is a total order per
+    * user. Scale shape: ONE user-keyed window pass — the same exchange a
+    * sessionization already pays; nothing user-count-sized on the
+    * driver. */
+  def nextEventPairs(events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, idCol: String): DataFrame = {
+    val w = Window.partitionBy(userCol).orderBy(col("_us"), col(idCol))
+    events
+      .withColumn("_us", unix_micros(col(tsCol)))
+      .select(col(userCol), col(idCol), col(typeCol), col("_us"),
+        lead(col(typeCol), 1).over(w).as("next_type"),
+        (lead(col("_us"), 1).over(w) - col("_us")).as("gap_micros"))
+      .drop("_us")
+  }
 }

@@ -47,7 +47,10 @@ object Perceptron {
       .map { case (c, wi) => col(c) * lit(wi) }
       .reduce(_ + _)
     val mistake = (col(labelCol) * dot) <= 0
-    val nmAgg = sum(when(mistake, 1L).otherwise(0L)).as("nm")
+    // coalesce like the deltas: sum over ZERO rows is NULL, and an empty
+    // feature frame must yield Round(r, 0, zeros), not an NPE at getLong
+    val nmAgg = coalesce(sum(when(mistake, 1L).otherwise(0L)), lit(0L))
+      .as("nm")
     val dAggs = featureCols.zipWithIndex.map { case (c, i) =>
       coalesce(sum(when(mistake, col(labelCol) * col(c))), lit(0L))
         .as(s"d$i")

@@ -43,18 +43,27 @@ object Similarity {
     * a partial top-k below the exchange, so only ~k·|Q| rows survive the
     * shuffle — parity with the explicit bounded aggregate is measured in the
     * bench (`topk_agg_vs_window_shuffle_x` ≈ 1). */
-  def bruteForceTopK(
-      corpus: DataFrame, queries: DataFrame, k: Int,
-      idCol: String = "vec_id"): DataFrame = {
-    val pairs = queries.as("x").join(corpus.as("y"),
-        col(s"x.$idCol") =!= col(s"y.$idCol"))
-      .select(col(s"x.$idCol").as("query_id"), col(s"y.$idCol").as("neighbor_id"),
+  /** Shared cosine top-k shape (brute force / IVF / hard negatives): the
+    * caller picks the join predicate and the output column; rank ties
+    * break on the neighbor id; Spark's InferWindowGroupLimit bounds the
+    * window's exchange to ~k rows per query (the property PlanQualitySpec
+    * pins) — one copy so a tie-break or plan-shape fix lands everywhere. */
+  private def cosineTopK(queries: DataFrame, corpus: DataFrame,
+      joinCond: Column, k: Int, idCol: String, outCol: String): DataFrame = {
+    val pairs = queries.as("x").join(corpus.as("y"), joinCond)
+      .select(col(s"x.$idCol").as("query_id"), col(s"y.$idCol").as(outCol),
         cosine.as("cos"))
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
+      .partitionBy("query_id").orderBy(col("cos").desc, col(outCol).asc)
     pairs.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
-      .select("query_id", "rank", "neighbor_id")
+      .select("query_id", "rank", outCol)
   }
+
+  def bruteForceTopK(
+      corpus: DataFrame, queries: DataFrame, k: Int,
+      idCol: String = "vec_id"): DataFrame =
+    cosineTopK(queries, corpus,
+      col(s"x.$idCol") =!= col(s"y.$idCol"), k, idCol, "neighbor_id")
 
   /** HARD-NEGATIVE MINING for contrastive training: per query, the top-k
     * most-similar corpus vectors with a DIFFERENT label — the negatives
@@ -64,32 +73,20 @@ object Similarity {
     * pushed into the join, so the scored pair volume shrinks by the
     * same-label fraction BEFORE the window's partial group-limit. */
   def hardNegativesTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-      idCol: String = "vec_id", labelCol: String = "label"): DataFrame = {
-    val pairs = queries.as("x").join(corpus.as("y"),
-        col(s"x.$idCol") =!= col(s"y.$idCol") &&
-        col(s"x.$labelCol") =!= col(s"y.$labelCol"))
-      .select(col(s"x.$idCol").as("query_id"), col(s"y.$idCol").as("neg_id"),
-        cosine.as("cos"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("query_id").orderBy(col("cos").desc, col("neg_id").asc)
-    pairs.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
-      .select("query_id", "rank", "neg_id")
-  }
+      idCol: String = "vec_id", labelCol: String = "label"): DataFrame =
+    cosineTopK(queries, corpus,
+      col(s"x.$idCol") =!= col(s"y.$idCol") &&
+        col(s"x.$labelCol") =!= col(s"y.$labelCol"),
+      k, idCol, "neg_id")
 
   /** IVF-style bucketed top-k: score only within the assigned cluster
     * (`labelCol` plays the role of the coarse-quantizer assignment). */
   def ivfTopK(prepared: DataFrame, k: Int,
-      idCol: String = "vec_id", labelCol: String = "label"): DataFrame = {
-    val pairs = prepared.as("x").join(prepared.as("y"),
-        col(s"x.$labelCol") === col(s"y.$labelCol") &&
-        col(s"x.$idCol") =!= col(s"y.$idCol"))
-      .select(col(s"x.$idCol").as("query_id"), col(s"y.$idCol").as("neighbor_id"),
-        cosine.as("cos"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
-    pairs.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
-      .select("query_id", "rank", "neighbor_id")
-  }
+      idCol: String = "vec_id", labelCol: String = "label"): DataFrame =
+    cosineTopK(prepared, prepared,
+      col(s"x.$labelCol") === col(s"y.$labelCol") &&
+        col(s"x.$idCol") =!= col(s"y.$idCol"),
+      k, idCol, "neighbor_id")
 
   /** Random-hyperplane LSH: 12 fixed hyperplanes over the quantized space,
     * signature bit j = sign(q · c_j), banded 3×4 bits. Constants derive

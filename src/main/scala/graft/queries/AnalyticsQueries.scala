@@ -257,6 +257,13 @@ object AnalyticsQueries {
         graft.ext.Paths.sessionPaths(EventsSource.load(s, d),
           "user_id", "ts", "event_type", "event_id"), k = 20)),
 
+    // Next-event training pairs: (context event, next type, exact gap) per
+    // user — sequence-model example generation; last events keep NULL
+    // targets (sequence boundaries stay visible)
+    "q_events_nextpred" -> ((s, d) =>
+      graft.ext.Paths.nextEventPairs(EventsSource.load(s, d),
+        "user_id", "ts", "event_type", "event_id")),
+
     // Robust per-group outliers (Hampel rule): lower-median + MAD in pure
     // integer arithmetic — no sums of squares, no division anywhere
     "q_outliers_mad" -> ((s, d) =>
@@ -683,6 +690,14 @@ p AS (SELECT user_id, sess,
       FROM s GROUP BY 1, 2)
 SELECT path, CAST(count(*) AS BIGINT) AS n FROM p GROUP BY 1
 ORDER BY n DESC, path ASC LIMIT 20""",
+
+    // next-pair replay: one lead window over the same total order
+    "q_events_nextpred" -> """WITH e AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events)
+SELECT user_id, event_id, event_type,
+  lead(event_type) OVER w AS next_type,
+  lead(us) OVER w - us AS gap_micros
+FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)""",
 
     // MAD replay: positional lower-median twice, integer Hampel compare
     "q_outliers_mad" -> """WITH p AS (

@@ -1223,7 +1223,7 @@ object ExtQueries {
     // (unrolled CTEs, same total argmax order), so a tie-break or
     // overlap-rule drift hash-mismatches ----
     "q_bpe_merges" -> ((s, d) => {
-      val merges = Bpe.trainMerges(docs(s, d), col("text"), BpeMerges)
+      val merges = bpeMergesFor(s, d)
       s.createDataFrame(merges).select(
         col("rank").cast("long").as("merge_rank"),
         col("left").as("left_sym"), col("right").as("right_sym"),
@@ -1236,9 +1236,13 @@ object ExtQueries {
     // The oracle re-trains AND re-encodes in SQL ----
     "q_bpe_encode" -> ((s, d) => {
       val dd = docs(s, d)
-      val merges = Bpe.trainMerges(dd, col("text"), BpeMerges)
+      val merges = bpeMergesFor(s, d)
+      // n_words under the SAME word filter bpeTokenCount applies
+      // ('|'-bearing words are reserved-excluded everywhere), so
+      // n_bpe_tokens >= n_words holds and the oracle's docw matches
       dd.select(col("doc_id"),
-        size(filter(split(col("text"), " "), w => length(w) > 0))
+        size(filter(split(col("text"), " "),
+          w => length(w) > 0 && !w.contains("|")))
           .cast("long").as("n_words"),
         Bpe.bpeTokenCount(col("text"), merges).as("n_bpe_tokens"))
     }),
@@ -1250,9 +1254,10 @@ object ExtQueries {
     // the trainer replayed in the oracle ----
     "q_bpe_fertility" -> ((s, d) => {
       val dd = docs(s, d)
-      val merges = Bpe.trainMerges(dd, col("text"), BpeMerges)
+      val merges = bpeMergesFor(s, d)
       dd.select(col("lang"),
-          size(filter(split(col("text"), " "), w => length(w) > 0))
+          size(filter(split(col("text"), " "),
+            w => length(w) > 0 && !w.contains("|")))
             .cast("long").as("nw"),
           Bpe.bpeTokenCount(col("text"), merges).as("nb"))
         .groupBy("lang")
@@ -1334,13 +1339,22 @@ object ExtQueries {
   /** DuckDB twin of Dedup.h32. */
   private def oh32(e: String) = s"(('0x' || substr(md5($e), 1, 8))::BIGINT)"
 
-  /** Shared linkage-oracle CTE chain (dirtying → blocking → field
-    * agreement → integer score) — one copy for both linkage oracles. */
   /** Merge rounds for the q_bpe_* pair — small enough that the unrolled
     * DuckDB trainer replay stays readable, large enough that multi-char
     * symbols keep fusing (round 12 merges two ALREADY-MERGED symbols on
     * this corpus). */
   private val BpeMerges = 12
+
+  /** Trained merges memoized per dataset dir — the q_bpe_* family shares
+    * ONE training (12 driver-iterated rounds) instead of re-running it
+    * per query in a harness sweep (r10 review). Merges are pure data
+    * derived deterministically from the dir, so the cache is
+    * session-independent. */
+  private val bpeMergeCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[graft.ext.Bpe.Merge]]()
+  private def bpeMergesFor(s: SparkSession, d: String): Seq[graft.ext.Bpe.Merge] =
+    bpeMergeCache.computeIfAbsent(d,
+      _ => Bpe.trainMerges(docs(s, d), col("text"), BpeMerges))
 
   /** Unrolled DuckDB replay of [[graft.ext.Bpe.trainMerges]]: w0 is the
     * '|'-wrapped word-type table; each round r extracts adjacent symbol
@@ -1416,14 +1430,22 @@ w$r AS (SELECT ${(0 until d).map(i => s"w.w$i + d.d$i AS w$i")
 
   /** The merge chain of [[bpeOracleCtes]] applied to one word expression —
     * nested replaces in rank order, scalar subqueries against the b_r
-    * rows (computed once each; uncorrelated). */
+    * rows (computed once each; uncorrelated). A round past early merge
+    * exhaustion has an EMPTY b_r → NULL subqueries, and replace(w, NULL,
+    * NULL) would NULL-poison every encoded word (masked as 0 token counts
+    * by a downstream coalesce) — so each level coalesces the search to
+    * chr(1) (a byte that never occurs in a word) and the replacement to
+    * '', making the exhausted round an exact no-op, matching the Spark
+    * side's shorter trained-merge list. */
   private def bpeEncodeExpr(wordExpr: String, nMerges: Int): String =
     (1 to nMerges).foldLeft(
       s"regexp_replace($wordExpr, '(.)', '|\\1|', 'g')") { (acc, r) =>
-      s"""replace($acc, (SELECT '|'||l||'||'||r||'|' FROM b$r),
-       (SELECT '|'||l||r||'|' FROM b$r))"""
+      s"""replace($acc, coalesce((SELECT '|'||l||'||'||r||'|' FROM b$r), chr(1)),
+       coalesce((SELECT '|'||l||r||'|' FROM b$r), ''))"""
     }
 
+  /** Shared linkage-oracle CTE chain (dirtying → blocking → field
+    * agreement → integer score) — one copy for both linkage oracles. */
   private val linkOracleCtes = """dirty AS (
   SELECT c_custkey,
     CASE WHEN c_custkey % 3 = 0 THEN replace(c_name, '#', '_')
@@ -3331,12 +3353,14 @@ agg AS (
   SELECT lang, CAST(count(*) AS BIGINT) AS n_words,
     CAST(sum((len(e) - len(replace(e, '||', ''))) // 2 + 1) AS BIGINT)
       AS n_bpe_tokens
-  FROM denc GROUP BY lang)
-SELECT lang, n_words, n_bpe_tokens,
-  CASE WHEN n_words > 0
-    THEN CAST(floor(n_bpe_tokens * 1000.0 / n_words) AS BIGINT) END
+  FROM denc GROUP BY lang),
+langs AS (SELECT DISTINCT lang FROM documents)
+SELECT l.lang, coalesce(a.n_words, 0) AS n_words,
+  coalesce(a.n_bpe_tokens, 0) AS n_bpe_tokens,
+  CASE WHEN coalesce(a.n_words, 0) > 0
+    THEN CAST(floor(a.n_bpe_tokens * 1000.0 / a.n_words) AS BIGINT) END
     AS fertility_permille
-FROM agg""",
+FROM langs l LEFT JOIN agg a USING (lang)""",
 
     // perceptron replay: every round re-derived against the previous
     // weights; output = the full (round, mistakes, weights) trajectory
