@@ -58,6 +58,30 @@ object Perceptron {
     f.agg(nmAgg, dAggs: _*)
   }
 
+  /** Mistake COUNT of a fixed weight vector over the feature frame — one
+    * conditional-count aggregate; the evaluation half of [[roundAgg]]. */
+  def mistakes(f: DataFrame, labelCol: String, featureCols: Seq[String],
+      w: Seq[Long]): Long = {
+    val dot = featureCols.zip(w)
+      .map { case (c, wi) => col(c) * lit(wi) }
+      .reduce(_ + _)
+    f.agg(coalesce(sum(when((col(labelCol) * dot) <= 0, 1L).otherwise(0L)),
+      lit(0L)).as("nm")).collect()(0).getLong(0)
+  }
+
+  /** AVERAGED-perceptron weights (Freund & Schapire 1999): the
+    * element-wise SUM of the per-round weight vectors — an unnormalized
+    * average, which is decision-equivalent (the boundary is invariant
+    * under positive scaling) and keeps the arithmetic integer-exact. The
+    * averaged vector is the production variant for non-separable data:
+    * where the raw trajectory oscillates between states, the average
+    * votes across them. Whether it actually beats the final round here is
+    * MEASURED by the caller, never assumed. */
+  def averagedWeights(rounds: Seq[Round]): Seq[Long] = {
+    require(rounds.nonEmpty, "no rounds to average")
+    rounds.map(_.weights).reduce((a, b) => a.zip(b).map(t => t._1 + t._2))
+  }
+
   /** Train `rounds` batch-perceptron rounds over integral features.
     *
     * @param feats      one row per example

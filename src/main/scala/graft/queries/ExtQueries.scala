@@ -1276,22 +1276,32 @@ object ExtQueries {
     // shares vocabulary across langs, so separation is partial — the
     // honest trajectory, not an assumed convergence) ----
     "q_text_perceptron" -> ((s, d) => {
-      val tk = split(col("text"), " ")
-      val feats = docs(s, d).select(
-        when(col("lang") === "en", 1L).otherwise(-1L).as("y"),
-        lit(1L).as("x0"),
-        size(tk).cast("long").as("x1"),
-        size(array_distinct(tk)).cast("long").as("x2"),
-        size(filter(tk, t => t === "the")).cast("long").as("x3"),
-        size(filter(tk, t => t === "value")).cast("long").as("x4"),
-        size(filter(tk, t => t === "customer")).cast("long").as("x5"))
-      val rs = Perceptron.train(feats, "y",
-        Seq("x0", "x1", "x2", "x3", "x4", "x5"), rounds = 6)
+      val rs = Perceptron.train(perceptronFeats(s, d), "y",
+        PerceptronCols, rounds = 6)
       s.createDataFrame(rs.map(r => (r.round.toLong, r.nMistakes,
           r.weights(0), r.weights(1), r.weights(2), r.weights(3),
           r.weights(4), r.weights(5))))
         .toDF("round", "n_mistakes", "w_bias", "w_tokens", "w_distinct",
           "w_the", "w_value", "w_customer")
+    }),
+
+    // ---- AVERAGED perceptron (Freund–Schapire): the element-wise weight
+    // sum across rounds — the production variant where the raw trajectory
+    // oscillates (exactly this corpus). Both its mistake count and the
+    // final round's are MEASURED side by side; whether averaging helps is
+    // the artifact, not an assumption ----
+    "q_text_perceptron_avg" -> ((s, d) => {
+      val feats = perceptronFeats(s, d)
+      val rs = Perceptron.train(feats, "y", PerceptronCols, rounds = 6)
+      val wAvg = Perceptron.averagedWeights(rs)
+      val nmAvg = Perceptron.mistakes(feats, "y", PerceptronCols, wAvg)
+      val nmFinal = Perceptron.mistakes(feats, "y", PerceptronCols,
+        rs.last.weights)
+      s.createDataFrame(Seq((nmAvg, nmFinal, wAvg(0), wAvg(1), wAvg(2),
+          wAvg(3), wAvg(4), wAvg(5))))
+        .toDF("n_mistakes_avg", "n_mistakes_final", "wsum_bias",
+          "wsum_tokens", "wsum_distinct", "wsum_the", "wsum_value",
+          "wsum_customer")
     }),
 
     // ---- segment-level boilerplate REMOVAL (CCNet line-dedup adapted to
@@ -1390,6 +1400,22 @@ w$r AS MATERIALIZED (
   FROM w${r - 1})"""
     }
     sb.toString
+  }
+
+  /** The q_text_perceptron feature set, shared with the averaged variant:
+    * label = lang=='en', integral features (bias, token count, distinct
+    * count, three probe-token counts). */
+  private val PerceptronCols = Seq("x0", "x1", "x2", "x3", "x4", "x5")
+  private def perceptronFeats(s: SparkSession, d: String): DataFrame = {
+    val tk = split(col("text"), " ")
+    docs(s, d).select(
+      when(col("lang") === "en", 1L).otherwise(-1L).as("y"),
+      lit(1L).as("x0"),
+      size(tk).cast("long").as("x1"),
+      size(array_distinct(tk)).cast("long").as("x2"),
+      size(filter(tk, t => t === "the")).cast("long").as("x3"),
+      size(filter(tk, t => t === "value")).cast("long").as("x4"),
+      size(filter(tk, t => t === "customer")).cast("long").as("x5"))
   }
 
   /** Unrolled DuckDB replay of [[graft.ext.Perceptron.train]] on the
@@ -3340,6 +3366,24 @@ agg AS (
 SELECT d.doc_id, coalesce(a.n_words, 0) AS n_words,
   coalesce(a.n_bpe_tokens, 0) AS n_bpe_tokens
 FROM documents d LEFT JOIN agg a USING (doc_id)""",
+
+    // averaged-perceptron replay: weight sums across the unrolled rounds,
+    // then the two scoring aggregates (averaged vs final) side by side
+    "q_text_perceptron_avg" -> s"""WITH ${perceptronOracleCtes(6)},
+wavg AS (SELECT ${(0 until 6).map(i =>
+      (1 to 6).map(r => s"w$r.w$i").mkString(" + ") + s" AS w$i")
+      .mkString(", ")}
+  FROM ${(1 to 6).map(r => s"w$r").mkString(", ")}),
+na AS (SELECT CAST(sum(CASE WHEN f.y * (${(0 until 6)
+      .map(i => s"w.w$i * f.x$i").mkString(" + ")}) <= 0
+    THEN 1 ELSE 0 END) AS BIGINT) AS nm FROM feats f, wavg w),
+nf AS (SELECT CAST(sum(CASE WHEN f.y * (${(0 until 6)
+      .map(i => s"w.w$i * f.x$i").mkString(" + ")}) <= 0
+    THEN 1 ELSE 0 END) AS BIGINT) AS nm FROM feats f, w6 w)
+SELECT na.nm AS n_mistakes_avg, nf.nm AS n_mistakes_final,
+  w.w0 AS wsum_bias, w.w1 AS wsum_tokens, w.w2 AS wsum_distinct,
+  w.w3 AS wsum_the, w.w4 AS wsum_value, w.w5 AS wsum_customer
+FROM na, nf, wavg w""",
 
     // fertility replay: trainer CTEs + the per-word encode chain, grouped
     // by language instead of document

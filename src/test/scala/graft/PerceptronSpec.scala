@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 import graft.ext.Perceptron
 
@@ -27,6 +28,20 @@ class PerceptronSpec extends AnyFunSuite {
     val rs = Perceptron.train(feats, "y", Seq("x0"), rounds = 3)
     assert(rs.map(_.nMistakes) == Seq(1L, 0L, 0L))
     assert(rs.map(_.weights) == Seq(Seq(2L), Seq(2L), Seq(2L)))
+  }
+
+  test("averaged weights are the exact element-wise round sums, and " +
+      "mistakes() scores a fixed vector with the margin<=0 rule") {
+    val feats = Seq((1L, 1L, 2L), (-1L, 1L, -3L)).toDF("y", "x0", "x1")
+    val rs = Perceptron.train(feats, "y", Seq("x0", "x1"), rounds = 3)
+    // trajectory: (0,5), (0,5), (0,5) -> sum (0,15)
+    assert(Perceptron.averagedWeights(rs) == Seq(0L, 15L))
+    assert(Perceptron.mistakes(feats, "y", Seq("x0", "x1"), Seq(0L, 15L)) == 0L)
+    // the zero vector misclassifies everything (margin 0)
+    assert(Perceptron.mistakes(feats, "y", Seq("x0", "x1"), Seq(0L, 0L)) == 2L)
+    // empty frame: zero mistakes, no NPE
+    assert(Perceptron.mistakes(feats.filter(col("y") > 5), "y",
+      Seq("x0", "x1"), Seq(0L, 0L)) == 0L)
   }
 
   test("non-separable XOR-ish pair oscillates, never silently converges") {
