@@ -868,6 +868,17 @@ object ExtQueries {
         .dedupExactStream(st, "doc_id", "text").toDF())
         .select("doc_id", "text_hash", "is_kept", "keeper_doc")),
 
+    // STREAMING segment dedup: keep the stream's FIRST copy of every
+    // 8-token segment (arrival-time decisions; the batch
+    // removeBoilerplateSegments keeps the frequency-threshold rule a
+    // stream can't know at arrival). Id-ordered batches make the keeper
+    // the GLOBAL (doc_id, seg_no) min — the oracle is one rank window
+    "q_stream_segments" -> ((s, d) =>
+      twoBatchDocStream(s, d, "sg")(st => graft.streaming.StreamingSync
+        .dedupSegmentsStream(st, "doc_id", "text", segTokens = 8).toDF())
+        .select("doc_id", "seg_no", "seg", "is_kept",
+          "keeper_doc", "keeper_seg")),
+
     // STREAMING per-source token-budget quota: per-source running-total
     // state, prefix semantics identical to the batch tokenBudgetPerGroup
     // (the overflowing doc's tokens still count), arrival order = id
@@ -1949,6 +1960,24 @@ k AS (SELECT text_hash, min(doc_id) AS keeper FROM h GROUP BY text_hash)
 SELECT h.doc_id, h.text_hash, h.doc_id = k.keeper AS is_kept,
   k.keeper AS keeper_doc
 FROM h JOIN k USING (text_hash)""",
+
+    // streaming segment-dedup replay: the keeper is the global
+    // (doc_id, seg_no) min per segment (id-ordered batches), so one rank
+    // window replays every arrival-time decision
+    "q_stream_segments" -> """WITH t AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), w -> len(w) > 0) AS tk
+  FROM documents),
+s AS (
+  SELECT doc_id, CAST(j AS BIGINT) AS seg_no,
+    array_to_string(tk[(j*8+1):(j*8+8)], ' ') AS seg
+  FROM t, LATERAL (SELECT unnest(range(0, CAST(ceil(len(tk)/8.0) AS BIGINT))) j)),
+k AS (
+  SELECT seg, doc_id AS keeper_doc, seg_no AS keeper_seg FROM s
+  QUALIFY row_number() OVER (PARTITION BY seg ORDER BY doc_id, seg_no) = 1)
+SELECT s.doc_id, s.seg_no, s.seg,
+  s.doc_id = k.keeper_doc AND s.seg_no = k.keeper_seg AS is_kept,
+  k.keeper_doc, k.keeper_seg
+FROM s JOIN k USING (seg)""",
 
     // streaming token-quota replay: arrival order = id order, so the whole
     // stream's running totals are ONE cumulative window per source; kept

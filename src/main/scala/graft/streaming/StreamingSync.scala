@@ -380,6 +380,62 @@ object StreamingSync {
     }
   }
 
+  final case class SegRow(doc_id: Long, seg_no: Int, seg: String)
+  final case class SegKeeperState(keeperDoc: Long, keeperSeg: Int)
+  final case class SegDecision(doc_id: Long, seg_no: Long, seg: String,
+    is_kept: Boolean, keeper_doc: Long, keeper_seg: Long)
+
+  /** Streaming SEGMENT dedup — keep the stream's FIRST copy of every
+    * non-overlapping `segTokens`-token segment, deciding each occurrence
+    * on arrival: per-segment state remembers the canonical keeper (the
+    * (doc_id, seg_no)-min of the segment's first-seeing batch), later
+    * arrivals drop. This is the continuous-ingest relative of
+    * [[graft.ext.CorpusAnalysis.removeBoilerplateSegments]] with the
+    * keep-one-copy rule instead of the remove-ALL-copies-at-frequency-k
+    * rule — a stream cannot know a segment's final corpus frequency at
+    * arrival time, so the deterministic streaming contract is keep-first
+    * (exactly [[dedupExactStream]]'s rule at segment granularity; the
+    * batch operator remains the tool for frequency-threshold excision).
+    * Every occurrence is emitted with its decision — the audit shape; a
+    * downstream groupBy(doc_id) of kept segments reassembles cleaned
+    * text. State per segment: one (Long, Int). */
+  def dedupSegmentsStream(docs: DataFrame, idCol: String, textCol: String,
+      segTokens: Int): Dataset[SegDecision] = {
+    require(segTokens >= 1, "segTokens must be >= 1")
+    import docs.sparkSession.implicits._
+    val toks = filter(split(col(textCol), " "), w => length(w) > 0)
+    val segsExpr = when(size(toks) > 0,
+      transform(
+        sequence(lit(0),
+          ceil(size(toks) / lit(segTokens.toDouble)).cast("int") - 1),
+        j => array_join(slice(toks, j * segTokens + 1, lit(segTokens)), " ")))
+      .otherwise(array().cast("array<string>"))
+    docs.select(col(idCol).cast("long").as("doc_id"),
+        posexplode(segsExpr).as(Seq("seg_no", "seg")))
+      .as[SegRow]
+      .groupByKey(_.seg)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        decideSegmentDedup)
+  }
+
+  /** The per-segment state transition, separated for unit testing. */
+  def decideSegmentDedup(seg: String, rows: Iterator[SegRow],
+      state: GroupState[SegKeeperState]): Iterator[SegDecision] = {
+    val rs = rows.toArray.distinct.sortBy(r => (r.doc_id, r.seg_no))
+    if (rs.isEmpty) Iterator.empty
+    else {
+      val k = state.getOption match {
+        case Some(s) => s
+        case None =>
+          val s = SegKeeperState(rs.head.doc_id, rs.head.seg_no)
+          state.update(s); s
+      }
+      rs.iterator.map(r => SegDecision(r.doc_id, r.seg_no.toLong, seg,
+        r.doc_id == k.keeperDoc && r.seg_no == k.keeperSeg,
+        k.keeperDoc, k.keeperSeg.toLong))
+    }
+  }
+
   final case class SourcedDoc(doc_id: Long, source: String, n_tokens: Long)
   final case class QuotaState(consumed: Long)
   final case class QuotaDecision(doc_id: Long, source: String, n_tokens: Long,

@@ -266,6 +266,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(out3.toSet == Set(SpanFlag(11L, fp, 4L, 5L), SpanFlag(12L, fp, 4L, 5L)))
   }
 
+  test("streaming segment-dedup state transition: first batch's " +
+      "(doc, seg_no)-min keeps, later batches drop, duplicates collapse") {
+    import StreamingSync._
+    import org.apache.spark.api.java.Optional
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    val seg = "alpha beta"
+    // batch 1: three occurrences (one duplicated row) -> keeper (3, 1):
+    // min doc first, then min seg_no within it
+    val s1 = TestGroupState.create[SegKeeperState](Optional.empty(),
+      GroupStateTimeout.NoTimeout, 0L, Optional.empty(), false)
+    val out1 = decideSegmentDedup(seg,
+      Iterator(SegRow(5L, 0, seg), SegRow(3L, 2, seg), SegRow(3L, 1, seg),
+        SegRow(3L, 1, seg)), s1).toSeq
+    assert(s1.get == SegKeeperState(3L, 1))
+    assert(out1.map(d => (d.doc_id, d.seg_no, d.is_kept)).toSet ==
+      Set((3L, 1L, true), (3L, 2L, false), (5L, 0L, false)))
+    // batch 2: everything drops against the remembered keeper, including
+    // a would-have-won lower id
+    val s2 = TestGroupState.create[SegKeeperState](Optional.of(s1.get),
+      GroupStateTimeout.NoTimeout, 0L, Optional.empty(), false)
+    val out2 = decideSegmentDedup(seg, Iterator(SegRow(1L, 0, seg)), s2).toSeq
+    assert(out2 == Seq(SegDecision(1L, 0L, seg, is_kept = false, 3L, 1L)))
+  }
+
   test("streaming band-bucket state transition: no flag below 2 docs, " +
       "crossing flags only the arriving batch, first_doc is the cumulative min") {
     import StreamingSync._
