@@ -60,6 +60,17 @@ class BpeSpec extends AnyFunSuite {
     assert(out == Map(1L -> 3L, 2L -> 3L, 3L -> 0L, 4L -> 2L))
   }
 
+  test("encoding is LOSSLESS: stripping the delimiters recovers every " +
+      "original word regardless of which merges applied") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val merges = Bpe.trainMerges(docs, col("text"), nMerges = 8)
+    val words = Bpe.wordCounts(docs, col("text"))
+    val bad = words.select(col("word"),
+        translate(Bpe.encodeWord(col("word"), merges), "|", "").as("decoded"))
+      .filter(col("word") =!= col("decoded")).count()
+    assert(bad == 0L)
+  }
+
   test("encoding with the trained merges never splits a word across the " +
       "count arithmetic: n_bpe_tokens <= n_chars and >= n_words") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
