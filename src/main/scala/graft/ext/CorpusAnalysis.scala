@@ -98,16 +98,27 @@ object CorpusAnalysis {
     * verdict join is segment-keyed (AQE broadcasts it when the frequent
     * set is small); reassembly is one doc-keyed agg whose in-group sort
     * is bounded by a document's own segment count. Nothing driver-side. */
-  def removeBoilerplateSegments(df: DataFrame, idCol: String,
-      textCol: String, segTokens: Int = 8, minDocs: Long = 2): DataFrame = {
+  /** Non-overlapping `segTokens`-token segmentation of every document:
+    * (doc_id, seg_no, seg) rows — ONE copy of the rule (empty-token
+    * filtering, ceil-division segment count, 1-based slice, empty-array
+    * guard) shared by [[removeBoilerplateSegments]] and the streaming
+    * [[graft.streaming.StreamingSync.dedupSegmentsStream]], and mirrored
+    * by their DuckDB oracles. Pure projection + explode — streamable. */
+  def segmentRows(df: DataFrame, idCol: String, textCol: String,
+      segTokens: Int): DataFrame = {
     require(segTokens >= 1, "segTokens must be >= 1")
     val toks = filter(split(col(textCol), " "), w => length(w) > 0)
     val segsExpr = when(size(toks) > 0,
       transform(sequence(lit(0), ceil(size(toks) / lit(segTokens.toDouble)).cast("int") - 1),
         j => array_join(slice(toks, j * segTokens + 1, lit(segTokens)), " ")))
       .otherwise(array().cast("array<string>"))
-    val segs = df.select(col(idCol).as("doc_id"),
-        posexplode(segsExpr).as(Seq("seg_no", "seg")))
+    df.select(col(idCol).cast("long").as("doc_id"),
+      posexplode(segsExpr).as(Seq("seg_no", "seg")))
+  }
+
+  def removeBoilerplateSegments(df: DataFrame, idCol: String,
+      textCol: String, segTokens: Int = 8, minDocs: Long = 2): DataFrame = {
+    val segs = segmentRows(df, idCol, textCol, segTokens)
     val frequent = segs.groupBy("seg")
       .agg(countDistinct(col("doc_id")).as("n_docs"))
       .filter(col("n_docs") >= minDocs)

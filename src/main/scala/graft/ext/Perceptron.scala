@@ -43,6 +43,8 @@ object Perceptron {
     * scan → partial HashAggregate → one 1-row exchange → final. */
   def roundAgg(f: DataFrame, labelCol: String, featureCols: Seq[String],
       w: Seq[Long]): DataFrame = {
+    require(w.size == featureCols.size,
+      s"weight/feature dimension mismatch: ${w.size} vs ${featureCols.size}")
     val dot = featureCols.zip(w)
       .map { case (c, wi) => col(c) * lit(wi) }
       .reduce(_ + _)
@@ -61,12 +63,26 @@ object Perceptron {
   /** Mistake COUNT of a fixed weight vector over the feature frame — one
     * conditional-count aggregate; the evaluation half of [[roundAgg]]. */
   def mistakes(f: DataFrame, labelCol: String, featureCols: Seq[String],
-      w: Seq[Long]): Long = {
-    val dot = featureCols.zip(w)
-      .map { case (c, wi) => col(c) * lit(wi) }
-      .reduce(_ + _)
-    f.agg(coalesce(sum(when((col(labelCol) * dot) <= 0, 1L).otherwise(0L)),
-      lit(0L)).as("nm")).collect()(0).getLong(0)
+      w: Seq[Long]): Long =
+    mistakesMany(f, labelCol, featureCols, Seq(w)).head
+
+  /** Mistake counts of SEVERAL weight vectors in ONE corpus pass — one
+    * conditional sum per vector in a single aggregate (evaluating the
+    * averaged and final vectors side by side costs one scan, not two). */
+  def mistakesMany(f: DataFrame, labelCol: String, featureCols: Seq[String],
+      ws: Seq[Seq[Long]]): Seq[Long] = {
+    require(ws.nonEmpty, "at least one weight vector")
+    val aggs = ws.zipWithIndex.map { case (w, i) =>
+      require(w.size == featureCols.size,
+        s"weight/feature dimension mismatch: ${w.size} vs ${featureCols.size}")
+      val dot = featureCols.zip(w)
+        .map { case (c, wi) => col(c) * lit(wi) }
+        .reduce(_ + _)
+      coalesce(sum(when((col(labelCol) * dot) <= 0, 1L).otherwise(0L)),
+        lit(0L)).as(s"nm$i")
+    }
+    val row = f.agg(aggs.head, aggs.tail: _*).collect()(0)
+    ws.indices.map(row.getLong)
   }
 
   /** AVERAGED-perceptron weights (Freund & Schapire 1999): the
@@ -79,6 +95,8 @@ object Perceptron {
     * MEASURED by the caller, never assumed. */
   def averagedWeights(rounds: Seq[Round]): Seq[Long] = {
     require(rounds.nonEmpty, "no rounds to average")
+    require(rounds.forall(_.weights.size == rounds.head.weights.size),
+      "rounds carry inconsistent weight dimensions")
     rounds.map(_.weights).reduce((a, b) => a.zip(b).map(t => t._1 + t._2))
   }
 

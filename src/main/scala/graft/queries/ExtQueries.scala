@@ -1287,8 +1287,7 @@ object ExtQueries {
     // shares vocabulary across langs, so separation is partial — the
     // honest trajectory, not an assumed convergence) ----
     "q_text_perceptron" -> ((s, d) => {
-      val rs = Perceptron.train(perceptronFeats(s, d), "y",
-        PerceptronCols, rounds = 6)
+      val rs = perceptronRoundsFor(s, d)
       s.createDataFrame(rs.map(r => (r.round.toLong, r.nMistakes,
           r.weights(0), r.weights(1), r.weights(2), r.weights(3),
           r.weights(4), r.weights(5))))
@@ -1302,12 +1301,12 @@ object ExtQueries {
     // final round's are MEASURED side by side; whether averaging helps is
     // the artifact, not an assumption ----
     "q_text_perceptron_avg" -> ((s, d) => {
-      val feats = perceptronFeats(s, d)
-      val rs = Perceptron.train(feats, "y", PerceptronCols, rounds = 6)
+      val rs = perceptronRoundsFor(s, d)
       val wAvg = Perceptron.averagedWeights(rs)
-      val nmAvg = Perceptron.mistakes(feats, "y", PerceptronCols, wAvg)
-      val nmFinal = Perceptron.mistakes(feats, "y", PerceptronCols,
-        rs.last.weights)
+      // ONE corpus pass scores both vectors (two conditional sums)
+      val Seq(nmAvg, nmFinal) = Perceptron.mistakesMany(
+        perceptronFeats(s, d), "y", PerceptronCols,
+        Seq(wAvg, rs.last.weights))
       s.createDataFrame(Seq((nmAvg, nmFinal, wAvg(0), wAvg(1), wAvg(2),
           wAvg(3), wAvg(4), wAvg(5))))
         .toDF("n_mistakes_avg", "n_mistakes_final", "wsum_bias",
@@ -1417,6 +1416,18 @@ w$r AS MATERIALIZED (
     * label = lang=='en', integral features (bias, token count, distinct
     * count, three probe-token counts). */
   private val PerceptronCols = Seq("x0", "x1", "x2", "x3", "x4", "x5")
+
+  /** Trained rounds memoized per dataset dir — q_text_perceptron and
+    * q_text_perceptron_avg share one training per sweep, same rationale
+    * as [[bpeMergesFor]] (rounds are pure data derived deterministically
+    * from the dir). */
+  private val perceptronRoundsCache = new java.util.concurrent
+    .ConcurrentHashMap[String, Seq[graft.ext.Perceptron.Round]]()
+  private def perceptronRoundsFor(s: SparkSession,
+      d: String): Seq[graft.ext.Perceptron.Round] =
+    perceptronRoundsCache.computeIfAbsent(d,
+      _ => Perceptron.train(perceptronFeats(s, d), "y", PerceptronCols,
+        rounds = 6))
   private def perceptronFeats(s: SparkSession, d: String): DataFrame = {
     val tk = split(col("text"), " ")
     docs(s, d).select(
@@ -3403,12 +3414,12 @@ wavg AS (SELECT ${(0 until 6).map(i =>
       (1 to 6).map(r => s"w$r.w$i").mkString(" + ") + s" AS w$i")
       .mkString(", ")}
   FROM ${(1 to 6).map(r => s"w$r").mkString(", ")}),
-na AS (SELECT CAST(sum(CASE WHEN f.y * (${(0 until 6)
+na AS (SELECT CAST(coalesce(sum(CASE WHEN f.y * (${(0 until 6)
       .map(i => s"w.w$i * f.x$i").mkString(" + ")}) <= 0
-    THEN 1 ELSE 0 END) AS BIGINT) AS nm FROM feats f, wavg w),
-nf AS (SELECT CAST(sum(CASE WHEN f.y * (${(0 until 6)
+    THEN 1 ELSE 0 END), 0) AS BIGINT) AS nm FROM feats f, wavg w),
+nf AS (SELECT CAST(coalesce(sum(CASE WHEN f.y * (${(0 until 6)
       .map(i => s"w.w$i * f.x$i").mkString(" + ")}) <= 0
-    THEN 1 ELSE 0 END) AS BIGINT) AS nm FROM feats f, w6 w)
+    THEN 1 ELSE 0 END), 0) AS BIGINT) AS nm FROM feats f, w6 w)
 SELECT na.nm AS n_mistakes_avg, nf.nm AS n_mistakes_final,
   w.w0 AS wsum_bias, w.w1 AS wsum_tokens, w.w2 AS wsum_distinct,
   w.w3 AS wsum_the, w.w4 AS wsum_value, w.w5 AS wsum_customer

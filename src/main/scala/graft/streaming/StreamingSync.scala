@@ -401,17 +401,9 @@ object StreamingSync {
     * text. State per segment: one (Long, Int). */
   def dedupSegmentsStream(docs: DataFrame, idCol: String, textCol: String,
       segTokens: Int): Dataset[SegDecision] = {
-    require(segTokens >= 1, "segTokens must be >= 1")
     import docs.sparkSession.implicits._
-    val toks = filter(split(col(textCol), " "), w => length(w) > 0)
-    val segsExpr = when(size(toks) > 0,
-      transform(
-        sequence(lit(0),
-          ceil(size(toks) / lit(segTokens.toDouble)).cast("int") - 1),
-        j => array_join(slice(toks, j * segTokens + 1, lit(segTokens)), " ")))
-      .otherwise(array().cast("array<string>"))
-    docs.select(col(idCol).cast("long").as("doc_id"),
-        posexplode(segsExpr).as(Seq("seg_no", "seg")))
+    // ONE copy of the segmentation rule, shared with the batch operator
+    graft.ext.CorpusAnalysis.segmentRows(docs, idCol, textCol, segTokens)
       .as[SegRow]
       .groupByKey(_.seg)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
