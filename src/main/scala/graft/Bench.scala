@@ -31,12 +31,18 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val wall0 = System.nanoTime()
     def elapsed: Double = (System.nanoTime() - wall0) / 1e9
+    // SEMANTICS (since r10/r11 — this is a SOFT target, not a hard cap):
+    // total wall time may exceed the env var by (a) fixture-cache rebuild
+    // time, which is credited back to the budget below (a fresh container
+    // losing /tmp costs ~800 s once and must not starve the rewrite pool),
+    // and (b) the minimum-pool guarantee in the draw loop, which always
+    // draws 2 full/5pct evidence pairs even when the deadline arithmetic
+    // says they don't fit (the r10 driver run starved to 0 pairs and lost
+    // the throttle-immune pct5_speedup_cpu form entirely). A caller sizing
+    // an external watchdog should allow budget + rebuild (~800 s cold) +
+    // 2 worst-case slots (~600 s throttled); every phase flushes its JSON
+    // incrementally, so even a kill keeps all finished evidence.
     val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "1200").toDouble
-    // Fixture-cache rebuilds are a one-time environment cost (a fresh
-    // container lost /tmp), not bench work: their wall time is credited
-    // back so a cold cache can't starve the rewrite pool to 0 slots (the
-    // r9 driver run paid ~800 s rebuilding on a 1200 s budget and its
-    // pct5 forms degraded to a single unpooled fallback draw).
     var budgetCreditSec = 0.0
     def remaining: Double = budgetSec + budgetCreditSec - elapsed
     val spark = SparkSession.builder()
@@ -107,6 +113,21 @@ object Bench {
 
     def time[A](f: => A): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    // CPU-time twin of `time`: process CPU seconds exclude IO-wait, so the
+    // box's writeback-throttle regime — which can stall a wall draw 2-10x —
+    // cancels out of CPU ratios. Every ratio whose wall form is regime-
+    // sensitive gets a `_cpu` corroboration from this. `lastDrawCpuS` is
+    // set around exactly the block the wall `time` wraps (r9 review: a
+    // wider wrap counts untimed prep in the numerator and biases the ratio).
+    val osCpu = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      .asInstanceOf[com.sun.management.OperatingSystemMXBean]
+    var lastDrawCpuS = 0.0
+    def timeWithCpu(f: => Unit): Double = {
+      val c0 = osCpu.getProcessCpuTime
+      val t = time(f)
+      lastDrawCpuS = (osCpu.getProcessCpuTime - c0) / 1e9
+      t
     }
     // flush the page cache's dirty backlog (untimed) before every timed
     // iteration: this box's buffered-write path throttles hard once prior
@@ -360,18 +381,22 @@ object Bench {
       replicated(saltPerCopy = true).write.parquet(s"$tmp/spanbench_sparse")
       val denseBig = spark.read.parquet(s"$tmp/spanbench_dense")
       val sparseBig = spark.read.parquet(s"$tmp/spanbench_sparse")
-      val tDenseEx = time {
+      val tDenseEx = timeWithCpu {
         graft.ext.Dedup.duplicatedSpans(denseBig, "doc_id", "text",
           n = 8, minDocs = 2).count(); () }
-      val tDenseAd = time {
+      val cDenseEx = lastDrawCpuS
+      val tDenseAd = timeWithCpu {
         graft.ext.Dedup.duplicatedSpansWinnowed(denseBig, "doc_id", "text",
           n = 8, minDocs = 2, k = 4, w = 4).count(); () }
-      val tSparseEx = time {
+      val cDenseAd = lastDrawCpuS
+      val tSparseEx = timeWithCpu {
         graft.ext.Dedup.duplicatedSpans(sparseBig, "doc_id", "text",
           n = 8, minDocs = 2).count(); () }
-      val tSparseAd = time {
+      val cSparseEx = lastDrawCpuS
+      val tSparseAd = timeWithCpu {
         graft.ext.Dedup.duplicatedSpansWinnowed(sparseBig, "doc_id", "text",
           n = 8, minDocs = 2, k = 4, w = 4).count(); () }
+      val cSparseAd = lastDrawCpuS
       graft.ext.CacheLease.releaseAll(spark)
       rmRecF(new java.io.File(s"$tmp/spanbench_dense"))
       rmRecF(new java.io.File(s"$tmp/spanbench_sparse"))
@@ -379,9 +404,20 @@ object Bench {
         tDenseAd / math.max(tDenseEx, 1e-9)
       ratios("exactsubstr_winnow_sparse_speedup_x") =
         tSparseEx / math.max(tSparseAd, 1e-9)
+      // CPU-time twins (VERDICT r10 #2): these ~1 s wall draws carry the
+      // box's IO-regime lottery — same-code runs drew 0.61 and 1.129 for
+      // a claim whose margin is ~1.06. The CPU forms are the throttle-
+      // immune pin of the "adaptive routing is never a net loss on dense"
+      // claim; the wall forms stay as advisory corroboration.
+      ratios("exactsubstr_winnow_dense_overhead_cpu_x") =
+        cDenseAd / math.max(cDenseEx, 1e-9)
+      ratios("exactsubstr_winnow_sparse_speedup_cpu_x") =
+        cSparseEx / math.max(cSparseAd, 1e-9)
       System.err.println(f"[bench] exactsubstr adaptive (x$repl%d corpus): " +
-        f"dense $tDenseEx%.2f s exhaustive vs $tDenseAd%.2f s adaptive; " +
-        f"sparse $tSparseEx%.2f s exhaustive vs $tSparseAd%.2f s adaptive")
+        f"dense $tDenseEx%.2f s exhaustive vs $tDenseAd%.2f s adaptive " +
+        f"(cpu $cDenseEx%.2f vs $cDenseAd%.2f); " +
+        f"sparse $tSparseEx%.2f s exhaustive vs $tSparseAd%.2f s adaptive " +
+        f"(cpu $cSparseEx%.2f vs $cSparseAd%.2f)")
       // triangle orientation: wedges enumerated at the low-(degree,id)
       // endpoint vs the naive any-center two-paths (sum deg·(deg−1)/2)
       val edges = graft.ext.Dedup.ngramJaccardPairs(docs, "doc_id", "text",
@@ -698,20 +734,6 @@ object Bench {
     val rewriteOut = s"$tmp/tgt_rewrite"
     var fullWriteMbMeasured = 0.0
     val rewritePlan = runner.TablePlan("scn_rewrite", s"$cache/src", rewriteOut)
-    // CPU-time twin of a draw's TIMED section only (r9 review: wrapping the
-    // whole draw would count untimed prep — warmSrc's full-source scan, the
-    // multi-GB rmRec — in the numerator the wall time excludes, biasing
-    // pct5_speedup_cpu upward). `lastDrawCpuS` is set around exactly the
-    // same block `time` wraps.
-    val osCpu = java.lang.management.ManagementFactory.getOperatingSystemMXBean
-      .asInstanceOf[com.sun.management.OperatingSystemMXBean]
-    var lastDrawCpuS = 0.0
-    def timeWithCpu(f: => Unit): Double = {
-      val c0 = osCpu.getProcessCpuTime
-      val t = time(f)
-      lastDrawCpuS = (osCpu.getProcessCpuTime - c0) / 1e9
-      t
-    }
     def standardDraw(): Double = {
       rmRecF(new java.io.File(rewriteOut)) // no target + no usable marks ⇒ Standard
       store.putVersions("scn_rewrite", 0L, 0L, None)
@@ -949,8 +971,23 @@ object Bench {
     // byte gate tells deterministically. Both sides sample EXACTLY the
     // block their wall `time` wraps (timeWithCpu above).
     val pairRatiosCpu = scala.collection.mutable.ArrayBuffer.empty[Double]
+    // MINIMUM POOL GUARANTEE (VERDICT r10 #1): the deadline arithmetic
+    // alone starved the pool to 0 slots in the driver's throttled-regime
+    // run (scn_full_reload drew 145.7 s vs ~30-40 s fast-regime, so the
+    // very first `remaining > 1.15*slotCost` check failed under the
+    // default budget) — and with 0 pairs the throttle-immune
+    // pct5_speedup_cpu was never emitted, exactly the regime it exists
+    // for. The first TWO slots are therefore unconditional: the budget is
+    // auto-extended past its deadline if that's what a 2-pair evidence
+    // base costs (disclosed on stderr and in the budget doc above). From
+    // slot 3 on the deadline rules as before.
     var slotI = 0
-    while (slotI < 8 && remaining - poolReserve > 1.15 * slotCost) {
+    while (slotI < 8 &&
+        (slotI < 2 || remaining - poolReserve > 1.15 * slotCost)) {
+      if (slotI < 2 && remaining - poolReserve <= 1.15 * slotCost)
+        System.err.println(f"[bench] minimum-pool guarantee: drawing slot " +
+          f"${slotI + 1} past the deadline (remaining $remaining%.0f s, " +
+          f"slot cost ~$slotCost%.0f s)")
       slotI += 1
       val slot0 = elapsed
       val standard = (slotI % 2 == 1)

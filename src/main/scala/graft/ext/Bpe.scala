@@ -51,8 +51,13 @@ object Bpe {
       .filter(length(col("word")) > 0 && !col("word").contains("|"))
       .groupBy("word").agg(count(lit(1)).as("wcount"))
 
-  /** Initial symbolization: every character wrapped in '|'. */
-  def wrap(word: Column): Column = regexp_replace(word, "(.)", "|$1|")
+  /** Initial symbolization: every character wrapped in '|'. DOTALL
+    * (`(?s)`) so a line terminator inside a word (the space-only split
+    * leaves '\n'/'\r' embedded) wraps like any other character — without
+    * it the char stays bare and the symbol string is malformed, exactly
+    * the delimiter-adjacency the '|' exclusion guards against. DuckDB's
+    * RE2 honors the same flag, so both engines stay aligned. */
+  def wrap(word: Column): Column = regexp_replace(word, "(?s)(.)", "|$1|")
 
   /** Symbol array of a wrapped word: strip the outer '|', split on the
     * inner '||' boundaries. */

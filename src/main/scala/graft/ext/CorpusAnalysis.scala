@@ -75,6 +75,24 @@ object CorpusAnalysis {
       .select("doc_id", "n_units", "n_boiler", "boiler_millis")
   }
 
+  /** Non-overlapping `segTokens`-token segmentation of every document:
+    * (doc_id, seg_no, seg) rows — ONE copy of the rule (empty-token
+    * filtering, ceil-division segment count, 1-based slice, empty-array
+    * guard) shared by [[removeBoilerplateSegments]] and the streaming
+    * [[graft.streaming.StreamingSync.dedupSegmentsStream]], and mirrored
+    * by their DuckDB oracles. Pure projection + explode — streamable. */
+  def segmentRows(df: DataFrame, idCol: String, textCol: String,
+      segTokens: Int): DataFrame = {
+    require(segTokens >= 1, "segTokens must be >= 1")
+    val toks = filter(split(col(textCol), " "), w => length(w) > 0)
+    val segsExpr = when(size(toks) > 0,
+      transform(sequence(lit(0), ceil(size(toks) / lit(segTokens.toDouble)).cast("int") - 1),
+        j => array_join(slice(toks, j * segTokens + 1, lit(segTokens)), " ")))
+      .otherwise(array().cast("array<string>"))
+    df.select(col(idCol).cast("long").as("doc_id"),
+      posexplode(segsExpr).as(Seq("seg_no", "seg")))
+  }
+
   /** Segment-level boilerplate REMOVAL — the surgical twin of
     * [[boilerplateScore]] (which only scores): split every document into
     * consecutive non-overlapping `segTokens`-token segments (the last one
@@ -98,24 +116,6 @@ object CorpusAnalysis {
     * verdict join is segment-keyed (AQE broadcasts it when the frequent
     * set is small); reassembly is one doc-keyed agg whose in-group sort
     * is bounded by a document's own segment count. Nothing driver-side. */
-  /** Non-overlapping `segTokens`-token segmentation of every document:
-    * (doc_id, seg_no, seg) rows — ONE copy of the rule (empty-token
-    * filtering, ceil-division segment count, 1-based slice, empty-array
-    * guard) shared by [[removeBoilerplateSegments]] and the streaming
-    * [[graft.streaming.StreamingSync.dedupSegmentsStream]], and mirrored
-    * by their DuckDB oracles. Pure projection + explode — streamable. */
-  def segmentRows(df: DataFrame, idCol: String, textCol: String,
-      segTokens: Int): DataFrame = {
-    require(segTokens >= 1, "segTokens must be >= 1")
-    val toks = filter(split(col(textCol), " "), w => length(w) > 0)
-    val segsExpr = when(size(toks) > 0,
-      transform(sequence(lit(0), ceil(size(toks) / lit(segTokens.toDouble)).cast("int") - 1),
-        j => array_join(slice(toks, j * segTokens + 1, lit(segTokens)), " ")))
-      .otherwise(array().cast("array<string>"))
-    df.select(col(idCol).cast("long").as("doc_id"),
-      posexplode(segsExpr).as(Seq("seg_no", "seg")))
-  }
-
   def removeBoilerplateSegments(df: DataFrame, idCol: String,
       textCol: String, segTokens: Int = 8, minDocs: Long = 2): DataFrame = {
     val segs = segmentRows(df, idCol, textCol, segTokens)

@@ -68,7 +68,12 @@ object Perceptron {
 
   /** Mistake counts of SEVERAL weight vectors in ONE corpus pass — one
     * conditional sum per vector in a single aggregate (evaluating the
-    * averaged and final vectors side by side costs one scan, not two). */
+    * averaged and final vectors side by side costs one scan, not two).
+    * Caller contract: Σ_i |w_i|·max|x_i| must fit in Long (the in-plan
+    * dot product is unchecked 64-bit arithmetic); [[train]] enforces this
+    * per round for the vectors it produces, and [[averagedWeights]] sums
+    * with addExact, so vectors from this object are safe whenever the
+    * training frame was. */
   def mistakesMany(f: DataFrame, labelCol: String, featureCols: Seq[String],
       ws: Seq[Seq[Long]]): Seq[Long] = {
     require(ws.nonEmpty, "at least one weight vector")
@@ -97,7 +102,10 @@ object Perceptron {
     require(rounds.nonEmpty, "no rounds to average")
     require(rounds.forall(_.weights.size == rounds.head.weights.size),
       "rounds carry inconsistent weight dimensions")
-    rounds.map(_.weights).reduce((a, b) => a.zip(b).map(t => t._1 + t._2))
+    // addExact: the vote sum grows with rounds on non-separable data;
+    // silent Long wrap would break the exact-replay contract invisibly
+    rounds.map(_.weights).reduce((a, b) =>
+      a.zip(b).map(t => Math.addExact(t._1, t._2)))
   }
 
   /** Train `rounds` batch-perceptron rounds over integral features.
@@ -114,10 +122,34 @@ object Perceptron {
     // the projected features, never the corpus derivation above them
     val f = feats.select((labelCol +: featureCols).map(col): _*)
       .localCheckpoint()
+    // Overflow is a CONTRACT violation, not a numeric detail: weights
+    // accumulate unboundedly on non-separable data, and the in-plan dot
+    // product multiplies them by raw Long features — a silent Long wrap
+    // there diverges from the oracle with no error. Guard it loudly:
+    // per-feature |x| maxima are measured once (one aggregate over the
+    // checkpointed frame), and each round checks Σ_i |w_i|·max|x_i| in
+    // BigInt before the weights enter the plan as literals. The per-round
+    // update sums Σ y·x are bounded by the same maxima times the row
+    // count, checked alongside.
+    val absAggs = featureCols.zipWithIndex.map { case (c, i) =>
+      coalesce(max(abs(col(c))), lit(0L)).as(s"m$i")
+    }
+    val absRow = f.agg(count(lit(1)).as("n"), absAggs: _*).collect()(0)
+    val nRows = BigInt(absRow.getLong(0))
+    val maxAbs = featureCols.indices.map(i => BigInt(absRow.getLong(i + 1)))
+    val sumRisk = maxAbs.zipWithIndex.collect {
+      case (m, i) if m * nRows > Long.MaxValue => s"${featureCols(i)}: |x|<=$m over $nRows rows" }
+    require(sumRisk.isEmpty,
+      s"per-round update sum can overflow Long — ${sumRisk.mkString(", ")}")
     var w = Seq.fill(featureCols.size)(0L)
     (1 to rounds).map { r =>
+      val dotBound = w.zip(maxAbs).map { case (wi, m) => BigInt(wi).abs * m }.sum
+      require(dotBound <= Long.MaxValue,
+        s"round $r dot product can overflow Long (Σ|w|·max|x| = $dotBound); " +
+          "quantize features smaller or train fewer rounds")
       val row = roundAgg(f, labelCol, featureCols, w).collect()(0)
-      w = w.zipWithIndex.map { case (wi, i) => wi + row.getLong(i + 1) }
+      w = w.zipWithIndex.map { case (wi, i) =>
+        Math.addExact(wi, row.getLong(i + 1)) }
       Round(r, row.getLong(0), w)
     }
   }

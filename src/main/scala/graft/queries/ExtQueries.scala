@@ -1392,7 +1392,7 @@ object ExtQueries {
     SELECT unnest(string_split(text, ' ')) AS word FROM documents)
   WHERE len(word) > 0 AND word NOT LIKE '%|%' GROUP BY word),
 w0 AS MATERIALIZED (
-  SELECT regexp_replace(word, '(.)', '|\1|', 'g') AS w, wcount FROM words)"""
+  SELECT regexp_replace(word, '(?s)(.)', '|\1|', 'g') AS w, wcount FROM words)"""
     for (r <- 1 to nMerges) {
       sb ++= s""",
 p$r AS MATERIALIZED (
@@ -1487,7 +1487,7 @@ w$r AS (SELECT ${(0 until d).map(i => s"w.w$i + d.d$i AS w$i")
     * side's shorter trained-merge list. */
   private def bpeEncodeExpr(wordExpr: String, nMerges: Int): String =
     (1 to nMerges).foldLeft(
-      s"regexp_replace($wordExpr, '(.)', '|\\1|', 'g')") { (acc, r) =>
+      s"regexp_replace($wordExpr, '(?s)(.)', '|\\1|', 'g')") { (acc, r) =>
       s"""replace($acc, coalesce((SELECT '|'||l||'||'||r||'|' FROM b$r), chr(1)),
        coalesce((SELECT '|'||l||r||'|' FROM b$r), ''))"""
     }
@@ -1936,7 +1936,7 @@ FROM tr, cn, sz""",
   SELECT c_custkey + 1000000, replace(c_name, '#', '_'),
     c_acctbal, c_mktsegment FROM customer WHERE c_custkey % 3 = 0
   UNION ALL
-  SELECT c_custkey + 2000000, regexp_replace(c_name, '#0', '_Z'),
+  SELECT c_custkey + 2000000, regexp_replace(c_name, '#0', '_Z', 'g'),
     c_acctbal, c_mktsegment FROM customer WHERE c_custkey % 6 = 0),
 rb AS (SELECT rid, name, bal, seg,
   substr(name, len(name) - 2, 3) AS blk FROM recs),

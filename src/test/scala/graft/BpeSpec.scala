@@ -60,6 +60,20 @@ class BpeSpec extends AnyFunSuite {
     assert(out == Map(1L -> 3L, 2L -> 3L, 3L -> 0L, 4L -> 2L))
   }
 
+  test("DOTALL wrap: a line terminator embedded in a word (space-only " +
+      "split keeps it) wraps like any other character") {
+    // without (?s), '.' skips '\n' and the symbol string is malformed
+    // ("|a|\n|b|" — a bare char between delimiters); with it the newline
+    // is just another 1-char symbol and merging around it stays sound
+    val out = Seq(("a\nb", 0)).toDF("w", "i")
+      .select(Bpe.wrap(col("w")).as("e")).as[String].head()
+    assert(out == "|a||\n||b|")
+    val merges = Seq(Bpe.Merge(1, "a", "\n", 0L))
+    val enc = Seq(("a\nb", 0)).toDF("w", "i")
+      .select(Bpe.encodeWord(col("w"), merges).as("e")).as[String].head()
+    assert(enc == "|a\n||b|")
+  }
+
   test("encoding is LOSSLESS: stripping the delimiters recovers every " +
       "original word regardless of which merges applied") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")

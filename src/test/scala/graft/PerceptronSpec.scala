@@ -51,4 +51,24 @@ class PerceptronSpec extends AnyFunSuite {
     val rs = Perceptron.train(feats, "y", Seq("x0", "x1"), rounds = 4)
     assert(rs.forall(_.nMistakes >= 1L))
   }
+
+  test("overflow fails LOUDLY, never wraps: a dot product that cannot fit " +
+      "in Long is rejected before the round runs") {
+    // one misclassified example with a huge feature: round 1's update
+    // drives |w| to ~2^62, so round 2's Σ|w|·max|x| bound (~2^124)
+    // overflows Long — train must throw, not silently diverge
+    val big = 1L << 62
+    val feats = Seq((-1L, big)).toDF("y", "x0")
+    val ex = intercept[IllegalArgumentException] {
+      Perceptron.train(feats, "y", Seq("x0"), rounds = 2)
+    }
+    assert(ex.getMessage.contains("overflow"))
+    // the per-round update-sum bound trips too: many rows of a large
+    // feature whose conditional sum cannot fit
+    val wide = Seq.fill(4)((-1L, Long.MaxValue / 2)).toDF("y", "x0")
+    val ex2 = intercept[IllegalArgumentException] {
+      Perceptron.train(wide, "y", Seq("x0"), rounds = 1)
+    }
+    assert(ex2.getMessage.contains("overflow"))
+  }
 }
