@@ -392,6 +392,26 @@ FROM (
                       AND ${graft.sync.SyncFixtures.SkipHi}
 ) GROUP BY l_returnflag"""),
 
+    // bm25 twin: maintained (df, max_tf, n_docs, tot_len) ≡ a DIRECT
+    // rebuild over the replayed final state — documents minus the %9==4
+    // deletes, with true text everywhere (the %5==1 'zzqx'-mangled band
+    // was upserted back to source text before the deletes)
+    "q_cdf_maintain_bm25" -> """WITH fin AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 9 <> 4),
+toks AS (
+  SELECT doc_id, t AS term FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM fin)
+  WHERE len(t) > 0),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+stats AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM fin) AS n_docs,
+                 (SELECT CAST(count(*) AS BIGINT) FROM toks) AS tot_len)
+SELECT d.term, d.df, m.max_tf, s.n_docs, s.tot_len
+FROM (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+      FROM toks GROUP BY term) d
+JOIN (SELECT term, CAST(max(tf) AS BIGINT) AS max_tf FROM tf GROUP BY term) m
+  USING (term)
+CROSS JOIN stats s""",
+
     // change-data feed: commit 0 upserts the changed band (tombstone +
     // payload re-insert per key), commit 1 tombstones the skip band —
     // the feed is exactly those events, deletes key-only

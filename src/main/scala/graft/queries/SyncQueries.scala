@@ -429,6 +429,38 @@ object SyncQueries {
         LakeTable.read(s, dir), "RecId", "l_returnflag", "SysRowVersion")
     }),
 
+    // BM25/TF-IDF retrieval-index stats maintained O(changes) from the
+    // change feed (VERDICT r10 #3): df by exact pre-image increments,
+    // max_tf by the maxes dirty/clean discipline, corpus stats by pure
+    // increments — ≡ a direct rebuild over the replayed final state. The
+    // seam that keeps bm25TopDocs' broadcast side current per ingest
+    // batch instead of re-deriving it from a 100 TB corpus scan.
+    "q_cdf_maintain_bm25" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft_lake_q").toString + "/t"
+      val docs = s.read.parquet(s"$d/documents.parquet").select("doc_id", "text")
+      // initial state: a synthetic boilerplate token prepended to the
+      // %5==1 band, so the upsert CHANGES df/max_tf/lengths — the
+      // maintained stats must walk real deltas, not echo the initial
+      val tgt = docs.withColumn("text",
+        when(col("doc_id") % 5 === 1, concat(lit("zzqx "), col("text")))
+          .otherwise(col("text")))
+      LakeTable.overwrite(tgt, dir)
+      val upsert = docs.filter(col("doc_id") % 5 === 1)
+      LakeTable.appendCommit(
+        Apply.ChangeSet(upsert.select("doc_id"), upsert, upsert.select("doc_id")),
+        dir, nowMs = 1000L)
+      val dels = docs.filter(col("doc_id") % 9 === 4).select("doc_id")
+      LakeTable.appendCommit(
+        Apply.ChangeSet(dels, docs.filter(lit(false)), dels), dir, nowMs = 2000L)
+      val fromSeq = LakeTable.resolve(dir).get._2
+      val feed = LakeTable.changes(s, dir, fromSeq, keyCol = "doc_id")
+      val fin = LakeTable.read(s, dir, keyCol = "doc_id")
+      Maintain.bm25Stats(tgt, feed, fin, "doc_id", "text")
+        .crossJoin(broadcast(
+          Maintain.bm25CorpusStats(tgt, feed, "doc_id", "text")))
+        .select("term", "df", "max_tf", "n_docs", "tot_len")
+    }),
+
     // SCD-2 history build over the change feed: every version of every key
     // with its validity interval in commit-seq space — the dimension-
     // history view the current-row sync cannot answer (who held what when)

@@ -304,6 +304,108 @@ object Maintain {
     timeline.unionByName(bypass)
   }
 
+  /** Maintained BM25/TF-IDF retrieval-index statistics, advanced
+    * O(changes) from a [[LakeTable.changes]] feed over a document table —
+    * the seam that lets [[graft.ext.CorpusAnalysis.bm25TopDocs]]'s
+    * broadcast side (df + corpus stats) stay current per ingest batch
+    * instead of re-deriving from a 100 TB corpus scan.
+    *
+    * Output: one row per surviving term — (term, df, max_tf):
+    *  - `df` (document frequency, the idf input) is EXACTLY invertible:
+    *    an insert adds the doc's distinct terms, a delete's pre-image
+    *    text (the [[effectiveDeletes]] machinery) tells exactly which
+    *    terms lose a document — pure increments, never touches
+    *    `finalState`. Terms drained to df = 0 drop out.
+    *  - `max_tf` (the per-term score ceiling that impact-ordered /
+    *    max-score top-k pruning needs: BM25's contribution is monotone in
+    *    tf) is the NON-invertible piece and follows the [[maxes]]
+    *    discipline: inserts only raise the candidate; a term whose
+    *    deleted pre-image tf EQUALS the candidate is dirty and recomputes
+    *    from `finalState` pruned to just those terms. Soundness is
+    *    [[maxes]]'s argument verbatim with (group, key, value) =
+    *    (term, doc, tf): every deleted doc's tf is ≤ its term's candidate
+    *    by construction.
+    *
+    * Result ≡ a direct rebuild over the replayed final state
+    * (oracle-checked by q_cdf_maintain_bm25). Tokenization is the engine
+    * rule: split on single spaces, empty tokens dropped.
+    *
+    * Scale shape: the feed-side term frames are O(changed docs' tokens);
+    * the only table-sized input is `initialState`'s stats derivation —
+    * which in production IS the previously-maintained frame (the same
+    * note [[counts]] carries); recompute touches final rows of dirty
+    * TERMS only, via a broadcast semi-join. */
+  def bm25Stats(initialState: DataFrame, feed: DataFrame,
+      finalState: DataFrame, keyCol: String, textCol: String): DataFrame = {
+    def toks(c: org.apache.spark.sql.Column) =
+      filter(split(c, " "), t => length(t) > 0)
+    def docTerms(df: DataFrame) = df.select(col(keyCol),
+      explode(array_distinct(toks(col(textCol)))).as("term"))
+    def termTf(df: DataFrame) = df
+      .select(col(keyCol), explode(toks(col(textCol))).as("term"))
+      .groupBy(col(keyCol), col("term")).agg(count(lit(1)).as("_tf"))
+
+    val delPre = effectiveDeletes(initialState, feed, keyCol, Seq(textCol))
+    val insDocs = feed.filter(col("_op") === "insert")
+      .select(col(keyCol), col(textCol))
+
+    val df0 = docTerms(initialState)
+      .groupBy("term").agg(count(lit(1)).as("_df0"))
+    val dfPos = docTerms(insDocs)
+      .groupBy("term").agg(count(lit(1)).as("_dfPos"))
+    val dfNeg = docTerms(delPre)
+      .groupBy("term").agg(count(lit(1)).as("_dfNeg"))
+    val dfM = df0.join(dfPos, Seq("term"), "full_outer")
+      .join(dfNeg, Seq("term"), "full_outer")
+      .select(col("term"),
+        (coalesce(col("_df0"), lit(0L)) + coalesce(col("_dfPos"), lit(0L))
+          - coalesce(col("_dfNeg"), lit(0L))).as("df"))
+      .filter(col("df") > 0)
+
+    val init = termTf(initialState).groupBy("term").agg(max("_tf").as("_x0"))
+    val insMax = termTf(insDocs).groupBy("term").agg(max("_tf").as("_xIns"))
+    val candidate = init.join(insMax, Seq("term"), "full_outer")
+      .select(col("term"),
+        greatest(
+          coalesce(col("_x0"), col("_xIns")),
+          coalesce(col("_xIns"), col("_x0"))).as("_cand"))
+    val dirty = termTf(delPre).join(candidate, Seq("term"))
+      .filter(col("_tf") === col("_cand"))
+      .select("term").distinct()
+    val clean = candidate.join(broadcast(dirty), Seq("term"), "left_anti")
+      .select(col("term"), col("_cand").as("max_tf"))
+    val recomputed = termTf(finalState)
+      .join(broadcast(dirty), Seq("term"), "left_semi")
+      .groupBy("term").agg(max("_tf").as("max_tf"))
+
+    // inner: a drained term has df = 0 on the left and an empty recompute
+    // on the right — it must appear in neither
+    dfM.join(clean.unionByName(recomputed), Seq("term"))
+  }
+
+  /** Maintained corpus-level BM25 stats — (n_docs, tot_len), the length-
+    * normalization inputs: both exactly invertible (doc count and total
+    * token count), pure increments from the feed and delete pre-images,
+    * no finalState. One row; broadcast-join it onto [[bm25Stats]]'s
+    * per-term frame for the full serving-side stats. */
+  def bm25CorpusStats(initialState: DataFrame, feed: DataFrame,
+      keyCol: String, textCol: String): DataFrame = {
+    def lenOf(c: org.apache.spark.sql.Column) =
+      size(filter(split(c, " "), t => length(t) > 0)).cast("long")
+    val delPre = effectiveDeletes(initialState, feed, keyCol, Seq(textCol))
+    val a0 = initialState.agg(count(lit(1)).as("_n0"),
+      coalesce(sum(lenOf(col(textCol))), lit(0L)).as("_s0"))
+    val aIns = feed.filter(col("_op") === "insert").agg(
+      count(lit(1)).as("_nIns"),
+      coalesce(sum(lenOf(col(textCol))), lit(0L)).as("_sIns"))
+    val aDel = delPre.agg(count(lit(1)).as("_nDel"),
+      coalesce(sum(lenOf(col(textCol))), lit(0L)).as("_sDel"))
+    a0.crossJoin(broadcast(aIns)).crossJoin(broadcast(aDel))
+      .select(
+        (col("_n0") + col("_nIns") - col("_nDel")).as("n_docs"),
+        (col("_s0") + col("_sIns") - col("_sDel")).as("tot_len"))
+  }
+
   /** Maintained per-group (count, sum(valueCol)): the same pre-image
     * machinery, additionally carrying the deleted rows' VALUES so the sum
     * can be decremented exactly. `valueCol` must be integral (exact

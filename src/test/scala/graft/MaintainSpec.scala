@@ -196,6 +196,44 @@ class MaintainSpec extends AnyFunSuite {
       s"maintained $got vs direct $want (clean groups must ignore the poison)")
   }
 
+  test("maintained bm25 stats: df by pure increments, clean terms' max_tf " +
+      "ignores the final state (poison-proof), dirty terms recompute, " +
+      "drained terms drop out") {
+    val t = freshTable()
+    def csd(deletes: Seq[Long], inserts: Seq[(Long, String)]): Apply.ChangeSet =
+      Apply.ChangeSet(deletes.toDF("doc_id"),
+        inserts.toDF("doc_id", "text"), keyFlags = deletes.toDF("doc_id"))
+    val initial = Seq(
+      1L -> "alpha beta",                  // survives untouched
+      2L -> "alpha alpha beta beta beta",  // deleted: held beta's max tf
+      3L -> "gone gone")                   // deleted: drains 'gone'
+    LakeTable.overwrite(initial.toDF("doc_id", "text"), t)
+    // one commit: delete 2 (beta's max holder -> beta dirty; alpha's
+    // deleted tf 2 < candidate 3 -> alpha stays clean) + delete 3
+    // (drains 'gone') + insert 4 (raises alpha's candidate to 3)
+    LakeTable.appendCommit(csd(Seq(2L, 3L), Seq(4L -> "alpha alpha alpha")), t)
+    val fromSeq = LakeTable.resolve(t).get._2
+    val feed = LakeTable.changes(spark, t, fromSeq, keyCol = "doc_id")
+    val trueFinal = LakeTable.read(spark, t, keyCol = "doc_id")
+    // poison the beta-free doc in the final state handed in: a clean
+    // max_tf path that READ it would report alpha 4; beta's dirty
+    // recompute only consumes rows for its own term tokens
+    val poisoned = trueFinal.withColumn("text",
+      when(col("doc_id") === 4L, lit("alpha alpha alpha alpha"))
+        .otherwise(col("text")))
+    val got = Maintain.bm25Stats(initial.toDF("doc_id", "text"), feed,
+        poisoned, "doc_id", "text")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // alpha: df {1,4}, clean candidate max 3 (poison ignored);
+    // beta: df {1}, dirty recompute over final beta rows -> 1;
+    // gone: drained -> absent
+    assert(got == Map("alpha" -> ((2L, 3L)), "beta" -> ((1L, 1L))))
+    val cs2 = Maintain.bm25CorpusStats(initial.toDF("doc_id", "text"), feed,
+      "doc_id", "text").collect()(0)
+    // final: docs 1 (2 tokens) + 4 (3 tokens)
+    assert((cs2.getLong(0), cs2.getLong(1)) == ((2L, 5L)))
+  }
+
   test("scd2 history: versions close at the next event; untouched keys " +
       "bypass with one open pre-history row; deletes of absent keys add nothing") {
     val t = freshTable()
