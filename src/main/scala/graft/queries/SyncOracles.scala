@@ -195,6 +195,17 @@ WHERE RecId BETWEEN ${graft.sync.SyncFixtures.SkipLo}
     "q_lake_skip" -> (prefix + s"""SELECT $outCols FROM src
 WHERE RecId BETWEEN ${graft.sync.SyncFixtures.SkipLo} AND ${graft.sync.SyncFixtures.SkipHi}"""),
 
+    // version-threshold twin: replayed state (tgt with the hi band
+    // upserted; the low re-upsert is value-identical) filtered to the
+    // threshold — ≡ readVersionFrom's pruned plan
+    "q_lake_skip_version" -> (prefix + s""", up AS (
+  SELECT * FROM src WHERE RecId % 20 = 3 AND RecId % 131 <> 5)
+SELECT $outCols FROM (
+  SELECT $outCols FROM tgt WHERE RecId NOT IN (SELECT RecId FROM up)
+  UNION ALL
+  SELECT $outCols FROM up
+) WHERE SysRowVersion >= 10000000000000000"""),
+
     // maintained counts ≡ direct counts over the final replayed state:
     // (tgt minus upserted keys minus band keys) ∪ (upserts outside the band)
     "q_cdf_maintain" -> (prefix + s"""SELECT l_returnflag,

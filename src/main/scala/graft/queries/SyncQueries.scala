@@ -557,6 +557,32 @@ object SyncQueries {
       LakeTable.readKeyRange(s, dir, SyncFixtures.SkipLo, SyncFixtures.SkipHi)
     }),
 
+    // version-band commit skipping (VERDICT r10 #4): the S8 delta-fetch
+    // shape served FROM a lake table — _stats carries each commit's
+    // insert-version band, so a version-threshold read plans tombstones-
+    // only for below-band commits and pushes the threshold into the
+    // surviving scans; result ≡ plain replay filtered, which is exactly
+    // what the oracle states
+    "q_lake_skip_version" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft_lake_q").toString + "/t"
+      val src = slim(SyncFixtures.source(s, d))
+      val tgt = slim(SyncFixtures.target(s, d))
+      LakeTable.overwrite(tgt, dir)
+      // below-band commit: re-upsert of unmodified low-version rows (the
+      // %131 exclusion keeps every fixture version non-decreasing per key
+      // — the readVersionFrom contract)
+      val low = tgt.filter(col("RecId") % 23 === 7 && col("RecId") % 131 =!= 5)
+      LakeTable.appendCommit(
+        Apply.ChangeSet(low.select("RecId"), low, low.select("RecId")),
+        dir, nowMs = 1000L)
+      // above-band commit: the changed band, versions lifted by +1e16
+      val hi = src.filter(col("RecId") % 20 === 3 && col("RecId") % 131 =!= 5)
+      LakeTable.appendCommit(
+        Apply.ChangeSet(hi.select("RecId"), hi, hi.select("RecId")),
+        dir, nowMs = 2000L)
+      LakeTable.readVersionFrom(s, dir, 10000000000000000L)
+    }),
+
     // O4/O5/O6 — planner cost model as one distributed row
     "q_planner_decide" -> ((s, d) =>
       Planner.decideAsQuery(

@@ -94,26 +94,52 @@ object ChangeLog {
     * tight sub-intervals `lo,hi;lo,hi;…` — equal-width bands of the
     * envelope, each shrunk to its actual key min/max. Pre-v2 commits have
     * only line 1 and degrade to the envelope interval. */
+  /** Version-column convention for the per-commit version band (v3 stats
+    * line): the engine's standard change-tracking column, the one the
+    * delta fetch (S8) thresholds on. Recorded opportunistically — commits
+    * whose inserts lack the column (or carry it non-numerically) simply
+    * get no version line, and version-threshold reads keep them
+    * conservatively. */
+  val VersionCol = "SysRowVersion"
+
   private def writeStats(spark: SparkSession, staging: String): Unit = {
     val del = spark.read.parquet(s"$staging/deletes")
     val keyCol = del.schema.fieldNames.head
-    val keys = spark.read.parquet(s"$staging/inserts")
+    val ins = spark.read.parquet(s"$staging/inserts")
+    val keys = ins
       .select(col(keyCol).cast("long").as("k"))
       .union(del.select(col(keyCol).cast("long").as("k")))
     // pinned across the envelope agg and the band groupBy below — without
     // it every commit append scans its staged changeset twice
     keys.persist()
+    // v3: the INSERT rows' version band ("v:min,max" as the last line).
+    // Deletes are key-only (no version to record); a version-threshold
+    // read must always keep a commit's tombstones anyway — see
+    // LakeTable.readVersionFrom for why that is sound.
+    val vLine = ins.schema.fields
+      .find(_.name.equalsIgnoreCase(VersionCol))
+      .filter(_.dataType.isInstanceOf[types.NumericType])
+      .flatMap { f =>
+        val r = ins.agg(min(col(f.name).cast("long")),
+          max(col(f.name).cast("long")), count(lit(1))).head
+        if (r.getLong(2) == 0L) Some("v:0,-1") // no inserts: trivially below any threshold
+        else if (!r.isNullAt(0) && !r.isNullAt(1))
+          Some(s"v:${r.getLong(0)},${r.getLong(1)}")
+        else None // null versions: no line, reads keep the commit
+      }
     try {
-      writeStatsBody(staging, keys)
+      writeStatsBody(staging, keys, vLine)
     } finally { keys.unpersist(); () }
   }
 
   private def writeStatsBody(staging: String,
-      keys: org.apache.spark.sql.DataFrame): Unit = {
+      keys: org.apache.spark.sql.DataFrame,
+      vLine: Option[String] = None): Unit = {
+    def withV(body: String): String = vLine.map(body + "\n" + _).getOrElse(body)
     val r = keys.agg(min(col("k")), max(col("k")), count(lit(1))).head
     if (r.getLong(2) == 0L)
       // truly empty commit: always skippable
-      LakeFs.writeUtf8(s"$staging/_stats", "0\t-1\t0")
+      LakeFs.writeUtf8(s"$staging/_stats", withV("0\t-1\t0"))
     else if (!r.isNullAt(0) && !r.isNullAt(1)) {
       val (mn, mx) = (r.getLong(0), r.getLong(1))
       val line1 = s"$mn\t$mx\t${r.getLong(2)}"
@@ -133,7 +159,7 @@ object ChangeLog {
         if (bands.size > 1)
           line1 + "\n" + bands.map { case (a, b) => s"$a,$b" }.mkString(";")
         else line1
-      LakeFs.writeUtf8(s"$staging/_stats", body)
+      LakeFs.writeUtf8(s"$staging/_stats", withV(body))
     }
     // else: events exist but keys are null / fail the long cast (non-numeric
     // key column) — a key-range read cannot reason about them, so write NO
@@ -178,7 +204,11 @@ object ChangeLog {
                 n <- n0.toLongOption) yield {
               if (n == 0L) Nil
               else {
-                val banded = lines.drop(1).headOption.flatMap { line =>
+                // band line = first non-"v:" line after the envelope (the
+                // v3 version line may follow it, or replace it when the
+                // envelope was already tight)
+                val banded = lines.drop(1).filterNot(_.startsWith("v:"))
+                  .headOption.flatMap { line =>
                   try Some(line.trim.split(";").toSeq.map { iv =>
                     val Array(a, b) = iv.split(",")
                     (a.toLong, b.toLong)
@@ -203,6 +233,24 @@ object ChangeLog {
   private def skippable(commitPath: String, lo: Long, hi: Long): Boolean =
     commitStatsIntervals(commitPath).exists(
       _.forall { case (a, b) => b < lo || a > hi })
+
+  /** The commit's INSERT version band (min, max of [[VersionCol]] over its
+    * insert rows; (0, -1) for a commit with no inserts) — None when the
+    * stats predate the v3 line, the column was absent/non-numeric, or the
+    * file is torn. None degrades to "scan the inserts", never to a wrong
+    * skip. */
+  def commitVersionRange(commitPath: String): Option[(Long, Long)] = {
+    val p = s"$commitPath/_stats"
+    if (!LakeFs.exists(p)) None
+    else
+      try LakeFs.readUtf8(p).linesIterator.find(_.startsWith("v:"))
+        .flatMap(_.drop(2).split(",") match {
+          case Array(a, b) =>
+            for (x <- a.toLongOption; y <- b.toLongOption) yield (x, y)
+          case _ => None
+        })
+      catch { case scala.util.control.NonFatal(_) => None }
+  }
 
   /** Least lossless-widening supertype of two column types, or None if the
     * pair has no lossless join (→ replay refuses under [[TypePolicy.Strict]];
@@ -266,7 +314,8 @@ object ChangeLog {
       keyCol: String = "RecId", fromSeq: Int = 0,
       keyRange: Option[(Long, Long)] = None,
       toSeq: Int = Int.MaxValue,
-      typePolicy: TypePolicy = TypePolicy.Strict): DataFrame = {
+      typePolicy: TypePolicy = TypePolicy.Strict,
+      versionFrom: Option[(String, Long)] = None): DataFrame = {
     // manifest resolution (LakeTable.readPaths): a partially-compacted
     // base's files live across generation dirs — the dir alone is not the
     // base. Plain dirs pass through unchanged.
@@ -279,7 +328,7 @@ object ChangeLog {
     // + footer reads, which is what a point lookup on a 100 TB clustered
     // base actually waits on. One file is always kept: a manifested base's
     // files share one schema, and an all-pruned read still needs it.
-    val paths = keyRange match {
+    val paths1 = keyRange match {
       case Some((lo, hi)) if paths0.size > 1 =>
         val kept = paths0.filter(p =>
           ParquetStats.fileKeyRange(p, keyCol)
@@ -287,8 +336,20 @@ object ChangeLog {
         if (kept.nonEmpty) kept else paths0.take(1)
       case _ => paths0
     }
+    // version-threshold twin of the key-range file pruning: a base file
+    // whose version footer max is below the threshold holds no qualifying
+    // rows (the base never shadows anything — dropping its files is exact,
+    // no monotonicity needed). Pays off on version-clustered bases, where
+    // footer version ranges are tight per file.
+    val paths = versionFrom match {
+      case Some((vc, vlo)) if paths1.size > 1 =>
+        val kept = paths1.filter(p =>
+          ParquetStats.fileKeyRange(p, vc).forall { case (_, mx) => mx >= vlo })
+        if (kept.nonEmpty) kept else paths1.take(1)
+      case _ => paths1
+    }
     replayPaths(spark, paths, logDir, keyCol,
-      fromSeq, keyRange, toSeq, typePolicy)
+      fromSeq, keyRange, toSeq, typePolicy, versionFrom)
   }
 
   /** [[replay]] over an EXPLICIT base file list — the entry partial
@@ -297,9 +358,24 @@ object ChangeLog {
       keyCol: String = "RecId", fromSeq: Int = 0,
       keyRange: Option[(Long, Long)] = None,
       toSeq: Int = Int.MaxValue,
-      typePolicy: TypePolicy = TypePolicy.Strict): DataFrame = {
+      typePolicy: TypePolicy = TypePolicy.Strict,
+      versionFrom: Option[(String, Long)] = None): DataFrame = {
     val prune: DataFrame => DataFrame = keyRange match {
       case Some((lo, hi)) => df => df.filter(col(keyCol).between(lo, hi))
+      case None => identity
+    }
+    // `versionFrom` (see LakeTable.readVersionFrom for the contract): the
+    // output filter `versionCol >= vlo` applied at the END — on the base
+    // side Catalyst pushes it through the anti-join into the scan (row-group
+    // pruning); commit inserts additionally get it pushed EARLY below,
+    // which is where the monotonicity precondition enters.
+    val vFilter: DataFrame => DataFrame = versionFrom match {
+      case Some((vc, vlo)) => df =>
+        df.schema.fieldNames.find(_.equalsIgnoreCase(vc)) match {
+          case Some(actual) => df.filter(col(actual) >= lit(vlo))
+          case None => throw new IllegalArgumentException(
+            s"version-threshold read: no generation carries column '$vc'")
+        }
       case None => identity
     }
     val base = prune(spark.read.parquet(basePaths: _*))
@@ -313,7 +389,7 @@ object ChangeLog {
       .flatMap(st => st.getPath.getName.toIntOption.map(_ -> st.getPath.toString))
       .filter(c => c._1 >= fromSeq && c._1 <= toSeq)
       .sortBy(_._1)
-    if (allCommits.isEmpty) return base
+    if (allCommits.isEmpty) return vFilter(base)
     val commits = allCommits.filter { case (_, path) =>
       keyRange.forall { case (lo, hi) => !skippable(path, lo, hi) } }
 
@@ -379,10 +455,32 @@ object ChangeLog {
       }: _*)
     }
     val insFrames = commits.map { case (seq, path) =>
-      (seq, prune(spark.read.parquet(s"$path/inserts")),
+      val insAll = spark.read.parquet(s"$path/inserts")
+      // version skipping (monotonic-version contract, see
+      // LakeTable.readVersionFrom): a commit whose insert-version band tops
+      // out below the threshold contributes no output rows, and the rows it
+      // would have SHADOWED are below the threshold too — so its insert
+      // SCAN is dropped (limit 0 → Catalyst's empty relation, no tasks, no
+      // files). Its tombstones are always kept: they are key-only and must
+      // keep killing base rows whose version may be anything. Commits
+      // without a usable version band are scanned — absence is never a
+      // skip. Kept commits get the threshold pushed into their insert scan
+      // when they carry the column (row-group pruning inside mixed
+      // commits, same contract).
+      val ins = versionFrom match {
+        case Some((vc, vlo)) =>
+          if (commitVersionRange(path).exists(_._2 < vlo)) insAll.limit(0)
+          else insAll.schema.fieldNames.find(_.equalsIgnoreCase(vc)) match {
+            case Some(actual) => insAll.filter(col(actual) >= lit(vlo))
+            case None => insAll
+          }
+        case None => insAll
+      }
+      (seq, prune(ins),
         prune(spark.read.parquet(s"$path/deletes")).select(keyCol))
     }
-    if (insFrames.isEmpty) return conform(alignTypes(base, widened, lossy))
+    if (insFrames.isEmpty)
+      return vFilter(conform(alignTypes(base, widened, lossy)))
     // The base NEVER enters a shuffle: only commit events (≈ change% of the
     // table) are windowed per key, and base rows whose key appears in any
     // event are dropped with an anti-join whose build side is just the
@@ -412,8 +510,8 @@ object ChangeLog {
       .withColumn("_rn", row_number().over(w))
       .filter(col("_rn") === 1 && !col("_del"))
       .drop("_seq", "_del", "_rn")
-    conform(alignTypes(base, widened, lossy)
+    vFilter(conform(alignTypes(base, widened, lossy)
       .join(events.select(keyCol).distinct(), Seq(keyCol), "left_anti")
-      .unionByName(winners, allowMissingColumns = true))
+      .unionByName(winners, allowMissingColumns = true)))
   }
 }

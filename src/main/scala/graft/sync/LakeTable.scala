@@ -159,6 +159,40 @@ object LakeTable {
         throw new IllegalArgumentException(s"lake table does not exist: $table")
     }
 
+  /** Version-threshold read with commit-level data skipping — the S8
+    * delta-fetch shape served FROM a lake table: result ≡
+    * `read(...).filter(versionCol >= fromVersion)`, with three prunes on
+    * top of the plain read: (a) base FILES whose version footer max is
+    * below the threshold are dropped (exact — the base shadows nothing);
+    * (b) a commit whose `_stats` insert-version band tops out below the
+    * threshold contributes its TOMBSTONES only — its insert scan never
+    * enters the plan; (c) surviving insert scans and the base get the
+    * threshold pushed to parquet row groups.
+    *
+    * CONTRACT (what makes (b)/(c) sound): `versionCol` must be
+    * non-decreasing per key across the replayed window — the rowversion
+    * semantics the engine's own change feeds have by construction (an
+    * update always raises SysRowVersion). Then a below-threshold insert
+    * can only shadow rows that are themselves below the threshold, so
+    * dropping both sides preserves the filtered result; tombstones carry
+    * no version and are always kept (a delete must keep killing its base
+    * row regardless of that row's version). A producer that REWINDS a
+    * key's version violates the contract and can resurface the stale
+    * pre-image — the same class of corruption it would inflict on any
+    * version-threshold consumer (the reference's delta sync included).
+    * Commits without usable version stats are scanned conservatively;
+    * stats absence is never a skip. */
+  def readVersionFrom(spark: SparkSession, table: String, fromVersion: Long,
+      versionCol: String = ChangeLog.VersionCol,
+      keyCol: String = "RecId"): DataFrame =
+    resolve(table) match {
+      case Some((base, fromSeq)) =>
+        ChangeLog.replay(spark, base, logDir(table), keyCol, fromSeq,
+          keyRange = None, versionFrom = Some((versionCol, fromVersion)))
+      case None =>
+        throw new IllegalArgumentException(s"lake table does not exist: $table")
+    }
+
   /** Time travel within the current generation: the table state as of
     * commit `asOfSeq` (inclusive) — base + commits in [fromSeq, asOfSeq].
     * `asOfSeq == fromSeq - 1` is the base alone (the state the current

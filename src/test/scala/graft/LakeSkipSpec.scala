@@ -214,6 +214,79 @@ class LakeSkipSpec extends AnyFunSuite {
       .inputFiles.exists(_.contains(s"/_log/$seq/")))
   }
 
+  test("version-threshold read: below-band commits contribute tombstones " +
+      "only, high commits stay planned, results exact") {
+    val t = freshTable()
+    def csv(deletes: Seq[Long], inserts: Seq[(Long, Long, String)]): Apply.ChangeSet =
+      Apply.ChangeSet(deletes.toDF("RecId"),
+        inserts.toDF("RecId", "SysRowVersion", "payload"),
+        keyFlags = deletes.toDF("RecId"))
+    // base versions = key; every commit raises versions (the rowversion
+    // contract readVersionFrom documents)
+    LakeTable.overwrite((1L to 100L).map(i => (i, i, s"p$i"))
+      .toDF("RecId", "SysRowVersion", "payload"), t)
+    // A: upsert below the threshold (versions 201..210)
+    val seqA = LakeTable.appendCommit(
+      csv(1L to 10L, (1L to 10L).map(i => (i, 200L + i, "vA"))), t)
+    // B: tombstone-only (v:0,-1 — insert scan trivially skippable; the
+    // delete must still kill key 50, whatever its base version)
+    val seqB = LakeTable.appendCommit(csv(Seq(50L), Seq.empty), t)
+    // C: upsert above the threshold (versions 1060..1070)
+    val seqC = LakeTable.appendCommit(
+      csv(60L to 70L, (60L to 70L).map(i => (i, 1000L + i, "vC"))), t)
+    assert(ChangeLog.commitVersionRange(s"$t/_log/$seqA").contains((201L, 210L)))
+    assert(ChangeLog.commitVersionRange(s"$t/_log/$seqB").contains((0L, -1L)))
+
+    val got = LakeTable.readVersionFrom(spark, t, 1000L)
+    val want = LakeTable.read(spark, t).filter(col("SysRowVersion") >= 1000L)
+    assert(got.orderBy("RecId").collect().toSeq ==
+      want.orderBy("RecId").collect().toSeq)
+    assert(got.select("RecId").as[Long].collect().sorted.toSeq == (60L to 70L))
+    val files = got.inputFiles.toSeq
+    assert(!files.exists(_.contains(s"/_log/$seqA/inserts")),
+      s"below-band insert scan must be skipped:\n${files.mkString("\n")}")
+    assert(files.exists(_.contains(s"/_log/$seqA/deletes")),
+      "tombstones are always planned")
+    assert(!files.exists(_.contains(s"/_log/$seqB/inserts")))
+    assert(files.exists(_.contains(s"/_log/$seqC/inserts")),
+      "above-threshold commit's inserts must stay in the plan")
+  }
+
+  test("version-threshold read: stats-missing and column-less commits are " +
+      "scanned conservatively; results stay ≡ read().filter") {
+    val t = freshTable()
+    def csv(deletes: Seq[Long], inserts: Seq[(Long, Long, String)]): Apply.ChangeSet =
+      Apply.ChangeSet(deletes.toDF("RecId"),
+        inserts.toDF("RecId", "SysRowVersion", "payload"),
+        keyFlags = deletes.toDF("RecId"))
+    LakeTable.overwrite((1L to 100L).map(i => (i, i, s"p$i"))
+      .toDF("RecId", "SysRowVersion", "payload"), t)
+    // A: below-threshold upsert whose _stats we then REMOVE entirely —
+    // absence must degrade to a scan, never a skip
+    val seqA = LakeTable.appendCommit(
+      csv(1L to 5L, (1L to 5L).map(i => (i, 200L + i, "vA"))), t)
+    new java.io.File(s"$t/_log/$seqA/_stats").delete()
+    assert(ChangeLog.commitVersionRange(s"$t/_log/$seqA").isEmpty)
+    // B: a commit WITHOUT the version column (schema evolution) — no v
+    // line, conservatively scanned; its rows null-fill the version and
+    // fall to the output filter on both sides of the equivalence
+    val insB = Seq((200L, "noV")).toDF("RecId", "payload")
+    val seqB = LakeTable.appendCommit(
+      Apply.ChangeSet(Seq(200L).toDF("RecId"), insB,
+        keyFlags = Seq(200L).toDF("RecId")), t)
+    assert(ChangeLog.commitVersionRange(s"$t/_log/$seqB").isEmpty)
+
+    val got = LakeTable.readVersionFrom(spark, t, 1000L)
+    val want = LakeTable.read(spark, t).filter(col("SysRowVersion") >= 1000L)
+    assert(got.orderBy("RecId").collect().toSeq ==
+      want.orderBy("RecId").collect().toSeq)
+    val files = got.inputFiles.toSeq
+    assert(files.exists(_.contains(s"/_log/$seqA/inserts")),
+      "stats-missing commit must be scanned")
+    assert(files.exists(_.contains(s"/_log/$seqB/inserts")),
+      "column-less commit must be scanned")
+  }
+
   test("empty changeset commits are always skippable") {
     val t = freshTable()
     LakeTable.overwrite((1L to 10L).map(i => (i, s"p$i")).toDF("RecId", "payload"), t)
