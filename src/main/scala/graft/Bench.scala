@@ -226,6 +226,12 @@ object Bench {
             f.getName.startsWith("graft_stream")) && // markerless → 3 h age gate
           ownerDead(f))
         .foreach(rmRecF))
+    // dev knob (r11, scale-up evidence runs): SPARK_GRAFT_SCN_ONLY=1 skips
+    // the structural phases (bloom refilter, zorder, prune ratios) and goes
+    // straight to the fixture build + BASELINE scenario phases — the
+    // headline-scenario-only mode a scaling-exponent measurement wants.
+    val scnOnly = sys.env.contains("SPARK_GRAFT_SCN_ONLY")
+    if (!scnOnly) {
     val bloomTmp = claimScratch("graft_bloomph")
     try {
       val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
@@ -267,11 +273,13 @@ object Bench {
       rmRecF(new java.io.File(bloomTmp))
     }
     flush("bloom_refilter")
+    }
 
     // Z-order layout quality on the REAL events table (user × time — the
     // natural 2-D lookup shape): row groups a 1/64-area box intersects,
     // linear-sort layout vs Morton layout, from parquet footer ground truth.
     val tmp = claimScratch("graft_bench")
+    if (!scnOnly) {
     locally {
       // EventsSource.load dispatches on the testdata generation's timestamp
       // unit (ns-as-long vs native µs NTZ — a raw cast("long") breaks on one
@@ -468,6 +476,7 @@ object Bench {
         f"shuffled vs aggregate ${aggIo.shuffledMb}%.2f MB")
     }
     flush("prune_ratios")
+    }
 
     // --- reference scenario ratios (BASELINE.md invariants) ---
     // Scenario inputs are MATERIALIZED tables (written once, untimed): a
@@ -1103,11 +1112,28 @@ object Bench {
       LakeTable.read(spark, skipT).inputFiles.toSeq.filter(_.contains("/_log/")))
     require(plannedLogMb > 0 && plannedLogMb < allLogMb / 4,
       f"commit skipping regressed: planned $plannedLogMb%.1f MB of $allLogMb%.1f MB")
-    rmRecF(new java.io.File(skipT))
     // commit-level data skipping: all-commit bytes over the bytes a
     // one-band range read actually plans (≈8 = the band count when the
     // _stats skip works; 1 = regression)
     ratios("lakeskip_commit_skip_x") = allLogMb / math.max(plannedLogMb, 0.001)
+
+    // version-band twin (r11): this fixture's versions track keys (+1), so
+    // the 8 key-banded commits are version-banded too — a version-threshold
+    // read (the S8 delta-fetch shape on a lake table) must plan only the
+    // above-threshold commits' INSERT scans; tombstones are key-only and
+    // always planned, so the ratio is measured on insert bytes
+    // (≈8 when the v3 _stats line works, 1 = regression). Byte-
+    // deterministic like its key-range sibling.
+    def insertMb(uris: Seq[String]): Double =
+      fileMb(uris.filter(u => u.contains("/_log/") && u.contains("/inserts/")))
+    val vThr = bands(7)._1 + 1L // band 7's min version; bands 0-6 top out below
+    val vRead = LakeTable.readVersionFrom(spark, skipT, vThr)
+    val plannedInsMb = insertMb(vRead.inputFiles.toSeq)
+    val allInsMb = insertMb(LakeTable.read(spark, skipT).inputFiles.toSeq)
+    require(plannedInsMb > 0 && plannedInsMb < allInsMb / 4,
+      f"version skipping regressed: planned $plannedInsMb%.1f MB of $allInsMb%.1f MB")
+    ratios("lakeskip_version_skip_x") = allInsMb / math.max(plannedInsMb, 0.001)
+    rmRecF(new java.io.File(skipT))
 
     // scenario outputs are reclaimed (the fixture CACHE is kept for the
     // next round; the recipe key invalidates it when fixtures change)
