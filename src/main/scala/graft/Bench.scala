@@ -814,8 +814,13 @@ object Bench {
     val tCompactPartial = {
       val t = s"$tmp/tgt_compact_loc"
       lakeTarget(s"$cache/perf_clustered", t)
-      // the newest replicate band's share of the canonical 5% drift
-      val hotLo = (copies - 1).toLong * 1000000000000000L
+      // the newest replicate band's share of the canonical 5% drift; at
+      // copies=1 (scale-up evidence runs) there is no replicate band, so
+      // the hot slice is the top ~1/9 of the key RANGE — the same
+      // fraction-of-keyspace locality shape the 9-copy default measures
+      val hotLo =
+        if (copies > 1) (copies - 1).toLong * 1000000000000000L
+        else mark - mark / 9
       val hot = srcT.filter(col("RecId") >= hotLo)
       val csLoc = Apply.updateOnlyChangeSet(hot, ctl(hot), mark)
       (1 to compactK).foreach(_ => LakeTable.appendCommit(csLoc, t))

@@ -564,4 +564,46 @@ class PlanQualitySpec extends AnyFunSuite {
         !plan.contains("BroadcastNestedLoopJoin"),
       s"block self-join must be an equi-join:\n$plan")
   }
+
+  test("maintained bm25 stats: finalState enters ONLY through the " +
+      "dirty-term semi-join prune; clean side is a left-anti; no cartesian") {
+    import graft.sync.{Apply, LakeTable, Maintain}
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val t = java.nio.file.Files.createTempDirectory("graft_pq_bm25")
+      .toString + "/t"
+    LakeTable.overwrite(docs, t)
+    val up = docs.filter(col("doc_id") % 5 === 1)
+    LakeTable.appendCommit(
+      Apply.ChangeSet(up.select("doc_id"), up, up.select("doc_id")), t)
+    val fromSeq = LakeTable.resolve(t).get._2
+    val out = Maintain.bm25Stats(docs,
+      LakeTable.changes(spark, t, fromSeq, keyCol = "doc_id"),
+      LakeTable.read(spark, t, keyCol = "doc_id"), "doc_id", "text")
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoopJoin"),
+      s"bm25 maintenance must stay term/key-equi-joined:\n$plan")
+    assert(plan.contains("LeftSemi"),
+      s"expected the dirty-term final-state prune:\n$plan")
+    assert(plan.contains("LeftAnti"),
+      s"expected the clean-side dirty exclusion:\n$plan")
+  }
+
+  test("version-threshold lake read pushes the threshold into the " +
+      "surviving parquet scans (row-group pruning evidence)") {
+    import graft.sync.{Apply, LakeTable}
+    val t = java.nio.file.Files.createTempDirectory("graft_pq_vskip")
+      .toString + "/t"
+    LakeTable.overwrite((1L to 200L).map(i => (i, i, s"p$i"))
+      .toDF("RecId", "SysRowVersion", "payload"), t)
+    val hi = (60L to 70L).map(i => (i, 1000L + i, "vC"))
+      .toDF("RecId", "SysRowVersion", "payload")
+    LakeTable.appendCommit(
+      Apply.ChangeSet(hi.select("RecId"), hi, hi.select("RecId")), t)
+    val plan = LakeTable.readVersionFrom(spark, t, 1000L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("GreaterThanOrEqual(SysRowVersion,1000)"),
+      s"threshold must reach PushedFilters of the scans:\n$plan")
+  }
 }
