@@ -170,11 +170,57 @@ object CorpusAnalysis {
     val lens = df.select(col(idCol).as("doc_id"),
       TextAnalysis.tokenCount(col(textCol)).as("len"))
     val stats = lens.agg(count(lit(1)).as("n_docs"), sum("len").as("tot_len"))
-    val tf = df.select(col(idCol).as("doc_id"),
+    val tf = queryTermTf(df, idCol, textCol, queryTerms)
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    bm25Score(tf, dfreq, lens, stats, topN)
+  }
+
+  /** [[bm25TopDocs]] SERVED FROM MAINTAINED STATISTICS — the consumer of
+    * [[graft.sync.Maintain.bm25Stats]] / `bm25CorpusStats`: identical
+    * scoring arithmetic, but df and the corpus stats arrive as INPUTS
+    * (metadata-sized, broadcast) instead of being re-derived by extra
+    * corpus-wide aggregates on every query. At 100 TB this is the
+    * difference between "each retrieval query pays one term-pruned scan"
+    * and "each query re-aggregates the corpus to learn df it already
+    * maintains". Per-doc lengths are still computed from `df` (they ride
+    * the same scan the tf aggregation already pays; a production deploy
+    * can precompute a (doc_id, len) column instead).
+    *
+    * `termStats` = (term, df, …) rows — extra columns (max_tf) ignored;
+    * `corpusStats` = ONE (n_docs, tot_len) row. Result ≡ [[bm25TopDocs]]
+    * whenever the stats equal a direct rebuild over `df` — exactly what
+    * the maintained stats guarantee (q_cdf_maintain_bm25). Tokenization
+    * contract: both sides use the engine rule (single-space split; the
+    * stats side drops empty tokens — normalize doubled whitespace before
+    * feeding either). */
+  def bm25TopDocsFromStats(df: DataFrame, termStats: DataFrame,
+      corpusStats: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], topN: Int = 10): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25TopDocsFromStats needs a query term")
+    val lens = df.select(col(idCol).as("doc_id"),
+      TextAnalysis.tokenCount(col(textCol)).as("len"))
+    val tf = queryTermTf(df, idCol, textCol, queryTerms)
+    val dfreq = termStats.filter(col("term").isin(queryTerms: _*))
+      .select(col("term"), col("df"))
+    bm25Score(tf, dfreq, lens,
+      corpusStats.select(col("n_docs"), col("tot_len")), topN)
+  }
+
+  /** Query-term-pruned (doc, term, tf) aggregation — the only
+    * corpus-sized work a BM25 query pays; shared by both serving paths. */
+  private def queryTermTf(df: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String]): DataFrame =
+    df.select(col(idCol).as("doc_id"),
         explode(TextAnalysis.tokens(col(textCol))).as("term"))
       .filter(col("term").isin(queryTerms: _*))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+
+  /** Shared BM25 scoring tail: per-(doc,term) contribution quantized to
+    * integer micros BEFORE the per-doc sum (the oracle rule), then the
+    * deterministic top-N. `dfreq` and `stats` are broadcast — they are
+    * metadata-sized on both serving paths. */
+  private def bm25Score(tf: DataFrame, dfreq: DataFrame, lens: DataFrame,
+      stats: DataFrame, topN: Int): DataFrame = {
     val contrib = tf.join(broadcast(dfreq), Seq("term"))
       .join(lens, Seq("doc_id"))
       .crossJoin(broadcast(stats))

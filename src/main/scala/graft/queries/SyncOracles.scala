@@ -423,6 +423,35 @@ JOIN (SELECT term, CAST(max(tf) AS BIGINT) AS max_tf FROM tf GROUP BY term) m
   USING (term)
 CROSS JOIN stats s""",
 
+    // serve-from-maintained-stats twin: ≡ a from-scratch BM25 over the
+    // same replayed final state (the q_text_bm25 arithmetic with a `fin`
+    // CTE in place of the raw table)
+    "q_bm25_maintained_serve" -> """WITH fin AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 9 <> 4),
+lens AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS len FROM fin),
+stats AS (SELECT COUNT(*) AS n_docs, CAST(SUM(len) AS BIGINT) AS tot_len FROM lens),
+toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM fin),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks
+       WHERE term IN ('customer', 'window', 'stream') GROUP BY 1, 2),
+dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+contrib AS (
+  SELECT t.doc_id,
+    CAST(floor(1000000.0 * (
+      ((CAST(s.n_docs - f.df AS DOUBLE) + 0.5) / (CAST(f.df AS DOUBLE) + 0.5)) *
+      ((CAST(t.tf AS DOUBLE) * 2.2) /
+       (CAST(t.tf AS DOUBLE) + 1.2 * (0.25 + 0.75 *
+         (CAST(l.len AS DOUBLE) /
+          (CAST(s.tot_len AS DOUBLE) / CAST(s.n_docs AS DOUBLE)))))))) AS BIGINT)
+      AS contrib_micro
+  FROM tf t JOIN dfreq f USING (term) JOIN lens l USING (doc_id), stats s),
+scored AS (SELECT doc_id, CAST(SUM(contrib_micro) AS BIGINT) AS score_micro
+           FROM contrib GROUP BY 1)
+SELECT doc_id, CAST(rank AS INTEGER) AS rank, score_micro FROM (
+  SELECT doc_id, score_micro,
+    row_number() OVER (ORDER BY score_micro DESC, doc_id ASC) AS rank
+  FROM scored) WHERE rank <= 10""",
+
     // change-data feed: commit 0 upserts the changed band (tombstone +
     // payload re-insert per key), commit 1 tombstones the skip band —
     // the feed is exactly those events, deletes key-only

@@ -461,6 +461,34 @@ object SyncQueries {
         .select("term", "df", "max_tf", "n_docs", "tot_len")
     }),
 
+    // the COMPOSITION the maintenance exists for: BM25 retrieval SERVED
+    // from the maintained statistics (df + corpus stats arrive as inputs,
+    // no corpus-wide re-aggregation per query) over the replayed final
+    // state — result ≡ a from-scratch BM25 over that state, which is what
+    // the oracle computes directly
+    "q_bm25_maintained_serve" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft_lake_q").toString + "/t"
+      val docs = s.read.parquet(s"$d/documents.parquet").select("doc_id", "text")
+      val tgt = docs.withColumn("text",
+        when(col("doc_id") % 5 === 1, concat(lit("zzqx "), col("text")))
+          .otherwise(col("text")))
+      LakeTable.overwrite(tgt, dir)
+      val upsert = docs.filter(col("doc_id") % 5 === 1)
+      LakeTable.appendCommit(
+        Apply.ChangeSet(upsert.select("doc_id"), upsert, upsert.select("doc_id")),
+        dir, nowMs = 1000L)
+      val dels = docs.filter(col("doc_id") % 9 === 4).select("doc_id")
+      LakeTable.appendCommit(
+        Apply.ChangeSet(dels, docs.filter(lit(false)), dels), dir, nowMs = 2000L)
+      val fromSeq = LakeTable.resolve(dir).get._2
+      val feed = LakeTable.changes(s, dir, fromSeq, keyCol = "doc_id")
+      val fin = LakeTable.read(s, dir, keyCol = "doc_id")
+      graft.ext.CorpusAnalysis.bm25TopDocsFromStats(fin,
+        Maintain.bm25Stats(tgt, feed, fin, "doc_id", "text"),
+        Maintain.bm25CorpusStats(tgt, feed, "doc_id", "text"),
+        "doc_id", "text", Seq("customer", "window", "stream"), topN = 10)
+    }),
+
     // SCD-2 history build over the change feed: every version of every key
     // with its validity interval in commit-seq space — the dimension-
     // history view the current-row sync cannot answer (who held what when)

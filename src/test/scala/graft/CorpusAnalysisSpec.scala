@@ -135,6 +135,25 @@ class CorpusAnalysisSpec extends AnyFunSuite {
     assert(out(5L) == (0L, 0L, ""))          // zero-token doc keeps its row
   }
 
+  test("bm25TopDocsFromStats with directly-derived stats reproduces " +
+      "bm25TopDocs exactly (the maintained-stats serving contract)") {
+    import graft.ext.CorpusAnalysis
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val terms = Seq("customer", "window", "stream")
+    val want = CorpusAnalysis.bm25TopDocs(docs, "doc_id", "text", terms, 10)
+      .collect().toSeq
+    // direct rebuild of exactly what Maintain.bm25Stats maintains
+    val toks = docs.select(col("doc_id"),
+      explode(filter(split(col("text"), " "), t => length(t) > 0)).as("term"))
+    val termStats = toks.distinct()
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    val corpusStats = docs.agg(count(lit(1)).as("n_docs"))
+      .crossJoin(toks.agg(count(lit(1)).as("tot_len")))
+    val got = CorpusAnalysis.bm25TopDocsFromStats(docs, termStats,
+      corpusStats, "doc_id", "text", terms, 10).collect().toSeq
+    assert(got == want)
+  }
+
   test("OrcSource round-trips part losslessly") {
     val p = spark.read.parquet("/root/testdata/sf0.001/part.parquet")
     val out = java.nio.file.Files.createTempDirectory("graft_orc_spec").toString + "/part"
