@@ -18,9 +18,41 @@ trait TableSource {
   def load(spark: SparkSession): DataFrame
 }
 
+/** Sources that can serve "rows with version >= v" with STORAGE-level
+  * pruning (commit skipping, file-footer pruning) instead of a post-load
+  * filter. Why a separate seam: a flat parquet source needs none — the
+  * runner's literal S8 predicate pushes into the scan by itself — but a
+  * replayed source (a lake table) hides its scans behind a per-key
+  * resolution window Catalyst cannot push payload predicates through, so
+  * the pruning must happen where the commits are chosen. The runner's
+  * delta tiers route their WIDE fetch through this when the source offers
+  * it; the control pass still loads the full window (the probe needs every
+  * key). */
+trait VersionPrunableSource { self: TableSource =>
+  def loadFromVersion(spark: SparkSession, fromVersion: Long): DataFrame
+}
+
 /** Parquet/lake directory source. */
 final case class ParquetSource(path: String) extends TableSource {
   def load(spark: SparkSession): DataFrame = spark.read.parquet(path)
+}
+
+/** Lake-TABLE source — the reading half of lake-to-lake sync (a replica
+  * chain: upstream sync maintains a lake table, a downstream consumer syncs
+  * FROM it). `load` is the replayed current state; `loadFromVersion` serves
+  * the runner's delta tiers through [[graft.sync.LakeTable.readVersionFrom]],
+  * so a 5%-change wide fetch plans only the above-threshold commits'
+  * inserts instead of re-scanning the whole replay (see readVersionFrom for
+  * the monotone-version contract — the engine's own change feeds satisfy it
+  * by construction). */
+final case class LakeSource(table: String, keyCol: String = "RecId",
+    versionCol: String = graft.sync.ChangeLog.VersionCol)
+    extends TableSource with VersionPrunableSource {
+  def load(spark: SparkSession): DataFrame =
+    graft.sync.LakeTable.read(spark, table, keyCol)
+  def loadFromVersion(spark: SparkSession, fromVersion: Long): DataFrame =
+    graft.sync.LakeTable.readVersionFrom(spark, table, fromVersion,
+      versionCol, keyCol)
 }
 
 /** JDBC source with explicit pushdown SQL (S5-S10; the generated text goes

@@ -152,6 +152,21 @@ final class SyncRunner(
       case _ => source
     }
 
+  /** The delta tiers' WIDE-fetch frame: sources that can prune a
+    * version-threshold read at the storage layer ([[VersionPrunableSource]]
+    * — lake tables skip below-band commits entirely) serve it directly;
+    * everything else gets the plain frame, whose literal S8 predicate the
+    * scan prunes on by itself. `fromVersion` is the INCLUSIVE lower bound
+    * the consumer's filter keeps (saturating: a mark at Long.MaxValue
+    * cannot overflow past it). */
+  private def wideSource(plan: TablePlan, source: DataFrame,
+      fromVersion: Long): DataFrame =
+    plan.source match {
+      case vp: VersionPrunableSource =>
+        windowed(vp.loadFromVersion(spark, fromVersion), plan)
+      case _ => windowed(source, plan)
+    }
+
   /** O4/O5/O6: control-pass-first routing, three tiers by drift shape:
     *
     *  1. perfect sync (pair checksums match)          → NOOP, zero work
@@ -221,7 +236,11 @@ final class SyncRunner(
             modified = stats.changed, changePercent = stats.changePercent,
             excessPercent = stats.excessPercent))
         case _ =>
-          val cs = Apply.updateOnlyChangeSet(windowed(source, plan), control, srcMark, k, v)
+          // update-only inserts keep version > srcMark — saturating +1 is
+          // the inclusive bound a prunable source can serve directly
+          val from2 = if (srcMark == Long.MaxValue) srcMark else srcMark + 1
+          val cs = Apply.updateOnlyChangeSet(
+            wideSource(plan, source, from2), control, srcMark, k, v)
           plan.applier.applyChangeSet(cs, spark, k)
           // inserts are exactly the changed rows: their max version is the
           // control max, so both marks advance to it
@@ -277,7 +296,10 @@ final class SyncRunner(
           // the scan can prune on (A3, CopyOrchestrator.cs:1106-1123).
           val minMissingCv = if (a.isNullAt(4)) srcMark else a.getLong(4)
           val threshold = math.min(minMissingCv, srcMark)
-          val cs = Apply.changeSetFromFlags(windowed(source, plan), flags, threshold, k, v,
+          // changeSetFromFlags keeps version >= threshold — same inclusive
+          // bound a prunable source serves with commit skipping
+          val cs = Apply.changeSetFromFlags(
+            wideSource(plan, source, threshold), flags, threshold, k, v,
             autoRouteRefilter, refilterBroadcastMaxKeys)
           plan.applier.applyChangeSet(cs, spark, k)
           // mark arithmetic (no target re-read): purge removed every target

@@ -222,6 +222,57 @@ class RunnerSpec extends AnyFunSuite {
     assert(LakeTable.read(spark, s"$dir/tgt_ts").count() == 500)
   }
 
+  test("lake-to-lake sync: a LakeSource upstream drives the full lifecycle " +
+      "(standard → NOOP → incremental), the incremental wide fetch plans " +
+      "only the above-mark commits' inserts, and the downstream state " +
+      "equals the upstream read") {
+    val (dir, store, runner) = newEnv()
+    // upstream lake table: base snapshot + one low-version commit (noise a
+    // delta fetch must SKIP) + later one high-version update commit
+    val up = s"$dir/upstream"
+    LakeTable.overwrite((1L to 500L).map(i => (i, i, s"row$i"))
+      .toDF("RecId", "SysRowVersion", "payload"), up)
+    val lowTouch = (1L to 500L).filter(_ % 31 == 5)
+      .map(i => (i, i, s"row$i")) // re-upsert, version UNCHANGED (≤ mark)
+      .toDF("RecId", "SysRowVersion", "payload")
+    LakeTable.appendCommit(graft.sync.Apply.ChangeSet(
+      lowTouch.select("RecId"), lowTouch, lowTouch.select("RecId")), up)
+    val src = graft.run.LakeSource(up)
+    def plan = runner.TablePlan("L2L", sourcePath = up,
+      targetPath = s"$dir/tgt_l2l", sourceOverride = Some(src))
+
+    val r1 = runner.runAll(Seq(plan))
+    assert(r1.head.ok && r1.head.mode == SyncMode.Standard)
+    val r2 = runner.runAll(Seq(plan))
+    assert(r2.head.ok && r2.head.mode == SyncMode.Noop)
+
+    // 5% drift upstream as a lake commit with versions above the mark
+    val changed = (1L to 500L).filter(_ % 20 == 3)
+      .map(i => (i, i + 100000L, s"row${i}v2"))
+      .toDF("RecId", "SysRowVersion", "payload")
+    val hiSeq = LakeTable.appendCommit(graft.sync.Apply.ChangeSet(
+      changed.select("RecId"), changed, changed.select("RecId")), up)
+
+    // the pruned wide-fetch plan: only the above-mark commit's inserts
+    val widePlan = src.loadFromVersion(spark, 501L).inputFiles.toSeq
+    assert(widePlan.exists(_.contains(s"/_log/$hiSeq/inserts")),
+      "above-mark commit's inserts must be planned")
+    assert(!widePlan.exists(f =>
+        f.contains("/_log/") && f.contains("/inserts") &&
+          !f.contains(s"/_log/$hiSeq/")),
+      s"below-mark commits' inserts must be skipped:\n${widePlan.mkString("\n")}")
+
+    val r3 = runner.runAll(Seq(plan))
+    assert(r3.head.ok && r3.head.mode == SyncMode.Incremental)
+    assert(r3.head.metrics.modified == (1L to 500L).count(_ % 20 == 3))
+    // downstream ≡ upstream, row for row
+    val got = LakeTable.read(spark, s"$dir/tgt_l2l")
+      .select("RecId", "SysRowVersion", "payload")
+    val want = LakeTable.read(spark, up)
+      .select("RecId", "SysRowVersion", "payload")
+    assert(got.except(want).count() == 0 && want.except(got).count() == 0)
+  }
+
   test("multi-table parallel run; failure marks table not-ok, others keep state (D1/D3)") {
     val (dir, store, runner0) = newEnv()
     val runner = new SyncRunner(spark, store, parallelWorkers = 3, failFast = false)
