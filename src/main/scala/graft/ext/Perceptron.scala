@@ -131,12 +131,19 @@ object Perceptron {
     // BigInt before the weights enter the plan as literals. The per-round
     // update sums Σ y·x are bounded by the same maxima times the row
     // count, checked alongside.
-    val absAggs = featureCols.zipWithIndex.map { case (c, i) =>
-      coalesce(max(abs(col(c))), lit(0L)).as(s"m$i")
+    // per-feature |x| maxima from min/max pairs resolved in BigInt
+    // driver-side — NOT an in-plan abs(), whose non-ANSI Long.MinValue
+    // wraps to itself and would under-approximate the bound (review r11)
+    val boundAggs = featureCols.zipWithIndex.flatMap { case (c, i) =>
+      Seq(coalesce(min(col(c)), lit(0L)).as(s"mn$i"),
+        coalesce(max(col(c)), lit(0L)).as(s"mx$i"))
     }
-    val absRow = f.agg(count(lit(1)).as("n"), absAggs: _*).collect()(0)
+    val absRow = f.agg(count(lit(1)).as("n"), boundAggs: _*).collect()(0)
     val nRows = BigInt(absRow.getLong(0))
-    val maxAbs = featureCols.indices.map(i => BigInt(absRow.getLong(i + 1)))
+    val maxAbs = featureCols.indices.map { i =>
+      BigInt(absRow.getLong(1 + 2 * i)).abs
+        .max(BigInt(absRow.getLong(2 + 2 * i)).abs)
+    }
     val sumRisk = maxAbs.zipWithIndex.collect {
       case (m, i) if m * nRows > Long.MaxValue => s"${featureCols(i)}: |x|<=$m over $nRows rows" }
     require(sumRisk.isEmpty,

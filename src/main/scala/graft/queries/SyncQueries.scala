@@ -25,6 +25,33 @@ object SyncQueries {
   private def mark(spark: SparkSession, dir: String): Long =
     SyncFixtures.storedMark(spark, dir).head().getLong(0)
 
+  /** Shared documents-lake fixture for the bm25 maintenance family (ONE
+    * copy — q_cdf_maintain_bm25 and q_bm25_maintained_serve replay the
+    * same state or their oracles silently diverge): initial = documents
+    * with a synthetic 'zzqx' token prepended to the %5==1 band (so the
+    * upsert CHANGES df/max_tf/lengths), commit 1 upserts that band back
+    * to source text, commit 2 deletes the %9==4 band. Returns
+    * (initial, feed, replayed final). */
+  private def bm25LakeFixture(s: SparkSession, d: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_lake_q").toString + "/t"
+    val docs = s.read.parquet(s"$d/documents.parquet").select("doc_id", "text")
+    val tgt = docs.withColumn("text",
+      when(col("doc_id") % 5 === 1, concat(lit("zzqx "), col("text")))
+        .otherwise(col("text")))
+    LakeTable.overwrite(tgt, dir)
+    val upsert = docs.filter(col("doc_id") % 5 === 1)
+    LakeTable.appendCommit(
+      Apply.ChangeSet(upsert.select("doc_id"), upsert, upsert.select("doc_id")),
+      dir, nowMs = 1000L)
+    val dels = docs.filter(col("doc_id") % 9 === 4).select("doc_id")
+    LakeTable.appendCommit(
+      Apply.ChangeSet(dels, docs.filter(lit(false)), dels), dir, nowMs = 2000L)
+    val fromSeq = LakeTable.resolve(dir).get._2
+    (tgt, LakeTable.changes(s, dir, fromSeq, keyCol = "doc_id"),
+      LakeTable.read(s, dir, keyCol = "doc_id"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // S5 — top-N-by-key fetch
     "q_s5_topn" -> ((s, d) =>
@@ -436,25 +463,7 @@ object SyncQueries {
     // seam that keeps bm25TopDocs' broadcast side current per ingest
     // batch instead of re-deriving it from a 100 TB corpus scan.
     "q_cdf_maintain_bm25" -> ((s, d) => {
-      val dir = java.nio.file.Files.createTempDirectory("graft_lake_q").toString + "/t"
-      val docs = s.read.parquet(s"$d/documents.parquet").select("doc_id", "text")
-      // initial state: a synthetic boilerplate token prepended to the
-      // %5==1 band, so the upsert CHANGES df/max_tf/lengths — the
-      // maintained stats must walk real deltas, not echo the initial
-      val tgt = docs.withColumn("text",
-        when(col("doc_id") % 5 === 1, concat(lit("zzqx "), col("text")))
-          .otherwise(col("text")))
-      LakeTable.overwrite(tgt, dir)
-      val upsert = docs.filter(col("doc_id") % 5 === 1)
-      LakeTable.appendCommit(
-        Apply.ChangeSet(upsert.select("doc_id"), upsert, upsert.select("doc_id")),
-        dir, nowMs = 1000L)
-      val dels = docs.filter(col("doc_id") % 9 === 4).select("doc_id")
-      LakeTable.appendCommit(
-        Apply.ChangeSet(dels, docs.filter(lit(false)), dels), dir, nowMs = 2000L)
-      val fromSeq = LakeTable.resolve(dir).get._2
-      val feed = LakeTable.changes(s, dir, fromSeq, keyCol = "doc_id")
-      val fin = LakeTable.read(s, dir, keyCol = "doc_id")
+      val (tgt, feed, fin) = bm25LakeFixture(s, d)
       Maintain.bm25Stats(tgt, feed, fin, "doc_id", "text")
         .crossJoin(broadcast(
           Maintain.bm25CorpusStats(tgt, feed, "doc_id", "text")))
@@ -467,22 +476,7 @@ object SyncQueries {
     // state — result ≡ a from-scratch BM25 over that state, which is what
     // the oracle computes directly
     "q_bm25_maintained_serve" -> ((s, d) => {
-      val dir = java.nio.file.Files.createTempDirectory("graft_lake_q").toString + "/t"
-      val docs = s.read.parquet(s"$d/documents.parquet").select("doc_id", "text")
-      val tgt = docs.withColumn("text",
-        when(col("doc_id") % 5 === 1, concat(lit("zzqx "), col("text")))
-          .otherwise(col("text")))
-      LakeTable.overwrite(tgt, dir)
-      val upsert = docs.filter(col("doc_id") % 5 === 1)
-      LakeTable.appendCommit(
-        Apply.ChangeSet(upsert.select("doc_id"), upsert, upsert.select("doc_id")),
-        dir, nowMs = 1000L)
-      val dels = docs.filter(col("doc_id") % 9 === 4).select("doc_id")
-      LakeTable.appendCommit(
-        Apply.ChangeSet(dels, docs.filter(lit(false)), dels), dir, nowMs = 2000L)
-      val fromSeq = LakeTable.resolve(dir).get._2
-      val feed = LakeTable.changes(s, dir, fromSeq, keyCol = "doc_id")
-      val fin = LakeTable.read(s, dir, keyCol = "doc_id")
+      val (tgt, feed, fin) = bm25LakeFixture(s, d)
       graft.ext.CorpusAnalysis.bm25TopDocsFromStats(fin,
         Maintain.bm25Stats(tgt, feed, fin, "doc_id", "text"),
         Maintain.bm25CorpusStats(tgt, feed, "doc_id", "text"),

@@ -30,6 +30,13 @@ trait TableSource {
   * key). */
 trait VersionPrunableSource { self: TableSource =>
   def loadFromVersion(spark: SparkSession, fromVersion: Long): DataFrame
+  /** The column [[loadFromVersion]] thresholds on and the key it replays
+    * by — the runner routes through the pruned path ONLY when these match
+    * the plan's columns (review r11: a plan thresholding RECVERSION must
+    * not be served by a source pruning on SysRowVersion; the mismatch
+    * falls back to the plain — correct, just unpruned — path). */
+  def prunedVersionCol: String
+  def prunedKeyCol: String
 }
 
 /** Parquet/lake directory source. */
@@ -53,6 +60,8 @@ final case class LakeSource(table: String, keyCol: String = "RecId",
   def loadFromVersion(spark: SparkSession, fromVersion: Long): DataFrame =
     graft.sync.LakeTable.readVersionFrom(spark, table, fromVersion,
       versionCol, keyCol)
+  def prunedVersionCol: String = versionCol
+  def prunedKeyCol: String = keyCol
 }
 
 /** JDBC source with explicit pushdown SQL (S5-S10; the generated text goes

@@ -158,14 +158,30 @@ final class SyncRunner(
     * everything else gets the plain frame, whose literal S8 predicate the
     * scan prunes on by itself. `fromVersion` is the INCLUSIVE lower bound
     * the consumer's filter keeps (saturating: a mark at Long.MaxValue
-    * cannot overflow past it). */
+    * cannot overflow past it).
+    *
+    * Routing guards (review r11 — both fall back to the plain path, which
+    * is always correct, just unpruned): (a) an ACTIVE TopNByKey window —
+    * the window cutoff is defined over the FULL source, and windowing a
+    * version-pruned frame would move it (changed rows below the true
+    * cutoff would leak into the tier-2 changeset, which has no key
+    * re-filter); (b) a column mismatch between the plan and the source's
+    * pruning columns — a threshold in plan.versionCol units must never
+    * prune on a different column. */
   private def wideSource(plan: TablePlan, source: DataFrame,
-      fromVersion: Long): DataFrame =
+      fromVersion: Long): DataFrame = {
+    val windowActive = plan.strategy match {
+      case FetchStrategy.TopNByKey(n, _) => n < Int.MaxValue
+      case _ => false
+    }
     plan.source match {
-      case vp: VersionPrunableSource =>
-        windowed(vp.loadFromVersion(spark, fromVersion), plan)
+      case vp: VersionPrunableSource if !windowActive &&
+          vp.prunedVersionCol.equalsIgnoreCase(plan.versionCol) &&
+          vp.prunedKeyCol.equalsIgnoreCase(plan.keyCol) =>
+        vp.loadFromVersion(spark, fromVersion)
       case _ => windowed(source, plan)
     }
+  }
 
   /** O4/O5/O6: control-pass-first routing, three tiers by drift shape:
     *

@@ -106,37 +106,49 @@ object ChangeLog {
     val del = spark.read.parquet(s"$staging/deletes")
     val keyCol = del.schema.fieldNames.head
     val ins = spark.read.parquet(s"$staging/inserts")
+    // v3: the INSERT rows' version band rides the SAME single pass as the
+    // key stats (review r11: a separate ins.agg re-scanned the staged
+    // changeset — the double scan the persist below exists to avoid):
+    // the keys union carries the cast version column (null for deletes)
+    // plus an insert flag, and writeStatsBody folds everything into one
+    // aggregate over the persisted frame.
+    val vField = ins.schema.fields
+      .find(_.name.equalsIgnoreCase(VersionCol))
+      .filter(_.dataType.isInstanceOf[types.NumericType])
+    val insV = vField.map(f => col(f.name).cast("long"))
+      .getOrElse(lit(null).cast("long"))
     val keys = ins
-      .select(col(keyCol).cast("long").as("k"))
-      .union(del.select(col(keyCol).cast("long").as("k")))
+      .select(col(keyCol).cast("long").as("k"), insV.as("v"), lit(1L).as("i"))
+      .union(del.select(col(keyCol).cast("long").as("k"),
+        lit(null).cast("long").as("v"), lit(0L).as("i")))
     // pinned across the envelope agg and the band groupBy below — without
     // it every commit append scans its staged changeset twice
     keys.persist()
-    // v3: the INSERT rows' version band ("v:min,max" as the last line).
-    // Deletes are key-only (no version to record); a version-threshold
-    // read must always keep a commit's tombstones anyway — see
-    // LakeTable.readVersionFrom for why that is sound.
-    val vLine = ins.schema.fields
-      .find(_.name.equalsIgnoreCase(VersionCol))
-      .filter(_.dataType.isInstanceOf[types.NumericType])
-      .flatMap { f =>
-        val r = ins.agg(min(col(f.name).cast("long")),
-          max(col(f.name).cast("long")), count(lit(1))).head
-        if (r.getLong(2) == 0L) Some("v:0,-1") // no inserts: trivially below any threshold
-        else if (!r.isNullAt(0) && !r.isNullAt(1))
-          Some(s"v:${r.getLong(0)},${r.getLong(1)}")
-        else None // null versions: no line, reads keep the commit
-      }
     try {
-      writeStatsBody(staging, keys, vLine)
+      writeStatsBody(staging, keys, hasVersionCol = vField.isDefined)
     } finally { keys.unpersist(); () }
   }
 
   private def writeStatsBody(staging: String,
       keys: org.apache.spark.sql.DataFrame,
-      vLine: Option[String] = None): Unit = {
+      hasVersionCol: Boolean = false): Unit = {
+    val r = keys.agg(min(col("k")), max(col("k")), count(lit(1)),
+      min(col("v")), max(col("v")), sum(col("i")), count(col("v"))).head
+    // version band ("v:min,max"): deletes are key-only (no version to
+    // record); a version-threshold read must always keep a commit's
+    // tombstones anyway — see LakeTable.readVersionFrom for why that is
+    // sound. No inserts → trivially-below-any-threshold marker. ANY
+    // null-version insert → no line (stricter than the envelope rule: a
+    // null version is outside the monotone contract, so the commit must
+    // stay conservatively scanned).
+    val nIns = if (r.isNullAt(5)) 0L else r.getLong(5)
+    val vLine =
+      if (!hasVersionCol) None
+      else if (nIns == 0L) Some("v:0,-1")
+      else if (r.getLong(6) == nIns && !r.isNullAt(3) && !r.isNullAt(4))
+        Some(s"v:${r.getLong(3)},${r.getLong(4)}")
+      else None
     def withV(body: String): String = vLine.map(body + "\n" + _).getOrElse(body)
-    val r = keys.agg(min(col("k")), max(col("k")), count(lit(1))).head
     if (r.getLong(2) == 0L)
       // truly empty commit: always skippable
       LakeFs.writeUtf8(s"$staging/_stats", withV("0\t-1\t0"))
@@ -469,7 +481,13 @@ object ChangeLog {
       // commits, same contract).
       val ins = versionFrom match {
         case Some((vc, vlo)) =>
-          if (commitVersionRange(path).exists(_._2 < vlo)) insAll.limit(0)
+          // the v-line is recorded for VersionCol ONLY (writeStats) — a
+          // read thresholding a DIFFERENT column must never consult it
+          // (review r11: a column-blind skip pruned against the wrong
+          // column's band); such reads still get the pushed filter below
+          val bandApplies = vc.equalsIgnoreCase(VersionCol)
+          if (bandApplies && commitVersionRange(path).exists(_._2 < vlo))
+            insAll.limit(0)
           else insAll.schema.fieldNames.find(_.equalsIgnoreCase(vc)) match {
             case Some(actual) => insAll.filter(col(actual) >= lit(vlo))
             case None => insAll

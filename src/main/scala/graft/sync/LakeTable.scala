@@ -181,7 +181,9 @@ object LakeTable {
     * pre-image — the same class of corruption it would inflict on any
     * version-threshold consumer (the reference's delta sync included).
     * Commits without usable version stats are scanned conservatively;
-    * stats absence is never a skip. */
+    * stats absence is never a skip. The `_stats` band is recorded for
+    * [[ChangeLog.VersionCol]] only — thresholding any OTHER column still
+    * gets prunes (a) and (c), never the commit-level skip (b). */
   def readVersionFrom(spark: SparkSession, table: String, fromVersion: Long,
       versionCol: String = ChangeLog.VersionCol,
       keyCol: String = "RecId"): DataFrame =

@@ -76,9 +76,14 @@ object Maintain {
     }
     lagged.filter(col("_e") === "d" && col("_prev_e") === "v")
       // the deleted KEY rides along (the timeline partitions by it):
-      // consumers that sample by key hash (quantileSketches) need it;
-      // aggregate consumers just ignore the extra column
-      .select(col(keyCol) +: cols.map(c => col(s"_prev_$c").as(c)): _*)
+      // consumers that sample by key hash (quantileSketches) need it, and
+      // `_del_t` (the delete's timeline position — unique per key per
+      // delete event) lets a consumer tell TWO effective deletes of the
+      // same key apart (delete → reinsert → delete puts the key here
+      // twice, with different pre-images); aggregate consumers just
+      // ignore the extra columns
+      .select(col(keyCol) +: cols.map(c => col(s"_prev_$c").as(c))
+        :+ col("_t").as("_del_t"): _*)
   }
 
   /** Maintained per-group row counts: `initialState`'s counts advanced by
@@ -339,48 +344,59 @@ object Maintain {
       finalState: DataFrame, keyCol: String, textCol: String): DataFrame = {
     def toks(c: org.apache.spark.sql.Column) =
       filter(split(c, " "), t => length(t) > 0)
-    def docTerms(df: DataFrame) = df.select(col(keyCol),
-      explode(array_distinct(toks(col(textCol)))).as("term"))
-    def termTf(df: DataFrame) = df
-      .select(col(keyCol), explode(toks(col(textCol))).as("term"))
-      .groupBy(col(keyCol), col("term")).agg(count(lit(1)).as("_tf"))
+    // per-(document INSTANCE, term) tf: `instCol` tells two occurrences of
+    // the same KEY apart — a window can insert a key, delete it, and
+    // insert it again (two insert instances at different `_seq`), and an
+    // upsert-reinsert chain can effectively delete a key twice (two
+    // pre-image instances at different `_del_t`). Grouping by key alone
+    // would MERGE such instances: their tf would sum (inflating the max
+    // candidate / hiding a dirty match) and their df contribution would
+    // count once instead of once-per-instance (review r11 — this was
+    // latent in the per-key form, exercised by %5∩%9 docs of the oracle
+    // fixture). The initial and final states are key-unique by contract
+    // (snapshot / replay output), so a constant instance works there.
+    def termTf(df: DataFrame, instCol: org.apache.spark.sql.Column) = df
+      .select(col(keyCol), instCol.as("_inst"),
+        explode(toks(col(textCol))).as("term"))
+      .groupBy(col(keyCol), col("_inst"), col("term"))
+      .agg(count(lit(1)).as("_tf"))
+    // ONE tokenize+explode+aggregate pass per input (review r11: separate
+    // docTerms/termTf derivations doubled the only table-sized work):
+    // df = count of (instance, term) rows ≡ document instances carrying
+    // the term, and the per-term tf max rides the same aggregate. The
+    // deleted-side max suffices for the dirty rule below because every
+    // pre-image instance's tf is ≤ its term's candidate (the [[maxes]]
+    // soundness argument, instance-wise), so "∃ deleted tf == cand" ⇔
+    // "max deleted tf == cand".
+    def termStats(df: DataFrame, instCol: org.apache.spark.sql.Column,
+        suffix: String) = termTf(df, instCol)
+      .groupBy("term")
+      .agg(count(lit(1)).as(s"_df$suffix"), max("_tf").as(s"_x$suffix"))
 
     val delPre = effectiveDeletes(initialState, feed, keyCol, Seq(textCol))
     val insDocs = feed.filter(col("_op") === "insert")
-      .select(col(keyCol), col(textCol))
+      .select(col(keyCol), col("_seq"), col(textCol))
 
-    val df0 = docTerms(initialState)
-      .groupBy("term").agg(count(lit(1)).as("_df0"))
-    val dfPos = docTerms(insDocs)
-      .groupBy("term").agg(count(lit(1)).as("_dfPos"))
-    val dfNeg = docTerms(delPre)
-      .groupBy("term").agg(count(lit(1)).as("_dfNeg"))
-    val dfM = df0.join(dfPos, Seq("term"), "full_outer")
-      .join(dfNeg, Seq("term"), "full_outer")
+    val merged = termStats(initialState, lit(0L), "0")
+      .join(termStats(insDocs, col("_seq").cast("long"), "I"),
+        Seq("term"), "full_outer")
+      .join(termStats(delPre, col("_del_t"), "D"), Seq("term"), "full_outer")
       .select(col("term"),
-        (coalesce(col("_df0"), lit(0L)) + coalesce(col("_dfPos"), lit(0L))
-          - coalesce(col("_dfNeg"), lit(0L))).as("df"))
-      .filter(col("df") > 0)
-
-    val init = termTf(initialState).groupBy("term").agg(max("_tf").as("_x0"))
-    val insMax = termTf(insDocs).groupBy("term").agg(max("_tf").as("_xIns"))
-    val candidate = init.join(insMax, Seq("term"), "full_outer")
-      .select(col("term"),
+        (coalesce(col("_df0"), lit(0L)) + coalesce(col("_dfI"), lit(0L))
+          - coalesce(col("_dfD"), lit(0L))).as("df"),
         greatest(
-          coalesce(col("_x0"), col("_xIns")),
-          coalesce(col("_xIns"), col("_x0"))).as("_cand"))
-    val dirty = termTf(delPre).join(candidate, Seq("term"))
-      .filter(col("_tf") === col("_cand"))
-      .select("term").distinct()
-    val clean = candidate.join(broadcast(dirty), Seq("term"), "left_anti")
-      .select(col("term"), col("_cand").as("max_tf"))
-    val recomputed = termTf(finalState)
-      .join(broadcast(dirty), Seq("term"), "left_semi")
+          coalesce(col("_x0"), col("_xI")),
+          coalesce(col("_xI"), col("_x0"))).as("_cand"),
+        col("_xD"))
+      .filter(col("df") > 0) // drained terms appear nowhere
+    val isDirty = col("_xD").isNotNull && col("_xD") === col("_cand")
+    val clean = merged.filter(!isDirty)
+      .select(col("term"), col("df"), col("_cand").as("max_tf"))
+    val dirtyTerms = merged.filter(isDirty).select("term", "df")
+    val recomputed = termTf(finalState, lit(0L))
+      .join(broadcast(dirtyTerms.select("term")), Seq("term"), "left_semi")
       .groupBy("term").agg(max("_tf").as("max_tf"))
-
-    // inner: a drained term has df = 0 on the left and an empty recompute
-    // on the right — it must appear in neither
-    dfM.join(clean.unionByName(recomputed), Seq("term"))
+    clean.unionByName(dirtyTerms.join(recomputed, Seq("term")))
   }
 
   /** Maintained corpus-level BM25 stats — (n_docs, tot_len), the length-

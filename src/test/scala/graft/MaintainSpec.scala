@@ -234,6 +234,41 @@ class MaintainSpec extends AnyFunSuite {
     assert((cs2.getLong(0), cs2.getLong(1)) == ((2L, 5L)))
   }
 
+  test("maintained bm25 stats: insert/delete CYCLES of one key are counted " +
+      "per instance — df decrements once per effective delete, candidate " +
+      "maxima never merge two pre-images' tf") {
+    val t = freshTable()
+    def csd(deletes: Seq[Long], inserts: Seq[(Long, String)]): Apply.ChangeSet =
+      Apply.ChangeSet(deletes.toDF("doc_id"),
+        inserts.toDF("doc_id", "text"), keyFlags = deletes.toDF("doc_id"))
+    val initial = Seq(
+      1L -> "w w",  // w's max holder; upserted down to tf 1, then deleted
+      2L -> "w",    // survives
+      3L -> "q")    // q cycles: upsert (same text) then delete -> drains
+    LakeTable.overwrite(initial.toDF("doc_id", "text"), t)
+    // commit 1: upsert 1 -> "w" and 3 -> "q" (tombstone + reinsert each)
+    LakeTable.appendCommit(csd(Seq(1L, 3L), Seq(1L -> "w", 3L -> "q")), t)
+    // commit 2: delete both again — their pre-images are commit 1's inserts
+    LakeTable.appendCommit(csd(Seq(1L, 3L), Seq.empty), t)
+    val fromSeq = LakeTable.resolve(t).get._2
+    val feed = LakeTable.changes(spark, t, fromSeq, keyCol = "doc_id")
+    val fin = LakeTable.read(spark, t, keyCol = "doc_id")
+    val got = Maintain.bm25Stats(initial.toDF("doc_id", "text"), feed,
+        fin, "doc_id", "text")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // w: df = 2 (init) + 1 (reinsert) - 2 (two effective deletes of key 1)
+    //    = 1; candidate max(init 2, ins 1) = 2, first pre-image tf 2 == 2
+    //    -> dirty -> recompute over final {doc 2: tf 1} = 1.
+    //    A key-merged delete side would sum the pre-images (tf 3): df
+    //    would read 2 and the dirty match would be missed (max_tf 2).
+    // q: df = 1 + 1 - 2 = 0 -> drained, absent.
+    assert(got == Map("w" -> ((1L, 1L))))
+    val cs2 = Maintain.bm25CorpusStats(initial.toDF("doc_id", "text"), feed,
+      "doc_id", "text").collect()(0)
+    // n_docs = 3 + 2 - 4 = 1 (doc 2); tot_len = 4 + 2 - 5 = 1
+    assert((cs2.getLong(0), cs2.getLong(1)) == ((1L, 1L)))
+  }
+
   test("scd2 history: versions close at the next event; untouched keys " +
       "bypass with one open pre-history row; deletes of absent keys add nothing") {
     val t = freshTable()

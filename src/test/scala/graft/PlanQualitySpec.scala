@@ -586,8 +586,6 @@ class PlanQualitySpec extends AnyFunSuite {
       s"bm25 maintenance must stay term/key-equi-joined:\n$plan")
     assert(plan.contains("LeftSemi"),
       s"expected the dirty-term final-state prune:\n$plan")
-    assert(plan.contains("LeftAnti"),
-      s"expected the clean-side dirty exclusion:\n$plan")
   }
 
   test("version-threshold lake read pushes the threshold into the " +
