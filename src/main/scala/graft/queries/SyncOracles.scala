@@ -452,6 +452,18 @@ SELECT doc_id, CAST(rank AS INTEGER) AS rank, score_micro FROM (
     row_number() OVER (ORDER BY score_micro DESC, doc_id ASC) AS rank
   FROM scored) WHERE rank <= 10""",
 
+    // composed range+version twin: the q_lake_skip_version final state,
+    // doubly filtered
+    "q_lake_skip_rangeversion" -> (prefix + s""", up AS (
+  SELECT * FROM src WHERE RecId % 20 = 3 AND RecId % 131 <> 5)
+SELECT $outCols FROM (
+  SELECT $outCols FROM tgt WHERE RecId NOT IN (SELECT RecId FROM up)
+  UNION ALL
+  SELECT $outCols FROM up
+) WHERE SysRowVersion >= 10000000000000000
+  AND RecId BETWEEN ${graft.sync.SyncFixtures.SkipLo}
+                AND ${graft.sync.SyncFixtures.SkipHi}"""),
+
     // change-data feed: commit 0 upserts the changed band (tombstone +
     // payload re-insert per key), commit 1 tombstones the skip band —
     // the feed is exactly those events, deletes key-only

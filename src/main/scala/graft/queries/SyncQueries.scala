@@ -605,6 +605,26 @@ object SyncQueries {
       LakeTable.readVersionFrom(s, dir, 10000000000000000L)
     }),
 
+    // composed range+version pruning: the per-shard "changes since V"
+    // probe — one plan carrying both the commit-level key skip and the
+    // version-band insert skip; ≡ plain replay doubly filtered
+    "q_lake_skip_rangeversion" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft_lake_q").toString + "/t"
+      val src = slim(SyncFixtures.source(s, d))
+      val tgt = slim(SyncFixtures.target(s, d))
+      LakeTable.overwrite(tgt, dir)
+      val low = tgt.filter(col("RecId") % 23 === 7 && col("RecId") % 131 =!= 5)
+      LakeTable.appendCommit(
+        Apply.ChangeSet(low.select("RecId"), low, low.select("RecId")),
+        dir, nowMs = 1000L)
+      val hi = src.filter(col("RecId") % 20 === 3 && col("RecId") % 131 =!= 5)
+      LakeTable.appendCommit(
+        Apply.ChangeSet(hi.select("RecId"), hi, hi.select("RecId")),
+        dir, nowMs = 2000L)
+      LakeTable.readKeyRangeVersionFrom(s, dir,
+        SyncFixtures.SkipLo, SyncFixtures.SkipHi, 10000000000000000L)
+    }),
+
     // O4/O5/O6 — planner cost model as one distributed row
     "q_planner_decide" -> ((s, d) =>
       Planner.decideAsQuery(

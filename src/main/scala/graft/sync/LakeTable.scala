@@ -195,6 +195,28 @@ object LakeTable {
         throw new IllegalArgumentException(s"lake table does not exist: $table")
     }
 
+  /** Key-range AND version-threshold read in one plan — both prunes
+    * compose (each commit must survive BOTH to keep its insert scan; a
+    * commit key-disjoint from the range is dropped entirely, tombstones
+    * included, exactly as [[readKeyRange]] alone would): the "changes
+    * since V inside this shard" probe a partitioned downstream consumer
+    * runs per key band. Result ≡
+    * `read(...).filter(keyCol BETWEEN lo AND hi AND versionCol >=
+    * fromVersion)` under [[readVersionFrom]]'s monotone-version
+    * contract. */
+  def readKeyRangeVersionFrom(spark: SparkSession, table: String,
+      lo: Long, hi: Long, fromVersion: Long,
+      versionCol: String = ChangeLog.VersionCol,
+      keyCol: String = "RecId"): DataFrame =
+    resolve(table) match {
+      case Some((base, fromSeq)) =>
+        ChangeLog.replay(spark, base, logDir(table), keyCol, fromSeq,
+          keyRange = Some((lo, hi)),
+          versionFrom = Some((versionCol, fromVersion)))
+      case None =>
+        throw new IllegalArgumentException(s"lake table does not exist: $table")
+    }
+
   /** Time travel within the current generation: the table state as of
     * commit `asOfSeq` (inclusive) — base + commits in [fromSeq, asOfSeq].
     * `asOfSeq == fromSeq - 1` is the base alone (the state the current

@@ -252,6 +252,40 @@ class LakeSkipSpec extends AnyFunSuite {
       "above-threshold commit's inserts must stay in the plan")
   }
 
+  test("composed range+version read: key-disjoint commits drop entirely, " +
+      "below-band inserts drop, results ≡ doubly-filtered replay") {
+    val t = freshTable()
+    def csv(deletes: Seq[Long], inserts: Seq[(Long, Long, String)]): Apply.ChangeSet =
+      Apply.ChangeSet(deletes.toDF("RecId"),
+        inserts.toDF("RecId", "SysRowVersion", "payload"),
+        keyFlags = deletes.toDF("RecId"))
+    LakeTable.overwrite((1L to 100L).map(i => (i, i, s"p$i"))
+      .toDF("RecId", "SysRowVersion", "payload"), t)
+    // A: below-threshold AND key-disjoint from the probed range
+    val seqA = LakeTable.appendCommit(
+      csv(1L to 10L, (1L to 10L).map(i => (i, 200L + i, "vA"))), t)
+    // B: above-threshold upsert INSIDE the range
+    val seqB = LakeTable.appendCommit(
+      csv(60L to 70L, (60L to 70L).map(i => (i, 1000L + i, "vB"))), t)
+    // C: above-threshold upsert OUTSIDE the range (key skip must drop it)
+    val seqC = LakeTable.appendCommit(
+      csv(90L to 95L, (90L to 95L).map(i => (i, 1000L + i, "vC"))), t)
+
+    val got = LakeTable.readKeyRangeVersionFrom(spark, t, 60L, 65L, 1000L)
+    val want = LakeTable.read(spark, t)
+      .filter(col("RecId").between(60L, 65L) && col("SysRowVersion") >= 1000L)
+    assert(got.orderBy("RecId").collect().toSeq ==
+      want.orderBy("RecId").collect().toSeq)
+    assert(got.select("RecId").as[Long].collect().sorted.toSeq == (60L to 65L))
+    val files = got.inputFiles.toSeq
+    assert(!files.exists(_.contains(s"/_log/$seqA/")),
+      "key-disjoint commit must drop entirely (deletes included)")
+    assert(!files.exists(_.contains(s"/_log/$seqC/")),
+      "out-of-range commit must drop despite qualifying versions")
+    assert(files.exists(_.contains(s"/_log/$seqB/inserts")),
+      "in-range above-threshold commit must stay planned")
+  }
+
   test("version-threshold read: stats-missing and column-less commits are " +
       "scanned conservatively; results stay ≡ read().filter") {
     val t = freshTable()
