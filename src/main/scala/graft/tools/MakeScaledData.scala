@@ -36,7 +36,6 @@ object MakeScaledData {
     val src = args(0)
     val out = args(1)
     val n = if (args.length > 2) args(2).toInt else 10
-    require(n >= 1 && n <= 12, "N must be in [1, 12] (partkey stride bound)")
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -45,6 +44,15 @@ object MakeScaledData {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    write(spark, src, out, n)
+    spark.stop()
+  }
+
+  /** The scaling body, callable from specs (the invariants it must keep —
+    * RecId uniqueness/magnitude, partkey bound, salted copies — are
+    * pinned in EngineSpec.scala's PlannerQuerySpec). */
+  def write(spark: SparkSession, src: String, out: String, n: Int): Unit = {
+    require(n >= 1 && n <= 12, "N must be in [1, 12] (partkey stride bound)")
 
     def copies(df: DataFrame): DataFrame =
       df.withColumn("_c", explode(sequence(lit(0L), lit(n - 1L))))
@@ -84,6 +92,5 @@ object MakeScaledData {
           .write.mode("overwrite").parquet(s"$out/$t.parquet")
       }
     System.err.println(s"[make-scaled] wrote ${n}x of $src to $out")
-    spark.stop()
   }
 }

@@ -295,4 +295,35 @@ class PlannerQuerySpec extends AnyFunSuite {
     assert(graft.sync.Planner.decide(
       graft.sync.Planner.ChangeStats(0, 2, 0, 0), hasStoredMarks = true) == SyncMode.Truncate)
   }
+
+  test("MakeScaledData invariants: N× rows, RecId-unique and magnitude-" +
+      "stable (partkey shift), copy-0 text verbatim, other copies salted") {
+    import org.apache.spark.sql.functions._
+    val src = "/root/testdata/sf0.001"
+    val out = java.nio.file.Files.createTempDirectory("graft_scaled").toString
+    graft.tools.MakeScaledData.write(spark, src, out, n = 3)
+    val li0 = spark.read.parquet(s"$src/lineitem.parquet")
+    val li = spark.read.parquet(s"$out/lineitem.parquet")
+    assert(li.count() == 3 * li0.count())
+    def recId(df: org.apache.spark.sql.DataFrame) = df.select(
+      (((col("l_orderkey") * 8 + col("l_linenumber")) * 262144L
+        + col("l_partkey")) * 2048L + col("l_suppkey")).as("rid"))
+    // sf0.001 carries ONE duplicate 4-tuple (TESTDATA note) — the scaled
+    // copy must not ADD collisions beyond 3x that known pair
+    val dup0 = li0.count() - recId(li0).distinct().count()
+    assert(li.count() - recId(li).distinct().count() == 3 * dup0)
+    // partkey stays inside the RecId component bound; magnitude unchanged
+    assert(li.agg(max("l_partkey")).head.getLong(0) < 262144L)
+    assert(recId(li).agg(max(col("rid"))).head.getLong(0) ==
+      recId(li0).agg(max(col("rid"))).head.getLong(0) +
+        2 * graft.tools.MakeScaledData.PartStride * 2048L)
+    val docs0 = spark.read.parquet(s"$src/documents.parquet")
+    val docs = spark.read.parquet(s"$out/documents.parquet")
+    assert(docs.count() == 3 * docs0.count())
+    assert(docs.select("doc_id").distinct().count() == docs.count())
+    // copy 0 verbatim: original texts are a subset; salted copies differ
+    assert(docs.join(docs0.select(col("text")), Seq("text"), "left_semi")
+      .count() >= docs0.count())
+    assert(docs.filter(col("text").endsWith(" zc1")).count() == docs0.count())
+  }
 }
