@@ -65,6 +65,13 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
+    // process-CPU twin of `results` (per-query loop + scenario draws):
+    // wall times on this box swing 2-10x with the writeback-throttle
+    // regime; the CPU column makes the committed artifact self-adjudicating
+    // — a regime artifact shows wall >> cpu, a code regression moves both
+    // (r11 verdict #2: the maintain family's 6.9x apparent regression was
+    // regime, provable only by a separate same-code rerun)
+    val resultsCpu = scala.collection.mutable.LinkedHashMap[String, Double]()
     val ratios = scala.collection.mutable.LinkedHashMap[String, Double]()
     // Incremental flush: the LAST printed line is the result; every phase
     // boundary re-prints so a timeout never again erases finished work.
@@ -83,7 +90,7 @@ object Bench {
       val total = results.values.filter(_ > 0).sum
       try {
         val full =
-          s"""{"metric":"total","value":$total,"unit":"sec","phase":"$phase","queries":${jmap(results)},"ratios":${jmap(ratios)},"sf":"$sfDir"}"""
+          s"""{"metric":"total","value":$total,"unit":"sec","phase":"$phase","queries":${jmap(results)},"queries_cpu":${jmap(resultsCpu)},"ratios":${jmap(ratios)},"sf":"$sfDir"}"""
         val tmp = java.nio.file.Paths.get(fullOut + ".tmp")
         java.nio.file.Files.writeString(tmp, full + "\n")
         java.nio.file.Files.move(tmp, java.nio.file.Paths.get(fullOut),
@@ -142,10 +149,17 @@ object Bench {
     // a slow phase polishing a number the budget can't afford
     def bestAdaptive(prep: => Unit)(f: => Unit): Double = {
       prep; osSync()
-      val t1 = time(f)
-      if (remaining > 6 * t1)
-        ((1 to 2).map { _ => prep; osSync(); time(f) } :+ t1).min
-      else t1
+      val t1 = timeWithCpu(f); val c1 = lastDrawCpuS
+      val best =
+        if (remaining > 6 * t1)
+          ((1 to 2).map { _ =>
+            prep; osSync(); (timeWithCpu(f), lastDrawCpuS)
+          } :+ ((t1, c1))).minBy(_._1)
+        else (t1, c1)
+      // leave the winning iteration's CPU in lastDrawCpuS so callers can
+      // record the (wall, cpu) pair of the SAME draw
+      lastDrawCpuS = best._2
+      best._1
     }
 
     // ONE timed run per query after the global warmup (r4 postmortem: the
@@ -159,8 +173,16 @@ object Bench {
       SparkEntry.queries.toSeq.sortBy(_._1)
         .filter(q => onlyQueries.forall(_.contains(q._1)))
         .foreach { case (name, fn) =>
-          results(name) = try time(fn(spark, sfDir).count())
-            catch { case _: Throwable => -1.0 }
+          // same flush discipline as the scenario draws (r11 verdict #2):
+          // the sync is UNTIMED, so a write-heavy lake-fixture query pays
+          // only its OWN writeback, never its predecessor's dirty backlog;
+          // the CPU twin rides along for regime self-adjudication
+          results(name) = try {
+            osSync()
+            val t = timeWithCpu { fn(spark, sfDir).count(); () }
+            resultsCpu(name) = lastDrawCpuS
+            t
+          } catch { case _: Throwable => -1.0 }
         }
       // WITHIN the loop, plan-keyed cache reuse across vector queries is
       // deliberate (the prepared-frame sharing measured in r5: kmeans
@@ -287,12 +309,23 @@ object Bench {
       val ev = graft.queries.EventsSource.load(spark, sfDir)
         .select(col("user_id"), unix_micros(col("ts")).as("ts"), col("value"))
       val zDir = s"$tmp/zorder"
-      ev.repartitionByRange(64, col("user_id")).sortWithinPartitions("user_id")
-        .write.parquet(s"$zDir/linear")
-      ZOrder.layout(ev, "user_id", "ts", 64).write.parquet(s"$zDir/zorder")
       val b = ev.agg(min(col("user_id")), max(col("user_id")),
         min(col("ts")), max(col("ts"))).head()
       val (uLo, uHi, tLo, tHi) = (b.getLong(0), b.getLong(1), b.getLong(2), b.getLong(3))
+      // Both layouts are built DETERMINISTICALLY (r11 verdict #3: the
+      // range-exchange forms sample with a per-run seed, which moved this
+      // footer-ground-truth ratio 4.0→2.67 between same-code driver runs):
+      // the linear side stripes user_id into 64 equal-width bands by pure
+      // arithmetic, the z side uses the Morton-quadrant layout — each file
+      // one value via partitionBy, rows sorted within, zero sampling.
+      val uW = math.max(uHi - uLo, 1L)
+      ev.withColumn("_ub", least(lit(63),
+          ((col("user_id") - lit(uLo)) * lit(64L) / lit(uW)).cast("int")))
+        .repartition(64, col("_ub"))
+        .sortWithinPartitions("_ub", "user_id")
+        .write.partitionBy("_ub").parquet(s"$zDir/linear")
+      ZOrder.layoutQuadrants(ev, "user_id", "ts", bits = 3)
+        .write.partitionBy(ZOrder.QuadrantCol).parquet(s"$zDir/zorder")
       // box: an eighth of each dimension = 1/64 of the area
       val (uA, uB) = (uLo, uLo + (uHi - uLo) / 8)
       val (tA, tB) = (tLo, tLo + (tHi - tLo) / 8)
@@ -655,6 +688,7 @@ object Bench {
       runAsserting(noopPlan, graft.model.SyncMode.Noop)
     }
     results("scn_nochange_sync") = tNoChange
+    resultsCpu("scn_nochange_sync") = lastDrawCpuS
     flush("scn_noop")
     // 5%-change incremental, production tier 2: probe detects equal key
     // sets → update-only changeset (filters + broadcast semi-join, no wide
@@ -675,6 +709,7 @@ object Bench {
       osSync()
     }
     val tIncr = bestAdaptive(incrPrep())(incrRun())
+    resultsCpu("scn_5pct_incremental") = lastDrawCpuS
     val incrWriteMb = dirMb(s"$tmp/tgt_scn_incr/_log/0/inserts") +
       dirMb(s"$tmp/tgt_scn_incr/_log/0/deletes")
     rmRecF(new java.io.File(s"$tmp/tgt_scn_incr"))
@@ -700,6 +735,7 @@ object Bench {
     }
     rmRecF(new java.io.File(s"$tmp/tgt_scn_noop"))
     results("scn_multitable_8x_noop") = tMulti
+    resultsCpu("scn_multitable_8x_noop") = lastDrawCpuS
     ratios("multitable8_vs_single_noop") = tMulti / math.max(tNoChange, 1e-9)
     flush("scn_multi")
 
@@ -827,7 +863,8 @@ object Bench {
       osSync()
       val beforeMb = dirMbRec(t)
       var res: LakeTable.CompactResult = null
-      val tP = time { res = LakeTable.compact(spark, t); osSync() }
+      val tP = timeWithCpu { res = LakeTable.compact(spark, t); osSync() }
+      resultsCpu(s"scn_compact_partial_${compactK}commits") = lastDrawCpuS
       require(res.mode == "partial" && res.carriedFiles > 0,
         s"key-local drift over the clustered base must compact partially: $res")
       require(LakeTable.pendingCommits(t) == 0,
@@ -896,7 +933,8 @@ object Bench {
       osSync()
       val compactReadMb = dirMbRec(t)
       var res: LakeTable.CompactResult = null
-      val tF = time { res = LakeTable.compact(spark, t); osSync() }
+      val tF = timeWithCpu { res = LakeTable.compact(spark, t); osSync() }
+      resultsCpu(s"scn_compact_${compactK}commits") = lastDrawCpuS
       require(res.mode == "full",
         s"scattered drift must fall back to the full rewrite: $res")
       // new-base bytes ≈ dir growth (GC retains the previous generation for
@@ -970,6 +1008,10 @@ object Bench {
     // for ~10 s of slot cost.
     val drawTimes = scala.collection.mutable.ArrayBuffer.empty[Double]
     val incrDraws = scala.collection.mutable.ArrayBuffer.empty[Double]
+    // CPU twins of the pooled draws, for the resultsCpu columns (regime
+    // self-adjudication + CPU-domain scaling exponents in BENCH_SF1)
+    val drawCpus = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val incrCpus = scala.collection.mutable.ArrayBuffer.empty[Double]
     val pairRatios = scala.collection.mutable.ArrayBuffer.empty[Double]
     def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
     val poolReserve = 60.0 // probe medians + lakeskip tail
@@ -1009,11 +1051,13 @@ object Bench {
       val dCpu = lastDrawCpuS
       System.err.println(f"[bench] ${if (standard) "standard" else "truncate"} draw $slotI: $d%.1f s ($dCpu%.1f cpu-s)")
       drawTimes += d
+      drawCpus += dCpu
       val slotIncrCpu = scala.collection.mutable.ArrayBuffer.empty[Double]
       val slotIncr = (1 to 3).map { _ =>
         incrPrep(); osSync()
         val di = timeWithCpu(incrRun())
         slotIncrCpu += lastDrawCpuS
+        incrCpus += lastDrawCpuS
         incrDraws += di
         di
       }
@@ -1052,6 +1096,9 @@ object Bench {
     results("scn_full_reload") = tFull
     results("scn_40pct_truncate") = tTrunc
     results("scn_5pct_incremental") = tIncrAligned
+    if (drawCpus.nonEmpty) resultsCpu("scn_full_reload") = median(drawCpus.toSeq)
+    if (incrCpus.nonEmpty)
+      resultsCpu("scn_5pct_incremental") = median(incrCpus.toSeq)
     ratios("nochange_speedup") = tFull / tNoChange
     ratios("pct5_speedup") =
       if (pairRatios.nonEmpty) median(pairRatios.toSeq) else tFull / tIncrAligned

@@ -52,6 +52,69 @@ object BloomPrune {
       .join(keys.select(col(keysKey).as(bigKey)).distinct(), Seq(bigKey), "left_semi")
   }
 
+  /** Exact ANTI-join of `big` against `keys`, Bloom-routed so the big side
+    * NEVER enters a shuffle: rows failing `might_contain` are DEFINITE
+    * non-members (a Bloom filter has no false negatives) and are kept
+    * outright, map-side; only the ~selectivity·(1+fpp) suspect slice pays
+    * the exact anti-join that removes false positives. This matters even
+    * more than the semi case: an anti-join's runtime can't be pruned by
+    * Spark's own runtime row-level filtering (every probe row affects the
+    * OUTPUT), so once the key side outgrows the broadcast threshold,
+    * Catalyst sort-merges — shuffling and sorting every payload byte of
+    * the big side. At 100 TB that plan flip is the difference between a
+    * scan-speed read and a table-wide spill (r11: the lake replay's
+    * measured 1.41 scaling exponent was exactly this flip).
+    *
+    * NULL keys on the big side never match an equi-anti-join, so they are
+    * kept — routed to the definite-keep branch (`might_contain` is
+    * null-safe ⇒ null probe), exactly once. */
+  def antiJoin(big: DataFrame, keys: DataFrame, bigKey: String, keysKey: String,
+      expectedKeys: Long, fpp: Double = 0.01): DataFrame = {
+    val bits = buildBloom(keys, keysKey, expectedKeys, fpp)
+    val mc = coalesce(
+      mightContain(big.sparkSession, bits, col(bigKey), expectedKeys, fpp),
+      lit(false))
+    big.filter(!mc).unionByName(
+      big.filter(mc).join(
+        keys.select(col(keysKey).as(bigKey)).distinct(), Seq(bigKey), "left_anti"))
+  }
+
+  /** [[autoSemiJoinRouted]]'s anti twin: broadcast when the key side is
+    * provably small, Bloom-split when only its FILTER fits, plain shuffle
+    * anti when both sides are genuinely huge. `knownMaxKeys` short-circuits
+    * the KMV estimate job when the caller already holds an upper bound on
+    * the key count (commit `_stats` event counts, a planner row estimate)
+    * — a point lookup must not pay an estimation scan to learn what the
+    * metadata already says. Every route returns the identical row set. */
+  def autoAntiJoinRouted(big: DataFrame, keys: DataFrame, bigKey: String,
+      keysKey: String, knownMaxKeys: Option[Long] = None,
+      broadcastMaxKeys: Long = 1L << 20, bloomMaxKeys: Long = 1L << 28,
+      fpp: Double = 0.01): (DataFrame, String) = {
+    val est: Double = knownMaxKeys match {
+      case Some(ub) if ub <= broadcastMaxKeys => ub.toDouble
+      case _ =>
+        graft.functions.GraftFunctions.register(big.sparkSession)
+        keys.select(Dedup.h32(col(keysKey).cast("string")).as("h"))
+          .agg(expr("kmv_sketch(h, 64)").as("mins"))
+          .select(
+            when(size(col("mins")) < 64, size(col("mins")).cast("double"))
+              .otherwise(lit(63.0 * KmvSketch.HashSpace) / element_at(col("mins"), 64)))
+          .head.getDouble(0)
+    }
+    val dedupKeys = keys.select(col(keysKey).as(bigKey)).distinct()
+    // the bloom build/probe hash LongType keys; other key types skip the
+    // bloom tier (routes stay result-identical, only the cost differs)
+    def isLong(df: DataFrame, c: String) =
+      df.schema.fields.exists(f => f.name == c &&
+        f.dataType == org.apache.spark.sql.types.LongType)
+    if (est <= broadcastMaxKeys)
+      (big.join(broadcast(dedupKeys), Seq(bigKey), "left_anti"), "broadcast")
+    else if (est <= bloomMaxKeys && isLong(big, bigKey) && isLong(keys, keysKey))
+      (antiJoin(big, keys, bigKey, keysKey, math.ceil(est).toLong, fpp), "bloom")
+    else
+      (big.join(dedupKeys, Seq(bigKey), "left_anti"), "shuffle")
+  }
+
   /** Sketch-driven semi-join strategy — the planner move the sync engine's
     * cost model (O4–O6) makes for merges, applied to joins:
     *

@@ -168,7 +168,7 @@ object CorpusAnalysis {
       queryTerms: Seq[String], topN: Int = 10): DataFrame = {
     require(queryTerms.nonEmpty, "bm25TopDocs needs at least one query term")
     val lens = df.select(col(idCol).as("doc_id"),
-      TextAnalysis.tokenCount(col(textCol)).as("len"))
+      TextAnalysis.nonEmptyTokenCount(col(textCol)).as("len"))
     val stats = lens.agg(count(lit(1)).as("n_docs"), sum("len").as("tot_len"))
     val tf = queryTermTf(df, idCol, textCol, queryTerms)
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
@@ -190,15 +190,16 @@ object CorpusAnalysis {
     * `corpusStats` = ONE (n_docs, tot_len) row. Result ≡ [[bm25TopDocs]]
     * whenever the stats equal a direct rebuild over `df` — exactly what
     * the maintained stats guarantee (q_cdf_maintain_bm25). Tokenization
-    * contract: both sides use the engine rule (single-space split; the
-    * stats side drops empty tokens — normalize doubled whitespace before
-    * feeding either). */
+    * contract: single-space split with EMPTY TOKENS DROPPED on every
+    * length path — the same rule the maintained stats use — so the
+    * equivalence holds even on denormalized text (doubled/leading/
+    * trailing whitespace; r11 advice, spec-pinned). */
   def bm25TopDocsFromStats(df: DataFrame, termStats: DataFrame,
       corpusStats: DataFrame, idCol: String, textCol: String,
       queryTerms: Seq[String], topN: Int = 10): DataFrame = {
     require(queryTerms.nonEmpty, "bm25TopDocsFromStats needs a query term")
     val lens = df.select(col(idCol).as("doc_id"),
-      TextAnalysis.tokenCount(col(textCol)).as("len"))
+      TextAnalysis.nonEmptyTokenCount(col(textCol)).as("len"))
     val tf = queryTermTf(df, idCol, textCol, queryTerms)
     val dfreq = termStats.filter(col("term").isin(queryTerms: _*))
       .select(col("term"), col("df"))

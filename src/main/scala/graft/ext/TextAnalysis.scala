@@ -17,6 +17,17 @@ object TextAnalysis {
 
   def tokenCount(text: Column): Column = size(tokens(text))
 
+  /** Tokenization with empty tokens dropped — the rule the MAINTAINED BM25
+    * statistics use ([[graft.sync.Maintain.bm25Stats]]/`bm25CorpusStats`):
+    * on denormalized text (doubled/leading/trailing whitespace) `tokens`
+    * counts empties while the stats side never does, so every consumer of
+    * maintained stats must measure lengths with THIS rule or serving
+    * silently diverges from the maintained `tot_len` (r11 advice). */
+  def nonEmptyTokens(text: Column): Column =
+    filter(tokens(text), t => length(t) > 0)
+
+  def nonEmptyTokenCount(text: Column): Column = size(nonEmptyTokens(text))
+
   /** BPE-ish token estimate: the ~4-chars-per-token heuristic used for LLM
     * budget accounting. */
   def bpeTokenEstimate(text: Column): Column =

@@ -3158,7 +3158,9 @@ loners AS (SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT id FROM l4))
 SELECT doc_id FROM winners UNION ALL SELECT doc_id FROM loners""",
 
     "q_text_bm25" -> """WITH lens AS (
-  SELECT doc_id, len(string_split(text, ' ')) AS len FROM documents),
+  SELECT doc_id,
+    len(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS len
+  FROM documents),
 stats AS (SELECT COUNT(*) AS n_docs, CAST(SUM(len) AS BIGINT) AS tot_len FROM lens),
 toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
 tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks

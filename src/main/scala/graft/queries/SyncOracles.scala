@@ -429,7 +429,9 @@ CROSS JOIN stats s""",
     "q_bm25_maintained_serve" -> """WITH fin AS (
   SELECT doc_id, text FROM documents WHERE doc_id % 9 <> 4),
 lens AS (
-  SELECT doc_id, len(string_split(text, ' ')) AS len FROM fin),
+  SELECT doc_id,
+    len(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS len
+  FROM fin),
 stats AS (SELECT COUNT(*) AS n_docs, CAST(SUM(len) AS BIGINT) AS tot_len FROM lens),
 toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM fin),
 tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks

@@ -81,9 +81,15 @@ object IoMeter {
       colB: String, loB: Long, hiB: Long): (Int, Int) = {
     import scala.jdk.CollectionConverters._
     val conf = new org.apache.hadoop.conf.Configuration()
-    val files = graft.sync.LakeFs.list(dir)
-      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
-      .map(_.getPath)
+    // recursive: a value-partitioned layout (ZOrder.layoutQuadrants written
+    // with partitionBy) nests its files one directory level down
+    def walk(p: String): Seq[org.apache.hadoop.fs.Path] =
+      graft.sync.LakeFs.list(p).flatMap { st =>
+        if (st.isDirectory) walk(st.getPath.toString)
+        else if (st.getPath.getName.endsWith(".parquet")) Seq(st.getPath)
+        else Seq.empty
+      }
+    val files = walk(dir)
     var hit = 0
     var total = 0
     files.foreach { p =>

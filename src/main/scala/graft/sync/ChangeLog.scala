@@ -55,7 +55,7 @@ object ChangeLog {
     val next = math.max((commitSeqs(logDir) :+ (minSeq - 1)).max + 1, minSeq)
     val staging = s"$logDir/.tmp-$next"
     Apply.writeChangeSet(cs, staging)
-    writeStats(cs.inserts.sparkSession, staging)
+    writeStats(cs.inserts.sparkSession, staging, statsColumns(logDir))
     // commit wall-clock stamp (timestamp-based time travel rides this);
     // parameterized for deterministic tests/oracles
     LakeFs.writeUtf8(s"$staging/_ts", nowMs.toString)
@@ -102,7 +102,26 @@ object ChangeLog {
     * conservatively. */
   val VersionCol = "SysRowVersion"
 
-  private def writeStats(spark: SparkSession, staging: String): Unit = {
+  /** Per-table OPT-IN list of additional band columns (v4 stats): the
+    * table root's `_stats_columns` file, one column name per line, written
+    * by [[LakeTable.setStatsColumns]]. Listing a column DECLARES the
+    * monotone-version contract for it (reference parity: RECVERSION-shaped
+    * counters threshold exactly like SysRowVersion,
+    * DeltaComparison_ImplementationPlan_v2.md:203-216) — bands are then
+    * recorded per commit under the same null/no-insert discipline as the
+    * default column's `v:` line, and a version-threshold read on that
+    * column gets commit-level skipping. Unknown/absent file = no extras. */
+  def statsColumns(logDir: String): Seq[String] = {
+    if (!logDir.endsWith("/_log")) return Seq.empty
+    val p = logDir.stripSuffix("/_log") + "/_stats_columns"
+    if (!LakeFs.exists(p)) Seq.empty
+    else
+      try LakeFs.readUtf8(p).linesIterator.map(_.trim).filter(_.nonEmpty).toSeq
+      catch { case scala.util.control.NonFatal(_) => Seq.empty }
+  }
+
+  private def writeStats(spark: SparkSession, staging: String,
+      extraCols: Seq[String] = Seq.empty): Unit = {
     val del = spark.read.parquet(s"$staging/deletes")
     val keyCol = del.schema.fieldNames.head
     val ins = spark.read.parquet(s"$staging/inserts")
@@ -111,29 +130,46 @@ object ChangeLog {
     // changeset — the double scan the persist below exists to avoid):
     // the keys union carries the cast version column (null for deletes)
     // plus an insert flag, and writeStatsBody folds everything into one
-    // aggregate over the persisted frame.
+    // aggregate over the persisted frame. v4: configured extra band
+    // columns ride the SAME union/aggregate — recorded only when the
+    // inserts carry them numerically, never a second scan.
     val vField = ins.schema.fields
       .find(_.name.equalsIgnoreCase(VersionCol))
       .filter(_.dataType.isInstanceOf[types.NumericType])
     val insV = vField.map(f => col(f.name).cast("long"))
       .getOrElse(lit(null).cast("long"))
+    val extras: Seq[(String, org.apache.spark.sql.Column)] = extraCols
+      .filterNot(_.equalsIgnoreCase(VersionCol)) // has its own v: line
+      .distinct
+      .flatMap(c => ins.schema.fields
+        .find(_.name.equalsIgnoreCase(c))
+        .filter(_.dataType.isInstanceOf[types.NumericType])
+        .map(f => c -> col(f.name).cast("long")))
     val keys = ins
-      .select(col(keyCol).cast("long").as("k"), insV.as("v"), lit(1L).as("i"))
-      .union(del.select(col(keyCol).cast("long").as("k"),
-        lit(null).cast("long").as("v"), lit(0L).as("i")))
+      .select(col(keyCol).cast("long").as("k") +: insV.as("v") +:
+        lit(1L).as("i") +:
+        extras.zipWithIndex.map { case ((_, e), i) => e.as(s"x$i") }: _*)
+      .union(del.select(col(keyCol).cast("long").as("k") +:
+        lit(null).cast("long").as("v") +: lit(0L).as("i") +:
+        extras.indices.map(i => lit(null).cast("long").as(s"x$i")): _*))
     // pinned across the envelope agg and the band groupBy below — without
     // it every commit append scans its staged changeset twice
     keys.persist()
     try {
-      writeStatsBody(staging, keys, hasVersionCol = vField.isDefined)
+      writeStatsBody(staging, keys, hasVersionCol = vField.isDefined,
+        extraNames = extras.map(_._1))
     } finally { keys.unpersist(); () }
   }
 
   private def writeStatsBody(staging: String,
       keys: org.apache.spark.sql.DataFrame,
-      hasVersionCol: Boolean = false): Unit = {
-    val r = keys.agg(min(col("k")), max(col("k")), count(lit(1)),
-      min(col("v")), max(col("v")), sum(col("i")), count(col("v"))).head
+      hasVersionCol: Boolean = false,
+      extraNames: Seq[String] = Seq.empty): Unit = {
+    val aggCols = Seq(min(col("k")), max(col("k")), count(lit(1)),
+      min(col("v")), max(col("v")), sum(col("i")), count(col("v"))) ++
+      extraNames.indices.flatMap(i => Seq(
+        min(col(s"x$i")), max(col(s"x$i")), count(col(s"x$i"))))
+    val r = keys.agg(aggCols.head, aggCols.tail: _*).head
     // version band ("v:min,max"): deletes are key-only (no version to
     // record); a version-threshold read must always keep a commit's
     // tombstones anyway — see LakeTable.readVersionFrom for why that is
@@ -142,13 +178,18 @@ object ChangeLog {
     // null version is outside the monotone contract, so the commit must
     // stay conservatively scanned).
     val nIns = if (r.isNullAt(5)) 0L else r.getLong(5)
-    val vLine =
-      if (!hasVersionCol) None
-      else if (nIns == 0L) Some("v:0,-1")
-      else if (r.getLong(6) == nIns && !r.isNullAt(3) && !r.isNullAt(4))
-        Some(s"v:${r.getLong(3)},${r.getLong(4)}")
+    def bandLine(prefix: String, mnI: Int, mxI: Int, cntI: Int): Option[String] =
+      if (nIns == 0L) Some(s"${prefix}0,-1")
+      else if (r.getLong(cntI) == nIns && !r.isNullAt(mnI) && !r.isNullAt(mxI))
+        Some(s"$prefix${r.getLong(mnI)},${r.getLong(mxI)}")
       else None
-    def withV(body: String): String = vLine.map(body + "\n" + _).getOrElse(body)
+    val vLine = if (!hasVersionCol) None else bandLine("v:", 3, 4, 6)
+    // v4 lines ("vc:<name>:min,max"), same discipline per configured column
+    val extraLines = extraNames.zipWithIndex.flatMap { case (name, i) =>
+      bandLine(s"vc:${name.toLowerCase}:", 7 + 3 * i, 8 + 3 * i, 9 + 3 * i)
+    }
+    def withV(body: String): String =
+      (body +: (vLine.toSeq ++ extraLines)).mkString("\n")
     if (r.getLong(2) == 0L)
       // truly empty commit: always skippable
       LakeFs.writeUtf8(s"$staging/_stats", withV("0\t-1\t0"))
@@ -257,6 +298,29 @@ object ChangeLog {
     else
       try LakeFs.readUtf8(p).linesIterator.find(_.startsWith("v:"))
         .flatMap(_.drop(2).split(",") match {
+          case Array(a, b) =>
+            for (x <- a.toLongOption; y <- b.toLongOption) yield (x, y)
+          case _ => None
+        })
+      catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** [[commitVersionRange]] generalized to ANY band column: the default
+    * column reads its `v:` line; a column configured via
+    * [[LakeTable.setStatsColumns]] reads its `vc:<name>:` line (v4).
+    * Consulted only on EXACT (case-insensitive) column match — a read
+    * thresholding an unconfigured column gets None and stays conservative
+    * (the r11 column-blind-skip guard, now per-column by construction). */
+  def commitVersionRangeFor(commitPath: String,
+      colName: String): Option[(Long, Long)] = {
+    if (colName.equalsIgnoreCase(VersionCol))
+      return commitVersionRange(commitPath)
+    val p = s"$commitPath/_stats"
+    val prefix = s"vc:${colName.toLowerCase}:"
+    if (!LakeFs.exists(p)) None
+    else
+      try LakeFs.readUtf8(p).linesIterator.find(_.startsWith(prefix))
+        .flatMap(_.drop(prefix.length).split(",") match {
           case Array(a, b) =>
             for (x <- a.toLongOption; y <- b.toLongOption) yield (x, y)
           case _ => None
@@ -481,15 +545,24 @@ object ChangeLog {
       // commits, same contract).
       val ins = versionFrom match {
         case Some((vc, vlo)) =>
-          // the v-line is recorded for VersionCol ONLY (writeStats) — a
-          // read thresholding a DIFFERENT column must never consult it
-          // (review r11: a column-blind skip pruned against the wrong
-          // column's band); such reads still get the pushed filter below
-          val bandApplies = vc.equalsIgnoreCase(VersionCol)
-          if (bandApplies && commitVersionRange(path).exists(_._2 < vlo))
+          // per-column band lookup (v4): the default column's v: line or a
+          // configured column's vc:<name>: line — never another column's
+          // band (review r11: a column-blind skip pruned against the wrong
+          // column's band; the per-name lookup makes exact match
+          // structural). Unconfigured columns get None -> conservatively
+          // scanned, with the pushed filter below still pruning row groups
+          if (commitVersionRangeFor(path, vc).exists(_._2 < vlo))
             insAll.limit(0)
           else insAll.schema.fieldNames.find(_.equalsIgnoreCase(vc)) match {
-            case Some(actual) => insAll.filter(col(actual) >= lit(vlo))
+            // null versions stay: they are outside the monotone contract
+            // (writeStats refuses a v-line on any null-version insert) but
+            // still SHADOW earlier rows of their key — dropping one
+            // pre-window would resurrect a stale above-threshold row that
+            // then passes the final vFilter (review r12). The null row
+            // itself is removed only by vFilter, exactly as in the
+            // documented read().filter(versionCol >= from) equivalence.
+            case Some(actual) =>
+              insAll.filter(col(actual) >= lit(vlo) || col(actual).isNull)
             case None => insAll
           }
         case None => insAll
@@ -528,8 +601,26 @@ object ChangeLog {
       .withColumn("_rn", row_number().over(w))
       .filter(col("_rn") === 1 && !col("_del"))
       .drop("_seq", "_del", "_rn")
-    vFilter(conform(alignTypes(base, widened, lossy)
-      .join(events.select(keyCol).distinct(), Seq(keyCol), "left_anti")
-      .unionByName(winners, allowMissingColumns = true)))
+    // The doomed-base-rows anti-join is ROUTED, not left to the broadcast
+    // threshold: the event-key set is O(changes) and at a 5% drift on a
+    // big table it outgrows autoBroadcast — Catalyst then sort-merges,
+    // shuffling and sorting EVERY payload byte of the base, the exact
+    // "base never enters a shuffle" violation this comment promises away
+    // (measured: the r11 sf0.1→sf1 point put a 1.41 scaling exponent on
+    // the full-compaction path purely from this plan flip). The upper
+    // bound for the routing decision is free — the kept commits' `_stats`
+    // event counts — so small deltas broadcast with no extra job; bigger
+    // ones split the base on a broadcast Bloom filter of the event keys
+    // (definite non-members pass map-side; only the ~changed slice pays
+    // the exact anti-join); only a genuinely huge key side shuffles.
+    val eventKeyUb: Option[Long] = insFrames
+      .foldLeft(Option(0L)) { case (acc, (seq, _, _)) =>
+        acc.flatMap(a => commits.collectFirst { case (`seq`, p) => p }
+          .flatMap(commitStats).map(a + _._3))
+      }
+    val (keptBase, _) = graft.ext.BloomPrune.autoAntiJoinRouted(
+      alignTypes(base, widened, lossy), events.select(keyCol),
+      keyCol, keyCol, knownMaxKeys = eventKeyUb)
+    vFilter(conform(keptBase.unionByName(winners, allowMissingColumns = true)))
   }
 }

@@ -182,8 +182,11 @@ object LakeTable {
     * version-threshold consumer (the reference's delta sync included).
     * Commits without usable version stats are scanned conservatively;
     * stats absence is never a skip. The `_stats` band is recorded for
-    * [[ChangeLog.VersionCol]] only — thresholding any OTHER column still
-    * gets prunes (a) and (c), never the commit-level skip (b). */
+    * [[ChangeLog.VersionCol]] by default; any other monotone
+    * change-tracking column gets skip (b) after the table OPTS IN via
+    * [[setStatsColumns]] (declaring the contract above for it) — commits
+    * appended before the opt-in carry no band for it and stay
+    * conservatively scanned. */
   def readVersionFrom(spark: SparkSession, table: String, fromVersion: Long,
       versionCol: String = ChangeLog.VersionCol,
       keyCol: String = "RecId"): DataFrame =
@@ -194,6 +197,20 @@ object LakeTable {
       case None =>
         throw new IllegalArgumentException(s"lake table does not exist: $table")
     }
+
+  /** Opt additional monotone change-tracking columns into per-commit
+    * version bands (v4 stats): every LATER [[appendCommit]] records an
+    * insert band for each listed column it carries numerically, and
+    * [[readVersionFrom]] on that column then gets commit-level skipping.
+    * Listing a column is a CONTRACT DECLARATION — it asserts the column is
+    * non-decreasing per key (the readVersionFrom soundness precondition);
+    * the reference thresholds RECVERSION-shaped counters under exactly
+    * this assumption. [[ChangeLog.VersionCol]] needs no listing. */
+  def setStatsColumns(table: String, cols: Seq[String]): Unit = {
+    LakeFs.mkdirs(table)
+    LakeFs.writeUtf8(s"$table/_stats_columns",
+      cols.map(_.trim).filter(_.nonEmpty).mkString("\n"))
+  }
 
   /** Key-range AND version-threshold read in one plan — both prunes
     * compose (each commit must survive BOTH to keep its insert scan; a
@@ -516,6 +533,24 @@ object LakeTable {
       table, stateTimeMs)
   }
 
+  /** Target bytes per clustered base file (`SPARK_GRAFT_TARGET_FILE_MB`,
+    * default 128 MiB — the usual parquet split size, so one rewritten file
+    * ≈ one downstream scan task). */
+  private def targetFileBytes: Long =
+    sys.env.get("SPARK_GRAFT_TARGET_FILE_MB").flatMap(_.toLongOption)
+      .filter(_ > 0).getOrElse(128L) * (1L << 20)
+
+  /** Bytes-scaled partition count for a full re-clustered rewrite: at
+    * least the pre-rewrite file count (pruning granularity never
+    * degrades) AND at least input-bytes / target-file-size, so
+    * per-partition sort+write work stays bounded as the table grows.
+    * Carrying the pre-rewrite count alone is the r11 scale defect: at 10x
+    * the data each fallback partition sorted and wrote 10x the bytes —
+    * a measured 1.41 scaling exponent on what should be a linear pass. */
+  private def reclusterTarget(preFiles: Int, inputBytes: Long): Int =
+    math.max(math.max(preFiles, 1),
+      math.ceil(inputBytes.toDouble / targetFileBytes).toInt)
+
   /** What a [[compact]] call did: `partial` folded the pending commits into
     * only the TOUCHED base files and carried the rest by manifest reference;
     * `full` rewrote the whole base (fallback, with the reason;
@@ -576,15 +611,24 @@ object LakeTable {
     // an unclustered base whose wide overlapping file ranges make every
     // LATER compaction full as well — the O(table) steady state silently
     // returning for good (r8 review finding). Costs the range exchange
-    // only when the base demonstrably WAS clustered.
+    // only when the base demonstrably WAS clustered. The partition count
+    // is BYTES-SCALED, floored at the pre-rewrite file count (r11: reusing
+    // the pre-rewrite count verbatim pinned per-partition sort/write work
+    // to the table's GROWTH — each fallback partition carried 10x the
+    // bytes at 10x data, the measured superlinear compaction).
     def full(reason: String, recluster: Boolean = false,
         nFiles: Int = 0): CompactResult = {
       val cur = read(spark, table, keyCol)
       val df =
-        if (recluster)
-          cur.repartitionByRange(math.max(nFiles, 1), col(keyCol))
+        if (recluster) {
+          // manifest-aware: a partially-compacted base's files live across
+          // generation dirs, so size the FILE LIST, not the dir
+          val inputBytes = baseDataFiles(base).map(LakeFs.sizeBytes).sum +
+            seqs.map(q => LakeFs.sizeBytes(s"$log/$q")).sum
+          cur.repartitionByRange(reclusterTarget(nFiles, inputBytes),
+              col(keyCol))
             .sortWithinPartitions(keyCol)
-        else cur
+        } else cur
       overwrite(df, table, foldedTime)
       CompactResult("full", -1, 0, seqs.size, reason)
     }
@@ -652,9 +696,14 @@ object LakeTable {
     val newBase = s"$table/$newBaseName"
     // rewritten files are RANGE-CLUSTERED on the key so their footer ranges
     // stay tight — the next partial compaction prunes them just as well as
-    // the files they replace
+    // the files they replace. Bytes-scaled like the full fallback: commits
+    // can APPEND beyond the touched files (new keys), so the rewrite's
+    // volume is touched + commit bytes, not touched file count alone
+    val rewriteBytes = touched.map(f => LakeFs.sizeBytes(f._1)).sum +
+      seqs.map(q => LakeFs.sizeBytes(s"$log/$q")).sum
     rewritten
-      .repartitionByRange(math.max(touched.size, 1), col(keyCol))
+      .repartitionByRange(reclusterTarget(touched.size, rewriteBytes),
+        col(keyCol))
       .sortWithinPartitions(keyCol)
       .write.mode("overwrite").parquet(newBase)
     val newFiles = LakeFs.list(newBase)
@@ -692,10 +741,22 @@ object LakeTable {
     val cur = read(spark, table, keyCol)
     val df =
       if (recluster) {
-        val n = if (nFiles > 0) nFiles
-          else math.max(resolve(table).map(r => baseDataFiles(r._1).size)
-            .getOrElse(0), 1)
-        cur.repartitionByRange(n, col(keyCol)).sortWithinPartitions(keyCol)
+        // explicit nFiles is honored as a FLOOR, not verbatim: the bytes
+        // term keeps per-partition work bounded however the table grew.
+        // Input bytes = live base + pending commits ONLY (never the whole
+        // dir: the GC-retained previous generation would double-count and
+        // make the file count depend on compaction HISTORY, not state)
+        val pre = if (nFiles > 0) nFiles
+          else resolve(table).map(r => baseDataFiles(r._1).size).getOrElse(0)
+        val inputBytes = resolve(table).map { case (b, fromSeq) =>
+          val baseBytes =
+            if (b == table) baseDataFiles(b).map(LakeFs.sizeBytes).sum
+            else LakeFs.sizeBytes(b)
+          baseBytes + ChangeLog.commitSeqs(logDir(table)).filter(_ >= fromSeq)
+            .map(q => LakeFs.sizeBytes(s"${logDir(table)}/$q")).sum
+        }.getOrElse(0L)
+        cur.repartitionByRange(reclusterTarget(pre, inputBytes), col(keyCol))
+          .sortWithinPartitions(keyCol)
       } else cur
     overwrite(df, table, foldedTime)
     CompactResult("full", -1, 0, folded, "explicit compactFull")

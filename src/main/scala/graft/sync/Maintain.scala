@@ -343,7 +343,7 @@ object Maintain {
   def bm25Stats(initialState: DataFrame, feed: DataFrame,
       finalState: DataFrame, keyCol: String, textCol: String): DataFrame = {
     def toks(c: org.apache.spark.sql.Column) =
-      filter(split(c, " "), t => length(t) > 0)
+      graft.ext.TextAnalysis.nonEmptyTokens(c)
     // per-(document INSTANCE, term) tf: `instCol` tells two occurrences of
     // the same KEY apart — a window can insert a key, delete it, and
     // insert it again (two insert instances at different `_seq`), and an
@@ -407,7 +407,7 @@ object Maintain {
   def bm25CorpusStats(initialState: DataFrame, feed: DataFrame,
       keyCol: String, textCol: String): DataFrame = {
     def lenOf(c: org.apache.spark.sql.Column) =
-      size(filter(split(c, " "), t => length(t) > 0)).cast("long")
+      graft.ext.TextAnalysis.nonEmptyTokenCount(c).cast("long")
     val delPre = effectiveDeletes(initialState, feed, keyCol, Seq(textCol))
     val a0 = initialState.agg(count(lit(1)).as("_n0"),
       coalesce(sum(lenOf(col(textCol))), lit(0L)).as("_s0"))

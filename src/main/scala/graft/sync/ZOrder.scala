@@ -51,7 +51,13 @@ object ZOrder {
   /** Lay `df` out along the Morton curve of (colA, colB) into `nFiles`
     * range-partitioned, internally-sorted files. One extra agg job reads
     * the bounds; the layout write is the same shuffle any repartition
-    * pays — amortized over every pruned read after it. */
+    * pays — amortized over every pruned read after it.
+    *
+    * File boundaries come from range-exchange SAMPLING (balanced bytes per
+    * file on any distribution, but seeded per run — two same-code runs cut
+    * the curve at slightly different points). When a footer-stats metric
+    * or a reproducible layout matters more than balance, use
+    * [[layoutQuadrants]]. */
   def layout(df: DataFrame, colA: String, colB: String, nFiles: Int): DataFrame = {
     graft.functions.GraftFunctions.register(df.sparkSession)
     val r = df.agg(
@@ -65,6 +71,40 @@ object ZOrder {
     df.withColumn("_zkey", za)
       .repartitionByRange(nFiles, col("_zkey"))
       .sortWithinPartitions("_zkey")
+      .drop("_zkey")
+  }
+
+  /** DETERMINISTIC z-layout: equal-WIDTH Morton quadrants — the quadrant
+    * id is the z-key's top `2·bits` bits, pure arithmetic on the key, so
+    * the file boundaries (and every parquet-footer metric computed from
+    * them) are bit-stable across runs. [[layout]]'s range exchange samples
+    * with a per-run seed: rerunning identical code moves the curve cuts a
+    * little, which moved the bench's footer-ground-truth box-prune ratio
+    * between driver runs (r11 verdict #3). Here each output file IS one
+    * quad-tree cell — the tightest possible min/max box per file — at the
+    * cost of BALANCE: skewed data packs uneven quadrant files, which is
+    * why the sampling form stays the general-purpose default.
+    *
+    * Write the result with `.partitionBy(QuadrantCol)`: the value-split
+    * writer emits one file per populated quadrant per holding task, and
+    * the preceding hash exchange co-locates each quadrant in exactly one
+    * task — one file per populated quadrant, rows z-sorted within. */
+  val QuadrantCol = "_zq"
+  def layoutQuadrants(df: DataFrame, colA: String, colB: String,
+      bits: Int): DataFrame = {
+    require(bits >= 1 && bits <= 10, s"quadrant bits out of range: $bits")
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    val r = df.agg(
+      min(key(col(colA))), max(key(col(colA))),
+      min(key(col(colB))), max(key(col(colB)))).head()
+    if (r.isNullAt(0) || r.isNullAt(2)) return df.withColumn(QuadrantCol, lit(0))
+    val za = zkey(col(colA), col(colB),
+      (r.getLong(0), r.getLong(1)), (r.getLong(2), r.getLong(3)))
+    df.withColumn("_zkey", za)
+      .withColumn(QuadrantCol,
+        shiftright(col("_zkey"), 42 - 2 * bits).cast("int"))
+      .repartition(1 << (2 * bits), col(QuadrantCol))
+      .sortWithinPartitions(QuadrantCol, "_zkey")
       .drop("_zkey")
   }
 }

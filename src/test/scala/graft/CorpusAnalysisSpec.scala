@@ -154,6 +154,39 @@ class CorpusAnalysisSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("bm25 serving ≡ maintained stats on DENORMALIZED whitespace: both " +
+      "length paths drop empty tokens (r11 advice)") {
+    import graft.sync.{Apply, LakeTable, Maintain}
+    val t = java.nio.file.Files.createTempDirectory("graft_bm25_ws")
+      .toString + "/t"
+    // doubled / leading / trailing whitespace everywhere: split(' ')
+    // yields empty cells that a raw size() would count into doc lengths
+    val initial = Seq(
+      (1L, "  alpha beta   gamma alpha beta "),
+      (2L, "alpha  beta gamma delta  epsilon"),
+      (3L, "zeta eta  theta iota   kappa"))
+    LakeTable.overwrite(initial.toDF("doc_id", "text"), t)
+    LakeTable.appendCommit(Apply.ChangeSet(Seq(3L).toDF("doc_id"),
+      Seq((4L, " alpha   alpha beta  ")).toDF("doc_id", "text"),
+      keyFlags = Seq(3L).toDF("doc_id")), t)
+    val fromSeq = LakeTable.resolve(t).get._2
+    val feed = LakeTable.changes(spark, t, fromSeq, keyCol = "doc_id")
+    val fin = LakeTable.read(spark, t, keyCol = "doc_id")
+    val termStats = Maintain.bm25Stats(initial.toDF("doc_id", "text"), feed,
+      fin, "doc_id", "text")
+    val corpusStats = Maintain.bm25CorpusStats(initial.toDF("doc_id", "text"),
+      feed, "doc_id", "text")
+    // maintained tot_len counts REAL tokens only: 5 + 5 + 3 = 13
+    assert(corpusStats.collect()(0).getLong(1) == 13L)
+    val terms = Seq("alpha", "beta")
+    val got = CorpusAnalysis.bm25TopDocsFromStats(fin, termStats,
+      corpusStats, "doc_id", "text", terms, 10).collect().toSeq
+    val want = CorpusAnalysis.bm25TopDocs(fin, "doc_id", "text", terms, 10)
+      .collect().toSeq
+    assert(got == want, "serving from maintained stats must equal the " +
+      "from-scratch ranking even when the text carries empty split cells")
+  }
+
   test("OrcSource round-trips part losslessly") {
     val p = spark.read.parquet("/root/testdata/sf0.001/part.parquet")
     val out = java.nio.file.Files.createTempDirectory("graft_orc_spec").toString + "/part"

@@ -330,4 +330,94 @@ class LakeSkipSpec extends AnyFunSuite {
     assert(!pruned.inputFiles.exists(_.contains(s"/_log/$seq/")))
     assert(pruned.count() == 10)
   }
+
+  test("custom band column (v4): opted-in monotone columns get commit-level " +
+      "skipping; unconfigured columns, pre-opt-in commits and null values " +
+      "stay conservative") {
+    val t = freshTable()
+    def csv(deletes: Seq[Long], inserts: Seq[(Long, Long, String)]): Apply.ChangeSet =
+      Apply.ChangeSet(deletes.toDF("RecId"),
+        inserts.toDF("RecId", "RecVersion", "payload"),
+        keyFlags = deletes.toDF("RecId"))
+    // base RecVersion = key (all far below the threshold)
+    LakeTable.overwrite((1L to 100L).map(i => (i, i, s"p$i"))
+      .toDF("RecId", "RecVersion", "payload"), t)
+    // A: appended BEFORE the opt-in — no vc: band, conservatively scanned
+    val seqA = LakeTable.appendCommit(
+      csv(1L to 5L, (1L to 5L).map(i => (i, 200L + i, "preOptIn"))), t)
+    assert(ChangeLog.commitVersionRangeFor(s"$t/_log/$seqA", "RecVersion").isEmpty)
+    LakeTable.setStatsColumns(t, Seq("RecVersion"))
+    // B: below-threshold upsert — band recorded, insert scan must drop
+    val seqB = LakeTable.appendCommit(
+      csv(10L to 15L, (10L to 15L).map(i => (i, 300L + i, "low"))), t)
+    assert(ChangeLog.commitVersionRangeFor(s"$t/_log/$seqB", "RecVersion")
+      .contains((310L, 315L)))
+    // the default column's lookup must NOT see RecVersion's band
+    assert(ChangeLog.commitVersionRange(s"$t/_log/$seqB").isEmpty)
+    // C: above-threshold upsert — stays planned
+    val seqC = LakeTable.appendCommit(
+      csv(60L to 65L, (60L to 65L).map(i => (i, 1000L + i, "high"))), t)
+    // D: below-threshold band BUT a null value — no band, conservative
+    def csvN(inserts: Seq[(Long, Option[Long], String)]): Apply.ChangeSet =
+      Apply.ChangeSet(Seq.empty[Long].toDF("RecId"),
+        inserts.toDF("RecId", "RecVersion", "payload"),
+        keyFlags = Seq.empty[Long].toDF("RecId"))
+    val seqD = LakeTable.appendCommit(
+      csvN(Seq((70L, Some(400L), "low"), (71L, None, "nullv"))), t)
+    assert(ChangeLog.commitVersionRangeFor(s"$t/_log/$seqD", "RecVersion").isEmpty)
+
+    val got = LakeTable.readVersionFrom(spark, t, 1000L, versionCol = "RecVersion")
+    val want = LakeTable.read(spark, t).filter(col("RecVersion") >= 1000L)
+    assert(got.orderBy("RecId").collect().toSeq ==
+      want.orderBy("RecId").collect().toSeq)
+    assert(got.select("RecId").as[Long].collect().sorted.toSeq == (60L to 65L))
+    val files = got.inputFiles.toSeq
+    assert(files.exists(_.contains(s"/_log/$seqA/inserts")),
+      "pre-opt-in commit has no band: must be scanned")
+    assert(!files.exists(_.contains(s"/_log/$seqB/inserts")),
+      s"below-band insert scan of the OPTED-IN column must be skipped:\n${files.mkString("\n")}")
+    assert(files.exists(_.contains(s"/_log/$seqC/inserts")),
+      "above-threshold commit stays planned")
+    assert(files.exists(_.contains(s"/_log/$seqD/inserts")),
+      "null-carrying commit must be scanned")
+    // thresholding a column with NO band configured anywhere: conservative
+    // everywhere, results still exact
+    val gotP = LakeTable.readVersionFrom(spark, t, 1000L, versionCol = "RecId")
+    val wantP = LakeTable.read(spark, t).filter(col("RecId") >= 1000L)
+    assert(gotP.count() == wantP.count())
+    assert(gotP.inputFiles.exists(_.contains(s"/_log/$seqB/inserts")),
+      "unconfigured-column threshold must not consult RecVersion's band")
+  }
+
+  test("version-threshold read: a NULL-version insert in a kept commit " +
+      "still shadows an earlier above-threshold row of its key (r12 advice)") {
+    val t = freshTable()
+    def csv(inserts: Seq[(Long, Option[Long], String)]): Apply.ChangeSet =
+      Apply.ChangeSet(Seq.empty[Long].toDF("RecId"),
+        inserts.toDF("RecId", "SysRowVersion", "payload"),
+        keyFlags = Seq.empty[Long].toDF("RecId"))
+    // base versions = key, all far below the threshold
+    LakeTable.overwrite((1L to 100L).map(i => (i, i, s"p$i"))
+      .toDF("RecId", "SysRowVersion", "payload"), t)
+    // A: above-threshold inserts; all versions present -> v-line recorded
+    val seqA = LakeTable.appendCommit(
+      csv(Seq((60L, Some(2000L), "hot"), (61L, Some(2001L), "hot"))), t)
+    assert(ChangeLog.commitVersionRange(s"$t/_log/$seqA").contains((2000L, 2001L)))
+    // B: PURE-APPEND re-insert of key 60 with a NULL version (no
+    // tombstone). A null version is outside the monotone contract, so B
+    // gets no v-line (conservatively kept) — and inside the kept scan the
+    // null row must SURVIVE the pushed threshold so it shadows A's v2000
+    // row in the replay window; only the final output filter removes it.
+    // Dropping it at the scan resurrects the stale 2000-version row.
+    val seqB = LakeTable.appendCommit(csv(Seq((60L, None, "nullv"))), t)
+    assert(ChangeLog.commitVersionRange(s"$t/_log/$seqB").isEmpty)
+
+    val got = LakeTable.readVersionFrom(spark, t, 1000L)
+    val want = LakeTable.read(spark, t).filter(col("SysRowVersion") >= 1000L)
+    assert(got.orderBy("RecId").collect().toSeq ==
+      want.orderBy("RecId").collect().toSeq)
+    assert(got.select("RecId").as[Long].collect().sorted.toSeq == Seq(61L),
+      "key 60's latest state is the null-version row: shadowed out of the " +
+        "threshold read, and the stale v2000 row must not resurface")
+  }
 }

@@ -102,6 +102,60 @@ class BloomSpec extends AnyFunSuite {
     assert(joinIdx >= 0 && probeIdx > joinIdx,
       s"bloom probe should be below the join:\n$plan")
   }
+
+  test("bloom-routed ANTI-join equals the plain anti-join, null keys kept " +
+      "exactly once, definite non-members bypass the join") {
+    val big = spark.range(0, 50000)
+      .select(when(col("id") % 1000 === 7, lit(null).cast("long"))
+        .otherwise(col("id")).as("k"), (col("id") % 97).as("payload"))
+    val keys = spark.range(0, 50000).filter(col("id") % 13 === 0)
+      .select(col("id").as("kk"))
+    val routed = BloomPrune.antiJoin(big, keys, "k", "kk", expectedKeys = 4000)
+    val exact = big.join(keys.withColumnRenamed("kk", "k"), Seq("k"), "left_anti")
+    assert(routed.count() == exact.count())
+    assert(routed.select("k").as[Option[Long]].collect().sorted.toSeq ==
+      exact.select("k").as[Option[Long]].collect().sorted.toSeq)
+    // null-key rows (50 of them) survive exactly once, in the keep branch
+    assert(routed.filter(col("k").isNull).count() == 50)
+  }
+
+  test("autoAntiJoinRouted: knownMaxKeys short-circuits to broadcast with " +
+      "no estimate; each route is exact; non-long keys skip the bloom tier") {
+    val big = spark.range(0, 20000).select(col("id").as("k"))
+    val smallKeys = spark.range(0, 100).select(col("id").as("kk"))
+    val bigKeys = spark.range(0, 20000).filter(col("id") % 3 === 0)
+      .select(col("id").as("kk"))
+    val expect = big.join(bigKeys.withColumnRenamed("kk", "k"), Seq("k"), "left_anti")
+      .count()
+
+    val (viaBroadcast, r1) = BloomPrune.autoAntiJoinRouted(
+      big, smallKeys, "k", "kk", knownMaxKeys = Some(100L))
+    assert(r1 == "broadcast")
+    assert(viaBroadcast.queryExecution.executedPlan.toString
+      .contains("BroadcastHashJoin"))
+    assert(viaBroadcast.count() == 20000 - 100)
+
+    val (viaBloom, r2) = BloomPrune.autoAntiJoinRouted(
+      big, bigKeys, "k", "kk", broadcastMaxKeys = 1000)
+    assert(r2 == "bloom")
+    assert(viaBloom.queryExecution.executedPlan.toString
+      .contains("bloom_might_contain"))
+    assert(viaBloom.count() == expect)
+
+    val (viaShuffle, r3) = BloomPrune.autoAntiJoinRouted(
+      big, bigKeys, "k", "kk", broadcastMaxKeys = 10, bloomMaxKeys = 100)
+    assert(r3 == "shuffle")
+    assert(viaShuffle.count() == expect)
+
+    // string keys can't hash into the long-keyed bloom: the middle tier is
+    // skipped, the result stays exact via the shuffle route
+    val bigS = big.select(col("k").cast("string").as("k"))
+    val keysS = bigKeys.select(col("kk").cast("string").as("kk"))
+    val (viaNonLong, r4) = BloomPrune.autoAntiJoinRouted(
+      bigS, keysS, "k", "kk", broadcastMaxKeys = 1000)
+    assert(r4 == "shuffle")
+    assert(viaNonLong.count() == expect)
+  }
 }
 
 class HeavyHittersSpec extends AnyFunSuite {

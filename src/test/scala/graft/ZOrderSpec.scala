@@ -72,4 +72,32 @@ class ZOrderSpec extends AnyFunSuite {
     assert(out.agg(sum("v")).head.getLong(0) == df.agg(sum("v")).head.getLong(0))
     assert(out.columns.toSeq == Seq("a", "b", "v"), "z-key must not leak into the schema")
   }
+
+  test("quadrant layout: file boundaries are DETERMINISTIC across runs, " +
+      "each file one tight quad-tree cell, data preserved") {
+    val df = spark.range(100000)
+      .select((col("id") % 1000).as("a"), (col("id") / 1000).cast("long").as("b"),
+        col("id").as("v"))
+    def write(dir: String): (Int, Int) = {
+      ZOrder.layoutQuadrants(df, "a", "b", bits = 3)
+        .write.partitionBy(ZOrder.QuadrantCol).parquet(dir)
+      IoMeter.parquetRowGroupsBox(dir, "a", 0, 124, "b", 0, 11)
+    }
+    val base = java.nio.file.Files.createTempDirectory("graft_zq").toString
+    val r1 = write(s"$base/one")
+    val r2 = write(s"$base/two")
+    // the whole point vs the sampled range exchange: identical code,
+    // identical input -> identical footer ground truth (r11 verdict #3)
+    assert(r1 == r2, s"quadrant layout must be run-stable: $r1 vs $r2")
+    // the 1/8 x 1/8 box is one aligned cell of the 8x8 grid (+ boundary
+    // neighbours at most): far below the linear layout's ~9 stripes
+    assert(r1._2 >= 32, s"want real file counts: ${r1._2}")
+    assert(r1._1 <= 4, s"aligned box should hit <=4 quadrant cells: $r1")
+    // round trip: value-partitioned write restores rows (quadrant col
+    // becomes a partition column)
+    val back = spark.read.parquet(s"$base/one")
+    assert(back.count() == 100000)
+    assert(back.agg(sum("v")).head.getLong(0) ==
+      df.agg(sum("v")).head.getLong(0))
+  }
 }

@@ -15,6 +15,10 @@ SCN_KEYS = [
     "scn_compact_partial_4commits", "scn_compact_4commits",
     "scn_full_reload", "scn_40pct_truncate",
     "q_dedup_prefix", "q_sim_ivfpq",
+    # IVM family (r11 verdict #5): maintained-count and maintained-BM25 —
+    # the O(changes) claims get a measured exponent (expect well below 1.0
+    # for a fixed change fraction)
+    "q_cdf_maintain", "q_cdf_maintain_bm25",
 ]
 BYTE_KEYS = [
     "nochange_read_reduction_x", "pct5_read_reduction_x",
@@ -42,6 +46,16 @@ def main():
                 # exponent e with time ~ rows^e: e = log(tb/ta)/log(factor)
                 "scaling_exponent": round(math.log(b / a) / math.log(factor), 3),
             }
+            # CPU-domain twin when both runs carry it: wall exponents on
+            # this box confound code scaling with the writeback-throttle
+            # regime; the CPU exponent is the regime-immune corroboration
+            ac = small.get("queries_cpu", {}).get(k)
+            bc = big.get("queries_cpu", {}).get(k)
+            if ac and bc and ac > 0 and bc > 0:
+                scaling[k]["small_cpu_s"] = round(ac, 3)
+                scaling[k]["big_cpu_s"] = round(bc, 3)
+                scaling[k]["scaling_exponent_cpu"] = round(
+                    math.log(bc / ac) / math.log(factor), 3)
     bytes_block = {
         k: {"small": round(small["ratios"][k], 4), "big": round(big["ratios"][k], 4)}
         for k in BYTE_KEYS
