@@ -964,6 +964,55 @@ object Bench {
     ratios("compact_scattered_vs_full") =
       (tCompact / compactK) / math.max(tFullPair, 1e-9)
     flush("compact")
+
+    // Lake-to-lake replica chain (r11 verdict #6): an upstream lake table
+    // holds the CURRENT source state on the version-clustered layout (the
+    // S8 base-layout discipline) plus two below-mark heartbeat commits
+    // (value-identical re-upserts — the shape idle upstream syncs leave);
+    // a downstream replica primed at the pre-drift mark then syncs FROM it.
+    // The wide fetch routes through readVersionFrom, so it plans only the
+    // above-mark version band of the base plus above-mark commits' inserts
+    // — the replica chain re-reads O(changed data), never the table. The
+    // ratio is FILE-level planned bytes (deterministic, like lakeskip);
+    // the timed run is the full incremental lifecycle through write+sync.
+    locally {
+      val up = s"$tmp/l2l_up"
+      lakeTarget(s"$cache/src", up)
+      val noise = srcT.filter(col("RecId") % 23 === 7 &&
+        col("RecId") % 20 =!= 3) // unmodified band: versions all ≤ mark
+      (1 to 2).foreach { _ =>
+        LakeTable.appendCommit(graft.sync.Apply.ChangeSet(
+          noise.select("RecId"), noise, noise.select("RecId")), up)
+      }
+      def fileMb(uris: Seq[String]): Double = uris.map { u =>
+        new java.io.File(new java.net.URI(u).getPath).length
+      }.sum / 1e6
+      val lakeSrc = graft.run.LakeSource(up)
+      val fullMb = fileMb(LakeTable.read(spark, up).inputFiles.toSeq)
+      val prunedMb = fileMb(
+        lakeSrc.loadFromVersion(spark, mark + 1).inputFiles.toSeq)
+      require(prunedMb > 0 && prunedMb < fullMb / 2,
+        f"replica wide fetch must plan a fraction of the upstream: " +
+          f"$prunedMb%.1f of $fullMb%.1f MB")
+      ratios("l2l_wide_read_reduction_x") = fullMb / math.max(prunedMb, 0.001)
+      System.err.println(f"[bench] lake-to-lake wide fetch plans " +
+        f"$prunedMb%.0f of $fullMb%.0f MB upstream " +
+        f"(${ratios("l2l_wide_read_reduction_x")}%.1f x)")
+      linkDir(s"$cache/perf", s"$tmp/tgt_scn_l2l")
+      store.putVersions("scn_l2l", mark, mark, Some(maxId))
+      val l2lPlan = runner.TablePlan("scn_l2l", up, s"$tmp/tgt_scn_l2l",
+        sourceOverride = Some(lakeSrc))
+      osSync()
+      val tL2l = timeWithCpu {
+        runAsserting(l2lPlan, graft.model.SyncMode.Incremental); osSync()
+      }
+      results("scn_lake_to_lake_5pct") = tL2l
+      resultsCpu("scn_lake_to_lake_5pct") = lastDrawCpuS
+      System.err.println(f"[bench] lake-to-lake 5pct incremental: $tL2l%.1f s")
+      rmRecF(new java.io.File(s"$tmp/tgt_scn_l2l"))
+      rmRecF(new java.io.File(up))
+    }
+    flush("lake_to_lake")
     // Timing is decomposed BY PHASE, because the two scenarios share their
     // dominant phase: a full apply of the same bytes to the same path.
     // Labeling half the draws "full" and half "truncate" and ratioing

@@ -206,6 +206,16 @@ SELECT $outCols FROM (
   SELECT $outCols FROM up
 ) WHERE SysRowVersion >= 10000000000000000"""),
 
+    // custom-band twin (v4): same replayed state thresholded on the
+    // RECVERSION counter (tgt rows carry 1, the upserted band carries 2)
+    "q_lake_skip_version_custom" -> (prefix + s""", up AS (
+  SELECT * FROM src WHERE RecId % 20 = 3 AND RecId % 131 <> 5)
+SELECT $outCols FROM (
+  SELECT $outCols FROM tgt WHERE RecId NOT IN (SELECT RecId FROM up)
+  UNION ALL
+  SELECT $outCols FROM up
+) WHERE RECVERSION >= 2"""),
+
     // maintained counts ≡ direct counts over the final replayed state:
     // (tgt minus upserted keys minus band keys) ∪ (upserts outside the band)
     "q_cdf_maintain" -> (prefix + s"""SELECT l_returnflag,

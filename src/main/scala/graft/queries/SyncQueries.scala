@@ -605,6 +605,31 @@ object SyncQueries {
       LakeTable.readVersionFrom(s, dir, 10000000000000000L)
     }),
 
+    // custom-band twin (v4): the SAME delta-fetch shape thresholded on the
+    // reference's RECVERSION-style counter instead of SysRowVersion — the
+    // table opts the column in (setStatsColumns declares its monotone
+    // contract: 1 -> 2 on update, never back), each commit records a
+    // vc:recversion band, and the below-band re-upsert's insert scan drops
+    // from the plan while results stay ≡ replay().filter(RECVERSION >= 2)
+    "q_lake_skip_version_custom" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft_lake_q").toString + "/t"
+      val src = slim(SyncFixtures.source(s, d))
+      val tgt = slim(SyncFixtures.target(s, d))
+      LakeTable.overwrite(tgt, dir)
+      LakeTable.setStatsColumns(dir, Seq("RECVERSION"))
+      // below-band commit: unmodified rows, RECVERSION stays 1
+      val low = tgt.filter(col("RecId") % 23 === 7 && col("RecId") % 131 =!= 5)
+      LakeTable.appendCommit(
+        Apply.ChangeSet(low.select("RecId"), low, low.select("RecId")),
+        dir, nowMs = 1000L)
+      // above-band commit: the changed band, RECVERSION = 2
+      val hi = src.filter(col("RecId") % 20 === 3 && col("RecId") % 131 =!= 5)
+      LakeTable.appendCommit(
+        Apply.ChangeSet(hi.select("RecId"), hi, hi.select("RecId")),
+        dir, nowMs = 2000L)
+      LakeTable.readVersionFrom(s, dir, 2L, versionCol = "RECVERSION")
+    }),
+
     // composed range+version pruning: the per-shard "changes since V"
     // probe — one plan carrying both the commit-level key skip and the
     // version-band insert skip; ≡ plain replay doubly filtered

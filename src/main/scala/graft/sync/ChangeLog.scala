@@ -394,8 +394,20 @@ object ChangeLog {
       versionFrom: Option[(String, Long)] = None): DataFrame = {
     // manifest resolution (LakeTable.readPaths): a partially-compacted
     // base's files live across generation dirs — the dir alone is not the
-    // base. Plain dirs pass through unchanged.
-    val paths0 = LakeTable.readPaths(basePath)
+    // base. Plain dirs pass through unchanged UNLESS a prune is requested:
+    // file-level skipping filters a FILE LIST, and a directory handle is
+    // one opaque path — without the expansion every plain-dir base
+    // silently scanned all its files however selective the read (r12: the
+    // replica-chain wide fetch planned the full upstream because the
+    // hardlinked base was a plain dir). The listing is the same driver-side
+    // metadata call Spark's own scan planning would make.
+    val paths0 = {
+      val p = LakeTable.readPaths(basePath)
+      if ((keyRange.isDefined || versionFrom.isDefined) && p == Seq(basePath)) {
+        val files = LakeTable.baseDataFiles(basePath)
+        if (files.nonEmpty) files else p
+      } else p
+    }
     // FILE-level base pruning for ranged reads of a manifested base: the
     // file list is already explicit, so disjoint files (footer key range vs
     // the requested range — same conservative rule as commit skipping:

@@ -331,6 +331,29 @@ class LakeSkipSpec extends AnyFunSuite {
     assert(pruned.count() == 10)
   }
 
+  test("plain-dir base: a version-threshold read prunes base FILES by " +
+      "their version footers (the replica-chain wide-fetch shape)") {
+    val t = freshTable()
+    // version-clustered 4-file base: versions = key, range-partitioned
+    val base = (1L to 1000L).map(i => (i, i, s"p$i"))
+      .toDF("RecId", "SysRowVersion", "payload")
+      .repartitionByRange(4, col("SysRowVersion"))
+      .sortWithinPartitions("SysRowVersion")
+    LakeTable.overwrite(base, t)
+    val got = LakeTable.readVersionFrom(spark, t, 900L)
+    val want = LakeTable.read(spark, t).filter(col("SysRowVersion") >= 900L)
+    assert(got.orderBy("RecId").collect().toSeq ==
+      want.orderBy("RecId").collect().toSeq)
+    assert(got.count() == 101)
+    val baseFiles = got.inputFiles.toSeq.filterNot(_.contains("/_log/"))
+    val allFiles = LakeTable.read(spark, t).inputFiles.toSeq
+      .filterNot(_.contains("/_log/"))
+    assert(allFiles.size >= 4, s"fixture should have >=4 base files: $allFiles")
+    assert(baseFiles.nonEmpty && baseFiles.size < allFiles.size / 2,
+      s"below-threshold base files must be pruned: " +
+        s"${baseFiles.size}/${allFiles.size}")
+  }
+
   test("custom band column (v4): opted-in monotone columns get commit-level " +
       "skipping; unconfigured columns, pre-opt-in commits and null values " +
       "stay conservative") {
