@@ -510,6 +510,14 @@ object Bench {
     }
     flush("prune_ratios")
     }
+    // dev knob (r12, zorder-determinism evidence): stop after the cheap
+    // structural phases — two such runs must produce IDENTICAL
+    // zorder_box_groups_scanned_frac now that both layouts are built
+    // arithmetically (r11 verdict #3: the sampled range exchange moved
+    // this footer-ground-truth ratio between same-code runs)
+    if (sys.env.contains("SPARK_GRAFT_STRUCTURAL_ONLY")) {
+      rmRecF(new java.io.File(tmp)); spark.stop(); return
+    }
 
     // --- reference scenario ratios (BASELINE.md invariants) ---
     // Scenario inputs are MATERIALIZED tables (written once, untimed): a

@@ -158,6 +158,16 @@ object KMeans {
       c.cluster) AS rn
   FROM $src n, $cs c) WHERE rn = 1"""
 
+  /** Nearest-centroid assignment of a [[Similarity.prepare]]d frame under a
+    * FIXED codebook — the public seam maintained-index consumers compose on
+    * ([[graft.sync.Maintain.ivfPostings]] rescores only the changed vectors
+    * per batch; retraining the coarse quantizer stays an offline decision,
+    * the standard IVF discipline). Output: (idCol, cluster). */
+  def assignUnder(prepared: DataFrame, cs: Seq[(Int, Seq[Long])],
+      idCol: String = "vec_id"): DataFrame =
+    assignmentUnder(withQq(prepared, idCol), cs, idCol)
+      .select(col(idCol), col("cluster"))
+
   def oracleSql(k: Int, iters: Int, dim: Int = 64): String =
     // final assignment under the post-update centroids (matches the Spark
     // loop: iters × (assign → update), then one closing assignment)
@@ -177,6 +187,26 @@ object KMeans {
       unrolled("nc", k, iters, dim) +
       s", asgc AS (\n${assignSelect("nc", s"c$iters", dim)})\n" +
       s", asgn AS (\n${assignSelect("nn", s"c$iters", dim)})\n"
+
+  /** Train-on-one-CTE / assign-another CTE block for oracles whose
+    * training corpus differs from the assigned rows (the maintained-IVF
+    * twins train on the INITIAL lake state and assign the replayed FINAL
+    * state). The caller's WITH prefix must define `trainSrc` and
+    * `assignSrc` as (vec_id, qe) CTEs and end with ",\n"; the block closes
+    * with CTE `asg` = (vec_id, cluster). */
+  def trainAssignCteSql(k: Int, iters: Int, dim: Int,
+      trainSrc: String, assignSrc: String): String =
+    unrolled(trainSrc, k, iters, dim) +
+      s", asg AS (\n${assignSelect(assignSrc, s"c$iters", dim)})\n"
+
+  /** The quantization SELECT over an arbitrary (vec_id, embedding) CTE —
+    * the [[quantCte]] body with the source parameterized, so a fixture
+    * oracle can quantize a DERIVED embedding set (keep the arithmetic in
+    * lockstep with [[Similarity.QuantScale]]). */
+  def quantSelect(src: String): String =
+    s"""SELECT vec_id,
+    list_transform(embedding, x -> CAST(floor(x * 1048576 + 0.5) AS BIGINT)) AS qe
+  FROM $src"""
 
   /** The same unrolled iterations as [[oracleSql]], reshaped as a WITH
     * prefix whose last CTE `asg` is the (vec_id, cluster) assignment — for

@@ -88,6 +88,15 @@ object Similarity {
         col(s"x.$idCol") =!= col(s"y.$idCol"),
       k, idCol, "neighbor_id")
 
+  /** [[ivfTopK]] served from a MAINTAINED postings table (id → cluster,
+    * [[graft.sync.Maintain.ivfPostings]]) instead of an in-plan
+    * assignment: the embedding store and its index stay separate tables —
+    * the 100 TB layout, where postings are incrementally maintained and
+    * vectors live in the lake — joined on the key at serve time. */
+  def ivfTopKFromPostings(prepared: DataFrame, postings: DataFrame, k: Int,
+      idCol: String = "vec_id", clusterCol: String = "cluster"): DataFrame =
+    ivfTopK(prepared.join(postings, Seq(idCol)), k, idCol, clusterCol)
+
   /** Random-hyperplane LSH: 12 fixed hyperplanes over the quantized space,
     * signature bit j = sign(q · c_j), banded 3×4 bits. Constants derive
     * deterministically from md5 at build time and are inlined as literals

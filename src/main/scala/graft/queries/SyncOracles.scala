@@ -17,6 +17,21 @@ object SyncOracles {
       .map(j => s"md5(CAST(SysRowVersion + $j AS VARCHAR))")
       .mkString(" || ")
 
+  /** WITH prefix shared by the maintained-IVF twins: the ivfLakeFixture
+    * states (initial = the %5==1 band NEGATED, final = the %9==4 deletes
+    * applied, true embeddings everywhere) quantized as nt/nf, plus the
+    * unrolled integer-Lloyd CTEs training on the INITIAL state and
+    * assigning the FINAL state — closing CTE `asg` = (vec_id, cluster). */
+  private val ivfMaintainPrefix: String = s"""WITH ini AS (
+  SELECT vec_id,
+    CASE WHEN vec_id % 5 = 1 THEN list_transform(embedding, x -> -x)
+         ELSE embedding END AS embedding
+  FROM embeddings),
+fin AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 9 <> 4),
+nt AS (${graft.ext.KMeans.quantSelect("ini")}),
+nf AS (${graft.ext.KMeans.quantSelect("fin")}),
+""" + graft.ext.KMeans.trainAssignCteSql(8, 3, 64, "nt", "nf")
+
   /** Shared fixture CTE prefix (unused CTEs are free in DuckDB, and the
     * payload layer is projection-pruned unless a query reads it). */
   val prefix: String = s"""WITH li AS (
@@ -463,6 +478,32 @@ SELECT doc_id, CAST(rank AS INTEGER) AS rank, score_micro FROM (
   SELECT doc_id, score_micro,
     row_number() OVER (ORDER BY score_micro DESC, doc_id ASC) AS rank
   FROM scored) WHERE rank <= 10""",
+
+    // maintained-IVF twin: the maintained postings ≡ a from-scratch
+    // nearest-centroid assignment of the replayed final state (documents
+    // minus the %9==4 deletes, true embeddings everywhere) under centroids
+    // trained on the INITIAL state (%5==1 band negated) — the unrolled
+    // integer-Lloyd CTEs from KMeans, training src and assignment src
+    // deliberately different
+    "q_cdf_maintain_ivf" -> (ivfMaintainPrefix +
+      "SELECT vec_id, cluster FROM asg"),
+
+    // serve-from-maintained-postings twin: IVF top-3 over the replayed
+    // final state with clusters from the same from-scratch assignment —
+    // the q_sim_ivf arithmetic with `asg`-joined clusters in place of the
+    // label column
+    "q_ivf_maintained_serve" -> (ivfMaintainPrefix + s""", nn AS (
+  SELECT f.vec_id, a.cluster, f.qe,
+    sqrt(CAST(list_sum(list_transform(f.qe, x -> x * x)) AS DOUBLE)) AS nrm
+  FROM nf f JOIN asg a USING (vec_id)),
+p AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+  (CAST(list_sum(list_transform(range(64), i -> a.qe[i+1] * b.qe[i+1])) AS DOUBLE)
+   / a.nrm) / b.nrm AS cos
+  FROM nn a JOIN nn b ON a.cluster = b.cluster AND a.vec_id <> b.vec_id)
+SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id FROM (
+  SELECT query_id, neighbor_id,
+    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+  FROM p) WHERE rank <= 3"""),
 
     // composed range+version twin: the q_lake_skip_version final state,
     // doubly filtered

@@ -52,6 +52,33 @@ object SyncQueries {
       LakeTable.read(s, dir, keyCol = "doc_id"))
   }
 
+  /** Shared embeddings-lake fixture for the IVF-index maintenance pair
+    * (ONE copy — q_cdf_maintain_ivf and q_ivf_maintained_serve must
+    * replay the same state): initial = embeddings with the %5==1 band
+    * NEGATED (so the upsert genuinely moves those vectors' assignments),
+    * commit 1 upserts that band back to the true embeddings, commit 2
+    * deletes the %9==4 band. Returns (initial, feed, replayed final). */
+  private def ivfLakeFixture(s: SparkSession, d: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_lake_q").toString + "/t"
+    val embs = s.read.parquet(s"$d/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val ini = embs.withColumn("embedding",
+      when(col("vec_id") % 5 === 1,
+        transform(col("embedding"), x => -x)).otherwise(col("embedding")))
+    LakeTable.overwrite(ini, dir)
+    val upsert = embs.filter(col("vec_id") % 5 === 1)
+    LakeTable.appendCommit(
+      Apply.ChangeSet(upsert.select("vec_id"), upsert, upsert.select("vec_id")),
+      dir, nowMs = 1000L)
+    val dels = embs.filter(col("vec_id") % 9 === 4).select("vec_id")
+    LakeTable.appendCommit(
+      Apply.ChangeSet(dels, embs.filter(lit(false)), dels), dir, nowMs = 2000L)
+    val fromSeq = LakeTable.resolve(dir).get._2
+    (ini, LakeTable.changes(s, dir, fromSeq, keyCol = "vec_id"),
+      LakeTable.read(s, dir, keyCol = "vec_id"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // S5 — top-N-by-key fetch
     "q_s5_topn" -> ((s, d) =>
@@ -481,6 +508,38 @@ object SyncQueries {
         Maintain.bm25Stats(tgt, feed, fin, "doc_id", "text"),
         Maintain.bm25CorpusStats(tgt, feed, "doc_id", "text"),
         "doc_id", "text", Seq("customer", "window", "stream"), topN = 10)
+    }),
+
+    // IVF coarse-quantizer postings maintained O(changes) from the change
+    // feed — the ANN-index twin of q_cdf_maintain_bm25: only the changed
+    // vectors rescore against the broadcast codebook (trained ONCE on the
+    // initial state, the offline-retrain discipline); untouched keys pass
+    // through verbatim. ≡ a from-scratch assignment of the replayed final
+    // state under the same centroids, which the oracle re-derives
+    "q_cdf_maintain_ivf" -> ((s, d) => {
+      val (ini, feed, _) = ivfLakeFixture(s, d)
+      val prepIni = graft.ext.Similarity.prepare(ini, "vec_id", "embedding")
+      val centroids = graft.ext.KMeans.lloyd(prepIni, k = 8, iters = 3)
+      Maintain.ivfPostings(
+        graft.ext.KMeans.assignUnder(prepIni, centroids), feed,
+        centroids, "vec_id", "embedding")
+    }),
+
+    // the COMPOSITION the postings maintenance exists for: IVF top-k
+    // SERVED from the maintained index (vectors in the lake, postings a
+    // separate incrementally-maintained table, joined at serve time) —
+    // ≡ ivf top-k over a rebuilt assignment of the replayed final state
+    "q_ivf_maintained_serve" -> ((s, d) => {
+      val (ini, feed, fin) = ivfLakeFixture(s, d)
+      val prepIni = graft.ext.Similarity.prepare(ini, "vec_id", "embedding")
+      val centroids = graft.ext.KMeans.lloyd(prepIni, k = 8, iters = 3)
+      val posts = Maintain.ivfPostings(
+        graft.ext.KMeans.assignUnder(prepIni, centroids), feed,
+        centroids, "vec_id", "embedding")
+      graft.ext.Similarity.ivfTopKFromPostings(
+        graft.ext.Similarity.prepare(
+          fin.select("vec_id", "embedding"), "vec_id", "embedding"),
+        posts, k = 3)
     }),
 
     // SCD-2 history build over the change feed: every version of every key

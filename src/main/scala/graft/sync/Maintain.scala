@@ -449,4 +449,53 @@ object Maintain {
           - coalesce(col("_negS"), lit(0L))).as("total"))
       .filter(col("n") > 0)
   }
+
+  /** Maintained IVF coarse-quantizer postings (key → cluster) under a
+    * FIXED centroid codebook — the ANN-index twin of [[bm25Stats]]: a
+    * 100 TB embedding store rescores only the CHANGED vectors per batch
+    * (|changed keys| × k broadcast centroid distances) instead of
+    * re-assigning the corpus. The codebook is deliberately not retrained
+    * per batch — the standard IVF discipline (retraining the coarse
+    * quantizer is an offline decision; postings move online).
+    *
+    * Per-key semantics: the key's LATEST feed event wins — within a commit
+    * deletes precede inserts (the [[effectiveDeletes]] timeline convention,
+    * so an upsert's tombstone+insert pair lands on the insert), and a
+    * delete→reinsert chain lands on the reinsert's fresh assignment. Keys
+    * the window never touches pass through from `initialPostings` VERBATIM
+    * — no rescoring (spec-pinned by poisoning untouched clusters).
+    *
+    * Result ≡ `KMeans.assignUnder(prepare(finalState), centroids)` — the
+    * maintained index is indistinguishable from a rebuild over the
+    * replayed final state (oracle-checked by q_cdf_maintain_ivf; the
+    * serve-path composition by q_ivf_maintained_serve).
+    *
+    * @param initialPostings (keyCol, cluster) — the maintained index state
+    * @param feed            a [[LakeTable.changes]] frame carrying `embCol`
+    * @param centroids       the fixed codebook ([[graft.ext.KMeans.lloyd]])
+    */
+  def ivfPostings(initialPostings: DataFrame, feed: DataFrame,
+      centroids: Seq[(Int, Seq[Long])], keyCol: String,
+      embCol: String): DataFrame = {
+    // one timeline position per event — deletes 2s, inserts 2s+1, so the
+    // per-key argmax resolves upserts and delete→reinsert chains correctly
+    val events = feed.select(col(keyCol), col(embCol), col("_op"),
+      (col("_seq").cast("long") * 2 +
+        when(col("_op") === "insert", 1L).otherwise(0L)).as("_t"))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("_t").desc)
+    val finals = events.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+    // the only corpus-shaped work: surviving upserts × k broadcast
+    // centroid distances (feed-sized, never the index)
+    val survivors = finals.filter(col("_op") === "insert")
+      .select(col(keyCol), col(embCol))
+    val added = graft.ext.KMeans.assignUnder(
+      graft.ext.Similarity.prepare(survivors, keyCol, embCol),
+      centroids, keyCol)
+    // touched keys leave the index via a broadcast anti (feed-sized key
+    // set); everything else passes through without being rescored
+    val touched = broadcast(feed.select(col(keyCol)).distinct)
+    initialPostings.join(touched, Seq(keyCol), "left_anti")
+      .unionByName(added)
+  }
 }

@@ -398,3 +398,83 @@ class SnapshotDiffSpec extends AnyFunSuite {
     assert(whole.isEmpty)
   }
 }
+
+/** Maintained IVF coarse-quantizer postings (the ANN-index IVM twin):
+  * the maintained index must equal a from-scratch assignment of the
+  * replayed final state under the SAME fixed codebook, and untouched
+  * keys must pass through without being rescored (poison-pinned). */
+class IvfPostingsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def freshTable(): String =
+    java.nio.file.Files.createTempDirectory("graft_maintain").toString + "/t"
+
+  /** Two fixed centroids in quantized space: cluster 0 at e1=(1,0),
+    * cluster 1 at e2=(0,1) — assignments are unambiguous for the test
+    * vectors, so every expectation is readable by eye. */
+  private val ivfCentroids: Seq[(Int, Seq[Long])] =
+    Seq(0 -> Seq(1048576L, 0L), 1 -> Seq(0L, 1048576L))
+
+  private def ecs(deletes: Seq[Long],
+      inserts: Seq[(Long, Array[Float])]): Apply.ChangeSet = {
+    val del = deletes.toDF("vec_id")
+    val ins = inserts.toDF("vec_id", "embedding")
+    Apply.ChangeSet(del, ins, keyFlags = del)
+  }
+
+  private def postingsOf(df: org.apache.spark.sql.DataFrame): Map[Long, Int] =
+    df.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+
+  test("maintained IVF postings equal a rebuild across upsert/delete/reinsert edges") {
+    val t = freshTable()
+    val initial = Seq(
+      1L -> Array(0.9f, 0.1f), // cluster 0, untouched
+      2L -> Array(0.8f, 0.2f), // cluster 0, upserted to cluster 1
+      3L -> Array(0.2f, 0.8f), // cluster 1, deleted
+      4L -> Array(1.0f, 0.0f)) // cluster 0, delete → reinsert at cluster 1
+    val iniDf = initial.toDF("vec_id", "embedding")
+    LakeTable.overwrite(iniDf, t)
+    // commit 1: upsert 2 (moved), delete 3, delete 4
+    LakeTable.appendCommit(
+      ecs(Seq(2L, 3L, 4L), Seq(2L -> Array(0.1f, 0.9f))), t)
+    // commit 2: reinsert 4 (moved), fresh insert 6, insert 7
+    LakeTable.appendCommit(
+      ecs(Seq.empty, Seq(4L -> Array(0.0f, 1.0f), 6L -> Array(0.3f, 0.7f),
+        7L -> Array(0.6f, 0.4f))), t)
+    // commit 3: delete 7 (insert-then-delete inside the window — absent)
+    LakeTable.appendCommit(ecs(Seq(7L), Seq.empty), t)
+
+    val fromSeq = LakeTable.resolve(t).get._2
+    val initPosts = graft.ext.KMeans.assignUnder(
+      graft.ext.Similarity.prepare(iniDf, "vec_id", "embedding"), ivfCentroids)
+    val maintainedPosts = Maintain.ivfPostings(initPosts,
+      LakeTable.changes(spark, t, fromSeq, keyCol = "vec_id"),
+      ivfCentroids, "vec_id", "embedding")
+    val rebuilt = graft.ext.KMeans.assignUnder(
+      graft.ext.Similarity.prepare(
+        LakeTable.read(spark, t, keyCol = "vec_id"), "vec_id", "embedding"),
+      ivfCentroids)
+
+    val expect = Map(1L -> 0, 2L -> 1, 4L -> 1, 6L -> 1)
+    assert(postingsOf(rebuilt) == expect) // the scenario is nontrivial
+    assert(postingsOf(maintainedPosts) == expect)
+  }
+
+  test("untouched keys pass through verbatim — the feed never rescores them") {
+    val t = freshTable()
+    val iniDf = Seq(1L -> Array(0.9f, 0.1f), 2L -> Array(0.8f, 0.2f))
+      .toDF("vec_id", "embedding")
+    LakeTable.overwrite(iniDf, t)
+    LakeTable.appendCommit(ecs(Seq(2L), Seq(2L -> Array(0.1f, 0.9f))), t)
+    val fromSeq = LakeTable.resolve(t).get._2
+    // POISON the initial postings: cluster 99 is not a real centroid, so
+    // any rescoring of key 1 would replace it — it must flow through;
+    // touched key 2's poison must NOT survive (the upsert reassigns it)
+    val poisoned = Seq(1L -> 99, 2L -> 99).toDF("vec_id", "cluster")
+    val out = Maintain.ivfPostings(poisoned,
+      LakeTable.changes(spark, t, fromSeq, keyCol = "vec_id"),
+      ivfCentroids, "vec_id", "embedding")
+    assert(postingsOf(out) == Map(1L -> 99, 2L -> 1))
+  }
+}

@@ -604,4 +604,33 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(plan.contains("GreaterThanOrEqual(SysRowVersion,1000)"),
       s"threshold must reach PushedFilters of the scans:\n$plan")
   }
+
+  test("maintained IVF postings: index leaves via broadcast anti, rescoring " +
+      "is feed-sized against a broadcast codebook — the index never shuffles") {
+    import graft.sync.{Apply, LakeTable, Maintain}
+    val t = java.nio.file.Files.createTempDirectory("graft_pq_ivf")
+      .toString + "/t"
+    val ini = (1L to 500L).map(i =>
+        (i, Array((i % 7).toFloat, (i % 3).toFloat)))
+      .toDF("vec_id", "embedding")
+    LakeTable.overwrite(ini, t)
+    val fromSeq = LakeTable.resolve(t).get._2
+    val up = Seq((3L, Array(9.0f, 0.0f))).toDF("vec_id", "embedding")
+    LakeTable.appendCommit(
+      Apply.ChangeSet(up.select("vec_id"), up, up.select("vec_id")), t)
+    val cs = Seq(0 -> Seq(1048576L, 0L), 1 -> Seq(0L, 1048576L))
+    val posts = graft.ext.KMeans.assignUnder(
+      graft.ext.Similarity.prepare(ini, "vec_id", "embedding"), cs)
+    val df = Maintain.ivfPostings(posts,
+      LakeTable.changes(spark, t, fromSeq, keyCol = "vec_id"),
+      cs, "vec_id", "embedding")
+    val plan = df.queryExecution.executedPlan.toString
+    // the maintained index exits through a BROADCAST anti on the feed's
+    // key set — at 100 TB a shuffled or sort-merged index would cost the
+    // whole table per batch
+    assert(plan.contains("LeftAnti") && !plan.contains("SortMergeJoin"),
+      s"index must broadcast-anti the feed keys, never sort-merge:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"centroid scoring must be a broadcast k-row join, not a cartesian:\n$plan")
+  }
 }

@@ -19,6 +19,9 @@ SCN_KEYS = [
     # the O(changes) claims get a measured exponent (expect well below 1.0
     # for a fixed change fraction)
     "q_cdf_maintain", "q_cdf_maintain_bm25",
+    # replica chain (r12): downstream lake-to-lake sync through the
+    # version-pruned wide fetch — the read side is O(changed commits)
+    "scn_lake_to_lake_5pct",
 ]
 BYTE_KEYS = [
     "nochange_read_reduction_x", "pct5_read_reduction_x",
