@@ -309,9 +309,15 @@ object Dedup {
       .select(col("x.sid").as("id_a"), col("y.sid").as("id_b")).distinct()
     KMeans.ensureCached(cand)
 
-    // verify candidates with the true Jaccard: shingles of CANDIDATE docs
-    // only (semi-join per side), hot shingles capped, exact pair semi-join
-    // removing the cross-candidate false pairings
+    jaccardVerifyPairs(sh, cand, threshold, maxShingleFreq)
+  }
+
+  /** The exact-Jaccard verification tail shared by [[minhashLshPairs]] and
+    * [[minhashLshPairsFromIndex]]: shingles of CANDIDATE docs only
+    * (semi-join per side), hot shingles capped, exact pair semi-join
+    * removing the cross-candidate false pairings. */
+  private def jaccardVerifyPairs(sh: DataFrame, cand: DataFrame,
+      threshold: Double, maxShingleFreq: Long): DataFrame = {
     val sizes = sh.groupBy("sid").agg(count(lit(1)).as("nsh"))
     val capped = sh.withColumn("sfreq",
         count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("shingle")))
@@ -330,6 +336,25 @@ object Dedup {
         col("common").cast("double") / (col("na") + col("nb") - col("common")))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
+  }
+
+  /** [[minhashLshPairs]] served from a MAINTAINED band index
+    * ([[graft.sync.Maintain.minhashBandIndex]] — (idCol, band, bsig) rows)
+    * instead of an in-plan signature aggregation: candidates come from the
+    * index's band-bucket self-join (the index is the only corpus-sized
+    * input to candidate generation — at 100 TB it is incrementally
+    * maintained, never recomputed), verification reads the corpus text of
+    * candidate docs only, through the same capped exact-Jaccard tail. */
+  def minhashLshPairsFromIndex(bandIndex: DataFrame, df: DataFrame,
+      idCol: String, textCol: String, n: Int = 3, threshold: Double = 0.5,
+      maxShingleFreq: Long = 1000): DataFrame = {
+    val bands = bandIndex.select(col(idCol).as("sid"), col("band"), col("bsig"))
+    val cand = bands.as("x").join(bands.as("y"), Seq("band", "bsig"))
+      .filter(col("x.sid") < col("y.sid"))
+      .select(col("x.sid").as("id_a"), col("y.sid").as("id_b")).distinct()
+    KMeans.ensureCached(cand)
+    jaccardVerifyPairs(shingles(df, idCol, textCol, n), cand,
+      threshold, maxShingleFreq)
   }
 
   /** Exact duplicated-span detection — the ExactSubstr rule of Lee et al.

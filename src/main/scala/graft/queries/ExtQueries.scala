@@ -1590,6 +1590,38 @@ WHERE p.common * 1.0 / (ca.nsh + cb.nsh - p.common) >= 0.5"""
     }.mkString("\nUNION ALL ")
   }
 
+  /** WITH-chain from a (doc_id, text) CTE named `src` to the minhash
+    * `bands` CTE (sid, band, bsig) + `sh`/`sizes` support CTEs — the
+    * banding SQL over an ARBITRARY corpus slice, shared by q_dedup_minhash
+    * (src = documents) and the maintained-band-index twins in
+    * [[SyncOracles]] (src = the lake fixture's replayed final state).
+    * Constants generated from the same [[Dedup]] fields as the Scala path. */
+  private[queries] def minhashBandsCtesSql(src: String): String =
+    s"""toks AS (SELECT doc_id, string_split(text, ' ') t FROM $src),
+sh AS (SELECT DISTINCT doc_id AS sid, array_to_string(t[(i+1):(i+3)], ' ') AS shingle
+       FROM toks, LATERAL (SELECT unnest(range(0, len(t) - 2)) i)),
+sizes AS (SELECT sid, count(*) AS nsh FROM sh GROUP BY sid),
+hsh AS (SELECT sid, ${oh32("shingle")} AS h FROM sh),
+sig AS (SELECT sid,
+       $minhashSigCols
+FROM hsh GROUP BY sid),
+bands AS ($minhashBandSelects)"""
+
+  /** The capped exact-Jaccard verification tail over the `bands`/`sh`/
+    * `sizes` CTEs of [[minhashBandsCtesSql]] — a complete SELECT. */
+  private[queries] val minhashVerifyTailSql: String =
+    s"""capped AS (SELECT sid, shingle FROM (
+  SELECT sid, shingle, count(*) OVER (PARTITION BY shingle) AS sfreq FROM sh)
+  WHERE sfreq <= 1000),
+cand AS (SELECT DISTINCT x.sid AS id_a, y.sid AS id_b
+         FROM bands x JOIN bands y ON x.band = y.band AND x.bsig = y.bsig
+         WHERE x.sid < y.sid),
+pairs AS (SELECT a.sid AS id_a, b.sid AS id_b, count(*) AS common
+          FROM capped a JOIN capped b ON a.shingle = b.shingle AND a.sid < b.sid
+          JOIN cand c ON c.id_a = a.sid AND c.id_b = b.sid
+          GROUP BY 1, 2)
+$jaccardVerify"""
+
   private val stopList = TextAnalysis.EnStopwords.map(w => s"'$w'").mkString(", ")
 
   /** Shared DuckDB CTE chain for the LSH oracles: quantize → norm →
@@ -2374,23 +2406,8 @@ FROM v WHERE common * 1000 >= 500 * (na + nb - common)""",
     // The verify join runs over the hot-shingle-CAPPED relation (freq
     // computed over the FULL corpus, mirroring Dedup.minhashLshPairs'
     // maxShingleFreq=1000); sizes stay uncapped.
-    "q_dedup_minhash" -> s"""WITH $shinglesCte,
-capped AS (SELECT sid, shingle FROM (
-  SELECT sid, shingle, count(*) OVER (PARTITION BY shingle) AS sfreq FROM sh)
-  WHERE sfreq <= 1000),
-hsh AS (SELECT sid, ${oh32("shingle")} AS h FROM sh),
-sig AS (SELECT sid,
-       $minhashSigCols
-FROM hsh GROUP BY sid),
-bands AS ($minhashBandSelects),
-cand AS (SELECT DISTINCT x.sid AS id_a, y.sid AS id_b
-         FROM bands x JOIN bands y ON x.band = y.band AND x.bsig = y.bsig
-         WHERE x.sid < y.sid),
-pairs AS (SELECT a.sid AS id_a, b.sid AS id_b, count(*) AS common
-          FROM capped a JOIN capped b ON a.shingle = b.shingle AND a.sid < b.sid
-          JOIN cand c ON c.id_a = a.sid AND c.id_b = b.sid
-          GROUP BY 1, 2)
-$jaccardVerify""",
+    "q_dedup_minhash" -> s"""WITH ${minhashBandsCtesSql("documents")},
+$minhashVerifyTailSql""",
 
     "q_dedup_winnow" -> s"""WITH toks AS (
   SELECT doc_id, string_split(text, ' ') AS t FROM documents),

@@ -479,6 +479,24 @@ SELECT doc_id, CAST(rank AS INTEGER) AS rank, score_micro FROM (
     row_number() OVER (ORDER BY score_micro DESC, doc_id ASC) AS rank
   FROM scored) WHERE rank <= 10""",
 
+    // maintained-minhash twin: the maintained band index ≡ a from-scratch
+    // band derivation over the replayed final state (documents minus the
+    // %9==4 deletes, true text everywhere) — banding CTEs generated from
+    // the same constants as the Scala path
+    "q_cdf_maintain_minhash" -> (s"""WITH fin AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 9 <> 4),
+${ExtQueries.minhashBandsCtesSql("fin")}
+SELECT sid AS doc_id, band, bsig FROM bands"""),
+
+    // serve-from-maintained-band-index twin: near-dup pairs over the
+    // replayed final state with candidates from the same from-scratch
+    // banding — the q_dedup_minhash arithmetic with `fin` in place of
+    // the raw table
+    "q_minhash_maintained_serve" -> (s"""WITH fin AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 9 <> 4),
+${ExtQueries.minhashBandsCtesSql("fin")},
+${ExtQueries.minhashVerifyTailSql}"""),
+
     // maintained-IVF twin: the maintained postings ≡ a from-scratch
     // nearest-centroid assignment of the replayed final state (documents
     // minus the %9==4 deletes, true embeddings everywhere) under centroids

@@ -510,6 +510,32 @@ object SyncQueries {
         "doc_id", "text", Seq("customer", "window", "stream"), topN = 10)
     }),
 
+    // MinHash LSH band index maintained O(changes) from the change feed —
+    // the near-dup twin completing the maintained-index trio (BM25
+    // lexical / IVF dense / MinHash near-dup): only the changed documents
+    // re-shingle and re-hash; ≡ a from-scratch band derivation over the
+    // replayed final state, which the oracle re-derives from the shared
+    // minhash constants
+    "q_cdf_maintain_minhash" -> ((s, d) => {
+      val (tgt, feed, _) = bm25LakeFixture(s, d)
+      Maintain.minhashBandIndex(
+        graft.ext.Dedup.minhashBandRowsPerDoc(tgt, "doc_id", "text"),
+        feed, "doc_id", "text")
+    }),
+
+    // near-dup pairs SERVED from the maintained band index: candidates
+    // come from the index's band-bucket self-join (the only corpus-sized
+    // candidate input — incrementally maintained, never recomputed),
+    // verification reads candidate docs' text only — ≡ from-scratch
+    // minhash LSH pairs over the replayed final state
+    "q_minhash_maintained_serve" -> ((s, d) => {
+      val (tgt, feed, fin) = bm25LakeFixture(s, d)
+      val idx = Maintain.minhashBandIndex(
+        graft.ext.Dedup.minhashBandRowsPerDoc(tgt, "doc_id", "text"),
+        feed, "doc_id", "text")
+      graft.ext.Dedup.minhashLshPairsFromIndex(idx, fin, "doc_id", "text")
+    }),
+
     // IVF coarse-quantizer postings maintained O(changes) from the change
     // feed — the ANN-index twin of q_cdf_maintain_bm25: only the changed
     // vectors rescore against the broadcast codebook (trained ONCE on the

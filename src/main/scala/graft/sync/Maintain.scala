@@ -476,26 +476,64 @@ object Maintain {
     */
   def ivfPostings(initialPostings: DataFrame, feed: DataFrame,
       centroids: Seq[(Int, Seq[Long])], keyCol: String,
-      embCol: String): DataFrame = {
+      embCol: String): DataFrame =
+    derivedRows(initialPostings, feed, keyCol, Seq(embCol)) { survivors =>
+      // the only corpus-shaped work: surviving upserts × k broadcast
+      // centroid distances (feed-sized, never the index)
+      graft.ext.KMeans.assignUnder(
+        graft.ext.Similarity.prepare(survivors, keyCol, embCol),
+        centroids, keyCol)
+    }
+
+  /** Maintained per-key DERIVED rows — the generic combinator behind
+    * [[ivfPostings]] and the maintained MinHash band index: `derive` maps
+    * a (key, payload…) frame to any number of derived rows per key (its
+    * output must carry `keyCol` and be DETERMINISTIC and key-local — no
+    * cross-key aggregation, or the maintained index could differ from a
+    * rebuild). The maintained index advances by deriving ONLY the feed's
+    * surviving upserts; touched keys' old rows leave via a broadcast anti
+    * on the feed's key set; untouched keys pass through VERBATIM.
+    *
+    * Per-key semantics: the key's LATEST feed event wins — within a
+    * commit, deletes precede inserts (the [[effectiveDeletes]] timeline
+    * convention, so an upsert's tombstone+insert pair lands on the
+    * insert), and a delete→reinsert chain lands on the reinsert's fresh
+    * derivation. Result ≡ `derive(finalState)`. */
+  def derivedRows(initialDerived: DataFrame, feed: DataFrame,
+      keyCol: String, payloadCols: Seq[String])
+      (derive: DataFrame => DataFrame): DataFrame = {
     // one timeline position per event — deletes 2s, inserts 2s+1, so the
     // per-key argmax resolves upserts and delete→reinsert chains correctly
-    val events = feed.select(col(keyCol), col(embCol), col("_op"),
+    val events = feed.select(col(keyCol) +: payloadCols.map(col) :+
+      col("_op") :+
       (col("_seq").cast("long") * 2 +
-        when(col("_op") === "insert", 1L).otherwise(0L)).as("_t"))
+        when(col("_op") === "insert", 1L).otherwise(0L)).as("_t"): _*)
     val w = Window.partitionBy(col(keyCol)).orderBy(col("_t").desc)
     val finals = events.withColumn("_rn", row_number().over(w))
       .filter(col("_rn") === 1)
-    // the only corpus-shaped work: surviving upserts × k broadcast
-    // centroid distances (feed-sized, never the index)
     val survivors = finals.filter(col("_op") === "insert")
-      .select(col(keyCol), col(embCol))
-    val added = graft.ext.KMeans.assignUnder(
-      graft.ext.Similarity.prepare(survivors, keyCol, embCol),
-      centroids, keyCol)
+      .select(col(keyCol) +: payloadCols.map(col): _*)
+    val added = derive(survivors)
     // touched keys leave the index via a broadcast anti (feed-sized key
-    // set); everything else passes through without being rescored
+    // set); everything else passes through without being re-derived
     val touched = broadcast(feed.select(col(keyCol)).distinct)
-    initialPostings.join(touched, Seq(keyCol), "left_anti")
+    initialDerived.join(touched, Seq(keyCol), "left_anti")
       .unionByName(added)
   }
+
+  /** Maintained MinHash LSH band index (key → band → bsig) — the near-dup
+    * twin of [[ivfPostings]], completing the maintained-index trio
+    * (BM25 lexical / IVF dense / MinHash near-dup): per batch only the
+    * CHANGED documents re-shingle and re-hash
+    * ([[graft.ext.Dedup.minhashBandRowsPerDoc]] — per-row array
+    * expressions, no aggregation); the corpus-sized index is never
+    * recomputed. Result ≡ `minhashBandRowsPerDoc(finalState)`
+    * (oracle-checked by q_cdf_maintain_minhash; the candidate-serving
+    * composition by q_minhash_maintained_serve). */
+  def minhashBandIndex(initialIndex: DataFrame, feed: DataFrame,
+      keyCol: String, textCol: String, n: Int = 3): DataFrame =
+    derivedRows(initialIndex, feed, keyCol, Seq(textCol)) { survivors =>
+      graft.ext.Dedup.minhashBandRowsPerDoc(survivors, keyCol, textCol, n)
+        .withColumnRenamed("doc_id", keyCol)
+    }
 }

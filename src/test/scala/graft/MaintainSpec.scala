@@ -478,3 +478,79 @@ class IvfPostingsSpec extends AnyFunSuite {
     assert(postingsOf(out) == Map(1L -> 99, 2L -> 1))
   }
 }
+
+/** Maintained MinHash LSH band index (Maintain.minhashBandIndex over the
+  * generic derivedRows combinator): the maintained index must equal a
+  * from-scratch band derivation of the replayed final state, including
+  * docs too short to shingle (no rows on either path), and untouched
+  * docs' rows must pass through without re-derivation. */
+class MinhashIndexSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def freshTable(): String =
+    java.nio.file.Files.createTempDirectory("graft_maintain").toString + "/t"
+
+  private def dcs(deletes: Seq[Long],
+      inserts: Seq[(Long, String)]): Apply.ChangeSet = {
+    val del = deletes.toDF("doc_id")
+    val ins = inserts.toDF("doc_id", "text")
+    Apply.ChangeSet(del, ins, keyFlags = del)
+  }
+
+  private def rowsOf(df: org.apache.spark.sql.DataFrame): Set[(Long, Int, String)] =
+    df.collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+
+  test("maintained band index equals a rebuild, including short docs and reinsert chains") {
+    val t = freshTable()
+    val initial = Seq(
+      1L -> "a b c d e",   // untouched
+      2L -> "x y z w v",   // upserted (text changes → bands move)
+      3L -> "p q r s t u", // deleted
+      4L -> "hi")          // too short to shingle — NO index rows
+    val iniDf = initial.toDF("doc_id", "text")
+    LakeTable.overwrite(iniDf, t)
+    // commit 1: upsert 2, delete 3, upsert 4 short→long (gains rows)
+    LakeTable.appendCommit(
+      dcs(Seq(2L, 3L, 4L), Seq(2L -> "m n o p q", 4L -> "now long enough text")), t)
+    // commit 2: delete→reinsert 2 (chain — reinsert's derivation wins),
+    // fresh insert 5, insert 6
+    LakeTable.appendCommit(
+      dcs(Seq(2L), Seq(2L -> "f g h i j", 5L -> "k l m n o", 6L -> "s t u v w")), t)
+    // commit 3: delete 6 (insert-then-delete — absent), shrink 5 to short
+    LakeTable.appendCommit(dcs(Seq(5L, 6L), Seq(5L -> "x")), t)
+
+    val fromSeq = LakeTable.resolve(t).get._2
+    val maintained = Maintain.minhashBandIndex(
+      graft.ext.Dedup.minhashBandRowsPerDoc(iniDf, "doc_id", "text"),
+      LakeTable.changes(spark, t, fromSeq, keyCol = "doc_id"),
+      "doc_id", "text")
+    val rebuilt = graft.ext.Dedup.minhashBandRowsPerDoc(
+      LakeTable.read(spark, t, keyCol = "doc_id"), "doc_id", "text")
+
+    val expect = rowsOf(rebuilt)
+    // the scenario is nontrivial: docs 1, 2, 4 carry rows; 3, 5, 6 none
+    assert(expect.map(_._1) == Set(1L, 2L, 4L))
+    assert(rowsOf(maintained) == expect)
+  }
+
+  test("untouched docs' index rows pass through verbatim — never re-derived") {
+    val t = freshTable()
+    val iniDf = Seq(1L -> "a b c d e", 2L -> "x y z w v").toDF("doc_id", "text")
+    LakeTable.overwrite(iniDf, t)
+    LakeTable.appendCommit(dcs(Seq(2L), Seq(2L -> "m n o p q")), t)
+    val fromSeq = LakeTable.resolve(t).get._2
+    // POISON untouched doc 1's rows: any re-derivation would replace the
+    // sentinel signature — it must flow through; touched doc 2's poison
+    // must NOT survive (its rows come from the fresh derivation)
+    val poisoned = Seq((1L, 0, "POISON"), (2L, 0, "POISON"))
+      .toDF("doc_id", "band", "bsig")
+    val out = Maintain.minhashBandIndex(poisoned,
+      LakeTable.changes(spark, t, fromSeq, keyCol = "doc_id"),
+      "doc_id", "text")
+    val rows = rowsOf(out)
+    assert(rows.contains((1L, 0, "POISON")))
+    assert(!rows.exists(r => r._1 == 2L && r._3 == "POISON"))
+    assert(rows.count(_._1 == 2L) == graft.ext.Dedup.MinhashBands)
+  }
+}
