@@ -91,8 +91,13 @@ object BloomPrune {
       broadcastMaxKeys: Long = 1L << 20, bloomMaxKeys: Long = 1L << 28,
       fpp: Double = 0.01): (DataFrame, String) = {
     val est: Double = knownMaxKeys match {
-      case Some(ub) if ub <= broadcastMaxKeys => ub.toDouble
-      case _ =>
+      // route on the caller's bound at ANY size — it is an UPPER bound, so
+      // an overestimate can only pick a heavier-but-correct route (bigger
+      // bloom, or shuffle), never a wrong one; running the estimate job
+      // anyway would make plan CONSTRUCTION eager exactly where the
+      // metadata already answers (review r12)
+      case Some(ub) => ub.toDouble
+      case None =>
         graft.functions.GraftFunctions.register(big.sparkSession)
         keys.select(Dedup.h32(col(keysKey).cast("string")).as("h"))
           .agg(expr("kmv_sketch(h, 64)").as("mins"))
@@ -103,9 +108,12 @@ object BloomPrune {
     }
     val dedupKeys = keys.select(col(keysKey).as(bigKey)).distinct()
     // the bloom build/probe hash LongType keys; other key types skip the
-    // bloom tier (routes stay result-identical, only the cost differs)
+    // bloom tier (routes stay result-identical, only the cost differs).
+    // Name match is case-insensitive like every other column resolution
+    // here — a stored 'recid' vs caller 'RecId' must not silently demote
+    // the route to a full-shuffle anti (review r12)
     def isLong(df: DataFrame, c: String) =
-      df.schema.fields.exists(f => f.name == c &&
+      df.schema.fields.exists(f => f.name.equalsIgnoreCase(c) &&
         f.dataType == org.apache.spark.sql.types.LongType)
     if (est <= broadcastMaxKeys)
       (big.join(broadcast(dedupKeys), Seq(bigKey), "left_anti"), "broadcast")

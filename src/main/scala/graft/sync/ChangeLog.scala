@@ -257,10 +257,13 @@ object ChangeLog {
                 n <- n0.toLongOption) yield {
               if (n == 0L) Nil
               else {
-                // band line = first non-"v:" line after the envelope (the
-                // v3 version line may follow it, or replace it when the
-                // envelope was already tight)
-                val banded = lines.drop(1).filterNot(_.startsWith("v:"))
+                // band line = first line after the envelope that is not a
+                // version line ("v:" v3, "vc:<name>:" v4) — excluded by
+                // PREFIX, not by parse failure, so a future stats line
+                // whose fields happen to be numeric cannot be misread as
+                // key intervals (review r12)
+                val banded = lines.drop(1)
+                  .filterNot(l => l.startsWith("v:") || l.startsWith("vc:"))
                   .headOption.flatMap { line =>
                   try Some(line.trim.split(";").toSeq.map { iv =>
                     val Array(a, b) = iv.split(",")
@@ -292,12 +295,19 @@ object ChangeLog {
     * stats predate the v3 line, the column was absent/non-numeric, or the
     * file is torn. None degrades to "scan the inserts", never to a wrong
     * skip. */
-  def commitVersionRange(commitPath: String): Option[(Long, Long)] = {
+  def commitVersionRange(commitPath: String): Option[(Long, Long)] =
+    bandLineFor(commitPath, "v:")
+
+  /** ONE prefix-parameterized parser behind [[commitVersionRange]] and
+    * [[commitVersionRangeFor]] — the default column and configured columns
+    * must never disagree on parse semantics (review r12). */
+  private def bandLineFor(commitPath: String,
+      prefix: String): Option[(Long, Long)] = {
     val p = s"$commitPath/_stats"
     if (!LakeFs.exists(p)) None
     else
-      try LakeFs.readUtf8(p).linesIterator.find(_.startsWith("v:"))
-        .flatMap(_.drop(2).split(",") match {
+      try LakeFs.readUtf8(p).linesIterator.find(_.startsWith(prefix))
+        .flatMap(_.drop(prefix.length).split(",") match {
           case Array(a, b) =>
             for (x <- a.toLongOption; y <- b.toLongOption) yield (x, y)
           case _ => None
@@ -312,21 +322,9 @@ object ChangeLog {
     * thresholding an unconfigured column gets None and stays conservative
     * (the r11 column-blind-skip guard, now per-column by construction). */
   def commitVersionRangeFor(commitPath: String,
-      colName: String): Option[(Long, Long)] = {
-    if (colName.equalsIgnoreCase(VersionCol))
-      return commitVersionRange(commitPath)
-    val p = s"$commitPath/_stats"
-    val prefix = s"vc:${colName.toLowerCase}:"
-    if (!LakeFs.exists(p)) None
-    else
-      try LakeFs.readUtf8(p).linesIterator.find(_.startsWith(prefix))
-        .flatMap(_.drop(prefix.length).split(",") match {
-          case Array(a, b) =>
-            for (x <- a.toLongOption; y <- b.toLongOption) yield (x, y)
-          case _ => None
-        })
-      catch { case scala.util.control.NonFatal(_) => None }
-  }
+      colName: String): Option[(Long, Long)] =
+    if (colName.equalsIgnoreCase(VersionCol)) commitVersionRange(commitPath)
+    else bandLineFor(commitPath, s"vc:${colName.toLowerCase}:")
 
   /** Least lossless-widening supertype of two column types, or None if the
     * pair has no lossless join (→ replay refuses under [[TypePolicy.Strict]];

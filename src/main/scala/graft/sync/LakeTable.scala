@@ -551,6 +551,22 @@ object LakeTable {
     math.max(math.max(preFiles, 1),
       math.ceil(inputBytes.toDouble / targetFileBytes).toInt)
 
+  /** Live bytes a full rewrite will re-sort: current base's DATA FILES +
+    * pending commits. Manifest-aware by construction — a partially-
+    * compacted base carries most of its live bytes as manifest references
+    * into OLDER generation dirs, so sizing the base dir alone undercounts
+    * exactly there, collapses [[reclusterTarget]]'s bytes term, and
+    * resurfaces the superlinear per-partition sort/write the term exists
+    * to prevent (review r12; spec-pinned on a manifested base). Never the
+    * whole table dir: the GC-retained previous generation would double-
+    * count and make the file count depend on compaction HISTORY. */
+  private[graft] def liveInputBytes(table: String): Long =
+    resolve(table).map { case (b, fromSeq) =>
+      baseDataFiles(b).map(LakeFs.sizeBytes).sum +
+        ChangeLog.commitSeqs(logDir(table)).filter(_ >= fromSeq)
+          .map(q => LakeFs.sizeBytes(s"${logDir(table)}/$q")).sum
+    }.getOrElse(0L)
+
   /** What a [[compact]] call did: `partial` folded the pending commits into
     * only the TOUCHED base files and carried the rest by manifest reference;
     * `full` rewrote the whole base (fallback, with the reason;
@@ -748,14 +764,8 @@ object LakeTable {
         // make the file count depend on compaction HISTORY, not state)
         val pre = if (nFiles > 0) nFiles
           else resolve(table).map(r => baseDataFiles(r._1).size).getOrElse(0)
-        val inputBytes = resolve(table).map { case (b, fromSeq) =>
-          val baseBytes =
-            if (b == table) baseDataFiles(b).map(LakeFs.sizeBytes).sum
-            else LakeFs.sizeBytes(b)
-          baseBytes + ChangeLog.commitSeqs(logDir(table)).filter(_ >= fromSeq)
-            .map(q => LakeFs.sizeBytes(s"${logDir(table)}/$q")).sum
-        }.getOrElse(0L)
-        cur.repartitionByRange(reclusterTarget(pre, inputBytes), col(keyCol))
+        cur.repartitionByRange(reclusterTarget(pre, liveInputBytes(table)),
+            col(keyCol))
           .sortWithinPartitions(keyCol)
       } else cur
     overwrite(df, table, foldedTime)

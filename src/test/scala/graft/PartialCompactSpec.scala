@@ -455,4 +455,28 @@ class PartialCompactSpec extends AnyFunSuite {
     assert(LakeTable.earliestReadableTs(t).isEmpty)
     intercept[IllegalStateException] { st(9999L) }
   }
+
+  test("liveInputBytes counts a manifested base's CARRIED files, not just " +
+      "its generation dir — the compactFull bytes term never collapses") {
+    val t = freshTable()
+    clusteredBase(t, 2000L, files = 8)
+    // key-local drift → partial compaction → the new base is a MANIFEST
+    // whose entries mostly live in the previous generation's dir
+    LakeTable.appendCommit(cs(Seq(1950L), Seq((1950L, "v2"), (2050L, "new"))), t)
+    assert(LakeTable.compact(spark, t).mode == "partial")
+    val base = LakeTable.resolve(t).get._1
+    assert(base != t && LakeFs.exists(s"$base/${LakeTable.ManifestFile}"),
+      "fixture must produce a manifested base")
+    val live = LakeTable.liveInputBytes(t)
+    val manifestSum = LakeTable.baseDataFiles(base).map(LakeFs.sizeBytes).sum
+    assert(live == manifestSum, s"live=$live vs manifest sum=$manifestSum")
+    // the pre-fix accounting (size of the generation dir alone) misses the
+    // carried files — the quantity the r12 review flagged as the seed of
+    // a resurfaced superlinear rewrite
+    assert(live > LakeFs.sizeBytes(base),
+      s"carried files must count: live=$live dir=${LakeFs.sizeBytes(base)}")
+    // a pending commit's bytes join the term
+    LakeTable.appendCommit(cs(Seq.empty, Seq((2060L, "x"))), t)
+    assert(LakeTable.liveInputBytes(t) > live)
+  }
 }

@@ -155,6 +155,18 @@ class BloomSpec extends AnyFunSuite {
       bigS, keysS, "k", "kk", broadcastMaxKeys = 1000)
     assert(r4 == "shuffle")
     assert(viaNonLong.count() == expect)
+
+    // a KNOWN bound above the broadcast cap routes on the bound directly —
+    // no estimate job — and the key-type gate resolves names case-
+    // insensitively like every other column resolution (review r12: a
+    // stored 'recid' vs caller 'RecId' must not demote the route to a
+    // base-shuffling anti)
+    val bigCase = big.withColumnRenamed("k", "recid")
+    val (viaCase, r5) = BloomPrune.autoAntiJoinRouted(
+      bigCase, bigKeys, "RecId", "kk",
+      knownMaxKeys = Some(7000L), broadcastMaxKeys = 1000)
+    assert(r5 == "bloom")
+    assert(viaCase.count() == expect)
   }
 }
 
