@@ -1590,6 +1590,27 @@ WHERE p.common * 1.0 / (ca.nsh + cb.nsh - p.common) >= 0.5"""
     }.mkString("\nUNION ALL ")
   }
 
+  /** WITH-chain from a (doc_id, text) CTE named `src` to a `feat` CTE
+    * (doc_id, quality, lang_pred, n_tokens) — the per-doc feature SQL
+    * shared by q_text_quality's oracle (src = documents) and the
+    * maintained-feature-table twin in [[SyncOracles]] (src = the lake
+    * fixture's replayed final state). */
+  private[queries] def docFeaturesCtesSql(src: String): String =
+    s"""t AS (
+  SELECT doc_id,
+    CAST(len(string_split(text, ' ')) AS DOUBLE) AS n,
+    len(list_distinct(string_split(text, ' '))) AS nd,
+    len(list_filter(string_split(text, ' '), t -> t IN ($stopList))) AS nstop
+  FROM $src),
+feat AS (SELECT doc_id,
+  least(n / 100.0, 1.0) * 0.4 + (CAST(nd AS DOUBLE) / n) * 0.3
+    + least((CAST(nstop AS DOUBLE) / n) * 10.0, 1.0) * 0.3 AS quality,
+  CASE WHEN n < 3 THEN 'und'
+       WHEN CAST(nstop AS DOUBLE) / n >= 0.02 THEN 'en'
+       ELSE 'unk' END AS lang_pred,
+  CAST(n AS BIGINT) AS n_tokens
+FROM t)"""
+
   /** WITH-chain from a (doc_id, text) CTE named `src` to the minhash
     * `bands` CTE (sid, band, bsig) + `sh`/`sizes` support CTEs — the
     * banding SQL over an ARBITRARY corpus slice, shared by q_dedup_minhash
@@ -2237,19 +2258,8 @@ SELECT doc_id, source FROM (
     count(*) OVER (PARTITION BY source) AS ng
   FROM q) WHERE rn * 1000 <= ng * 300""",
 
-    "q_text_quality" -> s"""WITH t AS (
-  SELECT doc_id,
-    CAST(len(string_split(text, ' ')) AS DOUBLE) AS n,
-    len(list_distinct(string_split(text, ' '))) AS nd,
-    len(list_filter(string_split(text, ' '), t -> t IN ($stopList))) AS nstop
-  FROM documents)
-SELECT doc_id,
-  least(n / 100.0, 1.0) * 0.4 + (CAST(nd AS DOUBLE) / n) * 0.3
-    + least((CAST(nstop AS DOUBLE) / n) * 10.0, 1.0) * 0.3 AS quality,
-  CASE WHEN n < 3 THEN 'und'
-       WHEN CAST(nstop AS DOUBLE) / n >= 0.02 THEN 'en'
-       ELSE 'unk' END AS lang_pred
-FROM t""",
+    "q_text_quality" -> s"""WITH ${docFeaturesCtesSql("documents")}
+SELECT doc_id, quality, lang_pred FROM feat""",
 
     // lang-ID confusion replay: same heuristic, grouped against truth
     "q_text_langid_eval" -> s"""WITH t AS (

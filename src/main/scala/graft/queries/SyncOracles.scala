@@ -479,6 +479,14 @@ SELECT doc_id, CAST(rank AS INTEGER) AS rank, score_micro FROM (
     row_number() OVER (ORDER BY score_micro DESC, doc_id ASC) AS rank
   FROM scored) WHERE rank <= 10""",
 
+    // maintained-feature-table twin: ≡ from-scratch per-doc features over
+    // the replayed final state (the q_text_quality arithmetic + n_tokens,
+    // generated from the same shared CTE builder)
+    "q_cdf_maintain_docfeatures" -> (s"""WITH fin AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 9 <> 4),
+${ExtQueries.docFeaturesCtesSql("fin")}
+SELECT doc_id, quality, lang_pred, n_tokens FROM feat"""),
+
     // maintained-minhash twin: the maintained band index ≡ a from-scratch
     // band derivation over the replayed final state (documents minus the
     // %9==4 deletes, true text everywhere) — banding CTEs generated from

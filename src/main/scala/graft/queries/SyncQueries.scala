@@ -510,6 +510,20 @@ object SyncQueries {
         "doc_id", "text", Seq("customer", "window", "stream"), topN = 10)
     }),
 
+    // per-doc FEATURE TABLE (quality / language / token count) maintained
+    // O(changes) from the change feed — the curation-metadata store a
+    // training pipeline filters and mixes on, advanced per ingest batch
+    // instead of re-scoring the corpus; ≡ from-scratch features over the
+    // replayed final state (derivedRows: pure map-side column derivation)
+    "q_cdf_maintain_docfeatures" -> ((s, d) => {
+      val (tgt, feed, _) = bm25LakeFixture(s, d)
+      def features(df: DataFrame) = df.select(col("doc_id"),
+        graft.ext.TextAnalysis.qualityScore(col("text")).as("quality"),
+        graft.ext.TextAnalysis.langId(col("text")).as("lang_pred"),
+        graft.ext.TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+      Maintain.derivedRows(features(tgt), feed, "doc_id", Seq("text"))(features)
+    }),
+
     // MinHash LSH band index maintained O(changes) from the change feed —
     // the near-dup twin completing the maintained-index trio (BM25
     // lexical / IVF dense / MinHash near-dup): only the changed documents

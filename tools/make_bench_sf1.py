@@ -22,6 +22,10 @@ SCN_KEYS = [
     # replica chain (r12): downstream lake-to-lake sync through the
     # version-pruned wide fetch — the read side is O(changed commits)
     "scn_lake_to_lake_5pct",
+    # maintained-index trio + feature table (r12): O(changes) claims of
+    # the derivedRows family, measured from a queries-only pair
+    "q_cdf_maintain_ivf", "q_cdf_maintain_minhash",
+    "q_cdf_maintain_docfeatures",
 ]
 BYTE_KEYS = [
     "nochange_read_reduction_x", "pct5_read_reduction_x",
