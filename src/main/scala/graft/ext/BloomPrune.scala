@@ -91,13 +91,19 @@ object BloomPrune {
       broadcastMaxKeys: Long = 1L << 20, bloomMaxKeys: Long = 1L << 28,
       fpp: Double = 0.01): (DataFrame, String) = {
     val est: Double = knownMaxKeys match {
-      // route on the caller's bound at ANY size — it is an UPPER bound, so
-      // an overestimate can only pick a heavier-but-correct route (bigger
-      // bloom, or shuffle), never a wrong one; running the estimate job
-      // anyway would make plan CONSTRUCTION eager exactly where the
-      // metadata already answers (review r12)
-      case Some(ub) => ub.toDouble
-      case None =>
+      // route on the caller's bound while it keeps us OFF the shuffle
+      // tier: an upper bound can only pick a heavier-but-correct route
+      // within {broadcast, bloom}, and skipping the estimate keeps plan
+      // CONSTRUCTION job-free for every realistic delta (review r12).
+      // Above the bloom cap the bound is NOT trusted — callers like
+      // replayPaths sum per-commit event counts, which count a key once
+      // per commit, so a high-churn window can push the bound past
+      // bloomMaxKeys while the true distinct count sits far inside the
+      // bloom tier; demoting to shuffle there would sort-merge the whole
+      // base (the r11 1.41-exponent flip). One small estimate job against
+      // a potential full-base shuffle is the right trade (second review).
+      case Some(ub) if ub <= bloomMaxKeys => ub.toDouble
+      case _ =>
         graft.functions.GraftFunctions.register(big.sparkSession)
         keys.select(Dedup.h32(col(keysKey).cast("string")).as("h"))
           .agg(expr("kmv_sketch(h, 64)").as("mins"))

@@ -562,9 +562,22 @@ object LakeTable {
     * count and make the file count depend on compaction HISTORY. */
   private[graft] def liveInputBytes(table: String): Long =
     resolve(table).map { case (b, fromSeq) =>
-      baseDataFiles(b).map(LakeFs.sizeBytes).sum +
-        ChangeLog.commitSeqs(logDir(table)).filter(_ >= fromSeq)
-          .map(q => LakeFs.sizeBytes(s"${logDir(table)}/$q")).sum
+      // sizes come from DIRECTORY LISTINGS, one per generation dir the
+      // base's files live in — not one stat RPC per file (second r12
+      // review: a few thousand base files on an object store would pay
+      // thousands of sequential driver-side round-trips). Membership is
+      // matched on the <dir>/<file> identity suffix because listings come
+      // back scheme-qualified while manifest entries do not (the
+      // fileIdentities normalization).
+      val files = baseDataFiles(b)
+      val wanted = files.map(fileId).toSet
+      val dirBytes = files.groupBy(parentOf).toSeq.map { case (dir, _) =>
+        LakeFs.list(dir)
+          .filter(st => st.isFile && wanted(fileId(st.getPath.toString)))
+          .map(_.getLen).sum
+      }.sum
+      dirBytes + ChangeLog.commitSeqs(logDir(table)).filter(_ >= fromSeq)
+        .map(q => LakeFs.sizeBytes(s"${logDir(table)}/$q")).sum
     }.getOrElse(0L)
 
   /** What a [[compact]] call did: `partial` folded the pending commits into

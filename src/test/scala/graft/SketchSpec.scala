@@ -167,6 +167,15 @@ class BloomSpec extends AnyFunSuite {
       knownMaxKeys = Some(7000L), broadcastMaxKeys = 1000)
     assert(r5 == "bloom")
     assert(viaCase.count() == expect)
+
+    // a bound ABOVE the bloom cap is NOT trusted (callers sum per-commit
+    // event counts, which double-count re-upserted keys): the estimate
+    // job runs and rescues the cheap route instead of demoting a tiny
+    // actual key set to a base-shuffling anti (second r12 review)
+    val (viaHugeUb, r6) = BloomPrune.autoAntiJoinRouted(
+      big, bigKeys, "k", "kk", knownMaxKeys = Some(1L << 30))
+    assert(r6 == "broadcast", s"estimate must rescue the route, got $r6")
+    assert(viaHugeUb.count() == expect)
   }
 }
 

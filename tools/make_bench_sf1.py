@@ -4,7 +4,16 @@ BENCH_SF1.json: per-scenario time(big)/time(small) scaling factors (10x
 data -> factor ~10 means exponent ~1.0) plus both runs' byte invariants,
 so the 100x plan-shape claims carry a measured exponent instead of an
 argument. Usage: make_bench_sf1.py <small.json> <big.json> <out.json>
-[rows_factor=10]
+[rows_factor=10] [pair_tag]
+
+The out file is MERGED, not overwritten: entries this invocation
+produces replace same-key entries; pre-existing entries that carry a
+"pair" tag different from this invocation's (e.g. the queries-only
+maintained-index pair vs the scenario pair) are preserved — so
+re-running the documented scenario-pair flow never silently drops the
+evidence a separately-run pair contributed (review r12). Pass pair_tag
+to stamp this invocation's entries (e.g. "queries-only"); untagged
+entries belong to the default scenario pair.
 """
 import json
 import math
@@ -40,6 +49,7 @@ def main():
     big = json.load(open(sys.argv[2]))
     out_path = sys.argv[3]
     factor = float(sys.argv[4]) if len(sys.argv) > 4 else 10.0
+    pair_tag = sys.argv[5] if len(sys.argv) > 5 else None
 
     scaling = {}
     for k in SCN_KEYS:
@@ -68,12 +78,23 @@ def main():
         for k in BYTE_KEYS
         if k in small.get("ratios", {}) and k in big.get("ratios", {})
     }
+    if pair_tag:
+        for v in scaling.values():
+            v["pair"] = pair_tag
+    # merge semantics (see module doc): keep other pairs' tagged entries
+    kept = {}
+    try:
+        prev = json.load(open(out_path))
+        kept = {k: v for k, v in prev.get("scaling", {}).items()
+                if k not in scaling and v.get("pair") != pair_tag}
+    except (FileNotFoundError, ValueError):
+        pass
     result = {
         "metric": "sf_scaling",
         "rows_factor": factor,
         "small_sf": small.get("sf"),
         "big_sf": big.get("sf"),
-        "scaling": scaling,
+        "scaling": {**kept, **scaling},
         "byte_invariants": bytes_block,
     }
     with open(out_path, "w") as f:
