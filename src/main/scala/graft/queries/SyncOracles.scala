@@ -487,6 +487,16 @@ SELECT doc_id, CAST(rank AS INTEGER) AS rank, score_micro FROM (
 ${ExtQueries.docFeaturesCtesSql("fin")}
 SELECT doc_id, quality, lang_pred, n_tokens FROM feat"""),
 
+    // serve-from-maintained-features twin: the q_corpus_shards curation
+    // gate over the replayed final state, features re-derived from scratch
+    "q_docfeatures_maintained_serve" -> (s"""WITH fin AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 9 <> 4),
+${ExtQueries.docFeaturesCtesSql("fin")}
+SELECT f.doc_id, f.quality, f.n_tokens,
+  CAST(len(fin.text) AS BIGINT) AS n_chars
+FROM feat f JOIN fin USING (doc_id)
+WHERE f.quality >= 0.55 AND f.lang_pred = 'en'"""),
+
     // maintained-minhash twin: the maintained band index ≡ a from-scratch
     // band derivation over the replayed final state (documents minus the
     // %9==4 deletes, true text everywhere) — banding CTEs generated from

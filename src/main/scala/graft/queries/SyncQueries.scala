@@ -524,6 +524,25 @@ object SyncQueries {
       Maintain.derivedRows(features(tgt), feed, "doc_id", Seq("text"))(features)
     }),
 
+    // the curation gate SERVED from the maintained feature table: the
+    // maintained metadata decides (quality + language thresholds — the
+    // q_corpus_shards gate), the corpus supplies text for SURVIVORS only
+    // — ≡ a from-scratch feature filter over the replayed final state
+    "q_docfeatures_maintained_serve" -> ((s, d) => {
+      val (tgt, feed, fin) = bm25LakeFixture(s, d)
+      def features(df: DataFrame) = df.select(col("doc_id"),
+        graft.ext.TextAnalysis.qualityScore(col("text")).as("quality"),
+        graft.ext.TextAnalysis.langId(col("text")).as("lang_pred"),
+        graft.ext.TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+      val feats = Maintain.derivedRows(features(tgt), feed, "doc_id", Seq("text"))(features)
+      fin.join(
+          feats.filter(col("quality") >= 0.55 && col("lang_pred") === "en")
+            .select("doc_id", "quality", "n_tokens"),
+          Seq("doc_id"))
+        .select(col("doc_id"), col("quality"), col("n_tokens"),
+          length(col("text")).cast("long").as("n_chars"))
+    }),
+
     // MinHash LSH band index maintained O(changes) from the change feed —
     // the near-dup twin completing the maintained-index trio (BM25
     // lexical / IVF dense / MinHash near-dup): only the changed documents
