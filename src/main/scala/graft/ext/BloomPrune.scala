@@ -90,6 +90,15 @@ object BloomPrune {
       keysKey: String, knownMaxKeys: Option[Long] = None,
       broadcastMaxKeys: Long = 1L << 20, bloomMaxKeys: Long = 1L << 28,
       fpp: Double = 0.01): (DataFrame, String) = {
+    // the bloom build/probe hash LongType keys; other key types skip the
+    // bloom tier (routes stay result-identical, only the cost differs).
+    // Name match is case-insensitive like every other column resolution
+    // here — a stored 'recid' vs caller 'RecId' must not silently demote
+    // the route to a full-shuffle anti (review r12)
+    def isLong(df: DataFrame, c: String) =
+      df.schema.fields.exists(f => f.name.equalsIgnoreCase(c) &&
+        f.dataType == org.apache.spark.sql.types.LongType)
+    val bloomTier = isLong(big, bigKey) && isLong(keys, keysKey)
     val est: Double = knownMaxKeys match {
       // route on the caller's bound while it keeps us OFF the shuffle
       // tier: an upper bound can only pick a heavier-but-correct route
@@ -102,7 +111,15 @@ object BloomPrune {
       // bloom tier; demoting to shuffle there would sort-merge the whole
       // base (the r11 1.41-exponent flip). One small estimate job against
       // a potential full-base shuffle is the right trade (second review).
-      case Some(ub) if ub <= bloomMaxKeys => ub.toDouble
+      // Same logic above the BROADCAST cap when the bloom tier is
+      // unreachable (non-Long keys, ADVICE r12): a bound in
+      // (broadcastMaxKeys, bloomMaxKeys] would then route straight to the
+      // full-shuffle anti, so fall through to the estimate — it may
+      // discover a small true distinct count and rescue the broadcast
+      // route. The "heavier-but-correct within {broadcast, bloom}"
+      // invariant only ever held when bloom is actually on the menu.
+      case Some(ub) if ub <= broadcastMaxKeys => ub.toDouble
+      case Some(ub) if ub <= bloomMaxKeys && bloomTier => ub.toDouble
       case _ =>
         graft.functions.GraftFunctions.register(big.sparkSession)
         keys.select(Dedup.h32(col(keysKey).cast("string")).as("h"))
@@ -113,17 +130,9 @@ object BloomPrune {
           .head.getDouble(0)
     }
     val dedupKeys = keys.select(col(keysKey).as(bigKey)).distinct()
-    // the bloom build/probe hash LongType keys; other key types skip the
-    // bloom tier (routes stay result-identical, only the cost differs).
-    // Name match is case-insensitive like every other column resolution
-    // here — a stored 'recid' vs caller 'RecId' must not silently demote
-    // the route to a full-shuffle anti (review r12)
-    def isLong(df: DataFrame, c: String) =
-      df.schema.fields.exists(f => f.name.equalsIgnoreCase(c) &&
-        f.dataType == org.apache.spark.sql.types.LongType)
     if (est <= broadcastMaxKeys)
       (big.join(broadcast(dedupKeys), Seq(bigKey), "left_anti"), "broadcast")
-    else if (est <= bloomMaxKeys && isLong(big, bigKey) && isLong(keys, keysKey))
+    else if (est <= bloomMaxKeys && bloomTier)
       (antiJoin(big, keys, bigKey, keysKey, math.ceil(est).toLong, fpp), "bloom")
     else
       (big.join(dedupKeys, Seq(bigKey), "left_anti"), "shuffle")

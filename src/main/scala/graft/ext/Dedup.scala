@@ -854,12 +854,15 @@ object Dedup {
     * (a hot shingle rarely survives into a long doc's short prefix). The
     * guarantee weakens in the short-doc regime (ADVICE r6): at t = 500‰ a
     * doc's prefix covers ⌊n/2⌋+1 of its n shingles, so a corpus of many
-    * short near-identical docs puts hot shingles into prefixes and the
-    * candidate join regains quadratic bucket blowup — exactness is
-    * unaffected, but for skewed short-doc corpora set `minShingles` to
-    * route docs below the bound around this operator (they are cheap to
-    * dedup exactly: [[exactDedup]] on the full text, or [[ngramJaccardPairs]]
-    * whose hot-shingle cap bounds the join).
+    * short near-identical docs puts hot shingles into prefixes. Since r13
+    * the PPJoin length + positional filters ([[prefixCandidates]], Xiao et
+    * al. 2008) cut that regime's candidates losslessly — hot buckets emit
+    * only size-banded pairs, and pairs whose rank-position overlap bound
+    * can't reach the threshold never enter the verify join. Exactness is
+    * untouched either way; for extreme short-doc skew `minShingles` still
+    * routes docs below the bound around this operator entirely (they are
+    * cheap to dedup exactly: [[exactDedup]] on the full text, or
+    * [[ngramJaccardPairs]] whose hot-shingle cap bounds the join).
     *
     * Verify stage: per-PAIR, not per-shingle — candidate pairs pull each
     * side's distinct TRUE-shingle array via two id-keyed joins and compute
@@ -878,9 +881,14 @@ object Dedup {
     *         pair, no sketch recall loss. */
   /** The rarest-first prefix of each doc's shingle set: global document
     * frequency ascending (ties by shingle), first n − ⌈t·n⌉ + 1 per doc.
-    * Shared by [[prefixFilterJaccardPairs]] and the bench's candidate-
-    * reduction measurement — one definition, or the measured claim drifts
-    * from the operator it measures. */
+    * Emits `rk` (the shingle's 1-based rank in the doc's global-order
+    * sort) and `nsh` (the doc's distinct-shingle count) alongside — the
+    * PPJoin length and positional filters below are predicates over
+    * exactly these two columns, so the prefix relation carries them once
+    * instead of re-deriving them per filter. Shared by
+    * [[prefixFilterJaccardPairs]] and the bench's candidate-reduction
+    * measurement — one definition, or the measured claim drifts from the
+    * operator it measures. */
   def prefixShingles(sh: DataFrame, thresholdPermille: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
     sh.withColumn("dfreq", count(lit(1)).over(w.partitionBy("shingle")))
@@ -889,7 +897,57 @@ object Dedup {
       .withColumn("nsh", count(lit(1)).over(w.partitionBy("sid")))
       .filter(col("rk") <= col("nsh") -
         expr(s"(nsh * $thresholdPermille + 999) div 1000") + 1)
-      .select("sid", "shingle")
+      .select("sid", "shingle", "rk", "nsh")
+  }
+
+  /** Candidate pairs of the prefix-filter join, cut by the two PPJoin
+    * refinements (Xiao, Wang, Lin & Yu 2008 "Efficient Similarity Joins
+    * for Near Duplicate Detection") — both LOSSLESS, so the verify stage
+    * still sees every qualifying pair:
+    *
+    *  - LENGTH filter, applied inside the co-shingle join: Jaccard ≥ t
+    *    forces t·|A| ≤ |B| and t·|B| ≤ |A|, so prefix buckets are
+    *    size-banded — the short-doc regime's hot buckets (VERDICT r12 #2:
+    *    CPU exponent 1.30 at sf1, the scaladoc's own documented quadratic
+    *    failure arriving on schedule) stop pairing short docs with every
+    *    long doc sharing one hot shingle.
+    *  - POSITIONAL filter, applied per candidate pair after aggregating
+    *    its shared prefix shingles: with m shared prefix shingles whose
+    *    max ranks are (ma, mb), overlap(A,B) ≤ m + min(|A|−ma, |B|−mb).
+    *    This bound is EXACT here — the rank order is one global total
+    *    order (dfreq asc, shingle), so every common shingle globally-≤
+    *    the largest shared prefix shingle s_m has rank ≤ rank(s_m) in
+    *    BOTH docs and therefore sits inside both prefixes, i.e. is
+    *    already counted in m; common shingles globally-> s_m number at
+    *    most min(|A|−ma, |B|−mb). Pairs whose bound falls below the
+    *    minimum overlap α = ⌈t·(|A|+|B|)/(1+t)⌉ cannot reach Jaccard ≥ t
+    *    and are dropped before the verify join ever sees them.
+    *
+    * Integer permille arithmetic end to end (c·(1000+t) ≥ t·(na+nb) is
+    * exactly c ≥ α for integer c), matching the verify gate.
+    *
+    * @return (id_a, id_b) with id_a < id_b — a superset of the qualifying
+    *         pairs, a (often large) subset of the plain prefix join's. */
+  def prefixCandidates(prefix: DataFrame, thresholdPermille: Int): DataFrame = {
+    val t = thresholdPermille.toLong
+    val a = prefix.select(col("sid").as("id_a"), col("shingle"),
+      col("rk").as("rk_a"), col("nsh").as("na"))
+    val b = prefix.select(col("sid").as("id_b"), col("shingle"),
+      col("rk").as("rk_b"), col("nsh").as("nb"))
+    a.join(b, Seq("shingle"))
+      .filter(col("id_a") < col("id_b") &&
+        // length filter as a join-bucket predicate: evaluated inside the
+        // hash join on `shingle`, so a hot bucket emits only size-banded
+        // pairs instead of its full cross product
+        col("na") * 1000L >= lit(t) * col("nb") &&
+        col("nb") * 1000L >= lit(t) * col("na"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("m"),
+        max(col("rk_a")).as("ma"), max(col("rk_b")).as("mb"),
+        max(col("na")).as("na"), max(col("nb")).as("nb"))
+      .filter((col("m") + least(col("na") - col("ma"), col("nb") - col("mb"))) *
+        lit(1000L + t) >= lit(t) * (col("na") + col("nb")))
+      .select("id_a", "id_b")
   }
 
   /** @param minShingles docs with fewer distinct shingles are EXCLUDED from
@@ -910,10 +968,7 @@ object Dedup {
           .filter(col("_nsh") >= minShingles).drop("_nsh")
       }
     val prefix = prefixShingles(sh, thresholdPermille)
-    val cand = prefix.select(col("sid").as("id_a"), col("shingle"))
-      .join(prefix.select(col("sid").as("id_b"), col("shingle")), Seq("shingle"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
+    val cand = prefixCandidates(prefix, thresholdPermille)
     // cand feeds the id restriction AND both verify joins — persist so the
     // prefix pipeline runs once (same lifecycle convention as minhash:
     // plan-keyed, sweep drivers clearCache per query)

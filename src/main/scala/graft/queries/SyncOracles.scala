@@ -497,6 +497,21 @@ SELECT f.doc_id, f.quality, f.n_tokens,
 FROM feat f JOIN fin USING (doc_id)
 WHERE f.quality >= 0.55 AND f.lang_pred = 'en'"""),
 
+    // serve-from-maintained-features token-budget twin: the q_token_budget
+    // allocation rule (quality-ordered running token sum) over the
+    // replayed final state, features re-derived from scratch
+    "q_token_budget_maintained_serve" -> (s"""WITH fin AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 9 <> 4),
+${ExtQueries.docFeaturesCtesSql("fin")},
+sel AS (
+  SELECT doc_id, n_tokens FROM (
+    SELECT doc_id, n_tokens,
+      sum(n_tokens) OVER (ORDER BY quality DESC, doc_id ASC
+                          ROWS UNBOUNDED PRECEDING) AS running
+    FROM feat) WHERE running <= 5000)
+SELECT s.doc_id, s.n_tokens, CAST(len(fin.text) AS BIGINT) AS n_chars
+FROM sel s JOIN fin USING (doc_id)"""),
+
     // maintained-minhash twin: the maintained band index ≡ a from-scratch
     // band derivation over the replayed final state (documents minus the
     // %9==4 deletes, true text everywhere) — banding CTEs generated from

@@ -543,6 +543,29 @@ object SyncQueries {
           length(col("text")).cast("long").as("n_chars"))
     }),
 
+    // token-BUDGET curation SERVED from the maintained feature table
+    // (VERDICT r12 #6 — the cheapest consumer of derivedRows' generality
+    // claim): the pretraining-mix allocation rule — best-quality docs
+    // first until the token budget is spent — decided ENTIRELY from
+    // maintained metadata (quality ordering + n_tokens running sum over
+    // the feature table); the corpus supplies text for SURVIVORS only.
+    // ≡ the same selection computed from scratch over the replayed final
+    // state, which is what the oracle does directly.
+    "q_token_budget_maintained_serve" -> ((s, d) => {
+      val (tgt, feed, fin) = bm25LakeFixture(s, d)
+      def features(df: DataFrame) = df.select(col("doc_id"),
+        graft.ext.TextAnalysis.qualityScore(col("text")).as("quality"),
+        graft.ext.TextAnalysis.langId(col("text")).as("lang_pred"),
+        graft.ext.TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+      val feats = Maintain.derivedRows(features(tgt), feed, "doc_id", Seq("text"))(features)
+      val sel = graft.ext.Sampling.tokenBudgetPerGroup(feats, lit(1),
+        Seq(col("quality").desc, col("doc_id").asc), col("n_tokens"),
+        budget = 5000L)
+      fin.join(sel.select("doc_id", "n_tokens"), Seq("doc_id"))
+        .select(col("doc_id"), col("n_tokens"),
+          length(col("text")).cast("long").as("n_chars"))
+    }),
+
     // MinHash LSH band index maintained O(changes) from the change feed —
     // the near-dup twin completing the maintained-index trio (BM25
     // lexical / IVF dense / MinHash near-dup): only the changed documents

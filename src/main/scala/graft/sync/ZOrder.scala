@@ -89,6 +89,24 @@ object ZOrder {
     * writer emits one file per populated quadrant per holding task, and
     * the preceding hash exchange co-locates each quadrant in exactly one
     * task — one file per populated quadrant, rows z-sorted within. */
+  /** Layout-decay recluster trigger — the planner cost-model discipline
+    * (O6's "probe before you pay") applied to layout MAINTENANCE: a
+    * z-ordered table decays as incremental syncs append unclustered delta
+    * files (each spans the full key box, so every box probe must scan
+    * them), and the decision of WHEN to pay the recluster rewrite should
+    * be a measured threshold, not a schedule. Inputs are the two numbers
+    * a table maintainer already has: the scanned row-group fraction of a
+    * representative box probe on the CURRENT layout (parquet footers,
+    * [[graft.run.IoMeter.parquetRowGroupsBox]]) and the same probe's
+    * fraction on the fresh layout (recorded at recluster time). Fires
+    * when decay has cost `factor`× the fresh selectivity AND the absolute
+    * fraction is past `minFrac` — a near-ideal fresh layout (1/64) must
+    * not trigger a full rewrite over footer jitter while the probe still
+    * scans 3% of the table. */
+  def reclusterDue(scannedFrac: Double, freshFrac: Double,
+      factor: Double = 4.0, minFrac: Double = 0.05): Boolean =
+    scannedFrac > math.max(freshFrac * factor, minFrac)
+
   val QuadrantCol = "_zq"
   def layoutQuadrants(df: DataFrame, colA: String, colB: String,
       bits: Int): DataFrame = {

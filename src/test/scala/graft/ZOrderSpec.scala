@@ -100,4 +100,27 @@ class ZOrderSpec extends AnyFunSuite {
     assert(back.agg(sum("v")).head.getLong(0) ==
       df.agg(sum("v")).head.getLong(0))
   }
+
+  test("recluster trigger: fires on factor-x decay past the floor, quiet " +
+      "on a fresh layout and below the absolute floor") {
+    val fresh = 1.0 / 64 // the quadrant layout's measured box fraction
+    // fresh layout re-probed: never fires on itself
+    assert(!ZOrder.reclusterDue(fresh, fresh))
+    // moderate decay below the relative bar: quiet
+    assert(!ZOrder.reclusterDue(3 * fresh, fresh))
+    // the absolute floor binds when the fresh layout is very selective:
+    // 8x decay of a 0.5% fresh fraction still scans only 4% — not worth
+    // a full rewrite yet
+    assert(!ZOrder.reclusterDue(0.04, 0.005))
+    assert(ZOrder.reclusterDue(0.06, 0.005))
+    // real decay (20 unclustered deltas -> ~25% scanned): fires
+    assert(ZOrder.reclusterDue(0.25, fresh))
+    // boundary: strictly-greater semantics at the binding bar
+    // (relative: 4 x 1/64 = 0.0625 > the 0.05 floor)
+    assert(!ZOrder.reclusterDue(4 * fresh, fresh))
+    assert(ZOrder.reclusterDue(4 * fresh + 1e-6, fresh))
+    // a mediocre fresh layout raises the relative bar with it
+    assert(!ZOrder.reclusterDue(0.3, 0.1))
+    assert(ZOrder.reclusterDue(0.45, 0.1))
+  }
 }

@@ -50,6 +50,18 @@ def main():
     out_path = sys.argv[3]
     factor = float(sys.argv[4]) if len(sys.argv) > 4 else 10.0
     pair_tag = sys.argv[5] if len(sys.argv) > 5 else None
+    # optional MID point for a three-point fit (--mid <mid.json> <mid_factor>,
+    # mid_factor = mid rows / small rows): distinguishes a one-time regime
+    # step from a power law — two segment exponents instead of one secant
+    # (VERDICT r12 #1: a two-point fit can't tell spill-step from O(n^1.6)).
+    mid, mid_factor = None, None
+    if "--mid" in sys.argv:
+        i = sys.argv.index("--mid")
+        mid = json.load(open(sys.argv[i + 1]))
+        mid_factor = float(sys.argv[i + 2])
+
+    def expo(a, b, f):
+        return round(math.log(b / a) / math.log(f), 3)
 
     scaling = {}
     for k in SCN_KEYS:
@@ -61,7 +73,14 @@ def main():
                 "big_s": round(b, 3),
                 "time_factor": round(b / a, 3),
                 # exponent e with time ~ rows^e: e = log(tb/ta)/log(factor)
-                "scaling_exponent": round(math.log(b / a) / math.log(factor), 3),
+                "scaling_exponent": expo(a, b, factor),
+                # per-entry provenance (ADVICE r12): merged files mix pairs
+                # produced with different rows_factor values, so the factor
+                # an exponent was computed against must travel WITH it —
+                # the file-level header only describes the last invocation
+                "rows_factor": factor,
+                "small_sf": small.get("sf"),
+                "big_sf": big.get("sf"),
             }
             # CPU-domain twin when both runs carry it: wall exponents on
             # this box confound code scaling with the writeback-throttle
@@ -71,8 +90,21 @@ def main():
             if ac and bc and ac > 0 and bc > 0:
                 scaling[k]["small_cpu_s"] = round(ac, 3)
                 scaling[k]["big_cpu_s"] = round(bc, 3)
-                scaling[k]["scaling_exponent_cpu"] = round(
-                    math.log(bc / ac) / math.log(factor), 3)
+                scaling[k]["scaling_exponent_cpu"] = expo(ac, bc, factor)
+            m = mid["queries"].get(k) if mid else None
+            if m and m > 0:
+                seg = {
+                    "mid_s": round(m, 3), "mid_sf": mid.get("sf"),
+                    "mid_rows_factor": mid_factor,
+                    "exponent_small_to_mid": expo(a, m, mid_factor),
+                    "exponent_mid_to_big": expo(m, b, factor / mid_factor),
+                }
+                mc = mid.get("queries_cpu", {}).get(k)
+                if mc and mc > 0 and ac and bc:
+                    seg["mid_cpu_s"] = round(mc, 3)
+                    seg["exponent_cpu_small_to_mid"] = expo(ac, mc, mid_factor)
+                    seg["exponent_cpu_mid_to_big"] = expo(mc, bc, factor / mid_factor)
+                scaling[k]["three_point"] = seg
     bytes_block = {
         k: {"small": round(small["ratios"][k], 4), "big": round(big["ratios"][k], 4)}
         for k in BYTE_KEYS
@@ -81,12 +113,19 @@ def main():
     if pair_tag:
         for v in scaling.values():
             v["pair"] = pair_tag
-    # merge semantics (see module doc): keep other pairs' tagged entries
+    # merge semantics (see module doc): keep other pairs' tagged entries,
+    # and keep the previous byte_invariants wherever this invocation didn't
+    # produce a value (ADVICE r12: a queries-only pair run used to replace
+    # the scenario pair's byte block with an empty one — the same silent
+    # evidence drop the scaling merge was added to prevent)
     kept = {}
+    kept_bytes = {}
     try:
         prev = json.load(open(out_path))
         kept = {k: v for k, v in prev.get("scaling", {}).items()
                 if k not in scaling and v.get("pair") != pair_tag}
+        kept_bytes = {k: v for k, v in prev.get("byte_invariants", {}).items()
+                      if k not in bytes_block}
     except (FileNotFoundError, ValueError):
         pass
     result = {
@@ -95,7 +134,7 @@ def main():
         "small_sf": small.get("sf"),
         "big_sf": big.get("sf"),
         "scaling": {**kept, **scaling},
-        "byte_invariants": bytes_block,
+        "byte_invariants": {**kept_bytes, **bytes_block},
     }
     with open(out_path, "w") as f:
         json.dump(result, f, indent=1)
