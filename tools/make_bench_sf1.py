@@ -48,17 +48,19 @@ def main():
     small = json.load(open(sys.argv[1]))
     big = json.load(open(sys.argv[2]))
     out_path = sys.argv[3]
-    factor = float(sys.argv[4]) if len(sys.argv) > 4 else 10.0
-    pair_tag = sys.argv[5] if len(sys.argv) > 5 else None
     # optional MID point for a three-point fit (--mid <mid.json> <mid_factor>,
     # mid_factor = mid rows / small rows): distinguishes a one-time regime
     # step from a power law — two segment exponents instead of one secant
     # (VERDICT r12 #1: a two-point fit can't tell spill-step from O(n^1.6)).
     mid, mid_factor = None, None
-    if "--mid" in sys.argv:
-        i = sys.argv.index("--mid")
-        mid = json.load(open(sys.argv[i + 1]))
-        mid_factor = float(sys.argv[i + 2])
+    pos = sys.argv[4:]
+    if "--mid" in pos:
+        i = pos.index("--mid")
+        mid = json.load(open(pos[i + 1]))
+        mid_factor = float(pos[i + 2])
+        pos = pos[:i] + pos[i + 3:]
+    factor = float(pos[0]) if len(pos) > 0 else 10.0
+    pair_tag = pos[1] if len(pos) > 1 else None
 
     def expo(a, b, f):
         return round(math.log(b / a) / math.log(f), 3)
@@ -91,6 +93,16 @@ def main():
                 scaling[k]["small_cpu_s"] = round(ac, 3)
                 scaling[k]["big_cpu_s"] = round(bc, 3)
                 scaling[k]["scaling_exponent_cpu"] = expo(ac, bc, factor)
+            # USER-cpu twin (r13): the near-deterministic instruction-work
+            # component — total process CPU on this box carries episodic
+            # kernel/IO-path (sys) inflation that confounds exponents
+            # (r13 measured a big full-reload draw at user 280 + sys 1560)
+            au = small.get("queries_cpu_user", {}).get(k)
+            bu = big.get("queries_cpu_user", {}).get(k)
+            if au and bu and au > 0 and bu > 0:
+                scaling[k]["small_user_cpu_s"] = round(au, 3)
+                scaling[k]["big_user_cpu_s"] = round(bu, 3)
+                scaling[k]["scaling_exponent_user_cpu"] = expo(au, bu, factor)
             m = mid["queries"].get(k) if mid else None
             if m and m > 0:
                 seg = {
@@ -104,6 +116,11 @@ def main():
                     seg["mid_cpu_s"] = round(mc, 3)
                     seg["exponent_cpu_small_to_mid"] = expo(ac, mc, mid_factor)
                     seg["exponent_cpu_mid_to_big"] = expo(mc, bc, factor / mid_factor)
+                mu = mid.get("queries_cpu_user", {}).get(k)
+                if mu and mu > 0 and au and bu:
+                    seg["mid_user_cpu_s"] = round(mu, 3)
+                    seg["exponent_user_cpu_small_to_mid"] = expo(au, mu, mid_factor)
+                    seg["exponent_user_cpu_mid_to_big"] = expo(mu, bu, factor / mid_factor)
                 scaling[k]["three_point"] = seg
     bytes_block = {
         k: {"small": round(small["ratios"][k], 4), "big": round(big["ratios"][k], 4)}
