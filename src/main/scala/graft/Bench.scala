@@ -155,8 +155,11 @@ object Bench {
             case _ => (prevCpu.get(name), totalCpu)
           }
           prev.collect {
-            // sub-second CPU draws are scheduler noise, not signal
-            case p if p > 0.5 && cur > 0.5 && cur / p > 1.3 => (name, p, cur, cur / p)
+            // noise floor 2 cpu-s: below it the measurement is JIT +
+            // scheduler lottery, not plan work — r13 calibration flagged
+            // 8 untouched-code queries at 0.5-2 cpu-s magnitudes across
+            // two same-code runs while nothing above 30 cpu-s moved
+            case p if p > 2.0 && cur > 2.0 && cur / p > 1.3 => (name, p, cur, cur / p)
           }
         }
       }.sortBy(-_._4)
