@@ -35,6 +35,11 @@ SCN_KEYS = [
     # the derivedRows family, measured from a queries-only pair
     "q_cdf_maintain_ivf", "q_cdf_maintain_minhash",
     "q_cdf_maintain_docfeatures",
+    # r13: the token-budget curation gate served from the maintained
+    # feature table — the SERVE side reads the replayed final state by
+    # design (its exponent is ~1 in state size); the O(changes) claim
+    # lives on the q_cdf_maintain_* MAINTENANCE rows above
+    "q_token_budget_maintained_serve",
 ]
 BYTE_KEYS = [
     "nochange_read_reduction_x", "pct5_read_reduction_x",
