@@ -37,7 +37,10 @@ object PrefixScale {
     val heavySalt: Int =
       args.indexOf("--heavysalt") match {
         case -1 => 0
-        case i => args(i + 1).toInt
+        case i =>
+          require(i + 1 < args.length && args(i + 1).forall(_.isDigit),
+            "usage: PrefixScale <sfDir> [thresholdPermille] [--heavysalt N]")
+          args(i + 1).toInt
       }
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
@@ -69,12 +72,7 @@ object PrefixScale {
       }
     val osCpu = java.lang.management.ManagementFactory.getOperatingSystemMXBean
       .asInstanceOf[com.sun.management.OperatingSystemMXBean]
-    def userSys(): (Double, Double) = {
-      val s = new String(java.nio.file.Files.readAllBytes(
-        java.nio.file.Paths.get("/proc/self/stat")))
-      val f = s.substring(s.lastIndexOf(')') + 2).split(" ")
-      (f(11).toDouble / 100.0, f(12).toDouble / 100.0)
-    }
+    def userSys(): (Double, Double) = graft.run.ProcStat.userSys()
     val sh = graft.ext.Dedup.shingles(docs, "doc_id", "text", 3)
     val pref = graft.ext.Dedup.prefixShingles(sh, t).persist()
     val plainPairs = pref.select(col("sid").as("a"), col("shingle"))
@@ -82,9 +80,11 @@ object PrefixScale {
       .filter(col("a") < col("b")).select("a", "b").distinct().count()
     val ppjoin = graft.ext.Dedup.prefixCandidates(pref, t).count()
     // timed END-TO-END operator run (fresh plan, not reusing the cached
-    // prefix relation): the number the design-point exponent is fit on
+    // prefix relation — but the SALTED CORPUS stays cached: clearCache()
+    // here would evict it and charge N-x corpus derivation to the timed
+    // window, contaminating the exponent this tool exists to measure,
+    // r13 review)
     pref.unpersist(blocking = true)
-    spark.catalog.clearCache()
     val (u0, s0) = userSys()
     val c0 = osCpu.getProcessCpuTime
     val w0 = System.nanoTime()
