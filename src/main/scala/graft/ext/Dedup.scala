@@ -968,6 +968,15 @@ object Dedup {
           .filter(col("_nsh") >= minShingles).drop("_nsh")
       }
     val prefix = prefixShingles(sh, thresholdPermille)
+    prefixVerifiedPairs(sh, prefix, thresholdPermille)
+  }
+
+  /** The candidate + verify tail of the prefix-filter join, over an
+    * already-built (shingle relation, prefix relation) pair — shared by
+    * [[prefixFilterJaccardPairs]] and [[prefixRoutedJaccardPairs]] so the
+    * routed operator's exact tier IS the direct operator, not a copy. */
+  private def prefixVerifiedPairs(sh: DataFrame, prefix: DataFrame,
+      thresholdPermille: Int): DataFrame = {
     val cand = prefixCandidates(prefix, thresholdPermille)
     // cand feeds the id restriction AND both verify joins — persist so the
     // prefix pipeline runs once (same lifecycle convention as minhash:
@@ -996,5 +1005,78 @@ object Dedup {
       .withColumn("jaccard",
         col("common").cast("double") / (col("na") + col("nb") - col("common")))
       .select("id_a", "id_b", "jaccard")
+  }
+
+  /** PROBE-BEFORE-PAY routing for the exact prefix join (VERDICT r13 #6 —
+    * the operator's documented stress regime is a shared-template
+    * short-doc corpus at permissive thresholds, where prefixes cover half
+    * of every doc and hot prefix buckets make the candidate join's
+    * INTERMEDIATE grow ~quadratically; the escapes existed (`minShingles`,
+    * the hot-shingle cap) but the caller had to know to pick them — the
+    * same gap [[BloomPrune.autoSemiJoinRouted]] closes for the re-filter
+    * join, closed the same way):
+    *
+    *  1. PROBE — from the already-built prefix relation, the plain
+    *     prefix-join intermediate is exactly Σ_shingle C(bucket, 2); one
+    *     small aggregate computes it (and the doc count) before any pair
+    *     is enumerated.
+    *  2. DIRECT tier (est ≤ maxCandidatesPerDoc · nDocs): the exact
+    *     PPJoin pipeline, byte-identical output to
+    *     [[prefixFilterJaccardPairs]].
+    *  3. GUARDED tier (hot regime): docs at or above `minShingles`
+    *     distinct shingles run the SAME exact pipeline among themselves
+    *     (document frequencies recomputed over that sub-corpus — the
+    *     documented `minShingles` semantics); docs BELOW the bound — the
+    *     ones whose too-long prefixes caused the blowup — participate
+    *     only in EXACT-duplicate (Jaccard = 1) pairs, found by a text
+    *     hash join + equality verify (linear in the groups' output, no
+    *     candidate stage at all). Template corpora keep their true
+    *     duplicates; what the guarded tier gives up — NEAR-dup pairs
+    *     among sub-`minShingles` docs — is precisely the quadratic
+    *     family-enumeration a 100 TB pipeline cannot want at t = 500‰,
+    *     and the route decision is integer-deterministic, so an oracle
+    *     replays it exactly.
+    *
+    * @return (id_a, id_b, jaccard, route) — route ∈ {direct, guarded},
+    *         constant per invocation. */
+  def prefixRoutedJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, thresholdPermille: Int = 500,
+      maxCandidatesPerDoc: Long = 64, minShingles: Int = 8): DataFrame = {
+    require(thresholdPermille > 0 && thresholdPermille <= 1000,
+      s"thresholdPermille in (0,1000]: $thresholdPermille")
+    val sh = shingles(df, idCol, textCol, n)
+    KMeans.ensureCached(sh) // probed now, re-scanned by the chosen tier
+    val pref = prefixShingles(sh, thresholdPermille)
+    KMeans.ensureCached(pref)
+    // the probe: two metadata-sized aggregates (a count per prefix bucket,
+    // then one sum; a distinct-doc count) — never a pair enumerated
+    val est = pref.groupBy("shingle").agg(count(lit(1)).as("c"))
+      .agg(coalesce(sum(expr("c * (c - 1) div 2")), lit(0L)))
+      .head.getLong(0)
+    val nDocs = sh.agg(countDistinct(col("sid"))).head.getLong(0)
+    if (est <= maxCandidatesPerDoc * nDocs)
+      prefixVerifiedPairs(sh, pref, thresholdPermille)
+        .withColumn("route", lit("direct"))
+    else {
+      val nsh = sh.groupBy("sid").agg(count(lit(1)).as("_nsh"))
+      val longSh = sh.join(
+        nsh.filter(col("_nsh") >= minShingles).select("sid"), Seq("sid"), "left_semi")
+      val longPairs = prefixVerifiedPairs(longSh,
+        prefixShingles(longSh, thresholdPermille), thresholdPermille)
+      val shortDocs = df.select(col(idCol).as("sid"), col(textCol).as("_t"))
+        .join(nsh.filter(col("_nsh") < minShingles).select("sid"),
+          Seq("sid"), "left_semi")
+        .withColumn("_h", xxhash64(col("_t")))
+      // hash-bucketed exact-duplicate join: the equality verify makes a
+      // 64-bit collision a non-event, and the join never touches the
+      // hot shingle buckets that disqualified the direct tier
+      val dupPairs = shortDocs
+        .select(col("sid").as("id_a"), col("_t").as("_ta"), col("_h"))
+        .join(shortDocs.select(col("sid").as("id_b"), col("_t").as("_tb"), col("_h")),
+          Seq("_h"))
+        .filter(col("id_a") < col("id_b") && col("_ta") === col("_tb"))
+        .select(col("id_a"), col("id_b"), lit(1.0).as("jaccard"))
+      longPairs.unionByName(dupPairs).withColumn("route", lit("guarded"))
+    }
   }
 }

@@ -157,6 +157,19 @@ object ExtQueries {
     v0.union(v1).union(v2).withColumn("blk", substring(col("name"), -3, 3))
   }
 
+  /** The routed prefix join's stress corpus (shared with its spec): each
+    * doc gains a SHORT template twin under a disjoint id range — 4 tokens,
+    * 2 shingles, the leading shingle shared by every twin — the
+    * shared-template short-doc regime the prefix filter's scaladoc
+    * discloses as its quadratic failure shape. doc_id % 100 groups the
+    * twins into exact-duplicate families (≥5 members at every sf). */
+  private[graft] def hotTemplateDocs(s: SparkSession, d: String): DataFrame = {
+    val base = docs(s, d).select(col("doc_id"), col("text"))
+    base.unionByName(base.select(
+      (col("doc_id") + 100000000L).as("doc_id"),
+      concat(lit("zz yy xx g"), (col("doc_id") % 100).cast("string")).as("text")))
+  }
+
   /** The salting rule itself, on any (doc_id, text) frame — ONE copy
     * (r9 review: Bench's replicated corpus re-implemented it inline, so a
     * rule change would silently de-sync the bench regime from the
@@ -271,6 +284,27 @@ object ExtQueries {
     // when missed pairs are unacceptable
     "q_dedup_prefix" -> ((s, d) =>
       Dedup.prefixFilterJaccardPairs(docs(s, d), "doc_id", "text",
+        n = 3, thresholdPermille = 500)),
+
+    // PROBE-BEFORE-PAY routed form (VERDICT r13 #6): the corpus-shape probe
+    // (Σ C(prefix-bucket, 2) vs a per-doc candidate budget) picks the tier
+    // BEFORE any pair is enumerated. The standard corpus sits far under
+    // budget → the exact PPJoin tier, output identical to q_dedup_prefix
+    // (plus the disclosed route column); the oracle REPLAYS the integer
+    // decision, so it stays green whichever tier fires.
+    "q_dedup_prefix_routed" -> ((s, d) =>
+      Dedup.prefixRoutedJaccardPairs(docs(s, d), "doc_id", "text",
+        n = 3, thresholdPermille = 500)),
+
+    // the documented stress regime, derived deterministically: every doc
+    // gains a 4-token template twin ("zz yy xx g<doc_id%100>") — 2
+    // shingles each, both inside the t=500‰ prefix, one shared by EVERY
+    // twin — so the plain candidate stage would enumerate C(n_docs, 2)
+    // pairs. The probe must route GUARDED: long docs keep the exact join,
+    // template docs resolve to their exact-duplicate groups via the hash
+    // join, and the quadratic stage never runs.
+    "q_dedup_prefix_routed_hot" -> ((s, d) =>
+      Dedup.prefixRoutedJaccardPairs(hotTemplateDocs(s, d), "doc_id", "text",
         n = 3, thresholdPermille = 500)),
 
     // winnowing fingerprints (MOSS scheme): window-min of k-gram hashes —
@@ -1548,6 +1582,68 @@ best AS (
     * single token chars only (no quotes to escape). */
   private def sparsePrefixSql: String = SparseSharedPrefix
 
+  /** The routed prefix join's DuckDB twin over an arbitrary (doc_id, text)
+    * corpus SELECT: replays the shingle/prefix pipeline, the probe's
+    * integer route decision, and BOTH tiers (exact PPJoin-equivalent
+    * verify; minShingles-guarded long-side join ∪ short-doc exact-dup
+    * hash join), keeping the tier the decision picked — so the oracle is
+    * green whichever route the Spark side takes
+    * ([[graft.ext.Dedup.prefixRoutedJaccardPairs]], t = 500‰, budget 64
+    * candidates/doc, minShingles 8). */
+  private def prefixRoutedSql(corpusSelect: String): String =
+    s"""WITH docs2 AS ($corpusSelect),
+toks AS (SELECT doc_id, string_split(text, ' ') t FROM docs2),
+sh AS (SELECT DISTINCT doc_id AS sid, array_to_string(t[(i+1):(i+3)], ' ') AS shingle
+       FROM toks, LATERAL (SELECT unnest(range(0, len(t) - 2)) i)),
+st AS (SELECT sid, shingle, count(*) OVER (PARTITION BY shingle) AS dfreq FROM sh),
+rk AS (SELECT sid, shingle,
+         row_number() OVER (PARTITION BY sid ORDER BY dfreq, shingle) AS rk,
+         count(*) OVER (PARTITION BY sid) AS nsh FROM st),
+pref AS (SELECT sid, shingle FROM rk
+         WHERE rk <= nsh - ((nsh * 500 + 999) // 1000) + 1),
+probe AS (SELECT
+    (SELECT coalesce(sum(c * (c - 1) // 2), 0)
+     FROM (SELECT count(*) AS c FROM pref GROUP BY shingle)) AS est,
+    (SELECT count(DISTINCT sid) FROM sh) AS ndocs),
+arrs AS (SELECT sid, list(DISTINCT shingle) AS hs FROM sh GROUP BY sid),
+cand AS (SELECT DISTINCT a.sid AS id_a, b.sid AS id_b
+         FROM pref a JOIN pref b ON a.shingle = b.shingle AND a.sid < b.sid
+         WHERE (SELECT est <= 64 * ndocs FROM probe)),
+vdir AS (SELECT c.id_a, c.id_b,
+           CAST(len(list_intersect(x.hs, y.hs)) AS BIGINT) AS common,
+           CAST(len(x.hs) AS BIGINT) AS na, CAST(len(y.hs) AS BIGINT) AS nb
+         FROM cand c JOIN arrs x ON x.sid = c.id_a JOIN arrs y ON y.sid = c.id_b),
+direct AS (SELECT id_a, id_b, common * 1.0 / (na + nb - common) AS jaccard
+           FROM vdir WHERE common * 1000 >= 500 * (na + nb - common)),
+sizes AS (SELECT sid, count(*) AS nsh FROM sh GROUP BY sid),
+lsh AS (SELECT sh.sid, sh.shingle FROM sh JOIN sizes ON sizes.sid = sh.sid
+        WHERE sizes.nsh >= 8 AND (SELECT est > 64 * ndocs FROM probe)),
+lst AS (SELECT sid, shingle, count(*) OVER (PARTITION BY shingle) AS dfreq FROM lsh),
+lrk AS (SELECT sid, shingle,
+          row_number() OVER (PARTITION BY sid ORDER BY dfreq, shingle) AS rk,
+          count(*) OVER (PARTITION BY sid) AS nsh FROM lst),
+lpref AS (SELECT sid, shingle FROM lrk
+          WHERE rk <= nsh - ((nsh * 500 + 999) // 1000) + 1),
+lcand AS (SELECT DISTINCT a.sid AS id_a, b.sid AS id_b
+          FROM lpref a JOIN lpref b ON a.shingle = b.shingle AND a.sid < b.sid),
+larrs AS (SELECT sid, list(DISTINCT shingle) AS hs FROM lsh GROUP BY sid),
+vl AS (SELECT c.id_a, c.id_b,
+         CAST(len(list_intersect(x.hs, y.hs)) AS BIGINT) AS common,
+         CAST(len(x.hs) AS BIGINT) AS na, CAST(len(y.hs) AS BIGINT) AS nb
+       FROM lcand c JOIN larrs x ON x.sid = c.id_a JOIN larrs y ON y.sid = c.id_b),
+lpairs AS (SELECT id_a, id_b, common * 1.0 / (na + nb - common) AS jaccard
+           FROM vl WHERE common * 1000 >= 500 * (na + nb - common)),
+shortd AS (SELECT d.doc_id AS sid, d.text FROM docs2 d
+           JOIN sizes s ON s.sid = d.doc_id WHERE s.nsh < 8),
+dups AS (SELECT x.sid AS id_a, y.sid AS id_b, 1.0 AS jaccard
+         FROM shortd x JOIN shortd y ON x.text = y.text AND x.sid < y.sid)
+SELECT id_a, id_b, jaccard, 'direct' AS route FROM direct
+WHERE (SELECT est <= 64 * ndocs FROM probe)
+UNION ALL
+SELECT id_a, id_b, jaccard, 'guarded' AS route
+FROM (SELECT * FROM lpairs UNION ALL SELECT * FROM dups)
+WHERE (SELECT est > 64 * ndocs FROM probe)"""
+
   private val shinglesCte =
     """toks AS (SELECT doc_id, string_split(text, ' ') t FROM documents),
 sh AS (SELECT DISTINCT doc_id AS sid, array_to_string(t[(i+1):(i+3)], ' ') AS shingle
@@ -2410,6 +2506,20 @@ v AS (SELECT c.id_a, c.id_b,
                   JOIN arrs y ON y.sid = c.id_b)
 SELECT id_a, id_b, common * 1.0 / (na + nb - common) AS jaccard
 FROM v WHERE common * 1000 >= 500 * (na + nb - common)""",
+
+    // Routed prefix join: the oracle REPLAYS the probe's integer decision
+    // (Σ C(prefix-bucket,2) vs 64·n_docs) and emits whichever tier's
+    // output the Spark side chose — both tiers are fully computed in SQL,
+    // the route filter keeps exactly one. Same replay at both corpus
+    // shapes: the standard corpus (direct tier) and the derived
+    // shared-template corpus (guarded tier).
+    "q_dedup_prefix_routed" ->
+      prefixRoutedSql("SELECT doc_id, text FROM documents"),
+    "q_dedup_prefix_routed_hot" -> prefixRoutedSql(
+      """SELECT doc_id, text FROM documents
+         UNION ALL
+         SELECT doc_id + 100000000, 'zz yy xx g' || CAST(doc_id % 100 AS VARCHAR)
+         FROM documents"""),
 
     // Full LSH pipeline replicated: h32 → 16 universal hashes → min per doc
     // → 4 band signatures → bucket join candidates → exact-Jaccard verify.

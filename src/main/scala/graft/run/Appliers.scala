@@ -2,7 +2,7 @@ package graft.run
 
 import graft.jdbc.{Jdbc, PushdownSql}
 import graft.state.VersionHex
-import graft.sync.{Apply, LakeTable}
+import graft.sync.{Apply, LakeTable, Planner}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** The Source/Applier seam (ROADMAP r1 #7): [[SyncRunner]] speaks only these
@@ -192,21 +192,43 @@ trait TableApplier {
   *        tables whose drift is key-local (monotone RecId sequences);
   *        None (default) keeps the plain snapshot write.
   * @param clusterFiles target file count for the clustered layout
-  *        (0 = the session's shuffle parallelism). */
+  *        (0 = the session's shuffle parallelism).
+  * @param zorder opt into the 2-D Z-ORDER layout policy
+  *        ([[LakeTable.overwriteZOrdered]]): full-snapshot applies write
+  *        the Morton-curve layout and record its `_layout` probe box, and
+  *        every incremental apply PROBES the recorded box over the live
+  *        files (parquet-footer arithmetic, no data scan —
+  *        [[LakeTable.layoutBoxProbe]]) so [[Planner.decideMaintenance]]
+  *        can schedule the recluster rewrite exactly when unclustered
+  *        delta commits have measurably decayed box-lookup selectivity
+  *        (VERDICT r13 #3: the O6 probe-before-pay discipline applied to
+  *        layout maintenance, decided in the planner, paid here). Takes
+  *        precedence over `clusterKey` for snapshot writes. */
 final case class LakeApplier(path: String, compactEvery: Int = 8,
-    clusterKey: Option[String] = None, clusterFiles: Int = 0) extends TableApplier {
+    clusterKey: Option[String] = None, clusterFiles: Int = 0,
+    zorder: Option[(String, String)] = None) extends TableApplier {
   def exists: Boolean = LakeTable.exists(path)
   def current(spark: SparkSession, keyCol: String): DataFrame =
     LakeTable.read(spark, path, keyCol)
-  def overwrite(df: DataFrame): Unit = clusterKey match {
-    case Some(k) => LakeTable.overwriteClustered(df, path, k, clusterFiles)
-    case None => LakeTable.overwrite(df, path)
+  def overwrite(df: DataFrame): Unit = (zorder, clusterKey) match {
+    case (Some((a, b)), _) =>
+      LakeTable.overwriteZOrdered(df, path, a, b, clusterFiles)
+    case (None, Some(k)) => LakeTable.overwriteClustered(df, path, k, clusterFiles)
+    case _ => LakeTable.overwrite(df, path)
   }
   def applyChangeSet(cs: Apply.ChangeSet, spark: SparkSession, keyCol: String): Unit = {
     LakeTable.appendCommit(cs, path)
-    if (LakeTable.pendingCommits(path) >= compactEvery) {
-      LakeTable.compact(spark, path, keyCol)
-      ()
+    // maintenance is a PLANNER decision from two cheap probes: the pending
+    // commit count and (for z-ordered tables) the footer-metadata box
+    // probe. Recluster folds the commits too, so it subsumes compaction.
+    val probe = if (zorder.isDefined) LakeTable.layoutBoxProbe(path) else None
+    Planner.decideMaintenance(
+        LakeTable.pendingCommits(path), compactEvery, probe) match {
+      case Planner.Maintenance.Recluster =>
+        LakeTable.reclusterZOrdered(spark, path, keyCol); ()
+      case Planner.Maintenance.Compact =>
+        LakeTable.compact(spark, path, keyCol); ()
+      case Planner.Maintenance.None => ()
     }
   }
 }

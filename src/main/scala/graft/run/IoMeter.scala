@@ -79,39 +79,18 @@ object IoMeter {
   def parquetRowGroupsBox(dir: String,
       colA: String, loA: Long, hiA: Long,
       colB: String, loB: Long, hiB: Long): (Int, Int) = {
-    import scala.jdk.CollectionConverters._
-    val conf = new org.apache.hadoop.conf.Configuration()
     // recursive: a value-partitioned layout (ZOrder.layoutQuadrants written
-    // with partitionBy) nests its files one directory level down
-    def walk(p: String): Seq[org.apache.hadoop.fs.Path] =
+    // with partitionBy) nests its files one directory level down; the
+    // footer arithmetic itself lives with the lake layer's stats reader
+    // (ParquetStats.rowGroupsBox — one definition, shared with the
+    // planner's layout-decay probe)
+    def walk(p: String): Seq[String] =
       graft.sync.LakeFs.list(p).flatMap { st =>
         if (st.isDirectory) walk(st.getPath.toString)
-        else if (st.getPath.getName.endsWith(".parquet")) Seq(st.getPath)
+        else if (st.getPath.getName.endsWith(".parquet")) Seq(st.getPath.toString)
         else Seq.empty
       }
-    val files = walk(dir)
-    var hit = 0
-    var total = 0
-    files.foreach { p =>
-      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf)
-      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-      try reader.getFooter.getBlocks.asScala.foreach { b =>
-        total += 1
-        def intersects(c: String, lo: Long, hi: Long): Boolean =
-          b.getColumns.asScala
-            .find(_.getPath.iterator().next().equalsIgnoreCase(c))
-            .forall { cc =>
-              val st = cc.getStatistics
-              st == null || !st.hasNonNullValue ||
-                ((st.genericGetMin, st.genericGetMax) match {
-                  case (mn: java.lang.Long, mx: java.lang.Long) => mx >= lo && mn <= hi
-                  case _ => true // non-INT64 stats: assume scanned
-                })
-            }
-        if (intersects(colA, loA, hiA) && intersects(colB, loB, hiB)) hit += 1
-      } finally reader.close()
-    }
-    (hit, total)
+    graft.sync.ParquetStats.rowGroupsBox(walk(dir), colA, loA, hiA, colB, loB, hiB)
   }
 
   /** Like [[parquetColumnBytes]], but when `minMax` = (statsCol, threshold)

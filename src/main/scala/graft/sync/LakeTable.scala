@@ -533,6 +533,124 @@ object LakeTable {
       table, stateTimeMs)
   }
 
+  // ---- Z-order layout POLICY (VERDICT r13 #3: reclusterDue was a policy
+  // function only the bench called; here it becomes table state the sync
+  // planner decides on) -------------------------------------------------
+  //
+  // A table opts into the 2-D layout by being written through
+  // [[overwriteZOrdered]], which records a `_layout` line: the two
+  // dimension columns and a REPRESENTATIVE PROBE BOX (the first eighth of
+  // each dimension at layout time — 1/64 of the area, the natural 2-D
+  // point-lookup shape) together with the box's freshly-probed row-group
+  // selectivity. Every later [[layoutBoxProbe]] replays the SAME box over
+  // the table's live files (base + pending commit inserts) from parquet
+  // footers — O(live files) metadata, never a data scan — so
+  // [[Planner.decideMaintenance]] can compare decayed-vs-fresh selectivity
+  // and schedule [[reclusterZOrdered]] exactly when the measured decay
+  // says the rewrite pays for itself.
+
+  private def layoutPath(table: String) = s"$table/_layout"
+
+  /** The recorded layout policy: dimensions, probe box, fresh selectivity. */
+  final case class LayoutSpec(colA: String, colB: String,
+      boxA: (Long, Long), boxB: (Long, Long), freshFrac: Double)
+
+  def layoutSpec(table: String): Option[LayoutSpec] = {
+    val p = layoutPath(table)
+    if (!LakeFs.exists(p)) None
+    else LakeFs.readUtf8(p).trim.split('\t') match {
+      case Array(a, b, a0, a1, b0, b1, f) =>
+        try Some(LayoutSpec(a, b, (a0.toLong, a1.toLong),
+          (b0.toLong, b1.toLong), f.toDouble))
+        catch { case _: NumberFormatException => None } // torn/corrupt: no policy
+      case _ => None
+    }
+  }
+
+  /** The scanned row-group fraction of the recorded probe box over the
+    * table's CURRENT live files — (scannedFrac, freshFrac) for
+    * [[Planner.decideMaintenance]], None when the table has no layout
+    * policy. Live files = the resolved base's data files plus pending
+    * commits' insert files (each unclustered delta spans the full key box,
+    * which is exactly the decay being measured); footer metadata only. */
+  def layoutBoxProbe(table: String): Option[(Double, Double)] =
+    layoutSpec(table).flatMap { sp =>
+      resolve(table).map { case (base, fromSeq) =>
+        val log = logDir(table)
+        val commitIns = ChangeLog.commitSeqs(log).filter(_ >= fromSeq)
+          .flatMap { q =>
+            val ins = s"$log/$q/inserts"
+            if (!LakeFs.exists(ins)) Seq.empty
+            else LakeFs.list(ins).filter(st => st.isFile &&
+              st.getPath.getName.endsWith(".parquet")).map(_.getPath.toString)
+          }
+        val (hit, total) = ParquetStats.rowGroupsBox(
+          baseDataFiles(base) ++ commitIns,
+          sp.colA, sp.boxA._1, sp.boxA._2, sp.colB, sp.boxB._1, sp.boxB._2)
+        (hit.toDouble / math.max(total, 1), sp.freshFrac)
+      }
+    }
+
+  /** [[overwrite]] with a Z-ORDER (Morton-curve) base layout on two
+    * dimensions, recording the `_layout` policy that makes the table
+    * self-maintaining: the sync planner probes the recorded box after
+    * every incremental apply and schedules [[reclusterZOrdered]] when the
+    * measured selectivity decays past the trigger. The 2-D twin of
+    * [[overwriteClustered]] — for tables whose reads are key×version or
+    * user×time box lookups rather than single-key ranges. */
+  def overwriteZOrdered(df: DataFrame, table: String,
+      colA: String, colB: String, nFiles: Int = 0,
+      stateTimeMs: Long = System.currentTimeMillis()): Unit = {
+    val n = if (nFiles > 0) nFiles
+      else df.sparkSession.sessionState.conf.numShufflePartitions
+    ZOrder.bounds(df, colA, colB) match {
+      case None => overwrite(df, table, stateTimeMs) // empty: nothing to lay out
+      case Some((bA, bB)) =>
+        overwrite(ZOrder.layoutBounded(df, colA, colB, n, bA, bB),
+          table, stateTimeMs)
+        // representative probe box: the first eighth of each dimension
+        // (1/64 area). Recorded ONCE per layout so every later probe
+        // measures the same question the fresh number answered.
+        val boxA = (bA._1, bA._1 + (bA._2 - bA._1) / 8)
+        val boxB = (bB._1, bB._1 + (bB._2 - bB._1) / 8)
+        val base = resolve(table).get._1
+        val (hit, total) = ParquetStats.rowGroupsBox(baseDataFiles(base),
+          colA, boxA._1, boxA._2, colB, boxB._1, boxB._2)
+        val fresh = hit.toDouble / math.max(total, 1)
+        LakeFs.writeUtf8(layoutPath(table),
+          s"$colA\t$colB\t${boxA._1}\t${boxA._2}\t${boxB._1}\t${boxB._2}\t$fresh")
+    }
+  }
+
+  /** Pay the recluster the probe asked for: re-lay the CURRENT state (base
+    * + pending commits folded, like any compaction) along the z-curve and
+    * refresh the `_layout` policy from the new bounds — the table's
+    * selectivity returns to fresh and the next probe measures against it.
+    * No-op (beyond a plain compact-shaped rewrite) without a policy. */
+  def reclusterZOrdered(spark: SparkSession, table: String,
+      keyCol: String = "RecId"): CompactResult = {
+    val sp = layoutSpec(table).getOrElse(
+      throw new IllegalArgumentException(s"no _layout policy on: $table"))
+    // state time = the newest folded commit's stamp, like compact — the
+    // reclustered data is only as new as the last commit it folds
+    val foldedTime = resolveWithTime(table) match {
+      case Some((_, fromSeq, prevTime)) =>
+        (ChangeLog.commitSeqs(logDir(table)).filter(_ >= fromSeq)
+          .flatMap(seq => ChangeLog.commitTime(s"${logDir(table)}/$seq")) ++
+          prevTime).maxOption.getOrElse(System.currentTimeMillis())
+      case None => System.currentTimeMillis()
+    }
+    val foldedSeqs = pendingCommits(table)
+    val cur = read(spark, table, keyCol)
+    // bytes-scaled like every full rewrite (reclusterTarget): per-partition
+    // sort/write work stays bounded however the table grew
+    val n = reclusterTarget(
+      resolve(table).map(r => baseDataFiles(r._1).size).getOrElse(0),
+      liveInputBytes(table))
+    overwriteZOrdered(cur, table, sp.colA, sp.colB, n, foldedTime)
+    CompactResult("full", -1, 0, foldedSeqs, "layout recluster (z-order)")
+  }
+
   /** Target bytes per clustered base file (`SPARK_GRAFT_TARGET_FILE_MB`,
     * default 128 MiB — the usual parquet split size, so one rewritten file
     * ≈ one downstream scan task). */

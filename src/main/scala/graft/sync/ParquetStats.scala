@@ -44,4 +44,42 @@ object ParquetStats {
       }
     } finally reader.close()
   }
+
+  /** Row groups of `files` whose footer min/max boxes INTERSECT a 2-D
+    * range box — (intersecting, total). The measured selectivity of a
+    * multi-dimensional layout: a reader with both predicates scans exactly
+    * the intersecting groups. Missing/non-INT64/absent stats degrade to
+    * "intersects" (scanned) — absence of evidence is never skippability.
+    * Footer metadata only, like [[fileKeyRange]]: O(files) small reads,
+    * which is what lets a layout-decay PROBE run on every incremental
+    * apply without a data scan ([[LakeTable.layoutBoxProbe]]). */
+  def rowGroupsBox(files: Seq[String],
+      colA: String, loA: Long, hiA: Long,
+      colB: String, loB: Long, hiB: Long): (Int, Int) = {
+    import scala.jdk.CollectionConverters._
+    var hit = 0
+    var total = 0
+    files.foreach { p =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(p), LakeFs.hadoopConf)
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try reader.getFooter.getBlocks.asScala.foreach { b =>
+        total += 1
+        def intersects(c: String, lo: Long, hi: Long): Boolean =
+          b.getColumns.asScala
+            .find(_.getPath.iterator().next().equalsIgnoreCase(c))
+            .forall { cc =>
+              val st = cc.getStatistics
+              st == null || !st.hasNonNullValue ||
+                ((st.genericGetMin, st.genericGetMax) match {
+                  case (mn: java.lang.Long, mx: java.lang.Long) =>
+                    mx >= lo && mn <= hi
+                  case _ => true // non-INT64 stats: assume scanned
+                })
+            }
+        if (intersects(colA, loA, hiA) && intersects(colB, loB, hiB)) hit += 1
+      } finally reader.close()
+    }
+    (hit, total)
+  }
 }

@@ -58,17 +58,31 @@ object ZOrder {
     * the curve at slightly different points). When a footer-stats metric
     * or a reproducible layout matters more than balance, use
     * [[layoutQuadrants]]. */
-  def layout(df: DataFrame, colA: String, colB: String, nFiles: Int): DataFrame = {
-    graft.functions.GraftFunctions.register(df.sparkSession)
+  def layout(df: DataFrame, colA: String, colB: String, nFiles: Int): DataFrame =
+    bounds(df, colA, colB) match {
+      // empty input: no bounds to normalize against — the layout of nothing
+      // is nothing (min/max return null; reading them would NPE)
+      case None => df
+      case Some((bA, bB)) => layoutBounded(df, colA, colB, nFiles, bA, bB)
+    }
+
+  /** The two dimensions' (min, max) key bounds — the one agg job [[layout]]
+    * pays; public so a caller that also needs the bounds (the lake layer's
+    * layout metadata records a probe box from them) pays it once. */
+  def bounds(df: DataFrame, colA: String,
+      colB: String): Option[((Long, Long), (Long, Long))] = {
     val r = df.agg(
       min(key(col(colA))), max(key(col(colA))),
       min(key(col(colB))), max(key(col(colB)))).head()
-    // empty input: no bounds to normalize against — the layout of nothing
-    // is nothing (min/max return null; reading them would NPE)
-    if (r.isNullAt(0) || r.isNullAt(2)) return df
-    val za = zkey(col(colA), col(colB),
-      (r.getLong(0), r.getLong(1)), (r.getLong(2), r.getLong(3)))
-    df.withColumn("_zkey", za)
+    if (r.isNullAt(0) || r.isNullAt(2)) None
+    else Some(((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getLong(3))))
+  }
+
+  /** [[layout]] with caller-supplied bounds (no second agg job). */
+  def layoutBounded(df: DataFrame, colA: String, colB: String, nFiles: Int,
+      boundsA: (Long, Long), boundsB: (Long, Long)): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    df.withColumn("_zkey", zkey(col(colA), col(colB), boundsA, boundsB))
       .repartitionByRange(nFiles, col("_zkey"))
       .sortWithinPartitions("_zkey")
       .drop("_zkey")

@@ -61,10 +61,18 @@ def main():
     pos = sys.argv[4:]
     if "--mid" in pos:
         i = pos.index("--mid")
-        mid = json.load(open(pos[i + 1]))
+        mid_path = pos[i + 1]
+        mid = json.load(open(mid_path))
         mid_factor = float(pos[i + 2])
         pos = pos[:i] + pos[i + 3:]
+        if "queries" not in mid:
+            sys.exit(f"--mid artifact has no 'queries' block: {mid_path}")
     factor = float(pos[0]) if len(pos) > 0 else 10.0
+    # mid_factor must sit strictly between 1 and the big factor: equal to
+    # factor makes the mid->big segment divide by log(1)=0, and outside the
+    # interval the segment exponents are arithmetic nonsense (ADVICE r13)
+    if mid_factor is not None and not (1.0 < mid_factor < factor):
+        sys.exit(f"--mid factor {mid_factor} must satisfy 1 < mid < {factor}")
     pair_tag = pos[1] if len(pos) > 1 else None
 
     def expo(a, b, f):
