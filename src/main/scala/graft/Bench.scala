@@ -159,10 +159,39 @@ object Bench {
         resultsCpuGate(name) =
           math.min(resultsCpuGate.getOrElse(name, Double.MaxValue), userS)
     var regimeWarned = false
-    // the regression table: name -> (prev_cpu, cpu, ratio); computed at
-    // every flush from whatever has run so far, so a kill keeps it
-    def cpuRegressions(): Seq[(String, Double, Double, Double)] = {
-      val compared = resultsCpu.toSeq.flatMap { case (name, totalCpu) =>
+    // SELF-ANNOTATION for single-draw scenarios (the r14 twin runs showed
+    // the residual false-flag class: a write-bearing scenario drawn ONCE
+    // per run — min-of-draws can't stabilize one draw, and a rotated run
+    // reaches the scenario with colder JIT than an all-queries baseline;
+    // measured 44 → 71 user-cpu-s on byte-identical partial compaction).
+    // Every such scenario has a DETERMINISTIC byte-form twin: if the byte
+    // twin is unchanged vs the previous artifact (≤1%), the scenario ran
+    // the same plan over the same volume and a CPU-only movement is the
+    // box/JIT, not code — the flag moves to cpu_regressions_regime_
+    // annotated instead of crying wolf. A real code regression moves the
+    // byte form (different plan/volume) or survives un-annotated.
+    val prevRatios = prevBlock("ratios")
+    val byteTwinOf = Map(
+      "scn_compact_partial_4commits" -> "compact_amortized_vs_full_bytes",
+      "scn_compact_4commits" -> "compact_scattered_vs_full_bytes",
+      "scn_full_reload" -> "full_bytes_per_row",
+      "scn_40pct_truncate" -> "truncate_vs_full_bytes",
+      "scn_5pct_incremental" -> "pct5_write_mb",
+      "scn_nochange_sync" -> "nochange_read_mb",
+      "scn_multitable_8x_noop" -> "nochange_read_mb",
+      "scn_lake_to_lake_5pct" -> "l2l_wide_read_reduction_x")
+    def byteTwinUnchanged(name: String): Boolean =
+      byteTwinOf.get(name).exists { bt =>
+        (prevRatios.get(bt), ratios.get(bt)) match {
+          case (Some(p), Some(c)) if p != 0.0 =>
+            math.abs(c - p) / math.abs(p) <= 0.01
+          case _ => false
+        }
+      }
+    // the comparison table: name -> (prev_cpu, cpu, ratio) for every
+    // name measured fresh this run with a usable previous value
+    def cpuComparisons(): Seq[(String, Double, Double, Double)] =
+      resultsCpu.toSeq.flatMap { case (name, totalCpu) =>
         // carried values are the prev values verbatim — nothing to compare
         if (carried.contains(name)) None
         else {
@@ -189,6 +218,11 @@ object Bench {
           }
         }
       }
+    // the regression table: regime-normalized filter over the comparisons;
+    // computed at every flush from whatever has run so far, so a kill
+    // keeps it
+    def cpuRegressions(): Seq[(String, Double, Double, Double)] = {
+      val compared = cpuComparisons()
       if (compared.isEmpty) Seq.empty
       else {
         // REGIME normalization (r13 calibration): the box's CPU drifts
@@ -216,19 +250,28 @@ object Bench {
         compared.filter(_._4 > 1.3 * regime).sortBy(-_._4)
       }
     }
+    def splitAnnotated(rs: Seq[(String, Double, Double, Double)])
+        : (Seq[(String, Double, Double, Double)],
+           Seq[(String, Double, Double, Double)]) =
+      rs.partition(r => !byteTwinUnchanged(r._1))
     def jreg(rs: Seq[(String, Double, Double, Double)]): String =
       rs.map { case (n, p, c, r) =>
         f""""$n":{"prev_cpu_s":$p%.2f,"cpu_s":$c%.2f,"ratio":$r%.2f}"""
+      }.mkString("{", ",", "}")
+    def jregAnnotated(rs: Seq[(String, Double, Double, Double)]): String =
+      rs.map { case (n, p, c, r) =>
+        f""""$n":{"prev_cpu_s":$p%.2f,"cpu_s":$c%.2f,"ratio":$r%.2f,""" +
+          s""""byte_twin":"${byteTwinOf(n)}","byte_twin_unchanged":true}"""
       }.mkString("{", ",", "}")
     def jarr(xs: Seq[String]): String =
       xs.map("\"" + _ + "\"").mkString("[", ",", "]")
 
     def flush(phase: String): Unit = {
       val total = results.values.filter(_ > 0).sum
-      val regs = cpuRegressions()
+      val (regs, annotated) = splitAnnotated(cpuRegressions())
       try {
         val full =
-          s"""{"metric":"total","value":$total,"unit":"sec","phase":"$phase","queries":${jmap(results)},"queries_cpu":${jmap(resultsCpu)},"queries_cpu_user":${jmap(resultsCpuUser)},"queries_cpu_user_min":${jmap(resultsCpuGate)},"ratios":${jmap(ratios)},"rotation":$rotation,"rotation_groups":$rotationGroups,"carried_from_prev":${jarr(carried.toSeq)},"cpu_regressions":${jreg(regs)},"sf":"$sfDir"}"""
+          s"""{"metric":"total","value":$total,"unit":"sec","phase":"$phase","queries":${jmap(results)},"queries_cpu":${jmap(resultsCpu)},"queries_cpu_user":${jmap(resultsCpuUser)},"queries_cpu_user_min":${jmap(resultsCpuGate)},"ratios":${jmap(ratios)},"rotation":$rotation,"rotation_groups":$rotationGroups,"carried_from_prev":${jarr(carried.toSeq)},"cpu_regressions":${jreg(regs)},"cpu_regressions_regime_annotated":${jregAnnotated(annotated)},"sf":"$sfDir"}"""
         val tmp = java.nio.file.Paths.get(fullOut + ".tmp")
         java.nio.file.Files.writeString(tmp, full + "\n")
         java.nio.file.Files.move(tmp, java.nio.file.Paths.get(fullOut),
@@ -454,10 +497,19 @@ object Bench {
       // the cache release below — confirmation draws must see the same
       // prepared-frame state the first draw saw.
       locally {
-        val provisional = cpuRegressions()
+        // screen with the ABSOLUTE 1.3 bar, not the regime-normalized one:
+        // the regime median at THIS point is computed over query-loop
+        // ratios only (JIT-noise population, median ~1.1-1.2), while the
+        // final flush folds in the min-stable scenario ratios (~1.0) and
+        // the bar DROPS — twin3 measured 6 queries that cleared the
+        // confirmation-time bar and then flagged at the final one without
+        // ever being re-drawn. The final bar is 1.3·max(regime,1) ≥ 1.3,
+        // so screening at raw 1.3 confirms every possible final flag.
+        val provisional = cpuComparisons()
+          .filter(_._4 > 1.3).sortBy(-_._4)
           .filter { case (n, _, _, _) => results.contains(n) && results(n) > 0 }
         val confirmed = scala.collection.mutable.ArrayBuffer.empty[String]
-        provisional.take(12).foreach { case (name, prevV, firstV, r0) =>
+        provisional.take(16).foreach { case (name, prevV, firstV, r0) =>
           SparkEntry.queries.get(name).foreach { fn =>
             (1 to 2).foreach { i =>
               try {

@@ -1037,6 +1037,15 @@ object Dedup {
     *     and the route decision is integer-deterministic, so an oracle
     *     replays it exactly.
     *
+    * Probe cost disclosure: the probe re-derives the prefix relation once
+    * (an O(corpus) window pass — measured ~2x the direct operator's cost
+    * when the direct tier fires), deliberately WITHOUT caching sh/pref:
+    * leasing the pipeline's two largest frames starved cache-sharing
+    * neighbor queries (measured 10x user-CPU on q_graph_triangles). The
+    * trade the operator exists for is O(N) probe overhead against the
+    * O(N²) candidate stage it routes around; callers that know their
+    * corpus shape keep calling [[prefixFilterJaccardPairs]] directly.
+    *
     * @return (id_a, id_b, jaccard, route) — route ∈ {direct, guarded},
     *         constant per invocation. */
   def prefixRoutedJaccardPairs(df: DataFrame, idCol: String, textCol: String,
@@ -1045,15 +1054,20 @@ object Dedup {
     require(thresholdPermille > 0 && thresholdPermille <= 1000,
       s"thresholdPermille in (0,1000]: $thresholdPermille")
     val sh = shingles(df, idCol, textCol, n)
-    KMeans.ensureCached(sh) // probed now, re-scanned by the chosen tier
     val pref = prefixShingles(sh, thresholdPermille)
-    KMeans.ensureCached(pref)
-    // the probe: two metadata-sized aggregates (a count per prefix bucket,
-    // then one sum; a distinct-doc count) — never a pair enumerated
+    // the probe: one aggregate over the prefix relation (count per bucket,
+    // then one sum — never a pair enumerated) plus one cheap corpus count.
+    // DELIBERATELY UNCACHED: sh/pref are the pipeline's two largest
+    // frames, and leasing them here starved every cache-sharing neighbor
+    // query of storage/execution memory (measured: q_graph_triangles drew
+    // 10x its user-CPU with these cached) — the probe-before-pay price is
+    // ONE extra derivation of the prefix relation, a control-pass-sized
+    // cost, not a resident multi-GB cache.
     val est = pref.groupBy("shingle").agg(count(lit(1)).as("c"))
       .agg(coalesce(sum(expr("c * (c - 1) div 2")), lit(0L)))
       .head.getLong(0)
-    val nDocs = sh.agg(countDistinct(col("sid"))).head.getLong(0)
+    // docs with >= n tokens are exactly the docs owning >= 1 shingle
+    val nDocs = df.filter(size(split(col(textCol), " ")) >= n).count()
     if (est <= maxCandidatesPerDoc * nDocs)
       prefixVerifiedPairs(sh, pref, thresholdPermille)
         .withColumn("route", lit("direct"))
