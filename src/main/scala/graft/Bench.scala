@@ -804,6 +804,41 @@ object Bench {
       System.err.println(f"[bench] PPJoin filters: $prefDistinct%d distinct " +
         f"prefix pairs → $ppjoinCands%d candidates → " +
         f"${ratios("prefix_qualifying_pairs")}%.0f qualifying")
+      // Probe-before-pay ROUTING avoidance (r14): on the shared-template
+      // hot corpus (the q_dedup_prefix_routed_hot derivation), the join
+      // intermediate the DIRECT tier would enumerate (Σ C(prefix-bucket,2)
+      // — the probe's own estimate, exact for the plain prefix join) vs
+      // the intermediate the GUARDED tier actually pays (long-side prefix
+      // buckets + the short-doc exact-dup hash-join buckets). Pure
+      // deterministic counts, like prefix_join_pairs.
+      locally {
+        val hot = graft.queries.ExtQueries.hotTemplateDocs(spark, sfDir)
+        val shHot = graft.ext.Dedup.shingles(hot, "doc_id", "text", 3)
+        def bucketPairs(df: DataFrame, keyCol: String): Long =
+          df.groupBy(keyCol).agg(count(lit(1)).as("c"))
+            .agg(coalesce(sum(expr("c * (c - 1) div 2")), lit(0L)))
+            .head.getLong(0)
+        val directEst = bucketPairs(
+          graft.ext.Dedup.prefixShingles(shHot, 500), "shingle")
+        val nsh = shHot.groupBy("sid").agg(count(lit(1)).as("_nsh"))
+        val longSh = shHot.join(
+          nsh.filter(col("_nsh") >= 8).select("sid"), Seq("sid"), "left_semi")
+        val longEst = bucketPairs(
+          graft.ext.Dedup.prefixShingles(longSh, 500), "shingle")
+        val shortDup = bucketPairs(
+          hot.select(col("doc_id"), xxhash64(col("text")).as("_h"))
+            .join(nsh.filter(col("_nsh") < 8)
+              .select(col("sid").as("doc_id")), Seq("doc_id"), "left_semi"),
+          "_h")
+        ratios("prefix_routed_hot_direct_intermediate") = directEst.toDouble
+        ratios("prefix_routed_hot_guarded_intermediate") =
+          (longEst + shortDup).toDouble
+        ratios("prefix_routed_hot_avoidance_x") =
+          directEst.toDouble / math.max(longEst + shortDup, 1L)
+        System.err.println(f"[bench] routed prefix join (hot corpus): direct " +
+          f"tier would enumerate $directEst%d join rows, guarded tier pays " +
+          f"${longEst + shortDup}%d (${ratios("prefix_routed_hot_avoidance_x")}%.0f x avoided)")
+      }
       // ExactSubstr winnow prefilter: 8-gram span hashes the exhaustive
       // pass shuffles vs the hashes of winnow-candidate docs only — the
       // fraction of the corpus the heavy position-granular pass actually
