@@ -35,13 +35,15 @@ object Bench {
     // total wall time may exceed the env var by (a) fixture-cache rebuild
     // time, which is credited back to the budget below (a fresh container
     // losing /tmp costs ~800 s once and must not starve the rewrite pool),
-    // and (b) the minimum-pool guarantee in the draw loop, which always
-    // draws 2 full/5pct evidence pairs even when the deadline arithmetic
-    // says they don't fit (the r10 driver run starved to 0 pairs and lost
-    // the throttle-immune pct5_speedup_cpu form entirely). A caller sizing
-    // an external watchdog should allow budget + rebuild (~800 s cold) +
-    // 2 worst-case slots (~600 s throttled); every phase flushes its JSON
-    // incrementally, so even a kill keeps all finished evidence.
+    // and (b) the minimum-pool guarantee in the draw loop, which draws 4
+    // full/5pct evidence pairs even when the deadline arithmetic says they
+    // don't fit (the r10 driver run starved to 0 pairs and lost the
+    // throttle-immune pct5_speedup_cpu form entirely; the r14 run starved
+    // to 2 with pair_min 1.85 — VERDICT r14 #1), hard-capped at 1.5x the
+    // budget. A caller sizing an external watchdog should allow
+    // 1.5 x budget + rebuild (~800 s cold, normally cached in the
+    // workdir); every phase flushes its JSON incrementally, so even a
+    // kill keeps all finished evidence.
     val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "1200").toDouble
     var budgetCreditSec = 0.0
     def remaining: Double = budgetSec + budgetCreditSec - elapsed
@@ -159,6 +161,24 @@ object Bench {
         resultsCpuGate(name) =
           math.min(resultsCpuGate.getOrElse(name, Double.MaxValue), userS)
     var regimeWarned = false
+    // SENTINEL queries (VERDICT r14 #2): the regime factor's limit was that
+    // its median ran over whatever rotated in that round — a uniform real
+    // slowdown shifted the median itself and hid. These ~8 queries are
+    // ALWAYS timed (their families never rotate out), span unrelated
+    // subsystems (sync aggregates, anti-join, mode ladder, delta fetch,
+    // partition pruning, key-set ops, event analytics, text contamination),
+    // sit comfortably above the 2 cpu-s comparison floor, and cost ~12 s of
+    // wall per round combined. Their code is the engine's stable core — the
+    // round-over-round ratio of THEIR user-CPU minima estimates pure box
+    // drift, and the regime factor is anchored on that median alone
+    // whenever ≥4 sentinel comparisons exist (disclosed in
+    // cpu_regression_regime_sentinels_n; fallback = the old all-compared
+    // median). A change that slows the whole engine now moves every
+    // NON-sentinel query against a sentinel-anchored regime and flags.
+    val sentinelQueries = Set(
+      "q_a_marks", "q_j2_missing", "q_m1_standard", "q_m1_window",
+      "q_s8_delta", "q_part_prune", "q_so2_delete_keys", "q_funnel",
+      "q_contam_verified")
     // SELF-ANNOTATION for single-draw scenarios (the r14 twin runs showed
     // the residual false-flag class: a write-bearing scenario drawn ONCE
     // per run — min-of-draws can't stabilize one draw, and a rotated run
@@ -179,7 +199,10 @@ object Bench {
       "scn_5pct_incremental" -> "pct5_write_mb",
       "scn_nochange_sync" -> "nochange_read_mb",
       "scn_multitable_8x_noop" -> "nochange_read_mb",
-      "scn_lake_to_lake_5pct" -> "l2l_wide_read_reduction_x")
+      "scn_lake_to_lake_5pct" -> "l2l_wide_read_reduction_x",
+      // the paying apply's plan/volume are pinned by the deterministic
+      // footer-probe recovery fraction (layout arithmetic, no sampling)
+      "scn_zorder_maintain" -> "zorder_maintain_after_frac")
     def byteTwinUnchanged(name: String): Boolean =
       byteTwinOf.get(name).exists { bt =>
         (prevRatios.get(bt), ratios.get(bt)) match {
@@ -228,19 +251,28 @@ object Bench {
         // REGIME normalization (r13 calibration): the box's CPU drifts
         // UNIFORMLY between same-code runs (a rotated run measured every
         // fresh query 1.3-1.7x the previous run's cpu — 15 false flags).
-        // The median ratio across all compared queries estimates that
-        // run-level factor; a real code regression is a query that moved
-        // relative to its peers. The floor at 1.0 keeps a faster-box run
-        // from loosening the absolute 1.3x bar. LIMIT (ADVICE r13): a
-        // regression that slows the WHOLE compared set uniformly shifts
-        // the median itself and is absorbed as "regime" — so the raw
-        // factor is surfaced with an advisory bar at 1.7 (above the
-        // observed 1.3-1.7 same-code box drift): a factor past it means
-        // either an extreme box episode or a uniform code slowdown, and a
-        // human must adjudicate which.
+        // ANCHORED on the sentinel set since r15 (VERDICT r14 #2): the
+        // sentinels are always timed and rarely touched, so the median of
+        // THEIR ratios estimates the run-level box factor without letting
+        // this round's changed queries vote on their own normalization —
+        // a uniform real slowdown now moves every non-sentinel query
+        // against the sentinel anchor and flags instead of self-absorbing.
+        // Fallback (fewer than 4 sentinel comparisons — e.g. an artifact
+        // predating the gate block): the old all-compared median. The
+        // floor at 1.0 keeps a faster-box run from loosening the absolute
+        // 1.3x bar. RESIDUAL LIMIT: a change that slows the sentinels'
+        // own shared substrate (session-wide config, the parquet reader)
+        // still shifts the anchor — the advisory bar at 1.7 (above the
+        // observed 1.3-1.7 same-code box drift) remains the tripwire a
+        // human must adjudicate against a same-code rerun.
+        val sentinelRs = compared.filter(c => sentinelQueries.contains(c._1))
+          .map(_._4).sorted
         val rs = compared.map(_._4).sorted
-        val regime = math.max(rs(rs.size / 2), 1.0)
+        val regime = math.max(
+          if (sentinelRs.size >= 4) sentinelRs(sentinelRs.size / 2)
+          else rs(rs.size / 2), 1.0)
         ratios("cpu_regression_regime_factor") = regime
+        ratios("cpu_regression_regime_sentinels_n") = sentinelRs.size.toDouble
         if (regime > 1.7 && !regimeWarned) {
           regimeWarned = true
           System.err.println(f"[bench] WARNING: cpu regime factor $regime%.2f " +
@@ -250,10 +282,24 @@ object Bench {
         compared.filter(_._4 > 1.3 * regime).sortBy(-_._4)
       }
     }
+    // a scenario whose byte twin EXISTS in the previous artifact but is not
+    // yet computed THIS run (the twin's phase hasn't reached it): at an
+    // intermediate flush its flag is DEFERRED to a separate pending block
+    // rather than placed in cpu_regressions (ADVICE r14 — a mid-run kill
+    // used to persist the flag un-annotated, re-opening the single-draw
+    // false-flag class in partial artifacts). The final flush always has
+    // the twin computed, so pending is empty in a completed artifact.
+    def twinPending(name: String): Boolean =
+      byteTwinOf.get(name).exists(bt =>
+        prevRatios.contains(bt) && !ratios.contains(bt))
     def splitAnnotated(rs: Seq[(String, Double, Double, Double)])
         : (Seq[(String, Double, Double, Double)],
-           Seq[(String, Double, Double, Double)]) =
-      rs.partition(r => !byteTwinUnchanged(r._1))
+           Seq[(String, Double, Double, Double)],
+           Seq[(String, Double, Double, Double)]) = {
+      val (annotated, rest) = rs.partition(r => byteTwinUnchanged(r._1))
+      val (pending, regs) = rest.partition(r => twinPending(r._1))
+      (regs, annotated, pending)
+    }
     def jreg(rs: Seq[(String, Double, Double, Double)]): String =
       rs.map { case (n, p, c, r) =>
         f""""$n":{"prev_cpu_s":$p%.2f,"cpu_s":$c%.2f,"ratio":$r%.2f}"""
@@ -268,10 +314,10 @@ object Bench {
 
     def flush(phase: String): Unit = {
       val total = results.values.filter(_ > 0).sum
-      val (regs, annotated) = splitAnnotated(cpuRegressions())
+      val (regs, annotated, pending) = splitAnnotated(cpuRegressions())
       try {
         val full =
-          s"""{"metric":"total","value":$total,"unit":"sec","phase":"$phase","queries":${jmap(results)},"queries_cpu":${jmap(resultsCpu)},"queries_cpu_user":${jmap(resultsCpuUser)},"queries_cpu_user_min":${jmap(resultsCpuGate)},"ratios":${jmap(ratios)},"rotation":$rotation,"rotation_groups":$rotationGroups,"carried_from_prev":${jarr(carried.toSeq)},"cpu_regressions":${jreg(regs)},"cpu_regressions_regime_annotated":${jregAnnotated(annotated)},"sf":"$sfDir"}"""
+          s"""{"metric":"total","value":$total,"unit":"sec","phase":"$phase","queries":${jmap(results)},"queries_cpu":${jmap(resultsCpu)},"queries_cpu_user":${jmap(resultsCpuUser)},"queries_cpu_user_min":${jmap(resultsCpuGate)},"ratios":${jmap(ratios)},"rotation":$rotation,"rotation_groups":$rotationGroups,"carried_from_prev":${jarr(carried.toSeq)},"cpu_regressions":${jreg(regs)},"cpu_regressions_regime_annotated":${jregAnnotated(annotated)},"cpu_regressions_pending_twin":${jreg(pending)},"sentinels":${jarr(sentinelQueries.toSeq.sorted)},"sf":"$sfDir"}"""
         val tmp = java.nio.file.Paths.get(fullOut + ".tmp")
         java.nio.file.Files.writeString(tmp, full + "\n")
         java.nio.file.Files.move(tmp, java.nio.file.Paths.get(fullOut),
@@ -344,7 +390,17 @@ object Bench {
     // episodically. The split is what lets a CPU swing be attributed
     // instead of argued (r13: identical full draws swung 225-969 total
     // cpu-s with gc=0 and spill=0).
-    def procUserSys(): (Double, Double) = graft.run.ProcStat.userSys()
+    // off-Linux fallback (ADVICE r14): ProcStat reads (0,0) where /proc is
+    // unavailable, and a zero user column silently disabled the whole CPU
+    // gate (the >2 cpu-s floor suppressed every comparison). Total process
+    // CPU stands in as the "user" component there — noisier (it carries
+    // sys time) but a live gate; the split's sys attribution is then 0 by
+    // construction, which the decomposition ratios disclose honestly.
+    def procUserSys(): (Double, Double) = {
+      val us = graft.run.ProcStat.userSys()
+      if (us._1 > 0 || us._2 > 0) us
+      else (osCpu.getProcessCpuTime / 1e9, 0.0)
+    }
     var lastDrawCpuS = 0.0
     var lastDrawGcS = 0.0
     var lastDrawTaskCpuS = 0.0
@@ -453,9 +509,15 @@ object Bench {
     // regressions
     val newFamilies: Set[String] = SparkEntry.queries.keySet
       .filterNot(prevQueries.contains).map(familyKey).toSet
+    // sentinel families are NEVER rotated out (VERDICT r14 #2): the regime
+    // anchor needs a fresh sentinel comparison every round, and a sentinel
+    // timed without its family siblings would carry the cache-cold noise
+    // the family bucketing exists to avoid
+    val sentinelFamilies: Set[String] = sentinelQueries.map(familyKey)
     def rotatedOut(name: String): Boolean =
       rotate && prevQueries.get(name).exists(_ > 0) &&
         !newFamilies.contains(familyKey(name)) &&
+        !sentinelFamilies.contains(familyKey(name)) &&
         math.floorMod(familyKey(name).hashCode, rotationGroups) !=
           math.floorMod(rotation, rotationGroups)
     if (!sys.env.contains("SPARK_GRAFT_SKIP_QUERIES")) {
@@ -505,21 +567,34 @@ object Bench {
         // confirmation-time bar and then flagged at the final one without
         // ever being re-drawn. The final bar is 1.3·max(regime,1) ≥ 1.3,
         // so screening at raw 1.3 confirms every possible final flag.
-        val provisional = cpuComparisons()
-          .filter(_._4 > 1.3).sortBy(-_._4)
+        val comparisons = cpuComparisons()
           .filter { case (n, _, _, _) => results.contains(n) && results(n) > 0 }
+        val flaggedProv = comparisons.filter(_._4 > 1.3).sortBy(-_._4)
+        // ALSO confirm the top-2 sub-threshold drifts (VERDICT r14 #4:
+        // q_cdf_maintain_max +29% and q_m2_incremental +31% sat just under
+        // the 1.3 bar with no in-run adjudication — almost certainly the
+        // JIT/warm-up band, but "almost certainly" is an argument where a
+        // re-draw is a measurement). Their re-draws feed the min-of-draws
+        // gate domain, so a JIT artifact collapses to the floor in the
+        // committed artifact and a real drift survives into next round's
+        // comparison with honest magnitude.
+        val subBarProv = comparisons
+          .filter(c => c._4 > 1.15 && c._4 <= 1.3).sortBy(-_._4).take(2)
         val confirmed = scala.collection.mutable.ArrayBuffer.empty[String]
-        provisional.take(16).foreach { case (name, prevV, firstV, r0) =>
+        (flaggedProv.take(16) ++ subBarProv).foreach { case (name, prevV, firstV, r0) =>
           SparkEntry.queries.get(name).foreach { fn =>
             (1 to 2).foreach { i =>
               try {
                 osSync()
                 timeWithCpu { fn(spark, sfDir).count(); () }
+                // confirmation re-draws feed ONLY the gate domain (the
+                // min-of-draws floor). They must NOT replace resultsCpu/
+                // resultsCpuUser: `results` keeps the first draw's wall, so
+                // swapping in a later draw's cpu would pair one draw's wall
+                // with another's decomposition — the exact mispairing class
+                // the adjacent bestAdaptive comment documents as having
+                // poisoned the r13 gate (ADVICE r14).
                 gate(name, lastDrawUserS)
-                if (lastDrawCpuS < resultsCpu(name)) {
-                  resultsCpu(name) = lastDrawCpuS
-                  resultsCpuUser(name) = lastDrawUserS
-                }
                 System.err.println(f"[bench] cpu-gate confirmation $name " +
                   f"draw $i: user ${lastDrawUserS}%.2f s (first $firstV%.2f, " +
                   f"prev $prevV%.2f, ratio was $r0%.2f)")
@@ -530,6 +605,8 @@ object Bench {
         }
         if (confirmed.nonEmpty)
           ratios("cpu_gate_confirmed_n") = confirmed.size.toDouble
+        if (subBarProv.nonEmpty)
+          ratios("cpu_gate_subbar_confirmed_n") = subBarProv.size.toDouble
       }
       // WITHIN the loop, plan-keyed cache reuse across vector queries is
       // deliberate (the prepared-frame sharing measured in r5: kmeans
@@ -984,6 +1061,103 @@ object Bench {
     }
     flush("prune_ratios")
     }
+
+    // --- z-order layout maintenance END TO END through the production sync
+    // lifecycle (VERDICT r14 #5): the decay phase above exercises the
+    // trigger ARITHMETIC and LayoutMaintenanceSpec drives the runner
+    // lifecycle at unit scale — this is the committed scn_* row showing a
+    // production sync on a z-ordered table PAYING the planner-scheduled
+    // recluster inside LakeApplier and recovering box selectivity, with
+    // byte evidence. Full-box-span drift (one RecId%17 slice version-bumped
+    // per apply — each delta commit's insert files cover the whole 2-D
+    // domain, the honest worst decay shape) accrues until
+    // Planner.decideMaintenance fires mid-apply; the timed row is the
+    // apply that pays (probe + incremental changeset + recluster rewrite,
+    // through write+sync). The fractions are parquet-footer arithmetic
+    // over deterministic Morton layouts — byte-stable across same-code
+    // runs, like the zorder_decay_* family.
+    if (!scnOnly) locally {
+      val zSrcPath = s"$tmp/zmaint_src"
+      val zTgt = s"$tmp/tgt_zmaint"
+      // slim 2-D source off the real lineitem keys: RecId x a decorrelated
+      // second dimension (prime multiply, power-of-two modulus)
+      val zBase = SyncFixtures.base(spark, sfDir)
+        .select(col("RecId"), (col("RecId") * 7919L % 1048576L).as("dim2"),
+          col("l_quantity"), col("l_extendedprice"))
+      // cumulative per-slice version stamps: versions only ever ADVANCE,
+      // the contract a real row-version source keeps
+      val stamps = scala.collection.mutable.LinkedHashMap.empty[Long, Long]
+      def writeZSrc(): Unit = {
+        val v = stamps.foldLeft(lit(1L): org.apache.spark.sql.Column) {
+          case (acc, (slice, stamp)) =>
+            when(pmod(col("RecId"), lit(17L)) === lit(slice), lit(stamp))
+              .otherwise(acc)
+        }
+        zBase.withColumn("SysRowVersion", v)
+          .write.mode("overwrite").parquet(zSrcPath)
+      }
+      writeZSrc()
+      val zStore = new graft.state.SyncStateStore(s"$tmp/zmaint_state.json")
+      val zRunner = new graft.run.SyncRunner(spark, zStore, parallelWorkers = 1)
+      val zApplier = graft.run.LakeApplier(zTgt, compactEvery = 100,
+        clusterFiles = 64, zorder = Some(("RecId", "dim2")))
+      val zPlan = zRunner.TablePlan("scn_zmaint", zSrcPath, zTgt,
+        applierOverride = Some(zApplier))
+      val r0 = zRunner.runTable(zPlan)
+      require(r0.ok && r0.mode == graft.model.SyncMode.Standard, s"$r0")
+      val freshFrac = LakeTable.layoutSpec(zTgt).map(_.freshFrac).getOrElse(
+        throw new IllegalStateException("z-ordered snapshot must record _layout"))
+      def baseName(): String =
+        graft.sync.LakeFs.readUtf8(s"$zTgt/_current").split('\t').head
+      val base0 = baseName()
+      var reclustered = false
+      var applies = 0
+      // the decayed fraction ENTERING the paying apply (the paying apply's
+      // own commit pushes it slightly higher before the in-apply probe
+      // fires — that exact value lives inside the applier; this is the
+      // deterministic outside-observable twin)
+      var decayedFrac = freshFrac
+      var tPay = 0.0
+      while (!reclustered && applies < 12) {
+        applies += 1
+        stamps(applies.toLong % 17L) = 1000000L * applies
+        writeZSrc()
+        val preFrac = LakeTable.layoutBoxProbe(zTgt).map(_._1).getOrElse(freshFrac)
+        osSync()
+        val t = timeWithCpu {
+          val r = zRunner.runTable(zPlan)
+          require(r.ok && r.mode == graft.model.SyncMode.Incremental, s"$r")
+          osSync()
+        }
+        reclustered = baseName() != base0
+        if (reclustered) { tPay = t; decayedFrac = preFrac }
+      }
+      require(reclustered,
+        s"full-span drift must trip the planner recluster within $applies applies")
+      require(LakeTable.pendingCommits(zTgt) == 0,
+        "the recluster must fold every pending commit")
+      val afterFrac = LakeTable.layoutBoxProbe(zTgt).map(_._1).getOrElse(1.0)
+      require(!ZOrder.reclusterDue(afterFrac, freshFrac),
+        f"recluster must restore box selectivity: $afterFrac%.4f vs fresh $freshFrac%.4f")
+      results("scn_zorder_maintain") = tPay
+      resultsCpu("scn_zorder_maintain") = lastDrawCpuS
+      resultsCpuUser("scn_zorder_maintain") = lastDrawUserS
+      gate("scn_zorder_maintain", lastDrawUserS)
+      ratios("zorder_maintain_applies_to_recluster") = applies.toDouble
+      ratios("zorder_maintain_fresh_frac") = freshFrac
+      ratios("zorder_maintain_decayed_frac") = decayedFrac
+      ratios("zorder_maintain_after_frac") = afterFrac
+      ratios("zorder_maintain_recovery_x") =
+        decayedFrac / math.max(afterFrac, 1e-9)
+      System.err.println(f"[bench] zorder maintain: fresh $freshFrac%.4f -> " +
+        f"decayed $decayedFrac%.4f after ${applies - 1}%d full-span applies; " +
+        f"apply $applies%d paid the planner recluster in $tPay%.1f s " +
+        f"(user $lastDrawUserS%.1f cpu-s) -> $afterFrac%.4f " +
+        f"(${ratios("zorder_maintain_recovery_x")}%.1f x recovered)")
+      rmRecF(new java.io.File(zSrcPath))
+      rmRecF(new java.io.File(zTgt))
+      flush("zorder_maintain")
+    }
     // dev knob (r12, zorder-determinism evidence): stop after the cheap
     // structural phases — two such runs must produce IDENTICAL
     // zorder_box_groups_scanned_frac now that both layouts are built
@@ -1030,9 +1204,46 @@ object Bench {
     // fixtures are derivation-deterministic and multi-GB: cache them across
     // bench runs, keyed by recipe version + shape (a fresh driver round
     // reuses the previous round's fixtures instead of re-paying ~10 min of
-    // throttled writes); the _done marker guards against a half-built cache
-    val cache = s"/tmp/graft_scn_cache_v3_${copies}x${SyncFixtures.PayloadBlocks}_" +
+    // throttled writes); the _done marker guards against a half-built cache.
+    // HOME is the WORKDIR since r15 (VERDICT r14 #1: the r14 driver run's
+    // /tmp came up empty, the in-run ~194 s rebuild was credited back to
+    // the budget but its post-build writeback throttle inflated every
+    // pooled slot's cost and the deadline arithmetic starved the pct5
+    // evidence pool to the 2-slot minimum — the workdir survives rounds
+    // where /tmp does not; staleness is guarded by the recipe-keyed dir
+    // name + _done markers, never mtime). A complete legacy /tmp cache is
+    // adopted by HARDLINK (same filesystem — free, and the byte-form gate
+    // digits verify it transparently). `.bench_cache/` is gitignored.
+    val cacheName = s"graft_scn_cache_v3_${copies}x${SyncFixtures.PayloadBlocks}_" +
       new java.io.File(sfDir).getName
+    val cacheRoot = sys.env.getOrElse("SPARK_GRAFT_FIXTURE_CACHE_DIR", ".bench_cache")
+    val cache = s"$cacheRoot/$cacheName"
+    // the _done markers are linked LAST (a kill mid-adoption must leave a
+    // visibly-incomplete cache, same discipline as the build path)
+    def adoptTree(src: java.io.File, dst: java.io.File): Unit = {
+      dst.mkdirs()
+      Option(src.listFiles).foreach(_.sortBy(_.getName.startsWith("_done"))
+        .foreach { f =>
+          if (f.isDirectory) adoptTree(f, new java.io.File(dst, f.getName))
+          else try java.nio.file.Files.createLink(
+            new java.io.File(dst, f.getName).toPath, f.toPath)
+          catch { case _: java.nio.file.FileSystemException =>
+            java.nio.file.Files.copy(f.toPath,
+              new java.io.File(dst, f.getName).toPath,
+              java.nio.file.StandardCopyOption.REPLACE_EXISTING); ()
+          }
+        })
+    }
+    locally {
+      val legacy = new java.io.File(
+        s"${System.getProperty("java.io.tmpdir")}/$cacheName")
+      if (!new java.io.File(s"$cache/_done").exists &&
+          new java.io.File(legacy, "_done").exists) {
+        System.err.println(s"[bench] adopting legacy fixture cache $legacy -> $cache")
+        rmRecF(new java.io.File(cache))
+        adoptTree(legacy, new java.io.File(cache))
+      }
+    }
     def dirMb(p: String): Double = {
       val d = new java.io.File(p)
       if (!d.exists) 0.0
@@ -1623,10 +1834,17 @@ object Bench {
     // very first `remaining > 1.15*slotCost` check failed under the
     // default budget) — and with 0 pairs the throttle-immune
     // pct5_speedup_cpu was never emitted, exactly the regime it exists
-    // for. The first TWO slots are therefore unconditional: the budget is
-    // auto-extended past its deadline if that's what a 2-pair evidence
-    // base costs (disclosed on stderr and in the budget doc above). From
-    // slot 3 on the deadline rules as before.
+    // for. FOUR unconditional slots since r15 (VERDICT r14 #1: the r14
+    // driver artifact stood on 2 pairs with pair_min 1.85 after the
+    // in-run fixture rebuild throttled the regime — the wall-evidence
+    // pool must carry ≥4 same-minutes pairs before the deadline rules;
+    // the workdir fixture cache above removes the rebuild that caused
+    // it, so the guarantee should rarely bind). Hard stop at 1.5x the
+    // budget: a pathological throttle degrades the pool honestly
+    // (pct5_pairs discloses it; pct5_speedup_cpu is the formal secondary
+    // time gate per BASELINE.md) rather than running unboundedly. From
+    // slot 5 on the deadline rules as before.
+    val minPoolSlots = 4
     // deadline slack (VERDICT r13 #4: the driver run hit 1212 s against the
     // 1200 s budget — the last fitting slot plus the post-pool tail left no
     // margin): slots beyond the 2-slot minimum must fit INSIDE budget minus
@@ -1634,9 +1852,10 @@ object Bench {
     val deadlineSlack = 0.08 * budgetSec
     var slotI = 0
     while (slotI < 8 &&
-        (slotI < 2 ||
+        ((slotI < minPoolSlots &&
+            elapsed < 1.5 * budgetSec + budgetCreditSec) ||
           remaining - poolReserve - deadlineSlack > 1.15 * slotCost)) {
-      if (slotI < 2 && remaining - poolReserve <= 1.15 * slotCost)
+      if (slotI < minPoolSlots && remaining - poolReserve <= 1.15 * slotCost)
         System.err.println(f"[bench] minimum-pool guarantee: drawing slot " +
           f"${slotI + 1} past the deadline (remaining $remaining%.0f s, " +
           f"slot cost ~$slotCost%.0f s)")

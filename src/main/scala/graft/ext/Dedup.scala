@@ -1046,6 +1046,15 @@ object Dedup {
     * O(N²) candidate stage it routes around; callers that know their
     * corpus shape keep calling [[prefixFilterJaccardPairs]] directly.
     *
+    * @param maxCandidatesPerDoc the route budget, in PER-DOC-AVERAGE
+    *        intermediate rows: the DIRECT tier fires iff the probe's exact
+    *        prefix-join intermediate estimate satisfies
+    *        est ≤ maxCandidatesPerDoc · nDocs — an average over the corpus,
+    *        NOT a per-doc cap (one pathological doc can spend many docs'
+    *        budget if the rest are quiet). The boundary est == budget·nDocs
+    *        routes DIRECT (spec-pinned in DedupRoutingSpec); nDocs is the
+    *        DISTINCT doc count of the shingle relation, the same relation
+    *        the oracle's replay counts.
     * @return (id_a, id_b, jaccard, route) — route ∈ {direct, guarded},
     *         constant per invocation. */
   def prefixRoutedJaccardPairs(df: DataFrame, idCol: String, textCol: String,
@@ -1066,8 +1075,12 @@ object Dedup {
     val est = pref.groupBy("shingle").agg(count(lit(1)).as("c"))
       .agg(coalesce(sum(expr("c * (c - 1) div 2")), lit(0L)))
       .head.getLong(0)
-    // docs with >= n tokens are exactly the docs owning >= 1 shingle
-    val nDocs = df.filter(size(split(col(textCol), " ")) >= n).count()
+    // nDocs = DISTINCT docs owning >= 1 shingle, counted over the shingle
+    // relation itself (ADVICE r14): a row count over `df` would tally
+    // duplicate doc_ids twice while the DuckDB twin counts DISTINCT sid
+    // FROM sh — on a corpus with duplicate ids the integer route decision
+    // could flip between the engine and its oracle replay
+    val nDocs = sh.select("sid").distinct().count()
     if (est <= maxCandidatesPerDoc * nDocs)
       prefixVerifiedPairs(sh, pref, thresholdPermille)
         .withColumn("route", lit("direct"))

@@ -219,11 +219,16 @@ final case class LakeApplier(path: String, compactEvery: Int = 8,
   def applyChangeSet(cs: Apply.ChangeSet, spark: SparkSession, keyCol: String): Unit = {
     LakeTable.appendCommit(cs, path)
     // maintenance is a PLANNER decision from two cheap probes: the pending
-    // commit count and (for z-ordered tables) the footer-metadata box
-    // probe. Recluster folds the commits too, so it subsumes compaction.
-    val probe = if (zorder.isDefined) LakeTable.layoutBoxProbe(path) else None
+    // commit count and the footer-metadata box probe. The probe is keyed on
+    // the TABLE's recorded `_layout` policy, not this applier's config
+    // (ADVICE r14: an applier configured without `zorder` pointed at a
+    // z-ordered table must still see the policy — otherwise the planner's
+    // Compact arm would rewrite the Morton base unclustered); absent a
+    // policy the probe is a single file-exists check. Recluster folds the
+    // commits too, so it subsumes compaction ([[Planner.decideMaintenance]]).
     Planner.decideMaintenance(
-        LakeTable.pendingCommits(path), compactEvery, probe) match {
+        LakeTable.pendingCommits(path), compactEvery,
+        LakeTable.layoutBoxProbe(path)) match {
       case Planner.Maintenance.Recluster =>
         LakeTable.reclusterZOrdered(spark, path, keyCol); ()
       case Planner.Maintenance.Compact =>

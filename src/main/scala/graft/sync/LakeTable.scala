@@ -509,6 +509,14 @@ object LakeTable {
     val newBase = s"base-$nextSeq"
     df.write.mode("overwrite").parquet(s"$table/$newBase")
     commitPointer(table, newBase, nextSeq, stateTimeMs)
+    // a plain snapshot write DROPS any recorded layout policy (ADVICE r14):
+    // the new base was not laid out by it, and a stale `_layout` would make
+    // later probes measure box selectivity against an unrelated base and
+    // schedule a spurious full recluster. [[overwriteZOrdered]] re-records
+    // the policy right after this returns; every other path through here —
+    // plain/clustered overwrite, the empty-input z fallback, a full
+    // compaction rewrite — leaves the table policy-free, matching its base.
+    LakeFs.delete(layoutPath(table))
     gc(table, keepBase = newBase, prev = prev)
   }
 

@@ -180,7 +180,15 @@ object Planner {
     if (layoutProbe.exists { case (scanned, fresh) =>
         ZOrder.reclusterDue(scanned, fresh, reclusterFactor, reclusterMinFrac) })
       Maintenance.Recluster
-    else if (pendingCommits >= compactEvery) Maintenance.Compact
+    else if (pendingCommits >= compactEvery)
+      // a table carrying a layout policy NEVER takes the Compact arm
+      // (ADVICE r14): [[LakeTable.compact]]'s clustered-base detection
+      // (pairwise-disjoint keyCol file ranges) is false on a Morton base,
+      // so a cadence compact would rewrite it keyCol-sorted/unclustered,
+      // the next box probe would read that as decay, and the table would
+      // pay TWO full rewrites where one recluster — which folds the
+      // pending commits anyway — suffices. Recluster subsumes compaction.
+      (if (layoutProbe.isDefined) Maintenance.Recluster else Maintenance.Compact)
     else Maintenance.None
 
   def decide(

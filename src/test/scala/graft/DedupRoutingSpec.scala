@@ -93,4 +93,40 @@ class DedupRoutingSpec extends AnyFunSuite {
     assert(routed.filter(col("jaccard") =!= 1.0).count() == 0)
     spark.catalog.clearCache()
   }
+
+  test("route budget boundary (VERDICT r14 #6): est == maxCandidatesPerDoc " +
+      "* nDocs fires DIRECT; one unit of budget below fires GUARDED") {
+    // the 400-doc template corpus again: every doc "zz yy xx g{k%100}" has
+    // exactly 2 distinct shingles ("zz yy xx", "yy xx g_k"), the t=500‰
+    // prefix keeps both (nsh - ceil(nsh/2) + 1 = 2), so the probe's exact
+    // intermediate is C(400,2) on the shared bucket + 100·C(4,2) on the
+    // group buckets = 79 800 + 600 = 80 400 = 201 · 400 — est divides
+    // nDocs exactly, putting the budget boundary on an integer
+    val df = (0 until 400).map(k => (k.toLong, s"zz yy xx g${k % 100}"))
+      .toDF("doc_id", "text")
+    // verify the arithmetic from the operator's own building blocks so the
+    // boundary constant can never silently drift from the corpus
+    val sh = Dedup.shingles(df, "doc_id", "text", 3)
+    val est = Dedup.prefixShingles(sh, 500)
+      .groupBy("shingle").agg(count(lit(1)).as("c"))
+      .agg(coalesce(sum(expr("c * (c - 1) div 2")), lit(0L))).head.getLong(0)
+    val nDocs = sh.select("sid").distinct().count()
+    assert(est == 80400L && nDocs == 400L && est == 201L * nDocs,
+      s"corpus arithmetic drifted: est=$est nDocs=$nDocs")
+    // budget exactly at the boundary: est <= budget·nDocs holds => DIRECT
+    val atBoundary = Dedup.prefixRoutedJaccardPairs(df, "doc_id", "text",
+      n = 3, thresholdPermille = 500, maxCandidatesPerDoc = 201)
+    assert(atBoundary.select("route").distinct().as[String].collect().toSeq
+      == Seq("direct"), "est == budget*nDocs must route DIRECT")
+    // one unit below: the strict majority of the intermediate is over
+    // budget => GUARDED
+    val belowBoundary = Dedup.prefixRoutedJaccardPairs(df, "doc_id", "text",
+      n = 3, thresholdPermille = 500, maxCandidatesPerDoc = 200)
+    assert(belowBoundary.select("route").distinct().as[String].collect().toSeq
+      == Seq("guarded"), "est just over budget*nDocs must route GUARDED")
+    // both tiers produce the same pairs on this corpus (exact-dup groups
+    // survive the guarded hash join; nothing near-qualifies across groups)
+    assert(pairs(atBoundary) == pairs(belowBoundary))
+    spark.catalog.clearCache()
+  }
 }

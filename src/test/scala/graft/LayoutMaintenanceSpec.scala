@@ -132,6 +132,14 @@ class LayoutMaintenanceSpec extends AnyFunSuite {
       Maintenance.Recluster)
     assert(Planner.decideMaintenance(0, 8, Some((0.25, 1.0 / 64))) ==
       Maintenance.Recluster)
+    // a table CARRYING a layout policy never takes the Compact arm, even
+    // with a fresh probe (ADVICE r14): LakeTable.compact's clustered-base
+    // detection is false on a Morton base, so a cadence compact would
+    // degrade the layout and the next probe would schedule a second full
+    // rewrite — recluster (which folds the commits anyway) is the one-pass
+    // answer when the cadence fires under a policy
+    assert(Planner.decideMaintenance(8, 8, Some((1.0 / 64, 1.0 / 64))) ==
+      Maintenance.Recluster)
   }
 
   test("layoutBoxProbe: None without a policy; probe counts pending commit " +
@@ -151,5 +159,18 @@ class LayoutMaintenanceSpec extends AnyFunSuite {
       tgt)
     val (f1, _) = LakeTable.layoutBoxProbe(tgt).get
     assert(f1 > f0, s"unclustered pending commit must inflate the probe: $f1 vs $f0")
+    // a PLAIN overwrite drops the policy (ADVICE r14): the new base was not
+    // z-laid, and a stale _layout would make later probes measure an
+    // unrelated base and schedule a spurious full recluster
+    LakeTable.overwrite(df.repartition(8), tgt)
+    assert(LakeTable.layoutSpec(tgt).isEmpty,
+      "plain overwrite must delete the stale _layout policy")
+    assert(LakeTable.layoutBoxProbe(tgt).isEmpty)
+    // the empty-input z fallback is a plain overwrite too: no stale policy
+    LakeTable.overwriteZOrdered(df, tgt, "RecId", "dim2", nFiles = 16)
+    assert(LakeTable.layoutSpec(tgt).isDefined)
+    LakeTable.overwriteZOrdered(df.limit(0), tgt, "RecId", "dim2", nFiles = 16)
+    assert(LakeTable.layoutSpec(tgt).isEmpty,
+      "empty-input z fallback must not leave the previous layout policy")
   }
 }

@@ -50,8 +50,13 @@ BYTE_KEYS = [
 
 
 def main():
+    if len(sys.argv) < 4:
+        sys.exit(__doc__.strip())
     small = json.load(open(sys.argv[1]))
     big = json.load(open(sys.argv[2]))
+    for path, art in ((sys.argv[1], small), (sys.argv[2], big)):
+        if "queries" not in art:
+            sys.exit(f"artifact has no 'queries' block: {path}")
     out_path = sys.argv[3]
     # optional MID point for a three-point fit (--mid <mid.json> <mid_factor>,
     # mid_factor = mid rows / small rows): distinguishes a one-time regime
@@ -61,13 +66,28 @@ def main():
     pos = sys.argv[4:]
     if "--mid" in pos:
         i = pos.index("--mid")
+        # --mid takes exactly two operands; a missing one used to surface
+        # as a bare IndexError/ValueError traceback (ADVICE r14)
+        if len(pos) < i + 3:
+            sys.exit("--mid needs two operands: --mid <mid.json> <mid_factor>")
         mid_path = pos[i + 1]
-        mid = json.load(open(mid_path))
-        mid_factor = float(pos[i + 2])
+        try:
+            mid = json.load(open(mid_path))
+        except (FileNotFoundError, ValueError) as e:
+            sys.exit(f"--mid artifact unreadable: {mid_path}: {e}")
+        try:
+            mid_factor = float(pos[i + 2])
+        except ValueError:
+            sys.exit(f"--mid factor must be numeric, got: {pos[i + 2]!r}")
         pos = pos[:i] + pos[i + 3:]
         if "queries" not in mid:
             sys.exit(f"--mid artifact has no 'queries' block: {mid_path}")
-    factor = float(pos[0]) if len(pos) > 0 else 10.0
+    try:
+        factor = float(pos[0]) if len(pos) > 0 else 10.0
+    except ValueError:
+        sys.exit(f"rows_factor must be numeric, got: {pos[0]!r}")
+    if factor <= 1.0:
+        sys.exit(f"rows_factor must exceed 1 (log-ratio base), got: {factor}")
     # mid_factor must sit strictly between 1 and the big factor: equal to
     # factor makes the mid->big segment divide by log(1)=0, and outside the
     # interval the segment exponents are arithmetic nonsense (ADVICE r13)
