@@ -137,6 +137,25 @@ object Bench {
     val prevCpu = prevBlock("queries_cpu")
     val prevCpuUser = prevBlock("queries_cpu_user")
     val prevCpuGate = prevBlock("queries_cpu_user_min")
+    // 3-ROUND BASELINE WINDOW (r15): the artifact chains the two previous
+    // rounds' gate maps (p1 = one round back's min, p2 = two back), and
+    // the comparator's baseline is the MAX of the last three rounds'
+    // minima. Measured need: same-code user-CPU minima are heavy-tailed
+    // on this box — across three same-code r15 runs, per-name max/min
+    // swing had median 1.08 but max 2.08 even above 10 cpu-s, and one
+    // lucky floor (q_a4_counts drew 2.26 against a 14.8-15.2 history)
+    // then flags every NORMAL draw that follows. A real regression sits
+    // above ALL three priors (they're at the old level), so detection is
+    // still immediate; a ≤2-round lucky floor is absorbed by the older
+    // honest minima. Improvements tighten the baseline after 3 rounds —
+    // the gate watches regressions, so the lag costs nothing.
+    val prevCpuGateP1 = prevBlock("queries_cpu_user_min_p1")
+    val prevCpuGateP2 = prevBlock("queries_cpu_user_min_p2")
+    def gateBaseline(name: String): Option[Double] = {
+      val hist = Seq(prevCpuGate.get(name), prevCpuGateP1.get(name),
+        prevCpuGateP2.get(name)).flatten.filter(_ > 0)
+      if (hist.isEmpty) None else Some(hist.max)
+    }
     // 4 groups since r14 (VERDICT r13 #4: the r13 driver run nosed 1% over
     // the 1200 s budget; a smaller per-round timing share buys the pooled
     // rewrite draws their margin back)
@@ -175,10 +194,20 @@ object Bench {
     // cpu_regression_regime_sentinels_n; fallback = the old all-compared
     // median). A change that slows the whole engine now moves every
     // NON-sentinel query against a sentinel-anchored regime and flags.
+    // every sentinel is pure-plan over the raw parquet tables — NO member
+    // of a prepared-frame cache-sharing suite (the first candidate set
+    // included q_contam_verified, which composes winnow fingerprints and
+    // drew 2.74 user-s warmed by its dedup-suite neighbors vs 10.66
+    // isolated — an anchor must not carry its neighbors' rotation state)
+    // q_cooccur/q_column_drift/q_a4_counts/q_dsir_weights are the HEAVY
+    // anchors (10-27 user-cpu-s minima): the cheap sentinels' warm minima
+    // can dip under the 2 cpu-s comparison floor on a fast run (measured:
+    // q_s8_delta 0.8, q_funnel 0.82), and the anchor median needs ≥4
+    // comparisons that survive the floor on every run
     val sentinelQueries = Set(
-      "q_a_marks", "q_j2_missing", "q_m1_standard", "q_m1_window",
-      "q_s8_delta", "q_part_prune", "q_so2_delete_keys", "q_funnel",
-      "q_contam_verified")
+      "q_a_marks", "q_a4_counts", "q_j2_missing", "q_m1_standard",
+      "q_m1_window", "q_s8_delta", "q_part_prune", "q_so2_delete_keys",
+      "q_funnel", "q_dsir_weights", "q_cooccur", "q_column_drift")
     // SELF-ANNOTATION for single-draw scenarios (the r14 twin runs showed
     // the residual false-flag class: a write-bearing scenario drawn ONCE
     // per run — min-of-draws can't stabilize one draw, and a rotated run
@@ -199,10 +228,21 @@ object Bench {
       "scn_5pct_incremental" -> "pct5_write_mb",
       "scn_nochange_sync" -> "nochange_read_mb",
       "scn_multitable_8x_noop" -> "nochange_read_mb",
-      "scn_lake_to_lake_5pct" -> "l2l_wide_read_reduction_x",
-      // the paying apply's plan/volume are pinned by the deterministic
-      // footer-probe recovery fraction (layout arithmetic, no sampling)
-      "scn_zorder_maintain" -> "zorder_maintain_after_frac")
+      "scn_lake_to_lake_5pct" -> "l2l_wide_read_reduction_x")
+    // names whose WORK VOLUME legitimately varies between same-code runs —
+    // excluded from the CPU comparison table entirely (no byte twin can
+    // annotate them, because the byte forms themselves move):
+    // scn_zorder_maintain's base layout rides layoutBounded's range
+    // exchange, whose per-run sample (seeded by rdd lineage ids — run
+    // order) shifts file boundaries; the measured fresh fraction then
+    // moves the trigger bar and the scenario pays the recluster after a
+    // DIFFERENT number of drift applies (measured 7 vs 12 on identical
+    // code — 45% more folded volume in the paying apply). The regression-
+    // detection duty for this machinery sits with the structural decay
+    // phase, whose quadrant layouts ARE byte-deterministic
+    // (zorder_decay_* twins); the scenario row is lifecycle + timing
+    // evidence, disclosed per-run with its applies count.
+    val cpuCompareExcluded = Set("scn_zorder_maintain")
     def byteTwinUnchanged(name: String): Boolean =
       byteTwinOf.get(name).exists { bt =>
         (prevRatios.get(bt), ratios.get(bt)) match {
@@ -216,7 +256,7 @@ object Bench {
     def cpuComparisons(): Seq[(String, Double, Double, Double)] =
       resultsCpu.toSeq.flatMap { case (name, totalCpu) =>
         // carried values are the prev values verbatim — nothing to compare
-        if (carried.contains(name)) None
+        if (carried.contains(name) || cpuCompareExcluded.contains(name)) None
         else {
           // compare the min-of-draws USER gate when both rounds carry it;
           // then median user-vs-user; total CPU only for older artifacts.
@@ -225,7 +265,7 @@ object Bench {
           // A zero on either side means /proc was unavailable (ADVICE r13:
           // ProcStat returns (0,0) off-Linux, and gating on (0,0) would
           // silently suppress every comparison) — fall through to total.
-          val (prev, cur) = (prevCpuGate.get(name), resultsCpuGate.get(name)) match {
+          val (prev, cur) = (gateBaseline(name), resultsCpuGate.get(name)) match {
             case (Some(p), Some(c)) if p > 0 && c > 0 => (Some(p), c)
             case _ => (prevCpuUser.get(name), resultsCpuUser.get(name)) match {
               case (Some(p), Some(c)) if p > 0 && c > 0 => (Some(p), c)
@@ -279,7 +319,16 @@ object Bench {
             "> 1.7 — beyond same-code box drift; a UNIFORM code slowdown " +
             "would hide in the median. Adjudicate against a same-code rerun.")
         }
-        compared.filter(_._4 > 1.3 * regime).sortBy(-_._4)
+        // ABSOLUTE-DELTA guard (r15): user noise is ADDITIVE positive
+        // (JIT warm-up, interrupt-tick misattribution) with a ~1-2 cpu-s
+        // amplitude — the same calibration behind the 2 cpu-s comparison
+        // floor. A ratio can clear 1.3 on a sub-2-cpu-s absolute movement
+        // exactly when the baseline sits near the floor (measured:
+        // q_a4_counts 2.26 → 3.32, a 1.06 cpu-s delta flagged at 1.47
+        // after a lucky-min round), so a flag additionally requires the
+        // movement itself to exceed the noise amplitude.
+        compared.filter(r => r._4 > 1.3 * regime && r._3 - r._2 > 2.0)
+          .sortBy(-_._4)
       }
     }
     // a scenario whose byte twin EXISTS in the previous artifact but is not
@@ -317,7 +366,7 @@ object Bench {
       val (regs, annotated, pending) = splitAnnotated(cpuRegressions())
       try {
         val full =
-          s"""{"metric":"total","value":$total,"unit":"sec","phase":"$phase","queries":${jmap(results)},"queries_cpu":${jmap(resultsCpu)},"queries_cpu_user":${jmap(resultsCpuUser)},"queries_cpu_user_min":${jmap(resultsCpuGate)},"ratios":${jmap(ratios)},"rotation":$rotation,"rotation_groups":$rotationGroups,"carried_from_prev":${jarr(carried.toSeq)},"cpu_regressions":${jreg(regs)},"cpu_regressions_regime_annotated":${jregAnnotated(annotated)},"cpu_regressions_pending_twin":${jreg(pending)},"sentinels":${jarr(sentinelQueries.toSeq.sorted)},"sf":"$sfDir"}"""
+          s"""{"metric":"total","value":$total,"unit":"sec","phase":"$phase","queries":${jmap(results)},"queries_cpu":${jmap(resultsCpu)},"queries_cpu_user":${jmap(resultsCpuUser)},"queries_cpu_user_min":${jmap(resultsCpuGate)},"queries_cpu_user_min_p1":${jmap(prevCpuGate)},"queries_cpu_user_min_p2":${jmap(prevCpuGateP1)},"ratios":${jmap(ratios)},"rotation":$rotation,"rotation_groups":$rotationGroups,"carried_from_prev":${jarr(carried.toSeq)},"cpu_regressions":${jreg(regs)},"cpu_regressions_regime_annotated":${jregAnnotated(annotated)},"cpu_regressions_pending_twin":${jreg(pending)},"sentinels":${jarr(sentinelQueries.toSeq.sorted)},"sf":"$sfDir"}"""
         val tmp = java.nio.file.Paths.get(fullOut + ".tmp")
         java.nio.file.Files.writeString(tmp, full + "\n")
         java.nio.file.Files.move(tmp, java.nio.file.Paths.get(fullOut),
@@ -496,7 +545,12 @@ object Bench {
       prefix match {
         case "q_sim" | "q_pq" | "q_opq" | "q_ivfpq" | "q_ivf" |
              "q_kmeans" | "q_semdedup" | "q_sq8" | "q_link" => "vectors"
-        case "q_dedup" | "q_minhash" | "q_simhash" | "q_novelty" => "shingles"
+        // q_contam/q_graph consume the dedup suite's shared relations
+        // (winnow fingerprints; the ngram-Jaccard edge set) — measured:
+        // q_contam_verified 2.74 user-s warmed in-suite vs 10.66 isolated
+        // (r15), q_graph_triangles 10x under probe-cache starvation (r14)
+        case "q_dedup" | "q_minhash" | "q_simhash" | "q_novelty" |
+             "q_contam" | "q_graph" => "shingles"
         case "q_cdf" | "q_lake" | "q_bm25" | "q_docfeatures" |
              "q_token" => "lake_fixture"
         case p => p
