@@ -151,11 +151,9 @@ object Bench {
     // the gate watches regressions, so the lag costs nothing.
     val prevCpuGateP1 = prevBlock("queries_cpu_user_min_p1")
     val prevCpuGateP2 = prevBlock("queries_cpu_user_min_p2")
-    def gateBaseline(name: String): Option[Double] = {
-      val hist = Seq(prevCpuGate.get(name), prevCpuGateP1.get(name),
-        prevCpuGateP2.get(name)).flatten.filter(_ > 0)
-      if (hist.isEmpty) None else Some(hist.max)
-    }
+    def gateBaseline(name: String): Option[Double] =
+      graft.run.GateMath.baseline(Seq(prevCpuGate.get(name),
+        prevCpuGateP1.get(name), prevCpuGateP2.get(name)).flatten)
     // 4 groups since r14 (VERDICT r13 #4: the r13 driver run nosed 1% over
     // the 1200 s budget; a smaller per-round timing share buys the pooled
     // rewrite draws their margin back)
@@ -244,13 +242,8 @@ object Bench {
     // evidence, disclosed per-run with its applies count.
     val cpuCompareExcluded = Set("scn_zorder_maintain")
     def byteTwinUnchanged(name: String): Boolean =
-      byteTwinOf.get(name).exists { bt =>
-        (prevRatios.get(bt), ratios.get(bt)) match {
-          case (Some(p), Some(c)) if p != 0.0 =>
-            math.abs(c - p) / math.abs(p) <= 0.01
-          case _ => false
-        }
-      }
+      byteTwinOf.get(name).exists(bt => graft.run.GateMath
+        .byteTwinUnchanged(prevRatios.get(bt), ratios.get(bt)))
     // the comparison table: name -> (prev_cpu, cpu, ratio) for every
     // name measured fresh this run with a usable previous value
     def cpuComparisons(): Seq[(String, Double, Double, Double)] =
@@ -258,27 +251,17 @@ object Bench {
         // carried values are the prev values verbatim — nothing to compare
         if (carried.contains(name) || cpuCompareExcluded.contains(name)) None
         else {
-          // compare the min-of-draws USER gate when both rounds carry it;
-          // then median user-vs-user; total CPU only for older artifacts.
-          // r13 measured identical full draws at 225-969 TOTAL cpu-s (sys
-          // inflation episodes) — total-cpu ratios flag the box, not code.
-          // A zero on either side means /proc was unavailable (ADVICE r13:
-          // ProcStat returns (0,0) off-Linux, and gating on (0,0) would
-          // silently suppress every comparison) — fall through to total.
-          val (prev, cur) = (gateBaseline(name), resultsCpuGate.get(name)) match {
-            case (Some(p), Some(c)) if p > 0 && c > 0 => (Some(p), c)
-            case _ => (prevCpuUser.get(name), resultsCpuUser.get(name)) match {
-              case (Some(p), Some(c)) if p > 0 && c > 0 => (Some(p), c)
-              case _ => (prevCpu.get(name), totalCpu)
-            }
-          }
-          prev.collect {
-            // noise floor 2 cpu-s: below it the measurement is JIT +
-            // scheduler lottery, not plan work — r13 calibration flagged
-            // 8 untouched-code queries at 0.5-2 cpu-s magnitudes across
-            // two same-code runs while nothing above 30 cpu-s moved
-            case p if p > 2.0 && cur > 2.0 => (name, p, cur, cur / p)
-          }
+          // the comparison LADDER + noise floor live in GateMath (spec'd):
+          // min-of-draws USER gate vs the 3-round max baseline when both
+          // rounds carry it; then recorded user-vs-user; total CPU only
+          // for the oldest artifacts. r13 measured identical full draws at
+          // 225-969 TOTAL cpu-s (sys inflation episodes) — total-cpu
+          // ratios flag the box, not code.
+          graft.run.GateMath.comparison(
+            gateBaseline(name), resultsCpuGate.get(name),
+            prevCpuUser.get(name), resultsCpuUser.get(name),
+            prevCpu.get(name), totalCpu)
+            .map { case (p, c) => (name, p, c, c / p) }
         }
       }
     // the regression table: regime-normalized filter over the comparisons;
@@ -305,29 +288,21 @@ object Bench {
         // still shifts the anchor — the advisory bar at 1.7 (above the
         // observed 1.3-1.7 same-code box drift) remains the tripwire a
         // human must adjudicate against a same-code rerun.
-        val sentinelRs = compared.filter(c => sentinelQueries.contains(c._1))
-          .map(_._4).sorted
-        val rs = compared.map(_._4).sorted
-        val regime = math.max(
-          if (sentinelRs.size >= 4) sentinelRs(sentinelRs.size / 2)
-          else rs(rs.size / 2), 1.0)
+        val (regime, nSent) = graft.run.GateMath.regimeFactor(
+          compared.map(_._4),
+          compared.filter(c => sentinelQueries.contains(c._1)).map(_._4))
         ratios("cpu_regression_regime_factor") = regime
-        ratios("cpu_regression_regime_sentinels_n") = sentinelRs.size.toDouble
-        if (regime > 1.7 && !regimeWarned) {
+        ratios("cpu_regression_regime_sentinels_n") = nSent.toDouble
+        if (regime > graft.run.GateMath.RegimeWarnBar && !regimeWarned) {
           regimeWarned = true
           System.err.println(f"[bench] WARNING: cpu regime factor $regime%.2f " +
             "> 1.7 — beyond same-code box drift; a UNIFORM code slowdown " +
             "would hide in the median. Adjudicate against a same-code rerun.")
         }
-        // ABSOLUTE-DELTA guard (r15): user noise is ADDITIVE positive
-        // (JIT warm-up, interrupt-tick misattribution) with a ~1-2 cpu-s
-        // amplitude — the same calibration behind the 2 cpu-s comparison
-        // floor. A ratio can clear 1.3 on a sub-2-cpu-s absolute movement
-        // exactly when the baseline sits near the floor (measured:
-        // q_a4_counts 2.26 → 3.32, a 1.06 cpu-s delta flagged at 1.47
-        // after a lucky-min round), so a flag additionally requires the
-        // movement itself to exceed the noise amplitude.
-        compared.filter(r => r._4 > 1.3 * regime && r._3 - r._2 > 2.0)
+        // flag rule incl. the r15 ABSOLUTE-DELTA guard — see GateMath.isFlag
+        // (measured: q_a4_counts 2.26 → 3.32, a 1.06 cpu-s delta, flagged
+        // at 1.47 after a lucky-min round before the guard existed)
+        compared.filter(r => graft.run.GateMath.isFlag(r._2, r._3, regime))
           .sortBy(-_._4)
       }
     }
