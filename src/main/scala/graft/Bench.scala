@@ -918,32 +918,62 @@ object Bench {
       // buckets + the short-doc exact-dup hash-join buckets). Pure
       // deterministic counts, like prefix_join_pairs.
       locally {
-        val hot = graft.queries.ExtQueries.hotTemplateDocs(spark, sfDir)
-        val shHot = graft.ext.Dedup.shingles(hot, "doc_id", "text", 3)
-        def bucketPairs(df: DataFrame, keyCol: String): Long =
-          df.groupBy(keyCol).agg(count(lit(1)).as("c"))
-            .agg(coalesce(sum(expr("c * (c - 1) div 2")), lit(0L)))
-            .head.getLong(0)
-        val directEst = bucketPairs(
-          graft.ext.Dedup.prefixShingles(shHot, 500), "shingle")
-        val nsh = shHot.groupBy("sid").agg(count(lit(1)).as("_nsh"))
-        val longSh = shHot.join(
-          nsh.filter(col("_nsh") >= 8).select("sid"), Seq("sid"), "left_semi")
-        val longEst = bucketPairs(
-          graft.ext.Dedup.prefixShingles(longSh, 500), "shingle")
-        val shortDup = bucketPairs(
-          hot.select(col("doc_id"), xxhash64(col("text")).as("_h"))
-            .join(nsh.filter(col("_nsh") < 8)
-              .select(col("sid").as("doc_id")), Seq("doc_id"), "left_semi"),
-          "_h")
+        def routedEstimates(hot: DataFrame): (Long, Long) = {
+          val shHot = graft.ext.Dedup.shingles(hot, "doc_id", "text", 3)
+          def bucketPairs(df: DataFrame, keyCol: String): Long =
+            df.groupBy(keyCol).agg(count(lit(1)).as("c"))
+              .agg(coalesce(sum(expr("c * (c - 1) div 2")), lit(0L)))
+              .head.getLong(0)
+          val directEst = bucketPairs(
+            graft.ext.Dedup.prefixShingles(shHot, 500), "shingle")
+          val nsh = shHot.groupBy("sid").agg(count(lit(1)).as("_nsh"))
+          val longSh = shHot.join(
+            nsh.filter(col("_nsh") >= 8).select("sid"), Seq("sid"), "left_semi")
+          val longEst = bucketPairs(
+            graft.ext.Dedup.prefixShingles(longSh, 500), "shingle")
+          val shortDup = bucketPairs(
+            hot.select(col("doc_id"), xxhash64(col("text")).as("_h"))
+              .join(nsh.filter(col("_nsh") < 8)
+                .select(col("sid").as("doc_id")), Seq("doc_id"), "left_semi"),
+            "_h")
+          (directEst, longEst + shortDup)
+        }
+        val (directEst, guardedEst) =
+          routedEstimates(graft.queries.ExtQueries.hotTemplateDocs(spark, sfDir))
         ratios("prefix_routed_hot_direct_intermediate") = directEst.toDouble
-        ratios("prefix_routed_hot_guarded_intermediate") =
-          (longEst + shortDup).toDouble
+        ratios("prefix_routed_hot_guarded_intermediate") = guardedEst.toDouble
         ratios("prefix_routed_hot_avoidance_x") =
-          directEst.toDouble / math.max(longEst + shortDup, 1L)
+          directEst.toDouble / math.max(guardedEst, 1L)
         System.err.println(f"[bench] routed prefix join (hot corpus): direct " +
           f"tier would enumerate $directEst%d join rows, guarded tier pays " +
-          f"${longEst + shortDup}%d (${ratios("prefix_routed_hot_avoidance_x")}%.0f x avoided)")
+          f"$guardedEst%d (${ratios("prefix_routed_hot_avoidance_x")}%.0f x avoided)")
+        // SECOND corpus-size point (r15): 4x the TEMPLATE population as 4x
+        // as many exact-dup families of the same size. The direct tier's
+        // intermediate is dominated by the one hot shared shingle —
+        // C(templates, 2), quadratic in the template count — while the
+        // guarded tier pays per-FAMILY buckets, linear in the family
+        // count. Expect direct ≈ 16x, guarded ≈ 4x, avoidance ≈ 4x vs the
+        // 1x point: the measured quadratic-vs-linear separation, from the
+        // same deterministic bucket-sum aggregates (no pair enumerated).
+        val docsBase = docs.select(col("doc_id"), col("text"))
+        val tmpl4 = docsBase
+          .select(col("doc_id"), explode(sequence(lit(0L), lit(3L))).as("r"))
+          .select((col("doc_id") * 4 + col("r") + 100000000L).as("doc_id"),
+            concat(lit("zz yy xx h"),
+              ((col("doc_id") % 100) * 4 + col("r")).cast("string")).as("text"))
+        val (direct4, guarded4) = routedEstimates(docsBase.unionByName(tmpl4))
+        ratios("prefix_routed_hot_tmpl4x_direct_intermediate") = direct4.toDouble
+        ratios("prefix_routed_hot_tmpl4x_guarded_intermediate") = guarded4.toDouble
+        ratios("prefix_routed_hot_tmpl4x_avoidance_x") =
+          direct4.toDouble / math.max(guarded4, 1L)
+        ratios("prefix_routed_avoidance_growth_x") =
+          ratios("prefix_routed_hot_tmpl4x_avoidance_x") /
+            math.max(ratios("prefix_routed_hot_avoidance_x"), 1e-9)
+        System.err.println(f"[bench] routed prefix join (4x templates): " +
+          f"direct $direct4%d vs guarded $guarded4%d " +
+          f"(${ratios("prefix_routed_hot_tmpl4x_avoidance_x")}%.0f x avoided; " +
+          f"avoidance grew ${ratios("prefix_routed_avoidance_growth_x")}%.1f x " +
+          f"for 4x the template count)")
       }
       // ExactSubstr winnow prefilter: 8-gram span hashes the exhaustive
       // pass shuffles vs the hashes of winnow-candidate docs only — the
