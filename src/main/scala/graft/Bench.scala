@@ -137,23 +137,35 @@ object Bench {
     val prevCpu = prevBlock("queries_cpu")
     val prevCpuUser = prevBlock("queries_cpu_user")
     val prevCpuGate = prevBlock("queries_cpu_user_min")
-    // 3-ROUND BASELINE WINDOW (r15): the artifact chains the two previous
-    // rounds' gate maps (p1 = one round back's min, p2 = two back), and
-    // the comparator's baseline is the MAX of the last three rounds'
-    // minima. Measured need: same-code user-CPU minima are heavy-tailed
-    // on this box — across three same-code r15 runs, per-name max/min
-    // swing had median 1.08 but max 2.08 even above 10 cpu-s, and one
-    // lucky floor (q_a4_counts drew 2.26 against a 14.8-15.2 history)
-    // then flags every NORMAL draw that follows. A real regression sits
-    // above ALL three priors (they're at the old level), so detection is
-    // still immediate; a ≤2-round lucky floor is absorbed by the older
-    // honest minima. Improvements tighten the baseline after 3 rounds —
-    // the gate watches regressions, so the lag costs nothing.
-    val prevCpuGateP1 = prevBlock("queries_cpu_user_min_p1")
-    val prevCpuGateP2 = prevBlock("queries_cpu_user_min_p2")
+    // MULTI-ROUND BASELINE WINDOW (r15): the artifact chains the previous
+    // rounds' gate maps (p1 = one round back's min, p2 = two back, …) and
+    // the comparator's baseline is the MAX over the window. Measured
+    // need: same-code user-CPU minima are heavy-tailed on this box —
+    // across three same-code r15 runs, per-name max/min swing had median
+    // 1.08 but max 2.08 even above 10 cpu-s, and one lucky floor
+    // (q_a4_counts drew 2.26 against a 14.8-15.2 history) then flags
+    // every NORMAL draw that follows. A real regression sits above ALL
+    // recent priors (they're at the old level), so detection is still
+    // immediate; a transient lucky floor is absorbed by the older honest
+    // minima. DEPTH = 5 chained maps (a 6-artifact window): rotation
+    // CARRIES a rotated-out name's min verbatim for up to rotationGroups-1
+    // consecutive artifacts, so a shallower window can collapse to ONE
+    // independent measurement duplicated (measured: q_graph_pagerank_
+    // dangling's lucky 7.33 filled the whole 3-slot window while its
+    // honest fresh band was 11-16); 6 artifacts ≥ one full rotation cycle
+    // + current guarantees ≥2 independent fresh draws vote. Improvements
+    // tighten the baseline after the window passes — the gate watches
+    // regressions, so the lag costs nothing.
+    val gateHistDepth = 5
+    val prevGateHist: Seq[Map[String, Double]] = prevCpuGate +:
+      (1 until gateHistDepth).map(i => prevBlock(s"queries_cpu_user_min_p$i"))
     def gateBaseline(name: String): Option[Double] =
-      graft.run.GateMath.baseline(Seq(prevCpuGate.get(name),
-        prevCpuGateP1.get(name), prevCpuGateP2.get(name)).flatten)
+      graft.run.GateMath.baseline(prevGateHist.flatMap(_.get(name)))
+    // what THIS artifact persists as p1..pN: the previous round's min map
+    // shifts into p1, its p_i shift into p_{i+1} (pN falls off)
+    val gateHistOut: String = prevGateHist.zipWithIndex.map { case (m, i) =>
+      s""""queries_cpu_user_min_p${i + 1}":${jmap(m)}"""
+    }.mkString(",")
     // 4 groups since r14 (VERDICT r13 #4: the r13 driver run nosed 1% over
     // the 1200 s budget; a smaller per-round timing share buys the pooled
     // rewrite draws their margin back)
@@ -341,7 +353,7 @@ object Bench {
       val (regs, annotated, pending) = splitAnnotated(cpuRegressions())
       try {
         val full =
-          s"""{"metric":"total","value":$total,"unit":"sec","phase":"$phase","queries":${jmap(results)},"queries_cpu":${jmap(resultsCpu)},"queries_cpu_user":${jmap(resultsCpuUser)},"queries_cpu_user_min":${jmap(resultsCpuGate)},"queries_cpu_user_min_p1":${jmap(prevCpuGate)},"queries_cpu_user_min_p2":${jmap(prevCpuGateP1)},"ratios":${jmap(ratios)},"rotation":$rotation,"rotation_groups":$rotationGroups,"carried_from_prev":${jarr(carried.toSeq)},"cpu_regressions":${jreg(regs)},"cpu_regressions_regime_annotated":${jregAnnotated(annotated)},"cpu_regressions_pending_twin":${jreg(pending)},"sentinels":${jarr(sentinelQueries.toSeq.sorted)},"sf":"$sfDir"}"""
+          s"""{"metric":"total","value":$total,"unit":"sec","phase":"$phase","queries":${jmap(results)},"queries_cpu":${jmap(resultsCpu)},"queries_cpu_user":${jmap(resultsCpuUser)},"queries_cpu_user_min":${jmap(resultsCpuGate)},$gateHistOut,"ratios":${jmap(ratios)},"rotation":$rotation,"rotation_groups":$rotationGroups,"carried_from_prev":${jarr(carried.toSeq)},"cpu_regressions":${jreg(regs)},"cpu_regressions_regime_annotated":${jregAnnotated(annotated)},"cpu_regressions_pending_twin":${jreg(pending)},"sentinels":${jarr(sentinelQueries.toSeq.sorted)},"sf":"$sfDir"}"""
         val tmp = java.nio.file.Paths.get(fullOut + ".tmp")
         java.nio.file.Files.writeString(tmp, full + "\n")
         java.nio.file.Files.move(tmp, java.nio.file.Paths.get(fullOut),
