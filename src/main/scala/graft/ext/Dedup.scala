@@ -1046,6 +1046,14 @@ object Dedup {
     * O(N²) candidate stage it routes around; callers that know their
     * corpus shape keep calling [[prefixFilterJaccardPairs]] directly.
     *
+    * The route is CORPUS-SIZE-dependent by construction (bucket pairs grow
+    * ~quadratically, the budget linearly) — measured on the testdata
+    * documents table: DIRECT at 500 docs (sf0.01), GUARDED at 5 000
+    * (sf0.1, est ≥ 409 k > 64·5 000) and at the 10x twin, with output
+    * identical to the exact join at every scale and user-CPU scaling
+    * ~linearly (exponent 1.04 at 10x rows; BENCH_SF1.json,
+    * pair = queries-only-dedup).
+    *
     * @param maxCandidatesPerDoc the route budget, in PER-DOC-AVERAGE
     *        intermediate rows: the DIRECT tier fires iff the probe's exact
     *        prefix-join intermediate estimate satisfies

@@ -288,10 +288,14 @@ object ExtQueries {
 
     // PROBE-BEFORE-PAY routed form (VERDICT r13 #6): the corpus-shape probe
     // (Σ C(prefix-bucket, 2) vs a per-doc candidate budget) picks the tier
-    // BEFORE any pair is enumerated. The standard corpus sits far under
-    // budget → the exact PPJoin tier, output identical to q_dedup_prefix
-    // (plus the disclosed route column); the oracle REPLAYS the integer
-    // decision, so it stays green whichever tier fires.
+    // BEFORE any pair is enumerated. The route is CORPUS-SIZE-dependent by
+    // design — bucket pairs grow ~quadratically while the budget grows
+    // linearly — and measured: sf0.01 (500 docs) sits under budget →
+    // DIRECT (the exact PPJoin tier); sf0.1 (5 000 docs, est ≥ 409 k
+    // bucket pairs > 64·5 000) and the 10x twin → GUARDED, with output
+    // measured IDENTICAL to q_dedup_prefix at every scale (256 rows at
+    // sf0.1, 250 600 at 10x). The oracle REPLAYS the integer decision, so
+    // it stays green whichever tier fires.
     "q_dedup_prefix_routed" -> ((s, d) =>
       Dedup.prefixRoutedJaccardPairs(docs(s, d), "doc_id", "text",
         n = 3, thresholdPermille = 500)),
@@ -2511,8 +2515,9 @@ FROM v WHERE common * 1000 >= 500 * (na + nb - common)""",
     // (Σ C(prefix-bucket,2) vs 64·n_docs) and emits whichever tier's
     // output the Spark side chose — both tiers are fully computed in SQL,
     // the route filter keeps exactly one. Same replay at both corpus
-    // shapes: the standard corpus (direct tier) and the derived
-    // shared-template corpus (guarded tier).
+    // shapes: the standard corpus (direct at sf0.01; guarded from sf0.1
+    // up, where bucket pairs outgrow the linear budget) and the derived
+    // shared-template corpus (guarded at every measured scale).
     "q_dedup_prefix_routed" ->
       prefixRoutedSql("SELECT doc_id, text FROM documents"),
     "q_dedup_prefix_routed_hot" -> prefixRoutedSql(

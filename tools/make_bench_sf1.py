@@ -40,6 +40,11 @@ SCN_KEYS = [
     # design (its exponent is ~1 in state size); the O(changes) claim
     # lives on the q_cdf_maintain_* MAINTENANCE rows above
     "q_token_budget_maintained_serve",
+    # r15: the probe-before-pay routed prefix join — wall/cpu exponents of
+    # the route the probe actually picks at each scale (read the hot
+    # corpus's exponent against its OUTPUT growth: exact-dup families
+    # densify with corpus size, so the qualifying-pair floor grows ~rows^2)
+    "q_dedup_prefix_routed", "q_dedup_prefix_routed_hot",
 ]
 BYTE_KEYS = [
     "nochange_read_reduction_x", "pct5_read_reduction_x",
