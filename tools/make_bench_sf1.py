@@ -98,13 +98,22 @@ def main():
     # interval the segment exponents are arithmetic nonsense (ADVICE r13)
     if mid_factor is not None and not (1.0 < mid_factor < factor):
         sys.exit(f"--mid factor {mid_factor} must satisfy 1 < mid < {factor}")
+    # --all-queries: compute exponents for EVERY query name present in both
+    # artifacts instead of the curated SCN_KEYS list — the full-suite scale
+    # sweep mode (r15). The curated list stays the default so the headline
+    # file keeps its focus.
+    all_queries = "--all-queries" in pos
+    if all_queries:
+        pos = [p for p in pos if p != "--all-queries"]
     pair_tag = pos[1] if len(pos) > 1 else None
 
     def expo(a, b, f):
         return round(math.log(b / a) / math.log(f), 3)
 
     scaling = {}
-    for k in SCN_KEYS:
+    keys = (sorted(set(small["queries"]) & set(big["queries"]))
+            if all_queries else SCN_KEYS)
+    for k in keys:
         a = small["queries"].get(k)
         b = big["queries"].get(k)
         if a and b and a > 0 and b > 0:
