@@ -1,7 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Deterministic k-means over quantized embeddings — the learned-centroid
@@ -15,8 +14,8 @@ import org.apache.spark.sql.functions._
   *  - seeds: the k vectors with the lowest ids (deterministic, no RNG);
   *  - distance: Σ(q−c)² on quantized ints, computed as qq − 2·qc + cc with
   *    the codegen'd [[graft.functions.LongArrayDot]] — exact;
-  *  - assignment: row_number over (dist, cluster) — total order, no
-  *    arg-min tie ambiguity;
+  *  - assignment: per-row least() over (dist, cluster) structs — total
+  *    order, no arg-min tie ambiguity, zero shuffle;
   *  - update: per-dimension floor(mean + 0.5) back to ints — sums/counts
   *    are exact, the division is one IEEE op on exact ints.
   *
@@ -47,17 +46,40 @@ object KMeans {
       .withColumn("cc", expr("array_dot_long(c, c)"))
   }
 
+  /** The nearest cluster id of `qe` under literal centroids — argmin by the
+    * total order (dist, cluster), per-row, zero shuffle: exactly the window
+    * form's `row_number() over (order by dist, cluster) = 1`, computed by
+    * the native [[graft.functions.NearestCentroids]] loop (a `least()` fold
+    * over per-centroid structs is equivalent but its O(k·dim) expression
+    * tree crosses Janino's 64 KB codegen limit at PQ sizes and falls back
+    * to interpreted evaluation — measured 10-20x slower). The caller must
+    * have registered [[graft.functions.GraftFunctions]] on the session. */
+  private[ext] def nearestClusterExpr(cs: Seq[(Int, Seq[Long])],
+      qe: Column): Column =
+    element_at(nearestClustersExpr(cs, qe, 1), 1)
+
+  /** The `n` nearest cluster ids of `qe` in (dist, cluster) order, as an
+    * array — the per-row form of the probe-list window (`rn <= nProbe`);
+    * min(n, k) entries, like the window form's `rn <= n` filter. */
+  private[ext] def nearestClustersExpr(cs: Seq[(Int, Seq[Long])],
+      qe: Column, n: Int): Column =
+    call_function("nearest_centroids", qe,
+      typedlit(cs.map(_._1)), typedlit(cs.map(_._2)), lit(n))
+
   /** Nearest-centroid assignment under a fixed codebook: (idCol, qe,
-    * cluster). Total order (dist, cluster) — no arg-min tie ambiguity. */
+    * cluster). Total order (dist, cluster) — no arg-min tie ambiguity.
+    * Computed as a per-row argmin expression over the k literal centroids
+    * (guide §2.4: the former crossJoin→row_number form materialized N·k
+    * rows carrying the qe array and shuffled them through a window just to
+    * keep rank 1 — one full exchange+sort per assignment, per Lloyd
+    * iteration; the expression form is the same integer arithmetic with
+    * zero shuffle). Ignores any `qq` column on the input: the row norm is
+    * a constant shift that cannot change the (dist, cluster) order. */
   private[ext] def assignmentUnder(vecs: DataFrame, cs: Seq[(Int, Seq[Long])],
       idCol: String): DataFrame = {
-    val w = Window.partitionBy(col(idCol)).orderBy(col("dist"), col("cluster"))
-    vecs.crossJoin(broadcast(centroidDf(vecs.sparkSession, cs)))
-      .withColumn("dist",
-        col("qq") - lit(2L) * expr("array_dot_long(qe, c)") + col("cc"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col(idCol), col("qe"), col("cluster"))
+    graft.functions.GraftFunctions.register(vecs.sparkSession)
+    vecs.select(col(idCol), col("qe"),
+      nearestClusterExpr(cs, col("qe")).as("cluster"))
   }
 
   /** The deterministic integer Lloyd loop: final centroids after `iters`
@@ -69,8 +91,9 @@ object KMeans {
     graft.functions.GraftFunctions.register(prepared.sparkSession)
     // the loop runs 1 + iters actions over `vecs` (seed collect, then one
     // update collect per round) — cache it once instead of re-deriving the
-    // quantized vectors from the source scan every action
-    val vecs = withQq(prepared, idCol)
+    // quantized vectors from the source scan every action (no qq column:
+    // the per-row assignment expression never needs the row norm)
+    val vecs = prepared.select(col(idCol), col("qe"))
     vecs.persist()
 
     // seeds: k lowest ids, cluster = rank-1
@@ -104,7 +127,7 @@ object KMeans {
   def assign(prepared: DataFrame, k: Int, iters: Int, dim: Int = 64,
       idCol: String = "vec_id"): DataFrame = {
     ensureCached(prepared) // shared by the Lloyd loop AND the final assignment
-    assignmentUnder(withQq(prepared, idCol), lloyd(prepared, k, iters, dim, idCol),
+    assignmentUnder(prepared, lloyd(prepared, k, iters, dim, idCol),
       idCol).select(col(idCol), col("cluster"))
   }
 
@@ -165,7 +188,7 @@ object KMeans {
     * the standard IVF discipline). Output: (idCol, cluster). */
   def assignUnder(prepared: DataFrame, cs: Seq[(Int, Seq[Long])],
       idCol: String = "vec_id"): DataFrame =
-    assignmentUnder(withQq(prepared, idCol), cs, idCol)
+    assignmentUnder(prepared, cs, idCol)
       .select(col(idCol), col("cluster"))
 
   def oracleSql(k: Int, iters: Int, dim: Int = 64): String =

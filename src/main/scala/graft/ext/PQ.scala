@@ -62,12 +62,18 @@ object PQ {
 
   private def encodeUnder(prepared: DataFrame,
       codebooks: Seq[Seq[(Int, Seq[Long])]], dim: Int, idCol: String): DataFrame = {
+    // all m codes in ONE projection: each subspace's code is a per-row
+    // argmin expression over its ksub literal centroids (guide §2.4 — the
+    // former per-subspace assignment frames joined m-ways on the id cost
+    // m−1 id-keyed joins and m window shuffles; this is the same integer
+    // arithmetic, zero shuffle, one pass over the vectors)
+    graft.functions.GraftFunctions.register(prepared.sparkSession)
     val sub = dim / codebooks.size
-    codebooks.zipWithIndex.map { case (cb, s) =>
-      KMeans.assignmentUnder(
-          KMeans.withQq(sliceFrame(prepared, s, sub, idCol), idCol), cb, idCol)
-        .select(col(idCol), col("cluster").as(s"code_$s"))
-    }.reduce(_.join(_, Seq(idCol)))
+    val codeCols = codebooks.zipWithIndex.map { case (cb, s) =>
+      KMeans.nearestClusterExpr(cb, slice(col("qe"), s * sub + 1, sub))
+        .as(s"code_$s")
+    }
+    prepared.select(col(idCol) +: codeCols: _*)
   }
 
   /** Per-query ADC lookup table: ‖q_s − c‖² for every (sampled query,
@@ -140,16 +146,15 @@ object PQ {
     KMeans.ensureCached(prepared) // coarse + m subspace trainings + LUT
     val coarse = KMeans.lloyd(prepared, kCoarse, iters, dim, idCol)
     // inverted lists: every corpus vector's nearest coarse centroid
-    val lists = KMeans.assignmentUnder(KMeans.withQq(prepared, idCol), coarse, idCol)
+    val lists = KMeans.assignmentUnder(prepared, coarse, idCol)
       .select(col(idCol).as("neighbor_id"), col("cluster"))
-    // probe set: each sampled query's nProbe nearest cells (ties by cluster)
-    val wp = Window.partitionBy(col(idCol)).orderBy(col("dist"), col("cluster"))
-    val probes = KMeans.withQq(prepared.filter(col(idCol) % sampleMod === 0), idCol)
-      .crossJoin(broadcast(KMeans.centroidDf(spark, coarse)))
-      .withColumn("dist",
-        col("qq") - lit(2L) * expr("array_dot_long(qe, c)") + col("cc"))
-      .withColumn("rn", row_number().over(wp)).filter(col("rn") <= nProbe)
-      .select(col(idCol).as("query_id"), col("cluster"))
+    // probe set: each sampled query's nProbe nearest cells (ties by
+    // cluster) — per-row top-n expression over the literal centroids, no
+    // crossJoin/window stage (guide §2.4)
+    val probes = prepared.filter(col(idCol) % sampleMod === 0)
+      .select(col(idCol).as("query_id"),
+        explode(KMeans.nearestClustersExpr(coarse, col("qe"), nProbe))
+          .as("cluster"))
 
     val codebooks = trainCodebooks(prepared, m, ksub, iters, dim, idCol)
     val codes = codesLong(encodeUnder(prepared, codebooks, dim, idCol), m, idCol)
@@ -337,7 +342,7 @@ object PQ {
     val coarse = KMeans.lloyd(prepared, kCoarse, iters, dim, idCol)
     val cdf = KMeans.centroidDf(spark, coarse) // (cluster, c, cc)
     // corpus residuals against the assigned cell
-    val resid = KMeans.assignmentUnder(KMeans.withQq(prepared, idCol), coarse, idCol)
+    val resid = KMeans.assignmentUnder(prepared, coarse, idCol)
       .join(broadcast(cdf.select("cluster", "c")), Seq("cluster"))
       .select(col(idCol), col("cluster"),
         expr("zip_with(qe, c, (a, b) -> a - b)").as("qe"))
@@ -347,14 +352,12 @@ object PQ {
     val codes = codesLong(encodeUnder(resid, codebooks, dim, idCol), m, idCol)
       .join(resid.select(col(idCol).as("neighbor_id"), col("cluster")),
         Seq("neighbor_id"))
-    // probe set: each sampled query's nProbe nearest cells (as ivfAdcTopK)
-    val wp = Window.partitionBy(col(idCol)).orderBy(col("dist"), col("cluster"))
-    val probes = KMeans.withQq(prepared.filter(col(idCol) % sampleMod === 0), idCol)
-      .crossJoin(broadcast(cdf))
-      .withColumn("dist",
-        col("qq") - lit(2L) * expr("array_dot_long(qe, c)") + col("cc"))
-      .withColumn("rn", row_number().over(wp)).filter(col("rn") <= nProbe)
-      .select(col(idCol).as("query_id"), col("cluster"), col("qe"))
+    // probe set: each sampled query's nProbe nearest cells (as ivfAdcTopK —
+    // per-row top-n expression, no crossJoin/window stage)
+    val probes = prepared.filter(col(idCol) % sampleMod === 0)
+      .select(col(idCol).as("query_id"), col("qe"),
+        explode(KMeans.nearestClustersExpr(coarse, col("qe"), nProbe))
+          .as("cluster"))
     // per-(query, probed cell) residual → per-subspace code distances
     val qres = probes.join(broadcast(cdf.select("cluster", "c")), Seq("cluster"))
       .select(col("query_id"), col("cluster"),

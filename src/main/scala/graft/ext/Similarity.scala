@@ -250,9 +250,10 @@ object Similarity {
     KMeans.ensureCached(corpusPrepared)
     KMeans.ensureCached(newPrepared)
     val cs = KMeans.lloyd(corpusPrepared, k, iters, dim, idCol)
-    def assigned(prep: DataFrame) = prep.join(
-      KMeans.assignmentUnder(KMeans.withQq(prep, idCol), cs, idCol)
-        .select(col(idCol), col("cluster")), Seq(idCol))
+    // per-row assignment expression — no id-keyed self-join to re-attach
+    // the cluster (guide §2.4)
+    def assigned(prep: DataFrame) =
+      prep.withColumn("cluster", KMeans.nearestClusterExpr(cs, col("qe")))
     val nw = assigned(newPrepared)
     val cw = assigned(corpusPrepared)
     val dropped = nw.as("x").join(cw.as("y"),

@@ -123,6 +123,23 @@ object GraftFunctions {
         exprs(1).eval(InternalRow.empty).asInstanceOf[Number].longValue()), "scala_udf")
     reg.createOrReplaceTempFunction("rolling_hash",
       exprs => RollingHash(exprs.head), "scala_udf")
+    reg.createOrReplaceTempFunction("nearest_centroids",
+      exprs => {
+        // ids/codebook/n arrive as foldable literals (typedlit at the call
+        // site) and are folded into the expression ONCE here — per-row
+        // children would re-evaluate the k·dim literal every row on the
+        // interpreted path
+        val ids = exprs(1).eval(InternalRow.empty).asInstanceOf[
+            org.apache.spark.sql.catalyst.util.ArrayData]
+          .toIntArray().toSeq
+        val cb = exprs(2).eval(InternalRow.empty).asInstanceOf[
+            org.apache.spark.sql.catalyst.util.ArrayData]
+          .toObjectArray(ArrayType(LongType))
+          .map(_.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+            .toLongArray().toSeq).toSeq
+        NearestCentroids(exprs(0), ids, cb,
+          exprs(3).eval(InternalRow.empty).asInstanceOf[Number].intValue())
+      }, "scala_udf")
     reg.createOrReplaceTempFunction("winnow_fps",
       exprs => WinnowFps(exprs(0),
         exprs(1).eval(InternalRow.empty).asInstanceOf[Number].intValue(),
