@@ -40,7 +40,17 @@ object Dedup {
 
   /** Distinct word n-gram shingles: (id, shingle) rows. Built with
     * transform/slice over the token array — per-row work, no window, no
-    * shuffle until the downstream join. */
+    * shuffle until the downstream join. The dedup is `array_distinct` on
+    * the per-doc array BEFORE the explode (guide §2.4: the former global
+    * `.distinct()` was a full exchange + aggregation of the suite's
+    * largest relation, paid once per operator invocation, to remove
+    * duplicates that can only ever be doc-local — two rows can collide on
+    * (sid, shingle) only if they share the sid). CONTRACT: rows are
+    * globally distinct as long as each id appears on ONE input row, which
+    * every caller satisfies (doc_id is the corpus key; the derived
+    * corpora — template twins, salted sparse — use disjoint id ranges). A
+    * caller feeding duplicate ids would get per-input-row, not per-id,
+    * shingle sets. */
   def shingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
     df.select(col(idCol).as("sid"),
         // docs with fewer than n tokens yield NO shingles: an unguarded
@@ -49,10 +59,9 @@ object Dedup {
         // range(0, len-n+1)) — the CASE keeps the two engines in lockstep
         explode(expr(
           s"CASE WHEN size(split($textCol, ' ')) >= $n THEN " +
-          s"transform(sequence(0, size(split($textCol, ' ')) - $n), " +
-          s"i -> concat_ws(' ', slice(split($textCol, ' '), i + 1, $n))) " +
+          s"array_distinct(transform(sequence(0, size(split($textCol, ' ')) - $n), " +
+          s"i -> concat_ws(' ', slice(split($textCol, ' '), i + 1, $n)))) " +
           s"ELSE array() END")).as("shingle"))
-      .distinct()
 
   /** n-gram Jaccard near-dup pairs: join docs on shared shingles (capped at
     * `maxShingleFreq` docs per shingle to bound hot-key blowup — the

@@ -14,8 +14,8 @@ import org.apache.spark.sql.functions._
   *  - seeds: the k vectors with the lowest ids (deterministic, no RNG);
   *  - distance: Σ(q−c)² on quantized ints, computed as qq − 2·qc + cc with
   *    the codegen'd [[graft.functions.LongArrayDot]] — exact;
-  *  - assignment: per-row least() over (dist, cluster) structs — total
-  *    order, no arg-min tie ambiguity, zero shuffle;
+  *  - assignment: per-row argmin over (dist, cluster) — total order, no
+  *    arg-min tie ambiguity, zero shuffle ([[graft.functions.NearestCentroids]]);
   *  - update: per-dimension floor(mean + 0.5) back to ints — sums/counts
   *    are exact, the division is one IEEE op on exact ints.
   *
