@@ -24,15 +24,21 @@ object Dedup {
 
   // ---------------------------------------------------------------- exact
 
-  /** Exact dedup by content fingerprint: one hash groupBy (map-side partial
-    * agg), then a shuffle-free-broadcast back-join when groups are small.
-    * Output: every row flagged; `is_kept` marks the min-id survivor. */
+  /** Exact dedup by content fingerprint: one window pass keyed on the
+    * hash. Output: every row flagged; `is_kept` marks the min-id
+    * survivor. */
   def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val withHash = df.withColumn("text_hash", TextAnalysis.fingerprint(col(textCol)))
-    val groups = withHash.groupBy(col("text_hash"))
-      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("group_size"))
-    withHash.join(groups, Seq("text_hash"))
-      .withColumn("is_kept", col(idCol) === col("keep_id"))
+    // one window pass (exchange + sort on the hash) instead of the former
+    // groupBy + join-back (guide §2.4): the join form shuffled the hashed
+    // relation TWICE and — worse in composition — evaluated the upstream
+    // plan twice (the md5 fingerprint, and in the q_corpus_* pipelines the
+    // quality/langid scoring feeding it, ran on both join inputs). Values
+    // are identical: keep_id = min(id) over the hash group, group_size =
+    // its count, is_kept = (id == keep_id).
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("text_hash")
+    df.withColumn("text_hash", TextAnalysis.fingerprint(col(textCol)))
+      .withColumn("group_size", count(lit(1)).over(w))
+      .withColumn("is_kept", col(idCol) === min(col(idCol)).over(w))
       .select(col(idCol), col("text_hash"), col("group_size"), col("is_kept"))
   }
 
@@ -51,17 +57,34 @@ object Dedup {
     * corpora — template twins, salted sparse — use disjoint id ranges). A
     * caller feeding duplicate ids would get per-input-row, not per-id,
     * shingle sets. */
+  /** The per-row distinct-shingle ARRAY of one text column — the single
+    * definition every shingle shape derives from.
+    * Docs with fewer than n tokens yield NO shingles: an unguarded
+    * sequence(0, size-n) with size<n produces a DESCENDING sequence and
+    * spurious negative-index slices (diverging from the oracle's empty
+    * range(0, len-n+1)) — the CASE keeps the two engines in lockstep. */
+  private def shingleArrayExpr(textCol: String, n: Int): Column = expr(
+    s"CASE WHEN size(split($textCol, ' ')) >= $n THEN " +
+    s"array_distinct(transform(sequence(0, size(split($textCol, ' ')) - $n), " +
+    s"i -> concat_ws(' ', slice(split($textCol, ' '), i + 1, $n)))) " +
+    s"ELSE array() END")
+
+  /** Array-form shingle relation: (sid, hs) with hs the doc's DISTINCT
+    * shingle array. [[shingles]] is its explode; the per-doc distinct
+    * shingle COUNT is `size(hs)` — a per-row expression — so consumers
+    * needing sizes (Jaccard denominators, `minShingles` routing, the
+    * per-pair verify arrays) read them HERE instead of re-aggregating the
+    * exploded relation (guide §2.4: each removed groupBy(sid) /
+    * collect_set was a full exchange of the text suite's largest
+    * relation). */
+  def shingleArrays(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    df.select(col(idCol).as("sid"), shingleArrayExpr(textCol, n).as("hs"))
+
+  private def explodeShingleArrays(shArr: DataFrame): DataFrame =
+    shArr.select(col("sid"), explode(col("hs")).as("shingle"))
+
   def shingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
-    df.select(col(idCol).as("sid"),
-        // docs with fewer than n tokens yield NO shingles: an unguarded
-        // sequence(0, size-n) with size<n produces a DESCENDING sequence and
-        // spurious negative-index slices (diverging from the oracle's empty
-        // range(0, len-n+1)) — the CASE keeps the two engines in lockstep
-        explode(expr(
-          s"CASE WHEN size(split($textCol, ' ')) >= $n THEN " +
-          s"array_distinct(transform(sequence(0, size(split($textCol, ' ')) - $n), " +
-          s"i -> concat_ws(' ', slice(split($textCol, ' '), i + 1, $n)))) " +
-          s"ELSE array() END")).as("shingle"))
+    explodeShingleArrays(shingleArrays(df, idCol, textCol, n))
 
   /** n-gram Jaccard near-dup pairs: join docs on shared shingles (capped at
     * `maxShingleFreq` docs per shingle to bound hot-key blowup — the
@@ -71,7 +94,8 @@ object Dedup {
   def ngramJaccardPairs(
       df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.5, maxShingleFreq: Long = 1000): DataFrame = {
-    val sh = shingles(df, idCol, textCol, n)
+    val shArr = shingleArrays(df, idCol, textCol, n)
+    val sh = explodeShingleArrays(shArr)
     // hot-shingle cap via count-over-partition. Measured alternative (r2):
     // a groupBy(shingle).count + anti-join "avoids the sort" but shingle
     // keys are mostly UNIQUE, so its map-side partials don't reduce and the
@@ -82,7 +106,10 @@ object Dedup {
     val capped = sh.withColumn("sfreq",
         count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("shingle")))
       .filter(col("sfreq") <= maxShingleFreq).drop("sfreq")
-    val sizes = sh.groupBy("sid").agg(count(lit(1)).as("nsh"))
+    // per-doc sizes are a projection of the ARRAY relation (size(hs)) — the
+    // former groupBy(sid).count re-exchanged the exploded relation to
+    // recompute what the pre-explode array already knows (guide §2.4)
+    val sizes = shArr.select(col("sid"), size(col("hs")).cast("long").as("nsh"))
     val a = capped.select(col("sid").as("id_a"), col("shingle"))
     val b = capped.select(col("sid").as("id_b"), col("shingle"))
     val common = a.join(b, Seq("shingle")).filter(col("id_a") < col("id_b"))
@@ -124,11 +151,12 @@ object Dedup {
       maxShingleFreq: Long = 1000): DataFrame = {
     require(thresholdPermille > 0 && thresholdPermille <= 1000,
       s"thresholdPermille in (0,1000]: $thresholdPermille")
-    val sh = shingles(df, idCol, textCol, n)
+    val shArr = shingleArrays(df, idCol, textCol, n)
+    val sh = explodeShingleArrays(shArr)
     val capped = sh.withColumn("sfreq",
         count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("shingle")))
       .filter(col("sfreq") <= maxShingleFreq).drop("sfreq")
-    val sizes = sh.groupBy("sid").agg(count(lit(1)).as("nsh"))
+    val sizes = shArr.select(col("sid"), size(col("hs")).cast("long").as("nsh"))
     val common = capped.select(col("sid").as("id_a"), col("shingle"))
       .join(capped.select(col("sid").as("id_b"), col("shingle")), Seq("shingle"))
       .filter(col("id_a") < col("id_b"))
@@ -164,10 +192,15 @@ object Dedup {
     *         with at least one shingle. */
   def noveltyReport(newDf: DataFrame, corpusDf: DataFrame,
       idCol: String, textCol: String, n: Int = 3): DataFrame = {
-    val newSh = shingles(newDf, idCol, textCol, n)
+    val newArr = shingleArrays(newDf, idCol, textCol, n)
+    val newSh = explodeShingleArrays(newArr)
     val corpusSh = shingles(corpusDf, idCol, textCol, n)
       .select("shingle").distinct()
-    val sizes = newSh.groupBy("sid").agg(count(lit(1)).as("nsh"))
+    // size(hs) > 0 keeps the contract "every new doc with at least one
+    // shingle" — the former groupBy(sid) omitted shingle-less docs by
+    // construction
+    val sizes = newArr.filter(size(col("hs")) > 0)
+      .select(col("sid"), size(col("hs")).cast("long").as("nsh"))
     val fresh = newSh.join(corpusSh, Seq("shingle"), "left_anti")
       .groupBy("sid").agg(count(lit(1)).as("n_fresh"))
     sizes.join(fresh, Seq("sid"), "left")
@@ -188,8 +221,10 @@ object Dedup {
   def crossCorpusJaccardPairs(
       newDf: DataFrame, corpusDf: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.5, maxShingleFreq: Long = 1000): DataFrame = {
-    val shNew = shingles(newDf, idCol, textCol, n)
-    val shOld = shingles(corpusDf, idCol, textCol, n)
+    val newArr = shingleArrays(newDf, idCol, textCol, n)
+    val oldArr = shingleArrays(corpusDf, idCol, textCol, n)
+    val shNew = explodeShingleArrays(newArr)
+    val shOld = explodeShingleArrays(oldArr)
     // hot-shingle cap applies to the CORPUS side (the unbounded one)
     val oldCapped = shOld.withColumn("sfreq",
         count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("shingle")))
@@ -197,8 +232,10 @@ object Dedup {
     val common = shNew.select(col("sid").as("new_id"), col("shingle"))
       .join(oldCapped.select(col("sid").as("old_id"), col("shingle")), Seq("shingle"))
       .groupBy("new_id", "old_id").agg(count(lit(1)).as("common"))
-    val sizesNew = shNew.groupBy(col("sid").as("new_id")).agg(count(lit(1)).as("na"))
-    val sizesOld = shOld.groupBy(col("sid").as("old_id")).agg(count(lit(1)).as("nb"))
+    val sizesNew = newArr.select(col("sid").as("new_id"),
+      size(col("hs")).cast("long").as("na"))
+    val sizesOld = oldArr.select(col("sid").as("old_id"),
+      size(col("hs")).cast("long").as("nb"))
     common.join(sizesNew, Seq("new_id")).join(sizesOld, Seq("old_id"))
       .withColumn("jaccard",
         col("common").cast("double") / (col("na") + col("nb") - col("common")))
@@ -295,7 +332,8 @@ object Dedup {
   def minhashLshPairs(
       df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.5, maxShingleFreq: Long = 1000): DataFrame = {
-    val sh = shingles(df, idCol, textCol, n)
+    val shArr = shingleArrays(df, idCol, textCol, n)
+    val sh = explodeShingleArrays(shArr)
     // signature via the one-pass sketch aggregate (identical values to the
     // 16-min aggregation — spec-pinned — at one buffer update per row).
     // Persisted: the band self-join references it from both sides, and
@@ -318,16 +356,20 @@ object Dedup {
       .select(col("x.sid").as("id_a"), col("y.sid").as("id_b")).distinct()
     KMeans.ensureCached(cand)
 
-    jaccardVerifyPairs(sh, cand, threshold, maxShingleFreq)
+    jaccardVerifyPairs(shArr, cand, threshold, maxShingleFreq)
   }
 
   /** The exact-Jaccard verification tail shared by [[minhashLshPairs]] and
     * [[minhashLshPairsFromIndex]]: shingles of CANDIDATE docs only
     * (semi-join per side), hot shingles capped, exact pair semi-join
-    * removing the cross-candidate false pairings. */
-  private def jaccardVerifyPairs(sh: DataFrame, cand: DataFrame,
+    * removing the cross-candidate false pairings. Takes the ARRAY-form
+    * shingle relation so the Jaccard denominators are a projection
+    * (`size(hs)`) instead of a groupBy(sid) re-exchange of the exploded
+    * relation (guide §2.4). */
+  private def jaccardVerifyPairs(shArr: DataFrame, cand: DataFrame,
       threshold: Double, maxShingleFreq: Long): DataFrame = {
-    val sizes = sh.groupBy("sid").agg(count(lit(1)).as("nsh"))
+    val sh = explodeShingleArrays(shArr)
+    val sizes = shArr.select(col("sid"), size(col("hs")).cast("long").as("nsh"))
     val capped = sh.withColumn("sfreq",
         count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("shingle")))
       .filter(col("sfreq") <= maxShingleFreq).drop("sfreq")
@@ -362,7 +404,7 @@ object Dedup {
       .filter(col("x.sid") < col("y.sid"))
       .select(col("x.sid").as("id_a"), col("y.sid").as("id_b")).distinct()
     KMeans.ensureCached(cand)
-    jaccardVerifyPairs(shingles(df, idCol, textCol, n), cand,
+    jaccardVerifyPairs(shingleArrays(df, idCol, textCol, n), cand,
       threshold, maxShingleFreq)
   }
 
@@ -968,23 +1010,23 @@ object Dedup {
       minShingles: Int = 0): DataFrame = {
     require(thresholdPermille > 0 && thresholdPermille <= 1000,
       s"thresholdPermille in (0,1000]: $thresholdPermille")
-    val shAll = shingles(df, idCol, textCol, n)
-    val sh =
-      if (minShingles <= 0) shAll
-      else {
-        val w = org.apache.spark.sql.expressions.Window.partitionBy("sid")
-        shAll.withColumn("_nsh", count(lit(1)).over(w))
-          .filter(col("_nsh") >= minShingles).drop("_nsh")
-      }
-    val prefix = prefixShingles(sh, thresholdPermille)
-    prefixVerifiedPairs(sh, prefix, thresholdPermille)
+    val arrAll = shingleArrays(df, idCol, textCol, n)
+    // the minShingles guard is a DOC-level filter, so it reads the per-doc
+    // distinct count off the array relation (`size(hs)`, a projection) —
+    // the former count-over-Window(sid) paid an exchange + sort of the
+    // exploded relation to recompute the same number (guide §2.4)
+    val arr =
+      if (minShingles <= 0) arrAll
+      else arrAll.filter(size(col("hs")) >= minShingles)
+    val prefix = prefixShingles(explodeShingleArrays(arr), thresholdPermille)
+    prefixVerifiedPairs(arr, prefix, thresholdPermille)
   }
 
   /** The candidate + verify tail of the prefix-filter join, over an
     * already-built (shingle relation, prefix relation) pair — shared by
     * [[prefixFilterJaccardPairs]] and [[prefixRoutedJaccardPairs]] so the
     * routed operator's exact tier IS the direct operator, not a copy. */
-  private def prefixVerifiedPairs(sh: DataFrame, prefix: DataFrame,
+  private def prefixVerifiedPairs(shArr: DataFrame, prefix: DataFrame,
       thresholdPermille: Int): DataFrame = {
     val cand = prefixCandidates(prefix, thresholdPermille)
     // cand feeds the id restriction AND both verify joins — persist so the
@@ -999,11 +1041,15 @@ object Dedup {
     // collision false positives, which at corpus scale (billions of
     // candidate pairs) would be a certainty, and the oracle — replaying
     // the same hashes — could never catch it.
+    // The arrays come straight off the ARRAY-form shingle relation (`hs`
+    // is already the per-doc distinct set) — the former
+    // collect_set-groupBy re-aggregated the exploded relation into the
+    // very array the scan had already built (guide §2.4); set-semantics
+    // downstream (array_intersect / size) make element order irrelevant.
     val candIds = cand.select(col("id_a").as("sid"))
       .union(cand.select(col("id_b").as("sid"))).distinct()
-    val arrs = sh.join(candIds, Seq("sid"), "left_semi")
-      .groupBy("sid")
-      .agg(collect_set(col("shingle")).as("hs"))
+    val arrs = shArr.join(candIds, Seq("sid"), "left_semi")
+      .select(col("sid"), col("hs"))
     cand
       .join(arrs.select(col("sid").as("id_a"), col("hs").as("_ha")), Seq("id_a"))
       .join(arrs.select(col("sid").as("id_b"), col("hs").as("_hb")), Seq("id_b"))
@@ -1079,7 +1125,8 @@ object Dedup {
       maxCandidatesPerDoc: Long = 64, minShingles: Int = 8): DataFrame = {
     require(thresholdPermille > 0 && thresholdPermille <= 1000,
       s"thresholdPermille in (0,1000]: $thresholdPermille")
-    val sh = shingles(df, idCol, textCol, n)
+    val shArr = shingleArrays(df, idCol, textCol, n)
+    val sh = explodeShingleArrays(shArr)
     val pref = prefixShingles(sh, thresholdPermille)
     // the probe: one aggregate over the prefix relation (count per bucket,
     // then one sum — never a pair enumerated) plus one cheap corpus count.
@@ -1096,20 +1143,27 @@ object Dedup {
     // relation itself (ADVICE r14): a row count over `df` would tally
     // duplicate doc_ids twice while the DuckDB twin counts DISTINCT sid
     // FROM sh — on a corpus with duplicate ids the integer route decision
-    // could flip between the engine and its oracle replay
-    val nDocs = sh.select("sid").distinct().count()
+    // could flip between the engine and its oracle replay. The size(hs)>0
+    // guard reproduces sh's shape (shingle-less docs own no exploded rows)
+    // without paying the explode; the distinct stays for the duplicate-id
+    // lockstep above.
+    val nDocs = shArr.filter(size(col("hs")) > 0)
+      .select("sid").distinct().count()
     if (est <= maxCandidatesPerDoc * nDocs)
-      prefixVerifiedPairs(sh, pref, thresholdPermille)
+      prefixVerifiedPairs(shArr, pref, thresholdPermille)
         .withColumn("route", lit("direct"))
     else {
-      val nsh = sh.groupBy("sid").agg(count(lit(1)).as("_nsh"))
-      val longSh = sh.join(
-        nsh.filter(col("_nsh") >= minShingles).select("sid"), Seq("sid"), "left_semi")
-      val longPairs = prefixVerifiedPairs(longSh,
+      // per-doc distinct-shingle counts are a projection of the array
+      // relation (the former groupBy(sid) re-exchanged the exploded
+      // relation); docs with ZERO shingles were absent from that groupBy,
+      // so the short-doc tier keeps the size(hs) > 0 bound explicit
+      val longArr = shArr.filter(size(col("hs")) >= minShingles)
+      val longSh = explodeShingleArrays(longArr)
+      val longPairs = prefixVerifiedPairs(longArr,
         prefixShingles(longSh, thresholdPermille), thresholdPermille)
       val shortDocs = df.select(col(idCol).as("sid"), col(textCol).as("_t"))
-        .join(nsh.filter(col("_nsh") < minShingles).select("sid"),
-          Seq("sid"), "left_semi")
+        .join(shArr.filter(size(col("hs")) > 0 && size(col("hs")) < minShingles)
+          .select("sid"), Seq("sid"), "left_semi")
         .withColumn("_h", xxhash64(col("_t")))
       // hash-bucketed exact-duplicate join: the equality verify makes a
       // 64-bit collision a non-event, and the join never touches the

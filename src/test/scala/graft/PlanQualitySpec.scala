@@ -392,18 +392,24 @@ class PlanQualitySpec extends AnyFunSuite {
     }
     assert(df.queryExecution.executedPlan.toString.contains("array_intersect"),
       "per-pair verify must use array_intersect")
-    // the hash-array aggregate must be candidate-restricted (LeftSemi on
-    // the candidate ids below it) — never a corpus-wide collect_set
+    // r15: the verify arrays are a PROJECTION of the pre-explode shingle
+    // array relation (hs comes straight off the scan), candidate-restricted
+    // by a LeftSemi on the candidate ids — the former collect_set-groupBy
+    // re-aggregated the exploded relation into the very array the scan had
+    // already built, paying one more corpus-wide exchange
     import org.apache.spark.sql.catalyst.plans.LeftSemi
     import org.apache.spark.sql.catalyst.plans.logical.Aggregate
     val arrAggs = plan.collect {
       case a: Aggregate if a.aggregateExpressions.exists(
           _.toString.contains("collect_set")) => a
     }
-    assert(arrAggs.nonEmpty && arrAggs.forall(_.collect {
-        case j @ Join(_, _, LeftSemi, _, _) => j
-      }.nonEmpty),
-      s"hash-array collect_set must sit above a candidate-id LeftSemi:\n$plan")
+    assert(arrAggs.isEmpty,
+      s"verify arrays must be a projection of the array-form shingle " +
+        s"relation, not a collect_set re-aggregation:\n$plan")
+    val semiJoins = plan.collect { case j @ Join(_, _, LeftSemi, _, _) => j }
+    assert(semiJoins.nonEmpty,
+      s"verify-array scan must be candidate-restricted (LeftSemi on " +
+        s"candidate ids):\n$plan")
     spark.catalog.clearCache() // prefix join pins its candidate frame
   }
 
