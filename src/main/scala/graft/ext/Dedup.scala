@@ -27,19 +27,28 @@ object Dedup {
   /** Exact dedup by content fingerprint: one window pass keyed on the
     * hash. Output: every row flagged; `is_kept` marks the min-id
     * survivor. */
-  def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    // one window pass (exchange + sort on the hash) instead of the former
-    // groupBy + join-back (guide §2.4): the join form shuffled the hashed
-    // relation TWICE and — worse in composition — evaluated the upstream
-    // plan twice (the md5 fingerprint, and in the q_corpus_* pipelines the
-    // quality/langid scoring feeding it, ran on both join inputs). Values
-    // are identical: keep_id = min(id) over the hash group, group_size =
-    // its count, is_kept = (id == keep_id).
+  def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    exactDedupKeep(df, idCol, textCol)
+      .select(col(idCol), col("text_hash"), col("group_size"), col("is_kept"))
+
+  /** [[exactDedup]] KEEPING every input column — the same one window pass
+    * (exchange + sort on the hash) instead of the former groupBy +
+    * join-back (guide §2.4): the join form shuffled the hashed relation
+    * TWICE and — worse in composition — evaluated the upstream plan twice
+    * (the md5 fingerprint, and in the q_corpus_* pipelines the
+    * quality/langid scoring feeding it, ran on both join inputs). Values
+    * are identical: keep_id = min(id) over the hash group, group_size =
+    * its count, is_kept = (id == keep_id). Pipeline consumers filter
+    * `is_kept` directly off THIS form (ids are unique per the corpus
+    * contract, so the filter equals a semi-join against the kept-id set)
+    * instead of joining [[exactDedup]]'s id set back to the input — the
+    * join-back was one more corpus-sized exchange plus a second
+    * evaluation of the upstream scan. */
+  def exactDedupKeep(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window.partitionBy("text_hash")
     df.withColumn("text_hash", TextAnalysis.fingerprint(col(textCol)))
       .withColumn("group_size", count(lit(1)).over(w))
       .withColumn("is_kept", col(idCol) === min(col(idCol)).over(w))
-      .select(col(idCol), col("text_hash"), col("group_size"), col("is_kept"))
   }
 
   // ------------------------------------------------------------- shingles

@@ -410,6 +410,13 @@ object ExtQueries {
         TextAnalysis.langId(col("text")).as("lp"))
       val filtered = scored.filter(col("q") >= 0.55 && col("lp") === "en")
         .select("doc_id", "text")
+      // join-back KEPT (r15 measured): `base` is re-evaluated several
+      // times inside the near-dup pipeline, and the exactDedupKeep filter
+      // form makes every re-evaluation carry the dedup window's
+      // exchange+sort with the text payload — min-of-draws showed that
+      // costs more than the join-back it saves (see q_corpus_shards,
+      // user-CPU 78.5 -> 98.4). Single-reference consumers
+      // (q_dedup_report, q_corpus_pipeline) use the keep form.
       val exactKept = Dedup.exactDedup(filtered, "doc_id", "text")
         .filter(col("is_kept")).select("doc_id")
       val base = filtered.join(exactKept, Seq("doc_id"), "left_semi")
@@ -429,6 +436,8 @@ object ExtQueries {
         TextAnalysis.langId(col("text")).as("lp"))
       val filtered = scored.filter(col("q") >= 0.55 && col("lp") === "en")
         .select("doc_id", "source", "text")
+      // join-back KEPT — same multi-reference measurement as
+      // q_corpus_clean (this query was the regression that decided it)
       val exactKept = Dedup.exactDedup(
           filtered.select("doc_id", "text"), "doc_id", "text")
         .filter(col("is_kept")).select("doc_id")
@@ -453,10 +462,11 @@ object ExtQueries {
         TextAnalysis.qualityScore(col("text")).as("q"),
         TextAnalysis.langId(col("text")).as("lp"))
       val filtered = scored.filter(col("q") >= 0.55 && col("lp") === "en")
-      val exactKept = Dedup.exactDedup(
-          filtered.select("doc_id", "text"), "doc_id", "text")
-        .filter(col("is_kept")).select("doc_id")
-      val base = filtered.join(exactKept, Seq("doc_id"), "left_semi")
+      // is_kept filter off the column-preserving window form (see
+      // q_corpus_clean): one evaluation of the scored scan, no join-back
+      val base = Dedup.exactDedupKeep(filtered, "doc_id", "text")
+        .filter(col("is_kept"))
+        .select(filtered.columns.map(col): _*)
       val gated = Sampling.keepTopQuantilePerGroup(base, col("source"),
         Seq(col("q").desc, col("doc_id").asc), keepPermille = 500)
       Sampling.tokenBudgetPerGroup(gated, col("source"),
@@ -789,9 +799,10 @@ object ExtQueries {
     // per-source dedup AUDIT: how duplicated is each domain — the report
     // that decides where the dedup budget goes
     "q_dedup_report" -> ((s, d) => {
-      val dd = docs(s, d)
-      Dedup.exactDedup(dd, "doc_id", "text")
-        .join(dd.select("doc_id", "source"), Seq("doc_id"))
+      // column-preserving window form: `source` rides the dedup pass, so
+      // the former join-back to the docs scan (one more exchange + a
+      // second scan evaluation) is gone
+      Dedup.exactDedupKeep(docs(s, d), "doc_id", "text")
         .groupBy("source")
         .agg(count(lit(1)).as("n_docs"),
           sum(when(col("is_kept"), 1L).otherwise(0L)).as("n_unique"))

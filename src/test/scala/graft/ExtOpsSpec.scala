@@ -29,6 +29,29 @@ class DedupSpec extends AnyFunSuite {
     def toMap_ : Map[Long, (Boolean, Long)] = rows.map(r => r._1 -> (r._2, r._3)).toMap
   }
 
+  test("exactDedupKeep preserves every input column and agrees with exactDedup") {
+    val withSource = docs.withColumn("source", concat(lit("s"), col("doc_id") % 2))
+    val kept = Dedup.exactDedupKeep(withSource, "doc_id", "text")
+    // input columns ride through, the three dedup columns are appended
+    assert(kept.columns.toSeq ==
+      Seq("doc_id", "text", "source", "text_hash", "group_size", "is_kept"))
+    // filtering is_kept off the keep form == semi-joining exactDedup's
+    // kept-id set back (the pipeline equivalence the q_corpus_* queries
+    // and q_dedup_report rely on)
+    val keptIds = kept.filter(col("is_kept"))
+      .select("doc_id").as[Long].collect().toSet
+    val joinIds = Dedup.exactDedup(withSource, "doc_id", "text")
+      .filter(col("is_kept")).select("doc_id").as[Long].collect().toSet
+    assert(keptIds == joinIds && keptIds == Set(1L, 3L, 4L))
+    // per-row dedup values identical to the projection form
+    val viaKeep = kept.select("doc_id", "is_kept", "group_size")
+      .as[(Long, Boolean, Long)].collect().toMap_
+    val viaProj = Dedup.exactDedup(withSource, "doc_id", "text")
+      .select("doc_id", "is_kept", "group_size")
+      .as[(Long, Boolean, Long)].collect().toMap_
+    assert(viaKeep == viaProj)
+  }
+
   test("pairwise source-overlap matrix is EXACT below the sketch size") {
     import spark.implicits._
     // vocabularies small enough that every sketch is the full distinct
