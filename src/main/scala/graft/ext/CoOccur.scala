@@ -31,6 +31,12 @@ object CoOccur {
     val sized = b.withColumn("_bsz",
         count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("_bk")))
       .filter(col("_bsz") <= maxBasketSize).drop("_bsz")
+    // `sized` is referenced three times (per-item sizes + both pair-join
+    // sides) but deliberately NOT cache-leased (r15 session 3, measured):
+    // runtime exchange reuse already shares the distinct+window subtree's
+    // shuffle, and the lease flipped isolated min-of-draws user-CPU from
+    // ~18.7 to 31.3 s (InMemoryRelation statistics re-plan the pair join)
+    // while only wall improved.
     val sizes = sized.groupBy(col("_it")).agg(count(lit(1)).as("n"))
     val pairs = sized.select(col("_bk"), col("_it").as("item_a"))
       .join(sized.select(col("_bk"), col("_it").as("item_b")), Seq("_bk"))

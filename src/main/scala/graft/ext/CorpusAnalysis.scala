@@ -167,12 +167,12 @@ object CorpusAnalysis {
   def bm25TopDocs(df: DataFrame, idCol: String, textCol: String,
       queryTerms: Seq[String], topN: Int = 10): DataFrame = {
     require(queryTerms.nonEmpty, "bm25TopDocs needs at least one query term")
-    val lens = df.select(col(idCol).as("doc_id"),
-      TextAnalysis.nonEmptyTokenCount(col(textCol)).as("len"))
-    val stats = lens.agg(count(lit(1)).as("n_docs"), sum("len").as("tot_len"))
-    val tf = queryTermTf(df, idCol, textCol, queryTerms)
+    val stats = df.agg(
+      count(lit(1)).as("n_docs"),
+      sum(TextAnalysis.nonEmptyTokenCount(col(textCol)).cast("long")).as("tot_len"))
+    val tf = queryTermTfLen(df, idCol, textCol, queryTerms)
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    bm25Score(tf, dfreq, lens, stats, topN)
+    bm25Score(tf, dfreq, stats, topN)
   }
 
   /** [[bm25TopDocs]] SERVED FROM MAINTAINED STATISTICS — the consumer of
@@ -198,32 +198,48 @@ object CorpusAnalysis {
       corpusStats: DataFrame, idCol: String, textCol: String,
       queryTerms: Seq[String], topN: Int = 10): DataFrame = {
     require(queryTerms.nonEmpty, "bm25TopDocsFromStats needs a query term")
-    val lens = df.select(col(idCol).as("doc_id"),
-      TextAnalysis.nonEmptyTokenCount(col(textCol)).as("len"))
-    val tf = queryTermTf(df, idCol, textCol, queryTerms)
+    val tf = queryTermTfLen(df, idCol, textCol, queryTerms)
     val dfreq = termStats.filter(col("term").isin(queryTerms: _*))
       .select(col("term"), col("df"))
-    bm25Score(tf, dfreq, lens,
+    bm25Score(tf, dfreq,
       corpusStats.select(col("n_docs"), col("tot_len")), topN)
   }
 
-  /** Query-term-pruned (doc, term, tf) aggregation — the only
-    * corpus-sized work a BM25 query pays; shared by both serving paths. */
-  private def queryTermTf(df: DataFrame, idCol: String, textCol: String,
-      queryTerms: Seq[String]): DataFrame =
+  /** Query-term-pruned (doc_id, len, term, tf) rows — the only
+    * corpus-sized work a BM25 query pays; shared by both serving paths.
+    * ONE projection pass: per query term, tf = occurrences counted by an
+    * array filter over the tokenized row, the per-doc length rides the
+    * same row, and only matching (doc, term) rows survive the generate.
+    * The former shape exploded EVERY token of every document into rows
+    * and re-aggregated them through a (doc, term)-keyed exchange, then
+    * re-scanned the corpus a second time for the lengths and paid a
+    * doc-keyed join to attach them (guide §2.3-2.4) — for a handful of
+    * query terms that moved the whole token multiset through a shuffle
+    * to recover counts a per-row expression already knows. */
+  private def queryTermTfLen(df: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String]): DataFrame = {
+    val toks = TextAnalysis.tokens(col(textCol))
+    val tfCols = queryTerms.map { t =>
+      struct(lit(t).as("term"),
+        size(filter(toks, x => x === lit(t))).cast("long").as("tf"))
+    }
     df.select(col(idCol).as("doc_id"),
-        explode(TextAnalysis.tokens(col(textCol))).as("term"))
-      .filter(col("term").isin(queryTerms: _*))
-      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        TextAnalysis.nonEmptyTokenCount(col(textCol)).as("len"),
+        explode(array(tfCols: _*)).as("_tt"))
+      .select(col("doc_id"), col("len"),
+        col("_tt.term").as("term"), col("_tt.tf").as("tf"))
+      .filter(col("tf") > 0)
+  }
 
   /** Shared BM25 scoring tail: per-(doc,term) contribution quantized to
     * integer micros BEFORE the per-doc sum (the oracle rule), then the
     * deterministic top-N. `dfreq` and `stats` are broadcast — they are
-    * metadata-sized on both serving paths. */
-  private def bm25Score(tf: DataFrame, dfreq: DataFrame, lens: DataFrame,
+    * metadata-sized on both serving paths; `tf` carries the per-doc
+    * length, so the only exchange of document-cardinality data is the
+    * final per-doc sum. */
+  private def bm25Score(tf: DataFrame, dfreq: DataFrame,
       stats: DataFrame, topN: Int): DataFrame = {
     val contrib = tf.join(broadcast(dfreq), Seq("term"))
-      .join(lens, Seq("doc_id"))
       .crossJoin(broadcast(stats))
       .withColumn("contrib_micro", expr(
         """CAST(floor(1000000.0 * (

@@ -382,9 +382,18 @@ object Dedup {
     val capped = sh.withColumn("sfreq",
         count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("shingle")))
       .filter(col("sfreq") <= maxShingleFreq).drop("sfreq")
-    val a = capped.join(cand.select(col("id_a").as("sid")).distinct(), Seq("sid"), "left_semi")
+    // ONE evaluation of the capped relation (the corpus-wide hot-shingle
+    // window), semi-joined to the UNION of candidate ids and cached
+    // candidate-sized — deriving each join side from `capped` directly ran
+    // the exchange+sort+window twice, once per side (guide §2.4). The
+    // per-side id restriction below is unchanged, it just reads the cache.
+    val candIds = cand.select(col("id_a").as("sid"))
+      .union(cand.select(col("id_b").as("sid"))).distinct()
+    val candSh = capped.join(candIds, Seq("sid"), "left_semi")
+    KMeans.ensureCached(candSh)
+    val a = candSh.join(cand.select(col("id_a").as("sid")).distinct(), Seq("sid"), "left_semi")
       .select(col("sid").as("id_a"), col("shingle"))
-    val b = capped.join(cand.select(col("id_b").as("sid")).distinct(), Seq("sid"), "left_semi")
+    val b = candSh.join(cand.select(col("id_b").as("sid")).distinct(), Seq("sid"), "left_semi")
       .select(col("sid").as("id_b"), col("shingle"))
     val common = a.join(b, Seq("shingle")).filter(col("id_a") < col("id_b"))
       .join(cand, Seq("id_a", "id_b"), "left_semi")
@@ -409,6 +418,12 @@ object Dedup {
       idCol: String, textCol: String, n: Int = 3, threshold: Double = 0.5,
       maxShingleFreq: Long = 1000): DataFrame = {
     val bands = bandIndex.select(col(idCol).as("sid"), col("band"), col("bsig"))
+    // the self-join references the index from both sides; when the index is
+    // a live derivation (the maintained-index queries: corpus banding +
+    // feed resolution), an uncached frame evaluates that derivation twice —
+    // cache the slim (sid, band, bsig) rows once (guide §2.4). At scale the
+    // index is a stored table and this is a no-op-sized pin.
+    KMeans.ensureCached(bands)
     val cand = bands.as("x").join(bands.as("y"), Seq("band", "bsig"))
       .filter(col("x.sid") < col("y.sid"))
       .select(col("x.sid").as("id_a"), col("y.sid").as("id_b")).distinct()

@@ -48,6 +48,14 @@ object SyncQueries {
     LakeTable.appendCommit(
       Apply.ChangeSet(dels, docs.filter(lit(false)), dels), dir, nowMs = 2000L)
     val fromSeq = LakeTable.resolve(dir).get._2
+    // NOT cached, by measurement (r15 session 3): the maintenance
+    // consumers do reference tgt/feed/fin several times, but lease-caching
+    // any of the three RAISED isolated min-of-draws user-CPU
+    // (q_cdf_maintain_bm25 20.6 -> 26.7 with all three leased, -> 29.6
+    // with tgt+feed only) while cutting wall — the columnar text
+    // encode/decode costs more CPU than the re-derivations it saves at
+    // this corpus size, and at 100 TB these are stored tables whose
+    // re-reads are plain scans anyway.
     (tgt, LakeTable.changes(s, dir, fromSeq, keyCol = "doc_id"),
       LakeTable.read(s, dir, keyCol = "doc_id"))
   }
@@ -75,6 +83,7 @@ object SyncQueries {
     LakeTable.appendCommit(
       Apply.ChangeSet(dels, embs.filter(lit(false)), dels), dir, nowMs = 2000L)
     val fromSeq = LakeTable.resolve(dir).get._2
+    // not cached — same measurement as [[bm25LakeFixture]]
     (ini, LakeTable.changes(s, dir, fromSeq, keyCol = "vec_id"),
       LakeTable.read(s, dir, keyCol = "vec_id"))
   }
