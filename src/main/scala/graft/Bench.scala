@@ -87,12 +87,15 @@ object Bench {
     // only a ~4 KB stdout tail, truncating 115 of 147 per-query timings and
     // parsing as null): the COMPLETE results live in a committed file
     // (BENCH_FULL.json, atomic-renamed every flush so a kill can't truncate
-    // it), and the stdout line is now COMPACT — headline scenario timings +
-    // every ratio + a pointer to the full file — so it always survives a
-    // small tail capture intact and parses.
+    // it), and the stdout line is COMPACT — headline scenario timings + the
+    // BASELINE gate ratios + a pointer to the full file, ≤1 KB total (r16:
+    // the previous "every ratio" form had grown to ~3.5 KB and was
+    // decapitated by the driver's ~2 KB tail capture for 15 straight
+    // rounds) — so it always survives a small tail capture intact and
+    // parses.
     def jmap(m: scala.collection.Map[String, Double]): String =
       m.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val fullOut = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "BENCH_FULL.json")
+    val canonicalOut = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "BENCH_FULL.json")
 
     // --- previous-round artifact (VERDICT r12 #3 + #4) ---------------------
     // Read the committed BENCH_FULL.json BEFORE the first flush overwrites
@@ -113,12 +116,33 @@ object Bench {
     // is ignored entirely.
     val prevArtifact: Option[String] =
       try {
-        val p = java.nio.file.Paths.get(fullOut)
+        val p = java.nio.file.Paths.get(canonicalOut)
         if (java.nio.file.Files.exists(p)) {
           val s = java.nio.file.Files.readString(p)
           if (s.contains("\"sf\":\"" + sfDir + "\"")) Some(s) else None
         } else None
       } catch { case _: Throwable => None }
+    // SCALING RUNS ARE NON-DESTRUCTIVE (VERDICT r15 #2): the r15 driver's
+    // 8-core scaling run OVERWROTE the 32-core BENCH_FULL.json and advanced
+    // the rotation counter, destroying the per-query 32-core ground truth.
+    // Since r16 the artifact records its cpu count; a run whose cpu count
+    // differs from the canonical artifact's (a) writes its full artifact to
+    // a per-cpu name (BENCH_FULL_c8.json) so the canonical file survives,
+    // and (b) PINS rotation (no +1) so it times the SAME fresh bucket as
+    // the canonical run — that is what makes per-query low-core/high-core
+    // ratios exist at all. The divert applies to an explicit
+    // SPARK_GRAFT_BENCH_FULL too: a cpu-mismatched run must never clobber
+    // the artifact whose name it was given.
+    val prevCpus: Option[Int] = prevArtifact.flatMap(s =>
+      """"cpus":(\d+)""".r.findFirstMatchIn(s).map(_.group(1).toInt))
+    val scalingRun: Boolean =
+      prevCpus.exists(p => scala.util.Try(cpus.toInt).toOption.exists(_ != p))
+    val fullOut =
+      if (scalingRun) canonicalOut.stripSuffix(".json") + s"_c$cpus.json"
+      else canonicalOut
+    if (scalingRun)
+      System.err.println(s"[bench] scaling run: cpus=$cpus vs canonical " +
+        s"${prevCpus.get} — writing $fullOut, rotation pinned")
     // the artifact's maps are FLAT (name -> number, written by jmap above):
     // a brace-bounded regex scan is a complete parser for our own format
     def prevBlock(key: String): Map[String, Double] =
@@ -171,7 +195,8 @@ object Bench {
     // rewrite draws their margin back)
     val rotationGroups = 4
     val rotation = prevArtifact.flatMap(s =>
-      """"rotation":(\d+)""".r.findFirstMatchIn(s).map(_.group(1).toInt + 1))
+      """"rotation":(\d+)""".r.findFirstMatchIn(s).map(m =>
+        m.group(1).toInt + (if (scalingRun) 0 else 1)))
       .getOrElse(0)
     val carried = scala.collection.mutable.ArrayBuffer.empty[String]
     // GATE domain (VERDICT r13 #1 — the mechanical gate's first round
@@ -353,7 +378,7 @@ object Bench {
       val (regs, annotated, pending) = splitAnnotated(cpuRegressions())
       try {
         val full =
-          s"""{"metric":"total","value":$total,"unit":"sec","phase":"$phase","queries":${jmap(results)},"queries_cpu":${jmap(resultsCpu)},"queries_cpu_user":${jmap(resultsCpuUser)},"queries_cpu_user_min":${jmap(resultsCpuGate)},$gateHistOut,"ratios":${jmap(ratios)},"rotation":$rotation,"rotation_groups":$rotationGroups,"carried_from_prev":${jarr(carried.toSeq)},"cpu_regressions":${jreg(regs)},"cpu_regressions_regime_annotated":${jregAnnotated(annotated)},"cpu_regressions_pending_twin":${jreg(pending)},"sentinels":${jarr(sentinelQueries.toSeq.sorted)},"sf":"$sfDir"}"""
+          s"""{"metric":"total","value":$total,"unit":"sec","phase":"$phase","cpus":$cpus,"queries":${jmap(results)},"queries_cpu":${jmap(resultsCpu)},"queries_cpu_user":${jmap(resultsCpuUser)},"queries_cpu_user_min":${jmap(resultsCpuGate)},$gateHistOut,"ratios":${jmap(ratios)},"rotation":$rotation,"rotation_groups":$rotationGroups,"carried_from_prev":${jarr(carried.toSeq)},"cpu_regressions":${jreg(regs)},"cpu_regressions_regime_annotated":${jregAnnotated(annotated)},"cpu_regressions_pending_twin":${jreg(pending)},"sentinels":${jarr(sentinelQueries.toSeq.sorted)},"sf":"$sfDir"}"""
         val tmp = java.nio.file.Paths.get(fullOut + ".tmp")
         java.nio.file.Files.writeString(tmp, full + "\n")
         java.nio.file.Files.move(tmp, java.nio.file.Paths.get(fullOut),
@@ -362,8 +387,26 @@ object Bench {
       } catch { case e: Throwable =>
         System.err.println(s"[bench] full-artifact write failed: $e")
       }
+      // The stdout line must SURVIVE a small (~2 KB) tail capture AND parse
+      // (VERDICT r15 #1: the full ~3.5 KB ratio map decapitated the line and
+      // BENCH_r01..r15.json all recorded parsed:null — the driver never got
+      // per-query ground truth in 15 rounds). ≤1 KB discipline: headline
+      // scenario timings + the formal BASELINE gate ratios only, values
+      // rounded to 4 decimals, cpu_regressions as a COUNT, everything else
+      // behind the queries_full pointer. The previous full-ratio stdout map
+      // lives unchanged in the artifact file's "ratios" block.
       val headline = results.filter { case (k, _) => k.startsWith("scn_") }
-      println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(headline)},"ratios":${jmap(ratios)},"n_queries":${results.size},"rotation":$rotation,"carried_n":${carried.size},"cpu_regressions":${jreg(regs.take(8))},"queries_full":"$fullOut","sf":"$sfDir"}""")
+      def r4(v: Double): Double =
+        if (v.isNaN || v.isInfinite) v else math.rint(v * 1e4) / 1e4
+      val gateKeys = Seq(
+        "nochange_speedup", "pct5_speedup", "pct5_speedup_cpu", "pct5_pairs",
+        "pct5_write_reduction_x", "truncate_vs_full", "truncate_vs_full_bytes",
+        "control_bytes_per_row", "full_bytes_per_row")
+      val gates = scala.collection.mutable.LinkedHashMap(
+        gateKeys.flatMap(k => ratios.get(k).map(v => k -> r4(v))): _*)
+      val headlineR = scala.collection.mutable.LinkedHashMap(
+        headline.toSeq.map { case (k, v) => k -> r4(v) }: _*)
+      println(s"""{"metric":"total","value":${r4(total)},"unit":"sec","cpus":$cpus,"queries":${jmap(headlineR)},"gates":${jmap(gates)},"n_queries":${results.size},"rotation":$rotation,"carried_n":${carried.size},"cpu_regressions_n":${regs.size},"queries_full":"$fullOut","sf":"$sfDir"}""")
       Console.out.flush()
       System.err.println(f"[bench] flushed after phase '$phase' (t=$elapsed%.0f s, budget $budgetSec%.0f s + ${budgetCreditSec}%.0f s build credit)")
     }

@@ -218,8 +218,19 @@ object CorpusAnalysis {
     * to recover counts a per-row expression already knows. */
   private def queryTermTfLen(df: DataFrame, idCol: String, textCol: String,
       queryTerms: Seq[String]): DataFrame = {
+    // duplicate-insensitive semantics (ADVICE r15): one struct per DISTINCT
+    // term — the pre-r15 explode+isin+groupBy shape collapsed duplicated
+    // query terms, and without this a repeated term would double both its
+    // score contribution and its df in bm25TopDocs.
+    // Per-row cost is O(|terms| · |tokens|) — one array_filter pass per
+    // distinct query term; the r15→r16 measured trade (vs the token-multiset
+    // explode + (doc,term) exchange) wins comfortably at retrieval-sized
+    // query lists (≈3 terms here) and the crossover sits far above ~10
+    // terms because each filter pass is codegen'd scan work while the old
+    // shape re-shuffled every token of the corpus regardless of |terms|.
+    val terms = queryTerms.distinct
     val toks = TextAnalysis.tokens(col(textCol))
-    val tfCols = queryTerms.map { t =>
+    val tfCols = terms.map { t =>
       struct(lit(t).as("term"),
         size(filter(toks, x => x === lit(t))).cast("long").as("tf"))
     }

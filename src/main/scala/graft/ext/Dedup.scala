@@ -414,16 +414,22 @@ object Dedup {
     * input to candidate generation — at 100 TB it is incrementally
     * maintained, never recomputed), verification reads the corpus text of
     * candidate docs only, through the same capped exact-Jaccard tail. */
+  /** @param cacheIndex lease-cache the slim (sid, band, bsig) rows before
+    *        the self-join. The self-join references the index from both
+    *        sides; when the index is a LIVE DERIVATION (the maintained-index
+    *        queries: corpus banding + feed resolution), an uncached frame
+    *        evaluates that derivation twice, so the pin pays for itself
+    *        (guide §2.4). The pin is NOT free (ADVICE r15): it materializes
+    *        the whole corpus-cardinality index into cache memory on first
+    *        action (slim rows, but all of them — spill covers the overflow).
+    *        A caller serving from a STORED index table should pass `false`:
+    *        a stored index's re-read is a scan, cheaper than an in-memory
+    *        copy of the corpus's band rows. */
   def minhashLshPairsFromIndex(bandIndex: DataFrame, df: DataFrame,
       idCol: String, textCol: String, n: Int = 3, threshold: Double = 0.5,
-      maxShingleFreq: Long = 1000): DataFrame = {
+      maxShingleFreq: Long = 1000, cacheIndex: Boolean = true): DataFrame = {
     val bands = bandIndex.select(col(idCol).as("sid"), col("band"), col("bsig"))
-    // the self-join references the index from both sides; when the index is
-    // a live derivation (the maintained-index queries: corpus banding +
-    // feed resolution), an uncached frame evaluates that derivation twice —
-    // cache the slim (sid, band, bsig) rows once (guide §2.4). At scale the
-    // index is a stored table and this is a no-op-sized pin.
-    KMeans.ensureCached(bands)
+    if (cacheIndex) KMeans.ensureCached(bands)
     val cand = bands.as("x").join(bands.as("y"), Seq("band", "bsig"))
       .filter(col("x.sid") < col("y.sid"))
       .select(col("x.sid").as("id_a"), col("y.sid").as("id_b")).distinct()
