@@ -223,11 +223,13 @@ object CorpusAnalysis {
     // query terms, and without this a repeated term would double both its
     // score contribution and its df in bm25TopDocs.
     // Per-row cost is O(|terms| · |tokens|) — one array_filter pass per
-    // distinct query term; the r15→r16 measured trade (vs the token-multiset
-    // explode + (doc,term) exchange) wins comfortably at retrieval-sized
-    // query lists (≈3 terms here) and the crossover sits far above ~10
-    // terms because each filter pass is codegen'd scan work while the old
-    // shape re-shuffled every token of the corpus regardless of |terms|.
+    // distinct query term. MEASURED crossover vs the r14 token-multiset
+    // explode + (doc,term) exchange (graft.tools.Bm25Pair, sf0.1 + 10x doc
+    // twin, min-of-4 noop draws): this shape wins at retrieval-sized lists
+    // (CPU 1.9-2.8x at 3 terms), breaks even at ~6, and LOSES by 12 (0.54x
+    // at the 10x twin) — the old shape's shuffle is |terms|-independent
+    // while the filter passes scale linearly. A caller with long query
+    // lists (>~6 terms) should route through an explode-shaped stage.
     val terms = queryTerms.distinct
     val toks = TextAnalysis.tokens(col(textCol))
     val tfCols = terms.map { t =>

@@ -981,6 +981,29 @@ object Dedup {
       .select("sid", "shingle", "rk", "nsh")
   }
 
+  /** [[prefixShingles]] when the exploded rows come straight off the
+    * UNCAPPED array relation: `nsh` (the doc's distinct-shingle count) is
+    * `size(hs)` carried through the explode — a projection — instead of a
+    * second count-over-Window pass per doc partition (guide §2.4; the same
+    * move that took the Jaccard denominators off their groupBy(sid)
+    * re-exchanges in r15). Equivalence holds because `hs` IS the per-doc
+    * distinct set, so the exploded partition's row count equals size(hs)
+    * exactly. NOT valid for capped/filtered exploded inputs (the bench's
+    * hot-shingle-capped candidate measurement), where nsh must count the
+    * SURVIVING rows — those callers keep [[prefixShingles]]. */
+  private[graft] def prefixShinglesFromArrays(shArr: DataFrame,
+      thresholdPermille: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    shArr.select(col("sid"), size(col("hs")).cast("long").as("nsh"),
+        explode(col("hs")).as("shingle"))
+      .withColumn("dfreq", count(lit(1)).over(w.partitionBy("shingle")))
+      .withColumn("rk", row_number().over(
+        w.partitionBy("sid").orderBy(col("dfreq"), col("shingle"))))
+      .filter(col("rk") <= col("nsh") -
+        expr(s"(nsh * $thresholdPermille + 999) div 1000") + 1)
+      .select("sid", "shingle", "rk", "nsh")
+  }
+
   /** Candidate pairs of the prefix-filter join, cut by the two PPJoin
     * refinements (Xiao, Wang, Lin & Yu 2008 "Efficient Similarity Joins
     * for Near Duplicate Detection") — both LOSSLESS, so the verify stage
@@ -1048,7 +1071,7 @@ object Dedup {
     val arr =
       if (minShingles <= 0) arrAll
       else arrAll.filter(size(col("hs")) >= minShingles)
-    val prefix = prefixShingles(explodeShingleArrays(arr), thresholdPermille)
+    val prefix = prefixShinglesFromArrays(arr, thresholdPermille)
     prefixVerifiedPairs(arr, prefix, thresholdPermille)
   }
 
@@ -1156,8 +1179,7 @@ object Dedup {
     require(thresholdPermille > 0 && thresholdPermille <= 1000,
       s"thresholdPermille in (0,1000]: $thresholdPermille")
     val shArr = shingleArrays(df, idCol, textCol, n)
-    val sh = explodeShingleArrays(shArr)
-    val pref = prefixShingles(sh, thresholdPermille)
+    val pref = prefixShinglesFromArrays(shArr, thresholdPermille)
     // the probe: one aggregate over the prefix relation (count per bucket,
     // then one sum — never a pair enumerated) plus one cheap corpus count.
     // DELIBERATELY UNCACHED: sh/pref are the pipeline's two largest
@@ -1166,6 +1188,14 @@ object Dedup {
     // 10x its user-CPU with these cached) — the probe-before-pay price is
     // ONE extra derivation of the prefix relation, a control-pass-sized
     // cost, not a resident multi-GB cache.
+    // r16 probe-lease REJECTED by measurement (VERDICT r15 #5 follow-up):
+    // leasing the now-slim pref relation before the probe (so est and a
+    // DIRECT tier would share one materialization, guarded releasing right
+    // after the probe) cost the GUARDED route — the tier that fires at
+    // scale, where pref is consumed exactly once — a pure materialization
+    // tax: q_dedup_prefix_routed 48.4 -> 60.4, _hot 58.4 -> 66.5 isolated
+    // min-of-draws user-cpu-s. The probe stays uncached; its r16 cost cut
+    // comes from prefixShinglesFromArrays (nsh as a projection) instead.
     val est = pref.groupBy("shingle").agg(count(lit(1)).as("c"))
       .agg(coalesce(sum(expr("c * (c - 1) div 2")), lit(0L)))
       .head.getLong(0)
@@ -1188,9 +1218,8 @@ object Dedup {
       // relation); docs with ZERO shingles were absent from that groupBy,
       // so the short-doc tier keeps the size(hs) > 0 bound explicit
       val longArr = shArr.filter(size(col("hs")) >= minShingles)
-      val longSh = explodeShingleArrays(longArr)
       val longPairs = prefixVerifiedPairs(longArr,
-        prefixShingles(longSh, thresholdPermille), thresholdPermille)
+        prefixShinglesFromArrays(longArr, thresholdPermille), thresholdPermille)
       val shortDocs = df.select(col(idCol).as("sid"), col(textCol).as("_t"))
         .join(shArr.filter(size(col("hs")) > 0 && size(col("hs")) < minShingles)
           .select("sid"), Seq("sid"), "left_semi")

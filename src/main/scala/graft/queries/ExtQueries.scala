@@ -410,13 +410,15 @@ object ExtQueries {
         TextAnalysis.langId(col("text")).as("lp"))
       val filtered = scored.filter(col("q") >= 0.55 && col("lp") === "en")
         .select("doc_id", "text")
-      // join-back KEPT (r15 measured): `base` is re-evaluated several
-      // times inside the near-dup pipeline, and the exactDedupKeep filter
-      // form makes every re-evaluation carry the dedup window's
-      // exchange+sort with the text payload — min-of-draws showed that
-      // costs more than the join-back it saves (see q_corpus_shards,
-      // user-CPU 78.5 -> 98.4). Single-reference consumers
-      // (q_dedup_report, q_corpus_pipeline) use the keep form.
+      // join-back KEPT (r15 keep-form/lease and r16 kept-id-semi-join all
+      // measured): this pipeline makes FEW references to `base` (ngram's
+      // capped-window sides share one exchange), so the r16 third shape —
+      // score once into a narrow kept-id set, semi-join it per reference
+      // (adopted for q_corpus_shards, which re-derives base 4-5x) —
+      // measured FLAT on user-CPU here (29.7 -> 30.1 min-of-draws,
+      // interleaved same-session pairs) with wall consistently ~+1 s: the
+      // added per-reference probe costs what the saved scoring earns at
+      // this reference count. See OPTIMIZATION_r16.md.
       val exactKept = Dedup.exactDedup(filtered, "doc_id", "text")
         .filter(col("is_kept")).select("doc_id")
       val base = filtered.join(exactKept, Seq("doc_id"), "left_semi")
@@ -430,18 +432,21 @@ object ExtQueries {
     // (no sketch recall loss on the kept set) → token-balanced shard
     // assignment — what actually lands on disk, end to end ----
     "q_corpus_shards" -> ((s, d) => {
-      val scored = docs(s, d).select(
-        col("doc_id"), col("source"), col("text"),
-        TextAnalysis.qualityScore(col("text")).as("q"),
-        TextAnalysis.langId(col("text")).as("lp"))
-      val filtered = scored.filter(col("q") >= 0.55 && col("lp") === "en")
-        .select("doc_id", "source", "text")
-      // join-back KEPT — same multi-reference measurement as
-      // q_corpus_clean (this query was the regression that decided it)
-      val exactKept = Dedup.exactDedup(
-          filtered.select("doc_id", "text"), "doc_id", "text")
-        .filter(col("is_kept")).select("doc_id")
-      val base = filtered.join(exactKept, Seq("doc_id"), "left_semi")
+      // third shape — scoring runs ONCE in the kept-id subtree, every
+      // `base` reference re-reads the scan + probes the reused exchange
+      // (see q_corpus_clean; this query was the r15 keep-form regression)
+      val keptIds = {
+        val filtered = docs(s, d).select(
+            col("doc_id"), col("text"),
+            TextAnalysis.qualityScore(col("text")).as("q"),
+            TextAnalysis.langId(col("text")).as("lp"))
+          .filter(col("q") >= 0.55 && col("lp") === "en")
+          .select("doc_id", "text")
+        Dedup.exactDedup(filtered, "doc_id", "text")
+          .filter(col("is_kept")).select("doc_id")
+      }
+      val base = docs(s, d).select("doc_id", "source", "text")
+        .join(keptIds, Seq("doc_id"), "left_semi")
       val losers = Dedup.prefixFilterJaccardPairs(
           base.select("doc_id", "text"), "doc_id", "text",
           n = 3, thresholdPermille = 500)

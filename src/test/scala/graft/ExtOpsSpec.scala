@@ -1345,4 +1345,27 @@ class SamplingSpec extends AnyFunSuite {
       .as[Long].collect().toSet
     assert(h == out.filter(_._2 == "train").keySet)
   }
+
+  test("prefixShinglesFromArrays equals the window form row-for-row " +
+      "(r16: nsh from size(hs), the per-doc count window removed)") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "a b c d e f"),
+      (2L, "a b c d e f"),              // exact dup of 1
+      (3L, "a b c x y z w"),            // shares a prefix shingle with 1
+      (4L, "a b"),                      // < n tokens: zero shingles
+      (5L, "q r s"),                    // exactly one shingle
+      (6L, "a b c a b c a b c")         // in-doc duplicate shingles
+    ).toDF("doc_id", "text")
+    Seq(500, 800).foreach { t =>
+      val viaArrays = Dedup.prefixShinglesFromArrays(
+          Dedup.shingleArrays(corpus, "doc_id", "text", 3), t)
+        .as[(Long, String, Int, Long)].collect().toSet
+      val viaWindow = Dedup.prefixShingles(
+          Dedup.shingles(corpus, "doc_id", "text", 3), t)
+        .as[(Long, String, Int, Long)].collect().toSet
+      assert(viaArrays == viaWindow, s"t=$t: $viaArrays vs $viaWindow")
+      assert(viaArrays.nonEmpty)
+    }
+  }
 }
