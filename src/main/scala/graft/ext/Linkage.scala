@@ -134,9 +134,14 @@ object Linkage {
       .join(comps, Seq("record_id"), "left")
       .select(col("record_id"),
         coalesce(col("comp"), col("record_id")).as("cluster_id"))
-    val sizes = assigned.groupBy("cluster_id")
-      .agg(count(lit(1)).as("cluster_size"))
-    assigned.join(sizes, Seq("cluster_id"))
+    // cluster sizes as a count-over-window on the SAME pass (guide §2.4):
+    // the former groupBy(cluster_id) + join-back re-evaluated `assigned`
+    // (records scan + the comps left-join) a second time and paid a second
+    // cluster_id exchange for the join — one window keyed like the
+    // aggregation does both in a single evaluation
+    assigned.withColumn("cluster_size",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy("cluster_id")))
       .select("record_id", "cluster_id", "cluster_size")
   }
 
