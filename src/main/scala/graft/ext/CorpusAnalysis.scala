@@ -64,8 +64,17 @@ object CorpusAnalysis {
   def boilerplateScore(df: DataFrame, idCol: String, textCol: String,
       n: Int = 5, minDocs: Long = 2): DataFrame = {
     val units = Dedup.shingles(df, idCol, textCol, n)
-    val freq = units.groupBy("shingle").agg(count(lit(1)).as("unit_docs"))
-    units.join(freq, Seq("shingle"))
+    // per-shingle document frequency as count-over-window, not
+    // groupBy(shingle) + join-back: the join-back re-evaluated `units`
+    // (a second full shingling pass over every doc's text) and paid the
+    // aggregate's exchange ON TOP of the join's — the window computes the
+    // same count (units rows are distinct per (sid, shingle), so a row
+    // count IS the doc count) in one exchange+sort of the single `units`
+    // evaluation (guide §2.4; same r2 measurement as ngramJaccardPairs'
+    // hot-shingle cap — shingle keys are mostly unique, so map-side
+    // partials buy nothing and the window's sort beats the second shuffle).
+    val w = Window.partitionBy("shingle")
+    units.withColumn("unit_docs", count(lit(1)).over(w))
       .groupBy(col("sid").as("doc_id"))
       .agg(
         count(lit(1)).as("n_units"),

@@ -104,7 +104,17 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.5, maxShingleFreq: Long = 1000): DataFrame = {
     val shArr = shingleArrays(df, idCol, textCol, n)
-    val sh = explodeShingleArrays(shArr)
+    // per-doc sizes RIDE the exploded rows as a projection (`size(hs)`
+    // carried through the explode — the prefixCandidates pattern): the
+    // former tail joined a (sid, size(hs)) relation back onto the pair
+    // aggregate TWICE, and each of those joins re-evaluated the shingling
+    // subtree (tokenize + transform + array_distinct over every doc's full
+    // text) just to size it (guide §2.4). The carried long widens the cap
+    // window's exchange by 8 bytes/row; the two join-backs and both extra
+    // shingling passes are gone. UNCAPPED size by construction: the cap
+    // filter drops rows, never rewrites the carried nsh.
+    val sh = shArr.select(col("sid"), size(col("hs")).cast("long").as("nsh"),
+      explode(col("hs")).as("shingle"))
     // hot-shingle cap via count-over-partition. Measured alternative (r2):
     // a groupBy(shingle).count + anti-join "avoids the sort" but shingle
     // keys are mostly UNIQUE, so its map-side partials don't reduce and the
@@ -115,17 +125,13 @@ object Dedup {
     val capped = sh.withColumn("sfreq",
         count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("shingle")))
       .filter(col("sfreq") <= maxShingleFreq).drop("sfreq")
-    // per-doc sizes are a projection of the ARRAY relation (size(hs)) — the
-    // former groupBy(sid).count re-exchanged the exploded relation to
-    // recompute what the pre-explode array already knows (guide §2.4)
-    val sizes = shArr.select(col("sid"), size(col("hs")).cast("long").as("nsh"))
-    val a = capped.select(col("sid").as("id_a"), col("shingle"))
-    val b = capped.select(col("sid").as("id_b"), col("shingle"))
-    val common = a.join(b, Seq("shingle")).filter(col("id_a") < col("id_b"))
-      .groupBy("id_a", "id_b").agg(count(lit(1)).as("common"))
-    common
-      .join(sizes.withColumnRenamed("sid", "id_a").withColumnRenamed("nsh", "na"), Seq("id_a"))
-      .join(sizes.withColumnRenamed("sid", "id_b").withColumnRenamed("nsh", "nb"), Seq("id_b"))
+    val a = capped.select(col("sid").as("id_a"), col("shingle"), col("nsh").as("na"))
+    val b = capped.select(col("sid").as("id_b"), col("shingle"), col("nsh").as("nb"))
+    a.join(b, Seq("shingle")).filter(col("id_a") < col("id_b"))
+      // na/nb are constant within the (id_a, id_b) group — max() is just
+      // the cheapest way to surface them through the aggregate
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("common"),
+        max(col("na")).as("na"), max(col("nb")).as("nb"))
       .withColumn("jaccard",
         col("common").cast("double") / (col("na") + col("nb") - col("common")))
       .filter(col("jaccard") >= threshold)
@@ -161,27 +167,40 @@ object Dedup {
     require(thresholdPermille > 0 && thresholdPermille <= 1000,
       s"thresholdPermille in (0,1000]: $thresholdPermille")
     val shArr = shingleArrays(df, idCol, textCol, n)
-    val sh = explodeShingleArrays(shArr)
+    // UNCAPPED per-doc sizes carried through the explode (see
+    // [[ngramJaccardPairs]]): the scaladoc's "sizes stay uncapped" contract
+    // holds because the cap filter drops rows without touching nsh — the
+    // two former size join-backs each re-ran the shingling subtree.
+    val sh = shArr.select(col("sid"), size(col("hs")).cast("long").as("nsh"),
+      explode(col("hs")).as("shingle"))
     val capped = sh.withColumn("sfreq",
         count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("shingle")))
       .filter(col("sfreq") <= maxShingleFreq).drop("sfreq")
-    val sizes = shArr.select(col("sid"), size(col("hs")).cast("long").as("nsh"))
-    val common = capped.select(col("sid").as("id_a"), col("shingle"))
-      .join(capped.select(col("sid").as("id_b"), col("shingle")), Seq("shingle"))
+    val withSizes = capped
+      .select(col("sid").as("id_a"), col("shingle"), col("nsh").as("na"))
+      .join(capped.select(col("sid").as("id_b"), col("shingle"),
+        col("nsh").as("nb")), Seq("shingle"))
       .filter(col("id_a") < col("id_b"))
-      .groupBy("id_a", "id_b").agg(count(lit(1)).as("common"))
-    val withSizes = common
-      .join(sizes.select(col("sid").as("id_a"), col("nsh").as("na")), Seq("id_a"))
-      .join(sizes.select(col("sid").as("id_b"), col("nsh").as("nb")), Seq("id_b"))
-    val aInB = withSizes
-      .filter(col("common") * 1000 >= lit(thresholdPermille) * col("na"))
-      .select(col("id_a").as("id_sub"), col("id_b").as("id_super"),
-        (col("common").cast("double") / col("na")).as("containment"))
-    val bInA = withSizes
-      .filter(col("common") * 1000 >= lit(thresholdPermille) * col("nb"))
-      .select(col("id_b").as("id_sub"), col("id_a").as("id_super"),
-        (col("common").cast("double") / col("nb")).as("containment"))
-    aInB.unionByName(bInA)
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("common"),
+        max(col("na")).as("na"), max(col("nb")).as("nb"))
+    // BOTH directions in one pass: the former aInB ∪ bInA evaluated the
+    // whole co-shingle join + pair aggregate TWICE (once per union branch —
+    // measured, not just static: the union halves were never runtime-reused)
+    // — a per-row conditional explode emits the same row multiset from ONE
+    // evaluation (guide §2.4). Codegen-friendly: array of two nullable
+    // structs, explode, drop the nulls.
+    val t = lit(thresholdPermille)
+    withSizes.select(explode(array(
+        when(col("common") * 1000 >= t * col("na"),
+          struct(col("id_a").as("id_sub"), col("id_b").as("id_super"),
+            (col("common").cast("double") / col("na")).as("containment"))),
+        when(col("common") * 1000 >= t * col("nb"),
+          struct(col("id_b").as("id_sub"), col("id_a").as("id_super"),
+            (col("common").cast("double") / col("nb")).as("containment")))
+      )).as("r"))
+      .filter(col("r").isNotNull)
+      .select(col("r.id_sub").as("id_sub"), col("r.id_super").as("id_super"),
+        col("r.containment").as("containment"))
   }
 
   /** Per-doc n-gram NOVELTY of a new batch against an existing corpus:
@@ -232,20 +251,20 @@ object Dedup {
       n: Int = 3, threshold: Double = 0.5, maxShingleFreq: Long = 1000): DataFrame = {
     val newArr = shingleArrays(newDf, idCol, textCol, n)
     val oldArr = shingleArrays(corpusDf, idCol, textCol, n)
-    val shNew = explodeShingleArrays(newArr)
-    val shOld = explodeShingleArrays(oldArr)
+    // UNCAPPED per-side sizes carried through the explodes (see
+    // [[ngramJaccardPairs]]): each former size join-back re-shingled its
+    // whole side just to count the arrays it had already built.
+    val shNew = newArr.select(col("sid").as("new_id"),
+      size(col("hs")).cast("long").as("na"), explode(col("hs")).as("shingle"))
+    val shOld = oldArr.select(col("sid").as("old_id"),
+      size(col("hs")).cast("long").as("nb"), explode(col("hs")).as("shingle"))
     // hot-shingle cap applies to the CORPUS side (the unbounded one)
     val oldCapped = shOld.withColumn("sfreq",
         count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("shingle")))
       .filter(col("sfreq") <= maxShingleFreq).drop("sfreq")
-    val common = shNew.select(col("sid").as("new_id"), col("shingle"))
-      .join(oldCapped.select(col("sid").as("old_id"), col("shingle")), Seq("shingle"))
-      .groupBy("new_id", "old_id").agg(count(lit(1)).as("common"))
-    val sizesNew = newArr.select(col("sid").as("new_id"),
-      size(col("hs")).cast("long").as("na"))
-    val sizesOld = oldArr.select(col("sid").as("old_id"),
-      size(col("hs")).cast("long").as("nb"))
-    common.join(sizesNew, Seq("new_id")).join(sizesOld, Seq("old_id"))
+    shNew.join(oldCapped, Seq("shingle"))
+      .groupBy("new_id", "old_id").agg(count(lit(1)).as("common"),
+        max(col("na")).as("na"), max(col("nb")).as("nb"))
       .withColumn("jaccard",
         col("common").cast("double") / (col("na") + col("nb") - col("common")))
       .filter(col("jaccard") >= threshold)
@@ -377,8 +396,15 @@ object Dedup {
     * relation (guide §2.4). */
   private def jaccardVerifyPairs(shArr: DataFrame, cand: DataFrame,
       threshold: Double, maxShingleFreq: Long): DataFrame = {
-    val sh = explodeShingleArrays(shArr)
-    val sizes = shArr.select(col("sid"), size(col("hs")).cast("long").as("nsh"))
+    // UNCAPPED per-doc sizes ride the exploded rows (see
+    // [[ngramJaccardPairs]]): the former tail joined a (sid, size(hs))
+    // relation onto the pair aggregate twice, and each join-back
+    // re-shingled the WHOLE corpus (the sizes relation is corpus-wide even
+    // though the verify set is candidate-sized). The carried long widens
+    // the candidate-sized cache rows by 8 bytes; the cap filter drops rows
+    // without touching nsh, so the denominator stays the true count.
+    val sh = shArr.select(col("sid"), size(col("hs")).cast("long").as("nsh"),
+      explode(col("hs")).as("shingle"))
     val capped = sh.withColumn("sfreq",
         count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("shingle")))
       .filter(col("sfreq") <= maxShingleFreq).drop("sfreq")
@@ -392,15 +418,13 @@ object Dedup {
     val candSh = capped.join(candIds, Seq("sid"), "left_semi")
     KMeans.ensureCached(candSh)
     val a = candSh.join(cand.select(col("id_a").as("sid")).distinct(), Seq("sid"), "left_semi")
-      .select(col("sid").as("id_a"), col("shingle"))
+      .select(col("sid").as("id_a"), col("shingle"), col("nsh").as("na"))
     val b = candSh.join(cand.select(col("id_b").as("sid")).distinct(), Seq("sid"), "left_semi")
-      .select(col("sid").as("id_b"), col("shingle"))
-    val common = a.join(b, Seq("shingle")).filter(col("id_a") < col("id_b"))
+      .select(col("sid").as("id_b"), col("shingle"), col("nsh").as("nb"))
+    a.join(b, Seq("shingle")).filter(col("id_a") < col("id_b"))
       .join(cand, Seq("id_a", "id_b"), "left_semi")
-      .groupBy("id_a", "id_b").agg(count(lit(1)).as("common"))
-    common
-      .join(sizes.withColumnRenamed("sid", "id_a").withColumnRenamed("nsh", "na"), Seq("id_a"))
-      .join(sizes.withColumnRenamed("sid", "id_b").withColumnRenamed("nsh", "nb"), Seq("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("common"),
+        max(col("na")).as("na"), max(col("nb")).as("nb"))
       .withColumn("jaccard",
         col("common").cast("double") / (col("na") + col("nb") - col("common")))
       .filter(col("jaccard") >= threshold)

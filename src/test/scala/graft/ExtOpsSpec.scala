@@ -753,6 +753,74 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("carried sizes under an ACTIVE hot-shingle cap: intersection counts " +
+      "capped, denominators uncapped (r16 carry-through-join pin)") {
+    // 6 docs all sharing one hot shingle ("h1 h2 h3" — 6 > cap of 3, so the
+    // cap DROPS it from the join) plus pairwise-shared rare shingles. The
+    // carried nsh must stay the TRUE per-doc distinct count even though the
+    // hot shingle's exploded rows are filtered out; the old join-back read
+    // sizes from the uncapped array relation, so any divergence here means
+    // the carry broke the "sizes stay uncapped" contract.
+    val corpus = Seq(
+      (1L, "h1 h2 h3 a b c d"),   // shingles: hot + rare bridges
+      (2L, "h1 h2 h3 a b c e"),
+      (3L, "h1 h2 h3 a b c f"),   // shares rare bridges with 1-2 too
+      (4L, "h1 h2 h3 p q r t"),
+      (5L, "h1 h2 h3 only mine here"),
+      (6L, "h1 h2 h3 alone words too")
+    ).toDF("doc_id", "text")
+    val cap = 3L
+    def shingleSet(text: String): Set[String] =
+      text.split(" ").sliding(3).map(_.mkString(" ")).toSet
+    val rows = corpus.as[(Long, String)].collect()
+    val sets = rows.map { case (id, t) => id -> shingleSet(t) }.toMap
+    val hot = sets.values.flatten.groupBy(identity)
+      .collect { case (s, occ) if occ.size > cap => s }.toSet
+    assert(hot.nonEmpty, "fixture must actually trigger the cap")
+    // brute force with CAPPED intersection + UNCAPPED denominators
+    def cappedCommon(a: Long, b: Long): Int =
+      ((sets(a) -- hot) & (sets(b) -- hot)).size
+    val wantJac = (for {
+      a <- sets.keys; b <- sets.keys if a < b
+      c = cappedCommon(a, b)
+      na = sets(a).size; nb = sets(b).size
+      if c > 0 && c.toDouble / (na + nb - c) >= 0.2
+    } yield (a, b, c.toDouble / (na + nb - c))).toSet
+    val gotJac = Dedup.ngramJaccardPairs(corpus, "doc_id", "text",
+        n = 3, threshold = 0.2, maxShingleFreq = cap)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(gotJac == wantJac, s"jaccard: got $gotJac want $wantJac")
+    val wantCont = (for {
+      a <- sets.keys; b <- sets.keys if a < b
+      c = cappedCommon(a, b) if c > 0
+      dir <- Seq((a, b, sets(a).size), (b, a, sets(b).size))
+      if c * 1000 >= 300 * dir._3
+    } yield (dir._1, dir._2, c.toDouble / dir._3)).toSet
+    val gotCont = Dedup.containmentPairs(corpus, "doc_id", "text",
+        n = 3, thresholdPermille = 300, maxShingleFreq = cap)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(gotCont == wantCont, s"containment: got $gotCont want $wantCont")
+    // cross-corpus twin: new batch {1,2} against corpus {3..6}; the cap is
+    // CORPUS-SIDE frequency only (the operator's contract), and here it
+    // caps the hot shingle (corpus freq 4 > 3) while the rare bridges stay
+    val corpusIds = Seq(3L, 4L, 5L, 6L)
+    val hotX = corpusIds.flatMap(id => sets(id))
+      .groupBy(identity).collect { case (s, occ) if occ.size > cap => s }.toSet
+    assert(hotX.nonEmpty, "cross-corpus fixture must trigger the corpus-side cap")
+    val wantX = (for {
+      a <- Seq(1L, 2L); b <- corpusIds
+      c = (sets(a) & (sets(b) -- hotX)).size
+      na = sets(a).size; nb = sets(b).size
+      if c > 0 && c.toDouble / (na + nb - c) >= 0.05
+    } yield (a, b, c.toDouble / (na + nb - c))).toSet
+    assert(wantX.nonEmpty, "cross-corpus fixture must produce qualifying pairs")
+    val gotX = Dedup.crossCorpusJaccardPairs(
+        corpus.filter(col("doc_id") <= 2), corpus.filter(col("doc_id") > 2),
+        "doc_id", "text", n = 3, threshold = 0.05, maxShingleFreq = cap)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(gotX == wantX, s"crossCorpus: got $gotX want $wantX")
+  }
+
   test("prefix join: candidate stage prunes (prefix strictly smaller than shingle set)") {
     val corpus = (1 to 20).map { i =>
       (i.toLong, s"shared head words here tail$i t${i % 4} u${i % 6} v$i final token")
